@@ -1,0 +1,89 @@
+"""Cleaning / coercion expressions (SURVEY.md §2.9 scalar-function surface).
+
+Every reference "UDF" that survives into the engine is a native Column
+expression here — zero Python scalar UDFs (SURVEY §2.11 rule). Reference
+sites cited per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def strip_newlines(c: Column | str) -> Column:
+    """F1/F2 remnant: normalize embedded newlines/CRs to spaces.
+
+    Reference ``convert_value`` / ``clean_text``
+    (``dags/bexio/bexio_invoice_and_line_items_de.py:106-124``,
+    ``dags/billwerk/biilwerk_invoices_line_items.py:65-77``). The SQL-literal
+    and CSV escaping halves of those functions are obsolete under
+    parameterized parquet writes.
+    """
+    return F.regexp_replace(F.col(c) if isinstance(c, str) else c, "[\\n\\r]+", " ")
+
+
+def money(c: Column | str) -> Column:
+    """F16: numeric-in-string to double, NULL on garbage
+    (``pd.to_numeric(errors='coerce')``,
+    ``dags/bexio/bexio_invoice_and_line_items_de.py:167-171``)."""
+    return (F.col(c) if isinstance(c, str) else c).try_cast("double")
+
+
+def percent_to_fraction(c: Column | str, scale: int = 3) -> Column:
+    """F4: strip a ``%`` suffix, /100, round
+    (``dags/price-increase/import_bi_dev_gross_margin.py:56-58``)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.round(F.regexp_replace(col, "%$", "").try_cast("double") / 100.0, scale)
+
+
+def strip_thousands(c: Column | str) -> Column:
+    """F5: drop thousands separators
+    (``dags/price-increase/import_bi_dev_ltv.py:55-59``)."""
+    return F.regexp_replace(F.col(c) if isinstance(c, str) else c, ",", "")
+
+
+def null_if_in(c: Column | str, sentinels: list[str]) -> Column:
+    """F8: sentinel strings ('n.a.', '') to NULL
+    (``dags/price-increase/import_bi_dev_gross_margin.py:51,56``)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(col.isin(sentinels), F.lit(None)).otherwise(col)
+
+
+def unix_micros_ts(c: Column | str) -> Column:
+    """F9: unix MICROseconds -> timestamp
+    (``convert_unix_microseconds_to_datetime``,
+    ``dags/bexio/bexio_invoice_and_line_items_de.py:96-100``)."""
+    return F.timestamp_micros((F.col(c) if isinstance(c, str) else c).cast("long"))
+
+
+def unix_seconds_ts(c: Column | str) -> Column:
+    """F10: epoch seconds -> timestamp
+    (``dags/stripe/account.py:120``)."""
+    return F.to_timestamp(F.from_unixtime((F.col(c) if isinstance(c, str) else c).cast("long")))
+
+
+def euro_date(c: Column | str) -> Column:
+    """F6: ``dd.mm.yyyy`` -> DATE
+    (``dags/finance/disputed_invoices/stripe_dispute.py:80-82``)."""
+    return F.to_date(F.col(c) if isinstance(c, str) else c, "dd.MM.yyyy")
+
+
+def month_end(c: Column | str) -> Column:
+    """F14: truncate to month, take month-end
+    (``dags/price-increase/import_bi_dev_gross_margin.py:52-54``)."""
+    return F.last_day(F.date_trunc("month", F.col(c) if isinstance(c, str) else c))
+
+
+def int_key(c: Column | str) -> Column:
+    """F17/F18: fillna(0) + truncating int cast for key columns
+    (``dags/bexio/bexio_invoice_and_line_items_de.py:281-286``,
+    ``dags/hubspot/BM/hubspot_bm_company_status_v2.py:78``)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.coalesce(col, F.lit(0)).cast("long")
+
+
+def array_head_field(array_col: str, field: str) -> Column:
+    """F20: NULL-safe first-element field access (``taxs[0]['percentage']``,
+    ``dags/bexio/bexio_invoice_and_line_items_de.py:164``)."""
+    return F.element_at(F.col(array_col), 1)[field]

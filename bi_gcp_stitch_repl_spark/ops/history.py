@@ -1,0 +1,42 @@
+"""Change-history capture and dedup (SURVEY.md J3/J4/K7, A1/A2, §2.6).
+
+The reference materializes "what changed" by anti-joining the current
+snapshot against an append-only history table on a composite key
+(``dags/sql-queries/bexio_and_stripe/execute_bexio_and_stripe_sql_queries.py:
+45-57`` — (invoice_id, status); ``dags/finance/disputed_invoices/
+stripe_dispute.py:32-46`` — 4-column NOT EXISTS). It has no window
+functions at all (SURVEY §2.6), so "latest row per key" is only ever implied;
+``latest_per_key`` supplies it natively with ``row_number`` since the Spark
+engine gets windows for free — and it's the scalable form of the pattern
+(one shuffle on the key, no self-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def append_only_delta(snapshot: DataFrame, history: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows of ``snapshot`` whose composite key is absent from ``history``
+    (the K7/J3/J4 anti-join). Caller appends the result to the history table
+    (see ``sinks.merge.ParquetTable.append_if_absent`` for the sink-side
+    form)."""
+    return snapshot.dropDuplicates(keys).join(
+        history.select(*keys), on=keys, how="left_anti"
+    )
+
+
+def latest_per_key(
+    df: DataFrame, keys: list[str], order_col: str, descending: bool = True
+) -> DataFrame:
+    """Newest row per key via ``row_number() over (partition by keys order by
+    order_col desc)`` — a single hash-partitioned shuffle, skew-safe under
+    AQE; never a self-join with max()."""
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(*keys).orderBy(order, *[F.col(k) for k in keys])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,94 @@
+"""Query catalog: every engine operator as a named, oracle-checked query.
+
+Each entry pairs
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` (idiomatic DataFrame API,
+  exercising the engine modules), and
+- an equivalent ANSI-SQL string DuckDB runs on the same parquet tables.
+
+The driver hash-compares the two at sf=0.01 (row count + sorted column names
++ order-insensitive value hash), so determinism rules apply everywhere:
+
+* **Money/metric aggregation** goes through DECIMAL: ``sum(cast(x as
+  decimal(28,10)))`` is exact, hence independent of Spark's partition
+  summation order, and matches DuckDB bit-for-bit once cast back to double
+  (verified empirically on this data). Raw double ``sum()`` is
+  order-dependent and would flake under AQE re-planning.
+* **Vector math** uses Spark's ``aggregate``/``zip_with`` sequential fold,
+  which matches DuckDB's ``list_sum(list_transform(list_zip(...)))``
+  element order exactly (verified).
+* **Top-k and limits** always carry a unique tiebreaker key in the ORDER BY.
+* **No nondeterministic functions** (uuid, current_timestamp, first without
+  order) anywhere in the catalog surface; carried-key defaults are
+  deterministic expressions of the business key.
+* ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark refuses by default:
+  the loader flips ``spark.sql.legacy.parquet.nanosAsLong`` and rebuilds a
+  microsecond timestamp with ``timestamp_micros(ts div 1000)`` — exactly
+  DuckDB's read-time nanos→micros truncation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator adding a (spark, sf_dir) -> DataFrame callable to the
+    catalog, with its DuckDB oracle SQL (None → rows-only check)."""
+
+    def wrap(fn):
+        _REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Load the named testdata tables; ``events`` gets the nanos fix-up."""
+    out = []
+    for name in names:
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        out.append(df)
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: qd.fn for name, qd in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: qd.oracle for name, qd in _REGISTRY.items() if qd.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import the query modules exactly once (they self-register)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import extensions, parity, windows  # noqa: F401
+
+    _LOADED = True

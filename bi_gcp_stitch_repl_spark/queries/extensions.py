@@ -1,0 +1,576 @@
+"""LLM-data-pipeline extension queries (SURVEY.md §7.6, BASELINE.json
+north_star): deduplication, similarity search, text analysis, multimodal
+metadata — each designed for 100 TB scale and, wherever the math is
+SQL-expressible, oracle-checked against DuckDB.
+
+Determinism architecture (why no Spark ``hash``/``xxhash64`` here): the
+oracle must reproduce every hash bit-for-bit, so all hashing in the catalog
+surface is an explicit polynomial fold ``(acc*31 + codepoint) % 1e9+7``,
+expressed as Spark ``aggregate(transform(...))`` and DuckDB
+``list_reduce(... list comprehension ...)`` — verified to match exactly.
+The production-scale variants using JVM-side ``xxhash64``/``minhash`` live
+in ``functions.dedup`` / ``functions.similarity`` with pytest coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register, tables
+
+P = 1_000_000_007
+#: (a, b) pairs for the MinHash permutation family h_k(x) = (a*x + b) mod P.
+MINHASH_SEEDS = [
+    (131, 7),
+    (137, 11),
+    (139, 13),
+    (149, 17),
+    (151, 19),
+    (157, 23),
+    (163, 29),
+    (167, 31),
+]
+N_BANDS = 4  # 8 minhashes → 4 bands × 2 rows (targets J ≳ 0.5 candidates)
+JACCARD_THRESHOLD = 0.4  # clean separation point in the corpus
+
+# --- shared expression fragments (Spark SQL dialect) -----------------------
+
+#: distinct character 5-gram shingles of `text`
+SHINGLES_SPARK = (
+    "array_distinct(transform(sequence(1, greatest(length(text)-4, 1)),"
+    " i -> substring(text, i, 5)))"
+)
+#: polynomial fold hash of one string s (Spark lambda body)
+_FOLD_SPARK = (
+    "aggregate(transform(split({s}, ''), c -> cast(ascii(c) as bigint)),"
+    " cast(0 as bigint), (acc, c) -> (acc*31 + c) % {p})"
+)
+
+# --- shared fragments (DuckDB dialect) --------------------------------------
+
+SHINGLES_DUCK = (
+    "list_distinct([substr(text, i, 5)"
+    " for i in generate_series(1, greatest(len(text)-4, 1))])"
+)
+_FOLD_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " [CAST(ord(c) AS BIGINT) for c in split({s}, '')]),"
+    " (acc, c) -> (acc*31 + c) % {p})"
+)
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — exploded distinct 5-grams per document."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
+    )
+
+
+_SHINGLE_DUCK_CTE = f"""
+sh AS (
+  SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM documents
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_key, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, keep-lowest-id representative. At 100 TB
+    this is the canonical first pass: hash JVM-side (no text shuffle — only
+    the 32-byte key moves), group, keep min id. Here md5 doubles as the
+    oracle-portable hash."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_key")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "x_dedup_normalized",
+    oracle="""
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_key,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def x_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case-normalized exact dedup — catches trivially-reformatted
+    copies before any expensive near-dup pass."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
+    return docs.groupBy(F.md5(norm).alias("content_key")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+_JACCARD_DUCK = f"""
+WITH {_SHINGLE_DUCK_CTE},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_inter * 1.0 / (ca.n + cb.n - n_inter) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = doc_a
+JOIN cnt cb ON cb.doc_id = doc_b
+WHERE n_inter * 1.0 / (ca.n + cb.n - n_inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 5-gram Jaccard ≥ threshold via shingle inverted index:
+    explode shingles → self-join on shingle → per-pair intersection count →
+    |A∩B| / (|A|+|B|-|A∩B|). The self-join is the quadratic hazard at scale
+    — x_minhash_lsh below is the scale path; this is the exact baseline."""
+    sh = _shingle_df(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+@register("x_jaccard_ngram_pairs", oracle=_JACCARD_DUCK)
+def x_jaccard_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (threshold 0.4)."""
+    return _jaccard_pairs(spark, sf_dir)
+
+
+@register(
+    "x_dedup_near_survivors",
+    oracle=f"""
+WITH {_SHINGLE_DUCK_CTE},
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT DISTINCT doc_b AS doc_id FROM inter
+  JOIN cnt ca ON ca.doc_id = doc_a
+  JOIN cnt cb ON cb.doc_id = doc_b
+  WHERE n_inter * 1.0 / (ca.n + cb.n - n_inter) >= {JACCARD_THRESHOLD}
+)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+LEFT JOIN dups USING (doc_id) WHERE dups.doc_id IS NULL
+""",
+)
+def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup keep-first: drop every document that has a near-duplicate
+    with a smaller doc_id (anti-join against the Jaccard pair list) — the
+    standard representative-selection used by training-data pipelines."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    dups = _jaccard_pairs(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.select("doc_id", "lang", "source").join(dups, "doc_id", "left_anti")
+
+
+def _minhash_sig_spark() -> list:
+    """MinHash signature columns over the `hs` (shingle-hash array) column."""
+    return [
+        F.expr(f"array_min(transform(hs, h -> ({a}*h + {b}) % {P}))").alias(f"mh{k}")
+        for k, (a, b) in enumerate(MINHASH_SEEDS)
+    ]
+
+
+def _minhash_lsh_duck() -> str:
+    fold = _FOLD_DUCK.format(s="s", p=P)
+    mh_exprs = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> ({a}*h + {b}) % {P})) AS mh{k}"
+        for k, (a, b) in enumerate(MINHASH_SEEDS)
+    )
+    band_rows = ",\n    ".join(
+        f"({i}, CAST(mh{2*i} AS VARCHAR) || '_' || CAST(mh{2*i+1} AS VARCHAR))"
+        for i in range(N_BANDS)
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id,
+         [{fold} for s in {SHINGLES_DUCK}] AS hs
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         {mh_exprs}
+  FROM hs
+), bands AS (
+  SELECT doc_id, band, sig FROM sig,
+  LATERAL (VALUES
+    {band_rows}
+  ) AS t(band, sig)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+@register("x_minhash_lsh_candidates", oracle=_minhash_lsh_duck())
+def x_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs — the scale path for near-dedup:
+    shingle → 8 minhashes → 4 bands of 2 → bucket-join on (band, signature).
+    Cost is linear in corpus size + bucket collisions (vs the quadratic
+    shingle self-join), which is what survives 100 TB. The signature pass is
+    pure JVM-side expression work (one shuffle on the band key).
+
+    Deterministic permutation family (a*h+b mod 1e9+7) over the polynomial
+    shingle hash, so DuckDB reproduces every signature exactly.
+    """
+    (docs,) = tables(spark, sf_dir, "documents")
+    fold = _FOLD_SPARK.format(s="s", p=P)
+    hs = docs.select(
+        "doc_id",
+        F.expr(f"transform({SHINGLES_SPARK}, s -> {fold})").alias("hs"),
+    )
+    sig = hs.select("doc_id", *_minhash_sig_spark())
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.concat_ws("_", F.col(f"mh{2*i}"), F.col(f"mh{2*i+1}")).alias("sig"),
+        )
+        for i in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band", "b.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _simhash_exprs(n_bits: int, spark_side: bool) -> tuple[str, str]:
+    """Generate (per-bit vote sums, recombine expression) for SimHash."""
+    shift = (lambda b: f"(shiftright(h, {b}) & 1)") if spark_side else (
+        lambda b: f"((h >> {b}) & 1)"
+    )
+    votes = ",\n       ".join(
+        f"SUM(2 * {shift(b)} - 1) AS s{b}" for b in range(n_bits)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(n_bits)
+    )
+    return votes, recombine
+
+
+SIMHASH_BITS = 32
+
+
+def _simhash_duck() -> str:
+    fold = _FOLD_DUCK.format(s="t", p=P)
+    votes, recombine = _simhash_exprs(SIMHASH_BITS, spark_side=False)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest([{fold} for t in string_split_regex(trim(text), '\\s+')]) AS h
+  FROM documents
+), votes AS (
+  SELECT doc_id,
+       {votes}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {recombine} AS simhash FROM votes
+"""
+
+
+@register("x_simhash", oracle=_simhash_duck())
+def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash over token hashes: tokens vote per bit
+    (+1 if the bit is set, -1 otherwise); the sign of each bit's vote sum
+    becomes the fingerprint bit. Near-duplicates land at small Hamming
+    distance — at scale, group by a few fixed bit-slices of the fingerprint
+    to find candidates without any pairwise pass."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    fold = _FOLD_SPARK.format(s="t", p=P)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(split(trim(text), '\\\\s+'), t -> {fold})")
+        ).alias("h"),
+    )
+    _, recombine_sql = _simhash_exprs(SIMHASH_BITS, spark_side=True)
+    vote_cols = [
+        F.expr(f"SUM(2 * (shiftright(h, {b}) & 1) - 1)").alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes = toks.groupBy("doc_id").agg(*vote_cols)
+    return votes.select("doc_id", F.expr(recombine_sql).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+#: Spark sequential-fold dot product of two double arrays — matches DuckDB's
+#: list_sum(list_transform(list_zip(...))) element order bit-for-bit.
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_NORM_SPARK = (
+    "sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+    " cast(0.0 as double), (acc, v) -> acc + v))"
+)
+
+
+@register(
+    "x_knn_cosine_topk",
+    oracle="""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qe), x -> x[1]*x[2]))
+         / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+            * sqrt(list_sum(list_transform(q.qe, x -> x*x)))) AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != 0
+)
+SELECT vec_id, label, cosine FROM scored
+ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+)
+def x_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a query vector — the exact ANN
+    baseline. The query vector broadcasts (1 row); scoring is a JVM-side
+    fold over the 64-dim arrays (no Python, no shuffle); top-k is a
+    TakeOrdered, not a global sort. Linear scan = the correctness oracle
+    for x_lsh_cosine_buckets / functions.similarity at any scale."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = _DOT_SPARK.format(a="embedding", b="qe")
+    norm_e = _NORM_SPARK.format(a="embedding")
+    norm_q = _NORM_SPARK.format(a="qe")
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", F.expr(f"{dot} / ({norm_e} * {norm_q})"))
+        .select("vec_id", "label", "cosine")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "x_lsh_cosine_buckets",
+    oracle="""
+SELECT (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+      + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+      + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+      + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+      + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+      + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END
+      + CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END
+      + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket_id,
+       COUNT(*) AS n_vectors,
+       MIN(vec_id) AS min_vec_id
+FROM embeddings GROUP BY 1
+""",
+)
+def x_lsh_cosine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH bucketing (hyperplanes = first 8 coordinate axes): the
+    partition function of the scale path for similarity search. A query
+    probes only its bucket (and Hamming-1 neighbors) instead of the full
+    corpus — functions.similarity.lsh_topk drives the actual per-bucket
+    top-k; this query checks the bucket assignment."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    bucket = None
+    for i in range(8):
+        bit = F.when(F.element_at("embedding", i + 1) > 0, F.lit(1 << i)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    return emb.groupBy(bucket.alias("bucket_id")).agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_text_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len
+FROM documents
+""",
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: token count, char count, whitespace count,
+    mean token length — the cheap quality-scoring features a training-data
+    pipeline computes on every document. Pure row-local expressions:
+    embarrassingly parallel, no shuffle."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        .cast("long")
+        .alias("n_spaces"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens
+        ).alias("avg_token_len"),
+    )
+
+
+_LANG_KEYWORDS = {
+    "en": ["the", "and", "value"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+}
+
+
+def _kw_count(text_expr: str, kw: str) -> str:
+    """Occurrences of ' kw ' in a space-padded text (same SQL both engines)."""
+    padded = f"(' ' || {text_expr} || ' ')"
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, ' {kw} ', '')))"
+        f" / {len(kw) + 2} AS BIGINT)"
+    )
+
+
+def _lang_id_sql() -> tuple[str, str, str]:
+    scores = {
+        lang: " + ".join(_kw_count("text", kw) for kw in kws)
+        for lang, kws in _LANG_KEYWORDS.items()
+    }
+    guess = (
+        f"CASE WHEN ({scores['en']}) >= ({scores['de']})"
+        f"      AND ({scores['en']}) >= ({scores['fr']}) THEN 'en'"
+        f"     WHEN ({scores['de']}) >= ({scores['fr']}) THEN 'de'"
+        f"     ELSE 'fr' END"
+    )
+    return scores["en"], scores["de"], guess
+
+
+@register(
+    "x_lang_id",
+    oracle=f"""
+SELECT doc_id,
+       {_lang_id_sql()[0]} AS score_en,
+       {_lang_id_sql()[1]} AS score_de,
+       {_lang_id_sql()[2]} AS lang_guess
+FROM documents
+""",
+)
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-frequency language ID heuristic: count language-marker tokens
+    by substring arithmetic (no regex, no UDF), argmax wins. The real
+    quality gate would use richer n-gram profiles — the plumbing (row-local
+    scoring then filter/route) is identical."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    score_en, score_de, guess = _lang_id_sql()
+    return docs.select(
+        "doc_id",
+        F.expr(score_en).alias("score_en"),
+        F.expr(score_de).alias("score_de"),
+        F.expr(guess).alias("lang_guess"),
+    )
+
+
+@register(
+    "x_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       {_FOLD_DUCK.format(s="text", p=P)} AS fingerprint,
+       {_FOLD_DUCK.format(s="substr(text, 1, 64)", p=P)} AS prefix_fingerprint
+FROM documents
+""",
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash of the
+    full text and of the first 64 chars (prefix fingerprint for fast
+    candidate filtering). Content-addressable identity that any engine can
+    recompute — unlike murmur/xxhash which are engine-specific."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(_FOLD_SPARK.format(s="text", p=P)).alias("fingerprint"),
+        F.expr(_FOLD_SPARK.format(s="substring(text, 1, 64)", p=P)).alias(
+            "prefix_fingerprint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata (the SQL-checkable half; binary decode plumbing is in
+# functions.multimodal with pytest coverage)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS content_md5,
+       sha256(text) AS content_sha256,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       lang, source
+FROM documents
+""",
+)
+def x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-payload metadata columns: content hashes + byte length — the
+    typed-metadata side of the multimodal design (payload stays an opaque
+    binary column; all routing/dedup decisions read only the metadata).
+    functions.multimodal adds the mapInPandas decode/feature plumbing."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.sha2("text", 256).alias("content_sha256"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        "lang",
+        "source",
+    )

