@@ -31,7 +31,11 @@ MINHASH_SEEDS = [
     (163, 29),
     (167, 31),
 ]
-N_BANDS = 4  # 8 minhashes → 4 bands × 2 rows (targets J ≳ 0.5 candidates)
+N_BANDS = 2  # 8 minhashes → 2 bands × 4 rows: P(candidate) = 1-(1-J^4)^2,
+#              steep around J≈0.7 — right for a corpus with heavy shared
+#              vocabulary where 2-row bands would flood candidates (measured
+#              537k pre-distinct pairs at sf0.1 with r=2; ~300 with r=4)
+ROWS_PER_BAND = len(MINHASH_SEEDS) // N_BANDS
 JACCARD_THRESHOLD = 0.4  # clean separation point in the corpus
 
 # --- shared expression fragments (Spark SQL dialect) -----------------------
@@ -202,6 +206,39 @@ def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", "source").join(dups, "doc_id", "left_anti")
 
 
+def _gram5_hash(index_fn) -> str:
+    """Closed-form polynomial hash of the 5-gram starting at position i,
+    over a precomputed codepoint array `cs`:
+    ((((c1*31+c2)*31+c3)*31+c4)*31+c5, with c_j = cs[i+j-1].
+    Identical to the stepwise fold mod P because the accumulator for a
+    5-char input never reaches P (max ≈ 1.2e8 < 1e9+7).
+
+    The codepoint array is built ONCE per document: hashing grams with
+    substring(text, i, …) instead is O(i) per call on Spark's UTF8String
+    (byte-offset scan), i.e. O(len²) per document — measured 11s for 5000
+    docs; the array-indexed form is O(len)."""
+    cs = [index_fn(j) for j in range(5)]
+    h = cs[0]
+    for c in cs[1:]:
+        h = f"({h} * 31 + {c})"
+    return h
+
+
+#: distinct 5-gram hashes per document (Spark / DuckDB) — the hash-domain
+#: shingle set used by MinHash. Requires length(text) >= 5 (driver corpus
+#: min length is 44); both sides use the same positions so the sets agree.
+GRAM_HASHES_SPARK = (
+    "array_distinct(transform(sequence(1, greatest(size(cs)-4, 1)),"
+    f" i -> {_gram5_hash(lambda j: f'element_at(cs, i + {j})')}))"
+)
+GRAM_HASHES_DUCK = (
+    f"list_distinct([{_gram5_hash(lambda j: f'cs[i + {j}]')}"
+    " for i in generate_series(1, greatest(len(cs)-4, 1))])"
+)
+CODEPOINTS_SPARK = "transform(split(text, ''), c -> cast(ascii(c) as bigint))"
+CODEPOINTS_DUCK = "[CAST(ord(c) AS BIGINT) for c in split(text, '')]"
+
+
 def _minhash_sig_spark() -> list:
     """MinHash signature columns over the `hs` (shingle-hash array) column."""
     return [
@@ -210,21 +247,24 @@ def _minhash_sig_spark() -> list:
     ]
 
 
+def _band_sig_duck(i: int) -> str:
+    return " || '_' || ".join(
+        f"CAST(mh{i * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+
+
 def _minhash_lsh_duck() -> str:
-    fold = _FOLD_DUCK.format(s="s", p=P)
     mh_exprs = ",\n         ".join(
         f"list_min(list_transform(hs, h -> ({a}*h + {b}) % {P})) AS mh{k}"
         for k, (a, b) in enumerate(MINHASH_SEEDS)
     )
-    band_rows = ",\n    ".join(
-        f"({i}, CAST(mh{2*i} AS VARCHAR) || '_' || CAST(mh{2*i+1} AS VARCHAR))"
-        for i in range(N_BANDS)
-    )
+    band_rows = ",\n    ".join(f"({i}, {_band_sig_duck(i)})" for i in range(N_BANDS))
     return f"""
-WITH hs AS (
-  SELECT doc_id,
-         [{fold} for s in {SHINGLES_DUCK}] AS hs
-  FROM documents
+WITH cp AS (
+  SELECT doc_id, {CODEPOINTS_DUCK} AS cs FROM documents
+), hs AS (
+  SELECT doc_id, {GRAM_HASHES_DUCK} AS hs
+  FROM cp
 ), sig AS (
   SELECT doc_id,
          {mh_exprs}
@@ -253,16 +293,16 @@ def x_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hash, so DuckDB reproduces every signature exactly.
     """
     (docs,) = tables(spark, sf_dir, "documents")
-    fold = _FOLD_SPARK.format(s="s", p=P)
-    hs = docs.select(
-        "doc_id",
-        F.expr(f"transform({SHINGLES_SPARK}, s -> {fold})").alias("hs"),
-    )
+    cp = docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs"))
+    hs = cp.select("doc_id", F.expr(GRAM_HASHES_SPARK).alias("hs"))
     sig = hs.select("doc_id", *_minhash_sig_spark())
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
-            F.concat_ws("_", F.col(f"mh{2*i}"), F.col(f"mh{2*i+1}")).alias("sig"),
+            F.concat_ws(
+                "_",
+                *[F.col(f"mh{i * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            ).alias("sig"),
         )
         for i in range(N_BANDS)
     ]
