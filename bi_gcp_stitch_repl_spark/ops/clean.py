@@ -85,5 +85,7 @@ def int_key(c: Column | str) -> Column:
 
 def array_head_field(array_col: str, field: str) -> Column:
     """F20: NULL-safe first-element field access (``taxs[0]['percentage']``,
-    ``dags/bexio/bexio_invoice_and_line_items_de.py:164``)."""
-    return F.element_at(F.col(array_col), 1)[field]
+    ``dags/bexio/bexio_invoice_and_line_items_de.py:164``). try_element_at,
+    not element_at: under ANSI mode (Spark 4 default) element_at THROWS on
+    an empty array, and empty ``taxs`` is a normal payload."""
+    return F.try_element_at(F.col(array_col), F.lit(1))[field]

@@ -1,0 +1,63 @@
+"""Reverse-ETL writer (SURVEY.md K8): warehouse aggregates → batched POSTs.
+
+The reference groups warehouse rows per company, assembles batches of 100
+(10 effective) and POSTs each to HubSpot's ``batch/update`` with a failure
+counter (``dags/hubspot/BM/hubspot_bm_company_status_v3.py:24-100``). The
+Spark form is ``foreachPartition``: each partition builds its own batches
+and posts them through an injected sender, so the fan-out scales with the
+cluster instead of one Celery worker, and no rows ever pass through the
+driver.
+
+Failure semantics match the reference: a failed batch is counted and
+reported, not retried into a poison loop; callers read the returned counts
+(via the driver-side accumulator) and decide.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def post_batches(
+    df: DataFrame,
+    send: Callable[[list[dict]], bool],
+    batch_size: int = 100,
+) -> tuple[int, int]:
+    """POST ``df``'s rows in batches of ``batch_size`` per partition.
+
+    ``send(batch) -> bool`` is the transport (True = accepted). Returns
+    (ok_batches, failed_batches) aggregated across the cluster via
+    accumulators — the reference's success/failure counters
+    (``hubspot_bm_company_status_v3.py:44-54``).
+    """
+    sc = df.sparkSession.sparkContext
+    ok_acc = sc.accumulator(0)
+    fail_acc = sc.accumulator(0)
+
+    def run(rows) -> None:
+        batch: list[dict] = []
+
+        def flush() -> None:
+            nonlocal batch
+            if not batch:
+                return
+            try:
+                accepted = send(batch)
+            except Exception:
+                accepted = False
+            if accepted:
+                ok_acc.add(1)
+            else:
+                fail_acc.add(1)
+            batch = []
+
+        for row in rows:
+            batch.append(row.asDict())
+            if len(batch) >= batch_size:
+                flush()
+        flush()
+
+    df.foreachPartition(run)
+    return ok_acc.value, fail_acc.value

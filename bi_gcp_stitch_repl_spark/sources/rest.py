@@ -1,0 +1,309 @@
+"""Paginated REST sources (SURVEY.md S1-S7) — the engine's one genuinely
+custom "physical operator" family (SURVEY §4.3.1).
+
+The reference implements four pagination protocols plus a threaded per-key
+detail fan-out against six SaaS APIs; this module re-expresses them as:
+
+- a driver-side **page iterator** per protocol (pages are API-bound, not
+  data-bound: page counts are 10²-10⁴, so the driver loop is not the
+  bottleneck — the *fetch latency* is, which the reference also serialized
+  per page);
+- ``to_dataframe``: pages → ``spark.createDataFrame`` with an explicit
+  schema (autodetect only as dev fallback, SURVEY §1.3);
+- ``fanout_fetch``: the per-key detail fetch (S7/J6) as ``mapInPandas``
+  over the key DataFrame — Spark's distributed replacement for the
+  reference's ThreadPoolExecutor (MAX_WORKERS 2-10,
+  ``dags/bexio/bexio_invoice_and_line_items_de.py:190-216``): parallelism
+  = partition count, rate limiting = per-partition token bucket, retry =
+  per-request with exponential backoff
+  (``dags/lex_office/lex_office_invoice_items.py:175-189``).
+
+Transport is injectable (callable ``(url, params) -> dict``), so tests run
+hermetically against fixture transports and production wires ``requests``
+with auth; the engine never imports requests itself.
+
+Protocols (reference sites):
+- S1 offset/limit     ``dags/bexio/bexio_invoice_and_line_items_de.py:62-75``
+- S2 page counter + ``last`` flag  ``dags/lex_office/lex_office_invoices.py:50-91``
+- S3 keyset ``from=<last id>``     ``dags/billwerk/biilwerk_contracts.py:85-113``
+- S4 = S3 + persisted watermark + row cap ``dags/billwerk/billwerk_invoices.py:49-99``
+- S5 cursor link       ``dags/hubspot/tickets/get_tickets.py:43-58``
+- S6 ``starting_after`` cursor     ``dags/stripe/stripe_charges.py:40-59``
+  (the reference's first-page-only debug cap at ``stripe_charges.py:52`` is
+  a defect we do not replicate, SURVEY §4.4)
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+Transport = Callable[[str, dict], Any]
+
+
+@dataclass
+class RetryPolicy:
+    """urllib3-Retry-equivalent: bounded retries with exponential backoff on
+    retryable failures (reference: Retry(total=5, backoff_factor=1) on
+    429/5xx)."""
+
+    total: int = 5
+    backoff_factor: float = 1.0
+    sleep: Callable[[float], None] = time.sleep
+
+    def call(self, fn: Callable[[], Any]) -> Any:
+        last: Exception | None = None
+        for attempt in range(self.total + 1):
+            try:
+                return fn()
+            except RetryableError as e:  # noqa: PERF203
+                last = e
+                if attempt < self.total:
+                    self.sleep(self.backoff_factor * (2**attempt))
+        raise last  # type: ignore[misc]
+
+
+class RetryableError(Exception):
+    """Transport should raise this for 429/5xx-class failures."""
+
+
+@dataclass
+class RateLimiter:
+    """Client-side pacing (reference: time.sleep(2-3) per detail request).
+    min_interval=0 disables; per-partition instances keep cluster-wide rate
+    ≈ partitions / min_interval."""
+
+    min_interval: float = 0.0
+    clock: Callable[[], float] = time.monotonic
+    sleep: Callable[[float], None] = time.sleep
+    _last: float | None = field(default=None, repr=False)
+
+    def wait(self) -> None:
+        if self.min_interval <= 0:
+            return
+        now = self.clock()
+        if self._last is not None:
+            delta = self._last + self.min_interval - now
+            if delta > 0:
+                self.sleep(delta)
+        self._last = self.clock()
+
+
+# ---------------------------------------------------------------------------
+# Page iterators — one per reference pagination protocol
+# ---------------------------------------------------------------------------
+
+
+def paginate_offset(
+    transport: Transport,
+    url: str,
+    limit: int = 500,
+    params: dict | None = None,
+    items_key: str | None = None,
+    retry: RetryPolicy | None = None,
+) -> Iterator[list[dict]]:
+    """S1: ``?offset=N&limit=M`` until a short/empty page."""
+    retry = retry or RetryPolicy()
+    offset = 0
+    while True:
+        p = dict(params or {}, offset=offset, limit=limit)
+        data = retry.call(lambda: transport(url, p))
+        items = data[items_key] if items_key else data
+        if not items:
+            return
+        yield items
+        if len(items) < limit:
+            return
+        offset += limit
+
+
+def paginate_page_flag(
+    transport: Transport,
+    url: str,
+    size: int = 250,
+    params: dict | None = None,
+    items_key: str = "content",
+    last_key: str = "last",
+    retry: RetryPolicy | None = None,
+) -> Iterator[list[dict]]:
+    """S2: ``?page=0,1,…`` until the payload's ``last`` flag."""
+    retry = retry or RetryPolicy()
+    page = 0
+    while True:
+        p = dict(params or {}, page=page, size=size)
+        data = retry.call(lambda: transport(url, p))
+        yield data.get(items_key, [])
+        if data.get(last_key, True):
+            return
+        page += 1
+
+
+def paginate_keyset(
+    transport: Transport,
+    url: str,
+    take: int = 500,
+    params: dict | None = None,
+    id_key: str = "Id",
+    start_after: Any = None,
+    row_limit: int | None = None,
+    retry: RetryPolicy | None = None,
+) -> Iterator[list[dict]]:
+    """S3/S4: ``?from=<last id>`` keyset pages; stops when the cursor stops
+    advancing. ``start_after`` resumes from a persisted watermark and
+    ``row_limit`` caps total rows (the reference's billwerk_invoices
+    incremental contract). Keyset (not offset) is the protocol that stays
+    O(page) on arbitrarily large upstream tables."""
+    retry = retry or RetryPolicy()
+    cursor = start_after
+    emitted = 0
+    while True:
+        p = dict(params or {}, take=take)
+        if cursor is not None:
+            p["from"] = cursor
+        data = retry.call(lambda: transport(url, p))
+        items = list(data)
+        if cursor is not None:
+            # keyset APIs re-include the cursor row first (reference skips it)
+            items = [it for it in items if it[id_key] != cursor]
+        if not items:
+            return
+        if row_limit is not None:
+            items = items[: max(0, row_limit - emitted)]
+            if not items:
+                return
+        emitted += len(items)
+        yield items
+        new_cursor = items[-1][id_key]
+        if new_cursor == cursor:
+            return
+        cursor = new_cursor
+        if row_limit is not None and emitted >= row_limit:
+            return
+
+
+def paginate_cursor_link(
+    transport: Transport,
+    url: str,
+    params: dict | None = None,
+    items_key: str = "results",
+    next_path: tuple[str, ...] = ("paging", "next", "link"),
+    retry: RetryPolicy | None = None,
+) -> Iterator[list[dict]]:
+    """S5: follow ``paging.next.link`` until absent (HubSpot)."""
+    retry = retry or RetryPolicy()
+    next_url: str | None = url
+    next_params = dict(params or {})
+    while next_url:
+        u = next_url
+        pp = next_params
+        data = retry.call(lambda: transport(u, pp))
+        yield data.get(items_key, [])
+        node: Any = data
+        for k in next_path:
+            node = node.get(k) if isinstance(node, dict) else None
+            if node is None:
+                break
+        next_url = node
+        next_params = {}  # cursor links embed their own params
+
+
+def paginate_starting_after(
+    transport: Transport,
+    url: str,
+    limit: int = 100,
+    params: dict | None = None,
+    items_key: str = "data",
+    more_key: str = "has_more",
+    id_key: str = "id",
+    retry: RetryPolicy | None = None,
+) -> Iterator[list[dict]]:
+    """S6: Stripe-style ``starting_after=<last id>`` + ``has_more``."""
+    retry = retry or RetryPolicy()
+    cursor = None
+    while True:
+        p = dict(params or {}, limit=limit)
+        if cursor is not None:
+            p["starting_after"] = cursor
+        data = retry.call(lambda: transport(url, p))
+        items = data.get(items_key, [])
+        if items:
+            yield items
+            cursor = items[-1][id_key]
+        if not data.get(more_key, False) or not items:
+            return
+
+
+# ---------------------------------------------------------------------------
+# Pages → DataFrame
+# ---------------------------------------------------------------------------
+
+
+def to_dataframe(
+    spark: SparkSession,
+    pages: Iterator[list[dict]],
+    schema,
+) -> DataFrame:
+    """Materialize a page iterator into a DataFrame with an explicit schema.
+
+    The reference pickles whole pandas frames through Airflow XCom between
+    tasks (SURVEY §3.1 stage 3); here pages stream straight into Arrow
+    batches. Explicit schema = schema-on-write (SURVEY §1.3); rows missing
+    keys get NULL (the reference's required_columns padding)."""
+    rows = [row for page in pages for row in page]
+    return spark.createDataFrame(rows, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# S7: per-key detail fan-out (the reference's ThreadPoolExecutor, distributed)
+# ---------------------------------------------------------------------------
+
+
+def fanout_fetch(
+    keys_df: DataFrame,
+    fetch_one: Callable[[Any], dict | None],
+    result_schema,
+    key_col: str = "id",
+    parallelism: int = 10,
+    rate_limit_interval: float = 0.0,
+    retry: RetryPolicy | None = None,
+):
+    """Correlated per-key remote fetch as ``mapInPandas`` over the key frame.
+
+    ``fetch_one(key) -> dict | None`` runs once per key inside each
+    partition with retry + rate limiting; None (failed fetch) is dropped and
+    surfaced in the ``_fetch_ok`` accounting column instead of aborting the
+    job — the reference's error-isolation semantics
+    (``dags/lex_office/lex_office_invoice_items.py:187-210``).
+
+    ``parallelism`` maps MAX_WORKERS: it is the repartition count of the key
+    frame, i.e. the number of concurrent API streams cluster-wide. At 100 TB
+    the keys frame itself is distributed — no driver materialization.
+    """
+    import pandas as pd
+
+    retry = retry or RetryPolicy()
+    field_names = [f.name for f in result_schema.fields if f.name != "_fetch_ok"]
+
+    def run(batches):
+        limiter = RateLimiter(min_interval=rate_limit_interval)
+        for pdf in batches:
+            out = []
+            for key in pdf[key_col]:
+                limiter.wait()
+                try:
+                    detail = retry.call(lambda k=key: fetch_one(k))
+                except Exception:
+                    detail = None
+                row = {k: (detail or {}).get(k) for k in field_names}
+                row["_fetch_ok"] = detail is not None
+                out.append(row)
+            yield pd.DataFrame(out, columns=[*field_names, "_fetch_ok"])
+
+    return (
+        keys_df.repartition(parallelism)
+        .mapInPandas(run, schema=result_schema)
+    )

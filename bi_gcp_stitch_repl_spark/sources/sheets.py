@@ -1,0 +1,62 @@
+"""Spreadsheet-range source (SURVEY.md S10).
+
+The reference reads Google Sheets via ``get_all_values()`` — a rectangular
+list-of-lists — then slices rows/columns positionally and promotes a header
+row (``dags/key_accounts/active_orgs.py:25-39``; header at row 375 with data
+from 376 ``dags/price-increase/import_bi_dev_ltv.py:35-45``; rows 157:191,
+cols 0:7 + drop-empty-column ``dags/price-increase/import_bi_dev_gross_margin.py:
+35-46``).
+
+Sheets are driver-sized by nature (≤ a few 10⁵ cells), so the fetch is
+driver-side; everything after ``createDataFrame`` is distributed. The sheet
+client is injectable — the engine takes the values matrix, not a live API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _clean_header(name: str, idx: int) -> str:
+    name = (name or "").strip()
+    return name if name else f"_c{idx}"
+
+
+def sheet_to_dataframe(
+    spark: SparkSession,
+    values: list[list[str]],
+    header_row: int = 0,
+    data_start: int | None = None,
+    data_end: int | None = None,
+    col_slice: tuple[int, int] | None = None,
+    drop_empty_cols: bool = True,
+) -> DataFrame:
+    """Rectangular values → DataFrame with header promotion and slicing.
+
+    All cells arrive as strings (sheet semantics); downstream coercion is
+    ``ops.clean`` (percent strip, thousands separators, locale dates — the
+    reference's import_bi_dev_* cleanup chain).
+    """
+    if not values:
+        raise ValueError("empty sheet values")
+    if data_start is None:
+        data_start = header_row + 1
+    header = values[header_row]
+    rows = values[data_start:data_end]
+    if col_slice is not None:
+        lo, hi = col_slice
+        header = header[lo:hi]
+        rows = [r[lo:hi] for r in rows]
+    keep = list(range(len(header)))
+    if drop_empty_cols:
+        keep = [i for i in keep if (header[i] or "").strip() != ""]
+    names = [_clean_header(header[i], i) for i in keep]
+    data = [
+        tuple((r[i] if i < len(r) else None) for i in keep)
+        for r in rows
+    ]
+    schema = T.StructType(
+        [T.StructField(n.replace(" ", "_"), T.StringType()) for n in names]
+    )
+    return spark.createDataFrame(data, schema=schema)

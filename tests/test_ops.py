@@ -1,0 +1,180 @@
+"""Normalization / cleaning / key ops on nested payload fixtures (the
+FIXTURES.md shapes: invoice headers with positions arrays, deep structs with
+absent optionals, property-bag maps)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bi_gcp_stitch_repl_spark.ops.clean import (
+    array_head_field,
+    euro_date,
+    int_key,
+    money,
+    null_if_in,
+    percent_to_fraction,
+    strip_newlines,
+    strip_thousands,
+    unix_micros_ts,
+)
+from bi_gcp_stitch_repl_spark.ops.history import latest_per_key
+from bi_gcp_stitch_repl_spark.ops.keys import carry_forward_keys
+from bi_gcp_stitch_repl_spark.ops.normalize import (
+    explode_with_parent,
+    flatten_structs,
+    maps_to_json,
+    pad_columns,
+    struct_get,
+)
+from bi_gcp_stitch_repl_spark.sources.sheets import sheet_to_dataframe
+
+
+def invoice_fixture(spark):
+    """bexio_invoice shape (FIXTURES.md §2.1): header + positions array."""
+    rows = [
+        Row(
+            id=10,
+            title="line1\nline2'q",
+            total="123.45",
+            taxs=[Row(percentage="7.7", value="8.4")],
+            updated_at="2024-01-05 10:00:00",
+            positions=[
+                Row(id=1, type="KbPositionCustom", amount="2", unit_price="10.0"),
+                Row(id=2, type="KbPositionDiscount", amount="1", unit_price="-5.0"),
+            ],
+        ),
+        Row(
+            id=11,
+            title=None,
+            total="n/a",
+            taxs=[],
+            updated_at="2024-01-06 10:00:00",
+            positions=[],
+        ),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_explode_with_parent_attaches_and_renames(spark):
+    df = invoice_fixture(spark)
+    out = explode_with_parent(
+        df, "positions", {"id": "invoice_id", "updated_at": "updated_at"}
+    )
+    rows = out.collect()
+    assert {r["invoice_id"] for r in rows} == {10}  # empty array parent dropped
+    assert {r["type"] for r in rows} == {"KbPositionCustom", "KbPositionDiscount"}
+
+
+def test_explode_with_parent_keep_empty(spark):
+    df = invoice_fixture(spark)
+    # parent `id` renamed: positions structs carry their own `id` field
+    out = explode_with_parent(df, "positions", {"id": "invoice_id"}, keep_empty=True)
+    assert out.filter(F.col("invoice_id") == 11).count() == 1  # outer row survives
+
+
+def test_flatten_structs_dotted_names(spark):
+    df = spark.createDataFrame(
+        [Row(a=Row(b=Row(c=1), d="x"), top=2)]
+    )
+    out = flatten_structs(df)
+    assert set(out.columns) == {"a.b.c", "a.d", "top"}
+    assert out.collect()[0]["a.b.c"] == 1
+
+
+def test_pad_columns_adds_typed_nulls_in_order(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    out = pad_columns(df, [("b", "string"), ("a", "long"), ("c", "double")])
+    assert out.columns == ["b", "a", "c"]
+    row = out.collect()[0]
+    assert row["b"] is None and row["a"] == 1 and row["c"] is None
+
+
+def test_struct_get_default_on_missing(spark):
+    df = spark.createDataFrame(
+        [Row(pb=Row(EmailAddress="x@y.z")), Row(pb=None)]
+    )
+    out = df.select(struct_get("pb.EmailAddress", "").alias("email")).collect()
+    assert sorted(r["email"] for r in out) == ["", "x@y.z"]
+
+
+def test_maps_to_json(spark):
+    df = spark.createDataFrame([({"a": "1"},)], "m map<string,string>")
+    assert maps_to_json(df, ["m"]).collect()[0]["m"] == '{"a":"1"}'
+
+
+def test_clean_battery(spark):
+    df = invoice_fixture(spark)
+    out = df.select(
+        strip_newlines("title").alias("t"),
+        money("total").alias("total"),
+        array_head_field("taxs", "percentage").alias("tax_pct"),
+    ).orderBy("total")
+    rows = out.collect()
+    assert rows[-1]["t"] == "line1 line2'q"
+    assert rows[-1]["total"] == 123.45 and rows[0]["total"] is None
+    assert rows[-1]["tax_pct"] == "7.7" and rows[0]["tax_pct"] is None
+
+
+def test_scalar_coercions(spark):
+    df = spark.createDataFrame(
+        [("12.5%", "1,234.5", "05.03.2024", "n.a.", 1704451200000000, None)],
+        "pct string, thou string, dmy string, sentinel string, micros long, missing double",
+    )
+    row = df.select(
+        percent_to_fraction("pct").alias("frac"),
+        strip_thousands("thou").alias("thou"),
+        euro_date("dmy").alias("d"),
+        null_if_in("sentinel", ["n.a.", ""]).alias("s"),
+        unix_micros_ts("micros").alias("ts"),
+        int_key("missing").alias("k"),
+    ).collect()[0]
+    assert row["frac"] == 0.125
+    assert row["thou"] == "1234.5"
+    assert row["d"] == datetime.date(2024, 3, 5)
+    assert row["s"] is None
+    assert row["ts"].year == 2024
+    assert row["k"] == 0
+
+
+def test_carry_forward_keys_preserves_existing_mints_new(spark):
+    existing = spark.createDataFrame(
+        [(1, "u-1", "2020-01-01")], "bexio_id long, u_id string, created_at string"
+    )
+    batch = spark.createDataFrame([(1, 9.0), (2, 5.0)], "bexio_id long, amount double")
+    out = carry_forward_keys(
+        batch,
+        existing,
+        "bexio_id",
+        carried={
+            "u_id": F.concat(F.lit("new-"), F.col("bexio_id")),
+            "created_at": F.lit("2024-06-01"),
+        },
+    )
+    got = {r["bexio_id"]: (r["u_id"], r["created_at"]) for r in out.collect()}
+    assert got == {1: ("u-1", "2020-01-01"), 2: ("new-2", "2024-06-01")}
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "old"), (1, 2, "new"), (2, 5, "only")], "k long, ts long, v string"
+    )
+    got = {r["k"]: r["v"] for r in latest_per_key(df, ["k"], "ts").collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_sheet_source_header_promotion_and_slicing(spark):
+    values = [
+        ["junk", "junk", ""],
+        ["name", "ltv", ""],
+        ["a", "1,200", "x"],
+        ["b", "3,400", "y"],
+        ["c", "5,600", "z"],
+    ]
+    df = sheet_to_dataframe(
+        spark, values, header_row=1, data_start=2, data_end=4, col_slice=(0, 3)
+    )
+    assert df.columns == ["name", "ltv"]  # empty header col dropped
+    assert [r["name"] for r in df.collect()] == ["a", "b"]

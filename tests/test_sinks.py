@@ -1,0 +1,114 @@
+"""Merge/overwrite/append sink semantics + watermark store + reverse-ETL
+writer: the correctness-critical write path (SURVEY §4.3.2 — the reference
+loses rows if it crashes between its DELETE and INSERT jobs; these tests pin
+the atomic-swap contract that fixes that)."""
+
+from __future__ import annotations
+
+import os
+
+from bi_gcp_stitch_repl_spark.sinks.merge import ParquetTable, WatermarkStore
+from bi_gcp_stitch_repl_spark.sinks.reverse import post_batches
+
+
+def df_of(spark, rows, schema="k long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_merge_upsert_replaces_and_preserves(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(df_of(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.merge_upsert(df_of(spark, [(2, "B"), (4, "D")]), keys=["k"])
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_merge_upsert_idempotent_rerun(spark, tmp_path):
+    """Re-running the same batch must be a no-op — the reference's implicit
+    daily-rerun contract (K1 delete+insert)."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(df_of(spark, [(1, "a"), (2, "b")]))
+    batch = df_of(spark, [(2, "B"), (3, "C")])
+    t.merge_upsert(batch, keys=["k"])
+    first = sorted(map(tuple, t.read().collect()))
+    t.merge_upsert(batch, keys=["k"])
+    assert sorted(map(tuple, t.read().collect())) == first
+
+
+def test_merge_upsert_composite_key(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame([(1, "x", "old"), (1, "y", "old")], "a long, b string, v string")
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(1, "x", "new")], "a long, b string, v string"),
+        keys=["a", "b"],
+    )
+    got = {(r["a"], r["b"]): r["v"] for r in t.read().collect()}
+    assert got == {(1, "x"): "new", (1, "y"): "old"}
+
+
+def test_overwrite_swaps_atomically_no_stage_leftovers(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = ParquetTable(spark, path)
+    t.overwrite(df_of(spark, [(1, "a")]))
+    t.overwrite(df_of(spark, [(2, "b")]))
+    assert [r["k"] for r in t.read().collect()] == [2]
+    siblings = [p for p in os.listdir(tmp_path) if p.startswith("t.")]
+    assert siblings == []  # no stage/old dirs left behind
+
+
+def test_append_if_absent_dedups_on_composite(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "h"))
+    snap1 = df_of(spark, [(1, "open"), (2, "open")], "id long, status string")
+    delta1 = t.append_if_absent(snap1, keys=["id", "status"])
+    assert delta1.count() == 2
+    snap2 = df_of(
+        spark, [(1, "open"), (1, "paid"), (2, "open")], "id long, status string"
+    )
+    delta2 = t.append_if_absent(snap2, keys=["id", "status"])
+    assert [(r["id"], r["status"]) for r in delta2.collect()] == [(1, "paid")]
+    assert t.read().count() == 3
+
+
+def test_watermark_store_advances_monotonically(tmp_path):
+    ws = WatermarkStore(str(tmp_path / "wm.json"))
+    assert ws.get("billwerk_invoices") is None
+    ws.advance("billwerk_invoices", 100)
+    ws.advance("billwerk_invoices", 90)  # never regress (re-run safety)
+    assert ws.get("billwerk_invoices") == 100
+    ws.advance("billwerk_invoices", 150)
+    assert ws.get("billwerk_invoices") == 150
+
+
+def test_watermark_keyset_end_to_end(spark, tmp_path):
+    """S4 contract: fetch WHERE id > watermark, load, then advance."""
+    ws = WatermarkStore(str(tmp_path / "wm.json"))
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    src = df_of(spark, [(i, f"r{i}") for i in range(1, 11)], "id long, v string")
+
+    def run_increment():
+        wm = ws.get("src", default=0)
+        batch = src.filter(src.id > wm)
+        if batch.isEmpty():
+            return 0
+        t.merge_upsert(batch, keys=["id"])
+        ws.advance("src", batch.agg({"id": "max"}).collect()[0][0])
+        return batch.count()
+
+    assert run_increment() == 10
+    assert run_increment() == 0  # nothing new → no-op
+    assert t.read().count() == 10
+
+
+def test_post_batches_counts_ok_and_failed(spark):
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(25)], "id long, v string")
+    df = df.repartition(2)
+
+    # sender rejects any batch containing id 7 (simulated API failure)
+    def send(batch):
+        return not any(row["id"] == 7 for row in batch)
+
+    ok, failed = post_batches(df, send, batch_size=5)
+    assert ok + failed >= 5  # 25 rows / batch 5 across >= 2 partitions
+    assert failed >= 1
