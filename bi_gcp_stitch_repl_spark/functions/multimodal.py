@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+Design (SURVEY §7.6 / BASELINE north_star):
+- the payload is a ``binary`` column; all routing/filter/dedup decisions
+  read only metadata columns (media_type, n_bytes, content hash) so the
+  heavy bytes move through as few stages as possible;
+- decode / feature-extraction runs inside ``mapInPandas`` — Arrow batches
+  in, Arrow batches out, one Python worker per partition. Partition sizing
+  is the scale lever: target ~64-256MB of payload per partition so a batch
+  fits executor memory.
+
+The actual decoders (PIL/ffmpeg/librosa) are NOT in this container, so
+``decode_image_meta`` ships a deterministic stub decoder behind the same
+batch plumbing — the Spark-side contract (schema, batching, partitioning,
+error isolation) is real and tested; swapping the stub for a real decoder
+is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata schema every multimodal table carries alongside the payload
+MEDIA_META_FIELDS = [
+    T.StructField("media_type", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("content_sha256", T.StringType()),
+]
+
+
+def attach_payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Metadata columns computed JVM-side (no Python touch of the bytes)."""
+    return df.withColumns(
+        {
+            "n_bytes": F.octet_length(F.col(payload_col)).cast("long"),
+            "content_sha256": F.sha2(F.col(payload_col), 256),
+        }
+    )
+
+
+def _stub_image_decoder(payload: bytes) -> dict:
+    """Deterministic fake decoder: real deployments replace this with PIL.
+
+    Emits plausible, payload-derived values so tests can assert exact
+    outputs. Raises on empty payloads to exercise the error-isolation path.
+    """
+    if not payload:
+        raise ValueError("empty payload")
+    return {
+        "width": 1 + payload[0] % 64,
+        "height": 1 + payload[-1] % 64,
+        "mode": "RGB" if len(payload) % 2 == 0 else "L",
+    }
+
+
+def decode_image_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], dict] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Decode image payloads to (id, width, height, mode, _decode_ok).
+
+    Failed decodes yield _decode_ok=false rows instead of failing the job
+    (same error-isolation contract as the REST fan-out). ``partitions``
+    resizes the payload partitioning before the Python stage.
+    """
+    import pandas as pd
+
+    decoder = decoder or _stub_image_decoder
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mode", T.StringType()),
+            T.StructField("_decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    meta = decoder(bytes(payload) if payload is not None else b"")
+                    out.append(
+                        {
+                            id_col: mid,
+                            "width": meta["width"],
+                            "height": meta["height"],
+                            "mode": meta["mode"],
+                            "_decode_ok": True,
+                        }
+                    )
+                except Exception:
+                    out.append(
+                        {
+                            id_col: mid,
+                            "width": None,
+                            "height": None,
+                            "mode": None,
+                            "_decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    src = df.select(id_col, payload_col)
+    if partitions:
+        src = src.repartition(partitions)
+    return src.mapInPandas(run, schema=schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_n_seconds: float,
+    duration_col: str = "duration_sec",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per (media, timestamp to
+    sample). The expensive frame extraction consumes this plan via
+    decode-style mapInPandas; planning is pure Catalyst (sequence +
+    explode), so the shuffle that balances extraction work happens on
+    small rows, never on video bytes."""
+    return df.select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(floor({duration_col} / {every_n_seconds}) as int)),"
+                f" i -> i * cast({every_n_seconds} as double))"
+            )
+        ).alias("sample_ts"),
+    )

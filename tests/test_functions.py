@@ -1,0 +1,137 @@
+"""Scale-path LLM-pipeline library tests: dedup, similarity, text analysis,
+multimodal plumbing — on driver testdata plus synthetic corpora with planted
+duplicates."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bi_gcp_stitch_repl_spark.functions import dedup, multimodal, similarity, text
+from .conftest import SF_SMOKE
+
+
+def corpus(spark):
+    """Synthetic corpus with planted exact + near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),  # near dup of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning parquet columnar storage files"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = dedup.exact_dedup(corpus(spark))
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 2, 3, 4]
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    pairs = dedup.minhash_lsh_pairs(corpus(spark), n_perm=16, n_bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always collides
+    assert (0, 2) in got or (1, 2) in got  # near dup caught by some band
+    assert (3, 4) not in got  # unrelated docs don't collide
+
+
+def test_jaccard_verification_scores(spark):
+    cand = dedup.minhash_lsh_pairs(corpus(spark), n_perm=16, n_bands=8)
+    verified = dedup.jaccard_pairs(corpus(spark), candidates=cand, threshold=0.5)
+    scores = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert scores[(0, 1)] == 1.0
+    assert 0.5 <= scores[(0, 2)] < 1.0
+
+
+def test_dedup_keep_first_drops_larger_ids(spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    out = dedup.dedup_keep_first(corpus(spark), pairs)
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 3, 4]
+
+
+def test_simhash_near_dups_close_in_hamming(spark):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(corpus(spark)).collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert hamming(fps[0], fps[1]) == 0          # identical text
+    assert hamming(fps[0], fps[2]) <= 8          # near dup: few bits differ
+    assert hamming(fps[0], fps[3]) > 16          # unrelated: far
+
+
+def test_brute_force_topk_self_is_best(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    top = similarity.brute_force_topk(emb, qvec, k=5).collect()
+    assert top[0]["vec_id"] == 0 and math.isclose(top[0]["cosine"], 1.0, rel_tol=1e-6)
+    assert all(top[i]["cosine"] >= top[i + 1]["cosine"] for i in range(4))
+
+
+def test_lsh_bucket_topk_matches_bruteforce_within_bucket(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter("vec_id IN (0, 1, 2)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = similarity.lsh_bucket_topk(emb, queries, k=3, n_planes=6)
+    rows = approx.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, hits in by_q.items():
+        assert hits[0]["vec_id"] == qid  # self always lands in own bucket, rank 1
+        assert len(hits) <= 3
+
+
+def test_token_stats_and_quality_filter(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a solid document with plenty of ordinary words in it"),
+            (2, "x"),  # too short
+            (3, "!!! ??? ... ,,, ;;; ::: !!!"),  # punctuation soup
+        ],
+        "doc_id long, text string",
+    )
+    kept = text.quality_filter(docs, min_tokens=5)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    stats = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    assert stats[1]["n_tokens"] == 10
+    assert stats[3]["punct_ratio"] > 0.5
+
+
+def test_lang_scores_argmax(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog and the bird"),
+            (2, "der hund und die katze und der vogel"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.lang_scores(
+        docs, {"en": ["the", "and"], "de": ["der", "und", "die"]}
+    )
+    got = {r["doc_id"]: r["lang_guess"] for r in out.collect()}
+    assert got == {1: "en", 2: "de"}
+
+
+def test_multimodal_decode_plumbing(spark):
+    rows = [(1, bytearray(b"\x10payload-bytes\x20")), (2, bytearray(b"")), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = multimodal.attach_payload_meta(df)
+    got = {r["media_id"]: r for r in meta.collect()}
+    assert got[1]["n_bytes"] == 15 and len(got[1]["content_sha256"]) == 64
+    decoded = {r["media_id"]: r for r in multimodal.decode_image_meta(df, partitions=2).collect()}
+    assert decoded[1]["_decode_ok"] and decoded[1]["width"] == 1 + 0x10 % 64
+    assert not decoded[2]["_decode_ok"] and decoded[2]["width"] is None
+    assert not decoded[3]["_decode_ok"]
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 0.5)], "media_id long, duration_sec double")
+    plan = multimodal.frame_sample_plan(df, every_n_seconds=2.5)
+    by_id = {}
+    for r in plan.collect():
+        by_id.setdefault(r["media_id"], []).append(r["sample_ts"])
+    assert sorted(by_id[1]) == [0.0, 2.5, 5.0, 7.5, 10.0]
+    assert by_id[2] == [0.0]

@@ -1,0 +1,96 @@
+"""Structured Streaming jobs: AvailableNow runs over the events fixture,
+watermarked tumbling/session windows, and the foreachBatch incremental
+merge (the reference's S4 replication as a stream)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bi_gcp_stitch_repl_spark.queries.catalog import tables
+from bi_gcp_stitch_repl_spark.sinks.merge import ParquetTable
+from bi_gcp_stitch_repl_spark.streaming import jobs
+
+from .conftest import SF_SMOKE
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long fixture
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def run_available_now(stream_df, tmp_path, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_counts_stream_matches_batch(spark, tmp_path):
+    events = jobs.events_stream(spark, f"{SF_SMOKE}/events.parquet", EVENTS_SCHEMA)
+    run_available_now(jobs.tumbling_counts(events), tmp_path, "tumbling")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from tumbling").collect()
+    }
+    (batch_events,) = tables(spark, SF_SMOKE, "events")
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in (
+            batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(28,10)")).cast("double").alias("total_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_session_counts_stream_runs(spark, tmp_path):
+    events = jobs.events_stream(spark, f"{SF_SMOKE}/events.parquet", EVENTS_SCHEMA)
+    run_available_now(jobs.session_counts(events), tmp_path, "sessions")
+    rows = spark.sql("select * from sessions").collect()
+    assert len(rows) > 0
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
+    # every event lands in exactly one session
+    assert sum(r["n_events"] for r in rows) == 1000
+
+
+def test_incremental_merge_stream_replicates_and_is_idempotent(spark, tmp_path):
+    events = jobs.events_stream(spark, f"{SF_SMOKE}/events.parquet", EVENTS_SCHEMA)
+    table = ParquetTable(spark, str(tmp_path / "replica"))
+    writer = jobs.incremental_merge_stream(
+        events.select("event_id", "user_id", "event_type", "value"),
+        table,
+        keys=["event_id"],
+        checkpoint=str(tmp_path / "ckpt_merge"),
+    )
+    q = writer.start()
+    q.awaitTermination(120)
+    assert table.read().count() == 1000
+
+    # second AvailableNow run: checkpoint says nothing new → replica unchanged
+    q2 = jobs.incremental_merge_stream(
+        jobs.events_stream(spark, f"{SF_SMOKE}/events.parquet", EVENTS_SCHEMA).select(
+            "event_id", "user_id", "event_type", "value"
+        ),
+        table,
+        keys=["event_id"],
+        checkpoint=str(tmp_path / "ckpt_merge"),
+    ).start()
+    q2.awaitTermination(120)
+    assert table.read().count() == 1000
