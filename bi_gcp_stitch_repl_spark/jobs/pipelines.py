@@ -1,0 +1,208 @@
+"""The six reference pipeline families, engine-composed.
+
+Each job takes (spark, transport, warehouse paths) — transport injectable,
+so the whole pipeline runs hermetically in tests and against live APIs in
+production. Compare the stage tables in SURVEY §3.1-3.3: every XCom hop,
+pickled frame, and Jinja-templated SQL string in the reference collapses
+into DataFrame lineage here; the only process boundaries left are
+API→cluster and cluster→table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..ops.clean import array_head_field, money, strip_newlines
+from ..ops.keys import carry_forward_keys
+from ..ops.normalize import explode_with_parent, maps_to_json, struct_get
+from ..sinks.merge import ParquetTable, WatermarkStore
+from ..sinks.reverse import post_batches
+from ..sources import rest
+
+
+def bexio_invoice_replication(
+    spark: SparkSession,
+    transport: rest.Transport,
+    warehouse_path: str,
+    line_items_path: str,
+    api_base: str = "https://api.example/invoices",
+    page_limit: int = 2000,
+) -> tuple[int, int]:
+    """Reference entry point A (SURVEY §3.1): the richest pipeline.
+
+    offset-paged invoice scan (S1) → carry-forward of u_id/created_at
+    against the existing table (J1) → K1 merge-upsert of headers →
+    explode positions with parent attach (F22/J7) → K1 merge-upsert of
+    line items. Replaces bexio_invoice_and_line_items_de.py's 12-task DAG;
+    the DELETE+INSERT pair becomes one atomic merge (no data-loss window).
+
+    Returns (header_rows, line_item_rows) upserted.
+    """
+    pages = rest.paginate_offset(transport, api_base, limit=page_limit)
+    raw = rest.to_dataframe(spark, pages, schemas.BEXIO_INVOICE)
+
+    headers_tbl = ParquetTable(spark, warehouse_path)
+    existing = (
+        headers_tbl.read().select("u_id", "created_at", "bexio_id")
+        if headers_tbl.exists()
+        else spark.createDataFrame([], schemas.EXISTING_KEYS)
+    )
+
+    headers = raw.select(
+        F.col("id").alias("bexio_id"),
+        "contact_id",
+        "document_nr",
+        strip_newlines("title").alias("title"),
+        money("total").alias("total"),
+        money("total_net").alias("total_net"),
+        array_head_field("taxs", "percentage").alias("tax_percentage"),
+        F.to_timestamp("updated_at").alias("updated_at"),
+        "positions",
+    )
+    # J1: keep existing surrogate key + created_at; mint for new rows.
+    # Deterministic minting (key-derived uuid, updated_at as created_at)
+    # keeps re-runs idempotent — reference used uuid4()/now() (SURVEY §7.5).
+    headers = carry_forward_keys(
+        headers,
+        existing.withColumnRenamed("bexio_id", "bexio_id"),
+        "bexio_id",
+        carried={
+            "u_id": F.sha2(F.concat(F.lit("bexio:"), F.col("bexio_id")), 256),
+            "created_at": F.col("updated_at"),
+        },
+    )
+    header_out = headers.drop("positions")
+    items = explode_with_parent(
+        headers.select("bexio_id", "updated_at", "positions"),
+        "positions",
+        {"bexio_id": "invoice_id", "updated_at": "updated_at"},
+    ).select(
+        "invoice_id",
+        "updated_at",
+        F.col("id").alias("position_id"),
+        "type",
+        money("amount").alias("amount"),
+        money("unit_price").alias("unit_price"),
+        F.when(F.col("type") == "KbPositionDiscount", money("unit_price")).otherwise(
+            F.lit(0.0)
+        ).alias("discount_amount"),
+    )
+    # All reads/counts happen BEFORE any table mutation: header_out/items
+    # lineage includes the pre-merge headers table, and merge_upsert's
+    # atomic swap invalidates outstanding plans over the old files
+    # (ParquetTable docstring contract).
+    n_headers, n_items = header_out.count(), items.count()
+    ParquetTable(spark, line_items_path).merge_upsert(
+        items, keys=["invoice_id", "position_id"]
+    )
+    headers_tbl.merge_upsert(header_out, keys=["bexio_id"])
+    return n_headers, n_items
+
+
+def billwerk_contract_refresh(
+    spark: SparkSession,
+    transport: rest.Transport,
+    warehouse_path: str,
+    api_base: str = "https://api.example/contracts",
+) -> int:
+    """Reference entry point B (SURVEY §3.2): keyset-paged snapshot (S3) →
+    manual flatten with defaults (F23) + CustomFields→JSON (F25) → K2
+    truncate-refresh. The reference's CSV/GCS staging hop (and its quoting
+    pathology, F2) has no equivalent — parquet overwrite is the load."""
+    pages = rest.paginate_keyset(transport, api_base, take=500)
+    raw = rest.to_dataframe(spark, pages, schemas.BILLWERK_CONTRACT)
+    flat = raw.select(
+        F.col("Id").alias("contract_id"),
+        F.col("CustomerId").alias("customer_id"),
+        F.col("CustomerName").alias("customer_name"),
+        F.col("LifecycleStatus").alias("lifecycle_status"),
+        F.col("Balance").alias("balance"),
+        struct_get("PaymentBearer.EmailAddress", "").alias("payment_email"),
+        struct_get("CurrentPhase.PlanVariantId", "").alias("plan_variant_id"),
+        F.coalesce(F.col("CurrentPhase.Quantity"), F.lit(0)).alias("quantity"),
+        F.col("CustomFields").alias("custom_fields"),
+    )
+    flat = maps_to_json(flat, ["custom_fields"])
+    ParquetTable(spark, warehouse_path).overwrite(flat)
+    return flat.count()
+
+
+def billwerk_incremental_invoices(
+    spark: SparkSession,
+    transport: rest.Transport,
+    warehouse_path: str,
+    watermark_path: str,
+    api_base: str = "https://api.example/invoices",
+    row_limit: int | None = None,
+) -> int:
+    """S4 incremental replication: resume from the persisted keyset
+    watermark, merge the slice, advance the watermark only after the merge
+    commits (billwerk_invoices.py:49-99,160-163 semantics, minus the
+    crash-window)."""
+    ws = WatermarkStore(watermark_path)
+    cursor = ws.get("billwerk_invoices")
+    pages = rest.paginate_keyset(
+        transport, api_base, take=500, start_after=cursor, row_limit=row_limit
+    )
+    rows = [r for page in pages for r in page]
+    if not rows:
+        return 0
+    batch = spark.createDataFrame(rows, "Id long, amount double, status string")
+    tbl = ParquetTable(spark, warehouse_path)
+    tbl.merge_upsert(batch.withColumnRenamed("Id", "invoice_id"), keys=["invoice_id"])
+    ws.advance("billwerk_invoices", max(r["Id"] for r in rows))
+    return len(rows)
+
+
+def stripe_account_rollup(
+    spark: SparkSession,
+    transport: rest.Transport,
+    warehouse_path: str,
+    api_base: str = "https://api.example/balance_transactions",
+) -> DataFrame:
+    """Stripe accounts pipeline (SURVEY A3 + S6 + K6): cursor-paged txn
+    scan → per-account conditional rollup (balance/payout/volume — the
+    reference's per-row python accumulation as one grouped pass) →
+    staging-merge into the warehouse."""
+    pages = rest.paginate_starting_after(transport, api_base, limit=100)
+    txns = rest.to_dataframe(spark, pages, schemas.STRIPE_BALANCE_TXN)
+    t = F.col("type")
+    rollup = txns.groupBy("account_id").agg(
+        F.sum(F.when(t.isin("available", "connect_reserved", "pending"), F.col("amount")).otherwise(0.0)).alias("balance"),
+        F.sum(F.when(t == "payout", F.col("amount")).otherwise(0.0)).alias("payout"),
+        F.sum(F.when(t == "payment", F.col("amount")).otherwise(0.0)).alias("volume"),
+        F.max(F.expr("to_timestamp(from_unixtime(created))")).alias("last_txn_at"),
+    )
+    ParquetTable(spark, warehouse_path).merge_upsert(rollup, keys=["account_id"])
+    return rollup
+
+
+def history_capture(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    history_path: str,
+    keys: list[str],
+) -> int:
+    """K7/J3: append-only change capture — the flagship slice as a job.
+    Returns rows appended (all the reference ever logs)."""
+    tbl = ParquetTable(spark, history_path)
+    return tbl.append_if_absent(snapshot, keys=keys).count()
+
+
+def reverse_etl_company_status(
+    spark: SparkSession,
+    warehouse_df: DataFrame,
+    send,
+    key_col: str = "company_id",
+    batch_size: int = 100,
+) -> tuple[int, int]:
+    """Reference entry point C (SURVEY §3.3): warehouse aggregate → per-key
+    first-wins property merge (A5, deterministic via min_by) → batched
+    POSTs (K8). Returns (ok_batches, failed_batches)."""
+    per_key = warehouse_df.groupBy(key_col).agg(
+        F.min_by("status", "priority").alias("status"),
+        F.count("*").alias("n_rows"),
+    )
+    return post_batches(per_key, send, batch_size=batch_size)

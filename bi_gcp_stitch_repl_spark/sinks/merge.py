@@ -77,6 +77,9 @@ class ParquetTable:
         os.rename(stage, self.path)
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
+        # drop Spark's cached file listing for the path: stale listings
+        # reference the pre-swap part files and fail later reads
+        self.spark.catalog.refreshByPath(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
         """K2 truncate-refresh."""
@@ -86,6 +89,7 @@ class ParquetTable:
         """K5 incremental append (parquet append is naturally atomic per
         file; new files only become part of the table once fully written)."""
         df.write.mode("append").parquet(self.path)
+        self.spark.catalog.refreshByPath(self.path)
 
     # -- merge semantics -----------------------------------------------------
 
@@ -100,6 +104,12 @@ class ParquetTable:
 
         Equivalent to ``MERGE INTO t USING b ON t.k=b.k WHEN MATCHED THEN
         UPDATE * WHEN NOT MATCHED THEN INSERT *``.
+
+        Contract: the swap invalidates any OUTSTANDING DataFrame whose
+        lineage reads this table (their plans reference the pre-swap part
+        files). Execute dependent reads/counts before calling, or
+        ``localCheckpoint()`` them — same rule a Delta MERGE has for
+        snapshot-pinned readers on overwrite.
         """
         if not self.exists():
             self._staged_write(batch)

@@ -1,0 +1,191 @@
+"""End-to-end pipeline tests: each reference pipeline family runs
+hermetically (fixture transports) against a temp warehouse, exercising
+extract → normalize → merge → re-run idempotency."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from bi_gcp_stitch_repl_spark.jobs import pipelines
+from bi_gcp_stitch_repl_spark.sinks.merge import ParquetTable
+
+
+def bexio_transport(invoices):
+    def t(url, params):
+        lo = params["offset"]
+        return invoices[lo : lo + params["limit"]]
+
+    return t
+
+
+def make_invoice(i, title="inv", total="100.00", n_positions=2):
+    return {
+        "id": i,
+        "contact_id": 7,
+        "document_nr": f"RE-{i}",
+        "title": f"{title}\n{i}",
+        "total": total,
+        "total_net": "90.00",
+        "taxs": [{"percentage": "7.7", "value": "7.7"}],
+        "updated_at": "2024-03-01 10:00:00",
+        "positions": [
+            {
+                "id": i * 10 + p,
+                "type": "KbPositionCustom" if p else "KbPositionDiscount",
+                "amount": "1",
+                "unit_price": f"{10 * (p + 1)}.00",
+            }
+            for p in range(n_positions)
+        ],
+    }
+
+
+def test_bexio_pipeline_end_to_end_and_idempotent(spark, tmp_path):
+    wh = str(tmp_path / "invoices")
+    li = str(tmp_path / "line_items")
+    invoices = [make_invoice(i) for i in range(1, 6)]
+    n_h, n_i = pipelines.bexio_invoice_replication(
+        spark, bexio_transport(invoices), wh, li, page_limit=2
+    )
+    assert (n_h, n_i) == (5, 10)
+    headers = ParquetTable(spark, wh).read()
+    assert headers.count() == 5
+    first = {r["bexio_id"]: r for r in headers.collect()}
+    assert first[1]["title"] == "inv 1"  # newline normalized
+    assert first[1]["total"] == 100.0
+    assert first[1]["tax_percentage"] == "7.7"
+
+    # re-run with one updated + one new invoice: upsert, keys carried
+    invoices2 = [make_invoice(1, total="222.00")] + [make_invoice(9)]
+    pipelines.bexio_invoice_replication(spark, bexio_transport(invoices2), wh, li, page_limit=2)
+    after = {r["bexio_id"]: r for r in ParquetTable(spark, wh).read().collect()}
+    assert len(after) == 6
+    assert after[1]["total"] == 222.0            # updated
+    assert after[1]["u_id"] == first[1]["u_id"]  # surrogate key carried (J1)
+    assert after[2]["total"] == 100.0            # untouched survivor
+
+    items = ParquetTable(spark, li).read()
+    assert items.count() == 12
+    disc = items.filter("type = 'KbPositionDiscount'").collect()
+    assert all(r["discount_amount"] == r["unit_price"] for r in disc)
+
+
+def billwerk_keyset_transport(rows):
+    def t(url, params):
+        start = params.get("from")
+        begin = 0
+        if start is not None:
+            begin = next(i for i, r in enumerate(rows) if r["Id"] == start)
+        return rows[begin : begin + params["take"]]
+
+    return t
+
+
+def test_billwerk_contract_refresh_flattens_with_defaults(spark, tmp_path):
+    rows = [
+        {
+            "Id": "c1",
+            "CustomerId": "k1",
+            "CustomerName": "Acme",
+            "LifecycleStatus": "Active",
+            "Balance": -12.5,
+            "PaymentBearer": {"EmailAddress": "a@b.c", "Type": "card"},
+            "CurrentPhase": {"PlanVariantId": "pv9", "Quantity": 3},
+            "CustomFields": {"tier": "gold"},
+        },
+        {  # absent optionals exercise the F23 default path
+            "Id": "c2",
+            "CustomerId": "k2",
+            "CustomerName": "Beta",
+            "LifecycleStatus": "Ended",
+            "Balance": 0.0,
+        },
+    ]
+    wh = str(tmp_path / "contracts")
+    n = pipelines.billwerk_contract_refresh(spark, billwerk_keyset_transport(rows), wh)
+    assert n == 2
+    got = {r["contract_id"]: r for r in ParquetTable(spark, wh).read().collect()}
+    assert got["c1"]["payment_email"] == "a@b.c"
+    assert got["c2"]["payment_email"] == ""      # default, not NULL
+    assert got["c2"]["quantity"] == 0
+    assert got["c1"]["custom_fields"] == '{"tier":"gold"}'
+
+    # refresh is truncate semantics: second run with fewer rows shrinks
+    pipelines.billwerk_contract_refresh(spark, billwerk_keyset_transport(rows[:1]), wh)
+    assert ParquetTable(spark, wh).read().count() == 1
+
+
+def test_billwerk_incremental_watermark_cycle(spark, tmp_path):
+    all_rows = [{"Id": i, "amount": i * 1.0, "status": "open"} for i in range(1, 21)]
+    wh = str(tmp_path / "invoices")
+    wm = str(tmp_path / "wm.json")
+
+    n1 = pipelines.billwerk_incremental_invoices(
+        spark, billwerk_keyset_transport(all_rows[:10]), wh, wm
+    )
+    assert n1 == 10
+    # next run sees the full upstream; only the delta loads
+    n2 = pipelines.billwerk_incremental_invoices(
+        spark, billwerk_keyset_transport(all_rows), wh, wm
+    )
+    assert n2 == 10
+    assert ParquetTable(spark, wh).read().count() == 20
+    # nothing new → no-op
+    n3 = pipelines.billwerk_incremental_invoices(
+        spark, billwerk_keyset_transport(all_rows), wh, wm
+    )
+    assert n3 == 0
+
+
+def stripe_transport(rows):
+    def t(url, params):
+        start = 0
+        if "starting_after" in params:
+            start = next(
+                i for i, r in enumerate(rows) if r["id"] == params["starting_after"]
+            ) + 1
+        chunk = rows[start : start + params["limit"]]
+        return {"data": chunk, "has_more": start + params["limit"] < len(rows)}
+
+    return t
+
+
+def test_stripe_account_rollup(spark, tmp_path):
+    rows = [
+        {"id": "t1", "account_id": "A", "type": "payment", "amount": 100.0, "created": 1700000000},
+        {"id": "t2", "account_id": "A", "type": "payout", "amount": -40.0, "created": 1700000100},
+        {"id": "t3", "account_id": "A", "type": "pending", "amount": 10.0, "created": 1700000200},
+        {"id": "t4", "account_id": "B", "type": "available", "amount": 5.0, "created": 1700000300},
+    ]
+    wh = str(tmp_path / "accounts")
+    pipelines.stripe_account_rollup(spark, stripe_transport(rows), wh)
+    got = {r["account_id"]: r for r in ParquetTable(spark, wh).read().collect()}
+    assert got["A"]["volume"] == 100.0 and got["A"]["payout"] == -40.0
+    assert got["A"]["balance"] == 10.0 and got["B"]["balance"] == 5.0
+
+
+def test_history_capture_appends_only_new(spark, tmp_path):
+    hist = str(tmp_path / "history")
+    snap1 = spark.createDataFrame(
+        [(1, "open"), (2, "open")], "invoice_id long, status string"
+    )
+    assert pipelines.history_capture(spark, snap1, hist, ["invoice_id", "status"]) == 2
+    snap2 = spark.createDataFrame(
+        [(1, "open"), (1, "paid"), (2, "open")], "invoice_id long, status string"
+    )
+    assert pipelines.history_capture(spark, snap2, hist, ["invoice_id", "status"]) == 1
+    assert ParquetTable(spark, hist).read().count() == 3
+
+
+def test_reverse_etl_batches_and_counts(spark):
+    df = spark.createDataFrame(
+        [Row(company_id=i, status=f"s{i % 3}", priority=i % 2) for i in range(30)]
+    )
+    sent = []
+
+    def send(batch):
+        sent.append(len(batch))
+        return True
+
+    ok, failed = pipelines.reverse_etl_company_status(spark, df, send, batch_size=10)
+    assert failed == 0 and ok >= 3
