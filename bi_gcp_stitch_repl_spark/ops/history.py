@@ -17,14 +17,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def append_only_delta(snapshot: DataFrame, history: DataFrame, keys: list[str]) -> DataFrame:
+def append_only_delta(
+    snapshot: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    dedup_batch: bool = False,
+) -> DataFrame:
     """Rows of ``snapshot`` whose composite key is absent from ``history``
     (the K7/J3/J4 anti-join). Caller appends the result to the history table
     (see ``sinks.merge.ParquetTable.append_if_absent`` for the sink-side
-    form)."""
-    return snapshot.dropDuplicates(keys).join(
-        history.select(*keys), on=keys, how="left_anti"
-    )
+    form).
+
+    ``dedup_batch=False`` matches the reference exactly (its INSERT…SELECT
+    anti-join does not dedup within the batch) and keeps the plan a pure
+    broadcast anti-join — zero hash shuffles. ``dedup_batch=True`` adds a
+    ``dropDuplicates(keys)`` (one shuffle + arbitrary-row pick per key) for
+    callers whose snapshot may repeat keys."""
+    batch = snapshot.dropDuplicates(keys) if dedup_batch else snapshot
+    return batch.join(history.select(*keys), on=keys, how="left_anti")
 
 
 def latest_per_key(

@@ -402,7 +402,10 @@ def j3_j4_k7_history_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return append_only_delta(
-        keyed, history, ["user_id", "event_type", "event_date", "is_large"]
+        keyed,
+        history,
+        ["user_id", "event_type", "event_date", "is_large"],
+        dedup_batch=True,  # events repeat key combos; oracle SELECTs DISTINCT
     )
 
 
@@ -628,6 +631,73 @@ def s4_keyset_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s7_detail_fanout",
+    oracle="""
+SELECT o_orderkey, o_orderkey * 2.0 AS detail_total, TRUE AS _fetch_ok
+FROM orders WHERE o_orderkey % 10 = 0
+""",
+)
+def s7_detail_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/J6 per-key detail fan-out (reference ThreadPoolExecutor sub-fetch,
+    dags/bexio/bexio_invoice_and_line_items_de.py:190-216) through the
+    engine's mapInPandas fetcher with a deterministic in-process transport —
+    the distributed fan-out plumbing itself under the correctness gate.
+    Parallelism = key-frame partitions (the MAX_WORKERS analog)."""
+    from pyspark.sql import types as T
+
+    from ..sources.rest import fanout_fetch
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderkey") % 10 == 0).select("o_orderkey")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("detail_total", T.DoubleType()),
+            T.StructField("_fetch_ok", T.BooleanType()),
+        ]
+    )
+    return fanout_fetch(
+        keys,
+        lambda k: {"o_orderkey": k, "detail_total": k * 2.0},
+        schema,
+        key_col="o_orderkey",
+        parallelism=8,
+    )
+
+
+@register(
+    "s9_sql_scan",
+    oracle="""
+WITH big AS (
+  SELECT o_custkey, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+)
+SELECT c.c_custkey, c.c_name, b.n_orders
+FROM customer c JOIN big b ON c.c_custkey = b.o_custkey
+""",
+)
+def s9_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 arbitrary warehouse SQL with temp-view staging (reference
+    BigQueryExecuteQueryOperator temp-table pattern,
+    dags/lex_office/lex_office_invoice_items.py:55-59,331-348): the same
+    text-SQL surface via spark.sql over registered views — the staging
+    temp table is just a CTE in DataFrame lineage."""
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    customer.createOrReplaceTempView("s9_customer")
+    orders.createOrReplaceTempView("s9_orders")
+    return spark.sql(
+        """
+        WITH big AS (
+          SELECT o_custkey, COUNT(*) AS n_orders
+          FROM s9_orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+        )
+        SELECT c.c_custkey, c.c_name, b.n_orders
+        FROM s9_customer c JOIN big b ON c.c_custkey = b.o_custkey
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Nested-document normalization (SURVEY F20-F25, J7) — the nested shape is
 # built in-query from lineitem (collect_list), then normalized back with the
@@ -760,7 +830,9 @@ SELECT c_custkey,
        CASE WHEN UPPER(c_mktsegment) = 'BUILDING' THEN 'B' ELSE 'O' END AS seg_flag,
        CAST(trunc(c_acctbal) AS BIGINT) AS bal_int,
        COALESCE(TRY_CAST(c_mktsegment AS DOUBLE), -1.0) AS seg_as_num,
-       CASE WHEN c_mktsegment = 'n.a.' THEN NULL ELSE c_mktsegment END AS seg_clean
+       CASE WHEN c_mktsegment = 'n.a.' THEN NULL ELSE c_mktsegment END AS seg_clean,
+       round(TRY_CAST(regexp_replace(CAST(c_nationkey AS VARCHAR) || '.5%', '%$', '', 'g') AS DOUBLE) / 100, 3) AS pct_frac,
+       CAST(regexp_replace(CAST(c_custkey AS VARCHAR) || ',500', ',', '', 'g') AS BIGINT) AS thousands_stripped
 FROM customer
 """,
 )
@@ -769,8 +841,10 @@ def f_string_clean_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional, truncating int cast (Spark's double→long cast truncates;
     DuckDB needs explicit trunc()), try_cast coerce-to-null, sentinel→NULL.
     Reference sites: bexio_invoice_and_line_items_de.py:106-124,167-171,
-    281-286; biilwerk_customers.py:140; import_bi_dev_gross_margin.py:51."""
-    from ..ops.clean import null_if_in
+    281-286; biilwerk_customers.py:140; import_bi_dev_gross_margin.py:51;
+    F4 percent-strip import_bi_dev_gross_margin.py:56-58; F5 thousands-strip
+    import_bi_dev_ltv.py:55-59 (locale inputs synthesized per-row)."""
+    from ..ops.clean import null_if_in, percent_to_fraction, strip_thousands
 
     (c,) = tables(spark, sf_dir, "customer")
     return c.select(
@@ -781,6 +855,12 @@ def f_string_clean_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("long").alias("bal_int"),
         F.coalesce(F.col("c_mktsegment").try_cast("double"), F.lit(-1.0)).alias("seg_as_num"),
         null_if_in("c_mktsegment", ["n.a."]).alias("seg_clean"),
+        percent_to_fraction(
+            F.concat(F.col("c_nationkey").cast("string"), F.lit(".5%"))
+        ).alias("pct_frac"),
+        strip_thousands(
+            F.concat(F.col("c_custkey").cast("string"), F.lit(",500"))
+        ).cast("long").alias("thousands_stripped"),
     )
 
 
