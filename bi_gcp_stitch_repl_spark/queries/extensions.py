@@ -138,37 +138,115 @@ WHERE n_inter * 1.0 / (ca.n + cb.n - n_inter) >= {JACCARD_THRESHOLD}
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs 5-gram Jaccard ≥ threshold via shingle inverted index:
-    explode shingles → self-join on shingle → per-pair intersection count →
-    |A∩B| / (|A|+|B|-|A∩B|). The self-join is the quadratic hazard at scale
-    — x_minhash_lsh below is the scale path; this is the exact baseline."""
+    """All-pairs exact 5-gram Jaccard ≥ threshold via PPJoin-style prefix
+    filtering.
+
+    A naive shingle self-join costs Σ_shingle df² — measured catastrophic
+    (>10 min at sf0.1) on this corpus because common shingles appear in
+    nearly every document. Prefix filtering keeps the result EXACT (the
+    DuckDB oracle stays the naive formulation) while joining only on each
+    document's L = n - ⌈t·n⌉ + 1 globally-rarest shingles: two documents
+    with J ≥ t MUST share a shingle inside both prefixes, and rare shingles
+    have tiny document frequency, so the candidate join collapses.
+    Verification then computes |A∩B| exactly per candidate pair via
+    array_intersect on the full shingle sets (bounded by candidate count,
+    not corpus²)."""
+    from pyspark.sql import Window
+
+    t = JACCARD_THRESHOLD
     sh = _shingle_df(spark, sf_dir)
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    # global rarity order: df asc, shingle asc (total, deterministic)
+    df_g = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(df_g, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_inter"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .withColumn(
+
+    # Verification kernel — adaptive on vocabulary size G (driver-side
+    # branch, the engine's one runtime physical-strategy choice):
+    #  * G small (≤ 2^16): per-doc BITSET (⌈G/64⌉ longs); |A∩B| is a
+    #    popcount fold over zip_with AND — ~50× faster per pair than
+    #    array_intersect on string arrays. Degenerate shared-vocabulary
+    #    corpora (this one: 2k grams, ~all pairs are candidates) hit this.
+    #  * G large: string-array intersect per candidate (bitsets would be
+    #    G/8 bytes per doc). Diverse vocabularies prune candidates hard in
+    #    the prefix stage, so the per-pair cost matters less there.
+    n_grams = df_g.count()
+    if n_grams <= 65536:
+        n_words = (n_grams + 63) // 64
+        gid = df_g.select(
+            "shingle",
+            (F.row_number().over(Window.orderBy("df", "shingle")) - 1).alias("gid"),
+        )
+        bitmap_expr = (
+            f"transform(sequence(0, {n_words - 1}), w -> "
+            "aggregate(filter(gids, g -> g div 64 = w), cast(0 as bigint),"
+            " (acc, g) -> acc | shiftleft(cast(1 as bigint), cast(g % 64 as int))))"
+        )
+        sets = (
+            sh.join(F.broadcast(gid), "shingle")
+            .groupBy("doc_id")
+            .agg(F.collect_list("gid").alias("gids"))
+            .select(
+                "doc_id",
+                F.expr(bitmap_expr).alias("bm"),
+                F.size("gids").alias("n"),
+            )
+        )
+        inter_expr = (
+            "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x & y)),"
+            " 0, (acc, v) -> acc + v)"
+        )
+        sa = sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("bm").alias("ba"), F.col("n").alias("na")
+        )
+        sb = sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("bm").alias("bb"), F.col("n").alias("nb")
+        )
+        verified = (
+            cand.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .withColumn("n_inter", F.expr(inter_expr))
+        )
+    else:
+        sets = sh.groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("grams"), F.count("*").alias("n")
+        )
+        sa = sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), F.col("n").alias("na")
+        )
+        sb = sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), F.col("n").alias("nb")
+        )
+        verified = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("n_inter", F.size(F.array_intersect("ga", "gb")))
+        )
+    return (
+        verified.withColumn(
             "jaccard",
             F.col("n_inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_inter")),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= t)
+        .select("doc_a", "doc_b", "jaccard")
     )
-    return jac.select("doc_a", "doc_b", "jaccard")
 
 
 @register("x_jaccard_ngram_pairs", oracle=_JACCARD_DUCK)
