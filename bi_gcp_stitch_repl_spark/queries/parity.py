@@ -589,6 +589,57 @@ def k8_reverse_etl_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a7_rollup_hierarchy",
+    oracle="""
+SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, year(o_orderdate))
+""",
+)
+def a7_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — absent from the reference
+    (SURVEY §2.5 'no grouping sets') but table stakes for a warehouse
+    engine; Spark computes all grouping levels in one Expand+aggregate
+    pass (one shuffle, not one scan per level)."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "a8_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.50) AS p50,
+       quantile_cont(o_totalprice, 0.90) AS p90,
+       MAX(o_totalprice) AS pmax
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def a8_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines use linear
+    interpolation on the sorted values — verified bit-identical). At 100 TB
+    the exact form sorts within groups; approx_percentile (t-digest) is the
+    constant-memory alternative when error tolerance allows (not oracle-able
+    — sketch internals differ across engines)."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.90)).alias("p90"),
+        F.max("o_totalprice").alias("pmax"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / pagination (SURVEY O1/O2, S4 incremental)
 # ---------------------------------------------------------------------------

@@ -82,6 +82,65 @@ def session_counts(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime counters (event count, value sum, last event id) maintained
+    across micro-batches.
+
+    This is the extension point for operators Spark's built-ins can't
+    express — per-key accumulators with arbitrary Python logic, bounded
+    state, Arrow-batched. The reference has nothing stateful (SURVEY §2.10);
+    this is the §7.6 pattern for e.g. per-source ingestion ledgers or
+    per-entity quality counters in a continuous pipeline. State is
+    per-group and partitioned by the grouping key — scales with keys, not
+    events."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_event_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("last_id", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        n, total, last_id = state.get if state.exists else (0, 0.0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_id = max(last_id, int(pdf["event_id"].max()))
+        state.update((n, total, last_id))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n,
+                    "total_value": total,
+                    "last_event_id": last_id,
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def incremental_merge_stream(
     events: DataFrame,
     table,

@@ -94,3 +94,44 @@ def test_incremental_merge_stream_replicates_and_is_idempotent(spark, tmp_path):
     ).start()
     q2.awaitTermination(120)
     assert table.read().count() == 1000
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState: final per-user state equals the batch rollup."""
+    events = jobs.events_stream(spark, f"{SF_SMOKE}/events.parquet", EVENTS_SCHEMA)
+    q = (
+        jobs.running_user_totals(events.select("user_id", "event_id", "value"))
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_totals"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user = final state
+    got = {
+        r["user_id"]: r
+        for r in spark.sql(
+            """
+            select * from (
+              select *, row_number() over (partition by user_id order by n_events desc) rn
+              from totals
+            ) where rn = 1
+            """
+        ).collect()
+    }
+    (batch,) = tables(spark, SF_SMOKE, "events")
+    expect = {
+        r["user_id"]: r
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for uid, e in expect.items():
+        assert got[uid]["n_events"] == e["n_events"]
+        assert got[uid]["last_event_id"] == e["last_event_id"]
