@@ -68,6 +68,57 @@ def bucket_expr(vec_col: str, n_planes: int = 8) -> Column:
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    centroid_col: str | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: vectors are assigned to coarse cells;
+    a query scores only its ``n_probe`` nearest cells.
+
+    ``centroid_col`` names an existing coarse assignment (e.g. a cluster
+    label); when None, centroids are derived as per-``label`` mean vectors —
+    in production this is a KMeans fit, but the search plumbing (centroid
+    table broadcast → query-to-cell assignment → cell-equi join →
+    per-query window) is identical and is what this implements. Cost per
+    query: corpus/n_cells × n_probe instead of corpus.
+    """
+    cell = centroid_col or "label"
+    # centroid table: mean vector per cell (small — broadcast everywhere)
+    centroids = (
+        corpus.select(cell, F.posexplode(vec_col).alias("i", "v"))
+        .groupBy(cell, "i")
+        .agg(F.avg("v").alias("m"))
+        .groupBy(cell)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+        .select(cell, F.expr("transform(pairs, p -> cast(p.m as float))").alias("cvec"))
+    )
+    # assign each query to its n_probe best cells by cosine to centroid
+    q = queries.select(query_id_col, F.col(vec_col).alias("qv"))
+    qc = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine("qv", "cvec"))
+    )
+    w_cells = Window.partitionBy(query_id_col).orderBy(F.col("csim").desc())
+    probes = (
+        qc.withColumn("cr", F.row_number().over(w_cells))
+        .filter(F.col("cr") <= n_probe)
+        .select(query_id_col, "qv", cell)
+    )
+    scored = corpus.join(probes, cell).withColumn("cosine", cosine(vec_col, "qv"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cosine", "rk")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -544,6 +544,30 @@ def x_lsh_cosine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_embedding_norms",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vectors,
+       MIN(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))) AS min_norm,
+       MAX(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))) AS max_norm
+FROM embeddings GROUP BY label
+""",
+)
+def x_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm hygiene stats (min/max L2 norm + count) —
+    the cheap sanity scan before any similarity work (catches unnormalized
+    or degenerate vectors). min/max (not sums) keep the doubles
+    order-independent and oracle-exact."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    norm = F.expr(_NORM_SPARK.format(a="embedding"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min(norm).alias("min_norm"),
+        F.max(norm).alias("max_norm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

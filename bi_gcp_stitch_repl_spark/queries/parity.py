@@ -590,6 +590,33 @@ def k8_reverse_etl_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u2_vertical_concat",
+    oracle="""
+SELECT p_partkey, p_name, p_brand FROM part WHERE p_size < 15
+UNION ALL
+SELECT p_partkey, p_name, p_brand FROM part WHERE p_size >= 15 AND p_size < 35
+UNION ALL
+SELECT p_partkey, p_name, p_brand FROM part WHERE p_size >= 35
+""",
+)
+def u2_vertical_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 vertical concat of N frames (reference pd.concat of page/detail
+    frames, bexio_invoice_and_line_items_de.py:212-213) — reduce over
+    unionByName; the union is plan-level only (no shuffle, no data
+    movement beyond the scans)."""
+    from functools import reduce
+
+    (part,) = tables(spark, sf_dir, "part")
+    slices = [
+        part.filter(F.col("p_size") < 15),
+        part.filter((F.col("p_size") >= 15) & (F.col("p_size") < 35)),
+        part.filter(F.col("p_size") >= 35),
+    ]
+    frames = [s.select("p_partkey", "p_name", "p_brand") for s in slices]
+    return reduce(DataFrame.unionByName, frames)
+
+
+@register(
     "a7_rollup_hierarchy",
     oracle="""
 SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,

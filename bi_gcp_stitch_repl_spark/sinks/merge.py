@@ -46,11 +46,17 @@ from pyspark.sql import functions as F
 
 
 class ParquetTable:
-    """One logical table stored as a parquet directory with atomic swaps."""
+    """One logical table stored as a parquet directory with atomic swaps.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``partition_by`` (e.g. ``["ingest_date"]``) lays the table out as hive
+    partitions so date predicates prune whole directories
+    (``PartitionFilters`` in the scan) — the physical layout the reference
+    never had and the reason its P6-style date scans read full tables."""
+
+    def __init__(self, spark: SparkSession, path: str, partition_by: list[str] | None = None):
         self.spark = spark
         self.path = path
+        self.partition_by = partition_by or []
 
     # -- read ---------------------------------------------------------------
 
@@ -70,7 +76,10 @@ class ParquetTable:
         reference's DELETE-then-INSERT data-loss window (SURVEY.md §4.3.2).
         """
         stage = f"{self.path}.stage-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(stage)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(stage)
         old = f"{self.path}.old-{uuid.uuid4().hex}"
         if os.path.exists(self.path):
             os.rename(self.path, old)
@@ -88,7 +97,10 @@ class ParquetTable:
     def append(self, df: DataFrame) -> None:
         """K5 incremental append (parquet append is naturally atomic per
         file; new files only become part of the table once fully written)."""
-        df.write.mode("append").parquet(self.path)
+        writer = df.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
         self.spark.catalog.refreshByPath(self.path)
 
     # -- merge semantics -----------------------------------------------------

@@ -135,3 +135,37 @@ def test_frame_sample_plan(spark):
         by_id.setdefault(r["media_id"], []).append(r["sample_ts"])
     assert sorted(by_id[1]) == [0.0, 2.5, 5.0, 7.5, 10.0]
     assert by_id[2] == [0.0]
+
+
+def test_ivf_topk_full_probe_equals_bruteforce(spark):
+    """n_probe = all cells ⇒ IVF degenerates to the exact scan — results
+    must equal brute force. (With these random embeddings the coarse cells
+    carry no structure, so partial-probe recall is not assertable; the
+    plumbing equivalence is.)"""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter("vec_id = 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = similarity.ivf_topk(emb, queries, k=5, n_probe=10)  # 10 labels = all
+    got = [(r["vec_id"], r["rk"]) for r in full.collect()]
+    qvec = emb.filter("vec_id = 5").collect()[0]["embedding"]
+    expect = [r["vec_id"] for r in similarity.brute_force_topk(emb, qvec, k=5).collect()]
+    assert [v for v, _ in sorted(got, key=lambda x: x[1])] == expect
+    assert got[0][0] == 5 or expect[0] == 5  # self is the top hit
+
+
+def test_ivf_topk_partial_probe_structure(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = emb.filter("vec_id IN (5, 17)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = similarity.ivf_topk(emb, queries, k=5, n_probe=1).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, hits in by_q.items():
+        assert 1 <= len(hits) <= 5
+        ranked = sorted(hits, key=lambda r: r["rk"])
+        assert all(
+            ranked[i]["cosine"] >= ranked[i + 1]["cosine"] for i in range(len(ranked) - 1)
+        )

@@ -112,3 +112,42 @@ def test_post_batches_counts_ok_and_failed(spark):
     ok, failed = post_batches(df, send, batch_size=5)
     assert ok + failed >= 5  # 25 rows / batch 5 across >= 2 partitions
     assert failed >= 1
+
+
+def test_partitioned_table_prunes_date_predicates(spark, tmp_path):
+    """Hive-partitioned layout: a date predicate must become a
+    PartitionFilter (directory pruning), not a row filter."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    t = ParquetTable(spark, str(tmp_path / "t"), partition_by=["ingest_date"])
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "2024-01-01").otherwise("2024-01-02").alias("ingest_date"),
+    )
+    t.overwrite(df)
+    scan = t.read().filter(F.col("ingest_date") == "2024-01-01")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:160]
+    assert "ingest_date" in pf
+    assert scan.count() == 50
+
+    # merge preserves the partitioned layout
+    t.merge_upsert(
+        spark.createDataFrame([(1, "2024-01-03")], "k long, ingest_date string"),
+        keys=["k"],
+    )
+    import os
+
+    parts = [p for p in os.listdir(t.path) if p.startswith("ingest_date=")]
+    assert sorted(parts) == [
+        "ingest_date=2024-01-01",
+        "ingest_date=2024-01-02",
+        "ingest_date=2024-01-03",
+    ]
