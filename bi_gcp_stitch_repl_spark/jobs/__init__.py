@@ -11,6 +11,7 @@ from .pipelines import (
     billwerk_contract_refresh,
     billwerk_incremental_invoices,
     history_capture,
+    lexoffice_invoice_items,
     reverse_etl_company_status,
     stripe_account_rollup,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "billwerk_contract_refresh",
     "billwerk_incremental_invoices",
     "history_capture",
+    "lexoffice_invoice_items",
     "reverse_etl_company_status",
     "stripe_account_rollup",
 ]

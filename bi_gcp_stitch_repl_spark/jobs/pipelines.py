@@ -156,6 +156,62 @@ def billwerk_incremental_invoices(
     return len(rows)
 
 
+def lexoffice_invoice_items(
+    spark: SparkSession,
+    list_transport: rest.Transport,
+    fetch_detail,
+    warehouse_path: str,
+    api_base: str = "https://api.example/voucherlist",
+    page_size: int = 250,
+    fanout_parallelism: int = 5,
+) -> int:
+    """LexOffice pipeline family (SURVEY §2.1 S2 + S7, §2.9 F22/F23):
+    page-flag voucher list scan → per-invoice detail fan-out (mapInPandas,
+    MAX_WORKERS≈partitions, rate-limited in production via
+    rate_limit_interval) → explode lineItems with parent attach → nested
+    unitPrice struct access → K1 merge.
+
+    Replaces lex_office_invoices.py + lex_office_invoice_items.py
+    (reference: two DAGs, a temp BigQuery staging table, 500-row INSERT
+    batching with a fixed task fan-out that silently drops overflow —
+    SURVEY §4.4). ``fetch_detail(voucher_id) -> dict | None`` is the
+    injectable detail transport."""
+    pages = rest.paginate_page_flag(
+        list_transport, api_base, size=page_size, items_key="content"
+    )
+    vouchers = rest.to_dataframe(spark, pages, schemas.LEXOFFICE_VOUCHER)
+    invoice_ids = vouchers.filter(
+        (F.col("voucherType") == "invoice") & ~F.col("archived")
+    ).select(F.col("id"))
+    details = rest.fanout_fetch(
+        invoice_ids,
+        fetch_detail,
+        schemas.LEXOFFICE_INVOICE_DETAIL,
+        key_col="id",
+        parallelism=fanout_parallelism,
+    ).filter(F.col("_fetch_ok"))
+    items = explode_with_parent(
+        details.select(F.col("id").alias("invoice_id"), "lineItems"),
+        "lineItems",
+        {"invoice_id": "invoice_id"},
+    ).select(
+        "invoice_id",
+        F.col("id").alias("line_id"),
+        "type",
+        "name",
+        "quantity",
+        struct_get("unitPrice.netAmount", 0.0).alias("unit_net"),
+        struct_get("unitPrice.taxRatePercentage", 0.0).alias("tax_rate"),
+        F.coalesce(F.col("discountPercentage"), F.lit(0.0)).alias("discount_pct"),
+        F.col("lineItemAmount").alias("amount"),
+    )
+    n = items.count()
+    ParquetTable(spark, warehouse_path).merge_upsert(
+        items, keys=["invoice_id", "line_id"]
+    )
+    return n
+
+
 def stripe_account_rollup(
     spark: SparkSession,
     transport: rest.Transport,

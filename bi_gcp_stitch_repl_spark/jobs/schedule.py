@@ -1,0 +1,67 @@
+"""Job scheduling manifest: "Airflow scheduling Spark jobs" (BASELINE.json
+north_star / spark_approach).
+
+The reference embeds its schedule in 52 DAG files (daily crons staggered
+20:00-09:30, ``catchup=False``, retries=1/5min — SURVEY §2.12); the engine
+keeps orchestration OUT of the data plane: each pipeline is a plain
+function, and this manifest is what an Airflow deployment maps to one
+``SparkSubmitOperator`` (or ``spark-submit`` cron) per entry. No Airflow
+import here — the scheduler owns retries/cadence, Spark owns the data.
+
+Example Airflow DAG (deployment-side, not part of the engine):
+
+    for name, spec in JOB_MANIFEST.items():
+        SparkSubmitOperator(
+            task_id=name,
+            application="-m bi_gcp_stitch_repl_spark.jobs",
+            application_args=[name],
+            dag=DAG(name, schedule_interval=spec.cron, catchup=False,
+                    default_args={"retries": 1,
+                                  "retry_delay": timedelta(minutes=5)}),
+        )
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class JobSpec:
+    pipeline: str  # function name in jobs.pipelines
+    cron: str  # reference cadence (staggered daily crons)
+    description: str
+
+
+#: cadences mirror the reference's staggered schedule_interval values
+#: (e.g. dags/bexio/bexio_invoice_and_line_items_de.py:47 '35 21 * * *')
+JOB_MANIFEST: dict[str, JobSpec] = {
+    "bexio_invoices": JobSpec(
+        "bexio_invoice_replication", "35 21 * * *",
+        "Bexio invoice + line-item upsert replication",
+    ),
+    "lexoffice_invoice_items": JobSpec(
+        "lexoffice_invoice_items", "0 22 * * *",
+        "LexOffice voucher list + detail fan-out + line items",
+    ),
+    "billwerk_contracts": JobSpec(
+        "billwerk_contract_refresh", "30 22 * * *",
+        "Billwerk contract snapshot truncate-refresh",
+    ),
+    "billwerk_invoices_incremental": JobSpec(
+        "billwerk_incremental_invoices", "0 23 * * *",
+        "Billwerk invoices keyset-watermark incremental",
+    ),
+    "stripe_accounts": JobSpec(
+        "stripe_account_rollup", "30 23 * * *",
+        "Stripe balance-transaction conditional rollup",
+    ),
+    "history_capture": JobSpec(
+        "history_capture", "0 6 * * *",
+        "Invoice status change-history append",
+    ),
+    "reverse_etl_company_status": JobSpec(
+        "reverse_etl_company_status", "30 9 * * *",
+        "Warehouse aggregates -> CRM batch update",
+    ),
+}

@@ -1,0 +1,49 @@
+"""Skew-handling join utilities.
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+default in `session.py`) handles sort-merge skew transparently; explicit
+salting remains necessary when (a) the skewed side feeds a shuffled join
+whose other side is too big to broadcast but small enough to replicate, or
+(b) a groupBy key is pathologically hot. This module gives the engine an
+explicit, tested form of the pattern.
+
+Salting is correctness-neutral by construction: the skewed side scatters
+each row to one of ``n_salts`` sub-keys, the other side is replicated to
+ALL sub-keys, so every original match pair still meets exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with a hot-keyed ``skewed`` side by splitting each key into
+    ``n_salts`` sub-keys.
+
+    ``skewed`` rows get a pseudo-random salt (rand-derived — affects only
+    placement, never the result set); ``other`` is exploded ×n_salts so
+    every (key, salt) partner exists. Supports inner/left joins (the salt
+    lives only on join plumbing columns and is dropped).
+
+    Cost model: ``other`` is shuffled n_salts× larger — use when
+    |other| × n_salts ≪ |skewed|'s hot-key concentration, and prefer a
+    plain ``broadcast(other)`` whenever ``other`` fits in memory (salting
+    is the middle ground between broadcast and AQE skew-split).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    salt = (F.rand() * n_salts).cast("int")
+    s = skewed.withColumn("__salt", salt)
+    o = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = s.join(o, on=[*on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -106,6 +106,69 @@ BILLWERK_CONTRACT = T.StructType(
     ]
 )
 
+#: LexOffice voucher list row (FIXTURES §2.3; page-flag paginated)
+LEXOFFICE_VOUCHER = T.StructType(
+    [
+        _f("id", S, False),
+        _f("voucherType", S),
+        _f("voucherStatus", S),
+        _f("voucherNumber", S),
+        _f("voucherDate", S),
+        _f("contactId", S),
+        _f("contactName", S),
+        _f("totalAmount", S),
+        _f("currency", S),
+        _f("archived", B),
+    ]
+)
+
+#: LexOffice invoice detail (per-key fan-out result; nested unitPrice)
+LEXOFFICE_INVOICE_DETAIL = T.StructType(
+    [
+        _f("id", S, False),
+        _f("organizationId", S),
+        _f("address", T.StructType([_f("countryCode", S)])),
+        _f(
+            "totalPrice",
+            T.StructType(
+                [
+                    _f("currency", S),
+                    _f("totalNetAmount", D),
+                    _f("totalGrossAmount", D),
+                    _f("totalTaxAmount", D),
+                ]
+            ),
+        ),
+        _f(
+            "lineItems",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        _f("id", S),
+                        _f("type", S),
+                        _f("name", S),
+                        _f("quantity", D),
+                        _f("unitName", S),
+                        _f(
+                            "unitPrice",
+                            T.StructType(
+                                [
+                                    _f("netAmount", D),
+                                    _f("grossAmount", D),
+                                    _f("taxRatePercentage", D),
+                                ]
+                            ),
+                        ),
+                        _f("discountPercentage", D),
+                        _f("lineItemAmount", D),
+                    ]
+                )
+            ),
+        ),
+        _f("_fetch_ok", B),
+    ]
+)
+
 #: Stripe balance transaction (conditional-rollup input, account.py:39-76)
 STRIPE_BALANCE_TXN = T.StructType(
     [

@@ -284,9 +284,16 @@ def fanout_fetch(
     the keys frame itself is distributed — no driver materialization.
     """
     import pandas as pd
+    from pyspark.sql import types as T
 
     retry = retry or RetryPolicy()
     field_names = [f.name for f in result_schema.fields if f.name != "_fetch_ok"]
+    # failure rows carry NULLs in every non-key field, so the output schema
+    # must be fully nullable regardless of the caller's declaration —
+    # codegen NPEs on a null in a non-nullable slot otherwise
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in result_schema.fields]
+    )
 
     def run(batches):
         limiter = RateLimiter(min_interval=rate_limit_interval)
@@ -299,11 +306,13 @@ def fanout_fetch(
                 except Exception:
                     detail = None
                 row = {k: (detail or {}).get(k) for k in field_names}
+                if row.get(key_col) is None:
+                    row[key_col] = key  # failed fetches still identify their key
                 row["_fetch_ok"] = detail is not None
                 out.append(row)
             yield pd.DataFrame(out, columns=[*field_names, "_fetch_ok"])
 
     return (
         keys_df.repartition(parallelism)
-        .mapInPandas(run, schema=result_schema)
+        .mapInPandas(run, schema=out_schema)
     )

@@ -189,3 +189,75 @@ def test_reverse_etl_batches_and_counts(spark):
 
     ok, failed = pipelines.reverse_etl_company_status(spark, df, send, batch_size=10)
     assert failed == 0 and ok >= 3
+
+
+def lexoffice_transports(n_invoices):
+    vouchers = [
+        {
+            "id": f"v{i}",
+            "voucherType": "invoice" if i % 3 else "creditnote",
+            "voucherStatus": "open",
+            "archived": i % 5 == 0,
+            "totalAmount": "100.0",
+        }
+        for i in range(n_invoices)
+    ]
+
+    def list_transport(url, params):
+        page, size = params["page"], params["size"]
+        chunk = vouchers[page * size : (page + 1) * size]
+        return {"content": chunk, "last": (page + 1) * size >= len(vouchers)}
+
+    def fetch_detail(vid):
+        i = int(vid[1:])
+        if i == 7:
+            return None  # failed fetch → dropped, not fatal
+        return {
+            "id": vid,
+            "organizationId": "org",
+            "totalPrice": {"currency": "EUR", "totalNetAmount": 100.0},
+            "lineItems": [
+                {
+                    "id": f"{vid}-l{j}",
+                    "type": "custom",
+                    "name": f"item {j}",
+                    "quantity": 2.0,
+                    "unitPrice": {"netAmount": 9.5, "taxRatePercentage": 19.0},
+                    "discountPercentage": None if j else 5.0,
+                    "lineItemAmount": 19.0,
+                }
+                for j in range(2)
+            ],
+        }
+
+    return list_transport, fetch_detail
+
+
+def test_lexoffice_pipeline_fanout_and_nested(spark, tmp_path):
+    list_t, detail_t = lexoffice_transports(20)
+    wh = str(tmp_path / "lex_items")
+    n = pipelines.lexoffice_invoice_items(
+        spark, list_t, detail_t, wh, page_size=6, fanout_parallelism=3
+    )
+    items = ParquetTable(spark, wh).read()
+    # 20 vouchers: 13 invoices (i%3!=0), minus archived (i%5==0 → 5,10 among
+    # invoices) minus failed fetch v7 → each surviving invoice has 2 lines
+    survivors = [
+        i for i in range(20) if i % 3 and i % 5 != 0 and i != 7
+    ]
+    assert n == len(survivors) * 2
+    assert items.count() == n
+    got = {r["line_id"]: r for r in items.collect()}
+    sample = got[f"v{survivors[0]}-l0"]
+    assert sample["unit_net"] == 9.5 and sample["tax_rate"] == 19.0
+    assert sample["discount_pct"] == 5.0
+    l1 = got[f"v{survivors[0]}-l1"]
+    assert l1["discount_pct"] == 0.0  # NULL coalesced
+
+
+def test_job_manifest_names_resolve(spark):
+    from bi_gcp_stitch_repl_spark.jobs import pipelines as p
+    from bi_gcp_stitch_repl_spark.jobs.schedule import JOB_MANIFEST
+
+    for spec in JOB_MANIFEST.values():
+        assert callable(getattr(p, spec.pipeline))
