@@ -486,7 +486,7 @@ def a1_a2_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id,
        {_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_total,
        {_dsum("CASE WHEN event_type IN ('view','click') THEN value ELSE 0 END")} AS engagement_total,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
        COUNT(*) AS n_events
 FROM events
 GROUP BY user_id
@@ -712,7 +712,7 @@ def s4_keyset_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s7_detail_fanout",
     oracle="""
-SELECT o_orderkey, o_orderkey * 2.0 AS detail_total, TRUE AS _fetch_ok
+SELECT o_orderkey, o_orderkey * CAST(2.0 AS DOUBLE) AS detail_total, TRUE AS _fetch_ok
 FROM orders WHERE o_orderkey % 10 = 0
 """,
 )

@@ -22,7 +22,7 @@ from .parity import _dsum, dec_sum
 @register(
     "w_topk_per_group",
     oracle="""
-SELECT o_orderstatus, o_orderkey, o_totalprice, rk FROM (
+SELECT o_orderstatus, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
   SELECT o_orderstatus, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_orderstatus
                             ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -140,9 +140,9 @@ WITH ordered AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts, event_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM ordered
 )
 SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,

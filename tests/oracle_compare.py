@@ -35,6 +35,21 @@ except ImportError:  # pragma: no cover
     decimal_types = ()
 
 
+#: spark dtype string -> DuckDB type name (schema-parity contract)
+_TYPE_MAP = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "smallint": "SMALLINT",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
 def compare(spark_df, duck_rel, max_report: int = 5) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
     problems: list[str] = []
@@ -43,6 +58,16 @@ def compare(spark_df, duck_rel, max_report: int = 5) -> list[str]:
     if [c.lower() for c in s_cols] != [c.lower() for c in d_cols]:
         problems.append(f"columns differ: spark={s_cols} duck={d_cols}")
         return problems
+
+    # type parity (the driver compares schemas, not just names)
+    s_types = dict(spark_df.dtypes)
+    d_types = {c.lower(): str(t) for c, t in zip(duck_rel.columns, duck_rel.types)}
+    for col, st in s_types.items():
+        dt = d_types.get(col.lower())
+        expect = _TYPE_MAP.get(st, st.upper())
+        decimal_ok = st.startswith("decimal") and (dt or "").startswith("DECIMAL")
+        if dt != expect and not decimal_ok:
+            problems.append(f"type differs for {col}: spark={st} duck={dt}")
 
     from pyspark.sql import functions as F
 
