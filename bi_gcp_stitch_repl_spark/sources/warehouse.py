@@ -103,3 +103,31 @@ class Warehouse:
             for view, table in views.items():
                 self.read(table).createOrReplaceTempView(view)
         return self.spark.sql(query)
+
+    # -- bucketed tables (co-located joins) ---------------------------------
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Catalog-managed bucketed table: rows hash-partitioned into
+        ``n_buckets`` files by ``bucket_cols`` at WRITE time.
+
+        Two tables bucketed the same way join WITHOUT a shuffle — the
+        single highest-leverage layout decision for a 100 TB fact⋈fact
+        join that runs daily (pay the shuffle once at ingest, never at
+        query). ``sort_cols`` additionally sorts within buckets so
+        sort-merge joins skip the sort. Bucketing requires the session
+        catalog (``saveAsTable``), not a bare path."""
+        writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+
+    def read_table(self, table: str) -> DataFrame:
+        """Read a catalog-managed (e.g. bucketed) table."""
+        return self.spark.table(table)

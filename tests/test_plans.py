@@ -100,3 +100,39 @@ def test_flagship_zero_hash_shuffles(spark):
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortAggregate" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two co-bucketed tables join without an Exchange: the 100 TB layout
+    lever — pay the shuffle at ingest, never at query."""
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    orders = spark.range(1000).select(
+        F.col("id").alias("o_key"), (F.col("id") % 7).alias("o_val")
+    )
+    items = spark.range(3000).select(
+        (F.col("id") % 1000).alias("o_key"), F.col("id").alias("i_val")
+    )
+    # disable broadcast so the join strategy decision is about shuffles
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        wh.write_bucketed(orders, "b_orders", ["o_key"], n_buckets=8, sort_cols=["o_key"])
+        wh.write_bucketed(items, "b_items", ["o_key"], n_buckets=8, sort_cols=["o_key"])
+        joined = wh.read_table("b_orders").join(wh.read_table("b_items"), "o_key")
+        plan = plan_of(joined, mode="simple")
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 3000
+        # contrast: the same join on plain parquet shuffles both sides
+        orders.write.mode("overwrite").parquet(str(tmp_path / "p_orders"))
+        items.write.mode("overwrite").parquet(str(tmp_path / "p_items"))
+        plain = spark.read.parquet(str(tmp_path / "p_orders")).join(
+            spark.read.parquet(str(tmp_path / "p_items")), "o_key"
+        )
+        assert "Exchange" in plan_of(plain, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
