@@ -972,6 +972,31 @@ def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_json_parse",
+    oracle="""
+SELECT event_id,
+       CAST(props::JSON->>'k' AS INTEGER) AS prop_k,
+       CASE WHEN CAST(props::JSON->>'k' AS INTEGER) > 50 THEN 'high' ELSE 'low' END AS k_band
+FROM events
+""",
+)
+def f_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload parsing with an explicit schema (the engine's
+    schema-on-read path for API payloads — the reference json.loads()es
+    everything driver-side; here from_json runs JVM-side inside codegen,
+    and the schema contract is declared, SURVEY §1.3)."""
+    (e,) = tables(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id", F.from_json("props", "k int").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("prop_k"),
+        F.when(F.col("p.k") > 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
     "f_timestamp_functions",
     oracle="""
 SELECT event_id,
