@@ -55,6 +55,33 @@ def brute_force_topk(
     )
 
 
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random Gaussian hyperplanes (seeded — the model
+    is reproducible across runs/engines without storing anything)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket_expr(
+    vec_col: str, planes: list[list[float]]
+) -> Column:
+    """SimHash-style bucket id: bit j = sign of ⟨vec, plane_j⟩. Random
+    hyperplanes distribute buckets evenly regardless of the data's
+    coordinate alignment (axis-aligned `bucket_expr` is the zero-cost
+    variant; this one costs n_planes dot products per row, still JVM-side).
+    P(bit match) = 1 - θ/π, so Hamming distance over buckets estimates
+    angular distance."""
+    bucket = None
+    for j, plane in enumerate(planes):
+        arr = "array(" + ", ".join(f"cast({v} as double)" for v in plane) + ")"
+        dot = DOT.format(a=vec_col, b=arr)
+        bit = F.when(F.expr(dot) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
 def bucket_expr(vec_col: str, n_planes: int = 8) -> Column:
     """Sign-bit LSH bucket id: bit i = sign of coordinate i (axis-aligned
     hyperplanes; deterministic, no stored model). For random hyperplanes,
@@ -127,6 +154,7 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     n_planes: int = 8,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k for a whole DataFrame of queries at once.
 
@@ -134,10 +162,18 @@ def lsh_bucket_topk(
     one shuffle each side on a 2^n_planes-ary key), then a per-query window
     keeps the k best. Recall < 1.0 by construction: only same-bucket
     neighbors are seen (multi-probe = union over neighbor buckets).
+
+    ``planes``: pass `random_hyperplanes(n, dim)` for random-projection
+    buckets (better balance on coordinate-aligned data); default is the
+    zero-cost axis-aligned sign-bit bucketing.
     """
-    c = corpus.withColumn("bucket", bucket_expr(vec_col, n_planes)).alias("c")
+    if planes is not None:
+        bucket = lambda col: hyperplane_bucket_expr(col, planes)  # noqa: E731
+    else:
+        bucket = lambda col: bucket_expr(col, n_planes)  # noqa: E731
+    c = corpus.withColumn("bucket", bucket(vec_col)).alias("c")
     q = (
-        queries.withColumn("bucket", bucket_expr(vec_col, n_planes))
+        queries.withColumn("bucket", bucket(vec_col))
         .select(query_id_col, "bucket", F.col(vec_col).alias("qv"))
         .alias("q")
     )

@@ -169,3 +169,24 @@ def test_ivf_topk_partial_probe_structure(spark):
         assert all(
             ranked[i]["cosine"] >= ranked[i + 1]["cosine"] for i in range(len(ranked) - 1)
         )
+
+
+def test_random_hyperplane_lsh_buckets(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    planes = similarity.random_hyperplanes(6, 64, seed=7)
+    assert planes == similarity.random_hyperplanes(6, 64, seed=7)  # reproducible
+    queries = emb.filter("vec_id IN (0, 3)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = similarity.lsh_bucket_topk(emb, queries, k=3, planes=planes).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, hits in by_q.items():
+        assert hits[0]["vec_id"] == qid  # self shares its own bucket, rank 1
+    # random planes should spread the corpus over many buckets
+    bucketed = emb.withColumn(
+        "b", similarity.hyperplane_bucket_expr("embedding", planes)
+    )
+    n_buckets = bucketed.select("b").distinct().count()
+    assert n_buckets > 16  # 2^6 = 64 possible; expect good spread
