@@ -164,6 +164,7 @@ def lexoffice_invoice_items(
     api_base: str = "https://api.example/voucherlist",
     page_size: int = 250,
     fanout_parallelism: int = 5,
+    dead_letter_path: str | None = None,
 ) -> int:
     """LexOffice pipeline family (SURVEY §2.1 S2 + S7, §2.9 F22/F23):
     page-flag voucher list scan → per-invoice detail fan-out (mapInPandas,
@@ -183,13 +184,21 @@ def lexoffice_invoice_items(
     invoice_ids = vouchers.filter(
         (F.col("voucherType") == "invoice") & ~F.col("archived")
     ).select(F.col("id"))
-    details = rest.fanout_fetch(
+    fetched = rest.fanout_fetch(
         invoice_ids,
         fetch_detail,
         schemas.LEXOFFICE_INVOICE_DETAIL,
         key_col="id",
         parallelism=fanout_parallelism,
-    ).filter(F.col("_fetch_ok"))
+    )
+    if dead_letter_path is not None:
+        # failed fetches land in a dead-letter table for replay instead of
+        # disappearing (reference merely filters them out, SURVEY §2.12)
+        failed = fetched.filter(~F.col("_fetch_ok")).select(
+            F.col("id").alias("invoice_id"), F.current_timestamp().alias("failed_at")
+        )
+        ParquetTable(spark, dead_letter_path).append(failed)
+    details = fetched.filter(F.col("_fetch_ok"))
     items = explode_with_parent(
         details.select(F.col("id").alias("invoice_id"), "lineItems"),
         "lineItems",

@@ -562,6 +562,21 @@ def x_lsh_cosine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x_approx_distinct", oracle=None)
+def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct users per event type — the
+    constant-memory cardinality sketch for 100 TB streams where exact
+    distinct would shuffle every key. Rows-only check: sketch estimates
+    are engine-specific by nature (DuckDB's approx_count_distinct uses a
+    different HLL construction), so there is no cross-engine oracle; the
+    pytest suite bounds the estimate against the exact count instead."""
+    (e,) = tables(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 @register(
     "x_embedding_norms",
     oracle="""

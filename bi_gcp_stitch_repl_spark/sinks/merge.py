@@ -132,6 +132,19 @@ class ParquetTable:
         merged = survivors.unionByName(batch)
         self._staged_write(merged)
 
+    def compact(self, target_partitions: int | None = None) -> int:
+        """Rewrite the table into ``target_partitions`` files (default: let
+        AQE coalesce). Incremental appends (K5/K7) accumulate small files;
+        at 100 TB small files dominate scan overhead (footer reads, task
+        scheduling), so compaction is a scheduled maintenance job exactly
+        like OPTIMIZE on a lakehouse table. Atomic like every other write.
+        Returns the row count preserved."""
+        df = self.read()
+        n = df.count()
+        compacted = df.repartition(target_partitions) if target_partitions else df.coalesce(8)
+        self._staged_write(compacted)
+        return n
+
     def append_if_absent(self, batch: DataFrame, keys: list[str]) -> DataFrame:
         """K7 history capture: append only rows whose composite key is not yet
         present. Returns the appended delta (useful for logging/row counts,

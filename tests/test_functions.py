@@ -190,3 +190,21 @@ def test_random_hyperplane_lsh_buckets(spark):
     )
     n_buckets = bucketed.select("b").distinct().count()
     assert n_buckets > 16  # 2^6 = 64 possible; expect good spread
+
+
+def test_approx_distinct_within_rsd(spark):
+    from bi_gcp_stitch_repl_spark.queries import catalog
+
+    df = catalog.queries()["x_approx_distinct"](spark, SF_SMOKE)
+    rows = {r["event_type"]: r for r in df.collect()}
+    from bi_gcp_stitch_repl_spark.queries.catalog import tables
+
+    (e,) = tables(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, r in rows.items():
+        assert abs(r["approx_users"] - exact[et]) <= max(3, 0.1 * exact[et])

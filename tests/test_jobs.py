@@ -261,3 +261,14 @@ def test_job_manifest_names_resolve(spark):
 
     for spec in JOB_MANIFEST.values():
         assert callable(getattr(p, spec.pipeline))
+
+
+def test_lexoffice_dead_letter_capture(spark, tmp_path):
+    list_t, detail_t = lexoffice_transports(20)
+    wh = str(tmp_path / "items")
+    dl = str(tmp_path / "dead_letters")
+    pipelines.lexoffice_invoice_items(
+        spark, list_t, detail_t, wh, page_size=6, dead_letter_path=dl
+    )
+    dead = ParquetTable(spark, dl).read().collect()
+    assert [r["invoice_id"] for r in dead] == ["v7"]  # the failing fetch

@@ -151,3 +151,15 @@ def test_partitioned_table_prunes_date_predicates(spark, tmp_path):
         "ingest_date=2024-01-02",
         "ingest_date=2024-01-03",
     ]
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    for i in range(6):  # many small appends → many files
+        t.append(spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+                 if i else spark.createDataFrame([(0, "v0")], "k long, v string"))
+    files_before = len([f for f in os.listdir(t.path) if f.endswith(".parquet")])
+    n = t.compact(target_partitions=1)
+    files_after = len([f for f in os.listdir(t.path) if f.endswith(".parquet")])
+    assert n == 6 and t.read().count() == 6
+    assert files_after < files_before and files_after == 1
