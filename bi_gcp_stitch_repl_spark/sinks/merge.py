@@ -145,6 +145,35 @@ class ParquetTable:
         self._staged_write(compacted)
         return n
 
+    def vacuum(self, retention_sec: float = 3600.0) -> list[str]:
+        """Remove orphaned write generations left by crashed writers.
+
+        A crash before the commit rename leaves a ``.stage-*`` directory; a
+        crash between the two commit renames leaves a ``.old-*`` directory
+        (the table itself is intact in both cases — that's the point of the
+        staged swap). Like lakehouse VACUUM, only orphans older than
+        ``retention_sec`` are removed so a concurrent in-flight writer's
+        staging dir is never yanked from under it. Returns the paths removed.
+        """
+        parent = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path)
+        now = time.time()
+        removed: list[str] = []
+        if not os.path.isdir(parent):
+            return removed
+        for entry in os.listdir(parent):
+            if not (entry.startswith(f"{base}.stage-") or entry.startswith(f"{base}.old-")):
+                continue
+            full = os.path.join(parent, entry)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # already gone (concurrent vacuum / finishing writer)
+            if age >= retention_sec:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+        return removed
+
     def append_if_absent(self, batch: DataFrame, keys: list[str]) -> DataFrame:
         """K7 history capture: append only rows whose composite key is not yet
         present. Returns the appended delta (useful for logging/row counts,

@@ -163,3 +163,21 @@ def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
     files_after = len([f for f in os.listdir(t.path) if f.endswith(".parquet")])
     assert n == 6 and t.read().count() == 6
     assert files_after < files_before and files_after == 1
+
+
+def test_vacuum_removes_orphans_keeps_table_and_recent(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(df_of(spark, [(1, "a"), (2, "b")]))
+    # simulate crashed writers: an abandoned stage dir and an old generation
+    old_orphan = str(tmp_path / "t.old-deadbeef")
+    stale_stage = str(tmp_path / "t.stage-deadbeef")
+    fresh_stage = str(tmp_path / "t.stage-cafe")  # an in-flight writer
+    for d in (old_orphan, stale_stage, fresh_stage):
+        os.makedirs(d)
+    past = 1_000_000_000  # epoch 2001 — well past any retention
+    os.utime(old_orphan, (past, past))
+    os.utime(stale_stage, (past, past))
+    removed = t.vacuum(retention_sec=3600)
+    assert sorted(removed) == sorted([old_orphan, stale_stage])
+    assert os.path.isdir(fresh_stage)  # within retention — untouched
+    assert {r["k"] for r in t.read().collect()} == {1, 2}
