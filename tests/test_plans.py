@@ -136,3 +136,33 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Catalyst's InjectRuntimeFilter puts a bloom filter from the selective
+    (filtered) build side onto the fact-scan side of a shuffle join, so at
+    100 TB the probe scan drops non-matching rows before the exchange. The
+    default application-side threshold is 10 GB — right for production,
+    above our fixtures — so it is lowered here only to prove the wiring."""
+    from .conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized or "BloomFilter" in optimized
+        assert "might_contain" in optimized, "probe side must test the bloom filter"
+        # and it must actually run
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
