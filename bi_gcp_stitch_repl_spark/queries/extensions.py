@@ -562,6 +562,57 @@ def x_lsh_cosine_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COSINE_DUP_THRESHOLD = 0.45  # max pairwise cosine in this corpus is ~0.51;
+#                              0.45 separates a small "near" tail (7 pairs at
+#                              sf0.001, 14 at sf0.01, 144 at sf0.1) from noise
+
+
+@register(
+    "x_dedup_embedding_pairs",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+         / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+        / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+""",
+)
+def x_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — EXACT all-pairs baseline.
+    Norms are computed once per row before the self-join (the join computes
+    only the dot product); the smaller side broadcasts. This quadratic form
+    is the correctness oracle; the 100 TB path is
+    ``functions.similarity.embedding_near_dup`` (banded random-hyperplane
+    LSH candidates + exact verify — linear in corpus + collisions),
+    recall-tested against this baseline in pytest."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    norm = F.expr(_NORM_SPARK.format(a="embedding"))
+    n = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        norm.alias("nrm"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = _DOT_SPARK.format(a="va", b="vb")
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.expr(dot) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 @register("x_approx_distinct", oracle=None)
 def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type — the
@@ -639,6 +690,40 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GPT-2-ish pre-tokenizer classes: letter runs | single digits | single
+#: non-alnum glyph. Basic character classes only — Java regex (Spark) and
+#: RE2 (DuckDB) agree on these.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@register(
+    "x_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\\s+')) AS fertility
+FROM documents
+""",
+)
+def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish pre-tokenizer
+    regex (letter runs / digits / punctuation glyphs), plus their ratio
+    ("fertility" — tokens per word, the cost predictor for LLM training
+    budgets). Row-local regex work, JVM-side, no shuffle: the canonical
+    100 TB token-accounting scan."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_bpe.cast("double") / n_words).alias("fertility"),
+    )
+
+
 _LANG_KEYWORDS = {
     "en": ["the", "and", "value"],
     "de": ["der", "und", "die"],
@@ -692,6 +777,55 @@ def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(score_de).alias("score_de"),
         F.expr(guess).alias("lang_guess"),
     )
+
+
+_STOPWORDS = ["the", "and", "of", "to", "der", "und", "le", "et"]
+
+
+def _quality_sql(global_flag: str) -> str:
+    """Quality-score SQL, identical for Spark and DuckDB (basic regex +
+    length arithmetic only). DuckDB regexp_replace is single-match without
+    'g', so the flag is passed there; Spark replaces globally by default."""
+    n_chars = "CAST(length(text) AS BIGINT)"
+    n_words = (
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+        if global_flag
+        else "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
+    )
+    alpha = (
+        f"CAST(length(regexp_replace(text, '[^A-Za-z]', ''{global_flag})) AS DOUBLE)"
+        " / length(text)"
+    )
+    punct = (
+        f"CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', ''{global_flag}))"
+        " AS DOUBLE) / length(text)"
+    )
+    stop_hits = " + ".join(_kw_count("lower(text)", kw) for kw in _STOPWORDS)
+    stop_ratio = f"CAST({stop_hits} AS DOUBLE) / {n_words}"
+    score = f"(({alpha}) + (1.0 - ({punct})) + least(({stop_ratio}) * 2.0, 1.0)) / 3.0"
+    return f"""
+SELECT doc_id,
+       {n_chars} AS n_chars,
+       {alpha} AS alpha_ratio,
+       {punct} AS punct_ratio,
+       {stop_ratio} AS stop_ratio,
+       {score} AS quality_score,
+       ({score}) >= 0.5 AND {n_chars} >= 20 AS keep
+FROM documents
+"""
+
+
+@register("x_quality_score", oracle=_quality_sql(", 'g'"))
+def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring — alphabetic ratio, punctuation
+    density, stopword rate — combined into a [0,1] score and a keep/drop
+    gate (the C4/Gopher-style filter shape). Every feature is a row-local
+    expression (regex strip + length arithmetic): the filter runs at scan
+    speed with zero shuffle. Same SQL text runs in DuckDB, modulo its
+    non-global-default regexp_replace flag and split-function name."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_quality_sql(""))
 
 
 @register(

@@ -171,6 +171,37 @@ def test_ivf_topk_partial_probe_structure(spark):
         )
 
 
+def test_embedding_near_dup_recall_and_precision(spark):
+    """Banded-LSH near-dup pairs vs the exact all-pairs baseline: precision
+    is 1.0 by construction (candidates are exact-verified); recall on the
+    seeded hyperplanes is deterministic, assert it stays high."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    t = 0.45
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup(emb, threshold=t).collect()
+    }
+    norm = similarity.NORM.format(a="embedding")
+    n = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) AS v", f"{norm} AS nrm"
+    )
+    a = n.selectExpr("vec_id AS id_a", "v AS va", "nrm AS na")
+    b = n.selectExpr("vec_id AS id_b", "v AS vb", "nrm AS nb")
+    dot = similarity.DOT.format(a="va", b="vb")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(dot) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= t)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert approx <= exact  # exact verification ⇒ no false positives
+    assert len(exact) > 0
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8  # 16 bands × 2 bits at θ≤63°: expected ≈ 0.9998
+
+
 def test_random_hyperplane_lsh_buckets(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     planes = similarity.random_hyperplanes(6, 64, seed=7)
