@@ -146,6 +146,35 @@ def ivf_topk(
     )
 
 
+def kmeans_ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Fit IVF coarse cells with KMeans (pyspark.ml, Lloyd's over the
+    cluster-parallel corpus) and return the corpus with a ``cell_col``
+    assignment — the production replacement for `ivf_topk`'s per-label
+    centroid derivation.
+
+    The fit is a few passes over the data (distributed; the model itself is
+    tiny — n_cells × dim floats on the driver); the assignment pass is one
+    narrow projection. Downstream, `ivf_topk(..., centroid_col=cell_col)`
+    rebuilds each cell's centroid as the assigned-vector mean, which at
+    convergence IS the KMeans center — so the index never needs to persist
+    the model, only the cell id column (one small int per row, the right
+    artifact to store at 100 TB)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.withColumn("_fv", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol=cell_col).fit(
+        feats
+    )
+    return model.transform(feats).drop("_fv")
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.45,

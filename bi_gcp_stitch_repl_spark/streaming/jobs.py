@@ -141,6 +141,80 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def user_ledger_tws(events: DataFrame) -> DataFrame:
+    """Per-user lifetime ledger via ``transformWithStateInPandas`` — the
+    Spark 4 stateful-processor API (successor to applyInPandasWithState):
+    typed state variables on a handle, explicit init/close lifecycle, and
+    RocksDB-backed state (set by the caller's session conf) so per-key state
+    spills off-heap and scales with keys, not memory.
+
+    Same semantics as ``running_user_totals`` (count, decimal-safe value
+    total, max event id per user) so tests can cross-check the two APIs
+    against the batch rollup.
+
+    Requires the ``protobuf`` package (the transformWithState state-server
+    protocol is protobuf-framed); raises ImportError where it's absent —
+    ``running_user_totals`` is the dependency-free fallback with identical
+    semantics."""
+    import google.protobuf  # noqa: F401 — fail fast with a clear cause
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_event_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("last_id", T.LongType()),
+        ]
+    )
+
+    class LedgerProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ledger = handle.getValueState("ledger", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, last_id = (
+                self._ledger.get() if self._ledger.exists() else (0, 0.0, -1)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                last_id = max(last_id, int(pdf["event_id"].max()))
+            self._ledger.update((n, total, last_id))
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "total_value": total,
+                        "last_event_id": last_id,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        LedgerProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def incremental_merge_stream(
     events: DataFrame,
     table,

@@ -171,6 +171,33 @@ def test_ivf_topk_partial_probe_structure(spark):
         )
 
 
+def test_kmeans_ivf_full_probe_equals_bruteforce(spark):
+    """KMeans-fit IVF cells: probing every cell must reproduce the exact
+    brute-force top-k; partial probe must return the self-hit (a query's own
+    vector shares its cell by construction)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    indexed = similarity.kmeans_ivf_index(emb, n_cells=8, seed=42)
+    assert indexed.select("ivf_cell").distinct().count() <= 8
+    queries = emb.filter("vec_id IN (0, 7)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = similarity.ivf_topk(
+        indexed, queries, k=5, n_probe=8, centroid_col="ivf_cell"
+    ).collect()
+    qvec = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    brute = similarity.brute_force_topk(emb, qvec, k=5).collect()
+    got_q0 = sorted(
+        (r["vec_id"] for r in full if r["query_id"] == 0 and r["rk"] <= 5)
+    )
+    assert got_q0 == sorted(r["vec_id"] for r in brute)
+    partial = similarity.ivf_topk(
+        indexed, queries, k=3, n_probe=1, centroid_col="ivf_cell"
+    ).collect()
+    for qid in (0, 7):
+        hits = [r for r in partial if r["query_id"] == qid]
+        assert hits and hits[0]["vec_id"] == qid  # self-hit at rank 1
+
+
 def test_embedding_near_dup_recall_and_precision(spark):
     """Banded-LSH near-dup pairs vs the exact all-pairs baseline: precision
     is 1.0 by construction (candidates are exact-verified); recall on the

@@ -4,6 +4,7 @@ merge (the reference's S4 replication as a stream)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -117,6 +118,62 @@ def test_running_user_totals_stateful(spark, tmp_path):
             select * from (
               select *, row_number() over (partition by user_id order by n_events desc) rn
               from totals
+            ) where rn = 1
+            """
+        ).collect()
+    }
+    (batch,) = tables(spark, SF_SMOKE, "events")
+    expect = {
+        r["user_id"]: r
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for uid, e in expect.items():
+        assert got[uid]["n_events"] == e["n_events"]
+        assert got[uid]["last_event_id"] == e["last_event_id"]
+
+
+def test_user_ledger_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas: final per-user ledger equals the batch
+    rollup (same contract as the applyInPandasWithState twin)."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState needs protobuf (not baked in)"
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = jobs.events_stream(spark, f"{SF_SMOKE}/events.parquet", EVENTS_SCHEMA)
+        q = (
+            jobs.user_ledger_tws(events.select("user_id", "event_id", "value"))
+            .writeStream.format("memory")
+            .queryName("ledger_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ledger_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is not None:
+            spark.conf.set(provider_key, prev)
+        else:
+            spark.conf.unset(provider_key)
+    got = {
+        r["user_id"]: r
+        for r in spark.sql(
+            """
+            select * from (
+              select *, row_number() over (partition by user_id order by n_events desc) rn
+              from ledger_tws
             ) where rn = 1
             """
         ).collect()
