@@ -1,0 +1,99 @@
+"""Distributed connected components (dup-cluster resolution).
+
+Near-duplicate detection (functions.dedup, queries.extensions) produces
+PAIRS; a training-data pipeline needs CLUSTERS — if A~B and B~C, all
+three are one duplicate group even when A~C was never emitted, and one
+representative per group survives. That closure is connected components
+over the candidate-pair graph.
+
+Implementation: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log n) rounds on any graph, each round two hash-shuffle jobs
+(groupBy-min + join), no driver-side graph state, no vertex ever holds
+more than its neighbor list implicitly (we use groupBy().min() + join
+rather than collect_list, so even a star center never materializes its
+adjacency in one task). This is the construction that survives
+billions of edges; simple min-label propagation needs O(diameter)
+rounds and dies on long chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to u's minimum neighborhood node."""
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_m"))
+    mins = mins.select("src", F.least("_m", F.col("src")).alias("_m"))
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges to the larger endpoint, connect all smaller neighbors
+    (and the center) to the minimum."""
+    oriented = _symmetrize(edges).filter(F.col("dst") < F.col("src"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
+    nbr_edges = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    )
+    center_edges = mins.select("src", F.col("_m").alias("dst"))
+    return (
+        nbr_edges.unionByName(center_edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) labeling; component = min node id in the component.
+
+    ``edges``: two-column DataFrame (any names; first = src, second = dst).
+    ``nodes``: optional one-column DataFrame of all node ids — isolated
+    nodes (no edges) come back as singleton components. Each iteration is
+    localCheckpoint()ed: iterative algorithms otherwise stack an
+    unbounded lineage that blows up planning time and executor stacks.
+    """
+    src, dst = edges.columns[:2]
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        after = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Fixpoint: both star passes are monotone (they never merge distinct
+        # components or split one), so edge-set equality means convergence.
+        changed = (
+            not after.exceptAll(e).isEmpty() or not e.exceptAll(after).isEmpty()
+        )
+        e = after
+        if not changed:
+            break
+    # At the fixpoint every edge is (member, root); add the roots themselves.
+    labels = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+    labels = labels.unionByName(roots).distinct()
+    if nodes is not None:
+        node_col = nodes.columns[0]
+        all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+        singletons = all_nodes.join(labels, "node", "left_anti").select(
+            "node", F.col("node").alias("component")
+        )
+        labels = labels.unionByName(singletons)
+    return labels

@@ -1,0 +1,81 @@
+"""As-of (point-in-time) join.
+
+The reference has no as-of join (SURVEY.md §2.4 notes theta/as-of joins
+absent), but a replication platform that lands change-history tables
+(K7-style, `dags/sql-queries/bexio_and_stripe/execute_bexio_and_stripe_sql_queries.py:45-57`)
+immediately needs one to answer "what was the entity's state when X
+happened" without a quadratic range join. This is the standard scalable
+formulation:
+
+    union(left, right) → one hash shuffle on the key → one ordered window
+    pass → ``last(payload, ignorenulls)``
+
+Cost is a single Exchange + sort per side-sized input — no row explosion,
+no per-left-row probe, independent of how many right rows precede each
+left row. That shape survives 100 TB; the per-key nested-loop a naive
+``JOIN ... ON r.ts <= l.ts`` plans (BroadcastNestedLoop or a range
+cross-product) does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    left_tiebreak: str | None = None,
+    right_tiebreak: str | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the most recent right row at-or-before it.
+
+    A right row matches a left row when they share the ``on`` key and the
+    right row's ``(ts, tiebreak)`` is ``<=`` (or ``<`` when ``strict``) the
+    left row's, comparing lexicographically. The tiebreak column makes the
+    ordering total, hence the result deterministic, even with duplicate
+    timestamps; it must be unique per key on the right side.
+
+    ``payload`` maps output column name → right column; the result is every
+    left column plus the payload columns (NULL where no right row precedes).
+    """
+    side_left, side_right = (0, 1) if strict else (1, 0)
+    ltb = F.col(left_tiebreak) if left_tiebreak else F.lit(0)
+    rtb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    left_part = left.select(
+        *on,
+        F.col(left_ts).alias("_t"),
+        ltb.alias("_tb"),
+        F.lit(side_left).alias("_side"),
+        F.struct(*left.columns).alias("_row"),
+    )
+    right_part = right.select(
+        *on,
+        F.col(right_ts).alias("_t"),
+        rtb.alias("_tb"),
+        F.lit(side_right).alias("_side"),
+        F.struct(
+            *[F.col(src).alias(out) for out, src in payload.items()]
+        ).alias("_p"),
+    )
+    unioned = left_part.unionByName(right_part, allowMissingColumns=True)
+    # With strict=True a right row that ties the left row on (_t, _tb) sorts
+    # AFTER it (side 1 > 0) and falls outside the up-to-current-row frame;
+    # with strict=False it sorts before and is picked up. `last(ignorenulls)`
+    # skips the left rows' NULL payloads, so each left row sees exactly the
+    # latest preceding right payload.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_t", "_tb", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+    return matched.filter(F.col("_row").isNotNull()).select(
+        "_row.*", *[F.col(f"_m.{out}").alias(out) for out in payload]
+    )

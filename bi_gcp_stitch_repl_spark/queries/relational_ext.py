@@ -1,0 +1,152 @@
+"""Beyond-reference relational operators: as-of join, banded range join,
+connected-components dup clustering.
+
+SURVEY.md §2.4 records these as absent from the reference; they are the
+joins/closures a 100 TB event-and-documents platform cannot run without,
+so the engine supplies them as first-class, oracle-checked operators:
+
+* as-of join — point-in-time enrichment ("state as of event time"), the
+  scalable replacement for correlated `ts <= x ORDER BY ts DESC LIMIT 1`
+  subqueries;
+* banded range join — proximity joins without the cross-join explosion;
+* connected components — near-dup PAIRS → dup CLUSTERS transitive
+  closure (pairs alone under-merge: A~B, B~C must collapse to one group).
+
+Determinism follows the catalog rules (unique tiebreakers everywhere;
+counts/mins only — no order-dependent double sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.graph import connected_components
+from ..ops.asof import asof_join
+from ..ops.rangejoin import band_join
+from .catalog import register, tables
+from .extensions import _minhash_lsh_duck, x_minhash_lsh_candidates
+
+
+@register(
+    "x_asof_join",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT e.event_id, e.user_id, e.ts, e.event_type,
+         p.event_id AS last_purchase_id, p.value AS last_purchase_value,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM events e LEFT JOIN p
+    ON p.user_id = e.user_id
+   AND (p.ts < e.ts OR (p.ts = e.ts AND p.event_id < e.event_id))
+)
+SELECT event_id, user_id, ts, event_type, last_purchase_id, last_purchase_value
+FROM ranked WHERE rn = 1
+""",
+)
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event carries the same user's most
+    recent strictly-earlier purchase (id + value). ops.asof.asof_join is
+    the union→window formulation: ONE shuffle on user_id, no row
+    explosion — the oracle's ranked left join is the O(events × purchases
+    per user) semantics it replaces. Strict ordering on (ts, event_id)
+    keeps ties deterministic."""
+    (e,) = tables(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts", "event_type")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        left,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        left_tiebreak="event_id",
+        right_tiebreak="event_id",
+        strict=True,
+        payload={"last_purchase_id": "event_id", "last_purchase_value": "value"},
+    )
+
+
+RANGE_TOLERANCE_US = 60_000_000  # ±60 s proximity band
+
+
+@register(
+    "x_range_join_density",
+    oracle=f"""
+SELECT e.event_id, e.ts, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_neighbors
+FROM events e LEFT JOIN (
+  SELECT a.event_id, COUNT(*) AS n
+  FROM events a JOIN events b
+    ON b.event_id <> a.event_id
+   AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= {RANGE_TOLERANCE_US}
+  GROUP BY a.event_id
+) c USING (event_id)
+""",
+)
+def x_range_join_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal proximity density: for every event, how many other events
+    (any user) landed within ±60 s. ops.rangejoin.band_join buckets both
+    sides by 60 s and probes 3 buckets per row — an equi-join whose cost
+    tracks true pair density, vs the oracle's nested-loop inequality join
+    (what Spark would plan as BroadcastNestedLoop from the naive SQL)."""
+    (e,) = tables(spark, sf_dir, "events")
+    pts = e.select("event_id", F.unix_micros("ts").alias("us"))
+    left = pts.select(F.col("event_id").alias("l_id"), F.col("us").alias("l_us"))
+    right = pts.select(F.col("event_id").alias("r_id"), F.col("us").alias("r_us"))
+    pairs = band_join(left, right, "l_us", "r_us", RANGE_TOLERANCE_US).filter(
+        F.col("l_id") != F.col("r_id")
+    )
+    counts = pairs.groupBy("l_id").agg(F.count("*").alias("n"))
+    return (
+        e.select("event_id", "ts")
+        .join(counts, F.col("event_id") == F.col("l_id"), "left")
+        .select(
+            "event_id",
+            "ts",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_neighbors"),
+        )
+    )
+
+
+@register(
+    "x_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_lsh_duck()}
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), labels AS (
+  SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+""",
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: transitive closure over the MinHash-LSH
+    candidate pairs via alternating large-star/small-star connected
+    components (functions.graph) — O(log n) rounds of pure groupBy+join,
+    no driver-side graph. cluster_id = min doc_id of the group (the
+    keep-representative); singletons (no near-dup) label themselves. The
+    oracle is a recursive-CTE closure over the identical pair list."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    pairs = x_minhash_lsh_candidates(spark, sf_dir)
+    labels = connected_components(pairs, nodes=docs.select("doc_id"))
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
+    )
