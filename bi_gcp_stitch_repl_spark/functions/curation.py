@@ -1,0 +1,138 @@
+"""Training-data curation operators: decontamination, mixture sampling,
+sequence packing.
+
+The reference replicates SaaS tables into a warehouse (SURVEY.md §0); a
+100 TB training-data pipeline additionally has to CURATE what it lands:
+
+* **benchmark decontamination** — drop/flag training documents that share
+  an n-gram with an evaluation set (the standard GPT-3/PaLM-style 8-gram
+  overlap rule). The eval set is tiny and the corpus is huge, so the
+  scalable shape is: build the eval n-gram set once, broadcast it, and
+  stream the corpus through a broadcast semi-join — zero shuffle of the
+  corpus text.
+* **mixture sampling** — deterministic per-source sampling rates (data
+  mixing). Hash-mod sampling, not `rand()`: re-runs pick the same rows,
+  so downstream incremental merges stay idempotent, and the sample is
+  reproducible across cluster sizes because it depends only on the key.
+* **sequence packing** — stream documents in a stable order into
+  fixed-token-budget bins (context windows). Expressed as a running-sum
+  window per shard: one shuffle on the shard key, no driver state;
+  shards pack independently, which is exactly how a 1000-executor run
+  wants it.
+
+All three are pure DataFrame ops — no UDFs, fully whole-stage-codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: polynomial fold of a string to [0, P) — portable across Spark and DuckDB
+#: (same fragment family as queries.extensions; kept here so library users
+#: get deterministic sampling without importing the query catalog).
+HASH_P = 1_000_000_007
+FOLD_SPARK = (
+    "aggregate(transform(split({s}, ''), c -> cast(ascii(c) as bigint)),"
+    " cast(0 as bigint), (acc, c) -> (acc*31 + c) % {p})"
+)
+
+
+def word_ngram_expr(text_col: str, n: int) -> str:
+    """Spark SQL expression: distinct word ``n``-grams of ``text_col`` as an
+    array of space-joined strings (empty array when the document is shorter
+    than ``n`` words)."""
+    w = f"split({text_col}, ' ')"
+    return (
+        f"case when size({w}) >= {n} then array_distinct("
+        f"transform(sequence(1, size({w}) - {n} + 1),"
+        f" i -> array_join(slice({w}, i, {n}), ' '))) "
+        f"else array() end"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-training-document contamination counts against a benchmark set.
+
+    Returns every ``train`` row's ``id_col`` with ``n_hit_grams`` (distinct
+    word ``n``-grams also present anywhere in ``bench``) and a boolean
+    ``contaminated``. The benchmark gram set is broadcast — the corpus side
+    never shuffles its text, only gram-matched rows reach the aggregation.
+    """
+    grams = word_ngram_expr(text_col, n)
+    train_grams = train.select(
+        F.col(id_col), F.explode(F.expr(grams)).alias("gram")
+    )
+    bench_grams = bench.select(F.explode(F.expr(grams)).alias("gram")).distinct()
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates_pct: dict[str, int],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    default_pct: int = 0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted per-source sampling (data mixing).
+
+    Keeps a row when ``fold_hash(salt || key) % 100 < rates_pct[source]``.
+    The decision is a pure function of the row key: stable under re-runs,
+    partitioning changes, and AQE re-plans — unlike ``rand()``-based
+    sampling, which breaks idempotent downstream merges.
+    """
+    rate = F.lit(default_pct)
+    for src, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(pct)).otherwise(rate)
+    h = FOLD_SPARK.format(
+        s=f"concat('{salt}', cast({key_col} as string))", p=HASH_P
+    )
+    return df.withColumn("_r", rate).filter(F.expr(h) % 100 < F.col("_r")).drop("_r")
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_tokens: int,
+    tokens_col: str,
+    order_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Assign each document a ``bin_id``: fixed-token-budget context windows
+    filled greedily in ``order_col`` order, independently per shard.
+
+    ``bin_id = floor(tokens_before_this_doc / context_tokens)`` — a doc goes
+    into the bin where the running stream stands when it arrives, so every
+    bin holds >= ``context_tokens`` only by its last doc's overflow (the
+    standard streaming-concat packing used for LLM pretraining shards).
+    One window (= one shuffle on the shard key); no driver-side state.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tokens_col).over(w)
+    # Integer-exact: sum-of-longs window stays long, floor-div keeps it long.
+    return df.withColumn(
+        "bin_id", F.floor((cum - F.col(tokens_col)) / F.lit(context_tokens))
+    )

@@ -89,6 +89,6 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import extensions, parity, relational_ext, windows  # noqa: F401
+    from . import curation, extensions, parity, relational_ext, windows  # noqa: F401
 
     _LOADED = True

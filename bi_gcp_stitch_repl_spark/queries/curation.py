@@ -1,0 +1,238 @@
+"""Training-data curation queries: decontamination, mixture sampling,
+sequence packing, rarity-weighted top terms, PII redaction.
+
+The reference pipeline lands raw documents (SURVEY.md §0 — replication
+only, no curation stage); these queries are the curation pass a 100 TB
+training-data platform runs between landing and training, each as a
+catalog entry with a DuckDB oracle:
+
+* `x_decontaminate` — 8-gram benchmark-overlap flagging (functions.
+  curation.decontaminate): broadcast the tiny eval-set gram table, semi-
+  join the corpus through it; the corpus text never shuffles.
+* `x_mixture_sample` — deterministic hash-mod data mixing: sampling is a
+  pure function of the row key, so re-runs and re-partitions keep the
+  identical sample (rand() would not survive either).
+* `x_pack_sequences` — greedy context-window packing as one running-sum
+  window per source shard.
+* `x_top_terms` — per-doc top-3 terms by tf/df rarity weighting; pure
+  count arithmetic (no log) so the score is bit-portable.
+* `x_pii_redact` — regex PII scrubbing. The synthetic corpus contains no
+  PII, so the query injects a deterministic email+phone per row first;
+  the redaction machinery (count, replace, audit lengths) is the real
+  operator surface.
+
+Determinism: counts, integer arithmetic, and single IEEE divisions only;
+every top-k carries a unique tiebreaker (catalog rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.curation import (
+    HASH_P,
+    decontaminate,
+    mixture_sample,
+    pack_sequences,
+)
+from .catalog import register, tables
+from .extensions import _FOLD_DUCK
+
+BENCH_MOD = 23  # doc_id % 23 == 0 -> the held-out "benchmark" slice
+NGRAM_N = 8
+
+_GRAMS_DUCK = f"""
+g AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(string_split(text, ' ')) >= {NGRAM_N} THEN
+      [array_to_string((string_split(text, ' '))[i:i+{NGRAM_N - 1}], ' ')
+       for i in generate_series(1, len(string_split(text, ' ')) - {NGRAM_N - 1})]
+    ELSE [] END) AS grams
+  FROM documents
+)"""
+
+
+@register(
+    "x_decontaminate",
+    oracle=f"""
+WITH {_GRAMS_DUCK},
+train AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {BENCH_MOD} <> 0),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
+hits AS (SELECT doc_id, COUNT(*) AS n FROM train JOIN bench USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_grams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {BENCH_MOD} <> 0
+""",
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style eval decontamination: flag every training document that
+    shares a word 8-gram with the benchmark slice. The bench gram set is
+    broadcast (eval sets are tiny at any corpus scale); the training side
+    is explode → broadcast-hash semi-join → count, so cost is linear in
+    corpus grams with zero corpus-text shuffle."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    return decontaminate(train, bench, n=NGRAM_N)
+
+
+MIX_RATES = {"src0": 80, "src1": 50, "src2": 25}
+MIX_DEFAULT = 60
+
+
+@register(
+    "x_mixture_sample",
+    oracle=f"""
+SELECT doc_id, source,
+       CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25
+            ELSE {MIX_DEFAULT} END AS rate_pct
+FROM documents
+WHERE {_FOLD_DUCK.format(s="concat('mix', CAST(doc_id AS VARCHAR))", p=HASH_P)}
+      % 100 <
+      CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25
+           ELSE {MIX_DEFAULT} END
+""",
+)
+def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: per-source keep rates applied by key-hash-mod
+    (functions.curation.mixture_sample). The keep decision depends only on
+    doc_id, so the sample is identical across re-runs, partition counts,
+    and cluster sizes — the property that keeps incremental downstream
+    merges idempotent. rand()-sampling has none of these."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    sampled = mixture_sample(docs, MIX_RATES, default_pct=MIX_DEFAULT)
+    rate = F.lit(MIX_DEFAULT)
+    for src, pct in sorted(MIX_RATES.items()):
+        rate = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate)
+    return sampled.select("doc_id", "source", rate.cast("int").alias("rate_pct"))
+
+
+CONTEXT_TOKENS = 256
+
+
+@register(
+    "x_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor((CAST(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            - n_tokens) / {CONTEXT_TOKENS}.0) AS BIGINT) AS bin_id
+FROM t
+""",
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: stream each source shard in doc_id order into
+    {CONTEXT_TOKENS}-token bins (functions.curation.pack_sequences). One
+    window = one shuffle on the shard key; shards pack independently, which
+    is how a 1000-executor packing run wants to scale. bin_id = floor(
+    tokens-before-doc / budget) — the streaming-concat rule used for
+    pretraining shard assembly."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(
+        sized, CONTEXT_TOKENS, tokens_col="n_tokens"
+    ).select("doc_id", "source", "n_tokens", "bin_id")
+
+
+@register(
+    "x_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         CAST(tf AS DOUBLE) / df AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY CAST(tf AS DOUBLE) / df DESC, term
+              ) AS INTEGER) AS rnk
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, CAST(df AS BIGINT) AS df, score, rnk
+FROM scored WHERE rnk <= 3
+""",
+)
+def x_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by tf/df (rarity-weighted
+    frequency — tf-idf's ordering without the log, so the score is a single
+    IEEE division and bit-portable). Two counts + one broadcast-ready join
+    on the term dimension + one per-doc window; no text beyond the term
+    column ever shuffles."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+_PHONE_RE = r"\+[0-9]{6,}"
+
+
+@register(
+    "x_pii_redact",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@mail.example.com or +4179',
+                lpad(CAST(doc_id AS VARCHAR), 7, '0')) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_PHONE_RE}', '<PHONE>', 'g')) AS INTEGER)
+         AS redacted_chars
+FROM aug
+""",
+)
+def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and replace emails/phones, audit the redacted
+    length. The synthetic corpus has no PII, so a deterministic email+phone
+    is appended per row first — the operator surface under test is the
+    vectorized JVM-side regex pipeline (count → replace → audit), the shape
+    a real scrub runs at corpus scale. Patterns stay in the RE2-compatible
+    subset so Spark (java.util.regex) and DuckDB (RE2) agree."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +4179"),
+            F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+        ).alias("t"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.length(redacted).cast("int").alias("redacted_chars"),
+    )
