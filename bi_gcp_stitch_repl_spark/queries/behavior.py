@@ -1,0 +1,182 @@
+"""Behavioral / product analytics over the event stream: funnels,
+retention cohorts, rolling active users.
+
+The reference is a BI replication platform feeding exactly this class of
+warehouse query downstream (SURVEY.md §0); the engine supplies them as
+first-class operators over the `events` table, each with a DuckDB oracle.
+
+Scale shapes:
+
+* funnel — per-stage `min(ts)` aggregations chained by strictly-later
+  joins: 3 hash aggregations + 2 equi-joins on user_id, all sharing one
+  partitioning (no per-event window, no cross-stage explosion);
+* retention — first-touch cohort assignment (one agg) joined to the
+  distinct (user, week) activity grid; output is cohort × offset counts,
+  tiny regardless of input scale;
+* active users — daily distinct grid, then a trailing-7-day range join
+  against the ~O(days) day dimension, which Catalyst broadcasts: the
+  fact side streams through map-side, never shuffling by range key.
+
+Determinism: min()/count() only — no order-dependent aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register, tables
+
+
+@register(
+    "x_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+""",
+)
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: each user's earliest view, the
+    earliest click strictly after it, the earliest purchase strictly after
+    that, and the stage reached. Three min-aggregations chained by
+    strictly-later joins — every join and agg keys on user_id, so AQE
+    reuses one hash partitioning end to end; nothing explodes per event
+    pair. min(ts) makes every stage timestamp deterministic."""
+    (e,) = tables(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = e.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            stage.cast("int").alias("stage"),
+        )
+    )
+
+
+@register(
+    "x_retention_cohorts",
+    oracle="""
+WITH first_touch AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST((a.act_week - f.cohort_week) / 7 AS INTEGER) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN first_touch f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-event week,
+    counted distinct per (cohort, weeks-since-cohort). One agg for the
+    cohort map, one distinct for the activity grid, one join on user_id,
+    one final count — output is cohort×offset regardless of event volume,
+    so this runs identically at 100 TB."""
+    (e,) = tables(spark, sf_dir, "events")
+    first_touch = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("act_week")
+    ).distinct()
+    return (
+        activity.join(first_touch, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("act_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "x_active_users",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM daily
+)
+SELECT d.day,
+       (SELECT COUNT(DISTINCT a.user_id) FROM daily a WHERE a.day = d.day) AS dau,
+       (SELECT COUNT(DISTINCT a.user_id) FROM daily a
+         WHERE a.day BETWEEN d.day - 6 AND d.day) AS wau_trailing7
+FROM days d
+""",
+)
+def x_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day WAU per day. The (user, day) distinct grid is
+    the only event-scale pass; the rolling distinct count is a range join
+    of that grid against the O(days) day dimension — broadcast by size, so
+    the grid streams map-side and the distinct lands on (day, user). A
+    window can't express rolling COUNT DISTINCT; this join shape is the
+    scalable idiom for it."""
+    (e,) = tables(spark, sf_dir, "events")
+    daily = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    grid = days.join(
+        daily.select(F.col("day").alias("act_day"), "user_id"),
+        (F.col("act_day") >= F.date_sub("day", 6)) & (F.col("act_day") <= F.col("day")),
+    )
+    wau = grid.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau_trailing7")
+    )
+    return days.join(dau, "day").join(wau, "day").select("day", "dau", "wau_trailing7")

@@ -89,6 +89,13 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import curation, extensions, parity, relational_ext, windows  # noqa: F401
+    from . import (  # noqa: F401
+        behavior,
+        curation,
+        extensions,
+        parity,
+        relational_ext,
+        windows,
+    )
 
     _LOADED = True
