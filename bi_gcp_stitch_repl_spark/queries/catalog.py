@@ -92,6 +92,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         behavior,
         curation,
+        deep_joins,
         extensions,
         parity,
         relational_ext,

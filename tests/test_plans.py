@@ -166,3 +166,35 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_q7_deep_tree_broadcasts_dims_single_fact_shuffle(spark):
+    plan = plan_of(QUERIES["q7_volume_shipping"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 4, (
+        "supplier/customer/nation x2 must broadcast; only lineitem+orders "
+        "may touch a shuffle"
+    )
+    assert "p_type" not in plan  # part not even scanned in q7
+    assert "partial_sum" in plan  # map-side combine before the year shuffle
+
+
+def test_q8_single_pass_market_share(spark):
+    df = QUERIES["q8_market_share"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    # numerator and denominator come from ONE aggregation pass: lineitem
+    # is scanned exactly once
+    assert plan.count("lineitem.parquet") == 1, "two-scan share formulation"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_is_single_exchange_window(spark):
+    plan = plan_of(QUERIES["x_asof_join"](spark, SF_SMOKE), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "as-of join must be union -> one shuffle -> window, not a range join"
+    )
+    assert "Window" in plan and "Join" not in plan
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    plan = plan_of(QUERIES["x_decontaminate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, "bench gram set must broadcast"
