@@ -186,6 +186,70 @@ def x_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_repetition_metrics",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+wc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+words AS (
+  SELECT doc_id, MAX(c) AS top_w, SUM(c) AS n_w, COUNT(*) AS distinct_w
+  FROM wc GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id,
+         unnest([array_to_string(w[i:i+1], ' ')
+                 for i in generate_series(1, len(w) - 1)]) AS bigram
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM big GROUP BY 1, 2),
+bigrams AS (SELECT doc_id, MAX(c) AS top_b, SUM(c) AS n_b FROM bc GROUP BY doc_id)
+SELECT w.doc_id,
+       1.0 - CAST(w.distinct_w AS DOUBLE) / w.n_w AS dup_word_frac,
+       CAST(w.top_w AS DOUBLE) / w.n_w AS top_word_frac,
+       CAST(b.top_b AS DOUBLE) / b.n_b AS top_bigram_frac
+FROM words w JOIN bigrams b USING (doc_id)
+""",
+)
+def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction, most-frequent-word fraction, most-frequent-bigram fraction —
+    the classic cut lines for machine-generated / boilerplate text. Two
+    explode+count passes (words, bigrams) joined on doc_id; each fraction
+    is one IEEE division of exact counts, so the score is bit-portable.
+    At corpus scale both passes partition on doc_id and combine map-side."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    wc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    words = wc.groupBy("doc_id").agg(
+        F.max("c").alias("top_w"),
+        F.sum("c").alias("n_w"),
+        F.count("*").alias("distinct_w"),
+    )
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> array_join(slice(split(text, ' '), i, 2), ' '))"
+            )
+        ).alias("bigram"),
+    )
+    bc = big.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    bigrams = bc.groupBy("doc_id").agg(
+        F.max("c").alias("top_b"), F.sum("c").alias("n_b")
+    )
+    return words.join(bigrams, "doc_id").select(
+        "doc_id",
+        (F.lit(1.0) - F.col("distinct_w").cast("double") / F.col("n_w")).alias(
+            "dup_word_frac"
+        ),
+        (F.col("top_w").cast("double") / F.col("n_w")).alias("top_word_frac"),
+        (F.col("top_b").cast("double") / F.col("n_b")).alias("top_bigram_frac"),
+    )
+
+
 _EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
 _PHONE_RE = r"\+[0-9]{6,}"
 

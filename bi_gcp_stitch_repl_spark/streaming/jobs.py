@@ -237,3 +237,22 @@ def incremental_merge_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: emit the first row seen per key,
+    drop replays arriving within the watermark delay of each other.
+
+    This is the streaming twin of the K7 append-if-absent contract — at-least-
+    once sources (replayed files, retried batches) become effectively-once
+    downstream. `dropDuplicatesWithinWatermark` bounds the key state to the
+    watermark horizon, which is what lets it run forever: plain
+    `dropDuplicates` on a stream would grow state without bound.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -192,3 +192,29 @@ def test_user_ledger_transform_with_state(spark, tmp_path):
     for uid, e in expect.items():
         assert got[uid]["n_events"] == e["n_events"]
         assert got[uid]["last_event_id"] == e["last_event_id"]
+
+
+def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
+    """A doubled source (every event twice — the at-least-once replay case)
+    comes out exactly-once per event_id."""
+    (batch_events,) = tables(spark, SF_SMOKE, "events")
+    doubled_dir = tmp_path / "doubled"
+    batch_events.unionByName(batch_events).coalesce(1).write.parquet(
+        str(doubled_dir)
+    )
+    schema = spark.read.parquet(str(doubled_dir)).schema
+    stream = spark.readStream.schema(schema).parquet(str(doubled_dir))
+    q = (
+        jobs.dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select event_id from dedup")
+    n_distinct = batch_events.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.distinct().count() == n_distinct
