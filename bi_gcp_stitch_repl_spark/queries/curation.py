@@ -186,6 +186,90 @@ def x_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRAT_K = 5
+
+
+@register(
+    "x_stratified_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_FOLD_DUCK.format(s="concat('strat', CAST(doc_id AS VARCHAR))", p=HASH_P)},
+                    doc_id) AS INTEGER) AS rk
+  FROM documents
+)
+SELECT doc_id, source, rk FROM ranked WHERE rk <= {STRAT_K}
+""",
+)
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly {STRAT_K} documents per source, chosen by
+    key-hash order (deterministic "random": stable across re-runs and
+    partitionings, no rand()). One window per stratum — at corpus scale
+    each stratum ranks independently after a single shuffle on source;
+    skewed strata fall out of AQE. The per-group-top-k-by-hash idiom is
+    also how balanced eval subsets get drawn from a 100 TB corpus."""
+    from ..functions.curation import FOLD_SPARK
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    h = F.expr(
+        FOLD_SPARK.format(s="concat('strat', cast(doc_id as string))", p=HASH_P)
+    )
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRAT_K)
+    )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+@register(
+    "x_chunk_documents",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       CAST(start AS INTEGER) AS start_token,
+       array_to_string(w[start:start+{CHUNK_TOKENS - 1}], ' ') AS chunk_text
+FROM (
+  SELECT doc_id, w,
+         unnest(generate_series(1, greatest(len(w) - {CHUNK_TOKENS - 1}, 1),
+                                {CHUNK_STRIDE})) AS start
+  FROM w
+)
+""",
+)
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: {CHUNK_TOKENS}-token chunks every
+    {CHUNK_STRIDE} tokens ({CHUNK_TOKENS - CHUNK_STRIDE}-token overlap) —
+    the retrieval/context-prep step that turns documents into indexable
+    passages. Pure generator expression (sequence → explode → slice):
+    rows fan out ~n_tokens/stride per doc with zero shuffle; chunking a
+    100 TB corpus is embarrassingly parallel and stays map-only."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    starts = (
+        f"sequence(1, greatest(size(split(text, ' ')) - {CHUNK_TOKENS - 1}, 1),"
+        f" {CHUNK_STRIDE})"
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(F.expr(starts)).alias("start"),
+        F.split("text", " ").alias("w"),
+    ).select(
+        "doc_id",
+        (((F.col("start") - 1) / CHUNK_STRIDE).cast("int")).alias("chunk_idx"),
+        F.col("start").cast("int").alias("start_token"),
+        F.array_join(F.slice("w", F.col("start"), CHUNK_TOKENS), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
 @register(
     "x_repetition_metrics",
     oracle="""
