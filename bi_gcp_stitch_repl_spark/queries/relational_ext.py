@@ -71,6 +71,41 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_scd2_intervals",
+    oracle="""
+SELECT user_id, event_type AS status, ts AS valid_from, event_id,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM events
+""",
+)
+def x_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 materialization: turn the append-only change log into validity
+    intervals — each row valid from its own timestamp until the key's next
+    change (NULL = current). One window per key (single shuffle on
+    user_id); with the warehouse table hive-partitioned on the key's hash
+    range this runs partition-local. The interval table is what the as-of
+    join (x_asof_join) replaces at query time; materializing it is the
+    other half of the point-in-time story. Reference: the K7 history
+    tables (SURVEY §2.2) only append — this derives their query-side
+    interval view. Tiebreak on event_id keeps equal timestamps total."""
+    (e,) = tables(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
 RANGE_TOLERANCE_US = 60_000_000  # ±60 s proximity band
 
 
