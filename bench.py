@@ -72,8 +72,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_local_supplier_volume",
+    "q7_volume_shipping",
     "a3_conditional_rollup",
     "w_topk_per_group",
+    "x_asof_join",
     "st_session_windows",
     "x_dedup_exact",
     "x_minhash_lsh_candidates",
