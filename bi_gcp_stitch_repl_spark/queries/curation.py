@@ -186,6 +186,84 @@ def x_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUAL_MIN_WORDS = 20
+QUAL_MAX_WORDS = 500
+QUAL_TOP_WORD_MAX = 0.25
+
+
+@register(
+    "x_curation_pipeline",
+    oracle=f"""
+WITH {_GRAMS_DUCK},
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {BENCH_MOD} <> 0) t
+  JOIN bench USING (gram)
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+wc AS (
+  SELECT doc_id, term, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) tok
+  GROUP BY 1, 2
+),
+quality AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac
+  FROM wc GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, q.n_words, q.top_word_frac
+FROM documents d
+JOIN keepers k USING (doc_id)
+JOIN quality q USING (doc_id)
+WHERE d.doc_id % {BENCH_MOD} <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND q.n_words BETWEEN {QUAL_MIN_WORDS} AND {QUAL_MAX_WORDS}
+  AND q.top_word_frac <= {QUAL_TOP_WORD_MAX}
+""",
+)
+def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in one plan: survivors are documents that
+    (a) are the keep-representative of their exact-duplicate group (min
+    doc_id per content hash), (b) share no 8-gram with the benchmark
+    slice, and (c) pass the repetition/length quality gate. Composes the
+    individual operators without materializing between stages — Catalyst
+    sees one tree, so the documents scan is shared and each filter is a
+    semi/anti join keyed on doc_id. This is the shape of a real
+    landing→training-set job at 100 TB: no intermediate tables, one
+    pipelined pass."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    contaminated = (
+        decontaminate(train, bench, n=NGRAM_N)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    keepers = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    quality = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"),
+    )
+    return (
+        train.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .filter(
+            F.col("n_words").between(QUAL_MIN_WORDS, QUAL_MAX_WORDS)
+            & (F.col("top_word_frac") <= QUAL_TOP_WORD_MAX)
+        )
+        .select("doc_id", "source", "n_words", "top_word_frac")
+    )
+
+
 STRAT_K = 5
 
 
