@@ -144,6 +144,56 @@ def x_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_SEC = 1800
+
+
+@register(
+    "x_session_gaps",
+    oracle=f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1000000.0 AS gap_sec,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR (epoch_us(ts) - LAG(epoch_us(ts)) OVER w)
+                      > {SESSION_GAP_SEC} * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts, gap_sec,
+       new_s = 1 AS is_new_session,
+       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM g
+""",
+)
+def x_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-based sessionization: per-user gap to the previous event, session
+    boundary at >{SESSION_GAP_SEC}s idle, and a running session number via
+    cumulative sum of boundaries — the two-window idiom every clickstream
+    warehouse runs. Both windows share one partitioning (user_id) and one
+    sort, so the whole thing is a single shuffle + single sort per user.
+    Complements st_session_windows (the session_window() operator form) with
+    the explicit lag+cumsum form that also yields gap diagnostics."""
+    from pyspark.sql import Window
+
+    (e,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    gap_us = F.unix_micros("ts") - prev_us
+    new_s = F.when(
+        prev_us.isNull() | (gap_us > SESSION_GAP_SEC * 1_000_000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (gap_us / 1_000_000.0).alias("gap_sec"),
+        (new_s == 1).alias("is_new_session"),
+        F.sum(new_s).over(wsum).cast("long").alias("session_seq"),
+    )
+
+
 @register(
     "x_active_users",
     oracle="""

@@ -132,6 +132,38 @@ class ParquetTable:
         merged = survivors.unionByName(batch)
         self._staged_write(merged)
 
+    def delete_matching(
+        self,
+        keys_df: DataFrame,
+        keys: list[str],
+        broadcast_keys: bool = True,
+    ) -> int:
+        """Hard-delete every row whose key appears in ``keys_df`` (GDPR /
+        right-to-be-forgotten erasure across a replicated lake).
+
+        Returns the number of rows removed. Idempotent: re-running with the
+        same key set is a no-op, so a crashed erasure job can simply re-run
+        — the same atomic staged-swap guarantee as ``merge_upsert``, and the
+        same outstanding-DataFrame invalidation contract. The key set is
+        broadcast (erasure requests are tiny next to the table), making the
+        pass one map-side anti join per partition: at 100 TB the cost is a
+        full rewrite of touched partitions and nothing else when the table
+        is hive-partitioned on a key prefix.
+        """
+        if not self.exists():
+            return 0
+        existing = self.read()
+        before = existing.count()
+        rhs = keys_df.select(*keys).distinct()
+        if broadcast_keys:
+            rhs = F.broadcast(rhs)
+        survivors = existing.join(rhs, on=keys, how="left_anti")
+        survivors = survivors.localCheckpoint(eager=True)  # count+write, one pass
+        removed = before - survivors.count()
+        if removed:
+            self._staged_write(survivors)
+        return removed
+
     def compact(self, target_partitions: int | None = None) -> int:
         """Rewrite the table into ``target_partitions`` files (default: let
         AQE coalesce). Incremental appends (K5/K7) accumulate small files;

@@ -181,3 +181,27 @@ def test_vacuum_removes_orphans_keeps_table_and_recent(spark, tmp_path):
     assert sorted(removed) == sorted([old_orphan, stale_stage])
     assert os.path.isdir(fresh_stage)  # within retention — untouched
     assert {r["k"] for r in t.read().collect()} == {1, 2}
+
+
+def test_delete_matching_erases_keys_and_is_idempotent(spark, tmp_path):
+    """GDPR erasure: all rows for the requested keys disappear, everything
+    else survives byte-for-byte, and a re-run (crashed-job retry) is a
+    no-op."""
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    rows = [(u, i, f"payload-{u}-{i}") for u in range(10) for i in range(5)]
+    t.overwrite(spark.createDataFrame(rows, "user_id long, seq long, payload string"))
+    erase = spark.createDataFrame([(3,), (7,), (99,)], "user_id long")  # 99 absent
+    removed = t.delete_matching(erase, ["user_id"])
+    assert removed == 10  # 2 present users x 5 rows
+    left = t.read()
+    assert left.count() == 40
+    assert left.filter("user_id in (3, 7)").count() == 0
+    assert left.filter("user_id = 4").count() == 5
+    assert t.delete_matching(erase, ["user_id"]) == 0  # idempotent re-run
+    assert t.read().count() == 40
+
+
+def test_delete_matching_on_missing_table_is_noop(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "absent"))
+    erase = spark.createDataFrame([(1,)], "user_id long")
+    assert t.delete_matching(erase, ["user_id"]) == 0

@@ -218,3 +218,42 @@ def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
     n_distinct = batch_events.select("event_id").distinct().count()
     assert got.count() == n_distinct
     assert got.distinct().count() == n_distinct
+
+
+def test_click_attribution_stream_matches_batch(spark, tmp_path):
+    events = jobs.events_stream(spark, f"{SF_SMOKE}/events.parquet", EVENTS_SCHEMA)
+    q = (
+        jobs.click_attribution_stream(events)
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("select * from attrib").collect()
+    }
+    (be,) = tables(spark, SF_SMOKE, "events")
+    clicks = be.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = be.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expect = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") < F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.expr("purchase_ts - INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
