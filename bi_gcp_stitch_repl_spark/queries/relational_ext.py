@@ -72,6 +72,63 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_dq_report",
+    oracle="""
+SELECT 'not_null:o_orderdate' AS check,
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'accepted_values:o_orderstatus',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                  OR o_orderstatus IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'between:o_totalprice',
+       CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN 0 AND 400000
+                       OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_totalprice NOT BETWEEN 0 AND 400000
+                  OR o_totalprice IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT),
+       COALESCE(SUM(n - 1), 0) = 0
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+UNION ALL
+SELECT 'fk:o_custkey',
+       CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+""",
+)
+def x_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (ops.validate.Expectations) over the orders load:
+    null/domain/range checks fused into ONE aggregation pass over one
+    scan, uniqueness as one groupBy, referential integrity to customer as
+    one anti-join (parent keys broadcast at dim size). The report is what
+    a pre-merge quarantine decision reads; the reference loaded with
+    autodetect and no checks at all (SURVEY §1.3). between:o_totalprice
+    deliberately uses a bound (400k) the data exceeds, so the report
+    exercises the failing path too."""
+    from ..ops.validate import Expectations
+
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+    return (
+        Expectations(orders)
+        .expect_not_null("o_orderdate")
+        .expect_accepted_values("o_orderstatus", ["O", "F", "P"])
+        .expect_between("o_totalprice", 0, 400_000)
+        .expect_unique("o_orderkey")
+        .expect_fk(["o_custkey"], customer, ["c_custkey"])
+        .report()
+    )
+
+
+@register(
     "x_scd2_intervals",
     oracle="""
 SELECT user_id, event_type AS status, ts AS valid_from, event_id,

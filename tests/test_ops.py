@@ -178,3 +178,71 @@ def test_sheet_source_header_promotion_and_slicing(spark):
     )
     assert df.columns == ["name", "ltv"]  # empty header col dropped
     assert [r["name"] for r in df.collect()] == ["a", "b"]
+
+
+def test_expectations_detect_planted_violations(spark):
+    from bi_gcp_stitch_repl_spark.ops.validate import Expectations
+
+    child = spark.createDataFrame(
+        [
+            (1, "A", 10.0, "ok@x.io"),
+            (1, "A", 20.0, "ok2@x.io"),     # dup id
+            (2, "Z", -5.0, "bad-email"),    # bad status, out of range, bad regex
+            (3, None, 50.0, None),          # null status / email
+            (4, "B", 60.0, "a@b.c"),        # orphan fk (no parent 4... see parent)
+        ],
+        "id long, status string, amount double, email string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    report = {
+        r["check"]: (r["n_violations"], r["passed"])
+        for r in (
+            Expectations(child)
+            .expect_not_null("status")
+            .expect_accepted_values("status", ["A", "B"])
+            .expect_between("amount", 0, 55)
+            .expect_matches("email", r"^[^@]+@[^@]+$")
+            .expect_unique("id")
+            .expect_fk(["id"], parent, ["id"])
+            .report()
+            .collect()
+        )
+    }
+    assert report["not_null:status"] == (1, False)
+    assert report["accepted_values:status"] == (2, False)  # 'Z' + NULL
+    assert report["between:amount"] == (2, False)  # -5 and 60
+    assert report["matches:email"] == (2, False)  # bad-email + NULL
+    assert report["unique:id"] == (1, False)  # one extra row for id=1
+    assert report["fk:id"] == (1, False)  # id=4 orphan
+    assert len(report) == 6
+
+
+def test_expectations_all_pass_on_clean_frame(spark):
+    from bi_gcp_stitch_repl_spark.ops.validate import Expectations
+
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "id long, status string")
+    report = (
+        Expectations(df)
+        .expect_not_null("id", "status")
+        .expect_unique("id")
+        .report()
+    )
+    rows = report.collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in rows)
+    assert len(rows) == 3
+
+
+def test_expectations_row_checks_single_scan(spark):
+    """All row-local checks must fuse into one aggregation over one scan."""
+    from bi_gcp_stitch_repl_spark.ops.validate import Expectations
+
+    df = spark.range(100).selectExpr("id", "cast(id as double) v")
+    report = (
+        Expectations(df)
+        .expect_not_null("id")
+        .expect_between("v", 0, 1000)
+        .expect_row("even_share", F.col("id") % 2 == 1)
+        .report()
+    )
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1, "row checks re-scanned the input"
