@@ -49,7 +49,7 @@ def exact_dedup(
     return docs.join(keep, id_col, "left_semi")
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -57,12 +57,12 @@ def minhash_lsh_pairs(
     n_perm: int = 16,
     n_bands: int = 4,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via MinHash + LSH.
+    """(id, band, sig) LSH band index — the persistable half of MinHash-LSH.
 
-    n_perm minhashes from xxhash64 seeds, n_bands bands of n_perm/n_bands
-    rows; pairs sharing any band signature are candidates. Tune
-    (n_perm, n_bands) for the target Jaccard threshold:
-    P(candidate) = 1 - (1 - J^(n_perm/n_bands))^n_bands.
+    Materialize this per corpus (partitioned/bucketed on (band, sig)) and
+    incremental ingest only ever computes bands for the NEW batch and
+    probes the index: O(batch) work per load instead of re-hashing the
+    whole corpus (see ``minhash_lsh_pairs_incremental``).
     """
     assert n_perm % n_bands == 0
     rows_per_band = n_perm // n_bands
@@ -90,11 +90,14 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = mh.select(
+    return mh.select(
         id_col, F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, "b.band", "b.sig")
-    a = bands.alias("a")
-    b = bands.alias("b")
+
+
+def _band_pairs(a_bands: DataFrame, b_bands: DataFrame, id_col: str) -> DataFrame:
+    a = a_bands.alias("a")
+    b = b_bands.alias("b")
     return (
         a.join(
             b,
@@ -107,6 +110,57 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_gram: int = 5,
+    n_perm: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via MinHash + LSH.
+
+    n_perm minhashes from xxhash64 seeds, n_bands bands of n_perm/n_bands
+    rows; pairs sharing any band signature are candidates. Tune
+    (n_perm, n_bands) for the target Jaccard threshold:
+    P(candidate) = 1 - (1 - J^(n_perm/n_bands))^n_bands.
+    """
+    bands = minhash_bands(docs, text_col, id_col, n_gram, n_perm, n_bands)
+    return _band_pairs(bands, bands, id_col)
+
+
+def minhash_lsh_pairs_incremental(
+    corpus_bands: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_gram: int = 5,
+    n_perm: int = 16,
+    n_bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection for continuous ingest.
+
+    ``corpus_bands`` is the persisted ``minhash_bands`` index of everything
+    already loaded; only the NEW ``batch`` is shingled and hashed. Returns
+    ``(pairs, batch_bands)`` where ``pairs`` covers batch↔corpus and
+    batch↔batch candidates (id_a < id_b), and ``batch_bands`` is what the
+    caller appends to the index after the load commits.
+
+    The scale contract: per ingest the work is O(batch grams) + an
+    equi-join probe of the index on (band, sig) — the corpus is never
+    re-hashed. With the index bucketed on (band, sig) the probe is
+    shuffle-free on the corpus side; a pair emits only when signatures
+    collide, so cost tracks true near-dup density exactly like the full
+    recompute.
+    """
+    batch_bands = minhash_bands(batch, text_col, id_col, n_gram, n_perm, n_bands)
+    cross = _band_pairs(corpus_bands, batch_bands, id_col).unionByName(
+        _band_pairs(batch_bands, corpus_bands, id_col)
+    )
+    within = _band_pairs(batch_bands, batch_bands, id_col)
+    return cross.unionByName(within).distinct(), batch_bands
 
 
 def jaccard_pairs(

@@ -266,3 +266,35 @@ def test_approx_distinct_within_rsd(spark):
     }
     for et, r in rows.items():
         assert abs(r["approx_users"] - exact[et]) <= max(3, 0.1 * exact[et])
+
+
+def test_incremental_lsh_equals_full_recompute(spark):
+    """Splitting the corpus into loaded + new-batch and running the
+    incremental path must find exactly the pairs the full recompute finds
+    that involve at least one batch doc — and the appended index equals a
+    fresh index over the union."""
+    from bi_gcp_stitch_repl_spark.functions.dedup import (
+        minhash_bands,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+    from bi_gcp_stitch_repl_spark.queries.catalog import tables
+
+    (docs,) = tables(spark, SF_SMOKE, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    corpus_bands = minhash_bands(corpus)
+    pairs, batch_bands = minhash_lsh_pairs_incremental(corpus_bands, batch)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    expect = {p for p in full if p[0] in batch_ids or p[1] in batch_ids}
+    assert got == expect and len(got) > 0
+
+    merged = corpus_bands.unionByName(batch_bands)
+    fresh = minhash_bands(docs)
+    assert merged.exceptAll(fresh).isEmpty() and fresh.exceptAll(merged).isEmpty()
