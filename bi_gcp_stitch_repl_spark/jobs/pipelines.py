@@ -271,3 +271,44 @@ def reverse_etl_company_status(
         F.count("*").alias("n_rows"),
     )
     return post_batches(per_key, send, batch_size=batch_size)
+
+
+def validated_merge(
+    spark: SparkSession,
+    batch: DataFrame,
+    warehouse_path: str,
+    keys: list[str],
+    build_expectations,
+    quarantine_path: str | None = None,
+) -> dict[str, int]:
+    """Quality-gated load: run declared expectations over the batch, merge
+    only the rows that pass every row-local check, and append the
+    violating rows (tagged with a timestamp) to a quarantine table for
+    triage/replay.
+
+    ``build_expectations(batch) -> ops.validate.Expectations`` declares the
+    suite. The split is a pure projection (ops/validate.py::flag_rows — no
+    extra scan); the merge keeps the K1 atomic-swap idempotency, so a
+    re-run after a crash quarantines and merges the same rows again with
+    no duplication (quarantine uses append_if_absent on the keys).
+
+    Returns {"merged": n, "quarantined": n}. The reference has no
+    equivalent — bad payloads went straight into BigQuery under
+    autodetect (SURVEY §1.3).
+    """
+    from ..ops.validate import Expectations  # noqa: F401  (typing aid)
+
+    exp = build_expectations(batch)
+    flagged = exp.flag_rows().localCheckpoint(eager=True)
+    bad = flagged.filter(F.col("_violated")).drop("_violated")
+    good = flagged.filter(~F.col("_violated")).drop("_violated")
+    n_bad = bad.count()
+    n_good = good.count()
+    if quarantine_path is not None and n_bad:
+        q = ParquetTable(spark, quarantine_path)
+        q.append_if_absent(
+            bad.withColumn("quarantined_reason", F.lit("row_check")), keys
+        )
+    if n_good:
+        ParquetTable(spark, warehouse_path).merge_upsert(good, keys=keys)
+    return {"merged": n_good, "quarantined": n_bad}

@@ -105,6 +105,15 @@ class Expectations:
         self._frames.append(orphans)
         return self
 
+    def flag_rows(self, flag_col: str = "_violated") -> DataFrame:
+        """Tag each row with whether ANY row-local check fails — the
+        quarantine split (relational checks are table-level and don't
+        implicate individual rows). Pure projection: no extra pass."""
+        cond = F.lit(False)
+        for _, violated in self._row_checks:
+            cond = cond | F.coalesce(violated, F.lit(False))
+        return self.df.withColumn(flag_col, cond)
+
     # -- report -------------------------------------------------------------
 
     def report(self) -> DataFrame:

@@ -272,3 +272,35 @@ def test_lexoffice_dead_letter_capture(spark, tmp_path):
     )
     dead = ParquetTable(spark, dl).read().collect()
     assert [r["invoice_id"] for r in dead] == ["v7"]  # the failing fetch
+
+
+def test_validated_merge_quarantines_bad_rows_and_is_idempotent(spark, tmp_path):
+    from bi_gcp_stitch_repl_spark.jobs.pipelines import validated_merge
+    from bi_gcp_stitch_repl_spark.ops.validate import Expectations
+    from bi_gcp_stitch_repl_spark.sinks.merge import ParquetTable
+
+    batch = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "Z", 20.0), (3, "B", -4.0), (4, "A", 30.0)],
+        "id long, status string, amount double",
+    )
+    wh, qr = str(tmp_path / "wh"), str(tmp_path / "qr")
+
+    def suite(df):
+        return (
+            Expectations(df)
+            .expect_accepted_values("status", ["A", "B"])
+            .expect_between("amount", 0, 100)
+        )
+
+    out = validated_merge(spark, batch, wh, ["id"], suite, quarantine_path=qr)
+    assert out == {"merged": 2, "quarantined": 2}
+    assert {r["id"] for r in ParquetTable(spark, wh).read().collect()} == {1, 4}
+    quarantined = ParquetTable(spark, qr).read()
+    assert {r["id"] for r in quarantined.collect()} == {2, 3}
+    assert quarantined.columns[-1] == "quarantined_reason"
+
+    # crash-retry: the same batch loads again with no duplication anywhere
+    out2 = validated_merge(spark, batch, wh, ["id"], suite, quarantine_path=qr)
+    assert out2 == {"merged": 2, "quarantined": 2}
+    assert ParquetTable(spark, wh).read().count() == 2
+    assert ParquetTable(spark, qr).read().count() == 2
