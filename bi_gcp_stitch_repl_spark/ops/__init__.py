@@ -1,16 +1,22 @@
+from .asof import asof_join
+from .clean import money, null_if_in, strip_newlines
 from .history import append_only_delta, latest_per_key
 from .keys import carry_forward_keys
 from .normalize import explode_with_parent, flatten_structs, pad_columns
-from .clean import money, null_if_in, strip_newlines
+from .rangejoin import band_join
+from .validate import Expectations
 
 __all__ = [
     "append_only_delta",
-    "latest_per_key",
+    "asof_join",
+    "band_join",
     "carry_forward_keys",
+    "Expectations",
     "explode_with_parent",
     "flatten_structs",
-    "pad_columns",
+    "latest_per_key",
     "money",
     "null_if_in",
+    "pad_columns",
     "strip_newlines",
 ]

@@ -613,6 +613,22 @@ def x_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x_ivf_topk", oracle=None)
+def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search (functions.similarity.ivf_topk): corpus bucketed into
+    coarse cells, each query probes its nearest cells only — per-query cost
+    corpus/n_cells × n_probe instead of corpus. Approximate by design, so
+    rows-only here; recall vs the brute-force oracle is pinned in
+    test_functions.py. Queries = every 25th vector, k=5, 2-cell probe."""
+    from ..functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries, k=5, n_probe=2)
+
+
 @register("x_approx_distinct", oracle=None)
 def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type — the

@@ -1,3 +1,15 @@
-from .jobs import incremental_merge_stream, session_counts, tumbling_counts
+from .jobs import (
+    click_attribution_stream,
+    dedup_stream,
+    incremental_merge_stream,
+    session_counts,
+    tumbling_counts,
+)
 
-__all__ = ["incremental_merge_stream", "session_counts", "tumbling_counts"]
+__all__ = [
+    "click_attribution_stream",
+    "dedup_stream",
+    "incremental_merge_stream",
+    "session_counts",
+    "tumbling_counts",
+]
