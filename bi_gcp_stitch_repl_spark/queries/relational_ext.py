@@ -72,6 +72,64 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_pivot_status_by_year",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders GROUP BY 1
+""",
+)
+def x_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit pivot: order counts by year × status as wide columns, via
+    DataFrame.pivot with the value list PINNED — an unpinned pivot runs an
+    extra distinct-values job and makes the output schema data-dependent,
+    both wrong at scale. One shuffle on the group key; the pivot itself is
+    a map-side conditional aggregation (exactly the oracle's CASE sums)."""
+    (o,) = tables(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return wide.select(
+        "o_year",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_pending"),
+    )
+
+
+@register(
+    "x_unpivot_status",
+    oracle="""
+WITH wide AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+  FROM orders GROUP BY 1
+)
+SELECT o_year, status, n FROM wide
+UNPIVOT (n FOR status IN (n_open, n_filled, n_pending))
+""",
+)
+def x_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the wide pivot back to tall (year, status, n) with
+    DataFrame.unpivot — generator-style, zero shuffle beyond the upstream
+    aggregation. Round-trips x_pivot_status_by_year, which is the usual
+    reshaping pair a BI layer needs in both directions."""
+    wide = x_pivot_status_by_year(spark, sf_dir)
+    return wide.unpivot(
+        ids=["o_year"],
+        values=["n_open", "n_filled", "n_pending"],
+        variableColumnName="status",
+        valueColumnName="n",
+    )
+
+
+@register(
     "x_dq_report",
     oracle="""
 SELECT 'not_null:o_orderdate' AS check,
