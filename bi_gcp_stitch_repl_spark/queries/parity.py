@@ -642,6 +642,34 @@ def a7_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a9_cube_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def a9_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) with GROUPING flags to tell a real
+    NULL from a subtotal row — the remaining member of the grouping-sets
+    family next to a7's ROLLUP. Same Expand+aggregate execution: all four
+    grouping levels in one shuffle, not four scans."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
     "a8_percentiles",
     oracle="""
 SELECT o_orderstatus,
