@@ -13,8 +13,11 @@ pin the plan shape the engine wants at 100 TB:
 * market share is sum-of-flagged / sum-of-all in ONE aggregation pass —
   never two scans joined back together.
 
-Determinism: decimal-cast sums (catalog rule 1) and a single final IEEE
-division for the share ratio.
+Determinism: revenue is computed IN decimal from the raw 2-decimal
+columns (price × (1 − discount) as exact decimal arithmetic — casting
+the computed double product to decimal instead rounds differently per
+engine in rare half-way cases; caught at sf0.1) and the share ratio is
+one final IEEE division of the decimal sums.
 """
 
 from __future__ import annotations
@@ -23,7 +26,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import register, tables
-from .parity import _dsum, dec_sum
+
+#: exact decimal revenue term: price and discount cast from their RAW
+#: 2-decimal doubles, all arithmetic in decimal (q1's pattern — rule 1)
+_REV_DUCK = (
+    "CAST(l_extendedprice AS DECIMAL(10,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _rev_spark() -> "F.Column":
+    return F.col("l_extendedprice").cast("decimal(10,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
 
 
 @register(
@@ -31,7 +46,7 @@ from .parity import _dsum, dec_sum
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-       {_dsum("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+       CAST(SUM({_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -74,12 +89,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(
-            dec_sum(
-                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
-                "revenue",
-            )
-        )
+        .agg(F.sum(_rev_spark()).cast("double").alias("revenue"))
     )
 
 
@@ -92,7 +102,7 @@ TARGET_REGION = 2  # its region key: share measured within this market
     oracle=f"""
 WITH flows AS (
   SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-         l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+         {_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")} AS volume,
          n1.n_name AS supp_nation
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -104,8 +114,9 @@ WITH flows AS (
   WHERE n2.n_regionkey = {TARGET_REGION} AND p.p_type = 'PROMO'
 )
 SELECT o_year,
-       {_dsum(f"CASE WHEN supp_nation = '{TARGET_NATION}' THEN volume ELSE 0 END")}
-         / {_dsum("volume")} AS mkt_share
+       CAST(SUM(CASE WHEN supp_nation = '{TARGET_NATION}' THEN volume
+                     ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
 FROM flows GROUP BY o_year
 """,
 )
@@ -135,18 +146,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
-            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
-                "volume"
-            ),
+            _rev_spark().alias("volume"),
             "supp_nation",
         )
     )
     target_vol = F.when(
         F.col("supp_nation") == TARGET_NATION, F.col("volume")
-    ).otherwise(F.lit(0.0))
+    ).otherwise(F.lit(0).cast("decimal(14,4)"))
     return flows.groupBy("o_year").agg(
         (
-            dec_sum(target_vol, "_num").cast("double")
-            / dec_sum(F.col("volume"), "_den").cast("double")
+            F.sum(target_vol).cast("double") / F.sum("volume").cast("double")
         ).alias("mkt_share")
     )
