@@ -173,3 +173,30 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "w_ntile_quartiles",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey) AS INTEGER)
+         AS balance_quartile
+FROM customer
+""",
+)
+def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation account-balance quartiles via ntile — the banding window
+    a BI layer uses for segment assignment. NTILE is deterministic only
+    under a TOTAL order, so the tiebreak on c_custkey is load-bearing
+    (equal balances would otherwise land in engine-dependent tiles). One
+    shuffle on the partition key."""
+    (c,) = tables(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("balance_quartile"),
+    )
