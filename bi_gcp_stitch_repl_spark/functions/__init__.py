@@ -1,4 +1,4 @@
-from .curation import decontaminate, mixture_sample, pack_sequences
+from .curation import decontaminate, mixture_sample, pack_first_fit, pack_sequences
 from .dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -23,6 +23,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_incremental",
     "mixture_sample",
+    "pack_first_fit",
     "pack_sequences",
     "shingles",
     "simhash_fingerprints",

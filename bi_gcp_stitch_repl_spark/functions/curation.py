@@ -136,3 +136,49 @@ def pack_sequences(
     return df.withColumn(
         "bin_id", F.floor((cum - F.col(tokens_col)) / F.lit(context_tokens))
     )
+
+
+def pack_first_fit(
+    df: DataFrame,
+    context_tokens: int,
+    tokens_col: str,
+    order_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """First-fit bin packing per shard via grouped ``applyInPandas``.
+
+    ``pack_sequences`` (streaming-concat) lets a bin's last doc overflow the
+    budget; first-fit instead places each doc into the lowest-numbered bin
+    it FITS in, never overflowing (docs longer than the budget get a
+    singleton bin). That decision is inherently sequential within a shard —
+    not window-expressible — so this is the legitimate Pandas-UDF case:
+    one Arrow batch per shard, the sequential scan in C-speed pandas, shards
+    in parallel across the cluster. State is per-shard only (bin loads),
+    memory O(bins), and the output contract (schema + deterministic
+    ``order_col`` scan) keeps re-runs identical.
+    """
+    import pandas as pd
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", bin_id long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        loads: list[int] = []
+        bins: list[int] = []
+        for tok in pdf[tokens_col]:
+            placed = None
+            for i, load in enumerate(loads):
+                if load + tok <= context_tokens:
+                    placed = i
+                    loads[i] += tok
+                    break
+            if placed is None:
+                placed = len(loads)
+                loads.append(tok)
+            bins.append(placed)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return df.groupBy(shard_col).applyInPandas(pack, schema=schema)

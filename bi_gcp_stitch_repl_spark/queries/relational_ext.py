@@ -72,6 +72,38 @@ def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_set_ops",
+    oracle="""
+WITH active AS (SELECT DISTINCT o_custkey AS c FROM orders
+                WHERE o_orderdate >= DATE '1998-01-01'),
+earlier AS (SELECT DISTINCT o_custkey AS c FROM orders
+            WHERE o_orderdate < DATE '1998-01-01')
+SELECT 'retained' AS cohort, c AS o_custkey FROM (SELECT c FROM active INTERSECT SELECT c FROM earlier)
+UNION ALL
+SELECT 'new', c FROM (SELECT c FROM active EXCEPT SELECT c FROM earlier)
+UNION ALL
+SELECT 'churned', c FROM (SELECT c FROM earlier EXCEPT SELECT c FROM active)
+""",
+)
+def x_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT as first-class operators (the reference only ever
+    spelled them as anti-joins — SURVEY §2.8): customer churn triptych
+    between two periods. Spark plans both as hash aggregations + joins on
+    the same key, so the three legs share one partitioning; distinct
+    semantics (not EXCEPT ALL) keep the result set-typed."""
+    (o,) = tables(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("date")
+    active = o.filter(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
+    earlier = o.filter(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+    lit = lambda s: F.lit(s).alias("cohort")  # noqa: E731
+    return (
+        active.intersect(earlier).select(lit("retained"), "o_custkey")
+        .unionByName(active.exceptAll(earlier).select(lit("new"), "o_custkey"))
+        .unionByName(earlier.exceptAll(active).select(lit("churned"), "o_custkey"))
+    )
+
+
+@register(
     "x_pivot_status_by_year",
     oracle="""
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,

@@ -91,3 +91,45 @@ def test_pack_sequences_shards_pack_independently(spark):
     )
     for r in per_shard.collect():
         assert r["count"] == 2  # two 5-token docs per 10-token bin, per shard
+
+
+def test_pack_first_fit_never_overflows_and_beats_streaming(spark):
+    from bi_gcp_stitch_repl_spark.functions.curation import pack_first_fit
+
+    # mixed sizes engineered so streaming-concat overflows but first-fit
+    # fills holes: 18,7,18,7,... into 25-token bins
+    rows = [(i, "s", "") for i in range(1, 21)]
+    df = _docs(spark, rows).withColumn(
+        "n_tokens", F.when(F.col("doc_id") % 2 == 1, 18).otherwise(7).cast("long")
+    )
+    packed = pack_first_fit(df, 25, tokens_col="n_tokens")
+    per_bin = {
+        r["bin_id"]: r["tok"]
+        for r in packed.groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    assert all(tok <= 25 for tok in per_bin.values())  # hard budget, no overflow
+    # 10x18 + 10x7 = 250 tokens -> perfect packing = 10 bins of (18+7)
+    assert len(per_bin) == 10 and all(tok == 25 for tok in per_bin.values())
+    # determinism: same assignment on a different partitioning
+    again = {
+        (r["doc_id"], r["bin_id"])
+        for r in pack_first_fit(
+            df.repartition(7), 25, tokens_col="n_tokens"
+        ).collect()
+    }
+    first = {(r["doc_id"], r["bin_id"]) for r in packed.collect()}
+    assert first == again
+
+
+def test_pack_first_fit_oversized_doc_gets_singleton_bin(spark):
+    from bi_gcp_stitch_repl_spark.functions.curation import pack_first_fit
+
+    df = _docs(spark, [(1, "s", ""), (2, "s", ""), (3, "s", "")]).withColumn(
+        "n_tokens",
+        F.when(F.col("doc_id") == 2, 100).otherwise(10).cast("long"),
+    )
+    packed = {r["doc_id"]: r["bin_id"] for r in pack_first_fit(df, 25, "n_tokens").collect()}
+    assert packed[1] == packed[3]            # both small docs share bin 0
+    assert packed[2] not in (packed[1],)     # the giant sits alone
