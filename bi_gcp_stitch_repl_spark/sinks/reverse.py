@@ -24,6 +24,7 @@ def post_batches(
     df: DataFrame,
     send: Callable[[list[dict]], bool],
     batch_size: int = 100,
+    min_interval_sec: float = 0.0,
 ) -> tuple[int, int]:
     """POST ``df``'s rows in batches of ``batch_size`` per partition.
 
@@ -31,18 +32,32 @@ def post_batches(
     (ok_batches, failed_batches) aggregated across the cluster via
     accumulators — the reference's success/failure counters
     (``hubspot_bm_company_status_v3.py:44-54``).
+
+    ``min_interval_sec`` rate-limits each partition's POST cadence (the
+    reference slept 2-3 s between calls — SURVEY §2.12). Per-partition
+    pacing means total request rate = partitions / interval: cap the
+    global rate by sizing ``df.repartition(n)``, exactly how MAX_WORKERS
+    bounded the reference's thread pool.
     """
+    import time
+
     sc = df.sparkSession.sparkContext
     ok_acc = sc.accumulator(0)
     fail_acc = sc.accumulator(0)
 
     def run(rows) -> None:
         batch: list[dict] = []
+        last_send = [0.0]
 
         def flush() -> None:
             nonlocal batch
             if not batch:
                 return
+            if min_interval_sec > 0:
+                wait = last_send[0] + min_interval_sec - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
+                last_send[0] = time.monotonic()
             try:
                 accepted = send(batch)
             except Exception:

@@ -205,3 +205,23 @@ def test_delete_matching_on_missing_table_is_noop(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "absent"))
     erase = spark.createDataFrame([(1,)], "user_id long")
     assert t.delete_matching(erase, ["user_id"]) == 0
+
+
+def test_post_batches_rate_limit_paces_partition(spark):
+    import time
+
+    from bi_gcp_stitch_repl_spark.sinks.reverse import post_batches
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "id long").coalesce(1)
+
+    def send(batch):
+        return True
+
+    # warm the lazy plan so the timed run measures pacing, not planning
+    post_batches(df, send, batch_size=2)
+    t0 = time.monotonic()
+    ok, fail = post_batches(df, send, batch_size=2, min_interval_sec=0.3)
+    elapsed = time.monotonic() - t0
+    assert (ok, fail) == (3, 0)
+    # 3 batches on one partition: the 2nd and 3rd must each wait >= 0.3 s
+    assert elapsed >= 0.55, elapsed
