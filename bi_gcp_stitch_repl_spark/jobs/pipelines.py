@@ -312,3 +312,35 @@ def validated_merge(
     if n_good:
         ParquetTable(spark, warehouse_path).merge_upsert(good, keys=keys)
     return {"merged": n_good, "quarantined": n_bad}
+
+
+def compact_tables(spark: SparkSession, table_paths: list[str]) -> dict[str, int]:
+    """Maintenance: rewrite each table into right-sized files (small-file
+    debt is the top silent killer of scan parallelism on a growing lake)."""
+    return {p: ParquetTable(spark, p).compact() for p in table_paths}
+
+
+def vacuum_tables(
+    spark: SparkSession, table_paths: list[str], retention_sec: float = 3600.0
+) -> dict[str, int]:
+    """Maintenance: GC orphaned write generations older than retention."""
+    return {
+        p: len(ParquetTable(spark, p).vacuum(retention_sec)) for p in table_paths
+    }
+
+
+def erase_requested_keys(
+    spark: SparkSession,
+    requests_path: str,
+    table_keys: dict[str, list[str]],
+) -> dict[str, int]:
+    """GDPR erasure driver: apply the pending deletion-request table to
+    every warehouse table that carries the key. ``table_keys`` maps table
+    path -> key columns; the request set is read once and broadcast into
+    each table's anti-join pass. Idempotent end to end (delete_matching),
+    so the daily run simply re-applies outstanding requests."""
+    requests = ParquetTable(spark, requests_path).read()
+    out = {}
+    for path, keys in table_keys.items():
+        out[path] = ParquetTable(spark, path).delete_matching(requests, keys)
+    return out

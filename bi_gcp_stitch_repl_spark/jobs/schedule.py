@@ -64,4 +64,17 @@ JOB_MANIFEST: dict[str, JobSpec] = {
         "reverse_etl_company_status", "30 9 * * *",
         "Warehouse aggregates -> CRM batch update",
     ),
+    # -- engine maintenance (no reference analog: it had no lake to keep) --
+    "warehouse_compact": JobSpec(
+        "compact_tables", "0 3 * * 0",
+        "Weekly small-file compaction across warehouse tables",
+    ),
+    "warehouse_vacuum": JobSpec(
+        "vacuum_tables", "30 3 * * 0",
+        "Weekly GC of orphaned write generations past retention",
+    ),
+    "gdpr_erasure": JobSpec(
+        "erase_requested_keys", "0 4 * * *",
+        "Daily right-to-be-forgotten pass: delete requested keys lake-wide",
+    ),
 }

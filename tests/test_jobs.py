@@ -304,3 +304,30 @@ def test_validated_merge_quarantines_bad_rows_and_is_idempotent(spark, tmp_path)
     assert out2 == {"merged": 2, "quarantined": 2}
     assert ParquetTable(spark, wh).read().count() == 2
     assert ParquetTable(spark, qr).read().count() == 2
+
+
+def test_erase_requested_keys_across_tables(spark, tmp_path):
+    from bi_gcp_stitch_repl_spark.jobs.pipelines import erase_requested_keys
+    from bi_gcp_stitch_repl_spark.sinks.merge import ParquetTable
+
+    t1, t2, req = (str(tmp_path / n) for n in ("orders_t", "events_t", "req"))
+    ParquetTable(spark, t1).overwrite(
+        spark.createDataFrame([(u, i) for u in (1, 2, 3) for i in range(3)],
+                              "user_id long, n long")
+    )
+    ParquetTable(spark, t2).overwrite(
+        spark.createDataFrame([(u,) for u in (2, 3, 4)], "user_id long")
+    )
+    ParquetTable(spark, req).overwrite(
+        spark.createDataFrame([(2,), (4,)], "user_id long")
+    )
+    out = erase_requested_keys(
+        spark, req, {t1: ["user_id"], t2: ["user_id"]}
+    )
+    assert out == {t1: 3, t2: 2}
+    assert ParquetTable(spark, t1).read().filter("user_id = 2").count() == 0
+    assert ParquetTable(spark, t2).read().count() == 1
+    # daily re-run with the same outstanding requests: no-op
+    assert erase_requested_keys(spark, req, {t1: ["user_id"], t2: ["user_id"]}) == {
+        t1: 0, t2: 0,
+    }
