@@ -613,6 +613,55 @@ def x_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_embedding_quantize",
+    oracle="""
+WITH scaled AS (
+  SELECT vec_id,
+         CAST(list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS max_abs
+  FROM embeddings
+)
+SELECT e.vec_id,
+       s.max_abs,
+       array_to_string(list_transform(e.embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s.max_abs + 0.5)
+                     AS INTEGER)), ',') AS q8,
+       list_max(list_transform(e.embedding,
+           x -> abs(CAST(x AS DOUBLE)
+                    - floor(CAST(x AS DOUBLE) * 127.0 / s.max_abs + 0.5)
+                      * s.max_abs / 127.0))) AS max_err
+FROM embeddings e JOIN scaled s USING (vec_id)
+""",
+)
+def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale by 127/max|x|, round
+    half-up, report the reconstruction error — the 4× storage/bandwidth
+    cut that makes a 100 TB embedding store scan-able. Pure array
+    expressions (transform + max fold), zero shuffle, zero Python. Two
+    bit-portability spellings are load-bearing: floor(x+0.5), NOT round()
+    (Spark HALF_UPs while DuckDB banker's-rounds), and every float32
+    element cast to DOUBLE before arithmetic (DuckDB otherwise evaluates
+    the lambda in float32). max over elements is order-independent, so
+    the whole row is deterministic; the int8 vector serializes to CSV for
+    the hash compare."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    max_abs = F.expr(
+        "cast(array_max(transform(embedding, x -> abs(cast(x as double)))) as double)"
+    ).alias("max_abs")
+    with_scale = emb.select("vec_id", "embedding", max_abs)
+    q8 = F.expr(
+        "array_join(transform(embedding,"
+        " x -> cast(floor(cast(x as double) * 127.0D / max_abs + 0.5D) as int)), ',')"
+    ).alias("q8")
+    max_err = F.expr(
+        "array_max(transform(embedding,"
+        " x -> abs(cast(x as double)"
+        " - floor(cast(x as double) * 127.0D / max_abs + 0.5D) * max_abs / 127.0D)))"
+    ).alias("max_err")
+    return with_scale.select("vec_id", "max_abs", q8, max_err)
+
+
 @register("x_ivf_topk", oracle=None)
 def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search (functions.similarity.ivf_topk): corpus bucketed into
