@@ -198,3 +198,25 @@ def test_asof_join_is_single_exchange_window(spark):
 def test_decontaminate_broadcasts_bench_grams(spark):
     plan = plan_of(QUERIES["x_decontaminate"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, "bench gram set must broadcast"
+
+
+def test_no_python_eval_anywhere_in_catalog(spark):
+    """Engine rule (SURVEY §2.11): the whole catalog ships without Python
+    row evaluation — no BatchEvalPython / ArrowEvalPython / FlatMapsInPandas
+    in any plan. Python belongs only in connector fan-out and multimodal
+    decode, which are library functions, not catalog queries. A regression
+    here is a silent 10-100× on the hot path."""
+    banned = ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+              "MapInPandas", "FlatMapGroupsInPandas")
+    # the ONE sanctioned exception: S7 remote fan-out is impure and
+    # I/O-bound — mapInPandas IS its correct form (SURVEY §2.11)
+    allowed = {"s7_detail_fanout"}
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name in allowed:
+            continue
+        plan = plan_of(fn(spark, SF_SMOKE), mode="simple")
+        hits = [b for b in banned if b in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
