@@ -1,3 +1,4 @@
 from .merge import ParquetTable, WatermarkStore
+from .versioned import CommitConflict, VersionedTable
 
-__all__ = ["ParquetTable", "WatermarkStore"]
+__all__ = ["CommitConflict", "ParquetTable", "VersionedTable", "WatermarkStore"]
