@@ -344,3 +344,44 @@ def erase_requested_keys(
     for path, keys in table_keys.items():
         out[path] = ParquetTable(spark, path).delete_matching(requests, keys)
     return out
+
+
+def incremental_dedup_ingest(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_gram: int = 5,
+    n_perm: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Continuous-ingest near-dup detection: probe the persisted MinHash
+    band index with the new batch, return candidate pairs, and commit the
+    batch's bands to the index as an O(1) versioned append.
+
+    Composition of two engine pieces built for exactly this: functions.
+    dedup.minhash_lsh_pairs_incremental (only the batch is hashed; the
+    corpus is probed by (band, sig) equi-join) and sinks.versioned.
+    VersionedTable (the index grows by add-only commits — no rewrite of
+    N-1 loads' bands on load N, and a crashed run retries on its own
+    snapshot). Pairs are materialized (localCheckpoint) BEFORE the index
+    commit, so a failed detection never half-updates the index, and a
+    crash after detection but before commit just re-detects the same
+    batch against the same snapshot on retry.
+    """
+    from ..functions.dedup import minhash_bands, minhash_lsh_pairs_incremental
+    from ..sinks.versioned import VersionedTable
+
+    index = VersionedTable(spark, index_path)
+    corpus_bands = (
+        index.read()
+        if index.exists()
+        else minhash_bands(batch.limit(0), text_col, id_col, n_gram, n_perm, n_bands)
+    )
+    pairs, batch_bands = minhash_lsh_pairs_incremental(
+        corpus_bands, batch, text_col, id_col, n_gram, n_perm, n_bands
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    index.append(batch_bands)
+    return pairs

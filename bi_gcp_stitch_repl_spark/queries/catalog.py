@@ -28,6 +28,9 @@ The driver hash-compares the two at sf=0.01 (row count + sorted column names
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -56,8 +59,41 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return wrap
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ensure_importable_on_workers(spark: SparkSession) -> None:
+    """Python workers do NOT inherit the driver's ``sys.path`` — they only
+    see the repo when the daemon happens to start with cwd = repo root. An
+    external driver importing ``__spark_entry__`` from elsewhere would have
+    every ``mapInPandas``/``applyInPandas`` task die with
+    ModuleNotFoundError. Ship the package once per SparkContext as a zip
+    via ``addPyFile`` — the same mechanism as ``spark-submit --py-files``,
+    and exactly how the job would deploy to a real multi-node cluster
+    (executors there share no filesystem with the driver at all)."""
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="spark_pkg_"), f"{pkg_name}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                arc = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, arc)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_APPS.add(app)
+
+
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Load the named testdata tables; ``events`` gets the nanos fix-up."""
+    _ensure_importable_on_workers(spark)
     out = []
     for name in names:
         if name == "events":

@@ -671,7 +671,7 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_functions.py. Queries = every 25th vector, k=5, 2-cell probe."""
     from ..functions.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )

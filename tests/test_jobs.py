@@ -331,3 +331,35 @@ def test_erase_requested_keys_across_tables(spark, tmp_path):
     assert erase_requested_keys(spark, req, {t1: ["user_id"], t2: ["user_id"]}) == {
         t1: 0, t2: 0,
     }
+
+
+def test_incremental_dedup_ingest_two_loads_match_full(spark, tmp_path):
+    """Two sequential ingests through the versioned band index find, in
+    union, every pair the one-shot full recompute finds; the committed
+    index equals a fresh index over everything loaded."""
+    from bi_gcp_stitch_repl_spark.functions.dedup import (
+        minhash_bands,
+        minhash_lsh_pairs,
+    )
+    from bi_gcp_stitch_repl_spark.jobs.pipelines import incremental_dedup_ingest
+    from bi_gcp_stitch_repl_spark.queries.catalog import tables
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+    from tests.conftest import SF_SMOKE
+
+    (docs,) = tables(spark, SF_SMOKE, "documents")
+    load1 = docs.filter("doc_id % 5 != 0")
+    load2 = docs.filter("doc_id % 5 = 0")
+    idx = str(tmp_path / "band_index")
+
+    p1 = incremental_dedup_ingest(spark, idx, load1)
+    p2 = incremental_dedup_ingest(spark, idx, load2)
+    got = {(r["id_a"], r["id_b"]) for r in p1.unionByName(p2).collect()}
+
+    full = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert got == full and len(got) > 0
+
+    committed = VersionedTable(spark, idx).read()
+    fresh = minhash_bands(docs)
+    assert committed.exceptAll(fresh).isEmpty() and fresh.exceptAll(committed).isEmpty()
+    # two loads -> two add-only commits
+    assert VersionedTable(spark, idx).latest_version() == 1
