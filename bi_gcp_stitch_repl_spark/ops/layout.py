@@ -1,0 +1,95 @@
+"""Multi-dimensional data layout: Z-order clustering for file skipping.
+
+Parquet scans prune files and row groups with min/max footer statistics. A
+table sorted by one column skips perfectly on that column and not at all on
+any other; interleaving the bits of several columns' rank codes (a Z-order /
+Morton curve) makes every output file cover a small hyper-rectangle of the
+clustered key space, so predicates on ANY clustered column skip most files.
+This is the layout `OPTIMIZE ... ZORDER BY` applies on lakehouse tables,
+implemented here on plain parquet as a compaction-time rewrite.
+
+Scale shape: one driver-side ``approxQuantile`` pass per clustered column
+(boundaries are a few hundred doubles — broadcast-as-literal territory),
+then bucket assignment + bit interleave as pure codegen'd Column
+expressions, then ONE ``repartitionByRange`` shuffle on the z-value. No
+Python row evaluation; at 100 TB the cost is the same single shuffle any
+re-layout pays, amortized across every subsequent pruned scan.
+
+The reference has no table-layout management at all (BigQuery re-clusters
+internally; SURVEY.md §4.2 "Memory strategy: none"); this module is part of
+owning that concern on open files.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Z_COL = "__zval"
+
+
+def _bucket(col: Column, boundaries: list[float], bits: int) -> Column:
+    """Rank ``col`` into ``[0, 2**bits)`` by its position among the quantile
+    ``boundaries``. NULL and NaN sink to bucket 0 (they carry no range
+    information, so they cluster together at the curve origin)."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    x = col.cast("double")
+    n = F.size(F.filter(arr, lambda b: b <= x))
+    return F.coalesce(F.least(n, F.lit(2**bits - 1)), F.lit(0))
+
+
+def _interleave(buckets: list[Column], bits: int) -> Column:
+    """Morton-interleave the ``bits``-wide bucket codes into one long.
+
+    Bit k of bucket i lands at position ``k * n_cols + i`` — disjoint
+    positions, so the combine is a plain sum (== bitwise OR), all native
+    shiftleft/and arithmetic inside whole-stage codegen.
+    """
+    n_cols = len(buckets)
+    parts = [
+        F.shiftleft(
+            F.shiftright(b.cast("long"), k).bitwiseAND(F.lit(1)),
+            k * n_cols + i,
+        )
+        for i, b in enumerate(buckets)
+        for k in range(bits)
+    ]
+    return reduce(lambda a, c: a + c, parts)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Attach the Z-order curve position of ``cols`` as column ``__zval``.
+
+    Boundaries are equi-depth (approxQuantile, 1% relative error), so the
+    curve adapts to the data distribution — skewed columns still split
+    into balanced buckets, which is what keeps output files equal-sized.
+    Clustered columns must be numeric / date / timestamp (rank order is
+    what the curve preserves).
+    """
+    probs = [i / 2**bits for i in range(1, 2**bits)]
+    dbl = df.select(
+        *[F.col(c).cast("double").alias(f"__d{i}") for i, c in enumerate(cols)]
+    )
+    all_bounds = dbl.approxQuantile([f"__d{i}" for i in range(len(cols))], probs, 0.01)
+    buckets = [
+        _bucket(F.col(c), bounds, bits) for c, bounds in zip(cols, all_bounds)
+    ]
+    return df.withColumn(Z_COL, _interleave(buckets, bits))
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], n_files: int, bits: int = 8
+) -> DataFrame:
+    """Return ``df`` re-laid-out along the Z-order curve of ``cols``:
+    ``n_files`` range partitions of the z-value, each internally sorted by
+    it, so every output file's min/max footer stats cover a tight
+    hyper-rectangle. Feed straight to a writer (one file per partition).
+    """
+    keyed = zorder_key(df, cols, bits)
+    return (
+        keyed.repartitionByRange(n_files, Z_COL)
+        .sortWithinPartitions(Z_COL)
+        .drop(Z_COL)
+    )

@@ -164,16 +164,32 @@ class ParquetTable:
             self._staged_write(survivors)
         return removed
 
-    def compact(self, target_partitions: int | None = None) -> int:
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the table into ``target_partitions`` files (default: let
         AQE coalesce). Incremental appends (K5/K7) accumulate small files;
         at 100 TB small files dominate scan overhead (footer reads, task
         scheduling), so compaction is a scheduled maintenance job exactly
         like OPTIMIZE on a lakehouse table. Atomic like every other write.
+
+        ``zorder_by`` additionally clusters the rewrite along the Z-order
+        curve of those columns (ops/layout.py), so subsequent scans
+        filtering on ANY of them skip most files via parquet min/max
+        stats — OPTIMIZE ZORDER BY semantics on plain parquet.
         Returns the row count preserved."""
         df = self.read()
         n = df.count()
-        compacted = df.repartition(target_partitions) if target_partitions else df.coalesce(8)
+        if zorder_by:
+            from ..ops.layout import zorder_layout
+
+            compacted = zorder_layout(df, zorder_by, target_partitions or 8)
+        elif target_partitions:
+            compacted = df.repartition(target_partitions)
+        else:
+            compacted = df.coalesce(8)
         self._staged_write(compacted)
         return n
 
