@@ -30,9 +30,14 @@ from __future__ import annotations
 
 import importlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
-from .rest import RetryPolicy
+from .rest import RetryPolicy, paginate_keyset
 
 
 def _load_factory(path: str):
@@ -74,6 +79,74 @@ class RestDataSourceReader(DataSourceReader):
             yield tuple(row.get(n) for n in names)
 
 
+class RestStreamReader(SimpleDataSourceStreamReader):
+    """SURVEY S4 as a true Structured Streaming source: the keyset cursor
+    IS the stream offset, checkpointed by the engine.
+
+    The reference persists ``last_processed_id`` in an Airflow Variable and
+    advances it by hand after each load (``dags/billwerk/billwerk_invoices.
+    py:86-99,160-163``) — exactly the offset-management contract Structured
+    Streaming already provides. Here each micro-batch keyset-pages from the
+    committed cursor (capped at ``rows_per_batch``), the engine writes the
+    new cursor to the checkpoint, and crash recovery replays
+    ``readBetweenOffsets(start, end]`` deterministically — ids are the
+    monotonic keyset cursor, so the replay filter is ``id <= end``.
+    Exactly-once then composes with foreachBatch merge or an idempotent
+    append sink downstream; ``Trigger.AvailableNow`` gives the reference's
+    daily-cron cadence on the same code path.
+    """
+
+    def __init__(self, schema, options):
+        self.schema_obj = schema
+        self.url = options["url"]
+        self.transport_path = options["transport"]
+        # Optional string argument for the factory (e.g. an endpoint/config
+        # path) — options are the only channel into the runner process.
+        self.transport_arg = options.get("transport_arg")
+        self.take = int(options.get("page_size", "500"))
+        self.id_key = options.get("id_key", "Id")
+        self.rows_per_batch = int(options.get("rows_per_batch", "100000"))
+        self.retries = int(options.get("retries", "5"))
+
+    def initialOffset(self) -> dict:
+        return {"last_id": None}
+
+    def _fetch(self, start_after, row_limit):
+        factory = _load_factory(self.transport_path)
+        transport = factory(self.transport_arg) if self.transport_arg else factory()
+        retry = RetryPolicy(total=self.retries)
+        rows: list[dict] = []
+        for page in paginate_keyset(
+            transport,
+            self.url,
+            take=self.take,
+            id_key=self.id_key,
+            start_after=start_after,
+            row_limit=row_limit,
+            retry=retry,
+        ):
+            rows.extend(page)
+        return rows
+
+    def _tuples(self, rows):
+        # a LIST, not a generator: the engine pickles prefetched batch rows
+        # into the plan (simple-reader contract)
+        names = [f.name for f in self.schema_obj.fields]
+        return [tuple(r.get(n) for n in names) for r in rows]
+
+    def read(self, start: dict):
+        rows = self._fetch(start.get("last_id"), self.rows_per_batch)
+        if not rows:
+            return [], start
+        end = {"last_id": rows[-1][self.id_key]}
+        return self._tuples(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        last = end.get("last_id")
+        rows = self._fetch(start.get("last_id"), None)
+        return self._tuples([r for r in rows if r[self.id_key] <= last])
+
+
 class RestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -81,3 +154,6 @@ class RestDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return RestDataSourceReader(schema, self.options)
+
+    def simpleStreamReader(self, schema) -> RestStreamReader:
+        return RestStreamReader(schema, self.options)

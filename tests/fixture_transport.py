@@ -15,3 +15,20 @@ def make_transport():
         ]
 
     return transport
+
+
+def make_keyset_transport(path):
+    """Keyset-protocol transport over the JSON file at ``path`` — the
+    mutable 'upstream API table' for streaming tests (append rows to the
+    file between micro-batches)."""
+    import json
+
+    def transport(url, params):
+        with open(path) as f:
+            rows = sorted(json.load(f), key=lambda r: r["Id"])
+        start = params.get("from")
+        if start is not None:
+            rows = [r for r in rows if r["Id"] >= start]  # cursor row re-included
+        return rows[: params["take"]]
+
+    return transport
