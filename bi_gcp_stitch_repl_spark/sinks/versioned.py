@@ -91,10 +91,45 @@ class VersionedTable:
 
     # -- data movement -------------------------------------------------------
 
-    def _write_parts(self, df: DataFrame) -> list[str]:
+    @staticmethod
+    def _file_stats(path: str) -> dict:
+        """Per-column [min, max] from the parquet footer, for the log's
+        data-skipping index. Only orderable primitives whose stats
+        round-trip JSON exactly (ints, floats, strings) — a column without
+        an entry simply never prunes."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return {}
+        agg: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes) or isinstance(hi, bytes):
+                    continue
+                if not isinstance(lo, (int, float, str)):
+                    continue
+                name = col.path_in_schema
+                cur = agg.get(name)
+                if cur is None:
+                    agg[name] = [lo, hi]
+                else:
+                    agg[name] = [min(cur[0], lo), max(cur[1], hi)]
+        return agg
+
+    def _write_parts(self, df: DataFrame) -> list[tuple[str, dict]]:
         """Materialize ``df`` as uniquely-named part files inside the table
         dir (written to a scratch dir, then hard-renamed in — renames are
-        metadata-only). Returns the relative file names."""
+        metadata-only). Returns (relative file name, footer stats) pairs;
+        the stats ride in the commit's add action so readers prune files
+        from the LOG, never by listing/footer-reading the table — the move
+        that keeps planning O(log) instead of O(files) at lake scale."""
         scratch = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(scratch)
         names = []
@@ -102,15 +137,67 @@ class VersionedTable:
             if not fname.endswith(".parquet"):
                 continue
             new = f"part-{uuid.uuid4().hex}.parquet"
-            os.rename(os.path.join(scratch, fname), os.path.join(self.path, new))
-            names.append(new)
+            dst = os.path.join(self.path, new)
+            os.rename(os.path.join(scratch, fname), dst)
+            names.append((new, self._file_stats(dst)))
         shutil.rmtree(scratch, ignore_errors=True)
         return names
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def stats_at(self, version: int | None = None) -> dict[str, dict]:
+        """Live file -> footer-stats map at ``version`` (from the log)."""
+        live: dict[str, dict] = {}
+        for v in self._versions():
+            if version is not None and v > version:
+                break
+            with open(os.path.join(self.log_path, f"{v:012d}.json")) as f:
+                for action in json.load(f)["actions"]:
+                    if "add" in action:
+                        live[action["add"]] = action.get("stats", {})
+                    elif "remove" in action:
+                        live.pop(action["remove"], None)
+        return live
+
+    def prune_files(
+        self, where: dict[str, tuple], version: int | None = None
+    ) -> list[str]:
+        """Files whose logged [min,max] overlaps every ``col: (lo, hi)``
+        range in ``where`` (None bound = unbounded). Files lacking stats
+        for a column are kept — pruning is an optimization, never a
+        filter."""
+        out = []
+        for fname, stats in sorted(self.stats_at(version).items()):
+            keep = True
+            for col, (lo, hi) in where.items():
+                if col not in stats:
+                    continue
+                fmin, fmax = stats[col]
+                if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+                    keep = False
+                    break
+            if keep:
+                out.append(fname)
+        return out
+
+    def read(
+        self, version: int | None = None, where: dict[str, tuple] | None = None
+    ) -> DataFrame:
+        """Snapshot read; ``where={col: (lo, hi)}`` additionally skips files
+        by the log's stats index (caller still applies the row-level
+        filter — skipping only shrinks the file list, like Delta data
+        skipping). An empty surviving set returns an empty frame with the
+        table's schema."""
         files = self.files_at(version)
         if not files:
             raise FileNotFoundError(f"no committed data in {self.path}")
+        if where:
+            pruned = set(self.prune_files(where, version))
+            kept = [f for f in files if f in pruned]
+            if not kept:
+                schema = self.spark.read.parquet(
+                    os.path.join(self.path, files[0])
+                ).schema
+                return self.spark.createDataFrame([], schema)
+            files = kept
         return self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in files]
         )
@@ -129,7 +216,7 @@ class VersionedTable:
         a lost race is resolved by re-committing the same adds at the next
         version."""
         os.makedirs(self.path, exist_ok=True)
-        adds = [{"add": f} for f in self._write_parts(df)]
+        adds = [{"add": n, "stats": st} for n, st in self._write_parts(df)]
         for _ in range(max_retries):
             try:
                 v = self._next_version()
@@ -147,25 +234,76 @@ class VersionedTable:
         os.makedirs(self.path, exist_ok=True)
         base = self.latest_version()
         removes = [{"remove": f} for f in (self.files_at(base) if base is not None else [])]
-        adds = [{"add": f} for f in self._write_parts(df)]
+        adds = [{"add": n, "stats": st} for n, st in self._write_parts(df)]
         self._commit(self._next_version(), adds + removes)
         return self._versions()[-1]
 
     def merge_upsert(self, batch: DataFrame, keys: list[str]) -> int:
-        """K1 upsert with snapshot semantics: survivors of the anti-join
-        (against the version this transaction read) plus the batch, as one
-        add+remove commit. Readers at older versions still see their
+        """K1 upsert with snapshot semantics AND file-pruned rewrite.
+
+        A matching row must agree with the batch on every key column, in
+        particular ``keys[0]`` — so a file whose logged ``keys[0]``
+        [min,max] doesn't overlap the batch's key range cannot contain a
+        match and is left physically untouched. Only the overlapping files
+        are anti-joined and rewritten (plus the batch), as one add+remove
+        commit: merge cost tracks the AFFECTED data, not the table — on a
+        key-clustered table (optimize/zorder) a small batch touches a few
+        files out of millions. Readers at older versions still see their
         snapshot; time travel preserves the pre-merge state."""
         if not self.exists():
             return self.overwrite(batch)
         base = self.latest_version()
-        existing = self.read(base)
-        survivors = existing.join(
-            F.broadcast(batch.select(*keys).distinct()), on=keys, how="left_anti"
-        )
-        merged = survivors.unionByName(batch)
+        all_files = self.files_at(base)
+        touched = all_files
+        key0 = keys[0]
+        bounds = batch.agg(
+            F.min(key0).alias("lo"), F.max(key0).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is not None and isinstance(
+            bounds["lo"], (int, float, str)
+        ):
+            pruned = set(
+                self.prune_files({key0: (bounds["lo"], bounds["hi"])}, base)
+            )
+            touched = [f for f in all_files if f in pruned]
+        if touched:
+            existing = self.spark.read.parquet(
+                *[os.path.join(self.path, f) for f in touched]
+            )
+            survivors = existing.join(
+                F.broadcast(batch.select(*keys).distinct()),
+                on=keys,
+                how="left_anti",
+            )
+            merged = survivors.unionByName(batch)
+        else:
+            merged = batch
+        removes = [{"remove": f} for f in touched]
+        adds = [{"add": n, "stats": st} for n, st in self._write_parts(merged)]
+        self._commit(self._next_version(), adds + removes)
+        return self._versions()[-1]
+
+    def optimize(
+        self,
+        target_files: int = 8,
+        zorder_by: list[str] | None = None,
+    ) -> int:
+        """OPTIMIZE: rewrite the current snapshot into ``target_files``
+        right-sized files — optionally Z-order-clustered on ``zorder_by``
+        (ops/layout.py) so the log's stats index prunes on every clustered
+        column — as one add+remove commit. Time travel to the pre-optimize
+        version still works until vacuumed; a concurrent appender losing
+        the race just retries on top (appends commute with re-layout)."""
+        base = self.latest_version()
+        df = self.read(base)
+        if zorder_by:
+            from ..ops.layout import zorder_layout
+
+            df = zorder_layout(df, zorder_by, target_files)
+        else:
+            df = df.repartition(target_files)
         removes = [{"remove": f} for f in self.files_at(base)]
-        adds = [{"add": f} for f in self._write_parts(merged)]
+        adds = [{"add": n, "stats": st} for n, st in self._write_parts(df)]
         self._commit(self._next_version(), adds + removes)
         return self._versions()[-1]
 

@@ -81,3 +81,88 @@ def test_vacuum_drops_unreferenced_files_only(spark, tmp_path):
     assert t.read().count() == 1  # latest snapshot untouched
     with pytest.raises(Exception):
         t.read(version=0).collect()  # old snapshot gone, as documented
+
+
+def test_log_stats_skipping_prunes_files_not_rows(spark, tmp_path):
+    """Each append's add action carries footer min/max; a range read prunes
+    whole files from the LOG (no listing, no footer reads) and still
+    returns exactly the filtered rows."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for lo in (0, 100, 200, 300):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"r{lo + i}") for i in range(100)], "k long, v string"
+            ).coalesce(1)
+        )
+    stats = t.stats_at()
+    assert len(stats) == 4 and all("k" in s for s in stats.values())
+
+    pruned = t.prune_files({"k": (120, 180)})
+    assert len(pruned) == 1  # only the [100,199] file survives
+
+    got = t.read(where={"k": (120, 180)}).filter("k between 120 and 180")
+    assert sorted(r["k"] for r in got.collect()) == list(range(120, 181))
+    # unbounded side + missing-stats safety: half-open range
+    assert len(t.prune_files({"k": (250, None)})) == 2
+
+
+def test_optimize_zorder_commits_one_rewrite(spark, tmp_path):
+    """OPTIMIZE ZORDER: one add+remove commit; both clustered columns prune
+    from the log afterwards; pre-optimize version still time-travels."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1000), float(i)) for i in range(4000)]
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for c in range(4):
+        t.append(
+            spark.createDataFrame(
+                rows[c * 1000 : (c + 1) * 1000], "a long, b long, x double"
+            ).coalesce(1)
+        )
+    pre = t.latest_version()
+    n_pre = t.read().count()
+    # ingestion order gives no b-locality: b never prunes before optimize
+    assert len(t.prune_files({"b": (0, 49)})) == 4
+
+    v = t.optimize(target_files=16, zorder_by=["a", "b"])
+    assert v == pre + 1
+    assert t.read().count() == n_pre
+    assert t.read(version=pre).count() == n_pre  # time travel intact
+    assert len(t.files_at(v)) == 16
+    # the curve gives BOTH columns file-level locality in the log index
+    assert len(t.prune_files({"a": (0, 249)})) <= 8
+    assert len(t.prune_files({"b": (0, 49)})) <= 8
+
+
+def test_merge_upsert_rewrites_only_overlapping_files(spark, tmp_path):
+    """A merge whose batch keys fall inside one file's key range must leave
+    every other file physically untouched (same names in the log), and the
+    table must still read back exactly as a full merge would."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for lo in (0, 100, 200):
+        t.append(
+            spark.createDataFrame(
+                [(lo + i, f"old{lo + i}") for i in range(100)], "k long, v string"
+            ).coalesce(1)
+        )
+    before = set(t.files_at())
+    untouched_expected = {
+        f for f, s in t.stats_at().items() if s["k"][0] != 100
+    }
+    assert len(untouched_expected) == 2
+
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(150, "new150"), (199, "new199"), (105, "new105")], "k long, v string"
+        ),
+        keys=["k"],
+    )
+    after = set(t.files_at())
+    assert untouched_expected < after  # 0-99 and 200-299 files untouched
+    assert not ({f for f in before if f not in untouched_expected} & after)
+
+    rows = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(rows) == 300
+    assert rows[150] == "new150" and rows[105] == "new105"
+    assert rows[0] == "old0" and rows[250] == "old250" and rows[120] == "old120"
