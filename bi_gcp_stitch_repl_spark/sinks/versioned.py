@@ -226,6 +226,78 @@ class VersionedTable:
                 continue
         raise CommitConflict("append retries exhausted")
 
+    def last_txn(self, app_id: str) -> int | None:
+        """Highest committed batch id for ``app_id`` (from txn actions)."""
+        last: int | None = None
+        for v in self._versions():
+            with open(os.path.join(self.log_path, f"{v:012d}.json")) as f:
+                for action in json.load(f)["actions"]:
+                    txn = action.get("txn")
+                    if txn and txn["app"] == app_id:
+                        last = max(last or txn["batch"], txn["batch"])
+        return last
+
+    def append_txn(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
+        """Idempotent append: the commit records ``{"txn": {app, batch}}``;
+        re-delivery of an already-committed batch is a no-op (returns
+        None). This is the exactly-once primitive under Structured
+        Streaming's ``foreachBatch`` — at-least-once delivery + transactional
+        dedup on (app_id, batch_id), the same contract Delta's txn action
+        provides. The check re-runs after every lost commit race, so two
+        writers re-delivering the same batch cannot both land it."""
+        os.makedirs(self.path, exist_ok=True)
+        last = self.last_txn(app_id)
+        if last is not None and batch_id <= last:
+            return None
+        adds: list[dict] = [
+            {"add": n, "stats": st} for n, st in self._write_parts(df)
+        ]
+        adds.append({"txn": {"app": app_id, "batch": batch_id}})
+        for _ in range(5):
+            try:
+                v = self._next_version()
+                self._commit(v, adds)
+                return v
+            except CommitConflict:
+                last = self.last_txn(app_id)
+                if last is not None and batch_id <= last:
+                    for action in adds:  # lost to a twin: drop our orphans
+                        if "add" in action:
+                            try:
+                                os.remove(os.path.join(self.path, action["add"]))
+                            except OSError:
+                                pass
+                    return None
+        raise CommitConflict("append_txn retries exhausted")
+
+    def changes_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change feed for append-only workloads: rows landed by commits in
+        ``(from_version, to_version]`` — read straight from those commits'
+        added files, so an incremental consumer's cost tracks the DELTA,
+        never the table. Raises on rewrite commits in the range (optimize /
+        merge / overwrite: their adds re-shuffle old rows, so file-level
+        provenance no longer equals row-level inserts)."""
+        to_version = self.latest_version() if to_version is None else to_version
+        added: list[str] = []
+        for v in self._versions():
+            if v <= from_version or v > to_version:
+                continue
+            with open(os.path.join(self.log_path, f"{v:012d}.json")) as f:
+                actions = json.load(f)["actions"]
+            if any("remove" in a for a in actions):
+                raise ValueError(
+                    f"version {v} rewrites files; change feed is exact only "
+                    "for append commits"
+                )
+            added.extend(a["add"] for a in actions if "add" in a)
+        if not added:
+            return self.read(to_version).limit(0)
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in added]
+        )
+
     def overwrite(self, df: DataFrame) -> int:
         """Truncate-refresh as one commit: add the new files, remove every
         file of the snapshot this transaction read. NOT auto-retried: the

@@ -239,6 +239,30 @@ def incremental_merge_stream(
     )
 
 
+def versioned_append_stream(
+    events: DataFrame,
+    table,
+    app_id: str,
+    checkpoint: str,
+):
+    """Exactly-once streaming append into a commit-log table.
+
+    foreachBatch delivers at-least-once (a batch re-runs after a crash
+    between sink write and checkpoint commit); ``VersionedTable.
+    append_txn`` dedups on (app_id, batch_id) inside the table's own
+    transaction log, so the re-delivered batch is a no-op — end-to-end
+    exactly-once without an idempotent-key merge, on plain parquet."""
+
+    def append(batch_df: DataFrame, batch_id: int) -> None:
+        table.append_txn(batch_df, app_id=app_id, batch_id=batch_id)
+
+    return (
+        events.writeStream.foreachBatch(append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: tuple[str, ...] = ("event_id",),

@@ -81,3 +81,45 @@ def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, existing, batc
     assert set(got) == set(model)
     for k in batch_d:
         assert got[k] == {batch_d[k]}  # batch keys fully replaced
+
+
+zrow_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**31), max_value=2**31),
+        st.integers(min_value=-(2**31), max_value=2**31),
+    ),
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=zrow_strategy, lo=st.integers(-(2**31), 2**31), span=st.integers(0, 2**16))
+def test_zorder_layout_roundtrip_and_pruning_safety(
+    spark, tmp_path_factory, rows, lo, span
+):
+    """For arbitrary data (duplicates, negatives, empty): the z-ordered
+    rewrite is a permutation of the input, and a stats-pruned read plus the
+    row filter equals the plain filtered read — pruning never loses rows."""
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "a long, b long")
+    tmp = tmp_path_factory.mktemp("z")
+    t = VersionedTable(spark, str(tmp / "t"))
+    t.append(df)
+    t.optimize(target_files=4, zorder_by=["a", "b"])
+    assert sorted((r["a"], r["b"]) for r in t.read().collect()) == sorted(rows)
+
+    hi = lo + span
+    expect = sorted(p for p in rows if lo <= p[1] <= hi)
+    got = (
+        t.read(where={"b": (lo, hi)})
+        .filter(f"b between {lo} and {hi}")
+        .collect()
+    )
+    assert sorted((r["a"], r["b"]) for r in got) == expect

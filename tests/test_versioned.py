@@ -166,3 +166,66 @@ def test_merge_upsert_rewrites_only_overlapping_files(spark, tmp_path):
     assert len(rows) == 300
     assert rows[150] == "new150" and rows[105] == "new105"
     assert rows[0] == "old0" and rows[250] == "old250" and rows[120] == "old120"
+
+
+def test_append_txn_dedups_redelivered_batches(spark, tmp_path):
+    """At-least-once delivery + txn actions = exactly-once: re-committing
+    an already-landed (app, batch) is a no-op; a different app's same batch
+    id is independent."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    assert t.append_txn(_df(spark, [(1, "a")]), "job1", 0) == 0
+    assert t.append_txn(_df(spark, [(2, "b")]), "job1", 1) == 1
+    # crash-replay of batch 1: dropped
+    assert t.append_txn(_df(spark, [(2, "b")]), "job1", 1) is None
+    assert t.append_txn(_df(spark, [(1, "a")]), "job1", 0) is None
+    assert t.read().count() == 2
+    # another writer app with its own sequence
+    assert t.append_txn(_df(spark, [(9, "z")]), "job2", 0) is not None
+    assert t.read().count() == 3
+    assert t.last_txn("job1") == 1 and t.last_txn("job2") == 0
+
+
+def test_changes_between_reads_only_the_delta(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))      # v0
+    t.append(_df(spark, [(3, "c")]))                # v1
+    t.append(_df(spark, [(4, "d"), (5, "e")]))      # v2
+    got = {r["k"] for r in t.changes_between(0).collect()}
+    assert got == {3, 4, 5}
+    assert {r["k"] for r in t.changes_between(0, 1).collect()} == {3}
+    assert t.changes_between(2).count() == 0
+    # a rewrite commit poisons file-level provenance → loud error
+    t.merge_upsert(_df(spark, [(1, "A")]), keys=["k"])  # v3 rewrites a file
+    with pytest.raises(ValueError):
+        t.changes_between(0)
+    # but a range ending before the rewrite still works
+    assert {r["k"] for r in t.changes_between(0, 2).collect()} == {3, 4, 5}
+
+
+def test_versioned_append_stream_exactly_once(spark, tmp_path):
+    """foreachBatch redelivery across a checkpoint-reset run lands each
+    source row exactly once in the commit-log table."""
+    from bi_gcp_stitch_repl_spark.streaming.jobs import versioned_append_stream
+
+    src = tmp_path / "src"
+    _df(spark, [(i, f"r{i}") for i in range(10)]).coalesce(1).write.parquet(
+        str(src)
+    )
+    stream = spark.readStream.schema("k long, v string").parquet(str(src))
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    q = versioned_append_stream(
+        stream, t, app_id="rep1", checkpoint=str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    assert t.read().count() == 10
+
+    # simulate redelivery: a FRESH checkpoint replays batch 0 with the same
+    # app_id — the txn log, not the checkpoint, must reject the duplicate
+    q2 = versioned_append_stream(
+        spark.readStream.schema("k long, v string").parquet(str(src)),
+        t,
+        app_id="rep1",
+        checkpoint=str(tmp_path / "ckpt2"),
+    ).start()
+    q2.awaitTermination(120)
+    assert t.read().count() == 10
