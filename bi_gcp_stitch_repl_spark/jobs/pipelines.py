@@ -314,10 +314,19 @@ def validated_merge(
     return {"merged": n_good, "quarantined": n_bad}
 
 
-def compact_tables(spark: SparkSession, table_paths: list[str]) -> dict[str, int]:
+def compact_tables(
+    spark: SparkSession,
+    table_paths: list[str],
+    target_partitions: int | None = None,
+    zorder_by: list[str] | None = None,
+) -> dict[str, int]:
     """Maintenance: rewrite each table into right-sized files (small-file
-    debt is the top silent killer of scan parallelism on a growing lake)."""
-    return {p: ParquetTable(spark, p).compact() for p in table_paths}
+    debt is the top silent killer of scan parallelism on a growing lake);
+    ``zorder_by`` additionally clusters for multi-column file skipping."""
+    return {
+        p: ParquetTable(spark, p).compact(target_partitions, zorder_by)
+        for p in table_paths
+    }
 
 
 def vacuum_tables(
@@ -385,3 +394,63 @@ def incremental_dedup_ingest(
     pairs = pairs.localCheckpoint(eager=True)
     index.append(batch_bands)
     return pairs
+
+
+def incremental_summary_refresh(
+    spark: SparkSession,
+    source_path: str,
+    summary_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int | None:
+    """Incremental materialized-view maintenance for additive aggregates.
+
+    The summary table holds ``group_cols -> sum(sum_cols), count(*)`` over a
+    commit-log source. Each run reads ONLY the commits since the version it
+    last folded in (``VersionedTable.changes_between``), pre-aggregates the
+    delta, and merges it into the summary by adding partial sums — the
+    standard incremental-view trick for sums/counts (averages derive as
+    sum/count downstream). Work per refresh tracks the delta, never the
+    source: the 100 TB fact table is touched zero times after its initial
+    fold.
+
+    The summary is itself a commit-log table, and each fold commits the new
+    state WITH a txn marker ``("summary_fold", source_version)`` in ONE
+    atomic commit — so the folded-through cursor and the state replacement
+    can never diverge. A crashed run retries the whole fold against its
+    pre-crash snapshot; a replay after a successful commit is a no-op
+    (summing is not idempotent, so watermark-after-commit would double
+    count — the txn action is the correct primitive). Returns the new
+    folded version (None = nothing new).
+    """
+    from ..sinks.versioned import VersionedTable
+
+    source = VersionedTable(spark, source_path)
+    summary = VersionedTable(spark, summary_path)
+    last = summary.last_txn("summary_fold")
+    cur = source.latest_version()
+    if cur is None or (last is not None and cur <= last):
+        return None
+
+    delta = source.changes_between(last if last is not None else -1, cur)
+    agg = delta.groupBy(*group_cols).agg(
+        *[F.sum(F.col(c).cast("decimal(28,10)")).alias(f"sum_{c}") for c in sum_cols],
+        F.count("*").alias("n_rows"),
+    )
+    if summary.exists():
+        merged = (
+            summary.read()
+            .unionByName(agg)
+            .groupBy(*group_cols)
+            .agg(
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+    else:
+        merged = agg
+    # reading the summary while replacing it is safe here: _write_parts
+    # fully materializes the new state before the commit, and the log-based
+    # overwrite never deletes the old files (vacuum does, later)
+    summary.overwrite(merged, txn=("summary_fold", cur))
+    return cur

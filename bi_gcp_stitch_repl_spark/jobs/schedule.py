@@ -77,4 +77,12 @@ JOB_MANIFEST: dict[str, JobSpec] = {
         "erase_requested_keys", "0 4 * * *",
         "Daily right-to-be-forgotten pass: delete requested keys lake-wide",
     ),
+    "dedup_index_ingest": JobSpec(
+        "incremental_dedup_ingest", "30 4 * * *",
+        "Probe+commit the MinHash band index for the day's document batch",
+    ),
+    "summary_refresh": JobSpec(
+        "incremental_summary_refresh", "0 5 * * *",
+        "Fold the day's change feed into the additive summary view",
+    ),
 }

@@ -298,15 +298,29 @@ class VersionedTable:
             *[os.path.join(self.path, f) for f in added]
         )
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int | None:
         """Truncate-refresh as one commit: add the new files, remove every
         file of the snapshot this transaction read. NOT auto-retried: the
         remove set was decided against that snapshot, so a conflict must
-        re-read (read-modify-write is not commutative)."""
+        re-read (read-modify-write is not commutative).
+
+        ``txn=(app_id, batch_id)`` rides a txn action in the same commit,
+        making the replace idempotent under replay (already-committed batch
+        → no-op, returns None) — read-modify-write refreshes (e.g.
+        incremental view folds) become exactly-once because the state
+        replacement and the dedup marker are one atomic commit."""
         os.makedirs(self.path, exist_ok=True)
+        if txn is not None:
+            last = self.last_txn(txn[0])
+            if last is not None and txn[1] <= last:
+                return None
         base = self.latest_version()
         removes = [{"remove": f} for f in (self.files_at(base) if base is not None else [])]
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(df)]
+        if txn is not None:
+            adds.append({"txn": {"app": txn[0], "batch": txn[1]}})
         self._commit(self._next_version(), adds + removes)
         return self._versions()[-1]
 

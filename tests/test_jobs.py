@@ -363,3 +363,70 @@ def test_incremental_dedup_ingest_two_loads_match_full(spark, tmp_path):
     assert committed.exceptAll(fresh).isEmpty() and fresh.exceptAll(committed).isEmpty()
     # two loads -> two add-only commits
     assert VersionedTable(spark, idx).latest_version() == 1
+
+
+def test_incremental_summary_refresh_folds_only_the_delta(spark, tmp_path):
+    """Three appends, a fold after each: every fold reads only the new
+    commits, the summary always equals the full-recompute groupBy, and a
+    replayed fold (crash-retry after commit) is a no-op."""
+    from decimal import Decimal
+
+    from bi_gcp_stitch_repl_spark.jobs.pipelines import incremental_summary_refresh
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    src_path, sum_path = str(tmp_path / "src"), str(tmp_path / "sum")
+    src = VersionedTable(spark, src_path)
+
+    def batch(lo):
+        return spark.createDataFrame(
+            [(f"g{(lo + i) % 3}", float(lo + i)) for i in range(50)],
+            "grp string, amount double",
+        )
+
+    seen = []
+    for lo in (0, 50, 100):
+        src.append(batch(lo))
+        v = incremental_summary_refresh(
+            spark, src_path, sum_path, group_cols=["grp"], sum_cols=["amount"]
+        )
+        assert v == src.latest_version()
+        seen.extend((f"g{(lo + i) % 3}", lo + i) for i in range(50))
+        got = {
+            r["grp"]: (r["sum_amount"], r["n_rows"])
+            for r in VersionedTable(spark, sum_path).read().collect()
+        }
+        expect = {}
+        for g, a in seen:
+            s, n = expect.get(g, (Decimal(0), 0))
+            expect[g] = (s + Decimal(a), n + 1)
+        assert {g: (Decimal(s), n) for g, (s, n) in got.items()} == expect
+
+    # nothing new → no-op; and the summary never re-read the source
+    assert (
+        incremental_summary_refresh(
+            spark, src_path, sum_path, group_cols=["grp"], sum_cols=["amount"]
+        )
+        is None
+    )
+    # replay protection: a duplicate txn-marked overwrite cannot double-fold
+    t = VersionedTable(spark, sum_path)
+    assert t.overwrite(t.read(), txn=("summary_fold", src.latest_version())) is None
+
+
+def test_jobs_cli_runs_manifest_entry(spark, tmp_path):
+    """The spark-submit seam: `-m bi_gcp_stitch_repl_spark.jobs <name>
+    --config f.json` resolves the manifest, injects kwargs, runs the
+    pipeline on a shared session."""
+    import json
+
+    from bi_gcp_stitch_repl_spark.jobs.__main__ import main
+
+    tbl = str(tmp_path / "t")
+    ParquetTable(spark, tbl).overwrite(
+        spark.createDataFrame([(i, i) for i in range(100)], "k long, v long")
+        .repartition(10)
+    )
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps({"table_paths": [tbl], "target_partitions": 2}))
+    assert main(["warehouse_compact", "--config", str(cfg)]) == 0
+    assert ParquetTable(spark, tbl).read().count() == 100
