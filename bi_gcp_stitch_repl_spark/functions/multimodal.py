@@ -117,6 +117,147 @@ def decode_image_meta(
     return src.mapInPandas(run, schema=schema)
 
 
+def _stub_image_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resizer: real deployments replace this with PIL.
+
+    Emits a payload-derived byte string whose length tracks the target
+    area (1 byte per 64 pixels, ≥1), so tests can assert exact outputs
+    and partition-size accounting stays realistic without a codec.
+    """
+    if not payload:
+        raise ValueError("empty payload")
+    n_out = max(1, (width * height) // 64)
+    reps = -(-n_out // len(payload))  # ceil
+    return (payload * reps)[:n_out]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Resize image payloads to (id, payload, width, height, _resize_ok).
+
+    Same contract as ``decode_image_meta``: Arrow-batched ``mapInPandas``,
+    failed resizes become ``_resize_ok=false`` rows (payload NULL) instead
+    of failing the job. Output payload is binary — the stage composes with
+    ``attach_payload_meta`` / further decode stages. ``partitions`` is the
+    scale lever: resize output is smaller than input, so rebalance BEFORE
+    this stage sized to the input bytes.
+    """
+    import pandas as pd
+
+    resizer = resizer or _stub_image_resizer
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(payload_col, T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("_resize_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    resized = resizer(
+                        bytes(payload) if payload is not None else b"", width, height
+                    )
+                    out.append(
+                        {
+                            id_col: mid,
+                            payload_col: resized,
+                            "width": width,
+                            "height": height,
+                            "_resize_ok": True,
+                        }
+                    )
+                except Exception:
+                    out.append(
+                        {
+                            id_col: mid,
+                            payload_col: None,
+                            "width": None,
+                            "height": None,
+                            "_resize_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    src = df.select(id_col, payload_col)
+    if partitions:
+        src = src.repartition(partitions)
+    return src.mapInPandas(run, schema=schema)
+
+
+def _stub_audio_features(payload: bytes, n_features: int) -> list[float]:
+    """Deterministic fake feature extractor: real deployments replace this
+    with librosa MFCCs. Splits the byte stream into ``n_features`` strided
+    chunks and emits each chunk's mean byte value scaled to [0, 1] — a
+    stable, payload-derived vector of the right shape.
+    """
+    if not payload:
+        raise ValueError("empty payload")
+    chunk = -(-len(payload) // n_features)  # ceil
+    return [
+        (sum(c) / len(c)) / 255.0 if (c := payload[i * chunk : (i + 1) * chunk]) else 0.0
+        for i in range(n_features)
+    ]
+
+
+def extract_audio_features(
+    df: DataFrame,
+    n_features: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    extractor: Callable[[bytes, int], list[float]] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Audio payloads → fixed-width feature vectors
+    (id, features array<float>, _extract_ok).
+
+    The output column has the same shape as the ``embeddings`` table's
+    ``embedding`` column, so extracted features flow straight into the
+    similarity stack (knn/IVF/LSH cosine, embedding near-dup) with no
+    further plumbing. Failed extracts yield ``_extract_ok=false``.
+    """
+    import pandas as pd
+
+    extractor = extractor or _stub_audio_features
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("features", T.ArrayType(T.FloatType())),
+            T.StructField("_extract_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    feats = extractor(
+                        bytes(payload) if payload is not None else b"", n_features
+                    )
+                    out.append({id_col: mid, "features": feats, "_extract_ok": True})
+                except Exception:
+                    out.append({id_col: mid, "features": None, "_extract_ok": False})
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    src = df.select(id_col, payload_col)
+    if partitions:
+        src = src.repartition(partitions)
+    return src.mapInPandas(run, schema=schema)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_n_seconds: float,

@@ -127,6 +127,45 @@ def test_multimodal_decode_plumbing(spark):
     assert not decoded[3]["_decode_ok"]
 
 
+def test_multimodal_resize_plumbing(spark):
+    rows = [(1, bytearray(b"abc")), (2, bytearray(b"")), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(df, 32, 32, partitions=2).collect()
+    }
+    # 32*32//64 = 16 bytes, payload cycled to length
+    assert got[1]["_resize_ok"] and bytes(got[1]["payload"]) == (b"abc" * 6)[:16]
+    assert got[1]["width"] == 32 and got[1]["height"] == 32
+    assert not got[2]["_resize_ok"] and got[2]["payload"] is None
+    assert not got[3]["_resize_ok"]
+    # resized output composes with the metadata stage
+    meta = multimodal.attach_payload_meta(
+        multimodal.resize_images(df, 32, 32).filter("_resize_ok")
+    )
+    assert meta.filter("n_bytes = 16").count() == 1
+
+
+def test_multimodal_audio_features_plumbing(spark):
+    rows = [(1, bytearray(bytes(range(64)))), (2, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_audio_features(df, n_features=4).collect()
+    }
+    feats = out[1]["features"]
+    assert out[1]["_extract_ok"] and len(feats) == 4
+    # chunk means of 0..63 in 16-byte strides, scaled by 255
+    expect = [(sum(range(i, i + 16)) / 16) / 255.0 for i in (0, 16, 32, 48)]
+    assert all(abs(a - b) < 1e-6 for a, b in zip(feats, expect))
+    assert not out[2]["_extract_ok"] and out[2]["features"] is None
+    # shape-compatible with the embeddings similarity stack
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    assert dict(emb.dtypes)["embedding"] == dict(
+        multimodal.extract_audio_features(df, 4).dtypes
+    )["features"]
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, 10.0), (2, 0.5)], "media_id long, duration_sec double")
     plan = multimodal.frame_sample_plan(df, every_n_seconds=2.5)
