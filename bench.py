@@ -56,11 +56,9 @@ def stage_tables(spark, src_dir: str) -> tuple[str, float]:
     dst = tempfile.mkdtemp(prefix="bench_warehouse_")
     t0 = time.time()
     for name in ALL_TABLES:
-        if name == "events":
-            # TIMESTAMP(NANOS) column: read as long, keep as long — the
-            # catalog loader rebuilds the microsecond timestamp either way.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        # catalog.tables handles the events ts nanos-vs-micros generations;
+        # staged files always come out as plain TIMESTAMP(MICROS).
+        (df,) = catalog.tables(spark, src_dir, name)
         n = STAGE_LAYOUT.get(name, 1)
         df.repartition(n).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
     return dst, time.time() - t0

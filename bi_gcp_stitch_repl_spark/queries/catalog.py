@@ -20,10 +20,14 @@ The driver hash-compares the two at sf=0.01 (row count + sorted column names
 * **No nondeterministic functions** (uuid, current_timestamp, first without
   order) anywhere in the catalog surface; carried-key defaults are
   deterministic expressions of the business key.
-* ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark refuses by default:
-  the loader flips ``spark.sql.legacy.parquet.nanosAsLong`` and rebuilds a
-  microsecond timestamp with ``timestamp_micros(ts div 1000)`` — exactly
-  DuckDB's read-time nanos→micros truncation.
+* ``events.ts`` has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+  parquet across driver testdata generations. Spark refuses nanos by
+  default: for that layout the loader flips
+  ``spark.sql.legacy.parquet.nanosAsLong`` and rebuilds a microsecond
+  timestamp with ``timestamp_micros(ts div 1000)`` — exactly DuckDB's
+  read-time nanos→micros truncation. For micros parquet the column is
+  already a (NTZ) timestamp and is used as-is. The loader sniffs the
+  physical type from the footer instead of assuming either.
 """
 
 from __future__ import annotations
@@ -91,12 +95,32 @@ def _ensure_importable_on_workers(spark: SparkSession) -> None:
     _SHIPPED_APPS.add(app)
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """Sniff the parquet footer for ``ts``'s physical unit (module docstring:
+    the driver has shipped both nanos and micros across generations)."""
+    import pyarrow.parquet as pq
+
+    pfile = path
+    if os.path.isdir(path):
+        frags = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+        if not frags:
+            return False
+        pfile = frags[0]
+    field = pq.read_schema(pfile).field("ts")
+    return getattr(field.type, "unit", None) == "ns"
+
+
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    """Load the named testdata tables; ``events`` gets the nanos fix-up."""
+    """Load the named testdata tables; ``events`` gets the nanos fix-up
+    when (and only when) the file actually carries nanos."""
     _ensure_importable_on_workers(spark)
     out = []
     for name in names:
-        if name == "events":
+        if name == "events" and _events_ts_is_nanos(f"{sf_dir}/events.parquet"):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
                 "ts", F.expr("timestamp_micros(ts div 1000)")
