@@ -82,13 +82,20 @@ HEADLINE = [
 ]
 
 
-def run_query(spark, name: str, queries, sf_dir: str, iters: int = 2) -> float:
+def run_query(spark, name: str, queries, sf_dir: str, iters: int = 2) -> float | None:
     """Best-of-N end-to-end latency — the steady-state number a resident
-    cluster sees, insulated from driver-JVM GC pauses between queries."""
+    cluster sees, insulated from driver-JVM GC pauses between queries.
+    Failure-isolated: a query that raises (plan build OR execution) reports
+    None instead of killing the whole bench — one regression must never
+    erase every other query's signal."""
     best = float("inf")
     for _ in range(iters):
         t0 = time.time()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — report, don't die
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            return None
         best = min(best, time.time() - t0)
     return best
 
@@ -103,7 +110,11 @@ def main() -> None:
     stage_sec = 0.0
     bench_dir = SF_DIR
     if os.environ.get("SPARK_GRAFT_STAGE", "1") != "0":
-        bench_dir, stage_sec = stage_tables(spark, SF_DIR)
+        try:
+            bench_dir, stage_sec = stage_tables(spark, SF_DIR)
+        except Exception as exc:  # noqa: BLE001 — fall back to raw fixtures
+            print(f"bench: staging FAILED, using raw fixtures: {exc}", file=sys.stderr)
+            bench_dir = SF_DIR
 
     # Warm-up: JVM JIT + codegen + parquet footer caches.
     for name in HEADLINE:
@@ -114,17 +125,20 @@ def main() -> None:
         except Exception:
             pass
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
-        timings[name] = round(run_query(spark, name, queries, bench_dir), 3)
+        sec = run_query(spark, name, queries, bench_dir)
+        timings[name] = round(sec, 3) if sec is not None else None
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+    failed = [n for n, v in timings.items() if v is None]
     out = {
         "metric": "headline_total_sec",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(v for v in timings.values() if v is not None), 3),
         "unit": "sec",
         "queries": timings,
+        "failed": failed,
         "sf": sf,
         "stage_sec": round(stage_sec, 3),
     }

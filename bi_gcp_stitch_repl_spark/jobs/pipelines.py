@@ -19,7 +19,23 @@ from ..ops.keys import carry_forward_keys
 from ..ops.normalize import explode_with_parent, maps_to_json, struct_get
 from ..sinks.merge import ParquetTable, WatermarkStore
 from ..sinks.reverse import post_batches
+from ..sinks.versioned import VersionedTable
 from ..sources import rest
+
+
+def merge_table(spark: SparkSession, path: str, table_factory=None):
+    """The job layer's table seam for merge targets.
+
+    Defaults to the commit-log ``VersionedTable``: its MERGE is file-pruned
+    (only files whose logged key [min,max] overlaps the batch are rewritten
+    — O(affected data), not O(table)), commits are atomic and snapshot-
+    isolated, and replay dedup/time travel come free. On a key-clustered
+    table (``optimize``/zorder) a small daily batch touches a few files out
+    of millions — the difference between a merge that costs minutes and one
+    that rewrites 100 TB. Pass ``table_factory=ParquetTable`` for the plain
+    single-directory layout (full-rewrite merge, K1 baseline semantics).
+    """
+    return (table_factory or VersionedTable)(spark, path)
 
 
 def bexio_invoice_replication(
@@ -29,6 +45,7 @@ def bexio_invoice_replication(
     line_items_path: str,
     api_base: str = "https://api.example/invoices",
     page_limit: int = 2000,
+    table_factory=None,
 ) -> tuple[int, int]:
     """Reference entry point A (SURVEY §3.1): the richest pipeline.
 
@@ -43,7 +60,7 @@ def bexio_invoice_replication(
     pages = rest.paginate_offset(transport, api_base, limit=page_limit)
     raw = rest.to_dataframe(spark, pages, schemas.BEXIO_INVOICE)
 
-    headers_tbl = ParquetTable(spark, warehouse_path)
+    headers_tbl = merge_table(spark, warehouse_path, table_factory)
     existing = (
         headers_tbl.read().select("u_id", "created_at", "bexio_id")
         if headers_tbl.exists()
@@ -94,7 +111,7 @@ def bexio_invoice_replication(
     # atomic swap invalidates outstanding plans over the old files
     # (ParquetTable docstring contract).
     n_headers, n_items = header_out.count(), items.count()
-    ParquetTable(spark, line_items_path).merge_upsert(
+    merge_table(spark, line_items_path, table_factory).merge_upsert(
         items, keys=["invoice_id", "position_id"]
     )
     headers_tbl.merge_upsert(header_out, keys=["bexio_id"])
@@ -106,6 +123,7 @@ def billwerk_contract_refresh(
     transport: rest.Transport,
     warehouse_path: str,
     api_base: str = "https://api.example/contracts",
+    table_factory=None,
 ) -> int:
     """Reference entry point B (SURVEY §3.2): keyset-paged snapshot (S3) →
     manual flatten with defaults (F23) + CustomFields→JSON (F25) → K2
@@ -125,8 +143,9 @@ def billwerk_contract_refresh(
         F.col("CustomFields").alias("custom_fields"),
     )
     flat = maps_to_json(flat, ["custom_fields"])
-    ParquetTable(spark, warehouse_path).overwrite(flat)
-    return flat.count()
+    n = flat.count()  # count BEFORE the swap invalidates lineage
+    merge_table(spark, warehouse_path, table_factory).overwrite(flat)
+    return n
 
 
 def billwerk_incremental_invoices(
@@ -136,6 +155,7 @@ def billwerk_incremental_invoices(
     watermark_path: str,
     api_base: str = "https://api.example/invoices",
     row_limit: int | None = None,
+    table_factory=None,
 ) -> int:
     """S4 incremental replication: resume from the persisted keyset
     watermark, merge the slice, advance the watermark only after the merge
@@ -150,7 +170,7 @@ def billwerk_incremental_invoices(
     if not rows:
         return 0
     batch = spark.createDataFrame(rows, "Id long, amount double, status string")
-    tbl = ParquetTable(spark, warehouse_path)
+    tbl = merge_table(spark, warehouse_path, table_factory)
     tbl.merge_upsert(batch.withColumnRenamed("Id", "invoice_id"), keys=["invoice_id"])
     ws.advance("billwerk_invoices", max(r["Id"] for r in rows))
     return len(rows)
@@ -165,6 +185,7 @@ def lexoffice_invoice_items(
     page_size: int = 250,
     fanout_parallelism: int = 5,
     dead_letter_path: str | None = None,
+    table_factory=None,
 ) -> int:
     """LexOffice pipeline family (SURVEY §2.1 S2 + S7, §2.9 F22/F23):
     page-flag voucher list scan → per-invoice detail fan-out (mapInPandas,
@@ -215,7 +236,7 @@ def lexoffice_invoice_items(
         F.col("lineItemAmount").alias("amount"),
     )
     n = items.count()
-    ParquetTable(spark, warehouse_path).merge_upsert(
+    merge_table(spark, warehouse_path, table_factory).merge_upsert(
         items, keys=["invoice_id", "line_id"]
     )
     return n
@@ -226,6 +247,7 @@ def stripe_account_rollup(
     transport: rest.Transport,
     warehouse_path: str,
     api_base: str = "https://api.example/balance_transactions",
+    table_factory=None,
 ) -> DataFrame:
     """Stripe accounts pipeline (SURVEY A3 + S6 + K6): cursor-paged txn
     scan → per-account conditional rollup (balance/payout/volume — the
@@ -240,7 +262,7 @@ def stripe_account_rollup(
         F.sum(F.when(t == "payment", F.col("amount")).otherwise(0.0)).alias("volume"),
         F.max(F.expr("to_timestamp(from_unixtime(created))")).alias("last_txn_at"),
     )
-    ParquetTable(spark, warehouse_path).merge_upsert(rollup, keys=["account_id"])
+    merge_table(spark, warehouse_path, table_factory).merge_upsert(rollup, keys=["account_id"])
     return rollup
 
 
@@ -280,6 +302,7 @@ def validated_merge(
     keys: list[str],
     build_expectations,
     quarantine_path: str | None = None,
+    table_factory=None,
 ) -> dict[str, int]:
     """Quality-gated load: run declared expectations over the batch, merge
     only the rows that pass every row-local check, and append the
@@ -310,7 +333,7 @@ def validated_merge(
             bad.withColumn("quarantined_reason", F.lit("row_check")), keys
         )
     if n_good:
-        ParquetTable(spark, warehouse_path).merge_upsert(good, keys=keys)
+        merge_table(spark, warehouse_path, table_factory).merge_upsert(good, keys=keys)
     return {"merged": n_good, "quarantined": n_bad}
 
 
@@ -342,16 +365,22 @@ def erase_requested_keys(
     spark: SparkSession,
     requests_path: str,
     table_keys: dict[str, list[str]],
+    table_factory=ParquetTable,
 ) -> dict[str, int]:
     """GDPR erasure driver: apply the pending deletion-request table to
     every warehouse table that carries the key. ``table_keys`` maps table
     path -> key columns; the request set is read once and broadcast into
     each table's anti-join pass. Idempotent end to end (delete_matching),
-    so the daily run simply re-applies outstanding requests."""
+    so the daily run simply re-applies outstanding requests.
+
+    ``table_factory`` must match how the target tables were written:
+    ``ParquetTable`` (default — plain directories, full rewrite of matched
+    tables) or ``VersionedTable`` (commit-log tables, file-pruned erasure
+    that leaves non-overlapping files untouched — the 100 TB path)."""
     requests = ParquetTable(spark, requests_path).read()
     out = {}
     for path, keys in table_keys.items():
-        out[path] = ParquetTable(spark, path).delete_matching(requests, keys)
+        out[path] = table_factory(spark, path).delete_matching(requests, keys)
     return out
 
 

@@ -14,7 +14,7 @@ in ``functions.dedup`` / ``functions.similarity`` with pytest coverage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import register, tables
@@ -662,34 +662,95 @@ def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_scale.select("vec_id", "max_abs", q8, max_err)
 
 
-@register("x_ivf_topk", oracle=None)
+@register(
+    "x_ivf_topk",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(TRUE AS BOOLEAN) AS recall_ok
+FROM embeddings WHERE vec_id % 25 = 0
+""",
+)
 def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN search (functions.similarity.ivf_topk): corpus bucketed into
-    coarse cells, each query probes its nearest cells only — per-query cost
-    corpus/n_cells × n_probe instead of corpus. Approximate by design, so
-    rows-only here; recall vs the brute-force oracle is pinned in
-    test_functions.py. Queries = every 25th vector, k=5, 2-cell probe."""
-    from ..functions.similarity import ivf_topk
+    """IVF ANN search over KMeans coarse cells (functions.similarity.
+    kmeans_ivf_index + ivf_topk): each query scores only its 3 nearest of
+    8 cells — per-query cost corpus × n_probe/n_cells instead of corpus.
+    Queries = every 25th vector, k=5.
+
+    Approximate by design, so the hash-checkable contract is a recall
+    BOUND, not the hit list: the query itself recomputes the exact
+    brute-force top-k per query point (the sampled recall-audit you'd run
+    at scale too) and emits one row asserting mean recall@5 across the
+    query set ≥ 0.5 (empirically ~0.76-0.81 on the synthetic corpus —
+    these vectors are near-uniform, the hardest case for coarse
+    quantization; 3/8 cells probed alone would predict 0.375). A recall
+    regression is a hard hash mismatch, not a silent quality drop.
+    Per-configuration recall curves are additionally pinned in
+    test_functions.py."""
+    from ..functions.similarity import cosine, ivf_topk, kmeans_ivf_index
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+    indexed = kmeans_ivf_index(emb, n_cells=8, seed=42)
+    queries = indexed.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return ivf_topk(emb, queries, k=5, n_probe=2)
+    k = 5
+    ivf = ivf_topk(indexed, queries, k=k, n_probe=3, centroid_col="ivf_cell")
+    q = queries.select("query_id", F.col("embedding").alias("qv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .withColumn("cosine", cosine("embedding", "qv"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        ivf.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_query = queries.select("query_id").join(hits, "query_id", "left").select(
+        "query_id", (F.coalesce(F.col("n_hits"), F.lit(0)) / k).alias("recall")
+    )
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg("recall") >= 0.5).alias("recall_ok"),
+    )
 
 
-@register("x_approx_distinct", oracle=None)
+@register(
+    "x_approx_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(TRUE AS BOOLEAN) AS approx_ok
+FROM events GROUP BY event_type
+""",
+)
 def x_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct users per event type — the
     constant-memory cardinality sketch for 100 TB streams where exact
-    distinct would shuffle every key. Rows-only check: sketch estimates
-    are engine-specific by nature (DuckDB's approx_count_distinct uses a
-    different HLL construction), so there is no cross-engine oracle; the
-    pytest suite bounds the estimate against the exact count instead."""
+    distinct would shuffle every key.
+
+    Sketch estimates are engine-specific by nature (DuckDB's
+    approx_count_distinct uses a different HLL construction), so the raw
+    estimate can't cross-check; the hash-checkable contract is an error
+    BOUND instead: the query also computes the exact per-group distinct
+    (the sampled audit you'd run at scale) and asserts the HLL estimate
+    lands within 3× the configured rsd (2% → 6%). An estimator
+    regression is a hard hash mismatch, not a silent accuracy drop."""
     (e,) = tables(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.06 * F.col("exact_users")
+        ).alias("approx_ok"),
     )
 
 

@@ -862,23 +862,28 @@ def n_array_head_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "n_flatten_structs",
+    "n_flatten_serialize",
     oracle="""
-SELECT c_custkey,
+SELECT c.c_custkey,
        c_name AS info_name,
        n_name AS info_geo_nation,
-       r_name AS info_geo_region
-FROM customer
+       r_name AS info_geo_region,
+       '{"segment":"' || c_mktsegment || '","nation_key":' || CAST(c_nationkey AS VARCHAR) || '}'
+         AS custom_fields
+FROM customer c
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 """,
 )
-def n_flatten_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def n_flatten_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F24 recursive struct flattening to dotted names (reference
-    pd.json_normalize(max_level=N), churn_reasons.py:68, stripe_charges.py:62):
-    build the nested doc, flatten with the engine op, verify against the
-    flat join. Separator is '_' here (not the reference's literal '.')
-    purely so downstream column references never need backtick-quoting;
+    pd.json_normalize(max_level=N), churn_reasons.py:68, stripe_charges.py:62)
+    + F25 property-bag serialization (reference json.dumps(CustomFields),
+    dags/billwerk/biilwerk_contracts.py:167): build the nested doc, flatten
+    with the engine op, and serialize the property bag back to a JSON string
+    at the sink boundary — the nest→flatten→serialize round trip in one
+    oracle-checked query. Separator is '_' here (not the reference's literal
+    '.') purely so downstream column references never need backtick-quoting;
     flatten_structs defaults to '.' for reference fidelity."""
     c, n, r = tables(spark, sf_dir, "customer", "nation", "region")
     nested = (
@@ -892,34 +897,15 @@ def n_flatten_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_name").alias("nation"), F.col("r_name").alias("region")
                 ).alias("geo"),
             ).alias("info"),
+            F.to_json(
+                F.struct(
+                    F.col("c_mktsegment").alias("segment"),
+                    F.col("c_nationkey").alias("nation_key"),
+                )
+            ).alias("custom_fields"),
         )
     )
     return flatten_structs(nested, sep="_")
-
-
-@register(
-    "n_map_to_json",
-    oracle="""
-SELECT c_custkey,
-       '{"segment":"' || c_mktsegment || '","nation_key":' || CAST(c_nationkey AS VARCHAR) || '}'
-         AS custom_fields
-FROM customer
-""",
-)
-def n_map_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F25 property-bag serialization (reference json.dumps(CustomFields),
-    dags/billwerk/biilwerk_contracts.py:167): struct → JSON string at the
-    sink boundary."""
-    (c,) = tables(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.to_json(
-            F.struct(
-                F.col("c_mktsegment").alias("segment"),
-                F.col("c_nationkey").alias("nation_key"),
-            )
-        ).alias("custom_fields"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1000,50 +986,34 @@ def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "f_json_parse",
-    oracle="""
-SELECT event_id,
-       CAST(props::JSON->>'k' AS INTEGER) AS prop_k,
-       CASE WHEN CAST(props::JSON->>'k' AS INTEGER) > 50 THEN 'high' ELSE 'low' END AS k_band
-FROM events
-""",
-)
-def f_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON payload parsing with an explicit schema (the engine's
-    schema-on-read path for API payloads — the reference json.loads()es
-    everything driver-side; here from_json runs JVM-side inside codegen,
-    and the schema contract is declared, SURVEY §1.3)."""
-    (e,) = tables(spark, sf_dir, "events")
-    parsed = e.select(
-        "event_id", F.from_json("props", "k int").alias("p")
-    )
-    return parsed.select(
-        "event_id",
-        F.col("p.k").alias("prop_k"),
-        F.when(F.col("p.k") > 50, "high").otherwise("low").alias("k_band"),
-    )
-
-
-@register(
-    "f_timestamp_functions",
+    "f_timestamp_json",
     oracle="""
 SELECT event_id,
        epoch_us(ts) AS unix_micros,
        CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS unix_seconds,
        make_timestamp(epoch_us(ts)) AS ts_roundtrip,
-       CAST(hour(ts) AS INT) AS event_hour
+       CAST(hour(ts) AS INT) AS event_hour,
+       CAST(props::JSON->>'k' AS INTEGER) AS prop_k,
+       CASE WHEN CAST(props::JSON->>'k' AS INTEGER) > 50 THEN 'high' ELSE 'low' END AS k_band
 FROM events
 """,
 )
-def f_timestamp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def f_timestamp_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9/F10 epoch conversions (reference unix-microseconds parser,
     bexio_invoice_and_line_items_de.py:96-100; epoch-seconds,
-    stripe/account.py:120): micros → timestamp round trip both ways."""
+    stripe/account.py:120): micros → timestamp round trip both ways.
+    Plus JSON payload parsing with an explicit schema (the engine's
+    schema-on-read path for API payloads — the reference json.loads()es
+    everything driver-side; here from_json runs JVM-side inside codegen,
+    and the schema contract is declared, SURVEY §1.3)."""
     (e,) = tables(spark, sf_dir, "events")
-    return e.select(
+    parsed = e.select("event_id", "ts", F.from_json("props", "k int").alias("p"))
+    return parsed.select(
         "event_id",
         F.unix_micros("ts").alias("unix_micros"),
         F.floor(F.unix_micros("ts") / 1_000_000).cast("long").alias("unix_seconds"),
         F.timestamp_micros(F.unix_micros("ts")).alias("ts_roundtrip"),
         F.hour("ts").alias("event_hour"),
+        F.col("p.k").alias("prop_k"),
+        F.when(F.col("p.k") > 50, "high").otherwise("low").alias("k_band"),
     )

@@ -40,6 +40,11 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     # Deterministic session timezone so timestamp rendering matches the
     # DuckDB oracle regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
+    # Spark's default parquet timestamp layout is legacy INT96, which other
+    # readers (and our own footer sniffer) can't distinguish from
+    # TIMESTAMP(NANOS). Write standard INT64 micros — what the testdata's
+    # own micros generation uses and what DuckDB/Arrow read natively.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
@@ -73,6 +78,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.session.timeZone",
+        "spark.sql.parquet.outputTimestampType",
     ):
         try:
             spark.conf.set(k, _LOCAL_DEFAULTS[k])

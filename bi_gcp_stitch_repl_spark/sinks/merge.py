@@ -153,14 +153,18 @@ class ParquetTable:
         if not self.exists():
             return 0
         existing = self.read()
-        before = existing.count()
         rhs = keys_df.select(*keys).distinct()
         if broadcast_keys:
             rhs = F.broadcast(rhs)
-        survivors = existing.join(rhs, on=keys, how="left_anti")
-        survivors = survivors.localCheckpoint(eager=True)  # count+write, one pass
-        removed = before - survivors.count()
+        # Count via a key-column-pruned semi join first (the scan reads ONLY
+        # the key columns thanks to parquet column pruning), then rewrite
+        # with the anti join only when something actually matched. Two cheap
+        # passes instead of materializing the survivor set to executor disk
+        # (localCheckpoint) — which at 100 TB would write the whole surviving
+        # table TWICE (checkpoint + staged parquet).
+        removed = existing.join(rhs, on=keys, how="left_semi").count()
         if removed:
+            survivors = existing.join(rhs, on=keys, how="left_anti")
             self._staged_write(survivors)
         return removed
 

@@ -369,6 +369,39 @@ class VersionedTable:
         self._commit(self._next_version(), adds + removes)
         return self._versions()[-1]
 
+    def delete_matching(self, keys_df: DataFrame, keys: list[str]) -> int:
+        """Hard-delete every row whose key appears in ``keys_df`` (GDPR
+        erasure) with the same file pruning as ``merge_upsert``: files
+        whose logged ``keys[0]`` [min,max] can't contain a requested key
+        are left physically untouched, so on a key-clustered table the
+        erasure cost tracks the affected files, not the table. One atomic
+        add+remove commit; idempotent (re-running with the same request
+        set is a no-op commit-free pass). Returns rows removed."""
+        if not self.exists():
+            return 0
+        base = self.latest_version()
+        all_files = self.files_at(base)
+        touched = all_files
+        key0 = keys[0]
+        rhs = keys_df.select(*keys).distinct()
+        bounds = rhs.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).collect()[0]
+        if bounds["lo"] is not None and isinstance(bounds["lo"], (int, float, str)):
+            pruned = set(self.prune_files({key0: (bounds["lo"], bounds["hi"])}, base))
+            touched = [f for f in all_files if f in pruned]
+        if not touched:
+            return 0
+        existing = self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in touched]
+        )
+        removed = existing.join(F.broadcast(rhs), on=keys, how="left_semi").count()
+        if not removed:
+            return 0
+        survivors = existing.join(F.broadcast(rhs), on=keys, how="left_anti")
+        removes = [{"remove": f} for f in touched]
+        adds = [{"add": n, "stats": st} for n, st in self._write_parts(survivors)]
+        self._commit(self._next_version(), adds + removes)
+        return removed
+
     def optimize(
         self,
         target_files: int = 8,

@@ -18,6 +18,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def fetch_sheet_values(
+    transport,
+    spreadsheet_id: str,
+    range_a1: str,
+    api_base: str = "https://sheets.googleapis.com/v4/spreadsheets",
+) -> list[list[str]]:
+    """Fetch a rectangular values matrix from the Google Sheets API v4
+    ``values.get`` endpoint — the public-REST equivalent of the reference's
+    ``gspread.worksheet(...).get_all_values()``
+    (``dags/key_accounts/active_orgs.py:25-39``).
+
+    ``transport`` is the same injectable ``(url, params) -> parsed JSON``
+    seam as the REST sources: production passes
+    ``http_transport.HttpTransport(auth=BearerTokenAuth(<service token>))``
+    (Sheets accepts standard OAuth bearer tokens), tests pass a fixture.
+    Returns ``[]`` for an empty range — mirror the API, let
+    ``sheet_to_dataframe`` raise on genuinely empty input."""
+    resp = transport(
+        f"{api_base}/{spreadsheet_id}/values/{range_a1}",
+        {"majorDimension": "ROWS"},
+    )
+    return resp.get("values", [])
+
+
+def sheet_source(
+    spark: SparkSession,
+    transport,
+    spreadsheet_id: str,
+    range_a1: str,
+    api_base: str = "https://sheets.googleapis.com/v4/spreadsheets",
+    **layout,
+) -> DataFrame:
+    """S10 end to end: API fetch + header-promotion/slicing layout rules
+    (``sheet_to_dataframe`` kwargs: header_row, data_start/end, col_slice,
+    drop_empty_cols)."""
+    values = fetch_sheet_values(transport, spreadsheet_id, range_a1, api_base)
+    return sheet_to_dataframe(spark, values, **layout)
+
+
 def _clean_header(name: str, idx: int) -> str:
     name = (name or "").strip()
     return name if name else f"_c{idx}"

@@ -122,8 +122,17 @@ class Warehouse:
         join that runs daily (pay the shuffle once at ingest, never at
         query). ``sort_cols`` additionally sorts within buckets so
         sort-merge joins skip the sort. Bucketing requires the session
-        catalog (``saveAsTable``), not a bare path."""
-        writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+        catalog (``saveAsTable``), not a bare path — but the data lands
+        under THIS warehouse's root (external-table location), never the
+        session-global ``spark-warehouse/`` dir, so two Warehouse
+        instances (or a crashed previous run) can't collide on stale
+        managed-table locations."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        writer = (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(self.root, table))
+            .bucketBy(n_buckets, *bucket_cols)
+        )
         if sort_cols:
             writer = writer.sortBy(*sort_cols)
         writer.saveAsTable(table)

@@ -22,10 +22,23 @@ from pyspark.sql import functions as F
 def events_stream(
     spark: SparkSession, path: str, schema=None
 ) -> DataFrame:
-    """File-source stream over an events directory (parquet). For the
-    driver's nanosecond-timestamp fixture, pass the long-typed schema and
-    the micros conversion happens here, mirroring queries.catalog.tables."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over an events directory (parquet), normalizing
+    ``ts`` to TIMESTAMP (LTZ) whichever parquet generation the fixture
+    carries — the same footer sniff as ``queries.catalog.tables`` (the
+    driver has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)):
+
+    - nanos parquet → read long (nanosAsLong) → ``timestamp_micros(div 1000)``
+    - micros parquet read through a long-typed schema → raw micros int64 →
+      ``timestamp_micros(ts)`` (dividing by 1000 here would silently yield
+      1970-era values — worse than an error)
+    - micros parquet read natively → TIMESTAMP_NTZ → value-preserving cast
+      under the pinned UTC session TZ
+    """
+    from ..queries.catalog import _events_ts_is_nanos
+
+    nanos = _events_ts_is_nanos(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream
     if schema is not None:
         reader = reader.schema(schema)
@@ -37,8 +50,12 @@ def events_stream(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     df = reader.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        expr = "timestamp_micros(ts div 1000)" if nanos else "timestamp_micros(ts)"
+        df = df.withColumn("ts", F.expr(expr))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -8,6 +8,13 @@ from pyspark.sql import Row
 
 from bi_gcp_stitch_repl_spark.jobs import pipelines
 from bi_gcp_stitch_repl_spark.sinks.merge import ParquetTable
+from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+
+def read_merged(spark, path):
+    """Jobs default their merge targets to the commit-log VersionedTable
+    (pipelines.merge_table); reads go through its snapshot view."""
+    return VersionedTable(spark, path).read()
 
 
 def bexio_transport(invoices):
@@ -48,7 +55,7 @@ def test_bexio_pipeline_end_to_end_and_idempotent(spark, tmp_path):
         spark, bexio_transport(invoices), wh, li, page_limit=2
     )
     assert (n_h, n_i) == (5, 10)
-    headers = ParquetTable(spark, wh).read()
+    headers = read_merged(spark, wh)
     assert headers.count() == 5
     first = {r["bexio_id"]: r for r in headers.collect()}
     assert first[1]["title"] == "inv 1"  # newline normalized
@@ -58,13 +65,13 @@ def test_bexio_pipeline_end_to_end_and_idempotent(spark, tmp_path):
     # re-run with one updated + one new invoice: upsert, keys carried
     invoices2 = [make_invoice(1, total="222.00")] + [make_invoice(9)]
     pipelines.bexio_invoice_replication(spark, bexio_transport(invoices2), wh, li, page_limit=2)
-    after = {r["bexio_id"]: r for r in ParquetTable(spark, wh).read().collect()}
+    after = {r["bexio_id"]: r for r in read_merged(spark, wh).collect()}
     assert len(after) == 6
     assert after[1]["total"] == 222.0            # updated
     assert after[1]["u_id"] == first[1]["u_id"]  # surrogate key carried (J1)
     assert after[2]["total"] == 100.0            # untouched survivor
 
-    items = ParquetTable(spark, li).read()
+    items = read_merged(spark, li)
     assert items.count() == 12
     disc = items.filter("type = 'KbPositionDiscount'").collect()
     assert all(r["discount_amount"] == r["unit_price"] for r in disc)
@@ -104,7 +111,7 @@ def test_billwerk_contract_refresh_flattens_with_defaults(spark, tmp_path):
     wh = str(tmp_path / "contracts")
     n = pipelines.billwerk_contract_refresh(spark, billwerk_keyset_transport(rows), wh)
     assert n == 2
-    got = {r["contract_id"]: r for r in ParquetTable(spark, wh).read().collect()}
+    got = {r["contract_id"]: r for r in read_merged(spark, wh).collect()}
     assert got["c1"]["payment_email"] == "a@b.c"
     assert got["c2"]["payment_email"] == ""      # default, not NULL
     assert got["c2"]["quantity"] == 0
@@ -112,7 +119,7 @@ def test_billwerk_contract_refresh_flattens_with_defaults(spark, tmp_path):
 
     # refresh is truncate semantics: second run with fewer rows shrinks
     pipelines.billwerk_contract_refresh(spark, billwerk_keyset_transport(rows[:1]), wh)
-    assert ParquetTable(spark, wh).read().count() == 1
+    assert read_merged(spark, wh).count() == 1
 
 
 def test_billwerk_incremental_watermark_cycle(spark, tmp_path):
@@ -129,7 +136,7 @@ def test_billwerk_incremental_watermark_cycle(spark, tmp_path):
         spark, billwerk_keyset_transport(all_rows), wh, wm
     )
     assert n2 == 10
-    assert ParquetTable(spark, wh).read().count() == 20
+    assert read_merged(spark, wh).count() == 20
     # nothing new → no-op
     n3 = pipelines.billwerk_incremental_invoices(
         spark, billwerk_keyset_transport(all_rows), wh, wm
@@ -159,7 +166,7 @@ def test_stripe_account_rollup(spark, tmp_path):
     ]
     wh = str(tmp_path / "accounts")
     pipelines.stripe_account_rollup(spark, stripe_transport(rows), wh)
-    got = {r["account_id"]: r for r in ParquetTable(spark, wh).read().collect()}
+    got = {r["account_id"]: r for r in read_merged(spark, wh).collect()}
     assert got["A"]["volume"] == 100.0 and got["A"]["payout"] == -40.0
     assert got["A"]["balance"] == 10.0 and got["B"]["balance"] == 5.0
 
@@ -239,7 +246,7 @@ def test_lexoffice_pipeline_fanout_and_nested(spark, tmp_path):
     n = pipelines.lexoffice_invoice_items(
         spark, list_t, detail_t, wh, page_size=6, fanout_parallelism=3
     )
-    items = ParquetTable(spark, wh).read()
+    items = read_merged(spark, wh)
     # 20 vouchers: 13 invoices (i%3!=0), minus archived (i%5==0 → 5,10 among
     # invoices) minus failed fetch v7 → each surviving invoice has 2 lines
     survivors = [
@@ -294,7 +301,7 @@ def test_validated_merge_quarantines_bad_rows_and_is_idempotent(spark, tmp_path)
 
     out = validated_merge(spark, batch, wh, ["id"], suite, quarantine_path=qr)
     assert out == {"merged": 2, "quarantined": 2}
-    assert {r["id"] for r in ParquetTable(spark, wh).read().collect()} == {1, 4}
+    assert {r["id"] for r in read_merged(spark, wh).collect()} == {1, 4}
     quarantined = ParquetTable(spark, qr).read()
     assert {r["id"] for r in quarantined.collect()} == {2, 3}
     assert quarantined.columns[-1] == "quarantined_reason"
@@ -302,7 +309,7 @@ def test_validated_merge_quarantines_bad_rows_and_is_idempotent(spark, tmp_path)
     # crash-retry: the same batch loads again with no duplication anywhere
     out2 = validated_merge(spark, batch, wh, ["id"], suite, quarantine_path=qr)
     assert out2 == {"merged": 2, "quarantined": 2}
-    assert ParquetTable(spark, wh).read().count() == 2
+    assert read_merged(spark, wh).count() == 2
     assert ParquetTable(spark, qr).read().count() == 2
 
 
@@ -430,3 +437,83 @@ def test_jobs_cli_runs_manifest_entry(spark, tmp_path):
     cfg.write_text(json.dumps({"table_paths": [tbl], "target_partitions": 2}))
     assert main(["warehouse_compact", "--config", str(cfg)]) == 0
     assert ParquetTable(spark, tbl).read().count() == 100
+
+
+def test_default_merge_is_file_pruned_at_job_level(spark, tmp_path):
+    """The job layer's default merge target (pipelines.merge_table →
+    VersionedTable) must rewrite O(batch) files, not the table: on a
+    key-clustered table, a small incremental slice's merge commit removes
+    a strict minority of files."""
+    all_rows = [{"Id": i, "amount": i * 1.0, "status": "open"} for i in range(1, 401)]
+    wh = str(tmp_path / "invoices")
+    wm = str(tmp_path / "wm.json")
+
+    pipelines.billwerk_incremental_invoices(
+        spark, billwerk_keyset_transport(all_rows[:360]), wh, wm
+    )
+    tbl = VersionedTable(spark, wh)
+    tbl.optimize(target_files=12, zorder_by=["invoice_id"])  # key-cluster
+    n_files_before = len(tbl.files_at())
+
+    # small delta: 40 new high-key rows → should touch at most the one
+    # file whose key range abuts the new keys, not all 12
+    pipelines.billwerk_incremental_invoices(
+        spark, billwerk_keyset_transport(all_rows), wh, wm
+    )
+    last_commit = tbl.latest_version()
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(wh, "_log", f"{last_commit:012d}.json")) as f:
+        actions = _json.load(f)["actions"]
+    removed = [a for a in actions if "remove" in a]
+    assert len(removed) <= 2, f"merge rewrote {len(removed)}/{n_files_before} files"
+    assert read_merged(spark, wh).count() == 400
+
+
+def test_jobs_accept_plain_parquet_table_factory(spark, tmp_path):
+    """table_factory=ParquetTable pins the single-directory baseline layout
+    (K1 full-rewrite semantics) for deployments that want plain parquet."""
+    all_rows = [{"Id": i, "amount": i * 1.0, "status": "open"} for i in range(1, 11)]
+    wh = str(tmp_path / "plain")
+    wm = str(tmp_path / "wm.json")
+    pipelines.billwerk_incremental_invoices(
+        spark, billwerk_keyset_transport(all_rows), wh, wm,
+        table_factory=ParquetTable,
+    )
+    assert ParquetTable(spark, wh).read().count() == 10
+
+
+def test_erase_requested_keys_versioned_is_file_pruned(spark, tmp_path):
+    """Erasure over commit-log tables: only files whose key range overlaps
+    the request set are rewritten; the rest survive physically untouched."""
+    import json as _json
+    import os as _os
+
+    t1, req = str(tmp_path / "orders_v"), str(tmp_path / "req")
+    tbl = VersionedTable(spark, t1)
+    tbl.append(
+        spark.createDataFrame(
+            [(u, i) for u in range(1, 101) for i in range(3)], "user_id long, n long"
+        )
+    )
+    tbl.optimize(target_files=10, zorder_by=["user_id"])
+    n_files = len(tbl.files_at())
+    ParquetTable(spark, req).overwrite(
+        spark.createDataFrame([(3,), (7,)], "user_id long")  # one key cluster
+    )
+    out = pipelines.erase_requested_keys(
+        spark, req, {t1: ["user_id"]}, table_factory=VersionedTable
+    )
+    assert out == {t1: 6}
+    assert tbl.read().count() == 294
+    with open(_os.path.join(t1, "_log", f"{tbl.latest_version():012d}.json")) as f:
+        actions = _json.load(f)["actions"]
+    rewritten = [a for a in actions if "remove" in a]
+    assert len(rewritten) < n_files / 2, f"rewrote {len(rewritten)}/{n_files}"
+    # idempotent: same requests again → nothing matches, no new commit
+    v = tbl.latest_version()
+    assert pipelines.erase_requested_keys(
+        spark, req, {t1: ["user_id"]}, table_factory=VersionedTable
+    ) == {t1: 0}
+    assert tbl.latest_version() == v
