@@ -147,7 +147,7 @@ def split_shard(
     from pyspark.sql import Window
 
     banded = df.select(
-        key_col,
+        "*",
         F.when(h_split % 100 < train_pct, "train")
         .when(h_split % 100 < train_pct + valid_pct, "valid")
         .otherwise("test")

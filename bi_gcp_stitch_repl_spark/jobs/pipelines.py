@@ -425,6 +425,53 @@ def incremental_dedup_ingest(
     return pairs
 
 
+def export_training_shards(
+    spark: SparkSession,
+    docs: DataFrame,
+    export_path: str,
+    key_col: str = "doc_id",
+    train_pct: int = 90,
+    valid_pct: int = 5,
+    n_shards: int = 8,
+) -> dict[str, int]:
+    """Training-data export: deterministic split/shard assignment
+    (functions.curation.split_shard) written as hive-partitioned parquet
+    ``export_path/split=<s>/shard=<k>/``, rows ordered by the
+    deterministic shuffle rank inside each shard.
+
+    Layout is the point at 100 TB: the trainer lists ONE split directory
+    (partition pruning — the eval sets never even enumerate), each shard
+    is an independently readable unit for data-parallel loaders, and the
+    within-file order is already randomized, so no reader-side shuffle
+    buffer is needed. The (split, shard) repartition is the only
+    shuffle, and it doubles as the write partitioning. Re-running the
+    export after the corpus grows keeps every previously-assigned
+    document in its split (pure-hash assignment) — eval stays
+    uncontaminated across refreshes. Returns rows per split.
+    """
+    from ..functions.curation import split_shard
+
+    assigned = split_shard(
+        docs,
+        key_col=key_col,
+        train_pct=train_pct,
+        valid_pct=valid_pct,
+        n_shards=n_shards,
+    )
+    (
+        assigned.repartition("split", "shard")
+        .sortWithinPartitions("split", "shard", "shuffle_rank")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(export_path)
+    )
+    out = spark.read.parquet(export_path)
+    return {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+
+
 def incremental_summary_refresh(
     spark: SparkSession,
     source_path: str,

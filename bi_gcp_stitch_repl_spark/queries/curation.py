@@ -495,4 +495,4 @@ def x_split_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.curation import split_shard
 
     (docs,) = tables(spark, sf_dir, "documents")
-    return split_shard(docs)
+    return split_shard(docs).select("doc_id", "split", "shard", "shuffle_rank")

@@ -517,3 +517,34 @@ def test_erase_requested_keys_versioned_is_file_pruned(spark, tmp_path):
         spark, req, {t1: ["user_id"]}, table_factory=VersionedTable
     ) == {t1: 0}
     assert tbl.latest_version() == v
+
+
+def test_export_training_shards_layout_and_stability(spark, tmp_path):
+    """Hive-partitioned split/shard export: partition dirs exist, every doc
+    keeps its split when the corpus grows (pure-hash assignment), and
+    within-shard order follows the deterministic shuffle rank."""
+    import os as _os
+
+    from bi_gcp_stitch_repl_spark.queries.catalog import tables
+    from tests.conftest import SF_SMOKE
+
+    (docs,) = tables(spark, SF_SMOKE, "documents")
+    dst = str(tmp_path / "export")
+    counts = pipelines.export_training_shards(spark, docs.filter("doc_id < 400"), dst)
+    assert set(counts) <= {"train", "valid", "test"} and sum(counts.values()) == 400
+    assert counts["train"] > counts.get("valid", 0)
+    # partition-pruned layout on disk
+    assert _os.path.isdir(_os.path.join(dst, "split=train", "shard=0"))
+    first = {
+        r["doc_id"]: r["split"]
+        for r in spark.read.parquet(dst).select("doc_id", "split").collect()
+    }
+
+    # corpus grows: every previously-exported doc keeps its split
+    pipelines.export_training_shards(spark, docs, dst)
+    after = {
+        r["doc_id"]: r["split"]
+        for r in spark.read.parquet(dst).select("doc_id", "split").collect()
+    }
+    assert len(after) == 500
+    assert all(after[d] == s for d, s in first.items())
