@@ -154,6 +154,10 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
             if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+                # the NTZ→LTZ cast is value-preserving ONLY under UTC; pin
+                # it here because an external driver's session (not built
+                # by session.get_spark) may carry a host timezone
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         out.append(df)
     return out

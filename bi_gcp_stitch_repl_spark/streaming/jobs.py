@@ -55,6 +55,8 @@ def events_stream(
         expr = "timestamp_micros(ts div 1000)" if nanos else "timestamp_micros(ts)"
         df = df.withColumn("ts", F.expr(expr))
     elif ts_type == "timestamp_ntz":
+        # value-preserving only under UTC — pin it (catalog.tables rule)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
