@@ -204,3 +204,62 @@ def test_connected_components_no_edges(spark):
         for r in connected_components(edges_df, nodes=nodes_df).collect()
     }
     assert got == {i: i for i in range(5)}
+
+
+def test_scd2_intervals_agree_with_asof_join(spark):
+    """Cross-operator invariant: SCD2 materialization and the as-of join
+    are the two halves of one point-in-time story — for any probe instant,
+    the interval containing the probe must name exactly the event the
+    as-of join attaches. Probes sit 1 µs after each event so no probe ties
+    an event timestamp (tie semantics differ by design: inclusive as-of vs
+    half-open intervals)."""
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.ops.asof import asof_join
+    from bi_gcp_stitch_repl_spark.queries import catalog
+    from tests.conftest import SF_SMOKE
+
+    (e,) = catalog.tables(spark, SF_SMOKE, "events")
+    scd2 = catalog.queries()["x_scd2_intervals"](spark, SF_SMOKE)
+
+    probes = e.filter("event_id % 7 = 0").select(
+        "user_id",
+        F.col("event_id").alias("probe_id"),
+        (F.col("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("probe_ts"),
+    )
+    states = e.select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("status")
+    )
+    via_asof = asof_join(
+        probes,
+        states,
+        on=["user_id"],
+        left_ts="probe_ts",
+        right_ts="ts",
+        payload={"asof_status": "status", "asof_event": "event_id"},
+        right_tiebreak="event_id",
+    ).select("user_id", "probe_id", "probe_ts", "asof_status", "asof_event")
+
+    via_interval = (
+        probes.join(scd2, "user_id")
+        .filter(
+            (F.col("valid_from") <= F.col("probe_ts"))
+            & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to")))
+        )
+        .select(
+            "user_id",
+            "probe_id",
+            F.col("status").alias("int_status"),
+            F.col("event_id").alias("int_event"),
+        )
+    )
+
+    n_probes = probes.count()
+    assert via_interval.count() == n_probes  # every probe has exactly one interval
+    joined = via_asof.join(via_interval, ["user_id", "probe_id"])
+    assert joined.count() == n_probes
+    mismatches = joined.filter(
+        (F.col("asof_event") != F.col("int_event"))
+        | (F.col("asof_status") != F.col("int_status"))
+    )
+    assert mismatches.count() == 0, mismatches.take(5)
