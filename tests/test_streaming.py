@@ -61,7 +61,12 @@ def test_tumbling_counts_stream_matches_batch(spark, tmp_path):
     assert got == expect
 
 
-def test_session_counts_stream_runs(spark, tmp_path):
+def test_session_counts_stream_matches_batch(spark, tmp_path):
+    """Native streaming session_window must reproduce the batch
+    gaps-and-islands sessionization exactly: same (user, start, last-event,
+    count) multiset, where session_window's end = last event ts + gap."""
+    from bi_gcp_stitch_repl_spark.queries.catalog import queries
+
     events = jobs.events_stream(spark, f"{SF_SMOKE}/events.parquet", EVENTS_SCHEMA)
     run_available_now(jobs.session_counts(events), tmp_path, "sessions")
     rows = spark.sql("select * from sessions").collect()
@@ -69,6 +74,20 @@ def test_session_counts_stream_runs(spark, tmp_path):
     assert all(r["session_end"] >= r["session_start"] for r in rows)
     # every event lands in exactly one session
     assert sum(r["n_events"] for r in rows) == 1000
+
+    import datetime
+
+    gap = datetime.timedelta(minutes=30)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"] - gap, r["n_events"])
+        for r in rows
+    }
+    batch = queries()["st_session_windows"](spark, SF_SMOKE).collect()
+    expect = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch
+    }
+    assert got == expect
 
 
 def test_incremental_merge_stream_replicates_and_is_idempotent(spark, tmp_path):
