@@ -126,8 +126,15 @@ def minhash_lsh_pairs(
     rows; pairs sharing any band signature are candidates. Tune
     (n_perm, n_bands) for the target Jaccard threshold:
     P(candidate) = 1 - (1 - J^(n_perm/n_bands))^n_bands.
+
+    The ``repartition`` on the join key puts a shuffle boundary under the
+    self-join, so the expensive shingle→minhash pipeline runs ONCE: the two
+    sides are canonically identical exchanges, which the non-AQE planner
+    folds into a ReusedExchange and AQE satisfies from its runtime stage
+    cache (the second side's scan+hash+shuffle stages show as SKIPPED).
     """
     bands = minhash_bands(docs, text_col, id_col, n_gram, n_perm, n_bands)
+    bands = bands.repartition("band", "sig")
     return _band_pairs(bands, bands, id_col)
 
 
