@@ -211,22 +211,27 @@ FROM days d
 )
 def x_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU + trailing-7-day WAU per day. The (user, day) distinct grid is
-    the only event-scale pass; the rolling distinct count is a range join
-    of that grid against the O(days) day dimension — broadcast by size, so
-    the grid streams map-side and the distinct lands on (day, user). A
-    window can't express rolling COUNT DISTINCT; this join shape is the
-    scalable idiom for it."""
+    the only event-scale pass. A window can't express rolling COUNT
+    DISTINCT; the scalable idiom is to EXPLODE each activity day into the
+    7 report days it covers (a fixed 7× map-side fan-out, whole-stage
+    codegen) and hash-aggregate the distinct on (day, user) — cost is
+    7×|grid| rows shuffled on an equi key, independent of the calendar
+    length. The range-join formulation (grid × day dimension) plans a
+    BroadcastNestedLoopJoin whose per-row cost grows with |days| — fine
+    for one month, quadratic creep over years of history. The final inner
+    join with the observed-day set trims the explode's 6-day overhang past
+    each activity day."""
     (e,) = tables(spark, sf_dir, "events")
     daily = e.select(
         F.col("ts").cast("date").alias("day"), "user_id"
     ).distinct()
     days = daily.select("day").distinct()
     dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    grid = days.join(
-        daily.select(F.col("day").alias("act_day"), "user_id"),
-        (F.col("act_day") >= F.date_sub("day", 6)) & (F.col("act_day") <= F.col("day")),
+    covered = daily.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"),
+        "user_id",
     )
-    wau = grid.groupBy("day").agg(
+    wau = covered.groupBy("day").agg(
         F.countDistinct("user_id").alias("wau_trailing7")
     )
     return days.join(dau, "day").join(wau, "day").select("day", "dau", "wau_trailing7")

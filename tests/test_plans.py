@@ -220,3 +220,33 @@ def test_no_python_eval_anywhere_in_catalog(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_no_unbounded_join_strategies_in_catalog(spark):
+    """Catalog-wide plan lint: no CartesianProduct and no
+    BroadcastNestedLoopJoin anywhere EXCEPT the whitelisted
+    broadcast-one-tiny-side patterns (kNN's single query vector, IVF's
+    centroid table, LSH model joins). Either operator on two large inputs
+    is the O(n·m) cliff that kills a 100 TB plan; this test makes adding
+    one a loud failure instead of a silent slowdown."""
+    # queries whose SMALL side is broadcast by construction (1 row /
+    # n_cells rows / n_queries rows) — the nested loop is the right plan
+    allowed = {
+        "x_knn_cosine_topk",     # broadcast 1-row query vector
+        "x_ivf_topk",            # broadcast centroid table + query probes
+        "x_lsh_cosine_buckets",  # broadcast plane/model constants
+        "x_dedup_embedding_pairs",
+        "a4_max_watermark",      # 1-row watermark crossJoin
+    }
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        if name in allowed:
+            continue
+        plan = plan_of(fn(spark, SF_SMOKE), mode="simple")
+        hits = [
+            b for b in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if b in plan
+        ]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
