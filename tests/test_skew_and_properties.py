@@ -123,3 +123,68 @@ def test_zorder_layout_roundtrip_and_pruning_safety(
         .collect()
     )
     assert sorted((r["a"], r["b"]) for r in got) == expect
+
+
+# -- model-based as-of join semantics -----------------------------------------
+
+# tiny key/ts domains so equal-timestamp ties across sides occur often —
+# the tie rule is exactly what a naive model gets wrong
+asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 15)),  # (key, probe_ts)
+    min_size=0,
+    max_size=20,
+)
+asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 15), st.integers(0, 99)),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda t: (t[0], t[1], t[2]),  # (key, ts, payload-ish id)
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=asof_left, right=asof_right)
+def test_asof_join_matches_sorted_scan_model(spark, left, right):
+    """asof_join ≡ the obvious per-row model (most recent right row
+    at-or-before, ties broken by the tiebreak column) for arbitrary key
+    overlap, duplicate timestamps, and empty sides."""
+    from bi_gcp_stitch_repl_spark.ops.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)] or [(None, None, None)],
+        "k long, ts long, lid long",
+    ).filter("lid is not null")
+    # unique per (k, ts, rid) by construction; rid is the right tiebreak
+    rdf = spark.createDataFrame(
+        [(k, t, r) for (k, t, r) in right] or [(None, None, None)],
+        "k long, ts long, rid long",
+    ).filter("rid is not null")
+
+    got = {
+        (r["lid"], r["match"])
+        for r in asof_join(
+            ldf,
+            rdf,
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            payload={"match": "rid"},
+            left_tiebreak="lid",
+            right_tiebreak="rid",
+        ).collect()
+    }
+
+    # documented contract: right matches when its (ts, tiebreak) <= the
+    # left's (ts, tiebreak), compared lexicographically; latest match wins
+    expect = set()
+    for i, (k, t) in enumerate(left):
+        candidates = [
+            (rt, rid) for (rk, rt, rid) in right if rk == k and (rt, rid) <= (t, i)
+        ]
+        best = max(candidates) if candidates else None
+        expect.add((i, best[1] if best else None))
+    assert got == expect
