@@ -1009,3 +1009,31 @@ def x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
     )
+
+
+@register(
+    "x_frame_sample_plan",
+    oracle="""
+SELECT doc_id AS media_id, CAST(i * 2.5 AS DOUBLE) AS sample_ts
+FROM (SELECT doc_id, n_chars / 100.0 AS duration_sec FROM documents),
+     LATERAL UNNEST(generate_series(0, CAST(floor(duration_sec / 2.5) AS INT))) AS t(i)
+""",
+)
+def x_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (functions.multimodal.frame_sample_plan):
+    one row per (media, sample timestamp), every 2.5 s across each clip's
+    duration — the Catalyst-side half of frame extraction. The plan rows
+    are tiny, so the shuffle that balances the downstream mapInPandas
+    decode happens on (id, ts) pairs, never on video bytes; at 100 TB of
+    video that ordering is the difference between shuffling kilobytes and
+    shuffling the corpus. Duration here is synthesized from n_chars
+    (documents stand in for clip metadata); the real pipeline reads it
+    from attach_payload_meta."""
+    from ..functions.multimodal import frame_sample_plan
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") / 100.0).alias("duration_sec"),
+    )
+    return frame_sample_plan(media, every_n_seconds=2.5, id_col="media_id")
