@@ -110,12 +110,19 @@ class ParquetTable:
         batch: DataFrame,
         keys: list[str],
         broadcast_batch: bool = True,
+        schema_evolution: bool = False,
     ) -> None:
         """K1/K6 delete+insert upsert: rows in ``batch`` replace existing rows
         with the same key; all other existing rows survive.
 
         Equivalent to ``MERGE INTO t USING b ON t.k=b.k WHEN MATCHED THEN
         UPDATE * WHEN NOT MATCHED THEN INSERT *``.
+
+        ``schema_evolution=True`` accepts a batch with added/removed columns
+        (union takes the superset, missing sides fill NULL); since this
+        table rewrites fully on merge, the result is immediately
+        homogeneous. Default False: a column typo should fail loudly, not
+        fork the schema.
 
         Contract: the swap invalidates any OUTSTANDING DataFrame whose
         lineage reads this table (their plans reference the pre-swap part
@@ -129,7 +136,7 @@ class ParquetTable:
         existing = self.read()
         anti_rhs = F.broadcast(batch) if broadcast_batch else batch
         survivors = existing.join(anti_rhs.select(*keys), on=keys, how="left_anti")
-        merged = survivors.unionByName(batch)
+        merged = survivors.unionByName(batch, allowMissingColumns=schema_evolution)
         self._staged_write(merged)
 
     def delete_matching(

@@ -178,6 +178,19 @@ class VersionedTable:
                 out.append(fname)
         return out
 
+    def _schema_evolved(self, version: int | None = None) -> bool:
+        """True when any commit at-or-before ``version`` recorded a schema
+        evolution (merge with added/removed columns) — readers then pay the
+        mergeSchema footer pass; homogeneous tables never do."""
+        for v in self._versions():
+            if version is not None and v > version:
+                break
+            with open(os.path.join(self.log_path, f"{v:012d}.json")) as f:
+                for action in json.load(f)["actions"]:
+                    if action.get("meta", {}).get("schema_evolved"):
+                        return True
+        return False
+
     def read(
         self, version: int | None = None, where: dict[str, tuple] | None = None
     ) -> DataFrame:
@@ -185,22 +198,25 @@ class VersionedTable:
         by the log's stats index (caller still applies the row-level
         filter — skipping only shrinks the file list, like Delta data
         skipping). An empty surviving set returns an empty frame with the
-        table's schema."""
+        table's schema. Tables whose log records a schema evolution are
+        read with ``mergeSchema`` so pre-evolution files surface NULLs for
+        later-added columns."""
         files = self.files_at(version)
         if not files:
             raise FileNotFoundError(f"no committed data in {self.path}")
+        reader = self.spark.read
+        if self._schema_evolved(version):
+            reader = reader.option("mergeSchema", "true")
         if where:
             pruned = set(self.prune_files(where, version))
             kept = [f for f in files if f in pruned]
             if not kept:
-                schema = self.spark.read.parquet(
-                    os.path.join(self.path, files[0])
+                schema = reader.parquet(
+                    *[os.path.join(self.path, f) for f in files]
                 ).schema
                 return self.spark.createDataFrame([], schema)
             files = kept
-        return self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in files]
-        )
+        return reader.parquet(*[os.path.join(self.path, f) for f in files])
 
     def exists(self) -> bool:
         return self.latest_version() is not None
@@ -324,7 +340,9 @@ class VersionedTable:
         self._commit(self._next_version(), adds + removes)
         return self._versions()[-1]
 
-    def merge_upsert(self, batch: DataFrame, keys: list[str]) -> int:
+    def merge_upsert(
+        self, batch: DataFrame, keys: list[str], schema_evolution: bool = False
+    ) -> int:
         """K1 upsert with snapshot semantics AND file-pruned rewrite.
 
         A matching row must agree with the batch on every key column, in
@@ -335,7 +353,16 @@ class VersionedTable:
         commit: merge cost tracks the AFFECTED data, not the table — on a
         key-clustered table (optimize/zorder) a small batch touches a few
         files out of millions. Readers at older versions still see their
-        snapshot; time travel preserves the pre-merge state."""
+        snapshot; time travel preserves the pre-merge state.
+
+        ``schema_evolution=True`` accepts a batch whose column set differs
+        from the table's (APIs grow fields over versions): the union takes
+        the superset, untouched files keep their old physical schema, and
+        the commit carries a ``schema_evolved`` marker that switches
+        readers to ``mergeSchema`` — old rows surface NULL for new
+        columns, exactly Delta's ``mergeSchema`` write semantics. Without
+        the flag a differing batch fails loudly (the safe default: a
+        column typo should not silently fork the schema)."""
         if not self.exists():
             return self.overwrite(batch)
         base = self.latest_version()
@@ -352,6 +379,7 @@ class VersionedTable:
                 self.prune_files({key0: (bounds["lo"], bounds["hi"])}, base)
             )
             touched = [f for f in all_files if f in pruned]
+        evolved = False
         if touched:
             existing = self.spark.read.parquet(
                 *[os.path.join(self.path, f) for f in touched]
@@ -361,11 +389,17 @@ class VersionedTable:
                 on=keys,
                 how="left_anti",
             )
-            merged = survivors.unionByName(batch)
+            evolved = schema_evolution and set(existing.columns) != set(batch.columns)
+            merged = survivors.unionByName(batch, allowMissingColumns=evolved)
         else:
             merged = batch
+            if schema_evolution:
+                table_cols = set(self.read(base).columns)
+                evolved = table_cols != set(batch.columns)
         removes = [{"remove": f} for f in touched]
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(merged)]
+        if evolved:
+            adds.append({"meta": {"schema_evolved": True}})
         self._commit(self._next_version(), adds + removes)
         return self._versions()[-1]
 

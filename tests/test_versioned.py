@@ -229,3 +229,59 @@ def test_versioned_append_stream_exactly_once(spark, tmp_path):
     ).start()
     q2.awaitTermination(120)
     assert t.read().count() == 10
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    """A merge batch carrying a NEW column evolves the table: untouched
+    files keep their old physical schema, readers see the superset with
+    NULLs for pre-evolution rows, pruning still works, and a mismatched
+    batch WITHOUT the flag fails loudly."""
+    import pytest
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, float(i)) for i in range(100)], "k long, v double")
+    )
+    t.optimize(target_files=4, zorder_by=["k"])
+
+    # keys chosen high so the [min,max] bound prunes the low-key files
+    batch = spark.createDataFrame(
+        [(90, 90.5, "eu"), (200, 200.0, "us")], "k long, v double, region string"
+    )
+    # safe default: schema drift without the flag is an error
+    with pytest.raises(Exception):
+        t.merge_upsert(batch, keys=["k"])
+
+    v = t.merge_upsert(batch, keys=["k"], schema_evolution=True)
+    out = t.read()
+    assert set(out.columns) == {"k", "v", "region"}
+    rows = {r["k"]: (r["v"], r["region"]) for r in out.collect()}
+    assert len(rows) == 101
+    assert rows[90] == (90.5, "eu")        # updated row carries the new column
+    assert rows[200] == (200.0, "us")      # inserted row
+    assert rows[7] == (7.0, None)          # untouched old file -> NULL fill
+    # file pruning still applies: the commit rewrote a strict minority
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(str(tmp_path / "t"), "_log", f"{v:012d}.json")) as f:
+        actions = _json.load(f)["actions"]
+    assert any(a.get("meta", {}).get("schema_evolved") for a in actions)
+    assert len([a for a in actions if "remove" in a]) < 4
+    # time travel to the pre-evolution version still reads the old schema
+    assert set(t.read(v - 1).columns) == {"k", "v"}
+
+
+def test_parquet_table_merge_schema_evolution(spark, tmp_path):
+    import pytest
+    from bi_gcp_stitch_repl_spark.sinks.merge import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "p"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"))
+    batch = spark.createDataFrame([(2, "B", 9.0), (3, "c", 1.0)], "k long, s string, w double")
+    with pytest.raises(Exception):
+        t.merge_upsert(batch, keys=["k"])
+    t.merge_upsert(batch, keys=["k"], schema_evolution=True)
+    rows = {r["k"]: (r["s"], r["w"]) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("B", 9.0), 3: ("c", 1.0)}
