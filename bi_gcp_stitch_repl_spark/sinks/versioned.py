@@ -18,6 +18,13 @@ class adds the lakehouse layer on top of the same parquet files:
   wins, the loser sees EEXIST, re-reads the log and retries on top of
   N (or aborts for non-commutative ops).
 
+* **log checkpoints**: every ``checkpoint_interval`` commits the full
+  snapshot state (live files + stats, schema flag, txn marks) is
+  materialized as ``<v>.checkpoint.json``; readers replay only the log
+  tail past the newest checkpoint — O(tail) planning instead of
+  O(commits), the same move as Delta's parquet checkpoints +
+  ``_last_checkpoint``. ``expire_log`` reclaims folded-in commit files.
+
 On an object store the exclusive-create becomes the store's
 put-if-absent / a commit service; the log format is unchanged. File
 paths in the log are relative, so the table directory is relocatable.
@@ -42,10 +49,18 @@ class CommitConflict(Exception):
 
 
 class VersionedTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, checkpoint_interval: int = 10
+    ):
         self.spark = spark
         self.path = path
         self.log_path = os.path.join(path, _LOG_DIR)
+        self.checkpoint_interval = checkpoint_interval
+        # commit files are immutable once written (O_EXCL create) and
+        # checkpoint content is deterministic per version, so both are safe
+        # to cache for the life of this handle
+        self._action_cache: dict[int, list[dict]] = {}
+        self._cp_cache: dict[int, dict] = {}
 
     # -- log primitives ------------------------------------------------------
 
@@ -53,14 +68,29 @@ class VersionedTable:
         if not os.path.isdir(self.log_path):
             return []
         return sorted(
-            int(f.split(".")[0])
+            int(f[:-5])
             for f in os.listdir(self.log_path)
             if f.endswith(".json")
+            and not f.endswith(".checkpoint.json")
+            and f[:-5].isdigit()
         )
 
     def latest_version(self) -> int | None:
+        """Newest committed version — from commit files OR checkpoints
+        (after ``expire_log`` the newest checkpoint may BE the newest
+        surviving log entry)."""
         vs = self._versions()
-        return vs[-1] if vs else None
+        cps = self._checkpoint_versions()
+        cands = ([vs[-1]] if vs else []) + ([cps[-1]] if cps else [])
+        return max(cands) if cands else None
+
+    def _actions(self, version: int) -> list[dict]:
+        cached = self._action_cache.get(version)
+        if cached is None:
+            with open(os.path.join(self.log_path, f"{version:012d}.json")) as f:
+                cached = json.load(f)["actions"]
+            self._action_cache[version] = cached
+        return cached
 
     def _commit(self, version: int, actions: list[dict]) -> None:
         """Atomically publish ``actions`` as ``version``; raise
@@ -74,20 +104,142 @@ class VersionedTable:
         except FileExistsError as e:
             raise CommitConflict(version) from e
         self.spark.catalog.refreshByPath(self.path)
+        if self.checkpoint_interval and version and (
+            version % self.checkpoint_interval == 0
+        ):
+            try:
+                self._write_checkpoint(version)
+            except OSError:
+                pass  # checkpoints are derived state; next interval retries
+
+    # -- checkpoints ---------------------------------------------------------
+    #
+    # Snapshot resolution must not replay the whole log: at lake scale a
+    # table accumulates thousands of commits and O(commits) planning per
+    # read becomes the bottleneck (and on an object store, thousands of
+    # GETs). Like Delta's parquet checkpoints, every ``checkpoint_interval``
+    # commits the writer also materializes the FULL snapshot state (live
+    # files + stats, schema-evolution flag, txn high-water marks) as
+    # ``<v>.checkpoint.json``; readers start from the newest checkpoint at-
+    # or-before their target version and replay only the tail. Checkpoints
+    # are derived, deterministic state — losing one costs nothing, and two
+    # racing writers produce identical content.
+
+    def _checkpoint_versions(self) -> list[int]:
+        if not os.path.isdir(self.log_path):
+            return []
+        suffix = ".checkpoint.json"
+        return sorted(
+            int(f[: -len(suffix)])
+            for f in os.listdir(self.log_path)
+            if f.endswith(suffix) and f[: -len(suffix)].isdigit()
+        )
+
+    def _write_checkpoint(self, version: int) -> None:
+        state = self._snapshot_state(version)
+        tmp = os.path.join(self.log_path, f"_tmp-cp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(
+            tmp, os.path.join(self.log_path, f"{version:012d}.checkpoint.json")
+        )
+        tmp2 = os.path.join(self.log_path, f"_tmp-lc-{uuid.uuid4().hex}")
+        with open(tmp2, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp2, os.path.join(self.log_path, "_last_checkpoint"))
+
+    def _snapshot_state(self, version: int | None = None) -> dict:
+        """Resolve the snapshot at ``version`` (default latest): live
+        ``files`` (name -> footer stats), ``schema_evolved`` flag, and per-
+        app ``txn`` high-water marks. Starts from the newest checkpoint
+        at-or-before the target and replays only later commits — O(tail),
+        not O(log). Raises FileNotFoundError if a needed commit predates
+        the oldest checkpoint and was expired (``expire_log``)."""
+        target = self.latest_version() if version is None else version
+        state: dict = {"files": {}, "schema_evolved": False, "txn": {}}
+        if target is None:
+            return state
+        base = -1
+        for cp in reversed(self._checkpoint_versions()):
+            if cp <= target:
+                loaded = self._cp_cache.get(cp)
+                if loaded is None:
+                    cp_file = os.path.join(
+                        self.log_path, f"{cp:012d}.checkpoint.json"
+                    )
+                    try:
+                        with open(cp_file) as f:
+                            loaded = json.load(f)
+                    except (OSError, ValueError):
+                        continue  # torn/missing checkpoint: try an older one
+                    self._cp_cache[cp] = loaded
+                # copy: the replay below mutates, and the cache must stay
+                # the pristine at-checkpoint state
+                state = {
+                    "files": dict(loaded["files"]),
+                    "schema_evolved": loaded["schema_evolved"],
+                    "txn": dict(loaded["txn"]),
+                }
+                base = cp
+                break
+        vs = self._versions()
+        if not vs and base == -1:
+            return state  # empty table (no commits, no checkpoints)
+        tail = [v for v in vs if base < v <= target]
+        # commits are consecutive integers, so the replay range
+        # (base, min(target, latest)] must be gap-free and fully present;
+        # anything else means history was expired past the checkpoint that
+        # could serve this version — fail loudly, never return a partial
+        # snapshot
+        upper = min(target, vs[-1]) if vs else target
+        expect = base + 1
+        for v in tail:
+            if v != expect:
+                break
+            expect += 1
+        if expect <= upper:
+            raise FileNotFoundError(
+                f"version {target} of {self.path} is not resolvable: commit "
+                f"{expect} was expired (expire_log) and no checkpoint at-or-"
+                "before it survives"
+            )
+        for v in tail:
+            for action in self._actions(v):
+                if "add" in action:
+                    state["files"][action["add"]] = action.get("stats", {})
+                elif "remove" in action:
+                    state["files"].pop(action["remove"], None)
+                elif action.get("meta", {}).get("schema_evolved"):
+                    state["schema_evolved"] = True
+                elif "txn" in action:
+                    txn = action["txn"]
+                    prev = state["txn"].get(txn["app"])
+                    state["txn"][txn["app"]] = max(
+                        txn["batch"], prev if prev is not None else txn["batch"]
+                    )
+        return state
+
+    def expire_log(self, retain_versions: int = 0) -> list[str]:
+        """Delete commit files already folded into the newest checkpoint
+        (keeping the last ``retain_versions`` of them for history display).
+        Pairs with ``vacuum``: vacuum reclaims data files, this reclaims
+        log files. Time travel to expired versions stops working; the
+        checkpoint keeps every current and later snapshot resolvable."""
+        cps = self._checkpoint_versions()
+        if not cps:
+            return []
+        horizon = cps[-1] - retain_versions
+        deleted = []
+        for v in self._versions():
+            if v <= horizon:
+                os.remove(os.path.join(self.log_path, f"{v:012d}.json"))
+                self._action_cache.pop(v, None)
+                deleted.append(f"{v:012d}.json")
+        return deleted
 
     def files_at(self, version: int | None = None) -> list[str]:
         """Relative part-file paths live at ``version`` (default: latest)."""
-        live: set[str] = set()
-        for v in self._versions():
-            if version is not None and v > version:
-                break
-            with open(os.path.join(self.log_path, f"{v:012d}.json")) as f:
-                for action in json.load(f)["actions"]:
-                    if "add" in action:
-                        live.add(action["add"])
-                    elif "remove" in action:
-                        live.discard(action["remove"])
-        return sorted(live)
+        return sorted(self._snapshot_state(version)["files"])
 
     # -- data movement -------------------------------------------------------
 
@@ -145,17 +297,7 @@ class VersionedTable:
 
     def stats_at(self, version: int | None = None) -> dict[str, dict]:
         """Live file -> footer-stats map at ``version`` (from the log)."""
-        live: dict[str, dict] = {}
-        for v in self._versions():
-            if version is not None and v > version:
-                break
-            with open(os.path.join(self.log_path, f"{v:012d}.json")) as f:
-                for action in json.load(f)["actions"]:
-                    if "add" in action:
-                        live[action["add"]] = action.get("stats", {})
-                    elif "remove" in action:
-                        live.pop(action["remove"], None)
-        return live
+        return self._snapshot_state(version)["files"]
 
     def prune_files(
         self, where: dict[str, tuple], version: int | None = None
@@ -164,8 +306,14 @@ class VersionedTable:
         range in ``where`` (None bound = unbounded). Files lacking stats
         for a column are kept — pruning is an optimization, never a
         filter."""
+        return self._prune_from_stats(self.stats_at(version), where)
+
+    @staticmethod
+    def _prune_from_stats(
+        stats_map: dict[str, dict], where: dict[str, tuple]
+    ) -> list[str]:
         out = []
-        for fname, stats in sorted(self.stats_at(version).items()):
+        for fname, stats in sorted(stats_map.items()):
             keep = True
             for col, (lo, hi) in where.items():
                 if col not in stats:
@@ -182,14 +330,7 @@ class VersionedTable:
         """True when any commit at-or-before ``version`` recorded a schema
         evolution (merge with added/removed columns) — readers then pay the
         mergeSchema footer pass; homogeneous tables never do."""
-        for v in self._versions():
-            if version is not None and v > version:
-                break
-            with open(os.path.join(self.log_path, f"{v:012d}.json")) as f:
-                for action in json.load(f)["actions"]:
-                    if action.get("meta", {}).get("schema_evolved"):
-                        return True
-        return False
+        return self._snapshot_state(version)["schema_evolved"]
 
     def read(
         self, version: int | None = None, where: dict[str, tuple] | None = None
@@ -201,14 +342,15 @@ class VersionedTable:
         table's schema. Tables whose log records a schema evolution are
         read with ``mergeSchema`` so pre-evolution files surface NULLs for
         later-added columns."""
-        files = self.files_at(version)
+        state = self._snapshot_state(version)
+        files = sorted(state["files"])
         if not files:
             raise FileNotFoundError(f"no committed data in {self.path}")
         reader = self.spark.read
-        if self._schema_evolved(version):
+        if state["schema_evolved"]:
             reader = reader.option("mergeSchema", "true")
         if where:
-            pruned = set(self.prune_files(where, version))
+            pruned = set(self._prune_from_stats(state["files"], where))
             kept = [f for f in files if f in pruned]
             if not kept:
                 schema = reader.parquet(
@@ -243,15 +385,9 @@ class VersionedTable:
         raise CommitConflict("append retries exhausted")
 
     def last_txn(self, app_id: str) -> int | None:
-        """Highest committed batch id for ``app_id`` (from txn actions)."""
-        last: int | None = None
-        for v in self._versions():
-            with open(os.path.join(self.log_path, f"{v:012d}.json")) as f:
-                for action in json.load(f)["actions"]:
-                    txn = action.get("txn")
-                    if txn and txn["app"] == app_id:
-                        last = max(last or txn["batch"], txn["batch"])
-        return last
+        """Highest committed batch id for ``app_id`` (txn high-water mark;
+        checkpointed, so the lookup replays only the log tail)."""
+        return self._snapshot_state()["txn"].get(app_id)
 
     def append_txn(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
         """Idempotent append: the commit records ``{"txn": {app, batch}}``;

@@ -285,3 +285,60 @@ def test_parquet_table_merge_schema_evolution(spark, tmp_path):
     t.merge_upsert(batch, keys=["k"], schema_evolution=True)
     rows = {r["k"]: (r["s"], r["w"]) for r in t.read().collect()}
     assert rows == {1: ("a", None), 2: ("B", 9.0), 3: ("c", 1.0)}
+
+
+def test_checkpoint_written_and_resolution_uses_it(spark, tmp_path):
+    """Every Nth commit materializes a full-state checkpoint; snapshot
+    resolution replays only the tail past it, so expiring the folded-in
+    commit files leaves every current/later read working while time
+    travel into the expired range fails loudly."""
+    t = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    for i in range(12):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    # checkpoints landed at 5 and 10, pointer names the newest
+    assert t._checkpoint_versions() == [5, 10]
+    with open(os.path.join(t.log_path, "_last_checkpoint")) as f:
+        assert json.load(f)["version"] == 10
+    assert t.read().count() == 12
+    assert t.read(version=7).count() == 8  # resolved from cp5 + tail 6..7
+
+    deleted = t.expire_log()
+    assert deleted == [f"{v:012d}.json" for v in range(11)]  # 0..10 folded in
+    # fresh handle (no warm caches): current reads resolve from checkpoint
+    t2 = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
+    assert t2.read().count() == 12
+    assert {r["k"] for r in t2.read(version=10).collect()} == set(range(11))
+    # expired history fails loudly, not with a partial snapshot
+    with pytest.raises(FileNotFoundError):
+        t2.read(version=7)
+
+
+def test_checkpoint_preserves_stats_schema_and_txn_state(spark, tmp_path):
+    """The three kinds of log state all survive the checkpoint + expire
+    round-trip: the stats index (file pruning), the schema_evolved flag
+    (mergeSchema reads), and txn high-water marks (exactly-once dedup)."""
+    t = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=4)
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(50)], "k long, v double"))
+    t.optimize(target_files=4, zorder_by=["k"])  # v1: clustered files
+    t.append_txn(_evolve_batch(spark, [(100, 100.0, "eu")]), "app-a", batch_id=3)
+    t.merge_upsert(
+        _evolve_batch(spark, [(101, 101.0, "us")]), keys=["k"], schema_evolution=True
+    )  # v3: evolution marker
+    t.append(spark.createDataFrame([(102, 102.0, "x")], "k long, v double, region string"))
+    assert t._checkpoint_versions() == [4]
+    t.expire_log()
+
+    t2 = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=4)
+    # txn mark survived: replaying batch 3 is still a no-op
+    assert t2.append_txn(_evolve_batch(spark, [(100, 100.0, "dup")]), "app-a", batch_id=3) is None
+    # schema flag survived: pre-evolution rows surface NULL region
+    rows = {r["k"]: r["region"] for r in t2.read().collect()}
+    assert rows[7] is None and rows[100] == "eu" and rows[102] == "x"
+    # stats survived: a narrow range prunes to a strict file minority
+    live = t2.files_at()
+    pruned = t2.prune_files({"k": (0, 5)})
+    assert 0 < len(pruned) < len(live)
+
+
+def _evolve_batch(spark, rows):
+    return spark.createDataFrame(rows, "k long, v double, region string")
