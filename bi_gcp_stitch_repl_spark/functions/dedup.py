@@ -250,3 +250,66 @@ def dedup_keep_first(
     training-data approximation)."""
     dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(dups, id_col, "left_anti")
+
+
+def span_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """C4-style span-level dedup: cut each document into consecutive
+    ``span_words``-word segments, keep only the globally-first occurrence
+    of every repeated segment (first = lowest (id, position)), and rebuild
+    each document from its surviving segments.
+
+    Unlike document-level dedup (exact_dedup / MinHash), this removes the
+    boilerplate RUNS that near-duplicate web pages share — the operation
+    C4 applies at three-sentence granularity (Raffel et al. 2020, §2.2).
+
+    Scale shape (100 TB): one groupBy shuffle on the segment string with a
+    map-side-combinable count/min aggregate (a viral boilerplate segment
+    is absorbed by partial aggregation before the exchange), one hash join
+    back on the segment (AQE skew-split handles hot segments), and one
+    per-document regroup to reassemble text — all linear, nothing
+    collects. Returns (id, n_segs, n_kept, cleaned_text).
+
+    Position encode: first-occurrence ties break on ``id * 1e6 + seg_no``,
+    exact while documents stay under 1e6 segments and ids under ~9e12 —
+    swap for ``min(struct(id, seg_no))`` past that."""
+    segs = docs.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) "
+                f"/ {span_words}) as int) - 1),"
+                f" i -> array_join(slice(split({text_col}, ' '),"
+                f" i * {span_words} + 1, {span_words}), ' '))"
+            )
+        ).alias("seg_no", "seg"),
+    ).withColumn("pos", F.col(id_col) * 1_000_000 + F.col("seg_no"))
+    owners = segs.groupBy("seg").agg(
+        F.count("*").alias("n_occ"), F.min("pos").alias("first_pos")
+    )
+    kept = (
+        segs.join(owners, "seg")
+        .filter((F.col("n_occ") == 1) | (F.col("pos") == F.col("first_pos")))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(seg_no, seg))), x -> x.seg)"),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+    totals = segs.groupBy(id_col).agg(F.count("*").alias("n_segs"))
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -287,6 +287,47 @@ def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang", "source").join(dups, "doc_id", "left_anti")
 
 
+SPAN_WORDS = 10
+
+
+@register(
+    "x_span_dedup",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+seg AS (
+  SELECT doc_id, i AS seg_no,
+         array_to_string(ws[(i*{SPAN_WORDS}+1):(i*{SPAN_WORDS}+{SPAN_WORDS})], ' ') AS seg,
+         doc_id * 1000000 + i AS pos
+  FROM w, LATERAL (SELECT unnest(generate_series(
+      0, CAST(ceil(len(ws) / {SPAN_WORDS}.0) AS BIGINT) - 1)) AS i)
+),
+own AS (SELECT seg, COUNT(*) AS n_occ, MIN(pos) AS first_pos FROM seg GROUP BY seg),
+kept AS (
+  SELECT s.doc_id, COUNT(*) AS n_kept,
+         string_agg(s.seg, ' ' ORDER BY s.seg_no) AS cleaned_text
+  FROM seg s JOIN own o USING (seg)
+  WHERE o.n_occ = 1 OR s.pos = o.first_pos
+  GROUP BY s.doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_segs FROM seg GROUP BY doc_id)
+SELECT t.doc_id, t.n_segs, COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.cleaned_text, '') AS cleaned_text
+FROM tot t LEFT JOIN kept k USING (doc_id)
+""",
+)
+def x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level dedup (functions.dedup.span_dedup): cut every
+    document into consecutive 10-word segments, keep only the globally
+    first occurrence of each repeated segment, rebuild the text. Removes
+    shared boilerplate RUNS that document-level dedup can't touch. One
+    map-side-combinable groupBy on the segment, one join back, one
+    per-doc regroup — linear at any corpus size."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    from ..functions.dedup import span_dedup
+
+    return span_dedup(docs, span_words=SPAN_WORDS)
+
+
 def _gram5_hash(index_fn) -> str:
     """Closed-form polynomial hash of the 5-gram starting at position i,
     over a precomputed codepoint array `cs`:

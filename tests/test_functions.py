@@ -348,3 +348,27 @@ def test_incremental_lsh_equals_full_recompute(spark):
     merged = corpus_bands.unionByName(batch_bands)
     fresh = minhash_bands(docs)
     assert merged.exceptAll(fresh).isEmpty() and fresh.exceptAll(merged).isEmpty()
+
+
+def test_span_dedup_removes_repeated_runs_keeps_first(spark):
+    """The globally-first occurrence of a repeated segment survives; later
+    occurrences vanish; unique segments are untouched; text reassembles in
+    original segment order."""
+    shared = " ".join(f"s{i}" for i in range(10))  # one full shared segment
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(10))),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(10))),
+            (3, " ".join(f"c{i}" for i in range(7))),  # short tail only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.span_dedup(docs).collect()}
+    assert (out[1]["n_segs"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["cleaned_text"] == docs.collect()[0]["text"]
+    # doc 2 lost the shared leading segment but kept its own tail
+    assert (out[2]["n_segs"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["cleaned_text"] == " ".join(f"b{i}" for i in range(10))
+    # sub-span_words doc passes through as its single short segment
+    assert (out[3]["n_segs"], out[3]["n_kept"]) == (1, 1)
+    assert out[3]["cleaned_text"] == " ".join(f"c{i}" for i in range(7))
