@@ -596,6 +596,33 @@ class VersionedTable:
         self._commit(self._next_version(), adds + removes)
         return self._versions()[-1]
 
+    def restore(self, version: int) -> int:
+        """RESTORE: make ``version``'s state current again as a NEW commit
+        (re-add its files, remove the current snapshot's extras) — metadata
+        only, no data movement, like Delta RESTORE. The bad-deploy rollback
+        primitive: history is preserved, so the mistake remains auditable
+        and the restore is itself restorable. Raises if the target
+        version's files were already vacuumed. A ``schema_evolved`` flag
+        stays set even when restoring to a pre-evolution state (the flag
+        is monotonic; mergeSchema on a homogeneous table is only a spare
+        footer pass, never wrong)."""
+        target = self._snapshot_state(version)["files"]
+        for f in target:
+            if not os.path.exists(os.path.join(self.path, f)):
+                raise FileNotFoundError(
+                    f"cannot restore {self.path} to version {version}: "
+                    f"file {f} was vacuumed"
+                )
+        current = self._snapshot_state()["files"]
+        adds = [
+            {"add": f, "stats": st}
+            for f, st in sorted(target.items())
+            if f not in current
+        ]
+        removes = [{"remove": f} for f in sorted(current) if f not in target]
+        self._commit(self._next_version(), adds + removes)
+        return self._versions()[-1]
+
     # -- maintenance ---------------------------------------------------------
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:

@@ -342,3 +342,54 @@ def test_checkpoint_preserves_stats_schema_and_txn_state(spark, tmp_path):
 
 def _evolve_batch(spark, rows):
     return spark.createDataFrame(rows, "k long, v double, region string")
+
+
+def test_restore_rolls_back_metadata_only(spark, tmp_path):
+    """RESTORE re-publishes an old snapshot as a new commit: content
+    matches the target version, no data files move, the rolled-back state
+    stays time-travelable, and a vacuumed target refuses."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))          # v0
+    t.merge_upsert(_df(spark, [(2, "B")]), keys=["k"])  # v1
+    t.overwrite(_df(spark, [(9, "z")]))                 # v2: the bad deploy
+    before = set(os.listdir(tmp_path / "t"))
+    v = t.restore(0)
+    assert v == 3
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {(1, "a"), (2, "b")}
+    assert set(os.listdir(tmp_path / "t")) == before  # metadata-only
+    # the mistake is still auditable, and the restore is itself restorable
+    assert {r["k"] for r in t.read(version=2).collect()} == {9}
+    t.restore(2)
+    assert {r["k"] for r in t.read().collect()} == {9}
+    t.vacuum(retain_versions=1)
+    with pytest.raises(FileNotFoundError):
+        t.restore(0)
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """Racing writers (separate handles, shared log) all commit: O_EXCL
+    arbitration plus append retries serialize them without loss."""
+    import threading
+
+    path = str(tmp_path / "t")
+    rows_per, writers = 3, 4
+    errors = []
+
+    def work(w):
+        try:
+            t = VersionedTable(spark, path)
+            for i in range(rows_per):
+                t.append(_df(spark, [(w * 100 + i, f"w{w}")]), max_retries=50)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(w,)) for w in range(writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    t = VersionedTable(spark, path)
+    assert t.latest_version() == writers * rows_per - 1  # gap-free versions
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {w * 100 + i for w in range(writers) for i in range(rows_per)}
