@@ -91,3 +91,54 @@ def lang_scores(docs: DataFrame, keywords: dict[str, list[str]], text_col: str =
         guess = F.when(cond, F.lit(lang)).otherwise(guess)
         best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
     return out.withColumn("lang_guess", guess)
+
+
+def build_vocab(
+    docs: DataFrame, vocab_size: int, text_col: str = "text"
+) -> DataFrame:
+    """(token, token_id) for the ``vocab_size`` most frequent whitespace
+    tokens; id = 1-based frequency rank with deterministic (count DESC,
+    token ASC) tiebreak, 0 reserved for OOV.
+
+    Scale: the corpus-wide count is a map-side-combinable groupBy (the
+    only corpus-linear stage); ranking then runs on the DISTINCT-TERM set,
+    which is vocabulary-sized (Heaps' law: ~1e6 terms for a 100 TB web
+    corpus), so the single-partition row_number window is a deliberate
+    non-issue — never corpus-scale data through it."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
+        .filter(F.col("token_id") <= vocab_size)
+        .select("token", "token_id")
+    )
+
+
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, token_ids) — each document's whitespace tokens mapped
+    through ``vocab`` (OOV → 0), order preserved. The vocabulary is
+    broadcast (it is bounded by vocab_size); the corpus side is explode →
+    broadcast-hash left join → ordered regroup, linear with no
+    corpus-side shuffle except the per-document regroup."""
+    tok = docs.select(
+        id_col, F.posexplode(F.split(text_col, " ")).alias("pos", "token")
+    )
+    enc = tok.join(F.broadcast(vocab), "token", "left").withColumn(
+        "tid", F.coalesce("token_id", F.lit(0)).cast("int")
+    )
+    return enc.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.expr("transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)")
+        .alias("token_ids"),
+    )

@@ -891,6 +891,56 @@ def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_SIZE = 20
+
+
+@register(
+    "x_vocab_encode",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, ws[i] AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+),
+vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY COUNT(*) DESC, token) AS INT) AS token_id
+  FROM tok GROUP BY token
+  QUALIFY token_id <= {VOCAB_SIZE}
+),
+enc AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS tid
+  FROM tok t LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       array_to_string(list(tid ORDER BY pos), ',') AS token_ids
+FROM enc GROUP BY doc_id
+""",
+)
+def x_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + token-id encoding (functions.text.build_vocab /
+    encode_tokens): corpus-frequency top-20 vocabulary (deterministic
+    count-then-token rank, 0 = OOV), every document re-emitted as its
+    token-id sequence — the step between text cleanup and sequence
+    packing in a training pipeline. The corpus-linear stage is a map-side-
+    combinable count; ranking runs only on the distinct-term set
+    (vocabulary-sized by Heaps' law), and encoding is a broadcast join."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    from ..functions.text import build_vocab, encode_tokens
+
+    vocab = build_vocab(docs, VOCAB_SIZE)
+    enc = encode_tokens(docs, vocab)
+    # the library emits real array<int>; the oracle contract has no array
+    # type mapping, so the catalog surface serializes the sequence
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.col("token_ids").cast("array<string>"), ",").alias(
+            "token_ids"
+        ),
+    )
+
+
 _LANG_KEYWORDS = {
     "en": ["the", "and", "value"],
     "de": ["der", "und", "die"],

@@ -372,3 +372,16 @@ def test_span_dedup_removes_repeated_runs_keeps_first(spark):
     # sub-span_words doc passes through as its single short segment
     assert (out[3]["n_segs"], out[3]["n_kept"]) == (1, 1)
     assert out[3]["cleaned_text"] == " ".join(f"c{i}" for i in range(7))
+
+
+def test_vocab_encode_ranks_and_oov(spark):
+    """Vocabulary ids are frequency ranks with token tiebreak; tokens
+    outside the top-V encode as 0; sequence order is preserved."""
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b rare")], "doc_id long, text string"
+    )
+    vocab = {r["token"]: r["token_id"] for r in text.build_vocab(docs, 2).collect()}
+    assert vocab == {"b": 1, "a": 2}  # b:4 > a:3 > c/rare OOV
+    out = {r["doc_id"]: r for r in text.encode_tokens(docs, text.build_vocab(docs, 2)).collect()}
+    assert out[1]["token_ids"] == [1, 1, 1, 2, 2, 0]
+    assert (out[2]["n_tokens"], out[2]["token_ids"]) == (3, [2, 1, 0])
