@@ -267,49 +267,49 @@ def span_dedup(
     boilerplate RUNS that near-duplicate web pages share — the operation
     C4 applies at three-sentence granularity (Raffel et al. 2020, §2.2).
 
-    Scale shape (100 TB): one groupBy shuffle on the segment string with a
-    map-side-combinable count/min aggregate (a viral boilerplate segment
-    is absorbed by partial aggregation before the exchange), one hash join
-    back on the segment (AQE skew-split handles hot segments), and one
-    per-document regroup to reassemble text — all linear, nothing
+    Scale shape (100 TB): the corpus is exploded ONCE behind an explicit
+    ``repartition(seg)`` boundary — the owner aggregate (map-side-
+    combinable count/min, so a viral boilerplate segment is absorbed
+    before the exchange) and the join probe both consume that same
+    exchange (AQE satisfies the second read from the stage cache), and
+    the join itself is co-partitioned, so no further segment shuffle.
+    Keep/drop is a flag folded into ONE per-document regroup (count,
+    sum(flag), ordered reassembly) — two exchanges total, linear, nothing
     collects. Returns (id, n_segs, n_kept, cleaned_text).
 
     Position encode: first-occurrence ties break on ``id * 1e6 + seg_no``,
     exact while documents stay under 1e6 segments and ids under ~9e12 —
     swap for ``min(struct(id, seg_no))`` past that."""
-    segs = docs.select(
-        id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) "
-                f"/ {span_words}) as int) - 1),"
-                f" i -> array_join(slice(split({text_col}, ' '),"
-                f" i * {span_words} + 1, {span_words}), ' '))"
-            )
-        ).alias("seg_no", "seg"),
-    ).withColumn("pos", F.col(id_col) * 1_000_000 + F.col("seg_no"))
+    segs = (
+        docs.select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) "
+                    f"/ {span_words}) as int) - 1),"
+                    f" i -> array_join(slice(split({text_col}, ' '),"
+                    f" i * {span_words} + 1, {span_words}), ' '))"
+                )
+            ).alias("seg_no", "seg"),
+        )
+        .withColumn("pos", F.col(id_col) * 1_000_000 + F.col("seg_no"))
+        .repartition(F.col("seg"))
+    )
     owners = segs.groupBy("seg").agg(
         F.count("*").alias("n_occ"), F.min("pos").alias("first_pos")
     )
-    kept = (
-        segs.join(owners, "seg")
-        .filter((F.col("n_occ") == 1) | (F.col("pos") == F.col("first_pos")))
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(struct(seg_no, seg))), x -> x.seg)"),
-                " ",
-            ).alias("cleaned_text"),
-        )
+    flagged = segs.join(owners, "seg").withColumn(
+        "kept",
+        ((F.col("n_occ") == 1) | (F.col("pos") == F.col("first_pos"))).cast("int"),
     )
-    totals = segs.groupBy(id_col).agg(F.count("*").alias("n_segs"))
-    return (
-        totals.join(kept, id_col, "left")
-        .select(
-            id_col,
-            "n_segs",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-        )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_segs"),
+        F.sum("kept").alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(filter(array_sort(collect_list(struct(seg_no, seg, kept)))"
+                ", x -> x.kept = 1), x -> x.seg)"
+            ),
+            " ",
+        ).alias("cleaned_text"),
     )
