@@ -432,12 +432,21 @@ class VersionedTable:
         merge / overwrite: their adds re-shuffle old rows, so file-level
         provenance no longer equals row-level inserts)."""
         to_version = self.latest_version() if to_version is None else to_version
+        present = [
+            v for v in self._versions() if from_version < v <= to_version
+        ]
+        # consecutive-version continuity: an expired commit in the range
+        # would otherwise vanish from the feed silently
+        latest = self.latest_version()
+        upper = to_version if latest is None else min(to_version, latest)
+        if present != list(range(from_version + 1, upper + 1)):
+            raise FileNotFoundError(
+                f"change feed ({from_version}, {to_version}] of {self.path} "
+                "crosses commits expired by expire_log"
+            )
         added: list[str] = []
-        for v in self._versions():
-            if v <= from_version or v > to_version:
-                continue
-            with open(os.path.join(self.log_path, f"{v:012d}.json")) as f:
-                actions = json.load(f)["actions"]
+        for v in present:
+            actions = self._actions(v)
             if any("remove" in a for a in actions):
                 raise ValueError(
                     f"version {v} rewrites files; change feed is exact only "
@@ -595,6 +604,28 @@ class VersionedTable:
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(df)]
         self._commit(self._next_version(), adds + removes)
         return self._versions()[-1]
+
+    def history(self) -> list[dict]:
+        """Commit audit trail, newest first: version, commit ts, add/remove
+        counts, txn marker — DESCRIBE HISTORY for this log. Lists only
+        surviving commit files (``expire_log`` trims the tail)."""
+        out = []
+        for v in reversed(self._versions()):
+            with open(os.path.join(self.log_path, f"{v:012d}.json")) as f:
+                entry = json.load(f)
+            acts = entry["actions"]
+            out.append(
+                {
+                    "version": v,
+                    "ts": entry.get("ts"),
+                    "n_add": sum(1 for a in acts if "add" in a),
+                    "n_remove": sum(1 for a in acts if "remove" in a),
+                    "txn": next(
+                        (a["txn"] for a in acts if "txn" in a), None
+                    ),
+                }
+            )
+        return out
 
     def restore(self, version: int) -> int:
         """RESTORE: make ``version``'s state current again as a NEW commit

@@ -188,3 +188,60 @@ def test_asof_join_matches_sorted_scan_model(spark, left, right):
         best = max(candidates) if candidates else None
         expect.add((i, best[1] if best else None))
     assert got == expect
+
+
+# --- span_dedup global invariants ------------------------------------------
+
+_word = st.sampled_from(["a", "b", "c", "dd", "ee"])  # tiny alphabet -> many collisions
+_doc_strategy = st.lists(
+    st.lists(_word, min_size=1, max_size=25).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_doc_strategy)
+def test_span_dedup_invariants(spark, texts):
+    """For ANY corpus: (1) every surviving segment is globally unique;
+    (2) each doc's kept segments are exactly its original segments minus
+    non-first duplicates, order preserved; (3) counts are conserved."""
+    from bi_gcp_stitch_repl_spark.functions.dedup import span_dedup
+
+    W = 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, span_words=W).collect()}
+
+    # reference model
+    def segments(t):
+        ws = t.split(" ")
+        return [" ".join(ws[i : i + W]) for i in range(0, len(ws), W)]
+
+    seen = set()
+    expect = {}
+    for i, t in enumerate(texts):
+        segs = segments(t)
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        expect[i] = (len(segs), len(kept), " ".join(kept))
+
+    surviving = []
+    for i in expect:
+        n_segs, n_kept, cleaned = expect[i]
+        assert out[i]["n_segs"] == n_segs
+        assert out[i]["n_kept"] == n_kept
+        assert out[i]["cleaned_text"] == cleaned
+        if cleaned:
+            surviving.extend(segments(cleaned))
+    # global uniqueness: no full-width segment survives twice corpus-wide
+    full = [s for s in surviving if len(s.split(" ")) == 3]
+    assert len(full) == len(set(full))

@@ -393,3 +393,25 @@ def test_concurrent_appends_all_land(spark, tmp_path):
     assert t.latest_version() == writers * rows_per - 1  # gap-free versions
     got = {r["k"] for r in t.read().collect()}
     assert got == {w * 100 + i for w in range(writers) for i in range(rows_per)}
+
+
+def test_change_feed_refuses_expired_range_and_history_lists(spark, tmp_path):
+    """changes_between over a range that crosses expired commits raises
+    instead of silently dropping rows; history() summarizes surviving
+    commits newest-first."""
+    t = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=3)
+    for i in range(5):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    h = t.history()
+    assert [e["version"] for e in h] == [4, 3, 2, 1, 0]
+    assert all(e["n_add"] >= 1 and e["n_remove"] == 0 for e in h)
+    # feed over intact tail works
+    assert t.changes_between(3).count() == 1
+    t.expire_log()  # folds 0..3 into the checkpoint
+    # (0, 4] now crosses expired commits 1..3 -> loud failure
+    with pytest.raises(FileNotFoundError):
+        t.changes_between(0)
+    # tail past the checkpoint still serves
+    assert t.changes_between(3).count() == 1
+    # no-new-commits case stays a silent empty feed
+    assert t.changes_between(4).count() == 0
