@@ -252,6 +252,24 @@ def dedup_keep_first(
     return docs.join(dups, id_col, "left_anti")
 
 
+def _word_segments(
+    docs: DataFrame, text_col: str, id_col: str, span_words: int
+) -> DataFrame:
+    """(id, seg_no, seg, pos): consecutive ``span_words``-word segments per
+    document, with the global first-occurrence ordering key ``pos``."""
+    return docs.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) "
+                f"/ {span_words}) as int) - 1),"
+                f" i -> array_join(slice(split({text_col}, ' '),"
+                f" i * {span_words} + 1, {span_words}), ' '))"
+            )
+        ).alias("seg_no", "seg"),
+    ).withColumn("pos", F.col(id_col) * 1_000_000 + F.col("seg_no"))
+
+
 def span_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -280,20 +298,8 @@ def span_dedup(
     Position encode: first-occurrence ties break on ``id * 1e6 + seg_no``,
     exact while documents stay under 1e6 segments and ids under ~9e12 —
     swap for ``min(struct(id, seg_no))`` past that."""
-    segs = (
-        docs.select(
-            id_col,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) "
-                    f"/ {span_words}) as int) - 1),"
-                    f" i -> array_join(slice(split({text_col}, ' '),"
-                    f" i * {span_words} + 1, {span_words}), ' '))"
-                )
-            ).alias("seg_no", "seg"),
-        )
-        .withColumn("pos", F.col(id_col) * 1_000_000 + F.col("seg_no"))
-        .repartition(F.col("seg"))
+    segs = _word_segments(docs, text_col, id_col, span_words).repartition(
+        F.col("seg")
     )
     owners = segs.groupBy("seg").agg(
         F.count("*").alias("n_occ"), F.min("pos").alias("first_pos")

@@ -425,6 +425,77 @@ def incremental_dedup_ingest(
     return pairs
 
 
+def incremental_span_dedup(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """Continuous-ingest C4-style span dedup: clean the NEW batch against
+    the persisted segment-hash index, then commit the batch's surviving
+    segment hashes as an O(1) versioned append. Batches arriving in id
+    order reproduce ``functions.dedup.span_dedup`` over the concatenated
+    corpus exactly (tested ≡ full recompute).
+
+    Scale shape: the index stores only ``xxhash64(seg)`` (8 bytes per
+    distinct segment — ~1-2% of corpus bytes at a 10-word span). Probing
+    broadcasts the BATCH side, so the index is scanned column-pruned but
+    never shuffled, and per-load cost is O(index scan + batch) with zero
+    exchanges on the corpus side. In-batch first occurrences resolve by
+    the same (id, position) rule as the batch operator.
+
+    Crash ordering mirrors ``incremental_dedup_ingest``: the cleaned
+    output is materialized BEFORE the index commit, so a failure never
+    half-updates the index and a retry re-cleans the same batch against
+    the same snapshot."""
+    from ..functions.dedup import _word_segments
+    from ..sinks.versioned import VersionedTable
+
+    index = VersionedTable(spark, index_path)
+    seen = (
+        index.read()
+        if index.exists()
+        else spark.createDataFrame([], "h long")
+    )
+    segs = _word_segments(batch, text_col, id_col, span_words).withColumn(
+        "h", F.xxhash64("seg")
+    )
+    batch_first = segs.groupBy("h").agg(F.min("pos").alias("first_pos"))
+    # index side: column-pruned scan, probe set broadcast -> no index shuffle
+    hits = seen.join(
+        F.broadcast(batch_first.select("h")), "h", "left_semi"
+    ).withColumn("in_index", F.lit(1))
+    flagged = (
+        segs.join(F.broadcast(batch_first), "h")
+        .join(F.broadcast(hits), "h", "left")
+        .withColumn(
+            "kept",
+            (
+                (F.col("pos") == F.col("first_pos"))
+                & F.col("in_index").isNull()
+            ).cast("int"),
+        )
+    )
+    cleaned = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_segs"),
+        F.sum("kept").alias("n_kept"),
+        F.array_join(
+            F.expr(
+                "transform(filter(array_sort(collect_list(struct(seg_no, seg, kept)))"
+                ", x -> x.kept = 1), x -> x.seg)"
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    cleaned = cleaned.localCheckpoint(eager=True)
+    # kept rows carry one occurrence per hash by construction
+    # (pos == global-in-batch min), so no distinct pass is needed
+    index.append(flagged.filter(F.col("kept") == 1).select("h"))
+    return cleaned
+
+
 def export_training_shards(
     spark: SparkSession,
     docs: DataFrame,

@@ -548,3 +548,43 @@ def test_export_training_shards_layout_and_stability(spark, tmp_path):
     }
     assert len(after) == 500
     assert all(after[d] == s for d, s in first.items())
+
+
+def test_incremental_span_dedup_equals_full_recompute(spark, tmp_path):
+    """Two loads through the persisted segment-hash index produce exactly
+    the batch operator's result over the concatenated corpus, and the
+    index grows append-only."""
+    from bi_gcp_stitch_repl_spark.functions.dedup import span_dedup
+    from bi_gcp_stitch_repl_spark.jobs.pipelines import incremental_span_dedup
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    W = 3
+    shared = "x1 x2 x3"          # full segment repeated across batches
+    batch1 = spark.createDataFrame(
+        [
+            (0, shared + " a1 a2 a3 " + shared),   # in-batch repeat too
+            (1, "b1 b2 b3 b4"),
+        ],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (2, shared + " c1 c2 c3"),             # cross-batch repeat
+            (3, "b1 b2 b3 d1"),                    # prefix repeat, new tail
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "seg_index")
+    out1 = incremental_span_dedup(spark, idx, batch1, span_words=W)
+    out2 = incremental_span_dedup(spark, idx, batch2, span_words=W)
+    inc = {r["doc_id"]: (r["n_segs"], r["n_kept"], r["cleaned_text"])
+           for r in out1.union(out2).collect()}
+    full = {r["doc_id"]: (r["n_segs"], r["n_kept"], r["cleaned_text"])
+            for r in span_dedup(batch1.union(batch2), span_words=W).collect()}
+    assert inc == full
+    # sanity on the semantics themselves
+    assert inc[2] == (2, 1, "c1 c2 c3")            # shared prefix removed
+    assert inc[0][2].startswith(shared)            # first occurrence survived
+    # index is append-only: two commits, no removes
+    t = VersionedTable(spark, idx)
+    assert [e["n_remove"] for e in t.history()] == [0, 0]
