@@ -50,12 +50,17 @@ class CommitConflict(Exception):
 
 class VersionedTable:
     def __init__(
-        self, spark: SparkSession, path: str, checkpoint_interval: int = 10
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_interval: int = 10,
+        enable_cdc: bool = False,
     ):
         self.spark = spark
         self.path = path
         self.log_path = os.path.join(path, _LOG_DIR)
         self.checkpoint_interval = checkpoint_interval
+        self.enable_cdc = enable_cdc
         # commit files are immutable once written (O_EXCL create) and
         # checkpoint content is deterministic per version, so both are safe
         # to cache for the life of this handle
@@ -232,6 +237,12 @@ class VersionedTable:
         deleted = []
         for v in self._versions():
             if v <= horizon:
+                for action in self._actions(v):  # expired feed provenance
+                    if "cdc" in action:
+                        try:
+                            os.remove(os.path.join(self.path, action["cdc"]))
+                        except OSError:
+                            pass
                 os.remove(os.path.join(self.log_path, f"{v:012d}.json"))
                 self._action_cache.pop(v, None)
                 deleted.append(f"{v:012d}.json")
@@ -294,6 +305,26 @@ class VersionedTable:
             names.append((new, self._file_stats(dst)))
         shutil.rmtree(scratch, ignore_errors=True)
         return names
+
+    def _write_cdc(self, changes: DataFrame) -> list[str]:
+        """Materialize a typed change frame (``_change_type`` column) under
+        ``_changes/``; returns table-relative paths for the commit's cdc
+        actions. Change files are provenance, not table data — snapshot
+        resolution ignores them entirely."""
+        scratch = os.path.join(self.path, f"_tmp-cdc-{uuid.uuid4().hex}")
+        changes.write.mode("overwrite").parquet(scratch)
+        os.makedirs(os.path.join(self.path, "_changes"), exist_ok=True)
+        out = []
+        for fname in os.listdir(scratch):
+            if not fname.endswith(".parquet"):
+                continue
+            rel = os.path.join("_changes", f"cdc-{uuid.uuid4().hex}.parquet")
+            os.rename(
+                os.path.join(scratch, fname), os.path.join(self.path, rel)
+            )
+            out.append(rel)
+        shutil.rmtree(scratch, ignore_errors=True)
+        return out
 
     def stats_at(self, version: int | None = None) -> dict[str, dict]:
         """Live file -> footer-stats map at ``version`` (from the log)."""
@@ -422,6 +453,78 @@ class VersionedTable:
                     return None
         raise CommitConflict("append_txn retries exhausted")
 
+    def _feed_versions(self, from_version: int, to_version: int) -> list[int]:
+        """Commit versions serving a feed over ``(from_version,
+        to_version]`` — with consecutive-version continuity enforced, so an
+        expired commit in the range fails loudly instead of vanishing from
+        the feed silently."""
+        present = [
+            v for v in self._versions() if from_version < v <= to_version
+        ]
+        latest = self.latest_version()
+        upper = to_version if latest is None else min(to_version, latest)
+        if present != list(range(from_version + 1, upper + 1)):
+            raise FileNotFoundError(
+                f"change feed ({from_version}, {to_version}] of {self.path} "
+                "crosses commits expired by expire_log"
+            )
+        return present
+
+    def changes_feed(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Typed change-data feed over ``(from_version, to_version]`` —
+        every row carries ``_change_type`` ∈ {insert, update_preimage,
+        update_postimage, delete}, Delta CDF's contract. Per commit:
+
+        * cdc actions present (the table committed with ``enable_cdc``) →
+          read the recorded change files;
+        * pure append → the added files, typed ``insert``;
+        * ``logical_noop`` marker (optimize re-layout) → skipped, the feed
+          works straight through compaction;
+        * any other rewrite (merge/delete/overwrite committed WITHOUT cdc,
+          or restore) → loud error: row-level provenance wasn't recorded.
+
+        Cost tracks the delta: only the range's change/add files are read,
+        never the table."""
+        to_version = self.latest_version() if to_version is None else to_version
+        frames = []
+        for v in self._feed_versions(from_version, to_version):
+            actions = self._actions(v)
+            if any(a.get("meta", {}).get("logical_noop") for a in actions):
+                continue
+            cdc = [a["cdc"] for a in actions if "cdc" in a]
+            if cdc:
+                frames.append(
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, f) for f in cdc]
+                    )
+                )
+                continue
+            if any("remove" in a for a in actions):
+                raise ValueError(
+                    f"version {v} of {self.path} rewrites files without "
+                    "recorded CDC (committed with enable_cdc=False, or a "
+                    "restore) — typed feed unavailable across it"
+                )
+            adds = [a["add"] for a in actions if "add" in a]
+            if adds:
+                frames.append(
+                    self.spark.read.parquet(
+                        *[os.path.join(self.path, f) for f in adds]
+                    ).withColumn("_change_type", F.lit("insert"))
+                )
+        if not frames:
+            return (
+                self.read(to_version)
+                .limit(0)
+                .withColumn("_change_type", F.lit(""))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     def changes_between(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:
@@ -432,18 +535,7 @@ class VersionedTable:
         merge / overwrite: their adds re-shuffle old rows, so file-level
         provenance no longer equals row-level inserts)."""
         to_version = self.latest_version() if to_version is None else to_version
-        present = [
-            v for v in self._versions() if from_version < v <= to_version
-        ]
-        # consecutive-version continuity: an expired commit in the range
-        # would otherwise vanish from the feed silently
-        latest = self.latest_version()
-        upper = to_version if latest is None else min(to_version, latest)
-        if present != list(range(from_version + 1, upper + 1)):
-            raise FileNotFoundError(
-                f"change feed ({from_version}, {to_version}] of {self.path} "
-                "crosses commits expired by expire_log"
-            )
+        present = self._feed_versions(from_version, to_version)
         added: list[str] = []
         for v in present:
             actions = self._actions(v)
@@ -479,10 +571,24 @@ class VersionedTable:
                 return None
         base = self.latest_version()
         removes = [{"remove": f} for f in (self.files_at(base) if base is not None else [])]
+        cdc_actions: list[dict] = []
+        if self.enable_cdc:
+            old = (
+                self.read(base).withColumn("_change_type", F.lit("delete"))
+                if base is not None
+                else None
+            )
+            new = df.withColumn("_change_type", F.lit("insert"))
+            changes = (
+                old.unionByName(new, allowMissingColumns=True)
+                if old is not None
+                else new
+            )
+            cdc_actions = [{"cdc": p} for p in self._write_cdc(changes)]
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(df)]
         if txn is not None:
             adds.append({"txn": {"app": txn[0], "batch": txn[1]}})
-        self._commit(self._next_version(), adds + removes)
+        self._commit(self._next_version(), adds + removes + cdc_actions)
         return self._versions()[-1]
 
     def merge_upsert(
@@ -525,6 +631,7 @@ class VersionedTable:
             )
             touched = [f for f in all_files if f in pruned]
         evolved = False
+        cdc_actions: list[dict] = []
         if touched:
             existing = self.spark.read.parquet(
                 *[os.path.join(self.path, f) for f in touched]
@@ -536,16 +643,42 @@ class VersionedTable:
             )
             evolved = schema_evolution and set(existing.columns) != set(batch.columns)
             merged = survivors.unionByName(batch, allowMissingColumns=evolved)
+            if self.enable_cdc:
+                pre = existing.join(
+                    F.broadcast(batch.select(*keys).distinct()),
+                    keys,
+                    "left_semi",
+                ).withColumn("_change_type", F.lit("update_preimage"))
+                ex_keys = existing.select(*keys).distinct()
+                post = batch.join(ex_keys, keys, "left_semi").withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+                ins = batch.join(ex_keys, keys, "left_anti").withColumn(
+                    "_change_type", F.lit("insert")
+                )
+                changes = pre.unionByName(
+                    post, allowMissingColumns=True
+                ).unionByName(ins, allowMissingColumns=True)
+                cdc_actions = [
+                    {"cdc": p} for p in self._write_cdc(changes)
+                ]
         else:
             merged = batch
             if schema_evolution:
                 table_cols = set(self.read(base).columns)
                 evolved = table_cols != set(batch.columns)
+            if self.enable_cdc:
+                cdc_actions = [
+                    {"cdc": p}
+                    for p in self._write_cdc(
+                        batch.withColumn("_change_type", F.lit("insert"))
+                    )
+                ]
         removes = [{"remove": f} for f in touched]
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(merged)]
         if evolved:
             adds.append({"meta": {"schema_evolved": True}})
-        self._commit(self._next_version(), adds + removes)
+        self._commit(self._next_version(), adds + removes + cdc_actions)
         return self._versions()[-1]
 
     def delete_matching(self, keys_df: DataFrame, keys: list[str]) -> int:
@@ -572,13 +705,22 @@ class VersionedTable:
         existing = self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in touched]
         )
-        removed = existing.join(F.broadcast(rhs), on=keys, how="left_semi").count()
+        removed_rows = existing.join(F.broadcast(rhs), on=keys, how="left_semi")
+        removed = removed_rows.count()
         if not removed:
             return 0
         survivors = existing.join(F.broadcast(rhs), on=keys, how="left_anti")
+        cdc_actions: list[dict] = []
+        if self.enable_cdc:
+            cdc_actions = [
+                {"cdc": p}
+                for p in self._write_cdc(
+                    removed_rows.withColumn("_change_type", F.lit("delete"))
+                )
+            ]
         removes = [{"remove": f} for f in touched]
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(survivors)]
-        self._commit(self._next_version(), adds + removes)
+        self._commit(self._next_version(), adds + removes + cdc_actions)
         return removed
 
     def optimize(
@@ -602,6 +744,9 @@ class VersionedTable:
             df = df.repartition(target_files)
         removes = [{"remove": f} for f in self.files_at(base)]
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(df)]
+        # re-layout moves rows between files but changes none: the typed
+        # change feed skips commits carrying this marker
+        adds.append({"meta": {"logical_noop": True}})
         self._commit(self._next_version(), adds + removes)
         return self._versions()[-1]
 

@@ -415,3 +415,54 @@ def test_change_feed_refuses_expired_range_and_history_lists(spark, tmp_path):
     assert t.changes_between(3).count() == 1
     # no-new-commits case stays a silent empty feed
     assert t.changes_between(4).count() == 0
+
+
+def test_cdc_feed_types_every_change_and_skips_compaction(spark, tmp_path):
+    """With enable_cdc, merge/delete/overwrite commits record typed change
+    files; changes_feed replays insert/update_pre/update_post/delete
+    exactly, skips optimize commits, and a non-cdc rewrite still refuses."""
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"), enable_cdc=True)
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))       # v0 insert x3
+    t.merge_upsert(_df(spark, [(2, "B"), (9, "z")]), keys=["k"])  # v1
+    t.delete_matching(_df(spark, [(3, "ignored")]), keys=["k"])   # v2
+    t.optimize(target_files=2)                                    # v3 noop
+    t.append(_df(spark, [(7, "g")]))                              # v4
+
+    feed = [
+        (r["k"], r["v"], r["_change_type"])
+        for r in t.changes_feed(0).collect()
+    ]
+    assert sorted(feed) == sorted(
+        [
+            (2, "b", "update_preimage"),
+            (2, "B", "update_postimage"),
+            (9, "z", "insert"),
+            (3, "c", "delete"),
+            (7, "g", "insert"),
+        ]
+    )
+    # replaying the feed onto the v0 snapshot reproduces the final state
+    state = {r["k"]: r["v"] for r in t.read(0).collect()}
+    for k, v, ct in sorted(feed, key=lambda x: x[2]):  # order-insensitive here
+        if ct == "delete":
+            state.pop(k)
+        elif ct in ("insert", "update_postimage"):
+            state[k] = v
+    assert state == {r["k"]: r["v"] for r in t.read().collect()}
+
+    # overwrite records delete-all + insert-all
+    t.overwrite(_df(spark, [(100, "new")]))
+    ow = [
+        (r["k"], r["_change_type"]) for r in t.changes_feed(4).collect()
+    ]
+    # pre-overwrite snapshot was {1, 2, 9, 7} -> 4 deletes + 1 insert
+    assert sorted(c for _, c in ow) == ["delete"] * 4 + ["insert"]
+
+    # a table that never enabled cdc still refuses typed feeds over merges
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.append(_df(spark, [(1, "a")]))
+    t2.merge_upsert(_df(spark, [(1, "A")]), keys=["k"])
+    with pytest.raises(ValueError):
+        t2.changes_feed(0).collect()
