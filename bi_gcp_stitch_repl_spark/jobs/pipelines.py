@@ -601,3 +601,62 @@ def incremental_summary_refresh(
     # overwrite never deletes the old files (vacuum does, later)
     summary.overwrite(merged, txn=("summary_fold", cur))
     return cur
+
+
+def incremental_summary_refresh_cdc(
+    spark: SparkSession,
+    source_path: str,
+    summary_path: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int | None:
+    """``incremental_summary_refresh`` made exact under UPDATES and
+    DELETES: folds the source's typed CDC feed with SIGNED partial
+    aggregates — +row for insert/update_postimage, −row for delete/
+    update_preimage — so an update contributes (new − old) and a delete
+    retracts its group, the classic retraction trick for additive
+    aggregates. Groups whose row count reaches zero drop out of the
+    summary. The source must commit with ``enable_cdc`` (a non-CDC
+    rewrite in the range fails loudly via ``changes_feed``).
+
+    Exactly-once contract is identical to the append-only version: one
+    atomic overwrite commit carrying the ``("summary_fold_cdc",
+    source_version)`` txn marker. Per-refresh cost tracks the range's
+    change files, never the source table."""
+    from ..sinks.versioned import VersionedTable
+
+    source = VersionedTable(spark, source_path)
+    summary = VersionedTable(spark, summary_path)
+    last = summary.last_txn("summary_fold_cdc")
+    cur = source.latest_version()
+    if cur is None or (last is not None and cur <= last):
+        return None
+
+    feed = source.changes_feed(last if last is not None else -1, cur)
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    agg = feed.withColumn("_sign", sign).groupBy(*group_cols).agg(
+        *[
+            F.sum(F.col(c).cast("decimal(28,10)") * F.col("_sign")).alias(
+                f"sum_{c}"
+            )
+            for c in sum_cols
+        ],
+        F.sum("_sign").cast("long").alias("n_rows"),
+    )
+    if summary.exists():
+        merged = (
+            summary.read()
+            .unionByName(agg)
+            .groupBy(*group_cols)
+            .agg(
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+                F.sum("n_rows").cast("long").alias("n_rows"),
+            )
+        )
+    else:
+        merged = agg
+    merged = merged.filter(F.col("n_rows") > 0)
+    summary.overwrite(merged, txn=("summary_fold_cdc", cur))
+    return cur

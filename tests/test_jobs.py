@@ -588,3 +588,54 @@ def test_incremental_span_dedup_equals_full_recompute(spark, tmp_path):
     # index is append-only: two commits, no removes
     t = VersionedTable(spark, idx)
     assert [e["n_remove"] for e in t.history()] == [0, 0]
+
+
+def test_incremental_summary_refresh_cdc_exact_under_updates_deletes(spark, tmp_path):
+    """Signed CDC folding keeps the summary equal to a full groupBy
+    recompute across inserts, updates, and deletes; replays are no-ops;
+    fully-retracted groups disappear."""
+    from bi_gcp_stitch_repl_spark.jobs.pipelines import incremental_summary_refresh_cdc
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    src_path = str(tmp_path / "src")
+    sum_path = str(tmp_path / "sum")
+    src = VersionedTable(spark, src_path, enable_cdc=True)
+
+    def rows(*r):
+        return spark.createDataFrame(list(r), "k long, grp string, amt double")
+
+    def recompute():
+        from pyspark.sql import functions as F
+        return {
+            (r["grp"]): (float(r["s"]), r["n"])
+            for r in src.read()
+            .groupBy("grp")
+            .agg(
+                F.sum(F.col("amt").cast("decimal(28,10)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+
+    def summary():
+        t = VersionedTable(spark, sum_path)
+        return {
+            r["grp"]: (float(r["sum_amt"]), r["n_rows"])
+            for r in t.read().collect()
+        }
+
+    src.append(rows((1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)))
+    assert incremental_summary_refresh_cdc(spark, src_path, sum_path, ["grp"], ["amt"]) == 0
+    assert summary() == recompute()
+
+    # update 2 (a: 5 -> 20), insert 4 (c), then delete ALL of b
+    src.merge_upsert(rows((2, "a", 20.0), (4, "c", 1.0)), keys=["k"])
+    src.delete_matching(rows((3, "b", 0.0)), keys=["k"])
+    assert incremental_summary_refresh_cdc(spark, src_path, sum_path, ["grp"], ["amt"]) == 2
+    got = summary()
+    assert got == recompute()
+    assert "b" not in got            # fully-retracted group dropped
+    assert got["a"] == (30.0, 2)     # 10 + updated 20
+
+    # nothing new -> no-op
+    assert incremental_summary_refresh_cdc(spark, src_path, sum_path, ["grp"], ["amt"]) is None
