@@ -103,11 +103,22 @@ class VersionedTable:
         os.makedirs(self.log_path, exist_ok=True)
         entry = {"version": version, "ts": time.time(), "actions": actions}
         target = os.path.join(self.log_path, f"{version:012d}.json")
+        # Write the FULL content first, then atomically claim the version
+        # with a hard link (fails with EEXIST if another writer won). A
+        # bare open("x") + dump would make the O_EXCL create the commit
+        # point with the content still unwritten — a crash mid-dump would
+        # leave a torn "committed" file poisoning the log forever. The
+        # link makes commit = content-complete, the same contract as an
+        # object store's put-if-absent.
+        tmp = os.path.join(self.log_path, f"_tmp-commit-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
         try:
-            with open(target, "x") as f:  # O_EXCL: the commit point
-                json.dump(entry, f)
+            os.link(tmp, target)
         except FileExistsError as e:
             raise CommitConflict(version) from e
+        finally:
+            os.unlink(tmp)
         self.spark.catalog.refreshByPath(self.path)
         if self.checkpoint_interval and version and (
             version % self.checkpoint_interval == 0
@@ -161,7 +172,12 @@ class VersionedTable:
         not O(log). Raises FileNotFoundError if a needed commit predates
         the oldest checkpoint and was expired (``expire_log``)."""
         target = self.latest_version() if version is None else version
-        state: dict = {"files": {}, "schema_evolved": False, "txn": {}}
+        state: dict = {
+            "files": {},
+            "schema_evolved": False,
+            "txn": {},
+            "columns": None,
+        }
         if target is None:
             return state
         base = -1
@@ -184,6 +200,7 @@ class VersionedTable:
                     "files": dict(loaded["files"]),
                     "schema_evolved": loaded["schema_evolved"],
                     "txn": dict(loaded["txn"]),
+                    "columns": loaded.get("columns"),
                 }
                 base = cp
                 break
@@ -216,6 +233,24 @@ class VersionedTable:
                     state["files"].pop(action["remove"], None)
                 elif action.get("meta", {}).get("schema_evolved"):
                     state["schema_evolved"] = True
+                elif action.get("meta", {}).get("columns") is not None:
+                    # schema tracking: any commit writing a different column
+                    # set than the table's running union marks the table
+                    # evolved (readers pay mergeSchema from then on). A
+                    # "reset" marker (overwrite / optimize — every file
+                    # rewritten, so the snapshot is homogeneous again)
+                    # clears the flag and re-bases the column set.
+                    cols = sorted(action["meta"]["columns"])
+                    if action["meta"].get("reset"):
+                        state["columns"] = cols
+                        state["schema_evolved"] = False
+                    elif state["columns"] is None:
+                        state["columns"] = cols
+                    elif cols != state["columns"]:
+                        state["schema_evolved"] = True
+                        state["columns"] = sorted(
+                            set(state["columns"]) | set(cols)
+                        )
                 elif "txn" in action:
                     txn = action["txn"]
                     prev = state["txn"].get(txn["app"])
@@ -363,6 +398,15 @@ class VersionedTable:
         mergeSchema footer pass; homogeneous tables never do."""
         return self._snapshot_state(version)["schema_evolved"]
 
+    def _read_files(self, files: list[str], evolved: bool) -> DataFrame:
+        """Read table-relative part files, honoring mergeSchema when the
+        snapshot is schema-evolved (a plain multi-file read takes ONE
+        footer's schema and would silently drop evolved columns)."""
+        reader = self.spark.read
+        if evolved:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[os.path.join(self.path, f) for f in files])
+
     def read(
         self, version: int | None = None, where: dict[str, tuple] | None = None
     ) -> DataFrame:
@@ -400,12 +444,37 @@ class VersionedTable:
         latest = self.latest_version()
         return 0 if latest is None else latest + 1
 
-    def append(self, df: DataFrame, max_retries: int = 5) -> int:
+    def _check_schema(self, df: DataFrame, schema_evolution: bool) -> None:
+        """Fail loudly when ``df``'s column set diverges from the table's
+        (tracked in the log) unless evolution was explicitly requested —
+        a column typo must not silently fork the schema."""
+        known = self._snapshot_state()["columns"]
+        if (
+            not schema_evolution
+            and known is not None
+            and sorted(df.columns) != known
+        ):
+            raise ValueError(
+                f"schema drift writing to {self.path}: table has {known}, "
+                f"batch has {sorted(df.columns)} — pass "
+                "schema_evolution=True to evolve"
+            )
+
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 5,
+        schema_evolution: bool = False,
+    ) -> int:
         """O(1) append: new files + an add-only commit. Appends commute, so
         a lost race is resolved by re-committing the same adds at the next
-        version."""
+        version. A batch whose column set differs from the table's fails
+        loudly unless ``schema_evolution=True`` (readers then switch to
+        mergeSchema via the log's column tracking)."""
         os.makedirs(self.path, exist_ok=True)
+        self._check_schema(df, schema_evolution)
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(df)]
+        adds.append({"meta": {"columns": sorted(df.columns)}})
         for _ in range(max_retries):
             try:
                 v = self._next_version()
@@ -420,7 +489,13 @@ class VersionedTable:
         checkpointed, so the lookup replays only the log tail)."""
         return self._snapshot_state()["txn"].get(app_id)
 
-    def append_txn(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
+    def append_txn(
+        self,
+        df: DataFrame,
+        app_id: str,
+        batch_id: int,
+        schema_evolution: bool = False,
+    ) -> int | None:
         """Idempotent append: the commit records ``{"txn": {app, batch}}``;
         re-delivery of an already-committed batch is a no-op (returns
         None). This is the exactly-once primitive under Structured
@@ -432,9 +507,11 @@ class VersionedTable:
         last = self.last_txn(app_id)
         if last is not None and batch_id <= last:
             return None
+        self._check_schema(df, schema_evolution)
         adds: list[dict] = [
             {"add": n, "stats": st} for n, st in self._write_parts(df)
         ]
+        adds.append({"meta": {"columns": sorted(df.columns)}})
         adds.append({"txn": {"app": app_id, "batch": batch_id}})
         for _ in range(5):
             try:
@@ -586,6 +663,8 @@ class VersionedTable:
             )
             cdc_actions = [{"cdc": p} for p in self._write_cdc(changes)]
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(df)]
+        # full replacement: homogeneous again, so re-base schema tracking
+        adds.append({"meta": {"columns": sorted(df.columns), "reset": True}})
         if txn is not None:
             adds.append({"txn": {"app": txn[0], "batch": txn[1]}})
         self._commit(self._next_version(), adds + removes + cdc_actions)
@@ -617,7 +696,8 @@ class VersionedTable:
         if not self.exists():
             return self.overwrite(batch)
         base = self.latest_version()
-        all_files = self.files_at(base)
+        state = self._snapshot_state(base)
+        all_files = sorted(state["files"])
         touched = all_files
         key0 = keys[0]
         bounds = batch.agg(
@@ -627,22 +707,36 @@ class VersionedTable:
             bounds["lo"], (int, float, str)
         ):
             pruned = set(
-                self.prune_files({key0: (bounds["lo"], bounds["hi"])}, base)
+                self._prune_from_stats(
+                    state["files"], {key0: (bounds["lo"], bounds["hi"])}
+                )
             )
             touched = [f for f in all_files if f in pruned]
-        evolved = False
+        known = state["columns"]
+        if (
+            not schema_evolution
+            and known is not None
+            and sorted(batch.columns) != known
+        ):
+            raise ValueError(
+                f"schema drift merging into {self.path}: table has {known}, "
+                f"batch has {sorted(batch.columns)} — pass "
+                "schema_evolution=True to evolve"
+            )
         cdc_actions: list[dict] = []
         if touched:
-            existing = self.spark.read.parquet(
-                *[os.path.join(self.path, f) for f in touched]
-            )
+            # honor mergeSchema on evolved tables: a plain multi-file read
+            # takes ONE footer's schema and would silently drop the
+            # evolved columns from the rewritten survivors
+            existing = self._read_files(touched, state["schema_evolved"])
             survivors = existing.join(
                 F.broadcast(batch.select(*keys).distinct()),
                 on=keys,
                 how="left_anti",
             )
-            evolved = schema_evolution and set(existing.columns) != set(batch.columns)
-            merged = survivors.unionByName(batch, allowMissingColumns=evolved)
+            merged = survivors.unionByName(
+                batch, allowMissingColumns=schema_evolution
+            )
             if self.enable_cdc:
                 pre = existing.join(
                     F.broadcast(batch.select(*keys).distinct()),
@@ -664,9 +758,6 @@ class VersionedTable:
                 ]
         else:
             merged = batch
-            if schema_evolution:
-                table_cols = set(self.read(base).columns)
-                evolved = table_cols != set(batch.columns)
             if self.enable_cdc:
                 cdc_actions = [
                     {"cdc": p}
@@ -676,8 +767,7 @@ class VersionedTable:
                 ]
         removes = [{"remove": f} for f in touched]
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(merged)]
-        if evolved:
-            adds.append({"meta": {"schema_evolved": True}})
+        adds.append({"meta": {"columns": sorted(merged.columns)}})
         self._commit(self._next_version(), adds + removes + cdc_actions)
         return self._versions()[-1]
 
@@ -692,19 +782,22 @@ class VersionedTable:
         if not self.exists():
             return 0
         base = self.latest_version()
-        all_files = self.files_at(base)
+        state = self._snapshot_state(base)
+        all_files = sorted(state["files"])
         touched = all_files
         key0 = keys[0]
         rhs = keys_df.select(*keys).distinct()
         bounds = rhs.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).collect()[0]
         if bounds["lo"] is not None and isinstance(bounds["lo"], (int, float, str)):
-            pruned = set(self.prune_files({key0: (bounds["lo"], bounds["hi"])}, base))
+            pruned = set(
+                self._prune_from_stats(
+                    state["files"], {key0: (bounds["lo"], bounds["hi"])}
+                )
+            )
             touched = [f for f in all_files if f in pruned]
         if not touched:
             return 0
-        existing = self.spark.read.parquet(
-            *[os.path.join(self.path, f) for f in touched]
-        )
+        existing = self._read_files(touched, state["schema_evolved"])
         removed_rows = existing.join(F.broadcast(rhs), on=keys, how="left_semi")
         removed = removed_rows.count()
         if not removed:
@@ -720,6 +813,7 @@ class VersionedTable:
             ]
         removes = [{"remove": f} for f in touched]
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(survivors)]
+        adds.append({"meta": {"columns": sorted(survivors.columns)}})
         self._commit(self._next_version(), adds + removes + cdc_actions)
         return removed
 
@@ -745,8 +839,11 @@ class VersionedTable:
         removes = [{"remove": f} for f in self.files_at(base)]
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(df)]
         # re-layout moves rows between files but changes none: the typed
-        # change feed skips commits carrying this marker
+        # change feed skips commits carrying this marker. Every file is
+        # rewritten with the full (merged) schema, so schema tracking
+        # re-bases — an evolved table turns homogeneous again here.
         adds.append({"meta": {"logical_noop": True}})
+        adds.append({"meta": {"columns": sorted(df.columns), "reset": True}})
         self._commit(self._next_version(), adds + removes)
         return self._versions()[-1]
 

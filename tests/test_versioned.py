@@ -25,9 +25,11 @@ def test_append_is_add_only_and_time_travels(spark, tmp_path):
     assert files_v0 < set(t.files_at(v1))
     assert t.read().count() == 3
     assert t.read(version=0).count() == 2  # time travel
-    # commit log actions for v1 are adds only
+    # commit log actions for v1 are adds (+ schema tracking) — no removes
     with open(os.path.join(t.log_path, f"{v1:012d}.json")) as f:
-        assert all("add" in a for a in json.load(f)["actions"])
+        actions = json.load(f)["actions"]
+    assert all("add" in a or "meta" in a for a in actions)
+    assert any("add" in a for a in actions)
 
 
 def test_overwrite_and_merge_preserve_history(spark, tmp_path):
@@ -267,10 +269,17 @@ def test_merge_schema_evolution_adds_column(spark, tmp_path):
 
     with open(_os.path.join(str(tmp_path / "t"), "_log", f"{v:012d}.json")) as f:
         actions = _json.load(f)["actions"]
-    assert any(a.get("meta", {}).get("schema_evolved") for a in actions)
+    # the commit's column tracking records the evolved (superset) schema
+    assert any(
+        a.get("meta", {}).get("columns") == ["k", "region", "v"]
+        for a in actions
+    )
     assert len([a for a in actions if "remove" in a]) < 4
     # time travel to the pre-evolution version still reads the old schema
     assert set(t.read(v - 1).columns) == {"k", "v"}
+    # plain appends enforce the (now evolved) schema too
+    with pytest.raises(ValueError):
+        t.append(spark.createDataFrame([(500, 1.0)], "k long, v double"))
 
 
 def test_parquet_table_merge_schema_evolution(spark, tmp_path):
@@ -320,7 +329,12 @@ def test_checkpoint_preserves_stats_schema_and_txn_state(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=4)
     t.append(spark.createDataFrame([(i, float(i)) for i in range(50)], "k long, v double"))
     t.optimize(target_files=4, zorder_by=["k"])  # v1: clustered files
-    t.append_txn(_evolve_batch(spark, [(100, 100.0, "eu")]), "app-a", batch_id=3)
+    t.append_txn(
+        _evolve_batch(spark, [(100, 100.0, "eu")]),
+        "app-a",
+        batch_id=3,
+        schema_evolution=True,
+    )
     t.merge_upsert(
         _evolve_batch(spark, [(101, 101.0, "us")]), keys=["k"], schema_evolution=True
     )  # v3: evolution marker
