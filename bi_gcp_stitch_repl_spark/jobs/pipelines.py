@@ -660,3 +660,87 @@ def incremental_summary_refresh_cdc(
     merged = merged.filter(F.col("n_rows") > 0)
     summary.overwrite(merged, txn=("summary_fold_cdc", cur))
     return cur
+
+
+def prepare_training_data(
+    spark: SparkSession,
+    docs: DataFrame,
+    bench: DataFrame,
+    export_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+    min_tokens: int = 5,
+    decon_ngram: int = 8,
+    vocab_size: int = 1000,
+    train_pct: int = 90,
+    valid_pct: int = 5,
+    n_shards: int = 8,
+    collect_stats: bool = False,
+) -> dict:
+    """End-to-end LLM training-data preparation — the whole curation
+    stack as ONE declarative plan:
+
+    1. span-level dedup (``dedup.span_dedup``): shared boilerplate runs
+       removed, documents rebuilt, emptied documents dropped;
+    2. cheap quality gate (``text.quality_filter``): length / degenerate-
+       token / punctuation-soup heuristics;
+    3. benchmark decontamination (``curation.decontaminate``): any doc
+       sharing a word ``decon_ngram``-gram with ``bench`` is dropped
+       (bench gram set broadcast — the corpus never shuffles its text);
+    4. vocabulary build + token-id encoding (``text.build_vocab`` /
+       ``encode_tokens``): corpus-frequency top-V vocab, every surviving
+       doc carries its ``token_ids`` sequence;
+    5. deterministic split/shard export (``export_training_shards``):
+       hive-partitioned ``split=<s>/shard=<k>`` layout, pure-hash
+       assignment so documents never migrate splits as the corpus grows.
+
+    Until the export write, everything is lazy — Catalyst fuses the
+    stages, and the only wide operations are the ones each stage is
+    built around (segment exchange, doc regroup, token count, the final
+    (split, shard) exchange). Re-running over the same corpus produces
+    byte-identical shard contents.
+
+    Returns per-split row counts; ``collect_stats=True`` adds per-stage
+    survivor counts (extra actions — each one is a full pass, leave off
+    at scale)."""
+    from ..functions.curation import decontaminate
+    from ..functions.dedup import span_dedup
+    from ..functions.text import build_vocab, encode_tokens, quality_filter
+
+    cleaned = (
+        span_dedup(docs, text_col, id_col, span_words)
+        .filter(F.col("n_kept") > 0)
+        .select(id_col, F.col("cleaned_text").alias(text_col))
+        .join(docs.drop(text_col), id_col)
+    )
+    passed = quality_filter(cleaned, text_col, min_tokens=min_tokens).select(
+        *cleaned.columns
+    )
+    flags = decontaminate(passed, bench, id_col, text_col, decon_ngram)
+    clean = passed.join(
+        flags.filter(~F.col("contaminated")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    vocab = build_vocab(clean, vocab_size, text_col)
+    payload = clean.join(encode_tokens(clean, vocab, text_col, id_col), id_col)
+    splits = export_training_shards(
+        spark,
+        payload,
+        export_path,
+        key_col=id_col,
+        train_pct=train_pct,
+        valid_pct=valid_pct,
+        n_shards=n_shards,
+    )
+    out: dict = {"splits": splits}
+    if collect_stats:
+        out["stages"] = {
+            "input": docs.count(),
+            "after_span_dedup": cleaned.count(),
+            "after_quality": passed.count(),
+            "after_decontamination": clean.count(),
+            "vocab_size": vocab.count(),
+        }
+    return out

@@ -639,3 +639,56 @@ def test_incremental_summary_refresh_cdc_exact_under_updates_deletes(spark, tmp_
 
     # nothing new -> no-op
     assert incremental_summary_refresh_cdc(spark, src_path, sum_path, ["grp"], ["amt"]) is None
+
+
+def test_prepare_training_data_end_to_end(spark, tmp_path):
+    """The full curation stack: span dedup drops shared runs, quality gate
+    drops junk, decontamination drops benchmark overlap, survivors carry
+    token ids, export is deterministic across re-runs."""
+    from bi_gcp_stitch_repl_spark.jobs.pipelines import prepare_training_data
+
+    boiler = " ".join(f"w{i}" for i in range(10))  # shared 10-word run
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " alpha beta gamma delta epsilon zeta"),
+            (1, boiler + " one two three four five six seven"),  # loses boiler
+            (2, "tiny doc"),                                     # quality-dropped
+            (3, "leak leak2 leak3 leak4 leak5 leak6 leak7 leak8 tail tail2"),
+            (4, "clean clean2 clean3 clean4 clean5 clean6 clean7 clean8"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "leak leak2 leak3 leak4 leak5 leak6 leak7 leak8 other")],
+        "doc_id long, text string",
+    )
+    out_dir = str(tmp_path / "export")
+    res = prepare_training_data(
+        spark, docs, bench, out_dir, vocab_size=10, n_shards=2,
+        collect_stats=True,
+    )
+    assert res["stages"]["input"] == 5
+    assert res["stages"]["after_quality"] == 4          # doc 2 gone
+    assert res["stages"]["after_decontamination"] == 3  # doc 3 gone
+    assert res["stages"]["vocab_size"] == 10
+    exported = spark.read.parquet(out_dir)
+    rows = {r["doc_id"]: r for r in exported.collect()}
+    assert set(rows) == {0, 1, 4}
+    assert rows[1]["text"].startswith("one two")         # boiler removed
+    assert rows[0]["text"].startswith("w0 w1")           # first occurrence kept
+    assert all(r["n_tokens"] == len(r["token_ids"]) for r in rows.values())
+    assert sum(res["splits"].values()) == 3
+
+    # deterministic: re-export over the same corpus is byte-identical rows
+    res2 = prepare_training_data(
+        spark, docs, bench, str(tmp_path / "export2"), vocab_size=10, n_shards=2
+    )
+    again = {
+        (r["doc_id"], r["split"], r["shard"], r["shuffle_rank"], tuple(r["token_ids"]))
+        for r in spark.read.parquet(str(tmp_path / "export2")).collect()
+    }
+    first = {
+        (r["doc_id"], r["split"], r["shard"], r["shuffle_rank"], tuple(r["token_ids"]))
+        for r in exported.collect()
+    }
+    assert again == first
