@@ -392,12 +392,6 @@ class VersionedTable:
                 out.append(fname)
         return out
 
-    def _schema_evolved(self, version: int | None = None) -> bool:
-        """True when any commit at-or-before ``version`` recorded a schema
-        evolution (merge with added/removed columns) — readers then pay the
-        mergeSchema footer pass; homogeneous tables never do."""
-        return self._snapshot_state(version)["schema_evolved"]
-
     def _read_files(self, files: list[str], evolved: bool) -> DataFrame:
         """Read table-relative part files, honoring mergeSchema when the
         snapshot is schema-evolved (a plain multi-file read takes ONE
@@ -421,19 +415,15 @@ class VersionedTable:
         files = sorted(state["files"])
         if not files:
             raise FileNotFoundError(f"no committed data in {self.path}")
-        reader = self.spark.read
-        if state["schema_evolved"]:
-            reader = reader.option("mergeSchema", "true")
+        evolved = state["schema_evolved"]
         if where:
             pruned = set(self._prune_from_stats(state["files"], where))
             kept = [f for f in files if f in pruned]
             if not kept:
-                schema = reader.parquet(
-                    *[os.path.join(self.path, f) for f in files]
-                ).schema
+                schema = self._read_files(files, evolved).schema
                 return self.spark.createDataFrame([], schema)
             files = kept
-        return reader.parquet(*[os.path.join(self.path, f) for f in files])
+        return self._read_files(files, evolved)
 
     def exists(self) -> bool:
         return self.latest_version() is not None
