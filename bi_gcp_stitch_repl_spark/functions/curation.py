@@ -110,6 +110,26 @@ def mixture_sample(
     return df.withColumn("_r", rate).filter(F.expr(h) % 100 < F.col("_r")).drop("_r")
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_bps_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wt",
+) -> DataFrame:
+    """Deterministic PER-ROW weighted sampling: keeps a row when
+    ``fold_hash(salt || key) % 10000 < weight_bps`` (keep probability in
+    basis points, 0..10000). The per-row generalization of
+    ``mixture_sample``'s per-source rates — quality-weighted corpus
+    downsampling whose keep decision is a pure function of the row key,
+    so it is stable under re-runs, partitioning changes, and AQE
+    re-plans, and downstream incremental merges stay idempotent.
+    Row-local filter: no shuffle, no Python."""
+    h = FOLD_SPARK.format(
+        s=f"concat('{salt}', cast({key_col} as string))", p=HASH_P
+    )
+    return df.filter(F.expr(h) % 10000 < F.col(weight_bps_col))
+
+
 def split_shard(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -110,6 +110,40 @@ def x_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "source", rate.cast("int").alias("rate_pct"))
 
 
+WEIGHT_PER_CHAR_BPS = 25  # keep probability grows with doc length, caps at 1
+
+
+@register(
+    "x_weighted_sample",
+    oracle=f"""
+SELECT doc_id, n_chars,
+       CAST(least(10000, n_chars * {WEIGHT_PER_CHAR_BPS}) AS BIGINT) AS keep_bps
+FROM documents
+WHERE {_FOLD_DUCK.format(s="concat('wt', CAST(doc_id AS VARCHAR))", p=HASH_P)}
+      % 10000 < least(10000, n_chars * {WEIGHT_PER_CHAR_BPS})
+""",
+)
+def x_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document weighted sampling (functions.curation.weighted_sample):
+    keep probability proportional to document length (capped at 100%),
+    decided by key-hash-mod in basis points — the quality-weighted
+    downsampling step of a curation pipeline, deterministic across
+    re-runs and cluster sizes where rand()-sampling is not. Pure row-
+    local filter: no shuffle, no Python."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    weighted = docs.withColumn(
+        "keep_bps",
+        F.least(
+            F.lit(10000), F.col("n_chars") * WEIGHT_PER_CHAR_BPS
+        ).cast("long"),
+    )
+    from ..functions.curation import weighted_sample
+
+    return weighted_sample(weighted, "keep_bps").select(
+        "doc_id", "n_chars", "keep_bps"
+    )
+
+
 CONTEXT_TOKENS = 256
 
 
