@@ -661,7 +661,11 @@ class VersionedTable:
         return self._versions()[-1]
 
     def merge_upsert(
-        self, batch: DataFrame, keys: list[str], schema_evolution: bool = False
+        self,
+        batch: DataFrame,
+        keys: list[str],
+        schema_evolution: bool = False,
+        broadcast_batch: bool = True,
     ) -> int:
         """K1 upsert with snapshot semantics AND file-pruned rewrite.
 
@@ -719,19 +723,19 @@ class VersionedTable:
             # takes ONE footer's schema and would silently drop the
             # evolved columns from the rewritten survivors
             existing = self._read_files(touched, state["schema_evolved"])
-            survivors = existing.join(
-                F.broadcast(batch.select(*keys).distinct()),
-                on=keys,
-                how="left_anti",
-            )
+            batch_keys = batch.select(*keys).distinct()
+            # broadcast fits the incremental-batch case; pass
+            # broadcast_batch=False for mega-batches (backfills) so the
+            # anti-join shuffles instead of materializing the key set on
+            # every executor
+            anti_rhs = F.broadcast(batch_keys) if broadcast_batch else batch_keys
+            survivors = existing.join(anti_rhs, on=keys, how="left_anti")
             merged = survivors.unionByName(
                 batch, allowMissingColumns=schema_evolution
             )
             if self.enable_cdc:
                 pre = existing.join(
-                    F.broadcast(batch.select(*keys).distinct()),
-                    keys,
-                    "left_semi",
+                    anti_rhs, keys, "left_semi"
                 ).withColumn("_change_type", F.lit("update_preimage"))
                 ex_keys = existing.select(*keys).distinct()
                 post = batch.join(ex_keys, keys, "left_semi").withColumn(
@@ -761,7 +765,12 @@ class VersionedTable:
         self._commit(self._next_version(), adds + removes + cdc_actions)
         return self._versions()[-1]
 
-    def delete_matching(self, keys_df: DataFrame, keys: list[str]) -> int:
+    def delete_matching(
+        self,
+        keys_df: DataFrame,
+        keys: list[str],
+        broadcast_keys: bool = True,
+    ) -> int:
         """Hard-delete every row whose key appears in ``keys_df`` (GDPR
         erasure) with the same file pruning as ``merge_upsert``: files
         whose logged ``keys[0]`` [min,max] can't contain a requested key
@@ -788,11 +797,12 @@ class VersionedTable:
         if not touched:
             return 0
         existing = self._read_files(touched, state["schema_evolved"])
-        removed_rows = existing.join(F.broadcast(rhs), on=keys, how="left_semi")
+        del_rhs = F.broadcast(rhs) if broadcast_keys else rhs
+        removed_rows = existing.join(del_rhs, on=keys, how="left_semi")
         removed = removed_rows.count()
         if not removed:
             return 0
-        survivors = existing.join(F.broadcast(rhs), on=keys, how="left_anti")
+        survivors = existing.join(del_rhs, on=keys, how="left_anti")
         cdc_actions: list[dict] = []
         if self.enable_cdc:
             cdc_actions = [
