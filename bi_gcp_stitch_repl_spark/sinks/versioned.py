@@ -869,6 +869,26 @@ class VersionedTable:
             )
         return out
 
+    def version_at_time(self, ts: float) -> int:
+        """Newest version committed at-or-before ``ts`` (unix seconds) —
+        timestamp-based time travel: ``t.read(t.version_at_time(ts))``.
+        Resolved from surviving commit files' recorded commit times;
+        raises if ``ts`` predates the surviving history (expired or
+        never-existed)."""
+        best = None
+        for v in self._versions():
+            with open(os.path.join(self.log_path, f"{v:012d}.json")) as f:
+                commit_ts = json.load(f).get("ts", 0.0)
+            if commit_ts <= ts:
+                best = v
+            else:
+                break
+        if best is None:
+            raise FileNotFoundError(
+                f"no commit of {self.path} at-or-before ts={ts} survives"
+            )
+        return best
+
     def restore(self, version: int) -> int:
         """RESTORE: make ``version``'s state current again as a NEW commit
         (re-add its files, remove the current snapshot's extras) — metadata

@@ -480,3 +480,17 @@ def test_cdc_feed_types_every_change_and_skips_compaction(spark, tmp_path):
     t2.merge_upsert(_df(spark, [(1, "A")]), keys=["k"])
     with pytest.raises(ValueError):
         t2.changes_feed(0).collect()
+
+
+def test_version_at_time_resolves_commit_boundaries(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    ts = {e["version"]: e["ts"] for e in t.history()}
+    assert t.version_at_time(ts[0]) == 0           # exactly at commit 0
+    assert t.version_at_time((ts[1] + ts[2]) / 2) == 1
+    assert t.version_at_time(ts[2] + 9999) == 2    # far future -> latest
+    assert t.read(t.version_at_time(ts[1])).count() == 2
+    with pytest.raises(FileNotFoundError):
+        t.version_at_time(ts[0] - 1)               # before history began
