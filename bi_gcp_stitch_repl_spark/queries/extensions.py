@@ -891,6 +891,49 @@ def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_LO, HIST_HI, HIST_BUCKETS = 0, 600, 12
+
+
+_WB_DUCK = f"""CASE WHEN n_chars < {HIST_LO} THEN 0
+     WHEN n_chars >= {HIST_HI} THEN {HIST_BUCKETS + 1}
+     ELSE 1 + CAST(floor((n_chars - {HIST_LO}) * {HIST_BUCKETS}.0
+                         / {HIST_HI - HIST_LO}) AS BIGINT) END"""
+
+
+@register(
+    "x_length_histogram",
+    oracle=f"""
+SELECT source,
+       CAST({_WB_DUCK} AS BIGINT) AS bucket,
+       CAST(({_WB_DUCK} - 1) * {(HIST_HI - HIST_LO) // HIST_BUCKETS} AS BIGINT)
+         AS bucket_lo,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2, 3
+""",
+)
+def x_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram (fixed-width SQL-standard
+    width_bucket bins): the batch-shape / sequence-length profile a
+    training pipeline reads before choosing context length and packing
+    budgets. Map-side-combinable groupBy on (source, bucket) — bucket
+    cardinality is constant, so the exchange carries at most
+    sources × (buckets + 2) rows at ANY corpus size."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    bucket = F.width_bucket(
+        "n_chars", F.lit(HIST_LO), F.lit(HIST_HI), F.lit(HIST_BUCKETS)
+    ).cast("long")
+    width = (HIST_HI - HIST_LO) // HIST_BUCKETS
+    return (
+        docs.groupBy(
+            "source",
+            bucket.alias("bucket"),
+            ((bucket - 1) * width).cast("long").alias("bucket_lo"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 VOCAB_SIZE = 20
 
 
