@@ -195,6 +195,40 @@ def test_asof_join_is_single_exchange_window(spark):
     assert "Window" in plan and "Join" not in plan
 
 
+def test_q4_exists_is_semi_join_with_residual(spark):
+    """The EXISTS subquery must execute as one LEFT SEMI hash join on the
+    shared orderkey — the date comparison rides along as the join's
+    residual condition, never an inequality-join explosion or a second
+    aggregate-and-join pass over lineitem."""
+    plan = plan_of(QUERIES["q4_order_priority"](spark, SF_SMOKE), mode="simple")
+    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q18_having_in_aggregates_lineitem_once(spark):
+    """HAVING + IN-subquery collapses to a single reused aggregate: the
+    literal SQL scans/aggregates lineitem twice, the decorrelated plan
+    exactly once."""
+    plan = plan_of(QUERIES["q18_large_orders"](spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1, "IN-subquery rescan not collapsed"
+    assert "partial_sum" in plan  # map-side combine under the orderkey agg
+
+
+def test_q11_scalar_subquery_scans_fact_once(spark):
+    """The global-total scalar subquery is a window over the 25-row
+    per-nation aggregate — lineitem must appear exactly once in the plan
+    (the naive correlated form scans it twice)."""
+    plan = plan_of(QUERIES["q11_revenue_concentration"](spark, SF_SMOKE))
+    assert plan.count("lineitem.parquet") == 1, "scalar subquery rescans the fact"
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation broadcast
+
+
+def test_q2_decorrelated_min_broadcasts_dims(spark):
+    plan = plan_of(QUERIES["q2_min_cost_supplier"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "TakeOrderedAndProject" in plan  # limit 100 = heap, not global sort
+
+
 def test_decontaminate_broadcasts_bench_grams(spark):
     plan = plan_of(QUERIES["x_decontaminate"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, "bench gram set must broadcast"
