@@ -284,3 +284,83 @@ def lsh_bucket_topk(
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "cosine", "rk")
     )
+
+
+#: squared-L2 distance between two double arrays as a sequential fold —
+#: same element order as DuckDB's list_sum(list_transform(list_zip(...))),
+#: so the doubles are bit-identical cross-engine (the argmin tie contract).
+SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's KMeans as a pure, deterministic DataFrame plan: ``n_iter``
+    assign/update rounds from a fixed seed (the ``k`` smallest-id vectors),
+    returning ``(id_col, cluster)``.
+
+    Each round is the classic distributed shape — the centroid table (k
+    rows) broadcasts, every vector scores k squared-L2 folds JVM-side,
+    argmin is a per-vector window with the centroid id as tie-break, and
+    the update is one (cluster, dim) aggregation. Determinism: distances
+    are sequential folds (bit-identical to DuckDB's list fold), and each
+    centroid coordinate is the value-sorted fold-sum of its members
+    divided once — no order-dependent float aggregation anywhere, so the
+    trajectory (not just the fixpoint) is reproducible cross-engine.
+
+    The sorted-fold update costs a per-(cluster, dim) collect; that is the
+    ORACLE-parity formulation. At 100 TB fit with ``kmeans_ivf_index``
+    (pyspark.ml Lloyd's, plain float means) and keep this as the
+    correctness twin on samples.
+    """
+    emb = corpus.select(
+        id_col,
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    w_seed = Window.orderBy(id_col)
+    cents = (
+        emb.withColumn("_r", F.row_number().over(w_seed))
+        .filter(F.col("_r") <= k)
+        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    )
+    w_min = Window.partitionBy(id_col).orderBy("dist", "cid")
+    for it in range(n_iter):
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("dist", F.expr(SQDIST.format(a="v", b="cv")))
+            .withColumn("_rn", F.row_number().over(w_min))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "v", F.col("cid").alias("cluster"))
+        )
+        if it == n_iter - 1:
+            return assigned.select(
+                id_col, F.col("cluster").cast("bigint").alias("cluster")
+            )
+        cents = (
+            assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(
+                (
+                    F.expr(
+                        "aggregate(array_sort(collect_list(x)),"
+                        " cast(0.0 as double), (acc, v) -> acc + v)"
+                    )
+                    / F.count("*").cast("double")
+                ).alias("m")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, m))), p -> p.m)"
+                ).alias("cv")
+            )
+            .select(F.col("cluster").alias("cid"), "cv")
+        )
+    raise AssertionError("unreachable")

@@ -142,3 +142,62 @@ def encode_tokens(
         F.expr("transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)")
         .alias("token_ids"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance of every document to a bag of query terms.
+
+    One token explode → ONE per-document aggregation (doc length + one
+    conditional tf counter per term, all in the same pass/shuffle); the
+    corpus statistics (N, Σdl, per-term df) aggregate that per-doc frame
+    down to a single row that broadcasts back over it — the token stream
+    is never shuffled twice and the corpus frame never sees a global sort.
+
+    Determinism contract (the catalog's bit-parity rule): the classic
+    ``ln``-based idf is replaced by its argument ``(N - df + 0.5) /
+    (df + 0.5)`` — a strictly monotone transform, so rankings are
+    unchanged — because every remaining operation (+,-,*,/) is exactly
+    rounded under IEEE 754 and therefore bit-identical across engines,
+    while ``ln`` is only 1-ulp-accurate and engine-dependent. Score
+    terms accumulate in fixed list order.
+    """
+    tok = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    aggs = [F.count("*").alias("dl")]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf{i}")
+        )
+    stats = tok.groupBy(id_col).agg(*aggs)
+    g_aggs = [F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")]
+    for i in range(len(terms)):
+        g_aggs.append(
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+        )
+    corpus = stats.agg(*g_aggs)
+
+    n_d = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_d
+    dl_d = F.col("dl").cast("double")
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        df_ = F.col(f"df{i}").cast("double")
+        idf = (n_d - df_ + F.lit(0.5)) / (df_ + F.lit(0.5))
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * (dl_d / avgdl)
+        )
+        s = (idf * (tf * F.lit(k1 + 1.0))) / denom
+        score = s if score is None else score + s
+    return stats.crossJoin(F.broadcast(corpus)).select(
+        id_col, "dl", score.alias("bm25")
+    )

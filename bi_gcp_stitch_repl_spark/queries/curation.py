@@ -530,3 +530,63 @@ def x_split_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = tables(spark, sf_dir, "documents")
     return split_shard(docs).select("doc_id", "split", "shard", "shuffle_rank")
+
+
+BM25_TERMS = ["join", "window", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_term_sql(i: int) -> str:
+    """One term's BM25 contribution — char-for-char the same arithmetic
+    (and association order) as functions.text.bm25_scores builds in Spark,
+    so the IEEE doubles come out bit-identical."""
+    tf = f"CAST(tf{i} AS DOUBLE)"
+    df = f"CAST(df{i} AS DOUBLE)"
+    return (
+        f"(((CAST(n_docs AS DOUBLE) - {df} + 0.5) / ({df} + 0.5))"
+        f" * ({tf} * {_BM25_K1 + 1.0}))"
+        f" / ({tf} + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+    )
+
+
+@register(
+    "x_bm25_topk",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         {", ".join(f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}" for i, t in enumerate(BM25_TERMS))}
+  FROM tok GROUP BY 1
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         {", ".join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(BM25_TERMS)))}
+  FROM stats
+)
+SELECT doc_id, dl,
+       {" + ".join(f"({_bm25_term_sql(i)})" for i in range(len(BM25_TERMS)))} AS bm25
+FROM stats, corpus
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+)
+def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 relevance to a fixed query-term bag — the
+    lexical-retrieval half of a RAG / training-data search stack
+    (functions.text.bm25_scores). One token explode feeds ONE per-doc
+    aggregation carrying doc length and every term's tf in the same pass;
+    corpus stats (N, Σdl, df) reduce that frame to a single broadcast row.
+    At 100 TB the token stream shuffles once on doc_id and the ranking is
+    a TakeOrdered heap, never a global sort. The ln-free idf keeps the
+    score bit-portable (see bm25_scores' determinism contract)."""
+    from ..functions.text import bm25_scores
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (
+        bm25_scores(docs, BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

@@ -1171,3 +1171,63 @@ def x_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 100.0).alias("duration_sec"),
     )
     return frame_sample_plan(media, every_n_seconds=2.5, id_col="media_id")
+
+
+_SQDIST_DUCK = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+KMEANS_K = 4
+
+
+@register(
+    "x_kmeans_assign",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents0 AS (
+  SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT {KMEANS_K}
+),
+a1 AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM (SELECT e.vec_id, e.v, c.cid,
+               {_SQDIST_DUCK.format(a="e.v", b="c.cv")} AS dist
+        FROM emb e CROSS JOIN cents0 c) s1
+),
+asg1 AS (SELECT vec_id, v, cid AS cluster FROM a1 WHERE rn = 1),
+sums AS (
+  SELECT cluster, i,
+         list_sum(list_sort(list(x))) / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM (SELECT cluster, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM asg1) t
+  GROUP BY 1, 2
+),
+cents1 AS (SELECT cluster AS cid, list(m ORDER BY i) AS cv FROM sums GROUP BY 1),
+a2 AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM (SELECT e.vec_id, c.cid,
+               {_SQDIST_DUCK.format(a="e.v", b="c.cv")} AS dist
+        FROM emb e CROSS JOIN cents1 c) s2
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2 WHERE rn = 1
+""",
+)
+def x_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd's KMeans rounds (k={KMEANS_K}, seeded by the k smallest
+    vec_ids) as a pure deterministic DataFrame plan
+    (functions.similarity.kmeans_lloyd): broadcast centroid table →
+    JVM-side squared-L2 folds → per-vector argmin window → one (cluster,
+    dim) update aggregation, repeated. The oracle replays the identical
+    trajectory in SQL — every distance and centroid coordinate is
+    bit-identical cross-engine (sequential folds, value-sorted update
+    sums), so the final assignment hash-matches exactly. Scale twin:
+    kmeans_ivf_index (pyspark.ml) fits the same shape without the
+    sorted-update collect."""
+    from ..functions.similarity import kmeans_lloyd
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=KMEANS_K, n_iter=2)

@@ -385,3 +385,39 @@ def test_vocab_encode_ranks_and_oov(spark):
     out = {r["doc_id"]: r for r in text.encode_tokens(docs, text.build_vocab(docs, 2)).collect()}
     assert out[1]["token_ids"] == [1, 1, 1, 2, 2, 0]
     assert (out[2]["n_tokens"], out[2]["token_ids"]) == (3, [2, 1, 0])
+
+
+def test_bm25_ranks_term_bearing_docs_first(spark):
+    """Docs must score in (tf saturating, length-penalized) order; docs
+    without any query term score exactly 0."""
+    from bi_gcp_stitch_repl_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "join join join filter"),          # high tf, short
+            (2, "join filter scan sort merge go"), # one hit, longer
+            (3, "filter scan sort"),               # no hits
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["join"]).collect()}
+    assert out[3] == 0.0
+    assert out[1] > out[2] > out[3]
+
+
+def test_kmeans_lloyd_separates_planted_blobs(spark):
+    """Two well-separated blobs must come out as two pure clusters, and
+    the assignment must be bit-stable across re-runs (determinism)."""
+    from bi_gcp_stitch_repl_spark.functions.similarity import kmeans_lloyd
+
+    rows = []
+    for i in range(20):
+        base = 0.0 if i % 2 == 0 else 10.0   # ids 0,2,.. blob A; 1,3,.. blob B
+        rows.append((i, [base + 0.01 * i, base - 0.01 * i, base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_lloyd(emb, k=2, n_iter=2)
+    a = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    blob_a = {a[i] for i in range(0, 20, 2)}
+    blob_b = {a[i] for i in range(1, 20, 2)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    assert a == {r["vec_id"]: r["cluster"] for r in out.collect()}

@@ -271,6 +271,8 @@ def test_no_unbounded_join_strategies_in_catalog(spark):
         "x_lsh_cosine_buckets",  # broadcast plane/model constants
         "x_dedup_embedding_pairs",
         "a4_max_watermark",      # 1-row watermark crossJoin
+        "x_bm25_topk",           # 1-row corpus-stats crossJoin
+        "x_kmeans_assign",       # broadcast k-row centroid table
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
