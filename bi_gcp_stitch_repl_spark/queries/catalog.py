@@ -71,6 +71,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 
 _SHIPPED_APPS: set[str] = set()
+_SHIP_LOCK = __import__("threading").Lock()
 
 
 def _ensure_importable_on_workers(spark: SparkSession) -> None:
@@ -83,6 +84,16 @@ def _ensure_importable_on_workers(spark: SparkSession) -> None:
     and exactly how the job would deploy to a real multi-node cluster
     (executors there share no filesystem with the driver at all)."""
     app = spark.sparkContext.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    with _SHIP_LOCK:
+        _ship_package(spark, app)
+
+
+def _ship_package(spark: SparkSession, app: str) -> None:
+    # under the lock: concurrent tables() callers (e.g. a threaded loader
+    # staging ten tables at once) must not race two addPyFile calls for the
+    # same archive name — SparkContext rejects re-adding a changed file
     if app in _SHIPPED_APPS:
         return
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
