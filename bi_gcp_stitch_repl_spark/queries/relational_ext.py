@@ -332,3 +332,45 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
     )
+
+
+@register(
+    "x_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+         AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form rollup (a7) and cube (a9) are
+    special cases of: per-status totals, per-priority totals, and the
+    grand total in ONE pass over orders (the hand-written alternative is
+    three scans UNION ALLed). ``grouping_id`` disambiguates the NULLs that
+    mark aggregated-away dimensions from genuine NULL data. Decimal-exact
+    revenue at scale 2 (a grand total's scaled integer must stay under
+    2^53: DuckDB's wide-decimal->double cast double-rounds above it, one
+    of the few places the engines' float behavior can diverge); single
+    expand+shuffle."""
+    (o,) = tables(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "n_orders", "revenue", "gid"
+        )
+    )

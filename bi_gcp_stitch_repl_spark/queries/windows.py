@@ -200,3 +200,39 @@ def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.ntile(4).over(w).cast("int").alias("balance_quartile"),
     )
+
+
+@register(
+    "w_rolling_30d_revenue",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS rev_30d
+FROM orders
+""",
+)
+def w_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day revenue per customer at every order: a RANGE frame
+    (event-time width, peer-inclusive), not a ROWS frame — the frame is
+    defined by the *time* bound, so same-day orders are always peers and
+    row order inside a day cannot change the answer (ROWS would make it
+    nondeterministic under ties). The DataFrame API expresses the interval
+    bound as an epoch-second rangeBetween; one shuffle on the customer
+    key, decimal-exact accumulation."""
+    (o,) = tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-29 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+        .over(w)
+        .cast("double")
+        .alias("rev_30d"),
+    )

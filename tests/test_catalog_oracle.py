@@ -34,3 +34,21 @@ def test_entry_smoke(spark):
 
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_tables_is_thread_safe(spark):
+    """A threaded loader (e.g. bench staging all tables at once) must not
+    race the one-time worker-package shipment: concurrent first calls used
+    to double-addPyFile the same archive name, which SparkContext rejects."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    catalog._SHIPPED_APPS.clear()  # force re-shipment on every thread
+    names = ["region", "nation", "customer", "supplier", "part"] * 2
+
+    def load(name):
+        (df,) = catalog.tables(spark, SF_ORACLE, name)
+        return df.count()
+
+    with ThreadPoolExecutor(max_workers=10) as pool:
+        counts = list(pool.map(load, names))
+    assert all(c > 0 for c in counts)
