@@ -1231,3 +1231,108 @@ def x_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=KMEANS_K, n_iter=2)
+
+
+@register(
+    "x_approx_quantiles",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(TRUE AS BOOLEAN) AS p50_ok,
+       CAST(TRUE AS BOOLEAN) AS p90_ok
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def x_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna / t-digest family) per group —
+    the constant-memory quantile path for 100 TB where a8's exact
+    within-group sort is not affordable.
+
+    Sketch internals are engine-specific, so (exactly like
+    x_approx_distinct) the hash-checkable contract is the GUARANTEE, not
+    the estimate: with accuracy=1000 the rank error is bounded by n/1000,
+    so the estimate must land between the exact percentiles at p ± 0.02 —
+    a band 20x looser than the guarantee, wide enough that the sketch's
+    return-an-actual-value discretization (±1 rank, which a tight band
+    undercuts at small n) can never graze the boundary. The query
+    computes both the sketch and the exact band and emits the boolean; a
+    sketch regression is a hard hash mismatch."""
+    (o,) = tables(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("a50"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("a90"),
+        F.percentile("o_totalprice", F.lit(0.48)).alias("lo50"),
+        F.percentile("o_totalprice", F.lit(0.52)).alias("hi50"),
+        F.percentile("o_totalprice", F.lit(0.88)).alias("lo90"),
+        F.percentile("o_totalprice", F.lit(0.92)).alias("hi90"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias("p50_ok"),
+        ((F.col("a90") >= F.col("lo90")) & (F.col("a90") <= F.col("hi90"))).alias("p90_ok"),
+    )
+
+
+INDEX_TOP_TERMS = 50
+
+
+@register(
+    "x_inverted_index",
+    oracle=f"""
+WITH tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT term, COUNT(*) AS df, SUM(tf) AS cf,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rnk
+  FROM tf GROUP BY term
+)
+SELECT r.term, CAST(r.df AS BIGINT) AS df, CAST(r.cf AS BIGINT) AS cf,
+       string_agg(f.doc_id || ':' || f.tf, ',' ORDER BY f.doc_id) AS postings
+FROM ranked r JOIN tf f USING (term)
+WHERE r.rnk <= {INDEX_TOP_TERMS}
+GROUP BY r.term, r.df, r.cf
+""",
+)
+def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the artifact a lexical search stack (see
+    x_bm25_topk for the scoring side) persists: per term, document
+    frequency, collection frequency, and the doc-sorted posting list
+    (serialized ``doc:tf`` for the oracle hash; the library form would
+    keep the array). One (doc, term) count, one term-level regroup; the
+    row_number rank window runs on the distinct-term set only
+    (vocabulary-sized, never corpus-sized — same discipline as
+    x_vocab_encode). Output bounded to the top-{INDEX_TOP_TERMS} terms by
+    df with term tiebreak."""
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    terms = tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    w = Window.orderBy(F.desc("df"), "term")
+    top = (
+        terms.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= INDEX_TOP_TERMS)
+        .drop("rnk")
+    )
+    return (
+        tf.join(F.broadcast(top), "term")
+        .groupBy("term", "df", "cf")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(doc_id, tf))),"
+                " p -> concat(p.doc_id, ':', p.tf)), ',')"
+            ).alias("postings")
+        )
+        .select("term", "df", "cf", "postings")
+    )
