@@ -437,3 +437,421 @@ def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue").cast("double") / F.col("total")).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The rest of the classic decision-support suite, adapted to this star
+# schema (no partsupp / shipmode / phone columns — each query notes its
+# substitution). Together with q1-q5/q7-q11/q18 above, every TPC-H plan
+# shape the BI layer generates is now covered: disjunctive predicate
+# pushdown (q19), double-aggregation distributions (q13), anti-join
+# NOT-IN/NOT-EXISTS (q16, q21, q22), and scalar-subquery thresholds
+# evaluated once (q15, q17, q22).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+              * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6: revenue change from hypothetically eliminating mid-band
+    discounts on small-quantity lines in one year. Pure scan-side query —
+    all three predicates push into the parquet scan and only two columns
+    survive pruning; the aggregation is a map-side partial + 1-row final.
+    The plan floor every other query builds on."""
+    (l,) = tables(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(10,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q12_linestatus_priority",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+)
+def q12_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape (testdata has no l_shipmode; l_linestatus plays the
+    grouping role): lines shipped in 1997 split into urgent/other order
+    priorities per line status. The shipdate filter shrinks lineitem at the
+    scan before the orderkey hash join; both flag counts come from the SAME
+    pass (one scan, one join, one 2-row aggregate)."""
+    l, o = tables(spark, sf_dir, "lineitem", "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY 1
+""",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13: how many customers placed 0, 1, 2, ... orders. LEFT outer
+    join keeps the zero-order customers (COUNT of the null-extended key is
+    0, not 1), then a second aggregation over the customer-sized result
+    builds the distribution. The first join+agg shuffles on custkey; the
+    second shuffle moves only (count, customers-with-that-count) pairs."""
+    c, o = tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_share",
+    oracle=f"""
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN {_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}
+                  ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+       / CAST(SUM({_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE) AS DOUBLE) AS promo_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+  AND l.l_shipdate < TIMESTAMP '1997-07-01'
+""",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14: PROMO parts' percentage of one month's revenue. Same
+    one-pass conditional-sum discipline as q8 — numerator and denominator
+    from a single scan+join+aggregate, never two scans joined back. Part
+    broadcasts un-filtered here (the CASE needs non-PROMO rows too); the
+    month filter pushes to the lineitem scan."""
+    l, p = tables(spark, sf_dir, "lineitem", "part")
+    promo_rev = F.when(F.col("p_type") == "PROMO", _rev_spark()).otherwise(
+        F.lit(0).cast("decimal(14,4)")
+    )
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo_rev).cast("double")
+                / F.sum(_rev_spark()).cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM({_REV_DUCK}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15: the supplier(s) with maximum revenue in 1997-Q1. The
+    oracle's scalar MAX subquery over the CTE becomes an unpartitioned
+    window MAX over the supplier-sized aggregate (q11's pattern — global
+    windows are fine on dimension-cardinality data, never on facts), so
+    lineitem is scanned once. Revenue ties all survive: no arbitrary pick,
+    deterministic under any partitioning."""
+    from pyspark.sql import Window
+
+    l, s = tables(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev_spark()).alias("total_rev"))
+    )
+    best = rev.withColumn(
+        "max_rev", F.max("total_rev").over(Window.partitionBy())
+    ).filter(F.col("total_rev") == F.col("max_rev"))
+    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape (no partsupp: the observed lineitem relation is the
+    supplier-part catalog; no comment column: negative account balance is
+    the supplier exclusion). Distinct suppliers able to supply each
+    (brand, type, size) bucket. The NOT IN becomes a broadcast LEFT ANTI
+    join against the (tiny) excluded-supplier set — null-safe here because
+    keys are non-null; part pre-filters before broadcast."""
+    l, p, s = tables(spark, sf_dir, "lineitem", "part", "supplier")
+    p_f = p.filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21)
+    )
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(excluded), l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17: lost revenue from orders below 20% of a part's average
+    order quantity. The correlated AVG decorrelates to a window mean over
+    the part key — valid because partkey determines brand/type, so
+    averaging the brand-filtered join output equals averaging all of the
+    part's lineitems, one pass instead of a per-row rescan. Quantities are
+    integer-valued doubles: their sum is exact in IEEE whatever the
+    partition order, so the 0.2×avg threshold is deterministic."""
+    from pyspark.sql import Window
+
+    l, p = tables(spark, sf_dir, "lineitem", "part")
+    p_f = p.filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
+    joined = l.join(F.broadcast(p_f), l.l_partkey == p.p_partkey)
+    avg_qty = F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
+    return (
+        joined.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(10,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+SELECT CAST(SUM({_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19: revenue from three OR-ed (brand, size, quantity) windows.
+    The single-table implications are extracted and pushed BEFORE the join
+    — part shrinks to the three brands (broadcast hash table holds ~12% of
+    part), lineitem to the quantity hull [1, 30] at the scan — and the full
+    disjunction stays as the residual filter on joined rows. The naive plan
+    (filter after join, unfiltered broadcast) does the same join at 8× the
+    hash-table size."""
+    l, p = tables(spark, sf_dir, "lineitem", "part")
+    p_f = p.filter(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#4"))
+    l_f = l.filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+    branch = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1) & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
+    )
+    return (
+        l_f.join(F.broadcast(p_f), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            branch("Brand#12", 15, 1, 11)
+            | branch("Brand#23", 25, 10, 20)
+            | branch("Brand#4", 35, 20, 30)
+        )
+        .agg(F.sum(_rev_spark()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 50
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (late = shipped >90 days after order date, standing
+    in for receipt-past-commit): suppliers solely responsible for delaying
+    multi-supplier finished orders. The EXISTS / NOT-EXISTS pair
+    decorrelates into ONE per-order aggregate — distinct suppliers ≥ 2
+    (some other supplier exists) and distinct LATE suppliers = 1 (nobody
+    else was late; l1's supplier is late so the 1 is them) — and the late
+    rows re-join that order verdict on the orderkey partitioning both
+    sides already share (AQE reuses the exchange instead of re-scanning).
+    Counting late ROWS per supplier matches the oracle's per-l1 COUNT(*)."""
+    l, o, s = tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    o_f = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = l.join(o_f, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    verdict = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    qualifying = verdict.filter(
+        (F.col("nsupp") >= 2) & (F.col("nlate") == 1)
+    ).select(F.col("l_orderkey").alias("q_orderkey"))
+    return (
+        li.filter(F.col("late"))
+        .join(qualifying, F.col("l_orderkey") == F.col("q_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(50)
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+SELECT c.c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+                                 AS DOUBLE) / COUNT(*)
+                     FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+""",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape (nationkey stands in for the phone country code):
+    wealthy customers (balance above the positive-balance average) with no
+    recent orders, by nation. The scalar threshold is computed ONCE as a
+    1-row aggregate and broadcast-crossed onto customer (whitelisted tiny
+    nested loop — q11's window trick would single-partition the customer
+    table, wrong for a dimension that is itself large at scale); the
+    NOT EXISTS is an anti join against recent orders. The average is
+    decimal-sum / count — exact, so the > threshold can't flake across
+    partition orders."""
+    c, o = tables(spark, sf_dir, "customer", "orders")
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
