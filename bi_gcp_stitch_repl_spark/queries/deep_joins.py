@@ -773,33 +773,41 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q21 shape (late = shipped >90 days after order date, standing
     in for receipt-past-commit): suppliers solely responsible for delaying
     multi-supplier finished orders. The EXISTS / NOT-EXISTS pair
-    decorrelates into ONE per-order aggregate — distinct suppliers ≥ 2
-    (some other supplier exists) and distinct LATE suppliers = 1 (nobody
-    else was late; l1's supplier is late so the 1 is them) — and the late
-    rows re-join that order verdict on the orderkey partitioning both
-    sides already share (AQE reuses the exchange instead of re-scanning).
-    Counting late ROWS per supplier matches the oracle's per-l1 COUNT(*)."""
+    decorrelates into aggregates instead of correlated rescans, and the
+    whole query is ONE pass over the fact: join orders(F), pre-aggregate
+    late-row counts per (order, supplier) — the only fact-sized shuffle,
+    with map-side partial agg — then an orderkey window over that shrunken
+    set derives the order verdict (distinct suppliers ≥ 2 = 'someone else
+    exists'; exactly 1 late supplier = 'nobody else was late'). The naive
+    two-branch plan (aggregate verdict, re-join late rows) scans lineitem
+    twice because the branches' pushed filters diverge — 2× fact I/O at
+    100 TB. Summing late_rows per supplier equals the oracle's per-l1
+    COUNT(*)."""
+    from pyspark.sql import Window
+
     l, o, s = tables(spark, sf_dir, "lineitem", "orders", "supplier")
     o_f = o.filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
-    li = l.join(o_f, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
-        "late",
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    per_os = (
+        l.join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late).alias("late_rows"))
     )
-    verdict = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("nsupp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+    w = Window.partitionBy("l_orderkey")
+    verdict = per_os.withColumn("nsupp", F.count(F.lit(1)).over(w)).withColumn(
+        "nlate", F.sum((F.col("late_rows") > 0).cast("int")).over(w)
     )
-    qualifying = verdict.filter(
-        (F.col("nsupp") >= 2) & (F.col("nlate") == 1)
-    ).select(F.col("l_orderkey").alias("q_orderkey"))
     return (
-        li.filter(F.col("late"))
-        .join(qualifying, F.col("l_orderkey") == F.col("q_orderkey"))
+        verdict.filter(
+            (F.col("late_rows") > 0) & (F.col("nsupp") >= 2) & (F.col("nlate") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(50)
     )
