@@ -590,3 +590,92 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality gate (Rae et al. 2021, appendix A1.1 —
+# public paper). Distinct from x_quality_score's blended score: these are
+# the individual REJECTION RULES production corpora apply, each emitted as
+# its own column so a pipeline can report per-rule kill rates.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def _gopher_sql(duck: bool) -> str:
+    """One SQL text, two dialects. All features are row-local lambda
+    expressions over the token/line arrays — scan-speed, zero shuffle.
+    Dialect deltas: len/size, list_*/array lambdas, string_split names."""
+    if duck:
+        words = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+        lines = "string_split(text, chr(10))"
+        size = "len"
+        wl_sum = "list_sum(list_transform(words, w -> length(w)))"
+        alpha_n = "len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))"
+        bullet_n = "len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))"
+        ellip_n = "len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$')))"
+        stop_n = (
+            "len(list_filter(["
+            + ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+            + "], s -> list_contains(words, s)))"
+        )
+    else:
+        words = "filter(split(trim(text), '\\\\s+'), w -> w <> '')"
+        lines = "split(text, '\\n')"
+        size = "size"
+        wl_sum = "aggregate(words, 0L, (a, w) -> a + length(w))"
+        alpha_n = "size(filter(words, w -> w rlike '[A-Za-z]'))"
+        bullet_n = "size(filter(lines, l -> trim(l) rlike '^[-*•]'))"
+        ellip_n = "size(filter(lines, l -> trim(l) rlike '\\\\.\\\\.\\\\.$'))"
+        stop_n = (
+            "size(filter(array("
+            + ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+            + "), s -> array_contains(words, s)))"
+        )
+    hash_n = "length(text) - length(replace(text, '#', ''))"
+    ellip_sym_n = "(length(text) - length(replace(text, '...', ''))) / 3"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {words} AS words, {lines} AS lines, text FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         CAST({size}(words) AS BIGINT) AS wc,
+         CAST({wl_sum} AS DOUBLE) / greatest({size}(words), 1) AS mean_wl,
+         CAST({alpha_n} AS DOUBLE) / greatest({size}(words), 1) AS alpha_frac,
+         CAST({hash_n} + {ellip_sym_n} AS DOUBLE)
+           / greatest({size}(words), 1) AS sym_ratio,
+         CAST({bullet_n} AS DOUBLE) / greatest({size}(lines), 1) AS bullet_frac,
+         CAST({ellip_n} AS DOUBLE) / greatest({size}(lines), 1) AS ellipsis_frac,
+         CAST({stop_n} AS BIGINT) AS stop_distinct
+  FROM toks
+)
+SELECT doc_id, wc, mean_wl, alpha_frac, sym_ratio, bullet_frac,
+       ellipsis_frac, stop_distinct,
+       wc >= 10 AND wc <= 100000 AS r_word_count,
+       mean_wl >= 3.0 AND mean_wl <= 10.0 AS r_mean_word_len,
+       sym_ratio <= 0.1 AS r_symbol_ratio,
+       alpha_frac >= 0.8 AS r_alpha_words,
+       bullet_frac <= 0.9 AS r_bullets,
+       ellipsis_frac <= 0.3 AS r_ellipsis,
+       stop_distinct >= 2 AS r_stopwords,
+       (wc >= 10 AND wc <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        AND sym_ratio <= 0.1 AND alpha_frac >= 0.8 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND stop_distinct >= 2) AS pass_gopher
+FROM feat
+"""
+
+
+@register("x_gopher_rules", oracle=_gopher_sql(duck=True))
+def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rejection rules (word count / mean word length / symbol ratio
+    / alpha-word fraction / bullet+ellipsis line fractions / distinct
+    stopword floor), each as its own boolean column plus the combined
+    pass_gopher gate. Every feature is a row-local lambda over the token
+    and line arrays — the filter runs at scan speed with zero shuffle and
+    composes in front of any dedup/mixing stage. Counting STOPWORD KINDS
+    via array membership (not substring hits) keeps the rule
+    tokenization-consistent with the wc/mean_wl features."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_gopher_sql(duck=False))
