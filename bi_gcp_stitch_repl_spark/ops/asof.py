@@ -79,3 +79,85 @@ def asof_join(
     return matched.filter(F.col("_row").isNotNull()).select(
         "_row.*", *[F.col(f"_m.{out}").alias(out) for out in payload]
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    left_tiebreak: str | None = None,
+    right_tiebreak: str | None = None,
+    tolerance_sec: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row CLOSEST in time (either
+    direction), preferring the backward match on equal distance.
+
+    Ordering is lexicographic on ``(ts, tiebreak)`` like :func:`asof_join`:
+    a right row sorts to the backward side when its (ts, tiebreak) <= the
+    left row's. ``tolerance_sec`` bounds |Δt| in seconds (epoch-double
+    arithmetic — exact for microsecond timestamps, whose epoch-micros stay
+    under 2^53); farther matches yield NULL payloads.
+
+    Same scale shape as the backward join: ONE hash shuffle on the key,
+    then two ordered window passes over the same partitioning (backward
+    last-ignorenulls, forward first-ignorenulls — the second window
+    re-sorts but never re-shuffles). No row explosion, no per-row probe.
+    """
+    ltb = F.col(left_tiebreak) if left_tiebreak else F.lit(0)
+    rtb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    left_part = left.select(
+        *on,
+        F.col(left_ts).alias("_t"),
+        ltb.alias("_tb"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_row"),
+    )
+    right_part = right.select(
+        *on,
+        F.col(right_ts).alias("_t"),
+        rtb.alias("_tb"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(right_ts).alias("_rt"),
+            *[F.col(src).alias(out) for out, src in payload.items()],
+        ).alias("_p"),
+    )
+    unioned = left_part.unionByName(right_part, allowMissingColumns=True)
+    # ties on (_t, _tb): the right row sorts BEFORE the left row (side 0 <
+    # 1), so an exact-tie match lands on the backward side with Δ=0 and
+    # wins outright — the forward window never needs to see it.
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy("_t", "_tb", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy("_t", "_tb", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    m = unioned.withColumn("_b", F.last("_p", ignorenulls=True).over(w_back))
+    m = m.withColumn("_f", F.first("_p", ignorenulls=True).over(w_fwd))
+    m = m.filter(F.col("_row").isNotNull())
+
+    t = F.col("_t").cast("double")
+    db = t - F.col("_b._rt").cast("double")
+    df_ = F.col("_f._rt").cast("double") - t
+    ok_b = F.col("_b").isNotNull() & (
+        F.lit(True) if tolerance_sec is None else db <= F.lit(float(tolerance_sec))
+    )
+    ok_f = F.col("_f").isNotNull() & (
+        F.lit(True) if tolerance_sec is None else df_ <= F.lit(float(tolerance_sec))
+    )
+    pick = (
+        F.when(ok_b & (~ok_f | (db <= df_)), F.col("_b"))
+        .when(ok_f, F.col("_f"))
+        .otherwise(F.lit(None))
+    )
+    m = m.withColumn("_m", pick)
+    return m.select(
+        "_row.*", *[F.col(f"_m.{out}").alias(out) for out in payload]
+    )

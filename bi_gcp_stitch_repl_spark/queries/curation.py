@@ -679,3 +679,52 @@ def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
     return spark.sql(_gopher_sql(duck=False))
+
+
+@register(
+    "x_bigram_stats",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')
+           AS words
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM tok
+)
+SELECT bigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+FROM bg GROUP BY 1
+ORDER BY n DESC, bigram LIMIT 50
+""",
+)
+def x_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram profile: the 50 most frequent word bigrams with total
+    occurrence count and document frequency — the n-gram frequency table
+    LM-data work builds for contamination screens, boilerplate detection,
+    and KenLM-style filtering. The bigram array is built row-locally
+    (sequence+transform lambda, guarded for 1-word docs where Spark's
+    inclusive sequence would run backwards), so the only data movement is
+    one explode feeding one hash aggregation on the bigram key; the final
+    top-50 is a TakeOrdered heap. At 100 TB the bigram key space is what
+    shuffles — pre-aggregated, never raw text."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    words = "filter(split(trim(text), '\\\\s+'), w -> w <> '')"
+    bigrams = (
+        f"CASE WHEN size({words}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({words}) - 1), "
+        f"i -> concat_ws(' ', element_at({words}, i), element_at({words}, i + 1))) END"
+    )
+    return (
+        docs.select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )

@@ -1336,3 +1336,71 @@ def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("term", "df", "cf", "postings")
     )
+
+
+_SIMHASH_HAM_T = 1  # max hamming distance; 4 bands catch up to 3 diffs
+_SIMHASH_BANDS = 4  # 8-bit slices of the 32-bit fingerprint
+
+
+def _simhash_pairs_duck() -> str:
+    bands = ", ".join(str(b) for b in range(_SIMHASH_BANDS))
+    return f"""
+WITH sh AS ({_simhash_duck()}),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS band_val
+  FROM sh, (SELECT unnest([{bands}]) AS b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                  l.simhash AS ha, r.simhash AS hb
+  FROM bands l JOIN bands r
+    ON l.b = r.b AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_HAM_T}
+"""
+
+
+@register("x_simhash_pairs", oracle=_simhash_pairs_duck())
+def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS: documents within Hamming distance
+    {t} of each other, found by the banded-bucket design — the 32-bit
+    fingerprint splits into {nb} 8-bit bands; by pigeonhole, any pair
+    within distance {nb}-1 collides in at least one band, so candidates
+    come from band-value equi-joins (never an all-pairs pass) and the
+    popcount(xor) verify runs only on collisions. Completes the dedup
+    family: MinHash-LSH catches set-overlap near-dups, this catches
+    bit-level (weighted-token) near-dups on an 8-byte key — the join
+    shuffles fingerprints, not text. Pair dedup happens BEFORE the
+    verify so a pair colliding in k bands is checked once."""
+    sims = x_simhash(spark, sf_dir)  # doc_id, simhash
+    band_arr = ", ".join(
+        f"named_struct('b', {b}, 'v', shiftright(simhash, {8 * b}) & 255)"
+        for b in range(_SIMHASH_BANDS)
+    )
+    bands = sims.select(
+        "doc_id", "simhash", F.expr(f"explode(array({band_arr}))").alias("bv")
+    ).select("doc_id", "simhash", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "b", "v"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "b", "v"
+    )
+    cand = (
+        left.join(right, on=["b", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _SIMHASH_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+x_simhash_pairs.__doc__ = x_simhash_pairs.__doc__.format(
+    t=_SIMHASH_HAM_T, nb=_SIMHASH_BANDS
+)

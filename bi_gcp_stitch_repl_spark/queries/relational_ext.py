@@ -374,3 +374,59 @@ def x_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus", "o_orderpriority", "n_orders", "revenue", "gid"
         )
     )
+
+
+@register(
+    "x_asof_nearest",
+    oracle="""
+WITH e AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+p AS (SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'),
+ranked AS (
+  SELECT e.event_id, e.user_id, e.ts, e.event_type,
+         p.event_id AS near_purchase_id, p.value AS near_purchase_value,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY
+             abs(epoch(e.ts) - epoch(p.ts)),
+             CASE WHEN p.ts < e.ts
+                    OR (p.ts = e.ts AND p.event_id <= e.event_id)
+                  THEN 0 ELSE 1 END,
+             CASE WHEN p.ts < e.ts
+                    OR (p.ts = e.ts AND p.event_id <= e.event_id)
+                  THEN -p.event_id ELSE p.event_id END) AS rn
+  FROM e LEFT JOIN p
+    ON p.user_id = e.user_id AND abs(epoch(e.ts) - epoch(p.ts)) <= 1800
+)
+SELECT event_id, user_id, ts, event_type, near_purchase_id,
+       near_purchase_value
+FROM ranked WHERE rn = 1
+""",
+)
+def x_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time enrichment (pandas merge_asof direction='nearest'):
+    each non-purchase event carries the same user's closest purchase
+    within ±30 minutes, backward-preferred on equal distance,
+    lexicographic (ts, event_id) tiebreak. ops.asof.asof_join_nearest is
+    the union→two-window formulation — ONE shuffle on user_id, a
+    backward and a forward window pass over the same partitioning, no
+    row explosion; the oracle's ranked interval left join is the
+    O(events × purchases-per-user) semantics it replaces."""
+    from ..ops.asof import asof_join_nearest
+
+    (e,) = tables(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join_nearest(
+        left,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        left_tiebreak="event_id",
+        right_tiebreak="event_id",
+        tolerance_sec=1800,
+        payload={"near_purchase_id": "event_id", "near_purchase_value": "value"},
+    )

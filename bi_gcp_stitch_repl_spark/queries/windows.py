@@ -236,3 +236,55 @@ def w_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rev_30d"),
     )
+
+
+@register(
+    "w_frames_battery",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       lead(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS next_price,
+       first_value(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS first_order,
+       last_value(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_order,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_order,
+       percent_rank() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS pct_rank,
+       cume_dist() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS cume
+FROM orders
+""",
+)
+def w_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation + distribution window-function battery: lag/lead with
+    defaults, first_value on the default running frame, last_value and
+    nth_value on the explicit full-partition frame (the default frame
+    would make them degenerate), percent_rank and cume_dist. Pins the
+    exact frame semantics against DuckDB so every function is safe to
+    recommend downstream. All eight share ONE window ordering —
+    a single shuffle + sort on o_custkey serves the whole battery, and
+    (o_orderdate, o_orderkey) is a total order per partition so each
+    output is deterministic."""
+    o, = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice", 1, 0.0).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1, 0.0).over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_order"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

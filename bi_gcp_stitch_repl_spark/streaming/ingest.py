@@ -1,0 +1,91 @@
+"""Continuous corpus ingestion: streaming JSONL shards → versioned tables.
+
+The streaming twin of ``sources.files.ingest_documents_jsonl``: watch a
+landing directory for new JSONL shards (the layout corpus crawls/dumps
+actually arrive in), parse with the same schema-required PERMISSIVE
+contract, and split clean documents from quarantined raw lines — both
+sinks exactly-once.
+
+Design for scale:
+
+- ONE file-source scan feeds both sinks (foreachBatch splits the parsed
+  micro-batch); two independent streams would read every shard twice.
+- Exactly-once via ``VersionedTable.append_txn``: foreachBatch is
+  at-least-once on crash-replay, but the table's transaction log dedups
+  on (app_id, batch_id) so a re-delivered batch no-ops. The quarantine
+  table gets the same guarantee under ``{app_id}-quarantine``.
+- ``maxFilesPerTrigger`` bounds micro-batch size so a backlog of
+  thousands of shards drains in bounded-memory batches instead of one
+  giant catch-up batch.
+- ``availableNow`` trigger = incremental batch job: each scheduled run
+  processes exactly the new shards since the last checkpoint, then
+  stops — the Structured-Streaming replacement for the reference's
+  daily-cron + hand-rolled watermark pattern (same contract as
+  ``streaming.jobs.incremental_merge_stream``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.files import CORRUPT_COL, DOCUMENT_SCHEMA, _with_corrupt
+
+
+def documents_jsonl_stream(
+    spark: SparkSession,
+    src_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming parse of a JSONL landing directory. Emits the raw line
+    plus the parsed struct ``r`` (PERMISSIVE + corrupt-record field) —
+    the split into clean/quarantine happens in the sink so both come
+    from one scan."""
+    full = _with_corrupt(DOCUMENT_SCHEMA)
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL}
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(src_dir).filter(F.length(F.trim("value")) > 0)
+    return raw.select(F.from_json(F.col("value"), full, opts).alias("r"), "value")
+
+
+def ingest_documents_stream(
+    spark: SparkSession,
+    src_dir: str,
+    clean_table,
+    quarantine_table,
+    *,
+    app_id: str,
+    checkpoint: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Build the exactly-once ingest query (caller ``.start()``s it).
+
+    ``clean_table`` / ``quarantine_table`` are ``VersionedTable``s; each
+    micro-batch appends the parsed documents (with computed n_chars) to
+    one and the verbatim bad lines to the other, both txn-deduped on
+    (app, batch) so crash-replays are no-ops."""
+    parsed = documents_jsonl_stream(
+        spark, src_dir, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def split_append(batch_df: DataFrame, batch_id: int) -> None:
+        ok = F.col("r").isNotNull() & F.col(f"r.{CORRUPT_COL}").isNull()
+        clean = (
+            batch_df.filter(ok)
+            .select(*[F.col(f"r.{f.name}").alias(f.name) for f in DOCUMENT_SCHEMA])
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+        bad = batch_df.filter(~ok).select(F.col("value").alias("raw_line"))
+        clean_table.append_txn(clean, app_id=app_id, batch_id=batch_id)
+        quarantine_table.append_txn(
+            bad, app_id=f"{app_id}-quarantine", batch_id=batch_id
+        )
+
+    return (
+        parsed.writeStream.foreachBatch(split_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
