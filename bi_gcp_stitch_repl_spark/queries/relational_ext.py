@@ -430,3 +430,37 @@ def x_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_sec=1800,
         payload={"near_purchase_id": "event_id", "near_purchase_value": "value"},
     )
+
+
+_NAAJ_SQL = """
+SELECT 'null_free' AS variant, COUNT(*) AS n FROM orders
+WHERE o_custkey NOT IN (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 0
+)
+UNION ALL
+SELECT 'with_null' AS variant, COUNT(*) AS n FROM orders
+WHERE o_custkey NOT IN (
+  SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+"""
+
+
+@register("x_null_aware_anti", oracle=_NAAJ_SQL)
+def x_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULLABLE subquery — the SQL edge every engine must
+    pin: one NULL in the value list makes NOT IN three-valued (x NOT IN
+    (..., NULL) is never TRUE, only FALSE or UNKNOWN). Two labeled
+    branches make the rule bite in the output: the null-free list keeps
+    the usual anti-join survivors, the NULL-poisoned list must count
+    exactly 0 — a plain LEFT ANTI rewrite would return the same count
+    for both and hash-mismatch. Spark plans the nullable branch as a
+    null-aware anti join (broadcast single-key NAAJ). Expressed via
+    spark.sql — the DataFrame API has no NOT IN; the catalog keeps the
+    SQL form so Catalyst's decorrelation (not hand rewriting) is what is
+    under test."""
+    o, c = tables(spark, sf_dir, "orders", "customer")
+    o.createOrReplaceTempView("orders")
+    c.createOrReplaceTempView("customer")
+    return spark.sql(_NAAJ_SQL)

@@ -288,3 +288,53 @@ def w_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "st_time_rollup",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+       CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
+       CAST(EXTRACT(day FROM ts) AS BIGINT) AS d,
+       CAST(GROUPING(EXTRACT(month FROM ts)) * 2
+            + GROUPING(EXTRACT(day FROM ts)) AS BIGINT) AS lvl,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (EXTRACT(year FROM ts), EXTRACT(month FROM ts),
+                 EXTRACT(day FROM ts))
+HAVING GROUPING(EXTRACT(year FROM ts)) = 0
+""",
+)
+def st_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: event counts and value sums
+    at day, month, and year granularity in ONE pass — GROUP BY ROLLUP
+    over the extracted calendar hierarchy (grouping-id disambiguates the
+    levels; the grand-total row is cut because a time-series rollup
+    serves per-bucket reads, not a corpus total). Spark expands each row
+    into its 3 hierarchy levels BEFORE the shuffle and partially
+    aggregates map-side, so the exchange carries at most 3× the
+    day-level aggregate — never 3× the events. The decimal value sum
+    keeps every level partition-order exact. This is the batch shape of
+    a streaming windowed rollup: the same day-level aggregate is what a
+    watermarked tumbling window emits incrementally."""
+    (e,) = tables(spark, sf_dir, "events")
+    y, m, d = F.year("ts"), F.month("ts"), F.dayofmonth("ts")
+    return (
+        e.select(
+            y.cast("long").alias("y"),
+            m.cast("long").alias("m"),
+            d.cast("long").alias("d"),
+            F.col("value"),
+        )
+        .rollup("y", "m", "d")
+        .agg(
+            (F.grouping("m") * 2 + F.grouping("d")).cast("long").alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .filter(F.grouping("y") == 0)
+        .select("y", "m", "d", "lvl", "n_events", "total_value")
+    )
