@@ -1,0 +1,71 @@
+"""SCD2 dimension maintenance: first load, incremental close-out, no-op
+suppression, in-batch change chains, untouched-key isolation."""
+
+from __future__ import annotations
+
+from bi_gcp_stitch_repl_spark.ops.scd import scd2_apply, scd2_merge
+from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k long, status string, ts long")
+
+
+def _state(table):
+    return {
+        (r.k, r.valid_from): (r.status, r.valid_to, r.is_current)
+        for r in table.read().collect()
+    }
+
+
+def test_first_load_all_current(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "dim"))
+    scd2_merge(t, _batch(spark, [(1, "A", 10), (2, "X", 10)]), ["k"], "ts", ["status"])
+    assert _state(t) == {
+        (1, 10): ("A", None, True),
+        (2, 10): ("X", None, True),
+    }
+
+
+def test_incremental_close_out_leaves_other_keys_untouched(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "dim"))
+    scd2_merge(t, _batch(spark, [(1, "A", 10), (2, "X", 10)]), ["k"], "ts", ["status"])
+    scd2_merge(t, _batch(spark, [(1, "B", 20)]), ["k"], "ts", ["status"])
+    assert _state(t) == {
+        (1, 10): ("A", 20, False),  # closed at the change instant
+        (1, 20): ("B", None, True),
+        (2, 10): ("X", None, True),  # never read, never rewritten
+    }
+
+
+def test_noop_change_is_suppressed(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "dim"))
+    scd2_merge(t, _batch(spark, [(1, "A", 10)]), ["k"], "ts", ["status"])
+    scd2_merge(t, _batch(spark, [(1, "A", 20)]), ["k"], "ts", ["status"])
+    assert _state(t) == {(1, 10): ("A", None, True)}
+
+
+def test_in_batch_chain_with_noop_middle(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "dim"))
+    scd2_merge(
+        t,
+        _batch(spark, [(1, "A", 10), (1, "A", 15), (1, "B", 20), (1, "B", 25)]),
+        ["k"],
+        "ts",
+        ["status"],
+    )
+    # A@15 and B@25 are no-ops against their surviving predecessors
+    assert _state(t) == {
+        (1, 10): ("A", 20, False),
+        (1, 20): ("B", None, True),
+    }
+
+
+def test_apply_emits_only_affected_keys(spark):
+    current = scd2_apply(
+        None, _batch(spark, [(1, "A", 10), (2, "X", 10)]), ["k"], "ts", ["status"]
+    )
+    out = scd2_apply(
+        current, _batch(spark, [(1, "B", 20)]), ["k"], "ts", ["status"]
+    )
+    assert sorted((r.k, r.valid_from) for r in out.collect()) == [(1, 10), (1, 20)]
