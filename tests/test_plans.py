@@ -287,3 +287,56 @@ def test_no_unbounded_join_strategies_in_catalog(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_q21_single_fact_scan(spark):
+    """The EXISTS/NOT-EXISTS decorrelation must stay single-pass: exactly
+    one lineitem FileScan (the two-branch formulation scans it twice —
+    2x fact I/O at scale), partial aggregation before the (orderkey,
+    suppkey) exchange, and the order verdict derived by window, not a
+    re-join of a second scan."""
+    df = QUERIES["q21_waiting_suppliers"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert plan.count("lineitem.parquet") == 1, "fact scanned exactly once"
+    assert "partial_sum" in plan
+    assert "Window" in plan
+
+
+def test_q19_pushes_single_table_implications(spark):
+    """OR-of-ANDs: the brand hull must reach the part scan and the
+    quantity hull the lineitem scan BEFORE the join; the full disjunction
+    stays residual."""
+    plan = plan_of(QUERIES["q19_disjunctive_predicates"](spark, SF_SMOKE))
+    assert "In(p_brand, [Brand#12,Brand#23,Brand#4])" in plan, (
+        "brand membership must push to the part scan"
+    )
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan and (
+        "LessThanOrEqual(l_quantity,30.0)" in plan
+    ), "quantity hull must push to the lineitem scan"
+    # Catalyst additionally pushes the per-table OR residuals themselves
+    assert plan.count("Or(Or(And(") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_time_rollup_expands_before_single_shuffle(spark):
+    """ROLLUP must expand rows to their hierarchy levels map-side and
+    partially aggregate BEFORE the one exchange — the shuffle carries
+    aggregates of the expanded levels, never 3x the raw events."""
+    df = QUERIES["st_time_rollup"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "Expand" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    simple = plan_of(df, mode="simple")
+    assert simple.count("Exchange") == 1, "one shuffle for every level"
+    # Expand must sit below the partial aggregate (map-side), i.e. appear
+    # after it in the printed top-down tree
+    assert plan.index("Expand") > plan.index("HashAggregate")
+
+
+def test_null_aware_anti_plans_naaj_not_nested_loop(spark):
+    """The NULL-poisoned NOT IN must plan as a broadcast null-aware anti
+    join (single-key NAAJ), not fall off the cliff into a nested-loop
+    cartesian check."""
+    plan = plan_of(QUERIES["x_null_aware_anti"](spark, SF_SMOKE), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -245,3 +245,58 @@ def test_span_dedup_invariants(spark, texts):
     # global uniqueness: no full-width segment survives twice corpus-wide
     full = [s for s in surviving if len(s.split(" ")) == 3]
     assert len(full) == len(set(full))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=asof_left, right=asof_right)
+def test_asof_nearest_matches_model(spark, left, right):
+    """asof_join_nearest ≡ the per-row model: closest right row within
+    tolerance on either side, backward (lexicographically ≤) preferred on
+    equal distance; within a side, the backward pick is the latest ≤ and
+    the forward pick the earliest >."""
+    from bi_gcp_stitch_repl_spark.ops.asof import asof_join_nearest
+
+    TOL = 5.0
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)] or [(None, None, None)],
+        "k long, ts long, lid long",
+    ).filter("lid is not null")
+    rdf = spark.createDataFrame(
+        [(k, t, r) for (k, t, r) in right] or [(None, None, None)],
+        "k long, ts long, rid long",
+    ).filter("rid is not null")
+
+    got = {
+        (r["lid"], r["match"])
+        for r in asof_join_nearest(
+            ldf,
+            rdf,
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            payload={"match": "rid"},
+            left_tiebreak="lid",
+            right_tiebreak="rid",
+            tolerance_sec=TOL,
+        ).collect()
+    }
+
+    expect = set()
+    for i, (k, t) in enumerate(left):
+        back = [(rt, rid) for (rk, rt, rid) in right if rk == k and (rt, rid) <= (t, i)]
+        fwd = [(rt, rid) for (rk, rt, rid) in right if rk == k and (rt, rid) > (t, i)]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        ok_b = b is not None and (t - b[0]) <= TOL
+        ok_f = f is not None and (f[0] - t) <= TOL
+        if ok_b and (not ok_f or (t - b[0]) <= (f[0] - t)):
+            expect.add((i, b[1]))
+        elif ok_f:
+            expect.add((i, f[1]))
+        else:
+            expect.add((i, None))
+    assert got == expect
