@@ -681,6 +681,26 @@ def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_gopher_sql(duck=False))
 
 
+
+
+def _bigram_explode(docs: DataFrame) -> DataFrame:
+    """(doc_id, bigram) rows. The token array materializes as a column
+    ATTRIBUTE first, so every element access reads the computed array —
+    inlining the filter(split(...)) into each element_at would re-split
+    the text O(words^2) times per doc (measured 5x slower at sf0.1;
+    CollapseProject keeps the split separate because it is expensive and
+    referenced more than once). The sequence() is guarded: Spark's
+    inclusive sequence(1, 0) runs BACKWARDS on 1-word docs."""
+    bigrams = (
+        "CASE WHEN size(words) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(words) - 1), "
+        "i -> concat_ws(' ', element_at(words, i), element_at(words, i + 1))) END"
+    )
+    return docs.withColumn(
+        "words", F.expr("filter(split(trim(text), '\\\\s+'), w -> w <> '')")
+    ).select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
+
+
 @register(
     "x_bigram_stats",
     oracle="""
@@ -712,14 +732,8 @@ def x_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-50 is a TakeOrdered heap. At 100 TB the bigram key space is what
     shuffles — pre-aggregated, never raw text."""
     (docs,) = tables(spark, sf_dir, "documents")
-    words = "filter(split(trim(text), '\\\\s+'), w -> w <> '')"
-    bigrams = (
-        f"CASE WHEN size({words}) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size({words}) - 1), "
-        f"i -> concat_ws(' ', element_at({words}, i), element_at({words}, i + 1))) END"
-    )
     return (
-        docs.select("doc_id", F.explode(F.expr(bigrams)).alias("bigram"))
+        _bigram_explode(docs)
         .groupBy("bigram")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -728,3 +742,98 @@ def x_bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(50)
     )
+
+
+_COS_DF_MIN, _COS_DF_MAX = 2, 20  # discriminative-bigram band
+_COS_TAU = 0.5
+
+
+@register(
+    "x_sparse_cosine_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')
+           AS words
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM tok
+), tf AS (
+  SELECT doc_id, bigram, COUNT(*) AS tf FROM bg GROUP BY 1, 2
+), kept AS (
+  SELECT tf.* FROM tf JOIN (
+    SELECT bigram FROM tf
+    GROUP BY 1 HAVING COUNT(*) BETWEEN {_COS_DF_MIN} AND {_COS_DF_MAX}
+  ) d USING (bigram)
+), norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm FROM kept GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS DOUBLE) AS dot
+  FROM kept a JOIN kept b ON a.bigram = b.bigram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot / (na.nrm * nb.nrm) AS cosine
+FROM dots JOIN norms na ON na.doc_id = dots.doc_a
+JOIN norms nb ON nb.doc_id = dots.doc_b
+WHERE dot / (na.nrm * nb.nrm) >= {_COS_TAU}
+""",
+)
+def x_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity pairs: cosine over the DISCRIMINATIVE-
+    bigram subspace (document frequency in [{lo}, {hi}]), all pairs with
+    cosine ≥ {tau}. This is the DISCO / prefix-filter discipline for
+    pairwise sparse similarity at scale: partial dot products accumulate
+    term-partitioned (postings self-join on the bigram key — candidates
+    bounded by Σ_t df_t² with df capped, NEVER an all-pairs pass), and
+    boilerplate/stop bigrams are excluded by the df cap — exactly the
+    terms that would both explode the join and carry no signal. The df
+    filter is a window count over the tf frame: the bigram exchange it
+    creates is the SAME exchange the postings self-join and the norm
+    aggregate reuse (one explode end-to-end — measured faster than a
+    broadcast-df semi-join, which recomputes the tf subtree). Integer tf dot products are exact; norms/division are single IEEE
+    ops — bit-portable vs DuckDB. Complements MinHash (set overlap) and
+    SimHash (weighted bits) with true vector-space similarity."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    tf = (
+        _bigram_explode(docs)
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w_df = Window.partitionBy("bigram")
+    kept = (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .filter((F.col("df") >= _COS_DF_MIN) & (F.col("df") <= _COS_DF_MAX))
+        .select("doc_id", "bigram", "tf")
+    )
+    norms = kept.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("nrm")
+    )
+    a = kept.select(
+        F.col("doc_id").alias("doc_a"), "bigram", F.col("tf").alias("tf_a")
+    )
+    b = kept.select(
+        F.col("doc_id").alias("doc_b"), "bigram", F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, on="bigram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, on="doc_a")
+        .join(nb, on="doc_b")
+        .withColumn("cosine", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= _COS_TAU)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+x_sparse_cosine_pairs.__doc__ = x_sparse_cosine_pairs.__doc__.format(
+    lo=_COS_DF_MIN, hi=_COS_DF_MAX, tau=_COS_TAU
+)
