@@ -194,3 +194,23 @@ class HttpTransport:
         state = self.__dict__.copy()
         state["_session"] = None  # sessions are per-process, not picklable
         return state
+
+
+def example_billwerk_transport() -> "HttpTransport":
+    """Config-file transport factory (see ``examples/billwerk_job.json``):
+    OAuth2 password grant with credentials from the environment — the
+    production side of the injectable seam. A job config referencing
+    ``{"$transport": "bi_gcp_stitch_repl_spark.sources.http_transport:
+    example_billwerk_transport"}`` resolves to this constructed transport
+    at job start (``jobs/__main__.py::_resolve``)."""
+    import os
+
+    return HttpTransport(
+        auth=OAuthPasswordGrant(
+            token_url=os.environ["BILLWERK_TOKEN_URL"],
+            username=os.environ["BILLWERK_USERNAME"],
+            password=os.environ["BILLWERK_PASSWORD"],
+            client_id=os.environ["BILLWERK_CLIENT_ID"],
+            client_secret=os.environ["BILLWERK_CLIENT_SECRET"],
+        )
+    )
