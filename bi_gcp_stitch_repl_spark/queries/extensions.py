@@ -165,17 +165,36 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    ).select("doc_id", "shingle")
-    # shuffle boundary on the join key → ReusedExchange computes the
-    # ranked-prefix pipeline once instead of once per self-join side
-    prefix = prefix.repartition("shingle")
+    ).select("doc_id", "shingle", "pos", "n")
+    # Shuffle boundary on the join key → ReusedExchange computes the
+    # ranked-prefix pipeline once instead of once per self-join side.
+    # The partition count is EXPLICIT: AQE sizes post-shuffle partitions
+    # on the (tiny) prefix input and would coalesce to a handful of
+    # tasks, but the join's OUTPUT is up to Σ df² rows — measured 4
+    # tasks carrying a ~100M-row join at sf0.1 before pinning this.
+    prefix = prefix.repartition(64, "shingle")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # PPJoin suffix bounds evaluated INSIDE the join, before the
+    # distinct: J ≥ t needs overlap α = ⌈t/(1+t)·(na+nb)⌉; the shared
+    # prefix element at (pos_a, pos_b) caps the remaining overlap at
+    # min(na−pos_a, nb−pos_b)+1, and sizes must satisfy t·na ≤ nb ≤
+    # na/t. Both are necessary conditions, so the candidate set stays
+    # exact — just smaller (and the rows never reach the shuffle).
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")))
+    pos_ok = (
+        F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")) + 1
+    ) >= alpha
+    len_ok = (F.col("b.n") >= F.ceil(F.lit(t) * F.col("a.n"))) & (
+        F.col("a.n") >= F.ceil(F.lit(t) * F.col("b.n"))
+    )
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & pos_ok
+            & len_ok,
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
@@ -639,7 +658,10 @@ def x_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
         norm.alias("nrm"),
     )
-    a = n.select(
+    # the corpus is one small parquet file → one scan partition; without
+    # an explicit spread the O(n²) nested-loop probe runs on ONE task
+    # (measured 18.9 s single-task at sf0.1, ~1.3 s across 32)
+    a = n.repartition(32).select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
     b = n.select(
