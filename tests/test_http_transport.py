@@ -213,3 +213,28 @@ def test_sheets_source_via_rest_api(api_server, spark):
     assert df.columns == ["org", "tier"]  # empty-header column dropped
     rows = {r["org"]: r["tier"] for r in df.collect()}
     assert rows == {"acme": "gold", "beta": ""}
+
+
+def test_example_factory_builds_from_env(monkeypatch):
+    """The config-file factory (examples/billwerk_job.json) must construct
+    a picklable OAuth transport from environment credentials."""
+    import pickle
+
+    from bi_gcp_stitch_repl_spark.sources.http_transport import (
+        OAuthPasswordGrant,
+        example_billwerk_transport,
+    )
+
+    for k, v in {
+        "BILLWERK_TOKEN_URL": "https://example.invalid/oauth/token",
+        "BILLWERK_USERNAME": "u",
+        "BILLWERK_PASSWORD": "p",
+        "BILLWERK_CLIENT_ID": "cid",
+        "BILLWERK_CLIENT_SECRET": "cs",
+    }.items():
+        monkeypatch.setenv(k, v)
+    t = example_billwerk_transport()
+    assert isinstance(t.auth, OAuthPasswordGrant)
+    clone = pickle.loads(pickle.dumps(t))  # ships into fan-out workers
+    assert clone.auth.token_url == "https://example.invalid/oauth/token"
+    assert clone.auth._token is None  # workers fetch their own token
