@@ -340,3 +340,20 @@ def test_null_aware_anti_plans_naaj_not_nested_loop(spark):
     plan = plan_of(QUERIES["x_null_aware_anti"](spark, SF_SMOKE), mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_jaccard_candidate_join_has_explicit_partition_count(spark):
+    """The prefix self-join's exchange must carry an EXPLICIT partition
+    count: AQE sizes post-shuffle partitions on the (tiny) prefix input
+    and would run the ~Σdf²-row join output on a handful of tasks
+    (measured 4 tasks / ~100M rows before pinning)."""
+    plan = plan_of(QUERIES["x_jaccard_ngram_pairs"](spark, SF_SMOKE), mode="simple")
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_embedding_pairs_spread_before_nested_loop(spark):
+    """The all-pairs probe side must be spread across partitions — a
+    single small parquet file is one scan partition, which serializes
+    the O(n²) nested loop onto one task."""
+    plan = plan_of(QUERIES["x_dedup_embedding_pairs"](spark, SF_SMOKE), mode="simple")
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
