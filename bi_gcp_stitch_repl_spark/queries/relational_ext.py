@@ -464,3 +464,121 @@ def x_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.createOrReplaceTempView("orders")
     c.createOrReplaceTempView("customer")
     return spark.sql(_NAAJ_SQL)
+
+
+@register(
+    "x_string_agg",
+    oracle="""
+SELECT c_mktsegment,
+       string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_custkey) AS top_names
+FROM (
+  SELECT c_mktsegment, c_name, c_acctbal, c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+) WHERE rk <= 5
+GROUP BY 1
+""",
+)
+def x_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg): the top-5 account
+    names per market segment, comma-joined in rank order. Plain
+    collect_list is partition-order NONDETERMINISTIC — the deterministic
+    distributed form collects (sort-key, value) structs, sorts the
+    per-group array, then projects + joins, giving exactly SQL's
+    string_agg(... ORDER BY). Top-5 pre-filter bounds the collected
+    array per group (never collect unbounded groups at scale)."""
+    (c,) = tables(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    top = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    return (
+        top.groupBy("c_mktsegment")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("c_acctbal")).alias("k1"),
+                        F.col("c_custkey").alias("k2"),
+                        F.col("c_name").alias("v"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(
+            "c_mktsegment",
+            F.array_join(F.expr("transform(arr, x -> x.v)"), ",").alias("top_names"),
+        )
+    )
+
+
+@register(
+    "x_stats_battery",
+    oracle="""
+WITH m AS (
+  SELECT o_orderstatus,
+         COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))
+             * CAST(o_totalprice AS DECIMAL(18,2))) AS s2,
+         SUM(CAST(o_custkey AS DECIMAL(18,0))) AS sk,
+         SUM(CAST(o_custkey AS DECIMAL(18,0))
+             * CAST(o_custkey AS DECIMAL(18,0))) AS sk2,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))
+             * CAST(o_custkey AS DECIMAL(18,0))) AS sxk
+  FROM orders GROUP BY 1
+)
+SELECT o_orderstatus, n,
+       CAST(s1 AS DOUBLE) / n AS mean_price,
+       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+         / (n - 1) AS var_price,
+       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+            / (n - 1)) AS stddev_price,
+       (CAST(sxk AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sk AS DOUBLE) / n)
+         / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                * (CAST(sk2 AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / n))
+         AS corr_price_custkey
+FROM m
+""",
+)
+def x_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed statistics with BIT-PORTABLE determinism: mean,
+    sample variance/stddev, and Pearson correlation per order status,
+    computed from EXACT decimal moment sums (n, Σx, Σx², Σxy) with the
+    closed-form combination applied once in IEEE at the end. Spark's
+    built-in stddev/corr use streaming merge formulas whose float
+    rounding depends on partition boundaries — correct statistically,
+    but not hash-comparable across engines or even across re-runs with
+    different partitioning; the moment-sum form is both (2-decimal
+    prices: products fit DECIMAL(38), sums exact). The shuffle carries
+    six numbers per group."""
+    (o,) = tables(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    k = F.col("o_custkey").cast("decimal(18,0)")
+    m = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(k).alias("sk"),
+        F.sum(k * k).alias("sk2"),
+        F.sum(x * k).alias("sxk"),
+    )
+    n = F.col("n")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    sk, sk2 = F.col("sk").cast("double"), F.col("sk2").cast("double")
+    sxk = F.col("sxk").cast("double")
+    var_ = (s2 - s1 * s1 / n) / (n - 1)
+    corr = (sxk - s1 * sk / n) / F.sqrt(
+        (s2 - s1 * s1 / n) * (sk2 - sk * sk / n)
+    )
+    return m.select(
+        "o_orderstatus",
+        "n",
+        (s1 / n).alias("mean_price"),
+        var_.alias("var_price"),
+        F.sqrt(var_).alias("stddev_price"),
+        corr.alias("corr_price_custkey"),
+    )
