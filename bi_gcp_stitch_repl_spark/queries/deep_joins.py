@@ -863,3 +863,76 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+MIN_BASKET_SUPPORT = 3  # pair must co-occur in >= this many orders
+
+
+@register(
+    "x_basket_pairs",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+part_freq AS (SELECT l_partkey, COUNT(*) AS f FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_BASKET_SUPPORT}
+)
+SELECT part_a, part_b, support,
+       CAST(support AS DOUBLE) * n.n / (fa.f * fb.f) AS lift
+FROM pairs
+JOIN part_freq fa ON fa.l_partkey = part_a
+JOIN part_freq fb ON fb.l_partkey = part_b
+CROSS JOIN n_orders n
+""",
+)
+def x_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: part pairs co-purchased in ≥{s} orders,
+    with lift = P(a,b) / (P(a)·P(b)). The pair join is keyed on the
+    ORDER (self-join on orderkey), so candidates are bounded by
+    Σ_orders (basket_size choose 2) — linear in orders for bounded
+    baskets, never a part×part pass; the tiny global order count
+    broadcasts as a 1-row aggregate onto the support aggregate. This is
+    the co-occurrence shape (item2item recommenders, term co-occurrence
+    matrices) at any scale. Counts are exact integers; lift is one IEEE
+    expression."""
+    (l,) = tables(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select(
+        F.countDistinct("l_orderkey").alias("n_orders_total")
+    )
+    part_freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, on="ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_BASKET_SUPPORT)
+    )
+    fa = part_freq.select(F.col("l_partkey").alias("part_a"), F.col("f").alias("fa"))
+    fb = part_freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("fb"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                F.col("support").cast("double")
+                * F.col("n_orders_total")
+                / (F.col("fa") * F.col("fb"))
+            ).alias("lift"),
+        )
+    )
+
+
+x_basket_pairs.__doc__ = x_basket_pairs.__doc__.format(s=MIN_BASKET_SUPPORT)
