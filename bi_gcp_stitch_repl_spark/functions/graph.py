@@ -97,3 +97,78 @@ def connected_components(
         )
         labels = labels.unionByName(singletons)
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """PageRank over a directed edge list (src, dst): (node, rank) after
+    ``n_iter`` power iterations (Page et al. 1999 — public).
+
+    Scale shape per iteration: one join of ranks onto the out-degree-
+    annotated edge list (both pre-partitioned on src — the exchange is
+    paid once outside the loop), one groupBy(dst) sum of contributions.
+    Dangling nodes' mass redistributes uniformly (computed as a 1-row
+    aggregate, broadcast into the update), so total rank stays 1.
+    Each iteration localCheckpoints — same unbounded-lineage rule as
+    :func:`connected_components`.
+
+    Determinism note: contribution sums are IEEE double adds whose order
+    depends on partitioning (inherent to floating-point power
+    iteration); ranks are correct to ~1e-15 but not bit-pinned. Tests
+    assert structural properties (mass conservation, known-graph
+    orderings) with tolerances — this operator deliberately stays a
+    library function, not a hash-checked catalog entry.
+    """
+    src, dst = edges.columns[:2]
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    node_df = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    )
+    if nodes is not None:
+        node_df = node_df.unionByName(
+            nodes.select(F.col(nodes.columns[0]).alias("node"))
+        )
+    node_df = node_df.distinct().localCheckpoint(eager=True)
+    n_nodes = node_df.count()
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e_deg = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+
+    ranks = node_df.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            e_deg.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        # dangling mass = rank held by nodes with no out-edges
+        dangling = (
+            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        base = (1.0 - damping) / n_nodes
+        ranks = (
+            node_df.join(
+                contrib.select(F.col("dst").alias("node"), "in_mass"),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -68,3 +68,45 @@ def test_string_items_and_null_ignored(spark):
     got = {r.item: r.est for r in mg_frequent_items(df, "v", k=4).collect()}
     assert got.get("a", 0) >= 20 - 28 / 5
     assert None not in got
+
+
+# --- pagerank ---------------------------------------------------------------
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    """A directed cycle is perfectly symmetric: every node rank = 1/n."""
+    from bi_gcp_stitch_repl_spark.functions.graph import pagerank
+
+    n = 6
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    ranks = {r.node: r.rank for r in pagerank(e, n_iter=15).collect()}
+    for v in ranks.values():
+        assert abs(v - 1.0 / n) < 1e-9
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_center_dominates_and_mass_conserved(spark):
+    """Spokes all link to the hub: the hub outranks every spoke; the hub
+    is dangling, so its mass redistributes and total rank stays 1."""
+    from bi_gcp_stitch_repl_spark.functions.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(i, 0) for i in range(1, 8)], "src long, dst long"
+    )
+    ranks = {r.node: r.rank for r in pagerank(e, n_iter=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    hub = ranks[0]
+    for spoke in range(1, 8):
+        assert hub > ranks[spoke]
+
+
+def test_pagerank_isolated_nodes_get_base_rank(spark):
+    from bi_gcp_stitch_repl_spark.functions.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], "node long")
+    ranks = {r.node: r.rank for r in pagerank(e, n_iter=10, nodes=nodes).collect()}
+    assert 99 in ranks and ranks[99] > 0
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
