@@ -79,9 +79,12 @@ def connected_components(
         after = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # Fixpoint: both star passes are monotone (they never merge distinct
         # components or split one), so edge-set equality means convergence.
-        changed = (
-            not after.exceptAll(e).isEmpty() or not e.exceptAll(after).isEmpty()
-        )
+        # Checked as (equal size) ∧ (after ⊆ e): multiset inclusion plus
+        # equal cardinality is equality — one exceptAll job instead of two
+        # (both run on the checkpointed edge set, but each is a full
+        # set-difference shuffle; rounds dominate wall time on small
+        # graphs).
+        changed = after.count() != e.count() or not after.exceptAll(e).isEmpty()
         e = after
         if not changed:
             break
