@@ -19,6 +19,7 @@ from bi_gcp_stitch_repl_spark.ops.clean import (
     strip_newlines,
     strip_thousands,
     unix_micros_ts,
+    unix_seconds_ts,
 )
 from bi_gcp_stitch_repl_spark.ops.history import latest_per_key
 from bi_gcp_stitch_repl_spark.ops.keys import carry_forward_keys
@@ -129,6 +130,7 @@ def test_scalar_coercions(spark):
         euro_date("dmy").alias("d"),
         null_if_in("sentinel", ["n.a.", ""]).alias("s"),
         unix_micros_ts("micros").alias("ts"),
+        unix_seconds_ts(F.expr("micros div 1000000")).alias("ts_s"),
         int_key("missing").alias("k"),
     ).collect()[0]
     assert row["frac"] == 0.125
@@ -136,6 +138,7 @@ def test_scalar_coercions(spark):
     assert row["d"] == datetime.date(2024, 3, 5)
     assert row["s"] is None
     assert row["ts"].year == 2024
+    assert row["ts_s"] == row["ts"]  # F10 seconds path agrees with F9 micros
     assert row["k"] == 0
 
 
