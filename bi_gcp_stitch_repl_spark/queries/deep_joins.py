@@ -936,3 +936,65 @@ def x_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x_basket_pairs.__doc__ = x_basket_pairs.__doc__.format(s=MIN_BASKET_SUPPORT)
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,1))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+)
+SELECT s.s_name, n.n_name AS supp_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+FROM shipped sh
+JOIN part p ON p.p_partkey = sh.l_partkey AND p.p_type = 'SMALL'
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE sh.qty > (SELECT 0.5 * SUM(sh2.qty) FROM shipped sh2
+                WHERE sh2.l_partkey = sh.l_partkey)
+GROUP BY 1, 2
+ORDER BY n_dominated_parts DESC, s_name
+LIMIT 50
+""",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape (no partsupp availqty: 'excess stock' becomes
+    'dominant supplier' — shipped more than half a part's 1997 volume).
+    The correlated half-of-total subquery decorrelates to a window SUM
+    over the partkey on the (part, supplier)-level aggregate — the fact
+    is scanned once and the window runs on the pre-aggregated frame
+    (q11/q15's discipline). SMALL-part filter broadcasts before the
+    dimension joins; counting dominated parts per supplier ends in a
+    TakeOrdered heap with a name tiebreak."""
+    from pyspark.sql import Window
+
+    l, p, s, n = tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    shipped = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,1)")).alias("qty"))
+    )
+    total = F.sum("qty").over(Window.partitionBy("l_partkey"))
+    dominant = shipped.withColumn("part_total", total).filter(
+        F.col("qty") > 0.5 * F.col("part_total")
+    )
+    return (
+        dominant.join(
+            F.broadcast(p.filter(F.col("p_type") == "SMALL")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", F.col("n_name").alias("supp_nation"))
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .orderBy(F.desc("n_dominated_parts"), "s_name")
+        .limit(50)
+    )
