@@ -350,3 +350,36 @@ def click_attribution_stream(
         "click_id",
         "click_ts",
     )
+
+
+def scd2_dimension_stream(
+    changes: DataFrame,
+    table,
+    key_cols: list[str],
+    ts_col: str,
+    tracked_cols: list[str],
+    checkpoint: str,
+):
+    """Maintain a materialized SCD2 dimension from a change STREAM
+    (caller ``.start()``s the returned writer).
+
+    Each micro-batch runs ``ops.scd.scd2_merge`` — close-outs + new
+    versions for the batch's keys only. Replay safety comes from the
+    transition itself rather than txn marks: re-applying an
+    already-applied batch reproduces the existing open rows, the no-op
+    suppression drops every batch row as equal to its surviving
+    predecessor, and the composite-key merge upserts identical rows —
+    a fixpoint, so foreachBatch's at-least-once delivery is harmless
+    (tested in test_scd.py::test_replayed_scd2_batch_is_fixpoint)."""
+    from ..ops.scd import scd2_merge
+
+    def apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scd2_merge(table, batch_df, key_cols, ts_col, tracked_cols)
+
+    return (
+        changes.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -69,3 +69,52 @@ def test_apply_emits_only_affected_keys(spark):
         current, _batch(spark, [(1, "B", 20)]), ["k"], "ts", ["status"]
     )
     assert sorted((r.k, r.valid_from) for r in out.collect()) == [(1, 10), (1, 20)]
+
+
+def test_replayed_scd2_batch_is_fixpoint(spark, tmp_path):
+    """Re-applying an already-applied change batch must reproduce the
+    identical state: the batch rows equal the now-open versions, no-op
+    suppression drops them, and the composite-key merge upserts
+    identical rows. This is what makes the streaming wrapper safe under
+    foreachBatch's at-least-once delivery WITHOUT txn marks."""
+    t = VersionedTable(spark, str(tmp_path / "dim"))
+    b1 = _batch(spark, [(1, "A", 10), (2, "X", 10)])
+    b2 = _batch(spark, [(1, "B", 20)])
+    scd2_merge(t, b1, ["k"], "ts", ["status"])
+    scd2_merge(t, b2, ["k"], "ts", ["status"])
+    expected = _state(t)
+    scd2_merge(t, b2, ["k"], "ts", ["status"])  # replay
+    assert _state(t) == expected
+    scd2_merge(t, b1, ["k"], "ts", ["status"])  # even an OLD batch replay
+    assert _state(t) == expected
+
+
+def test_scd2_dimension_stream_applies_changes(spark, tmp_path):
+    """AvailableNow change stream → materialized dimension; a second run
+    over the same source is a no-op (checkpoint + fixpoint)."""
+    import json
+
+    from bi_gcp_stitch_repl_spark.streaming.jobs import scd2_dimension_stream
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    rows = [
+        {"k": 1, "status": "A", "ts": 10},
+        {"k": 2, "status": "X", "ts": 10},
+        {"k": 1, "status": "B", "ts": 20},
+    ]
+    (src / "c1.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    t = VersionedTable(spark, str(tmp_path / "dim"))
+    changes = (
+        spark.readStream.schema("k long, status string, ts long")
+        .json(str(src))
+    )
+    q = scd2_dimension_stream(
+        changes, t, ["k"], "ts", ["status"], checkpoint=str(tmp_path / "ck")
+    ).start()
+    q.awaitTermination(120)
+    assert _state(t) == {
+        (1, 10): ("A", 20, False),
+        (1, 20): ("B", None, True),
+        (2, 10): ("X", None, True),
+    }
