@@ -582,3 +582,49 @@ def x_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(var_).alias("stddev_price"),
         corr.alias("corr_price_custkey"),
     )
+
+
+@register(
+    "x_benford_digits",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+tot AS (SELECT COUNT(*) AS n_total FROM d)
+SELECT digit, COUNT(*) AS n,
+       CAST(COUNT(*) AS DOUBLE) / t.n_total AS observed_freq,
+       log10(1.0 + 1.0 / digit) AS benford_freq
+FROM d CROSS JOIN tot t
+GROUP BY digit, t.n_total
+""",
+)
+def x_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit profile of order totals — the
+    classic bulk-data forgery/DQ screen (synthetic or truncated amount
+    columns diverge hard from log10(1+1/d)). The digit is extracted
+    from the DECIMAL's canonical string form (identical across engines;
+    float log10-based extraction is ulp-fragile at powers of ten), the
+    9-row aggregate carries exact counts, and the 1-row total broadcasts
+    onto it. Zero shuffle beyond the 9-key aggregate at any scale."""
+    (o,) = tables(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("n_total")).alias("observed_freq"),
+            F.log10(1.0 + 1.0 / F.col("digit")).alias("benford_freq"),
+        )
+    )

@@ -275,6 +275,7 @@ def test_no_unbounded_join_strategies_in_catalog(spark):
         "x_kmeans_assign",       # broadcast k-row centroid table
         "q22_idle_customers",    # 1-row avg-balance threshold crossJoin
         "x_basket_pairs",        # 1-row global order-count crossJoin
+        "x_benford_digits",      # 1-row total-count crossJoin
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
