@@ -37,7 +37,7 @@ from ..functions.curation import (
     pack_sequences,
 )
 from .catalog import register, tables
-from .extensions import _FOLD_DUCK
+from .extensions import _FOLD_DUCK, _FOLD_SPARK
 
 BENCH_MOD = 23  # doc_id % 23 == 0 -> the held-out "benchmark" slice
 NGRAM_N = 8
@@ -837,3 +837,169 @@ def x_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_sparse_cosine_pairs.__doc__ = x_sparse_cosine_pairs.__doc__.format(
     lo=_COS_DF_MIN, hi=_COS_DF_MAX, tau=_COS_TAU
 )
+
+
+@register(
+    "x_source_overlap",
+    oracle="""
+WITH sh AS (
+  SELECT DISTINCT source, unnest(list_distinct(
+    [substr(text, i, 5)
+     for i in generate_series(1, greatest(len(text)-4, 1))])) AS shingle
+  FROM documents
+),
+sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared,
+       CAST(COUNT(*) AS DOUBLE)
+         / (sa.n_sh + sb.n_sh - COUNT(*)) AS shingle_jaccard
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+JOIN sizes sa ON sa.source = a.source
+JOIN sizes sb ON sb.source = b.source
+GROUP BY 1, 2, sa.n_sh, sb.n_sh
+""",
+)
+def x_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix: for every source pair, how
+    many distinct character 5-gram shingles they share and the Jaccard
+    of their shingle sets — the governance report that quantifies
+    inter-source contamination before mixing corpora (exact-text
+    overlap is the degenerate case; shingle overlap also catches shared
+    boilerplate and templating). Everything reduces to source-level
+    shingle sets FIRST, so the pair join runs on (source, shingle) rows
+    — at most |vocab| x |sources| — never on documents."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    from .extensions import SHINGLES_SPARK
+
+    sh = docs.select(
+        "source", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("shingle_jaccard"),
+        )
+    )
+
+
+ZIPF_TOP_TERMS = 200
+
+
+@register(
+    "x_zipf_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+freq AS (
+  SELECT term, COUNT(*) AS f,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rnk
+  FROM tok GROUP BY 1
+),
+pts AS (
+  SELECT ln(rnk) AS x, ln(f) AS y, rnk FROM freq WHERE rnk <= {ZIPF_TOP_TERMS}
+),
+arrs AS (
+  SELECT list(x ORDER BY rnk) AS xs, list(y ORDER BY rnk) AS ys FROM pts
+),
+m AS (
+  SELECT len(xs) AS n,
+         list_reduce(list_prepend(0.0, xs), (a, b) -> a + b) AS sx,
+         list_reduce(list_prepend(0.0, ys), (a, b) -> a + b) AS sy,
+         list_reduce(list_prepend(0.0,
+             list_transform(xs, v -> v * v)), (a, b) -> a + b) AS sxx,
+         list_reduce(list_prepend(0.0,
+             list_transform(list_zip(xs, ys), p -> p[1] * p[2])),
+             (a, b) -> a + b) AS sxy
+  FROM arrs
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 9) AS zipf_slope,
+       round(sx / n, 9) AS mean_log_rank,
+       round(sy / n, 9) AS mean_log_freq
+FROM m
+""",
+)
+def x_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: least-squares slope of log(frequency) vs log(rank)
+    over the top-{k} terms — natural corpora fit slope ≈ −1; synthetic or
+    templated text deviates (this corpus: a diagnostic, not a filter).
+    Determinism without decimals: the regression inputs are LOGS of
+    exact counts, the moment sums run as a SEQUENTIAL aggregate fold
+    over the rank-sorted point array (collected once — it is {k} rows by
+    construction) so every IEEE add happens in one pinned order in both
+    engines, and the outputs round to 9 decimals because ln() itself is
+    only ulp-portable (JDK vs libm). The corpus-sized stage is the term count; everything after
+    operates on the vocabulary then {k} points."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.desc("f"), F.col("term"))),
+        )
+        .filter(F.col("rnk") <= ZIPF_TOP_TERMS)
+    )
+    pts = freq.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+        "rnk",
+    )
+    arr = pts.agg(
+        F.sort_array(F.collect_list(F.struct("rnk", "x", "y"))).alias("a")
+    )
+    # sequential folds in rank order — one pinned summation order
+    def fold(expr: str) -> "F.Column":
+        return F.expr(
+            f"aggregate(a, cast(0.0 as double), (acc, p) -> acc + {expr})"
+        )
+
+    m = arr.select(
+        F.size("a").alias("n"),
+        fold("p.x").alias("sx"),
+        fold("p.y").alias("sy"),
+        fold("p.x * p.x").alias("sxx"),
+        fold("p.x * p.y").alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    # the line's intercept is sy/n - slope*sx/n; re-deriving slope inside
+    # that expression costs a double-rounding ulp that differs between
+    # engines, so the emitted columns stay single-division functions of
+    # the pinned sums (callers derive the intercept from them)
+    # ln() itself is the portability boundary: JDK Math.log and libm
+    # disagree by 1 ulp on some inputs, so the emitted diagnostics round
+    # to 9 decimals (far above ulp noise, far below any analytical use)
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round(F.col("sx") / n, 9).alias("mean_log_rank"),
+        F.round(F.col("sy") / n, 9).alias("mean_log_freq"),
+    )
+
+
+x_zipf_fit.__doc__ = x_zipf_fit.__doc__.format(k=ZIPF_TOP_TERMS)
