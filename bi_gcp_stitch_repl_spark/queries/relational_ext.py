@@ -533,13 +533,18 @@ WITH m AS (
 )
 SELECT o_orderstatus, n,
        CAST(s1 AS DOUBLE) / n AS mean_price,
-       (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+       (CAST(FLOOR(s2) AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
          / (n - 1) AS var_price,
-       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+       sqrt((CAST(FLOOR(s2) AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
             / (n - 1)) AS stddev_price,
-       (CAST(sxk AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sk AS DOUBLE) / n)
-         / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-                * (CAST(sk2 AS DOUBLE) - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / n))
+       (CAST(FLOOR(sxk) AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(sk AS DOUBLE) / n)
+         / sqrt((CAST(FLOOR(s2) AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                * (CAST(FLOOR(sk2) AS DOUBLE)
+                   - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / n))
          AS corr_price_custkey
 FROM m
 """,
@@ -567,9 +572,19 @@ def x_stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * k).alias("sxk"),
     )
     n = F.col("n")
-    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
-    sk, sk2 = F.col("sk").cast("double"), F.col("sk2").cast("double")
-    sxk = F.col("sxk").cast("double")
+    # Product-moment sums quantize to INTEGRAL decimals before the double
+    # conversion: a decimal whose SCALED integer exceeds 2^53 double-
+    # rounds in DuckDB (int128 / 10^scale — two roundings) while Spark's
+    # BigDecimal converts once, so the scale-4 product sums diverge by
+    # ulps at sf0.1+ (caught by the sf0.1 sweep; x_grouping_sets hit the
+    # same trap in round 2 session 2). floor() is identical in both
+    # engines, the integral decimal converts in ONE correctly-rounded
+    # step, and the dropped sub-unit fraction of a ~1e15 sum is
+    # statistically invisible — but identically dropped on both sides.
+    s1, s2 = F.col("s1").cast("double"), F.floor(F.col("s2")).cast("double")
+    sk = F.col("sk").cast("double")
+    sk2 = F.floor(F.col("sk2")).cast("double")
+    sxk = F.floor(F.col("sxk")).cast("double")
     var_ = (s2 - s1 * s1 / n) / (n - 1)
     corr = (sxk - s1 * sk / n) / F.sqrt(
         (s2 - s1 * s1 / n) * (sk2 - sk * sk / n)
