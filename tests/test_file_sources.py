@@ -76,3 +76,20 @@ def test_schema_with_reserved_corrupt_column_rejected(spark):
     bad_schema = T.StructType([T.StructField(files.CORRUPT_COL, T.StringType())])
     with pytest.raises(ValueError):
         files._with_corrupt(bad_schema)
+
+
+def test_jsonl_gzip_shard_reads_transparently(spark, tmp_path):
+    """The documented gzip path: unsplittable (one task per file) but
+    readable — codec inferred from the extension by the text source."""
+    import gzip
+
+    p = tmp_path / "shard.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": "t", "lang": "en", "source": "s"})
+                for i in range(5)
+            )
+        )
+    clean, bad = files.read_jsonl(spark, str(p), files.DOCUMENT_SCHEMA)
+    assert clean.count() == 5 and bad.count() == 0

@@ -69,3 +69,35 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     replay = clean_t.read()  # same shape as the committed batch 0 output
     clean_t.append_txn(replay, app_id="ingest-test", batch_id=0)
     assert clean_t.read().count() == 1
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """A 3-shard backlog with maxFilesPerTrigger=1 drains fully under
+    availableNow, but as MULTIPLE bounded micro-batches — each one a
+    separate exactly-once table commit."""
+    from bi_gcp_stitch_repl_spark.streaming.ingest import ingest_documents_stream
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    for s in range(3):
+        _shard(
+            src,
+            f"s{s}.jsonl",
+            [{"doc_id": s * 10 + i, "text": "x", "lang": "en", "source": "w"}
+             for i in range(4)],
+        )
+    clean_t = VersionedTable(spark, str(tmp_path / "docs"))
+    quar_t = VersionedTable(spark, str(tmp_path / "bad"))
+    q = ingest_documents_stream(
+        spark,
+        str(src),
+        clean_t,
+        quar_t,
+        app_id="bounded",
+        checkpoint=str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+    ).start()
+    q.awaitTermination(120)
+    assert clean_t.read().count() == 12
+    # one commit per micro-batch -> at least 3 data versions on the table
+    assert clean_t.latest_version() >= 2
