@@ -235,3 +235,56 @@ def x_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("wau_trailing7")
     )
     return days.join(dau, "day").join(wau, "day").select("day", "dau", "wau_trailing7")
+
+
+@register(
+    "x_dau_mau_stickiness",
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM daily
+)
+SELECT d.day,
+       (SELECT COUNT(DISTINCT a.user_id) FROM daily a
+         WHERE a.day = d.day) AS dau,
+       (SELECT COUNT(DISTINCT a.user_id) FROM daily a
+         WHERE a.day BETWEEN d.day - 29 AND d.day) AS mau_trailing30,
+       CAST((SELECT COUNT(DISTINCT a.user_id) FROM daily a
+              WHERE a.day = d.day) AS DOUBLE)
+         / (SELECT COUNT(DISTINCT a.user_id) FROM daily a
+             WHERE a.day BETWEEN d.day - 29 AND d.day) AS stickiness
+FROM days d
+""",
+)
+def x_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day (the product-health north-star ratio).
+    Same scalable idiom as x_active_users, at the monthly horizon: the
+    event-scale work is ONE dedupe to the (user, day) grid; the rolling
+    30-day distinct then explodes each user-day into the 30 report days
+    it covers — 30×|grid| rows (user-DAYS, already deduped — never 30×
+    raw events) hash-aggregated on an equi key, calendar-length
+    independent. Exact integer counts; the ratio is one IEEE division."""
+    (e,) = tables(spark, sf_dir, "events")
+    daily = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    covered = daily.select(
+        F.explode(F.expr("sequence(day, date_add(day, 29))")).alias("day"),
+        "user_id",
+    )
+    mau = covered.groupBy("day").agg(
+        F.countDistinct("user_id").alias("mau_trailing30")
+    )
+    return (
+        days.join(dau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau_trailing30",
+            (F.col("dau").cast("double") / F.col("mau_trailing30")).alias(
+                "stickiness"
+            ),
+        )
+    )
