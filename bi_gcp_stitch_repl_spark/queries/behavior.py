@@ -288,3 +288,96 @@ def x_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+ATTR_WINDOW_SEC = 3600  # clicks within this window before a purchase share credit
+ATTR_WINDOW_US = ATTR_WINDOW_SEC * 1_000_000
+
+
+@register(
+    "x_linear_attribution",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS es FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+SELECT c.event_id, c.user_id, c.ts,
+       CAST((SELECT COUNT(*) FROM ev p
+              WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                AND p.es > c.es AND p.es <= c.es + {ATTR_WINDOW_US})
+            AS BIGINT) AS n_conversions,
+       COALESCE((SELECT SUM(1.0 / t.n_touch) FROM (
+           SELECT p.es,
+                  (SELECT COUNT(*) FROM ev c2
+                    WHERE c2.user_id = p.user_id AND c2.event_type = 'click'
+                      AND c2.es < p.es AND c2.es >= p.es - {ATTR_WINDOW_US})
+                    AS n_touch
+           FROM ev p
+           WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+             AND p.es > c.es AND p.es <= c.es + {ATTR_WINDOW_US}) t
+          WHERE t.n_touch > 0), 0.0) AS credit
+FROM ev c WHERE c.event_type = 'click'
+""",
+)
+def x_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: every click within the hour before
+    a purchase shares that conversion's credit equally (credit = Σ over
+    attributed conversions of 1/n_touches; a click can serve several
+    conversions). The scalable plan is TWO RANGE-frame window passes over
+    ONE shuffle on user_id — no click×purchase join, no range-join
+    explosion:
+
+    1. backward pass: each purchase counts its preceding-hour clicks
+       (n_touch) via a [-W, -1ns) RANGE frame over the click indicator;
+    2. forward pass: each click sums 1/n_touch over purchases in its
+       following hour via a (now, +W] RANGE frame.
+
+    The oracle is the textbook doubly-correlated form — O(|events|²) per
+    user — that these two frames replace. Window sums of 1/n are IEEE
+    adds in frame order (ts, event_id — total), deterministic. Events
+    outside {{click, purchase}} are filtered at the scan."""
+    from pyspark.sql import Window
+
+    (e,) = tables(spark, sf_dir, "events")
+    ev = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "ts", "event_type",
+        F.unix_micros("ts").alias("es"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-ATTR_WINDOW_SEC * 1_000_000, Window.currentRow)
+    )
+    is_click = (F.col("event_type") == "click").cast("long")
+    # frame includes the current row; purchases are not clicks so the
+    # indicator sum over [-W, 0] equals the strict (-W, now) click count
+    # ONLY if no click shares the purchase's exact timestamp — subtract
+    # same-instant clicks explicitly to honor the strict < bound
+    same_instant_clicks = F.sum(is_click).over(
+        Window.partitionBy("user_id", "es")
+    ) * (F.col("event_type") == "purchase").cast("long")
+    stage1 = ev.withColumn(
+        "n_touch",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.sum(is_click).over(w_back) - same_instant_clicks,
+        ),
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(1, ATTR_WINDOW_SEC * 1_000_000)  # strictly after, within W
+    )
+    conv_share = F.when(
+        (F.col("event_type") == "purchase") & (F.col("n_touch") > 0),
+        F.lit(1.0) / F.col("n_touch"),
+    )
+    conv_flag = (F.col("event_type") == "purchase").cast("long")
+    stage2 = stage1.withColumn(
+        "credit", F.coalesce(F.sum(conv_share).over(w_fwd), F.lit(0.0))
+    ).withColumn(
+        "n_conversions", F.coalesce(F.sum(conv_flag).over(w_fwd), F.lit(0))
+    )
+    return stage2.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "n_conversions", "credit"
+    )
