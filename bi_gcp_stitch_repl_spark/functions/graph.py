@@ -137,6 +137,10 @@ def pagerank(
         )
     node_df = node_df.distinct().localCheckpoint(eager=True)
     n_nodes = node_df.count()
+    if n_nodes == 0:
+        # empty graph: return an empty (node, rank) frame instead of
+        # dividing by zero below
+        return node_df.select("node", F.lit(1.0).alias("rank")).limit(0)
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e_deg = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)

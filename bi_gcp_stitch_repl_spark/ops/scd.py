@@ -49,6 +49,17 @@ def scd2_apply(
     version) are suppressed; suppression chains correctly (A,A,A keeps
     one row) because a row is dropped only when it equals its surviving
     predecessor.
+
+    **Monotone-batch contract (enforced).** Because only the OPEN rows of
+    affected keys are read, every batch timestamp must be ``>=`` its key's
+    open ``valid_from`` (equality is fine — an idempotent replay of the
+    same batch no-op-suppresses). A truly late-arriving change whose ts
+    falls before the open row's valid_from would splice into CLOSED
+    history this function never reads, silently overlapping an existing
+    interval — so the plan carries an execution-time ``assert_true`` that
+    fails the job loudly instead. Recovery for genuine late data: rebuild
+    the affected keys from the full change log (replay through
+    ``scd2_apply(None, full_log_for_keys, ...)``).
     """
     new_rows = batch.select(
         *key_cols,
@@ -69,6 +80,35 @@ def scd2_apply(
             )
         )
         cand = open_rows.unionByName(new_rows)
+        # Enforce the monotone-batch contract at execution time: a batch
+        # row earlier than its key's open valid_from must fail the job,
+        # not silently corrupt closed intervals. The assertion lives in a
+        # Filter (assert_true yields NULL when the condition holds), so
+        # column pruning cannot optimize it away.
+        w_open = Window.partitionBy(*key_cols)
+        open_vf = F.max(
+            F.when(F.col("_src") == 0, F.col("valid_from"))
+        ).over(w_open)
+        ok = (
+            (F.col("_src") == 0)
+            | F.col("_open_vf").isNull()
+            | (F.col("valid_from") >= F.col("_open_vf"))
+        )
+        cand = cand.withColumn("_open_vf", open_vf).filter(
+            F.assert_true(
+                ok,
+                F.concat(
+                    F.lit(
+                        "scd2_apply: late-arriving change (batch ts "
+                    ),
+                    F.col("valid_from").cast("string"),
+                    F.lit(" < open valid_from "),
+                    F.col("_open_vf").cast("string"),
+                    F.lit(") violates the monotone-batch contract; "
+                          "rebuild the affected keys from the change log"),
+                ),
+            ).isNull()
+        ).drop("_open_vf")
     else:
         cand = new_rows
 
@@ -101,15 +141,94 @@ def scd2_merge(
     keys' replacement rows, then merges on the composite
     ``(*key_cols, valid_from)`` key — the closed-out prior version
     updates in place (same valid_from, new valid_to) and new versions
-    insert. Empty-table first load is a plain apply."""
-    try:
+    insert. Empty-table first load is a plain apply.
+
+    Missing-table detection is an explicit ``table.exists()`` gate, NOT a
+    try/except around ``read()``: a transient read error (corrupt log
+    entry, FS hiccup, permissions) on an EXISTING dimension must raise,
+    because treating it as "first load" would overwrite all history with
+    only this batch's keys — irreversible loss, and this is the
+    per-micro-batch path of ``scd2_dimension_stream``.
+
+    **Late-arriving changes.** :func:`scd2_apply` enforces a monotone-
+    batch contract (it reads only open rows). This writer detects the
+    violating keys up front — one tiny aggregate join of batch-min-ts vs
+    open ``valid_from`` — and routes ONLY those keys through a
+    full-history rebuild: their versions are replayed as a change log
+    together with the late batch rows (batch wins a (key, ts) tie, which
+    is what makes at-least-once redelivery of an OLD batch a fixpoint),
+    spliced intervals are merged back, and versions the splice obsoleted
+    are deleted. The hot path is untouched: closed history is read only
+    for keys that actually carry late data, so the common all-on-time
+    batch still costs open-rows ⋈ batch. The merge lands before the
+    stale-row delete, so a crash between the two commits leaves a
+    transient duplicate-current anomaly (repaired by re-running the
+    batch), never data loss."""
+    if table.exists():
         current = table.read()
-    except Exception:
-        current = None
-    if current is not None and not current.columns:
-        current = None
-    out = scd2_apply(current, batch, key_cols, ts_col, tracked_cols)
-    if current is None:
-        table.overwrite(out)
+        if not current.columns:
+            current = None
     else:
+        current = None
+    if current is None:
+        table.overwrite(scd2_apply(None, batch, key_cols, ts_col, tracked_cols))
+        return
+
+    open_vf = (
+        current.filter(F.col("is_current"))
+        .groupBy(*key_cols)
+        .agg(F.min("valid_from").alias("_ovf"))
+    )
+    late_keys = (
+        batch.groupBy(*key_cols)
+        .agg(F.min(ts_col).alias("_bmin"))
+        .join(open_vf, list(key_cols))
+        .filter(F.col("_bmin") < F.col("_ovf"))
+        .select(*key_cols)
+        .localCheckpoint(eager=True)
+    )
+    if late_keys.isEmpty():
+        out = scd2_apply(current, batch, key_cols, ts_col, tracked_cols)
         table.merge_upsert(out, keys=[*key_cols, "valid_from"])
+        return
+
+    on_time = batch.join(late_keys, list(key_cols), "left_anti")
+    late_batch = batch.join(F.broadcast(late_keys), list(key_cols), "left_semi")
+    hist = current.join(F.broadcast(late_keys), list(key_cols), "left_semi")
+    # Replay the affected keys' full version log + late rows through the
+    # pure apply; a (key, ts) collision resolves to the batch row.
+    log = (
+        hist.select(
+            *key_cols,
+            *tracked_cols,
+            F.col("valid_from").alias(ts_col),
+            F.lit(0).alias("_pri"),
+        )
+        .unionByName(
+            late_batch.select(
+                *key_cols, *tracked_cols, F.col(ts_col), F.lit(1).alias("_pri")
+            )
+        )
+    )
+    w_pri = Window.partitionBy(*key_cols, ts_col).orderBy(F.desc("_pri"))
+    log = (
+        log.withColumn("_rn", F.row_number().over(w_pri))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_pri")
+    )
+    rebuilt = scd2_apply(None, log, key_cols, ts_col, tracked_cols).localCheckpoint(
+        eager=True
+    )
+    # versions the splice suppressed (e.g. a late row made its successor a
+    # no-op) must go away, or the table keeps two current rows per key
+    stale = (
+        hist.select(*key_cols, "valid_from")
+        .exceptAll(rebuilt.select(*key_cols, "valid_from"))
+        .localCheckpoint(eager=True)
+    )
+    out = scd2_apply(current, on_time, key_cols, ts_col, tracked_cols).unionByName(
+        rebuilt
+    )
+    table.merge_upsert(out, keys=[*key_cols, "valid_from"])
+    if not stale.isEmpty():
+        table.delete_matching(stale, keys=[*key_cols, "valid_from"])

@@ -37,7 +37,7 @@ from ..functions.curation import (
     pack_sequences,
 )
 from .catalog import register, tables
-from .extensions import _FOLD_DUCK, _FOLD_SPARK
+from .extensions import _FOLD_DUCK
 
 BENCH_MOD = 23  # doc_id % 23 == 0 -> the held-out "benchmark" slice
 NGRAM_N = 8

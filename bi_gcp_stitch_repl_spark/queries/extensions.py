@@ -163,8 +163,21 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     )
+    # All PPJoin bounds below are EXACT integer comparisons (t = p/q as a
+    # rational), never float products under ceil(): when the true bound
+    # is an integer (e.g. t=0.4 ⇒ 2/7·(na+nb)), a 1-ulp-high double makes
+    # ceil overshoot by 1 and silently over-prune pairs whose Jaccard is
+    # exactly the threshold. Each ceil-bound rearranges division-free —
+    # ceil(p·n/q) ≤ k  ⟺  p·n ≤ q·k  for integers.
+    from fractions import Fraction
+
+    frac = Fraction(t).limit_denominator(10**6)
+    p, q = frac.numerator, frac.denominator
+    # pos ≤ n − ceil(t·n) + 1  ⟺  ceil(p·n/q) ≤ n − pos + 1  ⟺
+    # p·n ≤ q·(n − pos + 1)
     prefix = ranked.filter(
-        F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+        F.lit(p) * F.col("n")
+        <= F.lit(q) * (F.col("n") - F.col("pos") + 1)
     ).select("doc_id", "shingle", "pos", "n")
     # Shuffle boundary on the join key → ReusedExchange computes the
     # ranked-prefix pipeline once instead of once per self-join side.
@@ -181,12 +194,14 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min(na−pos_a, nb−pos_b)+1, and sizes must satisfy t·na ≤ nb ≤
     # na/t. Both are necessary conditions, so the candidate set stays
     # exact — just smaller (and the rows never reach the shuffle).
-    alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")))
-    pos_ok = (
+    # cap ≥ α = ⌈t/(1+t)·(na+nb)⌉  ⟺  cap·(p+q) ≥ p·(na+nb)  (t = p/q)
+    cap = (
         F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")) + 1
-    ) >= alpha
-    len_ok = (F.col("b.n") >= F.ceil(F.lit(t) * F.col("a.n"))) & (
-        F.col("a.n") >= F.ceil(F.lit(t) * F.col("b.n"))
+    )
+    pos_ok = cap * F.lit(p + q) >= F.lit(p) * (F.col("a.n") + F.col("b.n"))
+    # nb ≥ ⌈t·na⌉ ⟺ q·nb ≥ p·na (and symmetrically)
+    len_ok = (F.lit(q) * F.col("b.n") >= F.lit(p) * F.col("a.n")) & (
+        F.lit(q) * F.col("a.n") >= F.lit(p) * F.col("b.n")
     )
     cand = (
         a.join(

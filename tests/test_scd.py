@@ -118,3 +118,94 @@ def test_scd2_dimension_stream_applies_changes(spark, tmp_path):
         (1, 20): ("B", None, True),
         (2, 10): ("X", None, True),
     }
+
+
+def test_apply_rejects_late_arriving_batch(spark):
+    """scd2_apply's monotone-batch contract fails LOUDLY: a batch ts
+    earlier than the key's open valid_from raises at execution instead of
+    silently splicing an overlapping interval into unread closed
+    history."""
+    import pytest
+
+    current = scd2_apply(
+        None, _batch(spark, [(1, "A", 10), (1, "B", 20)]), ["k"], "ts", ["status"]
+    )
+    out = scd2_apply(
+        current, _batch(spark, [(1, "C", 15)]), ["k"], "ts", ["status"]
+    )
+    with pytest.raises(Exception, match="late-arriving"):
+        out.collect()
+
+
+def test_merge_splices_late_change_between_versions(spark, tmp_path):
+    """scd2_merge routes late keys through a full-history rebuild: a
+    change landing BETWEEN two existing versions splices in with correct
+    non-overlapping intervals (the adjacent closed row's valid_to is
+    adjusted — the silent-overlap corruption the pure apply rejects)."""
+    t = VersionedTable(spark, str(tmp_path / "dim"))
+    scd2_merge(t, _batch(spark, [(1, "A", 10)]), ["k"], "ts", ["status"])
+    scd2_merge(t, _batch(spark, [(1, "B", 20)]), ["k"], "ts", ["status"])
+    scd2_merge(t, _batch(spark, [(1, "C", 15)]), ["k"], "ts", ["status"])  # late
+    assert _state(t) == {
+        (1, 10): ("A", 15, False),
+        (1, 15): ("C", 20, False),
+        (1, 20): ("B", None, True),
+    }
+
+
+def test_merge_late_noop_deletes_obsoleted_version(spark, tmp_path):
+    """A late row that makes its existing successor a no-op must DELETE
+    that successor, not leave two current rows for the key."""
+    t = VersionedTable(spark, str(tmp_path / "dim"))
+    scd2_merge(t, _batch(spark, [(1, "A", 10)]), ["k"], "ts", ["status"])
+    scd2_merge(t, _batch(spark, [(1, "B", 20)]), ["k"], "ts", ["status"])
+    # late B@15: rebuild keeps A@10→15, B@15→∞; existing B@20 is obsolete
+    scd2_merge(t, _batch(spark, [(1, "B", 15)]), ["k"], "ts", ["status"])
+    assert _state(t) == {
+        (1, 10): ("A", 15, False),
+        (1, 15): ("B", None, True),
+    }
+
+
+def test_merge_mixed_late_and_on_time_batch(spark, tmp_path):
+    """One batch carrying a late key and an on-time key: only the late
+    key pays the history-rebuild path; both land correctly."""
+    t = VersionedTable(spark, str(tmp_path / "dim"))
+    scd2_merge(
+        t, _batch(spark, [(1, "A", 10), (2, "X", 10)]), ["k"], "ts", ["status"]
+    )
+    scd2_merge(t, _batch(spark, [(1, "B", 20)]), ["k"], "ts", ["status"])
+    scd2_merge(
+        t, _batch(spark, [(1, "C", 15), (2, "Y", 30), (3, "N", 5)]),
+        ["k"], "ts", ["status"],
+    )
+    assert _state(t) == {
+        (1, 10): ("A", 15, False),
+        (1, 15): ("C", 20, False),
+        (1, 20): ("B", None, True),
+        (2, 10): ("X", 30, False),
+        (2, 30): ("Y", None, True),
+        (3, 5): ("N", None, True),
+    }
+
+
+def test_merge_read_error_on_existing_table_raises(spark):
+    """A transient read() failure on an EXISTING table must propagate —
+    the old try/except treated it as 'first load' and overwrote all
+    history with the batch's keys."""
+    import pytest
+
+    class FlakyTable:
+        def exists(self):
+            return True
+
+        def read(self):
+            raise IOError("transient FS hiccup")
+
+        def overwrite(self, df):
+            raise AssertionError("must not overwrite on read failure")
+
+    with pytest.raises(IOError):
+        scd2_merge(
+            FlakyTable(), _batch(spark, [(1, "A", 10)]), ["k"], "ts", ["status"]
+        )
