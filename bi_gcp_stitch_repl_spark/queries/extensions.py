@@ -37,6 +37,12 @@ N_BANDS = 2  # 8 minhashes → 2 bands × 4 rows: P(candidate) = 1-(1-J^4)^2,
 #              537k pre-distinct pairs at sf0.1 with r=2; ~300 with r=4)
 ROWS_PER_BAND = len(MINHASH_SEEDS) // N_BANDS
 JACCARD_THRESHOLD = 0.4  # clean separation point in the corpus
+#: the exact all-pairs Jaccard audit runs on the deterministic 1-in-5
+#: doc_id slice — it exists to AUDIT the LSH path, not to be the
+#: production path, and an audit whose kernel is O(candidates × shingles)
+#: must bound its own input to survive a 100× corpus (pair count scales
+#: with 1/AUDIT_MOD²)
+AUDIT_MOD = 5
 
 # --- shared expression fragments (Spark SQL dialect) -----------------------
 
@@ -65,9 +71,10 @@ _FOLD_DUCK = (
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — exploded distinct 5-grams per document."""
+    """(doc_id, shingle) — exploded distinct 5-grams per document, on the
+    exact-audit slice (``doc_id % AUDIT_MOD == 0``)."""
     (docs,) = tables(spark, sf_dir, "documents")
-    return docs.select(
+    return docs.filter(F.col("doc_id") % AUDIT_MOD == 0).select(
         "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
     )
 
@@ -75,6 +82,7 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_DUCK_CTE = f"""
 sh AS (
   SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM documents
+  WHERE doc_id % {AUDIT_MOD} = 0
 )"""
 
 
@@ -288,37 +296,12 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("x_jaccard_ngram_pairs", oracle=_JACCARD_DUCK)
 def x_jaccard_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs (threshold 0.4)."""
+    """Exact n-gram Jaccard near-duplicate pairs (threshold 0.4) on the
+    1-in-AUDIT_MOD doc_id slice — the audit baseline for the LSH path
+    (``x_dedup_near_survivors`` verifies candidates exactly; this entry
+    measures what banding might have MISSED, on a bounded slice whose
+    quadratic kernel can't dominate a wall-clock budget at 100×)."""
     return _jaccard_pairs(spark, sf_dir)
-
-
-@register(
-    "x_dedup_near_survivors",
-    oracle=f"""
-WITH {_SHINGLE_DUCK_CTE},
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-dups AS (
-  SELECT DISTINCT doc_b AS doc_id FROM inter
-  JOIN cnt ca ON ca.doc_id = doc_a
-  JOIN cnt cb ON cb.doc_id = doc_b
-  WHERE n_inter * 1.0 / (ca.n + cb.n - n_inter) >= {JACCARD_THRESHOLD}
-)
-SELECT d.doc_id, d.lang, d.source FROM documents d
-LEFT JOIN dups USING (doc_id) WHERE dups.doc_id IS NULL
-""",
-)
-def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dedup keep-first: drop every document that has a near-duplicate
-    with a smaller doc_id (anti-join against the Jaccard pair list) — the
-    standard representative-selection used by training-data pipelines."""
-    (docs,) = tables(spark, sf_dir, "documents")
-    dups = _jaccard_pairs(spark, sf_dir).select(F.col("doc_b").alias("doc_id")).distinct()
-    return docs.select("doc_id", "lang", "source").join(dups, "doc_id", "left_anti")
 
 
 SPAN_WORDS = 10
@@ -420,14 +403,15 @@ def _band_sig_duck(i: int) -> str:
     )
 
 
-def _minhash_lsh_duck() -> str:
+def _minhash_lsh_duck_ctes() -> str:
+    """The WITH-clause body shared by every MinHash-LSH oracle: codepoints
+    → gram hashes → signatures → band rows → distinct candidate pairs."""
     mh_exprs = ",\n         ".join(
         f"list_min(list_transform(hs, h -> ({a}*h + {b}) % {P})) AS mh{k}"
         for k, (a, b) in enumerate(MINHASH_SEEDS)
     )
     band_rows = ",\n    ".join(f"({i}, {_band_sig_duck(i)})" for i in range(N_BANDS))
-    return f"""
-WITH cp AS (
+    return f"""cp AS (
   SELECT doc_id, {CODEPOINTS_DUCK} AS cs FROM documents
 ), hs AS (
   SELECT doc_id, {GRAM_HASHES_DUCK} AS hs
@@ -441,25 +425,21 @@ WITH cp AS (
   LATERAL (VALUES
     {band_rows}
   ) AS t(band, sig)
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-"""
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
 
 
-@register("x_minhash_lsh_candidates", oracle=_minhash_lsh_duck())
-def x_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding candidate pairs — the scale path for near-dedup:
-    shingle → 8 minhashes → 4 bands of 2 → bucket-join on (band, signature).
-    Cost is linear in corpus size + bucket collisions (vs the quadratic
-    shingle self-join), which is what survives 100 TB. The signature pass is
-    pure JVM-side expression work (one shuffle on the band key).
+def _minhash_lsh_duck() -> str:
+    return f"WITH {_minhash_lsh_duck_ctes()} SELECT doc_a, doc_b FROM cand"
 
-    Deterministic permutation family (a*h+b mod 1e9+7) over the polynomial
-    shingle hash, so DuckDB reproduces every signature exactly.
-    """
-    (docs,) = tables(spark, sf_dir, "documents")
+
+def _minhash_candidates(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) LSH candidate pairs via the DuckDB-reproducible
+    permutation family — shared by the candidate query and the
+    candidate-verified near-dedup survivors."""
     cp = docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs"))
     hs = cp.select("doc_id", F.expr(GRAM_HASHES_SPARK).alias("hs"))
     sig = _minhash_signature(hs)
@@ -492,6 +472,95 @@ def x_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register("x_minhash_lsh_candidates", oracle=_minhash_lsh_duck())
+def x_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs — the scale path for near-dedup:
+    shingle → 8 minhashes → 4 bands of 2 → bucket-join on (band, signature).
+    Cost is linear in corpus size + bucket collisions (vs the quadratic
+    shingle self-join), which is what survives 100 TB. The signature pass is
+    pure JVM-side expression work (one shuffle on the band key).
+
+    Deterministic permutation family (a*h+b mod 1e9+7) over the polynomial
+    shingle hash, so DuckDB reproduces every signature exactly.
+    """
+    (docs,) = tables(spark, sf_dir, "documents")
+    return _minhash_candidates(docs)
+
+
+#: JACCARD_THRESHOLD as an exact rational for division-free comparisons
+_JT_P, _JT_Q = (
+    __import__("fractions").Fraction(JACCARD_THRESHOLD).limit_denominator(10**6).numerator,
+    __import__("fractions").Fraction(JACCARD_THRESHOLD).limit_denominator(10**6).denominator,
+)
+
+
+@register(
+    "x_dedup_near_survivors",
+    oracle=f"""
+WITH {_minhash_lsh_duck_ctes()},
+j AS (
+  SELECT c.doc_b
+  FROM cand c
+  JOIN hs ha ON ha.doc_id = c.doc_a
+  JOIN hs hb ON hb.doc_id = c.doc_b
+  WHERE {_JT_Q} * len(list_intersect(ha.hs, hb.hs))
+        >= {_JT_P} * (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+),
+dups AS (SELECT DISTINCT doc_b AS doc_id FROM j)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+LEFT JOIN dups USING (doc_id) WHERE dups.doc_id IS NULL
+""",
+)
+def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup keep-first over LSH-VERIFIED pairs: MinHash-LSH proposes
+    candidates (linear in corpus + collisions), exact gram-hash-set
+    Jaccard verifies ONLY those candidates, and every document with a
+    verified near-duplicate of smaller doc_id is dropped — the production
+    representative-selection pipeline end to end. The verification kernel
+    is bounded by the candidate count (Σ over buckets, never corpus²);
+    the earlier all-pairs exact form is retained as the sliced audit
+    baseline ``x_jaccard_ngram_pairs``. Threshold compare is exact
+    integer arithmetic (t = p/q), so boundary pairs agree with the
+    oracle bit-for-bit."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    # The candidate list is tiny (collision pairs only) but its lineage is
+    # the whole shingle→signature pipeline; materialize it once so the
+    # id-broadcast below and the verify join don't evaluate that pipeline
+    # twice. (Same eager-small-result precedent as the IVF centroids.)
+    cand = _minhash_candidates(docs).localCheckpoint(eager=True)
+    # Only candidate documents' gram-hash sets ever move: the semi-join
+    # against the (tiny) candidate id list runs map-side under a broadcast,
+    # so the expensive array column is built for all docs (cheap, JVM
+    # expression work on the scan) but shuffled only for colliding docs —
+    # at 100 TB that's the difference between shipping the corpus and
+    # shipping the near-dup neighborhoods.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # semi-join FIRST, expressions after: Catalyst won't reorder a join
+    # below a projection, and the gram-hash array is the expensive part —
+    # build it for the ~1% of docs that collided, not the corpus
+    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    hs = cand_docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs")).select(
+        "doc_id", F.expr(GRAM_HASHES_SPARK).alias("hs")
+    )
+    ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    n_inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    verified = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .filter(
+            F.lit(_JT_Q) * n_inter
+            >= F.lit(_JT_P) * (F.size("hs_a") + F.size("hs_b") - n_inter)
+        )
+    )
+    dups = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.select("doc_id", "lang", "source").join(dups, "doc_id", "left_anti")
 
 
 def _simhash_exprs(n_bits: int, spark_side: bool) -> tuple[str, str]:
@@ -754,13 +823,16 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Queries = every 25th vector, k=5.
 
     Approximate by design, so the hash-checkable contract is a recall
-    BOUND, not the hit list: the query itself recomputes the exact
-    brute-force top-k per query point (the sampled recall-audit you'd run
-    at scale too) and emits one row asserting mean recall@5 across the
-    query set ≥ 0.5 (empirically ~0.76-0.81 on the synthetic corpus —
+    BOUND, not the hit list: the query recomputes the exact brute-force
+    top-k for a FIXED 20-query audit subset (smallest query ids —
+    deterministic) and emits one row asserting mean recall@5 over the
+    audited set ≥ 0.5 (empirically ~0.75-0.81 on the synthetic corpus —
     these vectors are near-uniform, the hardest case for coarse
     quantization; 3/8 cells probed alone would predict 0.375). A recall
     regression is a hard hash mismatch, not a silent quality drop.
+    The audit cost is 20 × corpus — CONSTANT in the query count, linear
+    in corpus — so it stays a rounding error at 100×; auditing every
+    query was the one O(queries×corpus) kernel left in the catalog.
     Per-configuration recall curves are additionally pinned in
     test_functions.py."""
     from ..functions.similarity import cosine, ivf_topk, kmeans_ivf_index
@@ -772,7 +844,8 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = 5
     ivf = ivf_topk(indexed, queries, k=k, n_probe=3, centroid_col="ivf_cell")
-    q = queries.select("query_id", F.col("embedding").alias("qv"))
+    audit_q = queries.orderBy("query_id").limit(20)
+    q = audit_q.select("query_id", F.col("embedding").alias("qv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     exact = (
         emb.crossJoin(F.broadcast(q))
@@ -786,12 +859,12 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )
-    per_query = queries.select("query_id").join(hits, "query_id", "left").select(
+    per_query = audit_q.select("query_id").join(hits, "query_id", "left").select(
         "query_id", (F.coalesce(F.col("n_hits"), F.lit(0)) / k).alias("recall")
     )
-    return per_query.agg(
-        F.count("*").alias("n_queries"),
-        (F.avg("recall") >= 0.5).alias("recall_ok"),
+    recall = per_query.agg((F.avg("recall") >= 0.5).alias("recall_ok"))
+    return queries.agg(F.count("*").alias("n_queries")).crossJoin(
+        F.broadcast(recall)
     )
 
 

@@ -553,6 +553,31 @@ def a6_count_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a4_a6_watermark_accounting",
+    oracle="""
+SELECT e.event_type, e.n, w.watermark
+FROM (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type) e
+CROSS JOIN (SELECT MAX(event_id) AS watermark FROM events) w
+""",
+)
+def a4_a6_watermark_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 + A6 combined parity gate: per-type row-count accounting (A6,
+    reference dags/billwerk/billwerk_invoices.py:81,96) carrying the MAX
+    watermark the cursor would advance to (A4,
+    dags/billwerk/billwerk_invoices.py:93) — exactly the summary row a
+    sync job logs per run. One fact scan feeds both aggregates; the 1-row
+    watermark side is broadcast into a nested-loop join, the right plan
+    for a scalar attach at any scale. Registered as one query so both §2
+    gates share a single driver-window slot (the standalone
+    ``a4_max_watermark`` / ``a6_count_accounting`` entries remain in the
+    catalog beyond the window)."""
+    (events,) = tables(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    wm = events.agg(F.max("event_id").alias("watermark"))
+    return counts.crossJoin(F.broadcast(wm))
+
+
+@register(
     "k8_reverse_etl_batches",
     oracle=f"""
 WITH per_key AS (

@@ -271,6 +271,7 @@ def test_no_unbounded_join_strategies_in_catalog(spark):
         "x_lsh_cosine_buckets",  # broadcast plane/model constants
         "x_dedup_embedding_pairs",
         "a4_max_watermark",      # 1-row watermark crossJoin
+        "a4_a6_watermark_accounting",  # 1-row watermark crossJoin
         "x_bm25_topk",           # 1-row corpus-stats crossJoin
         "x_kmeans_assign",       # broadcast k-row centroid table
         "q22_idle_customers",    # 1-row avg-balance threshold crossJoin
