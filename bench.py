@@ -92,6 +92,14 @@ HEADLINE = [
     "x_text_stats",
 ]
 
+#: Round-3 additions, reported separately ("extended"/"value_extended") so
+#: "value" stays the same 13-query total every prior round recorded —
+#: round-over-round comparability survives the set growing.
+EXTENDED = [
+    "q21_waiting_suppliers",
+    "x_sparse_cosine_pairs",
+]
+
 
 def run_query(spark, name: str, queries, sf_dir: str, iters: int = 2) -> float | None:
     """Best-of-N end-to-end latency — the steady-state number a resident
@@ -128,7 +136,7 @@ def main() -> None:
             bench_dir = SF_DIR
 
     # Warm-up: JVM JIT + codegen + parquet footer caches.
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         try:
             queries[name](spark, bench_dir).write.format("noop").mode(
                 "overwrite"
@@ -140,15 +148,24 @@ def main() -> None:
     for name in HEADLINE:
         sec = run_query(spark, name, queries, bench_dir)
         timings[name] = round(sec, 3) if sec is not None else None
+    extended: dict[str, float | None] = {}
+    for name in EXTENDED:
+        sec = run_query(spark, name, queries, bench_dir)
+        extended[name] = round(sec, 3) if sec is not None else None
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    failed = [n for n, v in timings.items() if v is None]
+    failed = [n for n, v in {**timings, **extended}.items() if v is None]
+    legacy_total = round(sum(v for v in timings.values() if v is not None), 3)
     out = {
         "metric": "headline_total_sec",
-        "value": round(sum(v for v in timings.values() if v is not None), 3),
+        "value": legacy_total,
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
+        "value_extended": round(
+            legacy_total + sum(v for v in extended.values() if v is not None), 3
+        ),
         "failed": failed,
         "sf": sf,
         "stage_sec": round(stage_sec, 3),
