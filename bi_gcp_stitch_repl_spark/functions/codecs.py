@@ -1,0 +1,242 @@
+"""Pure-stdlib media codecs: real PNG / PPM / PGM image decode+encode and
+real WAV audio decode, with zero third-party dependencies.
+
+These are the REAL decoders behind ``functions.multimodal``'s Arrow-batched
+seams (the container has no PIL/ffmpeg/librosa, but PNG is just zlib +
+per-scanline unfiltering, netpbm is a header + raw bytes, and WAV is
+stdlib ``wave``). Production deployments with PIL installed can still
+inject it through the same ``decoder=`` seam — the point of this module is
+that the DEFAULT path decodes actual media end-to-end, not a stub.
+
+Scale notes: these functions run inside ``mapInPandas`` workers, one call
+per payload, so their cost is per-row Python+numpy — fine for metadata
+extraction and thumbnail-class resizing. A throughput-critical 100 TB
+decode pass would swap in a C-backed codec via the same seam; nothing in
+the Spark-side plumbing changes.
+
+Format support (deliberately the safe core, loudly rejecting the rest):
+- PNG: 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
+  non-interlaced, all five scanline filters. Encoder emits filter-0 RGB/
+  gray/alpha variants with correct CRCs — round-trips through any PNG
+  reader.
+- PPM (P6) / PGM (P5): binary, maxval 255.
+- WAV: PCM 8/16/32-bit via stdlib ``wave``; channels averaged to mono.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: (channels, mode name) per PNG color type we support
+_PNG_COLOR = {0: (1, "L"), 2: (3, "RGB"), 4: (2, "LA"), 6: (4, "RGBA")}
+_MODE_COLOR = {mode: (ct, ch) for ct, (ch, mode) in _PNG_COLOR.items()}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[np.ndarray, str]:
+    """PNG bytes → ((H, W, C) uint8 array, mode). Raises ValueError on
+    anything outside the supported core (see module docstring)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width, height, color, idat = 8, None, None, None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if color not in _PNG_COLOR:
+                raise ValueError(f"unsupported color type {color}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    ch, mode = _PNG_COLOR[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("bad scanline data length")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub — sequential in x, per channel offset
+            for i in range(ch, stride):
+                line[i] = (int(line[i]) + int(line[i - ch])) & 0xFF
+        elif ftype == 2:  # Up — fully vectorized
+            line = (line.astype(np.uint16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = int(line[i - ch]) if i >= ch else 0
+                line[i] = (int(line[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = int(line[i - ch]) if i >= ch else 0
+                ul = int(prev[i - ch]) if i >= ch else 0
+                line[i] = (int(line[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y] = line
+        prev = out[y]
+    return out.reshape(height, width, ch), mode
+
+
+def encode_png(arr: np.ndarray, mode: str | None = None) -> bytes:
+    """(H, W[, C]) uint8 array → PNG bytes (filter 0, correct CRCs)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if mode is None:
+        mode = {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[ch]
+    color, want_ch = _MODE_COLOR[mode]
+    if ch != want_ch:
+        raise ValueError(f"mode {mode} needs {want_ch} channels, got {ch}")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    # filter byte 0 prepended per scanline
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_netpbm(payload: bytes) -> tuple[np.ndarray, str]:
+    """P6 (PPM, RGB) / P5 (PGM, gray) binary → ((H, W, C) uint8, mode)."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    vals: list[int] = []
+    i = 2
+    while len(vals) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    ch, mode = (3, "RGB") if magic == b"P6" else (1, "L")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=h * w * ch, offset=i)
+    return pix.reshape(h, w, ch).copy(), mode
+
+
+def sniff_decode_image(payload: bytes) -> tuple[np.ndarray, str]:
+    """Magic-byte dispatch → ((H, W, C) uint8, mode)."""
+    if not payload:
+        raise ValueError("empty payload")
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_netpbm(payload)
+    raise ValueError("unrecognized image format")
+
+
+def image_meta(payload: bytes) -> dict:
+    """Real decoder for the ``decode_image_meta`` seam: actual pixel
+    dimensions + mode from the payload's own header/content."""
+    arr, mode = sniff_decode_image(payload)
+    return {"width": arr.shape[1], "height": arr.shape[0], "mode": mode}
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample to (height, width)."""
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(height) * h) // height, h - 1)
+    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+    return arr[np.ix_(ys, xs)]
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resizer for the ``resize_images`` seam: decode (PNG/netpbm),
+    nearest-neighbor resample, re-encode as PNG — output is a valid image
+    any downstream reader (or a second decode stage) accepts."""
+    arr, mode = sniff_decode_image(payload)
+    return encode_png(resize_nearest(arr, width, height), mode)
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes → (sample_rate, mono float64 signal in [-1, 1])."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate, nch, sw = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if sw == 1:  # unsigned 8-bit
+        sig = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        sig = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        sig = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    if nch > 1:
+        sig = sig.reshape(-1, nch).mean(axis=1)
+    return rate, sig
+
+
+def audio_features(payload: bytes, n_features: int) -> list[float]:
+    """Real extractor for the ``extract_audio_features`` seam: per-chunk
+    RMS energy over ``n_features`` equal time slices of the decoded mono
+    signal — the standard cheap envelope descriptor (MFCCs slot in here
+    when a real DSP stack is present). Deterministic: fixed chunking, IEEE
+    ops in fixed order."""
+    _rate, sig = decode_wav(payload)
+    if sig.size == 0:
+        raise ValueError("empty audio signal")
+    bounds = (np.arange(n_features + 1) * sig.size) // n_features
+    return [
+        float(np.sqrt(np.mean(np.square(sig[bounds[i] : bounds[i + 1]]))))
+        if bounds[i + 1] > bounds[i]
+        else 0.0
+        for i in range(n_features)
+    ]

@@ -10,11 +10,13 @@ Design (SURVEY §7.6 / BASELINE north_star):
   is the scale lever: target ~64-256MB of payload per partition so a batch
   fits executor memory.
 
-The actual decoders (PIL/ffmpeg/librosa) are NOT in this container, so
-``decode_image_meta`` ships a deterministic stub decoder behind the same
-batch plumbing — the Spark-side contract (schema, batching, partitioning,
-error isolation) is real and tested; swapping the stub for a real decoder
-is a one-function change.
+The DEFAULT decoders are the real pure-stdlib codecs in
+``functions.codecs`` (PNG/PPM/PGM images, WAV audio) — actual pixel
+dimensions, actual resampling, actual signal energy, no stub in the
+default path. The ``_stub_*`` variants remain as injectable hermetic
+stand-ins for plumbing tests (and as the documented fallback pattern for
+formats the stdlib can't parse); a PIL/ffmpeg deployment injects its
+decoder through the same ``decoder=`` seam.
 """
 
 from __future__ import annotations
@@ -44,10 +46,10 @@ def attach_payload_meta(df: DataFrame, payload_col: str = "payload") -> DataFram
 
 
 def _stub_image_decoder(payload: bytes) -> dict:
-    """Deterministic fake decoder: real deployments replace this with PIL.
-
-    Emits plausible, payload-derived values so tests can assert exact
-    outputs. Raises on empty payloads to exercise the error-isolation path.
+    """Deterministic fake decoder (hermetic fallback — the DEFAULT is the
+    real ``codecs.image_meta``). Emits payload-derived values so plumbing
+    tests can assert exact outputs on arbitrary bytes. Raises on empty
+    payloads to exercise the error-isolation path.
     """
     if not payload:
         raise ValueError("empty payload")
@@ -73,7 +75,9 @@ def decode_image_meta(
     """
     import pandas as pd
 
-    decoder = decoder or _stub_image_decoder
+    from .codecs import image_meta
+
+    decoder = decoder or image_meta
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -118,11 +122,10 @@ def decode_image_meta(
 
 
 def _stub_image_resizer(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic fake resizer: real deployments replace this with PIL.
-
-    Emits a payload-derived byte string whose length tracks the target
-    area (1 byte per 64 pixels, ≥1), so tests can assert exact outputs
-    and partition-size accounting stays realistic without a codec.
+    """Deterministic fake resizer (hermetic fallback — the DEFAULT is the
+    real ``codecs.resize_image``). Emits a payload-derived byte string
+    whose length tracks the target area (1 byte per 64 pixels, ≥1), so
+    plumbing tests can assert exact outputs on arbitrary bytes.
     """
     if not payload:
         raise ValueError("empty payload")
@@ -151,7 +154,9 @@ def resize_images(
     """
     import pandas as pd
 
-    resizer = resizer or _stub_image_resizer
+    from .codecs import resize_image
+
+    resizer = resizer or resize_image
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -198,10 +203,11 @@ def resize_images(
 
 
 def _stub_audio_features(payload: bytes, n_features: int) -> list[float]:
-    """Deterministic fake feature extractor: real deployments replace this
-    with librosa MFCCs. Splits the byte stream into ``n_features`` strided
-    chunks and emits each chunk's mean byte value scaled to [0, 1] — a
-    stable, payload-derived vector of the right shape.
+    """Deterministic fake feature extractor (hermetic fallback — the
+    DEFAULT is the real ``codecs.audio_features`` WAV RMS envelope).
+    Splits the byte stream into ``n_features`` strided chunks and emits
+    each chunk's mean byte value scaled to [0, 1] — a stable,
+    payload-derived vector of the right shape.
     """
     if not payload:
         raise ValueError("empty payload")
@@ -230,7 +236,9 @@ def extract_audio_features(
     """
     import pandas as pd
 
-    extractor = extractor or _stub_audio_features
+    from .codecs import audio_features
+
+    extractor = extractor or audio_features
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),

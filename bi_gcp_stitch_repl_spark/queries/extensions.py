@@ -1256,6 +1256,57 @@ def x_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_image_roundtrip_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 16 AS INT) AS width,
+       CAST(8 + (doc_id * 7) % 16 AS INT) AS height,
+       'RGB' AS mode,
+       CAST(TRUE AS BOOLEAN) AS _decode_ok
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def x_image_roundtrip_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec end-to-end through the multimodal seams: synthesize
+    a doc_id-sized RGB image per document (1-in-10 slice), encode it as an
+    actual PNG inside one Arrow-batched stage, then recover its dimensions
+    with the DEFAULT ``decode_image_meta`` path (``functions.codecs``
+    pure-stdlib PNG decoder). The oracle predicts width/height from
+    doc_id arithmetic — so a broken encoder, a broken decoder, or a stub
+    leaking back into the default path all hash-mismatch. Payload bytes
+    move through exactly one mapInPandas pair; everything else is
+    metadata-only, per the multimodal design contract."""
+    from ..functions.multimodal import decode_image_meta
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    src = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        (8 + F.col("doc_id") % 16).cast("int").alias("w"),
+        (8 + (F.col("doc_id") * 7) % 16).cast("int").alias("h"),
+    )
+    schema = "media_id long, payload binary"
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bi_gcp_stitch_repl_spark.functions.codecs import encode_png
+
+        for pdf in batches:
+            out = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                # deterministic pixels without RNG: value = (id + index) % 256
+                px = (
+                    (int(mid) + np.arange(int(h) * int(w) * 3)) % 256
+                ).astype(np.uint8).reshape(int(h), int(w), 3)
+                out.append({"media_id": mid, "payload": encode_png(px)})
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    payloads = src.mapInPandas(synth, schema=schema)
+    return decode_image_meta(payloads)
+
+
+@register(
     "x_frame_sample_plan",
     oracle="""
 SELECT doc_id AS media_id, CAST(i * 2.5 AS DOUBLE) AS sample_ts

@@ -1,0 +1,171 @@
+"""Real pure-stdlib media codecs: PNG round-trips (all supported modes and
+all five scanline filters), netpbm, WAV, and the default end-to-end decode
+path through the Spark mapInPandas seams."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from bi_gcp_stitch_repl_spark.functions import codecs, multimodal
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("mode,ch", [("L", 1), ("LA", 2), ("RGB", 3), ("RGBA", 4)])
+def test_png_roundtrip_all_modes(mode, ch):
+    arr = _rng().integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+    back, got_mode = codecs.decode_png(codecs.encode_png(arr, mode))
+    assert got_mode == mode
+    assert np.array_equal(back, arr)
+
+
+def _encode_png_with_filters(arr: np.ndarray, filters: list[int]) -> bytes:
+    """Reference filtering encoder (test-only): applies the given per-row
+    filter types so the decoder's Sub/Up/Average/Paeth paths are exercised
+    against independently-constructed data."""
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        line = flat[y]
+        f = filters[y % len(filters)]
+        out = np.empty(stride, dtype=np.int32)
+        for i in range(stride):
+            left = int(line[i - ch]) if i >= ch else 0
+            up = int(prev[i])
+            ul = int(prev[i - ch]) if i >= ch else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) // 2,
+                4: codecs._paeth(left, up, ul),
+            }[f]
+            out[i] = (int(line[i]) - pred) % 256
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        codecs.PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types():
+    arr = _rng(3).integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    payload = _encode_png_with_filters(arr, [0, 1, 2, 3, 4])
+    back, mode = codecs.decode_png(payload)
+    assert mode == "RGB"
+    assert np.array_equal(back, arr)
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"\x89PNG\r\n\x1a\njunk")
+    with pytest.raises(ValueError):
+        codecs.sniff_decode_image(b"GIF89a....")
+    with pytest.raises(ValueError):
+        codecs.sniff_decode_image(b"")
+
+
+def test_netpbm_decode_with_comment():
+    arr = _rng(5).integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    ppm = b"P6\n# a comment\n6 4\n255\n" + arr.tobytes()
+    back, mode = codecs.decode_netpbm(ppm)
+    assert mode == "RGB" and np.array_equal(back, arr)
+    gray = _rng(6).integers(0, 256, size=(3, 5, 1), dtype=np.uint8)
+    pgm = b"P5 5 3 255 " + gray.tobytes()
+    back, mode = codecs.decode_netpbm(pgm)
+    assert mode == "L" and np.array_equal(back, gray)
+
+
+def test_resize_nearest_and_resize_image():
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    up = codecs.resize_nearest(arr, 8, 8)
+    assert up.shape == (8, 8, 1)
+    # each source pixel becomes a 2x2 block under nearest-neighbor
+    assert np.array_equal(up[::2, ::2, 0], arr[:, :, 0])
+    png = codecs.encode_png(_rng(9).integers(0, 256, (12, 8, 3), dtype=np.uint8))
+    out = codecs.resize_image(png, 4, 6)
+    back, mode = codecs.decode_png(out)
+    assert back.shape == (6, 4, 3) and mode == "RGB"
+
+
+def _wav_bytes(sig: np.ndarray, rate: int = 8000, nch: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((sig * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_wav_decode_and_rms_features():
+    # constant half-amplitude signal -> RMS 0.5 in every chunk
+    sig = np.full(8000, 0.5)
+    rate, mono = codecs.decode_wav(_wav_bytes(sig))
+    assert rate == 8000 and mono.shape == (8000,)
+    feats = codecs.audio_features(_wav_bytes(sig), 4)
+    assert len(feats) == 4
+    assert all(abs(f - 0.5) < 1e-3 for f in feats)
+    # stereo averages to mono
+    stereo = np.repeat(np.full(100, 0.25), 2)
+    _, mono2 = codecs.decode_wav(_wav_bytes(stereo, nch=2))
+    assert mono2.shape == (100,) and abs(float(mono2[0]) - 0.25) < 1e-3
+
+
+def test_default_decode_path_is_real_end_to_end(spark):
+    """The Spark seams decode ACTUAL media by default: real PNG dimensions,
+    real WAV energy; junk payloads fall into the error-isolation rows."""
+    png = codecs.encode_png(
+        _rng(11).integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    )
+    rows = [(1, bytearray(png)), (2, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.decode_image_meta(df).collect()}
+    assert got[1]["_decode_ok"] and (got[1]["width"], got[1]["height"]) == (23, 17)
+    assert got[1]["mode"] == "RGB"
+    assert not got[2]["_decode_ok"]
+
+    resized = {r["media_id"]: r for r in multimodal.resize_images(df, 8, 5).collect()}
+    assert resized[1]["_resize_ok"]
+    back, _ = codecs.decode_png(bytes(resized[1]["payload"]))
+    assert back.shape == (5, 8, 3)
+    assert not resized[2]["_resize_ok"]
+
+    wav = _wav_bytes(np.full(4000, 0.5))
+    adf = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_audio_features(adf, n_features=3).collect()
+    }
+    assert feats[1]["_extract_ok"]
+    assert all(abs(f - 0.5) < 1e-3 for f in feats[1]["features"])
+    assert not feats[2]["_extract_ok"]

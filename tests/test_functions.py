@@ -121,7 +121,12 @@ def test_multimodal_decode_plumbing(spark):
     meta = multimodal.attach_payload_meta(df)
     got = {r["media_id"]: r for r in meta.collect()}
     assert got[1]["n_bytes"] == 15 and len(got[1]["content_sha256"]) == 64
-    decoded = {r["media_id"]: r for r in multimodal.decode_image_meta(df, partitions=2).collect()}
+    decoded = {
+        r["media_id"]: r
+        for r in multimodal.decode_image_meta(
+            df, partitions=2, decoder=multimodal._stub_image_decoder
+        ).collect()
+    }
     assert decoded[1]["_decode_ok"] and decoded[1]["width"] == 1 + 0x10 % 64
     assert not decoded[2]["_decode_ok"] and decoded[2]["width"] is None
     assert not decoded[3]["_decode_ok"]
@@ -132,7 +137,9 @@ def test_multimodal_resize_plumbing(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {
         r["media_id"]: r
-        for r in multimodal.resize_images(df, 32, 32, partitions=2).collect()
+        for r in multimodal.resize_images(
+            df, 32, 32, partitions=2, resizer=multimodal._stub_image_resizer
+        ).collect()
     }
     # 32*32//64 = 16 bytes, payload cycled to length
     assert got[1]["_resize_ok"] and bytes(got[1]["payload"]) == (b"abc" * 6)[:16]
@@ -141,7 +148,9 @@ def test_multimodal_resize_plumbing(spark):
     assert not got[3]["_resize_ok"]
     # resized output composes with the metadata stage
     meta = multimodal.attach_payload_meta(
-        multimodal.resize_images(df, 32, 32).filter("_resize_ok")
+        multimodal.resize_images(
+            df, 32, 32, resizer=multimodal._stub_image_resizer
+        ).filter("_resize_ok")
     )
     assert meta.filter("n_bytes = 16").count() == 1
 
@@ -151,7 +160,9 @@ def test_multimodal_audio_features_plumbing(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = {
         r["media_id"]: r
-        for r in multimodal.extract_audio_features(df, n_features=4).collect()
+        for r in multimodal.extract_audio_features(
+            df, n_features=4, extractor=multimodal._stub_audio_features
+        ).collect()
     }
     feats = out[1]["features"]
     assert out[1]["_extract_ok"] and len(feats) == 4
@@ -162,7 +173,9 @@ def test_multimodal_audio_features_plumbing(spark):
     # shape-compatible with the embeddings similarity stack
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     assert dict(emb.dtypes)["embedding"] == dict(
-        multimodal.extract_audio_features(df, 4).dtypes
+        multimodal.extract_audio_features(
+            df, 4, extractor=multimodal._stub_audio_features
+        ).dtypes
     )["features"]
 
 

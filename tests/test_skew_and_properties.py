@@ -300,3 +300,111 @@ def test_asof_nearest_matches_model(spark, left, right):
         else:
             expect.add((i, None))
     assert got == expect
+
+
+def _partition_shares(df):
+    """Fraction of output rows per physical partition, descending."""
+    from pyspark.sql import functions as F
+
+    counts = [
+        r["n"]
+        for r in df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    total = sum(counts)
+    return sorted((c / total for c in counts), reverse=True)
+
+
+def test_salted_join_removes_straggler_partition(spark):
+    """Skew-hardening proof on a deliberately skewed key (one key = 20% of
+    rows): without salting the hot key's entire 20% lands in ONE post-join
+    partition (the straggler that caps a 1000-executor cluster at 1/0.2 =
+    5× worse than linear); with salting no partition holds more than a
+    few percent. Measured on actual partition row counts, AQE/broadcast
+    disabled so nothing masks the placement."""
+    from pyspark.sql import functions as F
+
+    n = 40_000
+    fact = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 5 == 0, F.lit(0))
+            .otherwise((F.col("id") % 997) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+    )
+    dim = spark.range(998).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("d")
+    )
+    old = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain_shares = _partition_shares(fact.join(dim, "k"))
+        salted_shares = _partition_shares(salted_join(fact, dim, ["k"], n_salts=16))
+    finally:
+        for key, val in old.items():
+            spark.conf.set(key, val)
+    assert plain_shares[0] >= 0.19, plain_shares[:3]
+    assert salted_shares[0] <= 0.08, salted_shares[:3]
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The AQE path (on by default in session.py) handles the same skew
+    without explicit salting: with the skew thresholds scaled down to this
+    test's data volume, the executed sort-merge join reports skew=true —
+    i.e. the hot partition was split at runtime. This is the mechanism the
+    100 TB deployment leans on before reaching for ops.skew.salted_join."""
+    from pyspark.sql import functions as F
+
+    n = 40_000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .otherwise((F.col("id") % 997) + 1)
+        .alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    dim = spark.range(998).select(F.col("id").alias("k"))
+    keys = [
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for key in keys:
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = fact.join(dim, "k")
+        # drive THIS DataFrame's own query execution (a write would build a
+        # fresh execution and leave this plan un-finalized)
+        joined.foreach(lambda r: None)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for key, val in old.items():
+            if val is not None:
+                spark.conf.set(key, val)
+    assert "skew=true" in plan, plan[:2000]

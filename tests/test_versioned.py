@@ -494,3 +494,69 @@ def test_version_at_time_resolves_commit_boundaries(spark, tmp_path):
     assert t.read(t.version_at_time(ts[1])).count() == 2
     with pytest.raises(FileNotFoundError):
         t.version_at_time(ts[0] - 1)               # before history began
+
+
+def test_thousand_commit_log_plans_in_o_tail_time(spark, tmp_path):
+    """100×-growth memory/planning envelope for the commit log: at ~1k
+    commits, snapshot resolution must replay only the tail past the newest
+    checkpoint — counted in actual commit-file loads (deterministic), plus
+    a coarse wall-clock sanity bound. Synthetic commits are REAL log
+    entries over real (pyarrow-written) part files, so the resolved
+    snapshot also reads back correctly."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "big")
+    interval = 50
+    t = VersionedTable(spark, path, checkpoint_interval=interval)
+    t.append(spark.createDataFrame([(0,)], "id long"))  # v1, real append
+    # 1k+ commits without 1k Spark jobs: each commit adds one real tiny
+    # parquet part via pyarrow and goes through the SAME _commit path
+    # (including its automatic checkpoint cadence)
+    n_commits = 1037
+    first = t.latest_version()
+    for v in range(first + 1, n_commits + 1):
+        name = f"part-synth-{v:06d}.parquet"
+        fpath = f"{path}/{name}"
+        pq.write_table(pa.table({"id": pa.array([v], type=pa.int64())}), fpath)
+        t._commit(
+            v,
+            [
+                {"add": name, "stats": t._file_stats(fpath)},
+                {"meta": {"columns": ["id"]}},
+            ],
+        )
+    assert t.latest_version() == n_commits
+
+    # fresh handle = cold caches = honest planning cost
+    fresh = VersionedTable(spark, path, checkpoint_interval=interval)
+    loads = []
+    orig = fresh._actions
+
+    def counting(version):
+        loads.append(version)
+        return orig(version)
+
+    fresh._actions = counting
+    t0 = _time.perf_counter()
+    state = fresh._snapshot_state()
+    plan_sec = _time.perf_counter() - t0
+    # newest checkpoint sits at 1000; only the 37-commit tail replays
+    tail = n_commits % interval
+    assert len(loads) == tail, (len(loads), tail)
+    assert min(loads) > n_commits - interval
+    assert plan_sec < 2.0, plan_sec
+    # every synthetic add + the real first append's file(s) survived replay
+    assert len(state["files"]) == (n_commits - first) + len(
+        [a for a in t._actions(first) if "add" in a]
+    )
+
+    # time travel plans from the checkpoint at/below the target, not v0
+    loads.clear()
+    fresh._snapshot_state(523)
+    assert len(loads) == 23, len(loads)
+
+    # and the snapshot actually reads: 1 real row + one per synthetic commit
+    assert fresh.read().count() == (n_commits - first) + 1
