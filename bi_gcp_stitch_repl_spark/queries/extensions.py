@@ -1307,6 +1307,67 @@ def x_image_roundtrip_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_audio_roundtrip_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(CAST((1 + doc_id % 32000) AS REAL) / 32768.0 AS DOUBLE) AS rms0,
+       CAST(CAST((1 + doc_id % 32000) AS REAL) / 32768.0 AS DOUBLE) AS rms1,
+       CAST(CAST((1 + doc_id % 32000) AS REAL) / 32768.0 AS DOUBLE) AS rms2,
+       CAST(TRUE AS BOOLEAN) AS _extract_ok
+FROM documents WHERE doc_id % 10 = 5
+""",
+)
+def x_audio_roundtrip_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec end-to-end: synthesize a 16-bit PCM WAV per
+    document (1-in-10 slice) holding a constant doc_id-derived amplitude
+    k = 1 + doc_id % 32000, decode it with the DEFAULT
+    ``extract_audio_features`` path (stdlib ``wave`` + numpy RMS
+    envelope), and emit the per-chunk RMS values. A constant signal's RMS
+    is exactly k/32768 — representable in float32 and reproduced by the
+    SQL oracle bit-for-bit (the int16 sample, its square, the chunk mean,
+    and the square root are all exact IEEE operations here), so the
+    decode path is hash-verified, not just shape-checked."""
+    from ..functions.multimodal import extract_audio_features
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    src = docs.filter(F.col("doc_id") % 10 == 5).select(
+        F.col("doc_id").alias("media_id"),
+        (1 + F.col("doc_id") % 32000).cast("int").alias("k"),
+    )
+
+    def synth(batches):
+        import io
+        import wave as wave_mod
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, k in zip(pdf["media_id"], pdf["k"]):
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(
+                        np.full(240, int(k), dtype="<i2").tobytes()
+                    )
+                out.append({"media_id": mid, "payload": buf.getvalue()})
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    payloads = src.mapInPandas(synth, schema="media_id long, payload binary")
+    feats = extract_audio_features(payloads, n_features=3)
+    return feats.select(
+        "media_id",
+        F.col("features")[0].cast("double").alias("rms0"),
+        F.col("features")[1].cast("double").alias("rms1"),
+        F.col("features")[2].cast("double").alias("rms2"),
+        "_extract_ok",
+    )
+
+
+@register(
     "x_frame_sample_plan",
     oracle="""
 SELECT doc_id AS media_id, CAST(i * 2.5 AS DOUBLE) AS sample_ts

@@ -88,33 +88,37 @@ def test_compact_zorder_roundtrip(spark, tmp_path):
 
 def test_driver_window_covers_survey_gates():
     """The external correctness driver checks only the FIRST 50 registered
-    queries; this pins that every SURVEY §2 gate, the window suite, and the
-    relational extensions stay inside that window (catalog._PRIORITY)."""
+    queries; this pins the round-3 window: every SURVEY §2 gate (31 slots —
+    A4+A6 share the combined gate) plus the rotating slots, currently the
+    LLM-pipeline core and the three hardest TPC-H shapes
+    (catalog._PRIORITY)."""
     from bi_gcp_stitch_repl_spark.queries import catalog
 
     first50 = list(catalog.queries())[:50]
     required = {
-        # §2 parity spine
+        # §2 parity spine (31)
         "flagship_union_history", "q1_pricing_summary", "q3_top_revenue_orders",
         "q5_local_supplier_volume", "p1_p2_project_rename", "p3_p4_p5_predicates",
         "p6_date_boundary", "j1_carry_forward_keys", "j2_dim_enrichment",
         "j3_j4_k7_history_delta", "j5_semi_join", "k1_merge_upsert",
-        "a1_a2_distinct_dedup", "a3_conditional_rollup", "a4_max_watermark",
-        "a5_first_wins_merge", "a6_count_accounting", "k8_reverse_etl_batches",
+        "a1_a2_distinct_dedup", "a3_conditional_rollup",
+        "a4_a6_watermark_accounting", "a5_first_wins_merge",
+        "k8_reverse_etl_batches",
         "u2_vertical_concat", "a7_rollup_hierarchy", "a9_cube_status_priority",
         "a8_percentiles", "o1_order_limit_offset", "s4_keyset_increment",
         "s7_detail_fanout", "s9_sql_scan", "n_explode_with_parent",
         "n_array_head_field", "n_flatten_serialize", "f_string_clean_coerce",
         "f_date_functions", "f_timestamp_json",
-        "q7_volume_shipping", "q8_market_share",
-        # windows + relational extensions
-        "w_topk_per_group", "w_latest_per_key", "w_running_total",
-        "st_tumbling_window", "st_session_windows", "w_ntile_quartiles",
-        "x_asof_join", "x_set_ops", "x_pivot_status_by_year", "x_unpivot_status",
-        "x_dq_report", "x_scd2_intervals", "x_range_join_density",
-        "x_dedup_clusters",
-        # round-1 red row + bounded-contract IVF
-        "x_session_gaps", "x_ivf_topk",
+        # LLM-pipeline core (16)
+        "x_dedup_exact", "x_minhash_lsh_candidates", "x_span_dedup",
+        "x_simhash_pairs", "x_dedup_embedding_pairs",
+        "x_knn_cosine_topk", "x_ivf_topk", "x_sparse_cosine_pairs",
+        "x_text_stats", "x_vocab_encode", "x_gopher_rules",
+        "x_decontaminate", "x_split_shard", "x_curation_pipeline",
+        "x_dau_mau_stickiness", "x_linear_attribution",
+        # TPC-H completions (3)
+        "q21_waiting_suppliers", "q17_small_quantity_revenue",
+        "q20_dominant_suppliers",
     }
     assert len(required) == 50
     missing = required - set(first50)

@@ -242,9 +242,16 @@ def test_no_python_eval_anywhere_in_catalog(spark):
     here is a silent 10-100× on the hot path."""
     banned = ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
               "MapInPandas", "FlatMapGroupsInPandas")
-    # the ONE sanctioned exception: S7 remote fan-out is impure and
-    # I/O-bound — mapInPandas IS its correct form (SURVEY §2.11)
-    allowed = {"s7_detail_fanout"}
+    # sanctioned exceptions: S7 remote fan-out is impure and I/O-bound —
+    # mapInPandas IS its correct form (SURVEY §2.11) — and the two codec
+    # roundtrips exist to drive the multimodal decode seams, the other
+    # domain where Arrow-batched Python is the design (payload bytes touch
+    # Python exactly once; everything around them is metadata-only)
+    allowed = {
+        "s7_detail_fanout",
+        "x_image_roundtrip_meta",
+        "x_audio_roundtrip_features",
+    }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
         if name in allowed:
