@@ -81,6 +81,10 @@ JOB_MANIFEST: dict[str, JobSpec] = {
         "incremental_dedup_ingest", "30 4 * * *",
         "Probe+commit the MinHash band index for the day's document batch",
     ),
+    "ann_index_ingest": JobSpec(
+        "incremental_ann_ingest", "45 4 * * *",
+        "Assign the day's embeddings to frozen IVF cells, O(1) index append",
+    ),
     "summary_refresh": JobSpec(
         "incremental_summary_refresh", "0 5 * * *",
         "Fold the day's change feed into the additive summary view",

@@ -791,6 +791,14 @@ def test_job_manifest_sweep_runs_every_entry(spark, tmp_path):
         )
         assert pairs.count() >= 0  # executes the probe + index commit
 
+    def run_incremental_ann_ingest():
+        batch = _vec_batch(spark, range(20), dim=4)
+        v = pipelines.incremental_ann_ingest(
+            spark, str(tmp_path / "annidx"), batch, n_cells=2
+        )
+        assert v is not None
+        assert VersionedTable(spark, str(tmp_path / "annidx")).read().count() == 20
+
     def run_incremental_summary_refresh():
         src = str(tmp_path / "src_vt")
         VersionedTable(spark, src).append(
@@ -820,3 +828,87 @@ def test_job_manifest_sweep_runs_every_entry(spark, tmp_path):
         for field, hi in zip(fields, (59, 23, 31, 12, 6)):
             assert field == "*" or 0 <= int(field) <= hi, (name, spec.cron)
         assert spec.description
+
+
+def _vec_batch(spark, ids, dim=8, shift=0.0):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11.0 + shift for j in range(dim)])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_incremental_ann_ingest_frozen_quantizer_and_exactness(spark, tmp_path):
+    """Persisted IVF index across two ingests: the coarse quantizer is
+    fitted once and FROZEN (sidecar unchanged by load 2), every
+    second-load vector lands in its true argmin cell against the stored
+    centroids, and a full-probe query over the combined index reproduces
+    exact brute-force top-k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.functions.similarity import (
+        SQDIST,
+        cosine,
+        ivf_topk,
+    )
+
+    idx = str(tmp_path / "ann")
+    n_cells = 4
+    pipelines.incremental_ann_ingest(
+        spark, idx, _vec_batch(spark, range(100)), n_cells=n_cells
+    )
+    cents_before = {
+        r["ivf_cell"]: r["centroid"]
+        for r in VersionedTable(spark, idx + "_centroids").read().collect()
+    }
+    assert len(cents_before) == n_cells
+    pipelines.incremental_ann_ingest(
+        spark, idx, _vec_batch(spark, range(100, 160), shift=0.25), n_cells=n_cells
+    )
+    cents_after = {
+        r["ivf_cell"]: r["centroid"]
+        for r in VersionedTable(spark, idx + "_centroids").read().collect()
+    }
+    assert cents_after == cents_before  # frozen quantizer
+
+    index = VersionedTable(spark, idx).read()
+    assert index.count() == 160
+    assert index.filter("ivf_cell < 0 or ivf_cell >= 4").count() == 0
+
+    # second-load vectors sit in their argmin cell vs the stored centroids
+    cents = VersionedTable(spark, idx + "_centroids").read().select(
+        F.col("ivf_cell").alias("_cid"), F.col("centroid").alias("_cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "_cid")
+    want = (
+        index.filter("vec_id >= 100")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dist", F.expr(SQDIST.format(a="embedding", b="_cv")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("vec_id", F.col("_cid").alias("want_cell"), "ivf_cell")
+    )
+    assert want.filter("want_cell != ivf_cell").count() == 0
+
+    # full probe == exact brute force (graceful-degradation anchor)
+    queries = index.filter("vec_id % 40 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            index, queries, k=3, n_probe=n_cells, centroid_col="ivf_cell"
+        ).collect()
+    }
+    qv = queries.select("query_id", F.col("embedding").alias("qv"))
+    w_k = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in index.crossJoin(F.broadcast(qv))
+        .withColumn("cosine", cosine("embedding", "qv"))
+        .withColumn("rk", F.row_number().over(w_k))
+        .filter("rk <= 3")
+        .collect()
+    }
+    assert got == exact
