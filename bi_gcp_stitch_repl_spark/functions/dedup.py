@@ -319,3 +319,52 @@ def span_dedup(
             " ",
         ).alias("cleaned_text"),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm; public): per document, hash every
+    k-gram POSITIONALLY, slide a window of ``w`` consecutive hashes, and
+    select each window's minimum; the distinct selected hashes are the
+    fingerprint set.
+
+    Guarantee (the reason this beats uniform sampling): any substring
+    match of length ≥ w + k - 1 between two documents contributes at
+    least one SHARED fingerprint, while the expected density is only
+    2/(w+1) of all k-grams — so detection is deterministic for long
+    matches at ~fraction-of-the-grams index cost.
+
+    Returns (id_col, fp) exploded rows. All per-document work is one
+    row-local array expression chain (JVM codegen, no Python, no
+    shuffle); only the fingerprints — 8 bytes each, ~2/(w+1) density —
+    ever leave the row, which is what an index build at 100 TB wants.
+    """
+    n_wins = f"greatest(size(hs) - {w - 1}, 1)"
+    return (
+        docs.withColumn(
+            "cs", F.expr(f"transform(split({text_col}, ''), c -> ascii(c))")
+        )
+        .withColumn(
+            "hs",
+            F.expr(
+                f"transform(sequence(1, greatest(size(cs) - {k - 1}, 1)),"
+                f" i -> xxhash64(concat_ws(',', slice(cs, i, {k}))))"
+            ),
+        )
+        .withColumn(
+            "fp",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, {n_wins}),"
+                    f" i -> array_min(slice(hs, i, {w}))))"
+                )
+            ),
+        )
+        .select(id_col, "fp")
+    )

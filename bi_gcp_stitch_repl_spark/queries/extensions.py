@@ -1218,6 +1218,130 @@ def x_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: winnowing window (fingerprints = per-window minima of positional gram
+#: hashes; guarantee: substring matches ≥ WINNOW_W + 4 chars always share
+#: a fingerprint)
+WINNOW_W = 4
+#: fingerprints appearing in more than this many docs are boilerplate —
+#: excluded from pair generation (the prefix-filter discipline again:
+#: candidate cost Σ df² stays bounded by construction)
+WINNOW_DF_CAP = 20
+
+#: POSITIONAL gram hashes (winnowing needs adjacency — no array_distinct)
+POS_GRAM_HASHES_SPARK = (
+    "transform(sequence(1, greatest(size(cs)-4, 1)),"
+    f" i -> {_gram5_hash(lambda j: f'element_at(cs, i + {j})')})"
+)
+POS_GRAM_HASHES_DUCK = (
+    f"[{_gram5_hash(lambda j: f'cs[i + {j}]')}"
+    " for i in generate_series(1, greatest(len(cs)-4, 1))]"
+)
+
+_WINNOW_SPARK = (
+    f"array_distinct(transform(sequence(1, greatest(size(hs)-{WINNOW_W - 1}, 1)),"
+    f" i -> array_min(slice(hs, i, {WINNOW_W}))))"
+)
+_WINNOW_DUCK = (
+    f"list_distinct([list_min(hs[i:i+{WINNOW_W - 1}])"
+    f" for i in generate_series(1, greatest(len(hs)-{WINNOW_W - 1}, 1))])"
+)
+
+_WINNOW_DUCK_CTES = f"""cp AS (
+  SELECT doc_id, {CODEPOINTS_DUCK} AS cs FROM documents
+), hs AS (
+  SELECT doc_id, {POS_GRAM_HASHES_DUCK} AS hs FROM cp
+), fps AS (
+  SELECT doc_id, unnest({_WINNOW_DUCK}) AS fp FROM hs
+)"""
+
+
+@register(
+    "x_winnowing_fingerprints",
+    oracle=f"""
+WITH {_WINNOW_DUCK_CTES}
+SELECT h.doc_id,
+       CAST(len(h.hs) AS BIGINT) AS n_grams,
+       CAST(len({_WINNOW_DUCK}) AS BIGINT) AS n_fp,
+       CAST(len({_WINNOW_DUCK}) AS DOUBLE) / len(h.hs) AS density
+FROM hs h
+""",
+)
+def x_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary (Schleimer-Wilkerson-Aiken / MOSS,
+    SIGMOD 2003): positional 5-gram polynomial hashes → per-window (w=4)
+    minima → distinct fingerprint set. Any shared substring ≥ w+k-1 chars
+    guarantees a shared fingerprint at ~2/(w+1) index density — the
+    deterministic-recall alternative to uniform sampling. The whole
+    selection is one row-local array chain (JVM codegen, zero shuffle);
+    output is per-doc accounting. Library twin with xxhash64:
+    ``functions.dedup.winnowing_fingerprints``."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs"))
+        .select("doc_id", F.expr(POS_GRAM_HASHES_SPARK).alias("hs"))
+        .select(
+            "doc_id",
+            F.size("hs").cast("long").alias("n_grams"),
+            F.expr(_WINNOW_SPARK).alias("_w"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.size("_w").cast("long").alias("n_fp"),
+            (F.size("_w").cast("double") / F.col("n_grams")).alias("density"),
+        )
+    )
+
+
+@register(
+    "x_winnowing_pairs",
+    oracle=f"""
+WITH {_WINNOW_DUCK_CTES},
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) <= {WINNOW_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a
+JOIN rare USING (fp)
+JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+""",
+)
+def x_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap candidates: documents sharing ≥2 winnowing
+    fingerprints, with boilerplate fingerprints (df > cap) excluded
+    BEFORE the self-join — candidate cost is Σ df² over rare
+    fingerprints, bounded by the cap, never corpus². The same
+    broadcast-the-tiny-side + equi-join shape as the MinHash band join;
+    text never moves, only 8-byte fingerprints."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    fps = (
+        docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs"))
+        .select("doc_id", F.expr(POS_GRAM_HASHES_SPARK).alias("hs"))
+        .select("doc_id", F.explode(F.expr(_WINNOW_SPARK)).alias("fp"))
+    )
+    fps = fps.repartition("fp")
+    rare = fps.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("_df")
+    ).filter(F.col("_df") <= WINNOW_DF_CAP).select("fp")
+    a = fps.join(rare, "fp").alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 _STOPWORDS = ["the", "and", "of", "to", "der", "und", "le", "et"]
 
 

@@ -434,3 +434,32 @@ def test_kmeans_lloyd_separates_planted_blobs(spark):
     blob_b = {a[i] for i in range(1, 20, 2)}
     assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
     assert a == {r["vec_id"]: r["cluster"] for r in out.collect()}
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The winnowing guarantee (MOSS): any shared substring of length
+    >= w + k - 1 produces at least one SHARED fingerprint — here w=4, k=5
+    so a 20-char common run must be detected; two documents with no
+    shared 5-gram must share nothing."""
+    from bi_gcp_stitch_repl_spark.functions.dedup import winnowing_fingerprints
+
+    shared_run = "the quick brown fox jumps"  # 25 chars >> w+k-1 = 8
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared_run + " gamma delta"),
+            (2, "zzzz qqqq " + shared_run + " wwww vvvv"),
+            (3, "0123456789012345678901234567890123456789"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=5, w=4)
+    sets = {
+        r["doc_id"]: set(x["fp"] for x in rows)
+        for r in fps.select("doc_id").distinct().collect()
+        for rows in [fps.filter(f"doc_id = {r['doc_id']}").collect()]
+    }
+    assert sets[1] & sets[2], "shared 25-char run must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # density: far fewer fingerprints than grams
+    n_grams = len(docs.filter("doc_id = 1").collect()[0]["text"]) - 4
+    assert len(sets[1]) < n_grams
