@@ -1003,3 +1003,94 @@ def x_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x_zipf_fit.__doc__ = x_zipf_fit.__doc__.format(k=ZIPF_TOP_TERMS)
+
+
+#: fixed-point scale for the smoothed conditional probabilities — integer
+#: division keeps the whole score path exact cross-engine (no double→
+#: decimal rounding seam); 1e9 leaves ~9 significant digits and headroom
+#: of 2^63/1e9 ≈ 9.2e9 on the numerator count even at sf10
+LM_SCALE = 1_000_000_000
+
+
+@register(
+    "x_lm_likelihood",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')
+           AS words
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM tok
+), cb AS (
+  SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY 1
+), cp AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, COUNT(*) AS np
+  FROM bg GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest(words) AS w FROM tok)
+), s AS (
+  SELECT bg.doc_id,
+         ((cb.cb + 1) * {LM_SCALE}) // (cp.np + v.v) AS p9
+  FROM bg
+  JOIN cb USING (bigram)
+  JOIN cp ON string_split(bg.bigram, ' ')[1] = cp.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(p9) AS DOUBLE) / (COUNT(*) * {LM_SCALE}.0) AS avg_cond_p
+FROM s GROUP BY 1
+""",
+)
+def x_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality signal: each document's mean
+    add-one-smoothed bigram conditional probability under the CORPUS's
+    own bigram LM — p(w2|w1) = (c(w1 w2)+1)/(c(w1 ·)+V). Low scores mark
+    gibberish / OOD text, high scores mark templated boilerplate; the
+    middle band is what LM-data filtering keeps (CCNet does this with
+    KenLM perplexity — same shape, heavier model).
+
+    Scale: the model IS two aggregations over the exploded bigrams (count
+    by bigram, count by first word) — re-joined to the per-doc bigram
+    stream on those keys; nothing quadratic anywhere. Determinism: the
+    smoothed probability is fixed-point integer-divided at 1e9
+    (`LM_SCALE`), so the per-doc sum is an order-independent BIGINT sum,
+    exact in both engines — the one double division happens once at the
+    end. The vocabulary size V attaches via a 1-row broadcast."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    bg = _bigram_explode(docs)
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    cp = (
+        bg.withColumn("w1", F.split("bigram", " ")[0])
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("np"))
+    )
+    v = (
+        docs.withColumn(
+            "words", F.expr("filter(split(trim(text), '\\\\s+'), w -> w <> '')")
+        )
+        .select(F.explode("words").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        bg.join(cb, "bigram")
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .join(cp, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "p9",
+            F.expr(f"((cb + 1) * {LM_SCALE}) div (np + v)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (
+            F.sum("p9").cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(LM_SCALE)))
+        ).alias("avg_cond_p"),
+    )
