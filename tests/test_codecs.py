@@ -169,3 +169,55 @@ def test_default_decode_path_is_real_end_to_end(spark):
     assert feats[1]["_extract_ok"]
     assert all(abs(f - 0.5) < 1e-3 for f in feats[1]["features"])
     assert not feats[2]["_extract_ok"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    """Any uint8 array round-trips bit-exactly through encode_png →
+    decode_png, for every supported mode and shape (including 1×1)."""
+    arr = np.random.default_rng(seed).integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    back, mode = codecs.decode_png(codecs.encode_png(arr))
+    assert np.array_equal(back, arr)
+    assert mode == {1: "L", 2: "LA", 3: "RGB", 4: "RGBA"}[ch]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    th=st.integers(1, 32),
+    tw=st.integers(1, 32),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resize_image_always_valid_png(h, w, th, tw, seed):
+    """resize_image output is always a decodable PNG of exactly the target
+    shape, for any source/target size combination (up- and down-scale)."""
+    arr = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = codecs.resize_image(codecs.encode_png(arr), tw, th)
+    back, mode = codecs.decode_png(out)
+    assert back.shape == (th, tw, 3) and mode == "RGB"
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    nf=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_audio_features_shape_and_bounds(n, nf, seed):
+    """RMS features: always nf values in [0, 1] for any PCM16 signal
+    length (including signals shorter than the chunk count)."""
+    sig = np.random.default_rng(seed).uniform(-0.9, 0.9, size=n)
+    feats = codecs.audio_features(_wav_bytes(sig), nf)
+    assert len(feats) == nf
+    assert all(0.0 <= f <= 1.0 for f in feats)
