@@ -201,3 +201,106 @@ def bm25_scores(
     return stats.crossJoin(F.broadcast(corpus)).select(
         id_col, "dl", score.alias("bm25")
     )
+
+
+def _sql_str(s: str) -> str:
+    """Escape a symbol into a single-quoted Spark SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _apply_merge_expr(seq_col: str, a: str, b: str) -> str:
+    """Spark SQL fold that replaces every non-overlapping adjacent
+    (a, b) pair in a symbol array with the merged symbol a||b, left to
+    right — the BPE merge-application rule. Carries one pending symbol
+    through the fold; '\\u0000' marks 'no pending' (never a real symbol:
+    corpus symbols come from split text)."""
+    nul = "'\\u0000'"
+    lit_a, lit_b = _sql_str(a), _sql_str(b)
+    merged = _sql_str(a + b)
+    return (
+        f"aggregate({seq_col}, "
+        f"named_struct('out', CAST(array() AS ARRAY<STRING>), 'prev', {nul}), "
+        f"(acc, x) -> IF(acc.prev = {lit_a} AND x = {lit_b}, "
+        f"  named_struct('out', concat(acc.out, array({merged})), 'prev', {nul}), "
+        f"  IF(acc.prev = {nul}, "
+        f"    named_struct('out', acc.out, 'prev', x), "
+        f"    named_struct('out', concat(acc.out, array(acc.prev)), 'prev', x))), "
+        f"acc -> IF(acc.prev = {nul}, acc.out, concat(acc.out, array(acc.prev))))"
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Distributed byte-pair-encoding merge learning (Sennrich et al. 2016,
+    public): start from character symbols per word, repeat ``n_merges``
+    times: count adjacent symbol pairs corpus-wide, merge the most
+    frequent pair everywhere. Returns ``(merges, encoded)`` where
+    ``merges`` is the learned merge list in order and ``encoded`` is
+    ``(id_col, tokens array<string>)`` under the final merge table.
+
+    Scale shape per round — exactly KMeans' loop structure: one explode +
+    hash aggregation over (pair) to count (map-side combinable), a 1-row
+    driver collect to pick the argmax (deterministic tie-break: count
+    desc, pair asc — byte order, reproducible anywhere), then a row-local
+    fold applies the merge with no shuffle. Word-internal only (symbols
+    never cross whitespace), matching standard BPE pre-tokenization.
+    Plans re-grow per round, so sequences localCheckpoint each merge —
+    same unbounded-lineage rule as connected_components.
+
+    The learned artifact (the merge list) is tiny and driver-side by
+    design — it's the tokenizer you ship; the corpus-side work is all
+    aggregations.
+    """
+    words = docs.select(
+        id_col,
+        F.explode(
+            F.expr(f"filter(split(trim({text_col}), '\\\\s+'), w -> w <> '')")
+        ).alias("w"),
+    ).withColumn("pos", F.monotonically_increasing_id())
+    seqs = words.select(
+        id_col, "pos", F.expr("split(w, '')").alias("seq")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = (
+            seqs.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(seq) < 2 THEN CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) "
+                        "ELSE transform(sequence(1, size(seq) - 1), "
+                        "i -> named_struct('a', element_at(seq, i), 'b', element_at(seq, i + 1))) END"
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = (pairs[0]["a"], pairs[0]["b"])
+        merges.append(best)
+        seqs = seqs.select(
+            id_col,
+            "pos",
+            F.expr(_apply_merge_expr("seq", best[0], best[1])).alias("seq"),
+        ).localCheckpoint(eager=True)
+
+    encoded = (
+        seqs.select(id_col, "pos", F.posexplode("seq").alias("ti", "tok"))
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, ti, tok))),"
+                " s -> s.tok)"
+            ).alias("tokens")
+        )
+    )
+    return merges, encoded

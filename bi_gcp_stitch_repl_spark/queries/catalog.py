@@ -176,8 +176,8 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 #: Explicit catalog order. The external correctness driver checks the FIRST
 #: 50 registered queries only. The SURVEY §2 parity gates stay pinned to the
-#: front (31 slots — A4+A6 now share ``a4_a6_watermark_accounting``); the
-#: remaining 19 slots rotate per round so every surface accumulates hard
+#: front (30 slots — A4+A6 share ``a4_a6_watermark_accounting``, F20/F24/
+#: F25 share ``n_nested_battery``); the remaining 20 slots rotate per round so every surface accumulates hard
 #: driver rows. Round-3 rotation: the LLM-data-pipeline core (dedup /
 #: similarity / text / curation / behavioral — driver-green in round 1
 #: under the old ordering, re-verified locally since) plus the three
@@ -186,7 +186,7 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 #: suite, and the relational extensions. Names absent from this list keep
 #: registration order after it.
 _PRIORITY: list[str] = [
-    # §2 parity spine (31) — flagship + TPC-H-shaped first, then gates
+    # §2 parity spine (30) — flagship + TPC-H-shaped first, then gates
     "flagship_union_history", "q1_pricing_summary", "q3_top_revenue_orders",
     "q5_local_supplier_volume", "p1_p2_project_rename", "p3_p4_p5_predicates",
     "p6_date_boundary", "j1_carry_forward_keys", "j2_dim_enrichment",
@@ -197,9 +197,9 @@ _PRIORITY: list[str] = [
     "u2_vertical_concat", "a7_rollup_hierarchy", "a9_cube_status_priority",
     "a8_percentiles", "o1_order_limit_offset", "s4_keyset_increment",
     "s7_detail_fanout", "s9_sql_scan", "n_explode_with_parent",
-    "n_array_head_field", "n_flatten_serialize", "f_string_clean_coerce",
+    "n_nested_battery", "f_string_clean_coerce",
     "f_date_functions", "f_timestamp_json",
-    # LLM-pipeline core (16): dedup family
+    # LLM-pipeline core (17): dedup family
     "x_dedup_exact", "x_minhash_lsh_candidates", "x_span_dedup",
     "x_simhash_pairs", "x_dedup_embedding_pairs",
     # similarity search
@@ -210,6 +210,8 @@ _PRIORITY: list[str] = [
     "x_decontaminate", "x_split_shard", "x_curation_pipeline",
     # behavioral analytics
     "x_dau_mau_stickiness", "x_linear_attribution",
+    # real-codec multimodal roundtrip (new in r3 — PNG encode->decode)
+    "x_image_roundtrip_meta",
     # TPC-H completions (3): the decorrelated-EXISTS / scalar-subquery trio
     "q21_waiting_suppliers", "q17_small_quantity_revenue",
     "q20_dominant_suppliers",

@@ -933,6 +933,57 @@ def n_flatten_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_structs(nested, sep="_")
 
 
+@register(
+    "n_nested_battery",
+    oracle="""
+WITH ranked AS (
+  SELECT l_orderkey, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_quantity) AS rn,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_positions
+  FROM lineitem
+)
+SELECT l_orderkey AS order_id,
+       l_quantity AS head_qty,
+       CAST(n_positions AS BIGINT) AS head_n,
+       '{"order_id":' || CAST(l_orderkey AS VARCHAR)
+         || ',"n":' || CAST(n_positions AS BIGINT) || '}' AS custom_fields
+FROM ranked WHERE rn = 1
+""",
+)
+def n_nested_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 + F24 + F25 combined parity gate sharing one driver-window
+    slot (same move as ``a4_a6_watermark_accounting``): build each
+    order's sorted positions array, take the NULL-safe array head (F20,
+    reference ``taxs[0]['percentage']``), nest the head fields into a
+    struct and flatten it back to dotted names with the engine op (F24,
+    reference ``pd.json_normalize``), and serialize a property bag to a
+    JSON string at the sink boundary (F25, reference
+    ``json.dumps(CustomFields)``). The standalone
+    ``n_array_head_field`` / ``n_flatten_serialize`` entries remain in
+    the catalog beyond the window."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("positions")
+    )
+    doc = nested.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.struct(
+            F.element_at("positions", 1)["l_quantity"].alias("qty"),
+            F.size("positions").cast("long").alias("n"),
+        ).alias("head"),
+        F.to_json(
+            F.struct(
+                F.col("l_orderkey").alias("order_id"),
+                F.size("positions").cast("long").alias("n"),
+            )
+        ).alias("custom_fields"),
+    )
+    return flatten_structs(doc, sep="_")
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function batteries (SURVEY F1-F19, §2.9)
 # ---------------------------------------------------------------------------

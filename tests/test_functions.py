@@ -463,3 +463,59 @@ def test_winnowing_shared_substring_guarantee(spark):
     # density: far fewer fingerprints than grams
     n_grams = len(docs.filter("doc_id = 1").collect()[0]["text"]) - 4
     assert len(sets[1]) < n_grams
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """Distributed BPE merge learning reproduces the classic sequential
+    algorithm exactly: same merge sequence (count desc, pair-lexicographic
+    tie-break) and same final tokenization, vs an independent pure-Python
+    reference on the same corpus."""
+    from collections import Counter
+
+    from bi_gcp_stitch_repl_spark.functions.text import bpe_train
+
+    texts = {
+        1: "low lower lowest low low",
+        2: "new newer newest new lower",
+        3: "wide wider widest new low",
+    }
+
+    def ref_bpe(corpus, n_merges):
+        seqs = {
+            (d, i): list(w)
+            for d, t in corpus.items()
+            for i, w in enumerate(t.split())
+        }
+        merges = []
+        for _ in range(n_merges):
+            counts = Counter()
+            for s in seqs.values():
+                for x, y in zip(s, s[1:]):
+                    counts[(x, y)] += 1
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            for key, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                        out.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[key] = out
+        toks = {}
+        for (d, i) in sorted(seqs):
+            toks.setdefault(d, []).extend(seqs[(d, i)])
+        return merges, toks
+
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    merges, encoded = bpe_train(docs, n_merges=6)
+    want_merges, want_toks = ref_bpe(texts, 6)
+    assert merges == want_merges
+    got = {r["doc_id"]: list(r["tokens"]) for r in encoded.collect()}
+    assert got == want_toks

@@ -88,15 +88,15 @@ def test_compact_zorder_roundtrip(spark, tmp_path):
 
 def test_driver_window_covers_survey_gates():
     """The external correctness driver checks only the FIRST 50 registered
-    queries; this pins the round-3 window: every SURVEY §2 gate (31 slots —
-    A4+A6 share the combined gate) plus the rotating slots, currently the
+    queries; this pins the round-3 window: every SURVEY §2 gate (30 slots —
+    A4+A6 and F20/F24/F25 share combined gates) plus the rotating slots, currently the
     LLM-pipeline core and the three hardest TPC-H shapes
     (catalog._PRIORITY)."""
     from bi_gcp_stitch_repl_spark.queries import catalog
 
     first50 = list(catalog.queries())[:50]
     required = {
-        # §2 parity spine (31)
+        # §2 parity spine (30)
         "flagship_union_history", "q1_pricing_summary", "q3_top_revenue_orders",
         "q5_local_supplier_volume", "p1_p2_project_rename", "p3_p4_p5_predicates",
         "p6_date_boundary", "j1_carry_forward_keys", "j2_dim_enrichment",
@@ -107,15 +107,16 @@ def test_driver_window_covers_survey_gates():
         "u2_vertical_concat", "a7_rollup_hierarchy", "a9_cube_status_priority",
         "a8_percentiles", "o1_order_limit_offset", "s4_keyset_increment",
         "s7_detail_fanout", "s9_sql_scan", "n_explode_with_parent",
-        "n_array_head_field", "n_flatten_serialize", "f_string_clean_coerce",
+        "n_nested_battery", "f_string_clean_coerce",
         "f_date_functions", "f_timestamp_json",
-        # LLM-pipeline core (16)
+        # LLM-pipeline core (17)
         "x_dedup_exact", "x_minhash_lsh_candidates", "x_span_dedup",
         "x_simhash_pairs", "x_dedup_embedding_pairs",
         "x_knn_cosine_topk", "x_ivf_topk", "x_sparse_cosine_pairs",
         "x_text_stats", "x_vocab_encode", "x_gopher_rules",
         "x_decontaminate", "x_split_shard", "x_curation_pipeline",
         "x_dau_mau_stickiness", "x_linear_attribution",
+        "x_image_roundtrip_meta",
         # TPC-H completions (3)
         "q21_waiting_suppliers", "q17_small_quantity_revenue",
         "q20_dominant_suppliers",
