@@ -383,3 +383,46 @@ def scd2_dimension_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous near-duplicate detection: each micro-batch of documents
+    probes the persisted MinHash band index, appends the candidate pairs
+    it finds to ``pairs_path``, and commits its own bands to the index —
+    the streaming form of ``jobs.pipelines.incremental_dedup_ingest``.
+
+    Per micro-batch the work is O(batch grams) + one (band, sig) equi-join
+    probe of the index; the corpus is never re-hashed, which is what makes
+    this viable as a forever-running job in front of a 100 TB landing
+    zone. Crash-safety comes from the batch job's ordering (pairs
+    materialize before the index commit) plus Spark's offset checkpoint:
+    a replayed micro-batch re-probes the same snapshot and appends the
+    same pairs via append_if_absent (idempotent on the pair key).
+    AvailableNow trigger = the nightly-cron semantics; a processing-time
+    trigger makes it continuous.
+    """
+    from ..jobs.pipelines import incremental_dedup_ingest
+    from ..sinks.merge import ParquetTable
+
+    def probe_and_commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        pairs = incremental_dedup_ingest(
+            spark, index_path, batch_df, text_col=text_col, id_col=id_col
+        )
+        sink = ParquetTable(spark, pairs_path)
+        sink.append_if_absent(pairs, keys=["id_a", "id_b"])
+
+    return (
+        docs.writeStream.foreachBatch(probe_and_commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

