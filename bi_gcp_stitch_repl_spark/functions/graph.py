@@ -63,6 +63,7 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 30,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) labeling; component = min node id in the component.
 
@@ -71,10 +72,22 @@ def connected_components(
     nodes (no edges) come back as singleton components. Each iteration is
     localCheckpoint()ed: iterative algorithms otherwise stack an
     unbounded lineage that blows up planning time and executor stacks.
+
+    **Adaptive physical strategy** (the same runtime branch discipline as
+    the Jaccard bitset kernel): after dedup, if the edge list fits
+    ``driver_threshold`` rows it is union-found ON THE DRIVER and the
+    labels broadcast back — a dup-pair graph is usually tiny next to its
+    corpus (near-dup density, not corpus size), and the distributed
+    alternating-star loop costs ~4 shuffle rounds of pure scheduling
+    overhead on a 300-edge graph. Above the threshold the O(log n)
+    large-star/small-star rounds run unchanged; results are identical
+    (min-label semantics both paths).
     """
     src, dst = edges.columns[:2]
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    if e.count() <= driver_threshold:
+        return _cc_driver(e, nodes)
     for _ in range(max_iter):
         after = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # Fixpoint: both star passes are monotone (they never merge distinct
@@ -98,6 +111,49 @@ def connected_components(
         singletons = all_nodes.join(labels, "node", "left_anti").select(
             "node", F.col("node").alias("component")
         )
+        labels = labels.unionByName(singletons)
+    return labels
+
+
+def _cc_driver(e: DataFrame, nodes: DataFrame | None) -> DataFrame:
+    """Small-graph path: union-find over the collected edge list, labels
+    re-emitted as a DataFrame. Deterministic min-label components —
+    identical output to the distributed star algorithm."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    touched = set()
+    for row in e.collect():
+        a, b = row["src"], row["dst"]
+        touched.add(a)
+        touched.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    label_rows = [(n, find(n)) for n in sorted(touched)]
+    spark = e.sparkSession
+    # label schema inherits the node id type from the edge frame — the
+    # driver path must accept whatever id type the distributed path does
+    import pyspark.sql.types as T
+
+    id_type = e.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
+    )
+    labels = spark.createDataFrame(label_rows, schema)
+    if nodes is not None:
+        node_col = nodes.columns[0]
+        all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+        singletons = all_nodes.join(
+            F.broadcast(labels), "node", "left_anti"
+        ).select("node", F.col("node").alias("component"))
         labels = labels.unionByName(singletons)
     return labels
 

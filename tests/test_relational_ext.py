@@ -263,3 +263,28 @@ def test_scd2_intervals_agree_with_asof_join(spark):
         | (F.col("asof_status") != F.col("int_status"))
     )
     assert mismatches.count() == 0, mismatches.take(5)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(5, 50, 40), (6, 30, 60)])
+def test_connected_components_paths_agree(spark, seed, n_nodes, n_edges):
+    """The driver union-find fast path and the distributed star algorithm
+    (forced via driver_threshold=0) produce identical labelings."""
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    nodes_df = spark.createDataFrame(
+        [(n,) for n in range(n_nodes)], "node long"
+    )
+    fast = {
+        r["node"]: r["component"]
+        for r in connected_components(edges_df, nodes=nodes_df).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            edges_df, nodes=nodes_df, driver_threshold=0
+        ).collect()
+    }
+    assert fast == dist == _uf_components(edges, list(range(n_nodes)))
