@@ -160,7 +160,10 @@ def decode_netpbm(payload: bytes) -> tuple[np.ndarray, str]:
             j += 1
         vals.append(int(payload[i:j]))
         i = j
-    i += 1  # single whitespace after maxval
+    # single whitespace delimiter after maxval; tolerate a CRLF pair
+    # (nonconforming but common from Windows writers) — consuming only
+    # the '\r' would shift every pixel by one byte, silently
+    i += 2 if payload[i : i + 2] == b"\r\n" else 1
     w, h, maxval = vals
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")

@@ -393,6 +393,8 @@ def incremental_dedup_ingest(
     n_gram: int = 5,
     n_perm: int = 16,
     n_bands: int = 4,
+    app_id: str | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Continuous-ingest near-dup detection: probe the persisted MinHash
     band index with the new batch, return candidate pairs, and commit the
@@ -421,7 +423,13 @@ def incremental_dedup_ingest(
         corpus_bands, batch, text_col, id_col, n_gram, n_perm, n_bands
     )
     pairs = pairs.localCheckpoint(eager=True)
-    index.append(batch_bands)
+    if app_id is not None and batch_id is not None:
+        # at-least-once caller (streaming foreachBatch): the txn marker
+        # makes a replayed batch's index commit a no-op — plain append
+        # would double the batch's bands in the index forever
+        index.append_txn(batch_bands, app_id=app_id, batch_id=batch_id)
+    else:
+        index.append(batch_bands)
     return pairs
 
 
@@ -464,9 +472,13 @@ def incremental_ann_ingest(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias(vec_col),
     )
     if not cents_t.exists():
+        # materialize once: the centroid aggregation AND the index append
+        # both consume this frame — without the checkpoint the batch scan
+        # + KMeans transform pipeline would execute twice on the heaviest
+        # load of the table's life
         assigned = kmeans_ivf_index(
             emb, n_cells=n_cells, seed=seed, vec_col=vec_col, cell_col="ivf_cell"
-        )
+        ).localCheckpoint(eager=True)
         cents = (
             assigned.select("ivf_cell", F.posexplode(vec_col).alias("i", "x"))
             .groupBy("ivf_cell", "i")

@@ -52,8 +52,12 @@ def scd2_apply(
 
     **Monotone-batch contract (enforced).** Because only the OPEN rows of
     affected keys are read, every batch timestamp must be ``>=`` its key's
-    open ``valid_from`` (equality is fine — an idempotent replay of the
-    same batch no-op-suppresses). A truly late-arriving change whose ts
+    open ``valid_from``. Equality is a CORRECTION: the batch row replaces
+    the open version at that instant (batch wins the (key, ts) tie — the
+    same rule the late-path replay uses), so an idempotent replay of the
+    same batch reproduces the identical row and a changed-value same-ts
+    row updates it in place; two rows never share the composite
+    ``(key, valid_from)`` merge key. A truly late-arriving change whose ts
     falls before the open row's valid_from would splice into CLOSED
     history this function never reads, silently overlapping an existing
     interval — so the plan carries an execution-time ``assert_true`` that
@@ -111,6 +115,17 @@ def scd2_apply(
         ).drop("_open_vf")
     else:
         cand = new_rows
+
+    # (key, valid_from) ties resolve to the batch row (_src=1): an
+    # equal-ts change is a correction of the version starting at that
+    # instant — keeping both rows would emit a zero-length closed
+    # interval SHARING the open row's composite merge key
+    w_tie = Window.partitionBy(*key_cols, "valid_from").orderBy(F.desc("_src"))
+    cand = (
+        cand.withColumn("_tie", F.row_number().over(w_tie))
+        .filter(F.col("_tie") == 1)
+        .drop("_tie")
+    )
 
     w = Window.partitionBy(*key_cols).orderBy("valid_from", "_src")
     prev_same = F.lag(F.struct(*tracked_cols)).over(w) == F.struct(*tracked_cols)

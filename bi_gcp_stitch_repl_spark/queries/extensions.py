@@ -37,6 +37,17 @@ N_BANDS = 2  # 8 minhashes → 2 bands × 4 rows: P(candidate) = 1-(1-J^4)^2,
 #              537k pre-distinct pairs at sf0.1 with r=2; ~300 with r=4)
 ROWS_PER_BAND = len(MINHASH_SEEDS) // N_BANDS
 JACCARD_THRESHOLD = 0.4  # clean separation point in the corpus
+
+
+def _as_ratio(t: float) -> tuple[int, int]:
+    """Float threshold → exact rational (p, q) for division-free integer
+    comparisons (x >= t ⟺ q·x_num >= p·x_den). ONE conversion rule for
+    every threshold site — the PPJoin bounds and the LSH-candidate verify
+    must never disagree on the same boundary pair."""
+    from fractions import Fraction
+
+    f = Fraction(t).limit_denominator(10**6)
+    return f.numerator, f.denominator
 #: the exact all-pairs Jaccard audit runs on the deterministic 1-in-5
 #: doc_id slice — it exists to AUDIT the LSH path, not to be the
 #: production path, and an audit whose kernel is O(candidates × shingles)
@@ -177,10 +188,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ceil overshoot by 1 and silently over-prune pairs whose Jaccard is
     # exactly the threshold. Each ceil-bound rearranges division-free —
     # ceil(p·n/q) ≤ k  ⟺  p·n ≤ q·k  for integers.
-    from fractions import Fraction
-
-    frac = Fraction(t).limit_denominator(10**6)
-    p, q = frac.numerator, frac.denominator
+    p, q = _as_ratio(t)
     # pos ≤ n − ceil(t·n) + 1  ⟺  ceil(p·n/q) ≤ n − pos + 1  ⟺
     # p·n ≤ q·(n − pos + 1)
     prefix = ranked.filter(
@@ -490,10 +498,7 @@ def x_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: JACCARD_THRESHOLD as an exact rational for division-free comparisons
-_JT_P, _JT_Q = (
-    __import__("fractions").Fraction(JACCARD_THRESHOLD).limit_denominator(10**6).numerator,
-    __import__("fractions").Fraction(JACCARD_THRESHOLD).limit_denominator(10**6).denominator,
-)
+_JT_P, _JT_Q = _as_ratio(JACCARD_THRESHOLD)
 
 
 @register(

@@ -401,10 +401,11 @@ def near_dedup_stream(
     Per micro-batch the work is O(batch grams) + one (band, sig) equi-join
     probe of the index; the corpus is never re-hashed, which is what makes
     this viable as a forever-running job in front of a 100 TB landing
-    zone. Crash-safety comes from the batch job's ordering (pairs
-    materialize before the index commit) plus Spark's offset checkpoint:
-    a replayed micro-batch re-probes the same snapshot and appends the
-    same pairs via append_if_absent (idempotent on the pair key).
+    zone. Exactly-once under foreachBatch's at-least-once delivery: the
+    index commit carries a txn marker on (stream, batch_id) — a replayed
+    micro-batch re-probes, its pairs land idempotently via
+    append_if_absent on the pair key, and its band commit is a no-op
+    instead of silently doubling the batch's bands in the index.
     AvailableNow trigger = the nightly-cron semantics; a processing-time
     trigger makes it continuous.
     """
@@ -416,7 +417,13 @@ def near_dedup_stream(
             return
         spark = batch_df.sparkSession
         pairs = incremental_dedup_ingest(
-            spark, index_path, batch_df, text_col=text_col, id_col=id_col
+            spark,
+            index_path,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            app_id=f"near_dedup_stream:{index_path}",
+            batch_id=batch_id,
         )
         sink = ParquetTable(spark, pairs_path)
         sink.append_if_absent(pairs, keys=["id_a", "id_b"])

@@ -221,3 +221,12 @@ def test_audio_features_shape_and_bounds(n, nf, seed):
     feats = codecs.audio_features(_wav_bytes(sig), nf)
     assert len(feats) == nf
     assert all(0.0 <= f <= 1.0 for f in feats)
+
+
+def test_netpbm_crlf_header_does_not_shift_pixels():
+    """A CRLF-terminated header (nonconforming Windows writer) must not
+    shift the raster by one byte."""
+    arr = _rng(13).integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    ppm = b"P6\r\n4 3\r\n255\r\n" + arr.tobytes()
+    back, mode = codecs.decode_netpbm(ppm)
+    assert mode == "RGB" and np.array_equal(back, arr)

@@ -912,3 +912,31 @@ def test_incremental_ann_ingest_frozen_quantizer_and_exactness(spark, tmp_path):
         .collect()
     }
     assert got == exact
+
+
+def test_incremental_dedup_ingest_txn_replay_is_noop(spark, tmp_path):
+    """With a txn identity, replaying the same (app, batch) against the
+    dedup index re-probes but does NOT re-commit its bands — the index
+    stays duplicate-free under at-least-once delivery (the streaming
+    wrapper's contract)."""
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "didx")
+    pipelines.incremental_dedup_ingest(
+        spark, idx, batch, app_id="s", batch_id=0
+    )
+    n1 = VersionedTable(spark, idx).read().count()
+    pipelines.incremental_dedup_ingest(  # replay of the same micro-batch
+        spark, idx, batch, app_id="s", batch_id=0
+    )
+    assert VersionedTable(spark, idx).read().count() == n1
+    # a NEW batch id still commits
+    pipelines.incremental_dedup_ingest(
+        spark, idx,
+        spark.createDataFrame([(2, "totally different words here")],
+                              "doc_id long, text string"),
+        app_id="s", batch_id=1,
+    )
+    assert VersionedTable(spark, idx).read().count() > n1

@@ -209,3 +209,22 @@ def test_merge_read_error_on_existing_table_raises(spark):
         scd2_merge(
             FlakyTable(), _batch(spark, [(1, "A", 10)]), ["k"], "ts", ["status"]
         )
+
+
+def test_same_ts_correction_replaces_open_version(spark, tmp_path):
+    """A batch row at EXACTLY the open row's valid_from with different
+    tracked values is a correction: it replaces the version in place —
+    never a zero-length closed interval sharing the (key, valid_from)
+    merge key."""
+    t = VersionedTable(spark, str(tmp_path / "dim"))
+    scd2_merge(t, _batch(spark, [(1, "A", 10)]), ["k"], "ts", ["status"])
+    scd2_merge(t, _batch(spark, [(1, "B", 10)]), ["k"], "ts", ["status"])
+    assert _state(t) == {(1, 10): ("B", None, True)}
+    # and against CLOSED history via the late path: correcting ts=10
+    # after a later version exists
+    scd2_merge(t, _batch(spark, [(1, "C", 20)]), ["k"], "ts", ["status"])
+    scd2_merge(t, _batch(spark, [(1, "D", 10)]), ["k"], "ts", ["status"])
+    assert _state(t) == {
+        (1, 10): ("D", 20, False),
+        (1, 20): ("C", None, True),
+    }

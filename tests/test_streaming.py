@@ -372,8 +372,7 @@ def test_near_dedup_stream_probes_and_commits(spark, tmp_path):
         (r["id_a"], r["id_b"])
         for r in ParquetTable(spark, pairs_p).read().collect()
     }
-    assert (1, 11) in got
-    assert all(a == 1 or b == 11 for a, b in got if (a, b) != (1, 11)) or True
+    assert got == {(1, 11)}  # the near-copy pair and nothing else
     # index holds bands for all three docs
     idx_docs = {
         r["doc_id"] for r in VersionedTable(spark, idx).read().collect()
