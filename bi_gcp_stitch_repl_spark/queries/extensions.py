@@ -1824,3 +1824,63 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_simhash_pairs.__doc__ = x_simhash_pairs.__doc__.format(
     t=_SIMHASH_HAM_T, nb=_SIMHASH_BANDS
 )
+
+
+#: feature-hashing dimensionality (16 buckets keeps the oracle SQL
+#: readable; the construction is dimension-agnostic)
+FEATHASH_DIM = 16
+
+
+def _feathash_cols(spark_side: bool) -> list[str]:
+    """One signed conditional sum per output dimension (identical SQL in
+    both dialects): bucket = fold_hash(token) % DIM, sign = parity of
+    (fold_hash // DIM) — the two independent hash bits the hashing trick
+    needs (Weinberger et al. 2009)."""
+    fold = (_FOLD_SPARK if spark_side else _FOLD_DUCK).format(s="tok", p=P)
+    # sign bit = parity of (hash div DIM): expressed as hash % (2·DIM) <
+    # DIM, which keeps the whole expression INTEGER arithmetic — a '/'
+    # here would be double division in both dialects and its %2 test is
+    # almost never exactly zero (a silently biased sign)
+    return [
+        f"CAST(COALESCE(SUM(CASE WHEN ({fold}) % {FEATHASH_DIM} = {i} "
+        f"THEN CASE WHEN (({fold}) % {2 * FEATHASH_DIM}) < {FEATHASH_DIM} "
+        f"THEN 1 ELSE -1 END "
+        f"END), 0) AS BIGINT) AS f{i}"
+        for i in range(FEATHASH_DIM)
+    ]
+
+
+@register(
+    "x_feature_hash_embed",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            w -> w <> '')) AS tok
+  FROM documents
+)
+SELECT doc_id, {", ".join(_feathash_cols(spark_side=False))}
+FROM tok GROUP BY doc_id
+""",
+)
+def x_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (the hashing trick — Weinberger
+    et al., ICML 2009, public): each token lands in ``hash % dim`` with a
+    ±1 sign from an independent hash bit, summed per document — a
+    model-free, vocabulary-free, deterministic text→vector bridge into
+    the similarity stack (cosine/LSH/IVF run on these exactly as on
+    learned embeddings, with the hashing trick's inner-product-preserving
+    guarantee). One explode + ONE map-side-combinable aggregation; the
+    vector never exists as an intermediate array, only as dim conditional
+    sums — integer arithmetic end to end, so the oracle matches
+    bit-for-bit."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(trim(text), '\\\\s+'), w -> w <> '')")
+        ).alias("tok"),
+    )
+    return tok.groupBy("doc_id").agg(
+        *[F.expr(c) for c in _feathash_cols(spark_side=True)]
+    )
