@@ -21,6 +21,12 @@ Format support (deliberately the safe core, loudly rejecting the rest):
   reader.
 - PPM (P6) / PGM (P5): binary, maxval 255.
 - WAV: PCM 8/16/32-bit via stdlib ``wave``; channels averaged to mono.
+- Y4M (YUV4MPEG2) video: uncompressed planar YUV — mono / C444 / C422 /
+  C420(jpeg|mpeg2|paldv) streams, lazy per-frame decode with nearest
+  chroma upsample, plus an encoder for synthesis/tests. Y4M is the
+  standard raw-video interchange format (mjpegtools/ffmpeg), so the
+  DEFAULT video path decodes real frames; compressed containers (MP4,
+  AVI) inject a real demuxer/codec through the same seam.
 """
 
 from __future__ import annotations
@@ -164,6 +170,15 @@ def decode_netpbm(payload: bytes) -> tuple[np.ndarray, str]:
     # (nonconforming but common from Windows writers) — consuming only
     # the '\r' would shift every pixel by one byte, silently
     i += 2 if payload[i : i + 2] == b"\r\n" else 1
+    # netpbm permits header comments up to the final raster delimiter:
+    # "255\n# written by foo\n<raster>" is legal, and without this loop
+    # the comment bytes would be consumed as pixel data, silently
+    # shifting every pixel. A comment's terminating newline doubles as
+    # the raster delimiter.
+    while payload[i : i + 1] == b"#":
+        while i < len(payload) and payload[i] != 0x0A:
+            i += 1
+        i += 1
     w, h, maxval = vals
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
@@ -225,6 +240,167 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     if nch > 1:
         sig = sig.reshape(-1, nch).mean(axis=1)
     return rate, sig
+
+
+Y4M_SIG = b"YUV4MPEG2"
+
+#: colorspace tag → (chroma width divisor, chroma height divisor);
+#: None = no chroma planes (mono). The three 420 tags differ only in
+#: chroma *siting* (sample positions), not plane sizes — identical for
+#: decode purposes here.
+_Y4M_CHROMA: dict[str, tuple[int, int] | None] = {
+    "mono": None,
+    "420": (2, 2),
+    "420jpeg": (2, 2),
+    "420mpeg2": (2, 2),
+    "420paldv": (2, 2),
+    "422": (2, 1),
+    "444": (1, 1),
+}
+
+
+def _parse_y4m_header(payload: bytes) -> tuple[dict, int]:
+    """Y4M stream header → (meta dict, offset of first FRAME marker).
+
+    Header is one ASCII line: ``YUV4MPEG2 W<w> H<h> F<num>:<den> [Ip]
+    [A<n>:<d>] [C<cs>] [X<app>]\\n``. W and H are required; F defaults
+    to 25:1 and C to 420jpeg per the mjpegtools convention."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(Y4M_SIG):
+        raise ValueError("not a Y4M stream")
+    meta = {"fps_num": 25, "fps_den": 1, "colorspace": "420jpeg"}
+    width = height = None
+    for tok in payload[len(Y4M_SIG) : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            meta["fps_num"], meta["fps_den"] = int(num), int(den)
+        elif tag == b"C":
+            meta["colorspace"] = val
+        # I (interlacing), A (aspect), X (app-specific): irrelevant to
+        # plane layout — accepted and ignored
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W or H")
+    cs = meta["colorspace"]
+    if cs not in _Y4M_CHROMA:
+        raise ValueError(f"unsupported Y4M colorspace C{cs}")
+    if _Y4M_CHROMA[cs] is not None:
+        cw, chh = _Y4M_CHROMA[cs]
+        if width % cw or height % chh:
+            raise ValueError(f"C{cs} needs dims divisible by ({cw},{chh})")
+    meta["width"], meta["height"] = width, height
+    return meta, nl + 1
+
+
+def iter_y4m_frames(payload: bytes):
+    """Lazily yield ``(H, W, C) uint8`` frames from a Y4M stream — C=1
+    for mono, C=3 (YUV, chroma nearest-upsampled to full resolution)
+    otherwise. Lazy so frame-sampling consumers can skip decode work for
+    frames they drop."""
+    meta, pos = _parse_y4m_header(payload)
+    w, h, cs = meta["width"], meta["height"], meta["colorspace"]
+    chroma = _Y4M_CHROMA[cs]
+    y_size = w * h
+    if chroma is None:
+        c_w = c_h = c_size = 0
+    else:
+        c_w, c_h = w // chroma[0], h // chroma[1]
+        c_size = c_w * c_h
+    frame_bytes = y_size + 2 * c_size
+    while pos < len(payload):
+        nl = payload.find(b"\n", pos)
+        if nl < 0 or not payload[pos : pos + 5] == b"FRAME":
+            raise ValueError("bad FRAME marker")
+        data_start = nl + 1
+        if data_start + frame_bytes > len(payload):
+            raise ValueError("truncated Y4M frame")
+        yp = np.frombuffer(payload, np.uint8, y_size, data_start).reshape(h, w)
+        if chroma is None:
+            yield yp[:, :, None].copy()
+        else:
+            u = np.frombuffer(
+                payload, np.uint8, c_size, data_start + y_size
+            ).reshape(c_h, c_w)
+            v = np.frombuffer(
+                payload, np.uint8, c_size, data_start + y_size + c_size
+            ).reshape(c_h, c_w)
+            # nearest-neighbor chroma upsample to full resolution
+            u = np.repeat(np.repeat(u, chroma[1], 0), chroma[0], 1)
+            v = np.repeat(np.repeat(v, chroma[1], 0), chroma[0], 1)
+            yield np.stack([yp, u, v], axis=2)
+        pos = data_start + frame_bytes
+
+
+def decode_y4m(payload: bytes) -> tuple[dict, list[np.ndarray]]:
+    """Y4M bytes → (meta, frames). Meta carries width/height/fps/
+    colorspace/n_frames; frames as in :func:`iter_y4m_frames`."""
+    meta, _ = _parse_y4m_header(payload)
+    frames = list(iter_y4m_frames(payload))
+    meta["n_frames"] = len(frames)
+    return meta, frames
+
+
+def encode_y4m(
+    frames: list[np.ndarray],
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "mono",
+) -> bytes:
+    """(H, W[, C]) uint8 frames → Y4M bytes. mono takes 1-channel (or
+    2-D) frames; 444/422/420* take (H, W, 3) YUV and subsample chroma by
+    top-left nearest — the exact inverse of the decoder's upsample."""
+    chroma = _Y4M_CHROMA[colorspace]
+    first = np.asarray(frames[0], dtype=np.uint8)
+    h, w = first.shape[:2]
+    if chroma is not None and (w % chroma[0] or h % chroma[1]):
+        raise ValueError(f"C{colorspace} needs dims divisible by {chroma}")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{colorspace}\n"
+    out = [head.encode("ascii")]
+    for fr in frames:
+        fr = np.asarray(fr, dtype=np.uint8)
+        if fr.ndim == 2:
+            fr = fr[:, :, None]
+        if fr.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        out.append(b"FRAME\n")
+        if chroma is None:
+            if fr.shape[2] != 1:
+                raise ValueError("mono needs 1-channel frames")
+            out.append(fr[:, :, 0].tobytes())
+        else:
+            if fr.shape[2] != 3:
+                raise ValueError(f"C{colorspace} needs 3-channel YUV frames")
+            out.append(fr[:, :, 0].tobytes())
+            out.append(fr[:: chroma[1], :: chroma[0], 1].tobytes())
+            out.append(fr[:: chroma[1], :: chroma[0], 2].tobytes())
+    return b"".join(out)
+
+
+def video_meta(payload: bytes) -> dict:
+    """Stream metadata without decoding pixel data: frame count comes
+    from walking the fixed-size FRAME records (an O(n_frames) seek, zero
+    pixel copies)."""
+    meta, pos = _parse_y4m_header(payload)
+    w, h, chroma = meta["width"], meta["height"], _Y4M_CHROMA[meta["colorspace"]]
+    frame_bytes = w * h
+    if chroma is not None:
+        frame_bytes += 2 * ((w // chroma[0]) * (h // chroma[1]))
+    n = 0
+    while pos < len(payload):
+        nl = payload.find(b"\n", pos)
+        if nl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = nl + 1 + frame_bytes
+        if pos > len(payload):
+            raise ValueError("truncated Y4M frame")
+        n += 1
+    meta["n_frames"] = n
+    return meta
 
 
 def audio_features(payload: bytes, n_features: int) -> list[float]:

@@ -11,9 +11,9 @@ Design (SURVEY §7.6 / BASELINE north_star):
   fits executor memory.
 
 The DEFAULT decoders are the real pure-stdlib codecs in
-``functions.codecs`` (PNG/PPM/PGM images, WAV audio) — actual pixel
-dimensions, actual resampling, actual signal energy, no stub in the
-default path. The ``_stub_*`` variants remain as injectable hermetic
+``functions.codecs`` (PNG/PPM/PGM images, WAV audio, Y4M raw video) —
+actual pixel dimensions, actual resampling, actual signal energy, actual
+per-frame decode, no stub in the default path. The ``_stub_*`` variants remain as injectable hermetic
 stand-ins for plumbing tests (and as the documented fallback pattern for
 formats the stdlib can't parse); a PIL/ffmpeg deployment injects its
 decoder through the same ``decoder=`` seam.
@@ -286,3 +286,106 @@ def frame_sample_plan(
             )
         ).alias("sample_ts"),
     )
+
+
+def extract_video_frames(
+    df: DataFrame,
+    every_n_frames: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], "Iterator"] | None = None,
+    partitions: int | None = None,
+    keep_frame_png: bool = True,
+) -> DataFrame:
+    """REAL video frame extraction: decode each payload's frames (DEFAULT:
+    the pure-stdlib Y4M codec, ``codecs.iter_y4m_frames``) and emit one
+    row per sampled frame — (id, frame_idx, width, height, n_frames,
+    mean_luma, frame_png, _decode_ok). ``decoder`` is the injection seam
+    for compressed containers (an ffmpeg/PyAV deployment yields (H, W, C)
+    uint8 arrays through the same signature).
+
+    Sampling is stride-based (``every_n_frames``); the decoder is a lazy
+    iterator so skipped frames still cost a header walk but no pixel
+    copies for formats that support seeking. ``n_frames`` counts ALL
+    frames in the clip (the iterator is drained), so downstream quality
+    filters can reason about clip length without a second decode.
+
+    Failed decodes yield a single ``_decode_ok=false`` row — same
+    error-isolation contract as ``decode_image_meta``. Cost is per-row
+    Python+numpy inside Arrow-batched ``mapInPandas``, embarrassingly
+    parallel across payload partitions; ``partitions`` pre-sizes them so
+    one worker never holds more than a memory-safe slice of video bytes.
+    """
+    import pandas as pd
+
+    from .codecs import encode_png, iter_y4m_frames
+
+    decoder = decoder or iter_y4m_frames
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("frame_png", T.BinaryType()),
+        T.StructField("_decode_ok", T.BooleanType()),
+    ]
+    schema = T.StructType(fields)
+    cols = [f.name for f in fields]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    sampled = []
+                    n_total = 0
+                    for idx, frame in enumerate(
+                        decoder(bytes(payload) if payload is not None else b"")
+                    ):
+                        n_total += 1
+                        if idx % every_n_frames:
+                            continue
+                        luma = frame[:, :, 0]
+                        sampled.append(
+                            {
+                                id_col: mid,
+                                "frame_idx": idx,
+                                "width": int(frame.shape[1]),
+                                "height": int(frame.shape[0]),
+                                "mean_luma": float(np.mean(luma)),
+                                "frame_png": encode_png(
+                                    frame[:, :, 0] if frame.shape[2] == 1 else frame
+                                )
+                                if keep_frame_png
+                                else None,
+                                "_decode_ok": True,
+                            }
+                        )
+                    if not sampled:
+                        raise ValueError("no frames decoded")
+                    for row in sampled:
+                        row["n_frames"] = n_total
+                    out.extend(sampled)
+                except Exception:
+                    out.append(
+                        {
+                            id_col: mid,
+                            "frame_idx": None,
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "mean_luma": None,
+                            "frame_png": None,
+                            "_decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    src = df.select(id_col, payload_col)
+    if partitions:
+        src = src.repartition(partitions)
+    return src.mapInPandas(run, schema=schema)

@@ -48,12 +48,14 @@ def _as_ratio(t: float) -> tuple[int, int]:
 
     f = Fraction(t).limit_denominator(10**6)
     return f.numerator, f.denominator
-#: the exact all-pairs Jaccard audit runs on the deterministic 1-in-5
-#: doc_id slice — it exists to AUDIT the LSH path, not to be the
-#: production path, and an audit whose kernel is O(candidates × shingles)
-#: must bound its own input to survive a 100× corpus (pair count scales
-#: with 1/AUDIT_MOD²)
-AUDIT_MOD = 5
+#: the exact all-pairs Jaccard audit runs on a FIXED-COUNT deterministic
+#: subset (the AUDIT_K smallest doc_ids) — it exists to AUDIT the LSH
+#: path, not to be the production path. A fixed fraction (the old
+#: ``doc_id % 5`` slice) still grows pairs as (n/5)² and is quadratic at
+#: 100×; a fixed count bounds the audit at O(AUDIT_K²) REGARDLESS of
+#: corpus size — the same constant-cost rule the IVF recall audit uses
+#: (fixed 20-query subset, below).
+AUDIT_K = 100
 
 # --- shared expression fragments (Spark SQL dialect) -----------------------
 
@@ -83,9 +85,15 @@ _FOLD_DUCK = (
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — exploded distinct 5-grams per document, on the
-    exact-audit slice (``doc_id % AUDIT_MOD == 0``)."""
+    fixed-count exact-audit subset (AUDIT_K smallest doc_ids).
+
+    ``limit`` after a global sort is a TakeOrderedAndProject (no full
+    sort materialization) but leaves one partition; repartition on
+    doc_id so the shingle explode and the downstream per-doc windows
+    parallelize."""
     (docs,) = tables(spark, sf_dir, "documents")
-    return docs.filter(F.col("doc_id") % AUDIT_MOD == 0).select(
+    subset = docs.orderBy("doc_id").limit(AUDIT_K).repartition(16, "doc_id")
+    return subset.select(
         "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
     )
 
@@ -93,7 +101,7 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_DUCK_CTE = f"""
 sh AS (
   SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM documents
-  WHERE doc_id % {AUDIT_MOD} = 0
+  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {AUDIT_K})
 )"""
 
 
@@ -305,10 +313,12 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x_jaccard_ngram_pairs", oracle=_JACCARD_DUCK)
 def x_jaccard_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs (threshold 0.4) on the
-    1-in-AUDIT_MOD doc_id slice — the audit baseline for the LSH path
-    (``x_dedup_near_survivors`` verifies candidates exactly; this entry
-    measures what banding might have MISSED, on a bounded slice whose
-    quadratic kernel can't dominate a wall-clock budget at 100×)."""
+    fixed-count AUDIT_K-smallest-doc_id subset — the audit baseline for
+    the LSH path (``x_dedup_near_survivors`` verifies candidates exactly;
+    this entry measures what banding might have MISSED). The audit kernel
+    is O(AUDIT_K²) pairs *independent of corpus size* — at 100× the data
+    the subset, and therefore the audit cost, is unchanged (contrast a
+    fixed-fraction slice, whose pair count grows quadratically)."""
     return _jaccard_pairs(spark, sf_dir)
 
 
@@ -1591,6 +1601,69 @@ def x_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 100.0).alias("duration_sec"),
     )
     return frame_sample_plan(media, every_n_seconds=2.5, id_col="media_id")
+
+
+@register(
+    "x_video_frames_roundtrip",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(i * 2 AS INT) AS frame_idx,
+       CAST(8 + (doc_id % 5) * 2 AS INT) AS width,
+       CAST(6 + (doc_id % 3) * 2 AS INT) AS height,
+       CAST(4 + doc_id % 5 AS INT) AS n_frames,
+       CAST((doc_id + i * 2 * 17) % 251 AS DOUBLE) AS mean_luma,
+       CAST(TRUE AS BOOLEAN) AS _decode_ok
+FROM documents,
+     LATERAL UNNEST(generate_series(
+         0, CAST(floor((3 + doc_id % 5) / 2.0) AS INT))) AS t(i)
+WHERE doc_id % 10 = 3
+""",
+)
+def x_video_frames_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec end-to-end: synthesize a mono Y4M clip per
+    document (1-in-10 slice) — ``4 + doc_id % 5`` frames of
+    ``(8 + doc_id%5*2) × (6 + doc_id%3*2)`` pixels, frame *f* filled with
+    the constant ``(doc_id + f·17) % 251`` — then decode it with the
+    DEFAULT ``extract_video_frames`` path (pure-stdlib YUV4MPEG2 parser,
+    ``functions.codecs.iter_y4m_frames``) sampling every 2nd frame. A
+    constant frame's mean luma is exactly its fill value, so the SQL
+    oracle predicts every sampled frame's index/dims/total-count/mean
+    bit-for-bit — the decode path is hash-verified, not shape-checked.
+    Scale shape: synthesis and decode are both Arrow-batched mapInPandas
+    over payload partitions (per-row cost constant, embarrassingly
+    parallel); the sampling *plan* half is ``x_frame_sample_plan``."""
+    from ..functions.multimodal import extract_video_frames
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    src = docs.filter(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("media_id"),
+        (8 + (F.col("doc_id") % 5) * 2).cast("int").alias("w"),
+        (6 + (F.col("doc_id") % 3) * 2).cast("int").alias("h"),
+        (4 + F.col("doc_id") % 5).cast("int").alias("nf"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bi_gcp_stitch_repl_spark.functions.codecs import encode_y4m
+
+        for pdf in batches:
+            out = []
+            for mid, w, h, nf in zip(pdf["media_id"], pdf["w"], pdf["h"], pdf["nf"]):
+                frames = [
+                    np.full((int(h), int(w)), (int(mid) + f * 17) % 251, np.uint8)
+                    for f in range(int(nf))
+                ]
+                out.append({"media_id": mid, "payload": encode_y4m(frames)})
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    payloads = src.mapInPandas(synth, schema="media_id long, payload binary")
+    frames = extract_video_frames(payloads, every_n_frames=2, keep_frame_png=False)
+    return frames.select(
+        "media_id", "frame_idx", "width", "height", "n_frames",
+        "mean_luma", "_decode_ok",
+    )
 
 
 _SQDIST_DUCK = (

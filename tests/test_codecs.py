@@ -230,3 +230,65 @@ def test_netpbm_crlf_header_does_not_shift_pixels():
     ppm = b"P6\r\n4 3\r\n255\r\n" + arr.tobytes()
     back, mode = codecs.decode_netpbm(ppm)
     assert mode == "RGB" and np.array_equal(back, arr)
+
+
+def test_netpbm_comment_between_maxval_and_raster():
+    """netpbm permits header comments up to the raster delimiter; they
+    must not be consumed as pixel data (ADVICE r03)."""
+    arr = _rng(7).integers(0, 256, size=(2, 4, 1), dtype=np.uint8)
+    pgm = b"P5\n# early\n4 2\n255\n# written by foo\n" + arr.tobytes()
+    back, mode = codecs.decode_netpbm(pgm)
+    assert mode == "L" and np.array_equal(back, arr)
+
+
+def test_y4m_mono_roundtrip_exact():
+    frames = [np.full((6, 8), v, np.uint8) for v in (0, 17, 255)]
+    pay = codecs.encode_y4m(frames, fps=(30, 1), colorspace="mono")
+    meta, dec = codecs.decode_y4m(pay)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (8, 6, 3)
+    assert (meta["fps_num"], meta["fps_den"]) == (30, 1)
+    for d, f in zip(dec, frames):
+        assert d.shape == (6, 8, 1) and np.array_equal(d[:, :, 0], f)
+
+
+def test_y4m_444_roundtrip_exact():
+    rng = _rng(11)
+    frames = [rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8) for _ in range(2)]
+    _, dec = codecs.decode_y4m(codecs.encode_y4m(frames, colorspace="444"))
+    for d, f in zip(dec, frames):
+        assert np.array_equal(d, f)
+
+
+def test_y4m_420_luma_exact_chroma_blocky():
+    """420 chroma is subsampled top-left on encode and nearest-upsampled
+    on decode: luma survives exactly; each 2x2 block shares the
+    block-origin chroma sample."""
+    f = _rng(3).integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    _, dec = codecs.decode_y4m(codecs.encode_y4m([f], colorspace="420jpeg"))
+    d = dec[0]
+    assert np.array_equal(d[:, :, 0], f[:, :, 0])
+    for y in range(4):
+        for x in range(6):
+            assert d[y, x, 1] == f[(y // 2) * 2, (x // 2) * 2, 1]
+            assert d[y, x, 2] == f[(y // 2) * 2, (x // 2) * 2, 2]
+
+
+def test_y4m_video_meta_walks_without_decoding():
+    frames = [np.zeros((10, 12), np.uint8)] * 5
+    meta = codecs.video_meta(codecs.encode_y4m(frames, fps=(24, 1)))
+    assert meta["n_frames"] == 5
+    assert (meta["width"], meta["height"]) == (12, 10)
+    assert meta["colorspace"] == "mono"
+
+
+def test_y4m_rejects_truncated_and_garbage():
+    pay = codecs.encode_y4m([np.zeros((4, 4), np.uint8)])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        codecs.decode_y4m(pay[:-3])
+    with _pytest.raises(ValueError):
+        codecs.decode_y4m(b"RIFFxxxxAVI ")
+    with _pytest.raises(ValueError):
+        # odd dims are illegal under 420 subsampling
+        codecs.encode_y4m([np.zeros((3, 5, 3), np.uint8)], colorspace="420jpeg")

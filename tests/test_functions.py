@@ -189,6 +189,35 @@ def test_frame_sample_plan(spark):
     assert by_id[2] == [0.0]
 
 
+def test_multimodal_extract_video_frames_real_decode(spark):
+    """REAL Y4M decode through the mapInPandas seam: stride sampling,
+    full-clip frame counting, exact constant-frame luma means, valid PNG
+    frame payloads, and error isolation for undecodable rows."""
+    import numpy as np
+
+    from bi_gcp_stitch_repl_spark.functions import codecs
+
+    clip = codecs.encode_y4m(
+        [np.full((4, 6), 10 * (f + 1), np.uint8) for f in range(5)]
+    )
+    rows = [(1, bytearray(clip)), (2, bytearray(b"not video")), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = multimodal.extract_video_frames(df, every_n_frames=2, partitions=2)
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r["media_id"], []).append(r)
+    good = sorted(by_id[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in good] == [0, 2, 4]
+    assert all(r["n_frames"] == 5 and r["_decode_ok"] for r in good)
+    assert [r["mean_luma"] for r in good] == [10.0, 30.0, 50.0]
+    assert all((r["width"], r["height"]) == (6, 4) for r in good)
+    # sampled frames re-encode as decodable PNGs of the right content
+    arr, mode = codecs.decode_png(bytes(good[1]["frame_png"]))
+    assert mode == "L" and arr.shape == (4, 6, 1) and (arr == 30).all()
+    assert len(by_id[2]) == 1 and not by_id[2][0]["_decode_ok"]
+    assert len(by_id[3]) == 1 and not by_id[3][0]["_decode_ok"]
+
+
 def test_ivf_topk_full_probe_equals_bruteforce(spark):
     """n_probe = all cells ⇒ IVF degenerates to the exact scan — results
     must equal brute force. (With these random embeddings the coarse cells
