@@ -153,6 +153,7 @@ def kmeans_ivf_index(
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
     max_iter: int = 8,
+    return_centers: bool = False,
 ) -> DataFrame:
     """Fit IVF coarse cells with KMeans (pyspark.ml, Lloyd's over the
     cluster-parallel corpus) and return the corpus with a ``cell_col``
@@ -165,7 +166,16 @@ def kmeans_ivf_index(
     rebuilds each cell's centroid as the assigned-vector mean, which at
     convergence IS the KMeans center — so the index never needs to persist
     the model, only the cell id column (one small int per row, the right
-    artifact to store at 100 TB)."""
+    artifact to store at 100 TB).
+
+    ``return_centers=True`` additionally returns the model's final
+    cluster centers as ``(df, [[float, ...], ...])`` (cell i = centers
+    row i). A caller persisting a frozen quantizer (the incremental ANN
+    ingest) MUST store these, not assignment means: ``model.transform``
+    assigns by argmin against the FINAL centers, whereas per-cell
+    assignment means sit one Lloyd half-step away — persisting means
+    would leave the first batch's rows inconsistent with the stored
+    assignment rule."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -178,7 +188,11 @@ def kmeans_ivf_index(
         k=n_cells, seed=seed, featuresCol="_fv", predictionCol=cell_col,
         maxIter=max_iter,
     ).fit(feats)
-    return model.transform(feats).drop("_fv")
+    assigned = model.transform(feats).drop("_fv")
+    if return_centers:
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+        return assigned, centers
+    return assigned
 
 
 def embedding_near_dup(

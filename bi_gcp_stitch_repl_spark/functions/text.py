@@ -212,8 +212,10 @@ def _apply_merge_expr(seq_col: str, a: str, b: str) -> str:
     """Spark SQL fold that replaces every non-overlapping adjacent
     (a, b) pair in a symbol array with the merged symbol a||b, left to
     right — the BPE merge-application rule. Carries one pending symbol
-    through the fold; '\\u0000' marks 'no pending' (never a real symbol:
-    corpus symbols come from split text)."""
+    through the fold; '\\u0000' marks 'no pending' — never a real symbol
+    because ``bpe_train`` strips NULs during tokenization (an embedded
+    NUL would otherwise collide with the sentinel and corrupt merge
+    application)."""
     nul = "'\\u0000'"
     lit_a, lit_b = _sql_str(a), _sql_str(b)
     merged = _sql_str(a + b)
@@ -234,31 +236,52 @@ def bpe_train(
     n_merges: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_size: int = 1,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Distributed byte-pair-encoding merge learning (Sennrich et al. 2016,
-    public): start from character symbols per word, repeat ``n_merges``
-    times: count adjacent symbol pairs corpus-wide, merge the most
-    frequent pair everywhere. Returns ``(merges, encoded)`` where
-    ``merges`` is the learned merge list in order and ``encoded`` is
-    ``(id_col, tokens array<string>)`` under the final merge table.
+    public): start from character symbols per word, repeatedly count
+    adjacent symbol pairs corpus-wide and merge the most frequent pair
+    everywhere, until ``n_merges`` merges are learned. Returns
+    ``(merges, encoded)`` where ``merges`` is the learned merge list in
+    order and ``encoded`` is ``(id_col, tokens array<string>)`` under the
+    final merge table.
 
-    Scale shape per round — exactly KMeans' loop structure: one explode +
-    hash aggregation over (pair) to count (map-side combinable), a 1-row
-    driver collect to pick the argmax (deterministic tie-break: count
+    Scale shape per pass — exactly KMeans' loop structure: one explode +
+    hash aggregation over (pair) to count (map-side combinable), a small
+    driver collect to pick the top pairs (deterministic tie-break: count
     desc, pair asc — byte order, reproducible anywhere), then a row-local
-    fold applies the merge with no shuffle. Word-internal only (symbols
+    fold applies the merges with no shuffle. Word-internal only (symbols
     never cross whitespace), matching standard BPE pre-tokenization.
-    Plans re-grow per round, so sequences localCheckpoint each merge —
-    same unbounded-lineage rule as connected_components.
+    NUL characters are stripped from the text up front: ``U+0000`` is the
+    fold's 'no pending symbol' sentinel, so an embedded NUL would
+    otherwise become a real symbol that collides with it. Plans re-grow
+    per pass, so sequences localCheckpoint each pass — same
+    unbounded-lineage rule as connected_components.
+
+    **Merge-count envelope**: each pass costs one full corpus aggregation
+    plus a driver collect, so a real 30k-merge vocabulary MUST NOT run
+    with ``batch_size=1`` (30k corpus passes). ``batch_size=k`` learns up
+    to k *mutually non-interacting* merges per pass — pairs sharing no
+    symbol (nor a merged result) with an earlier pick of the same pass,
+    whose counts are therefore unaffected by applying the earlier picks —
+    cutting passes by ~k×. The first pick of every pass is always the
+    true global argmax; later picks are the standard scalable
+    approximation (used by production BPE trainers): a pair CREATED by an
+    earlier merge in the same pass only becomes a candidate next pass, so
+    a batched trajectory can deviate from strict-greedy where a freshly
+    created pair would have out-counted a batched pick. ``batch_size=1``
+    is exact strict-greedy (tested against a sequential reference).
 
     The learned artifact (the merge list) is tiny and driver-side by
     design — it's the tokenizer you ship; the corpus-side work is all
     aggregations.
     """
-    words = docs.select(
+    words = docs.withColumn(
+        "_bpe_txt", F.translate(F.col(text_col), "\x00", "")
+    ).select(
         id_col,
         F.explode(
-            F.expr(f"filter(split(trim({text_col}), '\\\\s+'), w -> w <> '')")
+            F.expr("filter(split(trim(_bpe_txt), '\\\\s+'), w -> w <> '')")
         ).alias("w"),
     ).withColumn("pos", F.monotonically_increasing_id())
     seqs = words.select(
@@ -266,8 +289,12 @@ def bpe_train(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs = (
+    while len(merges) < n_merges:
+        want = min(batch_size, n_merges - len(merges))
+        # over-fetch 4× so the non-interaction filter usually still fills
+        # the batch; worst case the pass learns fewer merges and the next
+        # pass re-counts — correctness never depends on the fetch depth
+        top = (
             seqs.select(
                 F.explode(
                     F.expr(
@@ -280,17 +307,27 @@ def bpe_train(
             .groupBy("p.a", "p.b")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
+            .limit(max(1, want * 4))
             .collect()
         )
-        if not pairs:
+        if not top:
             break
-        best = (pairs[0]["a"], pairs[0]["b"])
-        merges.append(best)
+        batch: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for row in top:
+            a, b = row["a"], row["b"]
+            if batch and ({a, b, a + b} & used):
+                continue  # interacts with an earlier pick of this pass
+            batch.append((a, b))
+            used |= {a, b, a + b}
+            if len(batch) == want:
+                break
+        merges.extend(batch)
+        expr = "seq"
+        for a, b in batch:  # one composed fold — a single Spark pass
+            expr = _apply_merge_expr(expr, a, b)
         seqs = seqs.select(
-            id_col,
-            "pos",
-            F.expr(_apply_merge_expr("seq", best[0], best[1])).alias("seq"),
+            id_col, "pos", F.expr(expr).alias("seq")
         ).localCheckpoint(eager=True)
 
     encoded = (

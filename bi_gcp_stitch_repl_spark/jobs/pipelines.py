@@ -446,10 +446,15 @@ def incremental_ann_ingest(
     similarity-search twin of ``incremental_dedup_ingest``.
 
     First load fits the coarse cells on the batch
-    (``functions.similarity.kmeans_ivf_index``), derives each cell's
-    centroid from the assignments, and stores the centroids in a tiny
-    sidecar table (``<index>_centroids`` — n_cells rows); the index table
-    holds ``(id, vector, cell)``. Every later load reads + broadcasts the
+    (``functions.similarity.kmeans_ivf_index``) and stores the KMeans
+    model's FINAL cluster centers in a tiny sidecar table
+    (``<index>_centroids`` — n_cells rows); the index table holds
+    ``(id, vector, cell)``. The sidecar holds the model centers — NOT
+    assignment means, which sit one Lloyd half-step away — because
+    ``model.transform`` assigns the first batch by argmin against the
+    final centers: with the centers persisted, every row of every load
+    (including the first) satisfies the same invariant, cell = argmin
+    over the sidecar centroids. Every later load reads + broadcasts the
     FROZEN centroid table, assigns each new vector by squared-L2 argmin
     (JVM-side sequential fold, centroid id tie-break), and lands in ONE
     O(1) versioned append — per-ingest cost is O(batch × n_cells), the
@@ -472,23 +477,18 @@ def incremental_ann_ingest(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias(vec_col),
     )
     if not cents_t.exists():
-        # materialize once: the centroid aggregation AND the index append
-        # both consume this frame — without the checkpoint the batch scan
-        # + KMeans transform pipeline would execute twice on the heaviest
-        # load of the table's life
-        assigned = kmeans_ivf_index(
-            emb, n_cells=n_cells, seed=seed, vec_col=vec_col, cell_col="ivf_cell"
-        ).localCheckpoint(eager=True)
-        cents = (
-            assigned.select("ivf_cell", F.posexplode(vec_col).alias("i", "x"))
-            .groupBy("ivf_cell", "i")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("ivf_cell")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("_s"))
-            .select(
-                F.col("ivf_cell").cast("long").alias("ivf_cell"),
-                F.expr("transform(_s, p -> p.m)").alias("centroid"),
-            )
+        # materialize once: the index append consumes this frame and the
+        # centers come back driver-side from the same fit — without the
+        # checkpoint the batch scan + KMeans transform pipeline would
+        # execute twice on the heaviest load of the table's life
+        assigned, centers = kmeans_ivf_index(
+            emb, n_cells=n_cells, seed=seed, vec_col=vec_col,
+            cell_col="ivf_cell", return_centers=True,
+        )
+        assigned = assigned.localCheckpoint(eager=True)
+        cents = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centers)],
+            "ivf_cell long, centroid array<double>",
         )
         # centroids commit FIRST: a crash between the two commits leaves a
         # valid quantizer and no rows — the retry just re-ingests

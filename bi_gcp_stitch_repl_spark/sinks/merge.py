@@ -60,10 +60,29 @@ class ParquetTable:
 
     # -- read ---------------------------------------------------------------
 
+    def _recover(self) -> None:
+        """Crash recovery for the two-rename swap: a failure BETWEEN
+        ``rename(path, old)`` and ``rename(stage, path)`` leaves the
+        table path missing while the pre-swap snapshot survives under
+        ``<path>.old-*`` — roll it back so readers see the pre-merge
+        table (the swap never committed). A failure AFTER the swap only
+        leaves garbage ``.old-*`` / ``.stage-*`` dirs next to a valid
+        table; those are ignored here (never deleted — a sibling writer
+        may be mid-swap on its own stage)."""
+        import glob
+
+        if os.path.exists(self.path):
+            return
+        olds = sorted(glob.glob(glob.escape(self.path) + ".old-*"))
+        if olds:
+            os.rename(olds[0], self.path)
+
     def exists(self) -> bool:
+        self._recover()
         return os.path.exists(self.path)
 
     def read(self) -> DataFrame:
+        self._recover()
         return self.spark.read.parquet(self.path)
 
     # -- write primitives ----------------------------------------------------

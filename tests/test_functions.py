@@ -548,3 +548,41 @@ def test_bpe_train_matches_reference_implementation(spark):
     assert merges == want_merges
     got = {r["doc_id"]: list(r["tokens"]) for r in encoded.collect()}
     assert got == want_toks
+
+
+def test_bpe_train_batched_learns_multiple_merges_per_pass(spark):
+    """batch_size=k learns >1 merge per corpus pass (the 30k-merge scale
+    path): every learned merge must be one the strict-greedy trajectory
+    also learns on this corpus (symbol-disjoint pairs), the first pick of
+    pass 1 is the true global argmax, and the final tokenization matches
+    the batch_size=1 run exactly."""
+    from bi_gcp_stitch_repl_spark.functions.text import bpe_train
+
+    # four disjoint high-frequency pairs: no shared symbols, so batched
+    # and strict-greedy trajectories provably coincide
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab cd cd cd ef ef gh")], "doc_id long, text string"
+    )
+    seq_merges, seq_enc = bpe_train(docs, n_merges=4, batch_size=1)
+    bat_merges, bat_enc = bpe_train(docs, n_merges=4, batch_size=4)
+    assert len(bat_merges) == 4 and bat_merges[0] == ("a", "b")
+    assert sorted(bat_merges) == sorted(seq_merges)
+    assert bat_enc.collect() == seq_enc.collect()
+
+
+def test_bpe_train_strips_nul_sentinel_collisions(spark):
+    """An embedded U+0000 must not collide with the merge fold's
+    'no pending' sentinel (ADVICE r03): NULs are stripped up front, so
+    the corpus tokenizes as if they were absent."""
+    from bi_gcp_stitch_repl_spark.functions.text import bpe_train
+
+    dirty = spark.createDataFrame(
+        [(1, "ab\x00 ab \x00ab ab")], "doc_id long, text string"
+    )
+    clean = spark.createDataFrame(
+        [(1, "ab ab ab ab")], "doc_id long, text string"
+    )
+    dm, denc = bpe_train(dirty, n_merges=1)
+    cm, cenc = bpe_train(clean, n_merges=1)
+    assert dm == cm == [("a", "b")]
+    assert denc.collect() == cenc.collect()

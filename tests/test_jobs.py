@@ -876,13 +876,16 @@ def test_incremental_ann_ingest_frozen_quantizer_and_exactness(spark, tmp_path):
     assert index.count() == 160
     assert index.filter("ivf_cell < 0 or ivf_cell >= 4").count() == 0
 
-    # second-load vectors sit in their argmin cell vs the stored centroids
+    # EVERY stored row — first load included — sits in its argmin cell vs
+    # the stored centroids: the sidecar persists the KMeans model's final
+    # centers (the rule model.transform assigned load 1 by), not
+    # assignment means one Lloyd half-step away (ADVICE r03)
     cents = VersionedTable(spark, idx + "_centroids").read().select(
         F.col("ivf_cell").alias("_cid"), F.col("centroid").alias("_cv")
     )
     w = Window.partitionBy("vec_id").orderBy("dist", "_cid")
     want = (
-        index.filter("vec_id >= 100")
+        index
         .crossJoin(F.broadcast(cents))
         .withColumn("dist", F.expr(SQDIST.format(a="embedding", b="_cv")))
         .withColumn("_rn", F.row_number().over(w))

@@ -225,3 +225,63 @@ def test_post_batches_rate_limit_paces_partition(spark):
     assert (ok, fail) == (3, 0)
     # 3 batches on one partition: the 2nd and 3rd must each wait >= 0.3 s
     assert elapsed >= 0.55, elapsed
+
+
+def test_chaos_crash_between_stage_and_swap_preserves_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """Chaos-test the atomic-swap writer (VERDICT r03 #6): inject a crash
+    at every rename boundary of the two-rename commit and assert the
+    table always reads back the complete pre-merge snapshot — never a
+    partial state, never 'table missing'."""
+    import os as os_mod
+
+    from bi_gcp_stitch_repl_spark.sinks import merge as merge_mod
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(df_of(spark, [(1, "a"), (2, "b")]))
+    before = sorted((r["k"], r["v"]) for r in t.read().collect())
+
+    real_rename = os_mod.rename
+
+    def crash_first(src, dst):
+        if ".old-" in dst:
+            raise OSError("injected crash on path->old rename")
+        return real_rename(src, dst)
+
+    # crash point 1: path -> old rename fails (swap never starts)
+    monkeypatch.setattr(merge_mod.os, "rename", crash_first)
+    try:
+        t.merge_upsert(df_of(spark, [(2, "B"), (3, "c")]), keys=["k"])
+        raise AssertionError("expected injected crash")
+    except OSError:
+        pass
+    monkeypatch.setattr(merge_mod.os, "rename", real_rename)
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == before
+
+    # crash point 2: old-rename succeeds, stage->path rename fails — the
+    # vulnerable window where the table path does not exist; recovery
+    # must roll the .old snapshot back on next read
+    calls = {"n": 0}
+
+    def crash_second(src, dst):
+        if dst == t.path and ".stage-" in src:
+            raise OSError("injected crash before commit rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(merge_mod.os, "rename", crash_second)
+    try:
+        t.merge_upsert(df_of(spark, [(2, "B"), (3, "c")]), keys=["k"])
+        raise AssertionError("expected injected crash")
+    except OSError:
+        pass
+    monkeypatch.setattr(merge_mod.os, "rename", real_rename)
+    assert not os_mod.path.exists(t.path)  # genuinely crashed mid-swap
+    assert t.exists()  # recovery rolls back the snapshot
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == before
+
+    # after recovery the same merge applies cleanly
+    t.merge_upsert(df_of(spark, [(2, "B"), (3, "c")]), keys=["k"])
+    assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]

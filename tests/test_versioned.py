@@ -560,3 +560,51 @@ def test_thousand_commit_log_plans_in_o_tail_time(spark, tmp_path):
 
     # and the snapshot actually reads: 1 real row + one per synthetic commit
     assert fresh.read().count() == (n_commits - first) + 1
+
+
+def test_contention_stress_eight_writers_twenty_commits(spark, tmp_path):
+    """Contention stress (VERDICT r03 #8): 8 writers x 20 commits each
+    hammering ONE table. The O_EXCL commit arbitration must yield a
+    LINEAR, gap-free history (versions 0..159, one commit file each)
+    with no lost commits and every row readable — and the checkpointing
+    cadence must hold under the races (a fresh handle resolves the
+    snapshot from the latest checkpoint, not the full log)."""
+    import threading
+
+    path = str(tmp_path / "t")
+    rows_per, writers = 20, 8
+    errors = []
+    barrier = threading.Barrier(writers)
+
+    def work(w):
+        try:
+            t = VersionedTable(spark, path)
+            barrier.wait()  # maximize contention: all start together
+            for i in range(rows_per):
+                t.append(_df(spark, [(w * 1000 + i, f"w{w}")]), max_retries=400)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(w,)) for w in range(writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors[:3]
+
+    n_commits = writers * rows_per
+    t = VersionedTable(spark, path)
+    assert t.latest_version() == n_commits - 1  # linear, gap-free
+    import os as os_mod
+
+    log_files = [
+        f for f in os_mod.listdir(os_mod.path.join(path, "_log"))
+        if f.endswith(".json") and ".checkpoint." not in f
+    ]
+    assert len(log_files) == n_commits  # exactly one commit file per version
+    # the checkpoint cadence held under contention
+    assert any(".checkpoint." in f
+               for f in os_mod.listdir(os_mod.path.join(path, "_log")))
+    got = {r["k"] for r in t.read().collect()}
+    assert got == {w * 1000 + i for w in range(writers) for i in range(rows_per)}
+    assert t.read().count() == n_commits
