@@ -92,12 +92,14 @@ HEADLINE = [
     "x_text_stats",
 ]
 
-#: Round-3 additions, reported separately ("extended"/"value_extended") so
+#: Round-3+ additions, reported separately ("extended"/"value_extended") so
 #: "value" stays the same 13-query total every prior round recorded —
-#: round-over-round comparability survives the set growing.
+#: round-over-round comparability survives the set growing. Round 4 adds
+#: the real-codec video roundtrip (tracks mapInPandas codec throughput).
 EXTENDED = [
     "q21_waiting_suppliers",
     "x_sparse_cosine_pairs",
+    "x_video_frames_roundtrip",
 ]
 
 

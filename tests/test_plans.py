@@ -243,7 +243,7 @@ def test_no_python_eval_anywhere_in_catalog(spark):
     banned = ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
               "MapInPandas", "FlatMapGroupsInPandas")
     # sanctioned exceptions: S7 remote fan-out is impure and I/O-bound —
-    # mapInPandas IS its correct form (SURVEY §2.11) — and the two codec
+    # mapInPandas IS its correct form (SURVEY §2.11) — and the three codec
     # roundtrips exist to drive the multimodal decode seams, the other
     # domain where Arrow-batched Python is the design (payload bytes touch
     # Python exactly once; everything around them is metadata-only)
@@ -251,6 +251,7 @@ def test_no_python_eval_anywhere_in_catalog(spark):
         "s7_detail_fanout",
         "x_image_roundtrip_meta",
         "x_audio_roundtrip_features",
+        "x_video_frames_roundtrip",
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
