@@ -48,13 +48,20 @@ def _as_ratio(t: float) -> tuple[int, int]:
 
     f = Fraction(t).limit_denominator(10**6)
     return f.numerator, f.denominator
-#: the exact all-pairs Jaccard audit runs on a FIXED-COUNT deterministic
-#: subset (the AUDIT_K smallest doc_ids) — it exists to AUDIT the LSH
-#: path, not to be the production path. A fixed fraction (the old
-#: ``doc_id % 5`` slice) still grows pairs as (n/5)² and is quadratic at
-#: 100×; a fixed count bounds the audit at O(AUDIT_K²) REGARDLESS of
-#: corpus size — the same constant-cost rule the IVF recall audit uses
-#: (fixed 20-query subset, below).
+#: the exact Jaccard audit is PROBE-ANCHORED: the AUDIT_K smallest
+#: doc_ids are exact-verified against the ENTIRE corpus — every true
+#: near-dup pair touching a probe doc is found, which is precisely the
+#: recall question ("what did LSH banding miss?") asked on a fixed
+#: deterministic sample. Cost is one prefix-filtered probe⋈corpus join —
+#: linear in corpus size at fixed K, exactly the IVF recall audit's
+#: shape (fixed 20-query subset × full cell probe, below). The two
+#: designs this replaces both fail at 100×: a fixed FRACTION slice
+#: (r01-r03's ``doc_id % 5``) grows pairs as (n/5)² — quadratic; a
+#: fixed-count WITHIN-subset all-pairs audit is constant-cost but
+#: vacuous — corpus near-dups are uniformly spread, so a K-of-n subset
+#: contains a pair's BOTH endpoints with probability ~(K/n)² → 0 rows
+#: at any real scale (measured: zero pairs among the 100 smallest ids
+#: even at sf0.01).
 AUDIT_K = 100
 
 # --- shared expression fragments (Spark SQL dialect) -----------------------
@@ -84,16 +91,11 @@ _FOLD_DUCK = (
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — exploded distinct 5-grams per document, on the
-    fixed-count exact-audit subset (AUDIT_K smallest doc_ids).
-
-    ``limit`` after a global sort is a TakeOrderedAndProject (no full
-    sort materialization) but leaves one partition; repartition on
-    doc_id so the shingle explode and the downstream per-doc windows
-    parallelize."""
+    """(doc_id, shingle) — exploded distinct 5-grams per document, whole
+    corpus (the probe-anchored audit joins a K-doc slice of this against
+    all of it)."""
     (docs,) = tables(spark, sf_dir, "documents")
-    subset = docs.orderBy("doc_id").limit(AUDIT_K).repartition(16, "doc_id")
-    return subset.select(
+    return docs.select(
         "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
     )
 
@@ -101,8 +103,8 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLE_DUCK_CTE = f"""
 sh AS (
   SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM documents
-  WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {AUDIT_K})
-)"""
+),
+probe AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {AUDIT_K})"""
 
 
 # ---------------------------------------------------------------------------
@@ -147,178 +149,118 @@ def x_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIT_P, _AUDIT_Q = _as_ratio(JACCARD_THRESHOLD)
+
 _JACCARD_DUCK = f"""
 WITH {_SHINGLE_DUCK_CTE},
 cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT p.doc_id AS pa, s.doc_id AS pb, COUNT(*) AS n_inter
+  FROM sh p JOIN sh s ON p.shingle = s.shingle AND p.doc_id <> s.doc_id
+  WHERE p.doc_id IN (SELECT doc_id FROM probe)
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b,
+SELECT DISTINCT least(pa, pb) AS doc_a, greatest(pa, pb) AS doc_b,
        n_inter * 1.0 / (ca.n + cb.n - n_inter) AS jaccard
 FROM inter
-JOIN cnt ca ON ca.doc_id = doc_a
-JOIN cnt cb ON cb.doc_id = doc_b
-WHERE n_inter * 1.0 / (ca.n + cb.n - n_inter) >= {JACCARD_THRESHOLD}
+JOIN cnt ca ON ca.doc_id = pa
+JOIN cnt cb ON cb.doc_id = pb
+WHERE {_AUDIT_Q} * n_inter >= {_AUDIT_P} * (ca.n + cb.n - n_inter)
 """
 
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs exact 5-gram Jaccard ≥ threshold via PPJoin-style prefix
-    filtering.
+    """Probe-anchored exact 5-gram Jaccard audit: every pair with J >=
+    threshold touching one of the AUDIT_K smallest doc_ids, verified
+    against the ENTIRE corpus.
 
-    A naive shingle self-join costs Σ_shingle df² — measured catastrophic
-    (>10 min at sf0.1) on this corpus because common shingles appear in
-    nearly every document. Prefix filtering keeps the result EXACT (the
-    DuckDB oracle stays the naive formulation) while joining only on each
-    document's L = n - ⌈t·n⌉ + 1 globally-rarest shingles: two documents
-    with J ≥ t MUST share a shingle inside both prefixes, and rare shingles
-    have tiny document frequency, so the candidate join collapses.
-    Verification then computes |A∩B| exactly per candidate pair via
-    array_intersect on the full shingle sets (bounded by candidate count,
-    not corpus²)."""
-    from pyspark.sql import Window
+    Shape: broadcast the K probe docs' exploded shingles against ONE
+    parallelized corpus shingle explode and COUNT shared shingles per
+    (probe, other) pair — a single map-side-combinable aggregation, no
+    windows, no per-pair set materialization. The group count is exactly
+    |A intersect B| because shingles are distinct per doc. Join output
+    is Sigma over probe shingle occurrences of df(shingle) — linear in
+    corpus size at fixed K (the IVF fixed-query recall audit's cost
+    shape). Per-doc set sizes come row-locally from
+    size(array_distinct(...)) and join onto the (small) pair aggregate
+    at the END, so the wide 31M-row join stream stays two columns —
+    attaching them pre-explode would also bait a Catalyst collapse that
+    re-builds the whole shingle array per exploded row (measured 5x the
+    query cost). The threshold compare is exact integer rationals on
+    BOTH engines, so boundary pairs never split on float rounding.
 
-    t = JACCARD_THRESHOLD
-    sh = _shingle_df(spark, sf_dir)
-    # global rarity order: df asc, shingle asc (total, deterministic)
-    df_g = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
-        sh.join(df_g, "shingle")
-        .withColumn("pos", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    Why not PPJoin prefix filtering here (the production all-pairs
+    kernel shape, still showcased by ``x_sparse_cosine_pairs``): on this
+    degenerate shared-vocabulary corpus the prefixes barely prune
+    (measured 322k of ~500k probe-corpus candidates surviving at sf0.1)
+    and the per-candidate verify then dominates; the direct count is
+    simpler, faster, and its cost bound does not depend on vocabulary
+    diversity."""
+    p, q = _as_ratio(JACCARD_THRESHOLD)
+    (docs,) = tables(spark, sf_dir, "documents")
+    # single-file fixtures scan as ONE task; spread the explode work
+    # before it starts (tiny shuffle: raw docs, not shingles)
+    spread = docs.select("doc_id", "text").repartition(32, "doc_id")
+    sh = spread.select(
+        F.col("doc_id").alias("pb"),
+        F.explode(F.expr(SHINGLES_SPARK)).alias("shingle"),
     )
-    # All PPJoin bounds below are EXACT integer comparisons (t = p/q as a
-    # rational), never float products under ceil(): when the true bound
-    # is an integer (e.g. t=0.4 ⇒ 2/7·(na+nb)), a 1-ulp-high double makes
-    # ceil overshoot by 1 and silently over-prune pairs whose Jaccard is
-    # exactly the threshold. Each ceil-bound rearranges division-free —
-    # ceil(p·n/q) ≤ k  ⟺  p·n ≤ q·k  for integers.
-    p, q = _as_ratio(t)
-    # pos ≤ n − ceil(t·n) + 1  ⟺  ceil(p·n/q) ≤ n − pos + 1  ⟺
-    # p·n ≤ q·(n − pos + 1)
-    prefix = ranked.filter(
-        F.lit(p) * F.col("n")
-        <= F.lit(q) * (F.col("n") - F.col("pos") + 1)
-    ).select("doc_id", "shingle", "pos", "n")
-    # Shuffle boundary on the join key → ReusedExchange computes the
-    # ranked-prefix pipeline once instead of once per self-join side.
-    # The partition count is EXPLICIT: AQE sizes post-shuffle partitions
-    # on the (tiny) prefix input and would coalesce to a handful of
-    # tasks, but the join's OUTPUT is up to Σ df² rows — measured 4
-    # tasks carrying a ~100M-row join at sf0.1 before pinning this.
-    prefix = prefix.repartition(64, "shingle")
-    a = prefix.alias("a")
-    b = prefix.alias("b")
-    # PPJoin suffix bounds evaluated INSIDE the join, before the
-    # distinct: J ≥ t needs overlap α = ⌈t/(1+t)·(na+nb)⌉; the shared
-    # prefix element at (pos_a, pos_b) caps the remaining overlap at
-    # min(na−pos_a, nb−pos_b)+1, and sizes must satisfy t·na ≤ nb ≤
-    # na/t. Both are necessary conditions, so the candidate set stays
-    # exact — just smaller (and the rows never reach the shuffle).
-    # cap ≥ α = ⌈t/(1+t)·(na+nb)⌉  ⟺  cap·(p+q) ≥ p·(na+nb)  (t = p/q)
-    cap = (
-        F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")) + 1
+    probe_docs = docs.orderBy("doc_id").limit(AUDIT_K)
+    probe = probe_docs.select(
+        F.col("doc_id").alias("pa"),
+        F.explode(F.expr(SHINGLES_SPARK)).alias("shingle"),
     )
-    pos_ok = cap * F.lit(p + q) >= F.lit(p) * (F.col("a.n") + F.col("b.n"))
-    # nb ≥ ⌈t·na⌉ ⟺ q·nb ≥ p·na (and symmetrically)
-    len_ok = (F.lit(q) * F.col("b.n") >= F.lit(p) * F.col("a.n")) & (
-        F.lit(q) * F.col("a.n") >= F.lit(p) * F.col("b.n")
+    inter = (
+        sh.join(F.broadcast(probe), "shingle")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_inter"))
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & pos_ok
-            & len_ok,
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # row-local distinct-shingle counts (no explode), attached to the
+    # K x matched-docs aggregate — never to the wide join stream
+    na = probe_docs.select(
+        F.col("doc_id").alias("pa"), F.expr(f"size({SHINGLES_SPARK})").alias("na")
     )
-
-    # Verification kernel — adaptive on vocabulary size G (driver-side
-    # branch, the engine's one runtime physical-strategy choice):
-    #  * G small (≤ 2^16): per-doc BITSET (⌈G/64⌉ longs); |A∩B| is a
-    #    popcount fold over zip_with AND — ~50× faster per pair than
-    #    array_intersect on string arrays. Degenerate shared-vocabulary
-    #    corpora (this one: 2k grams, ~all pairs are candidates) hit this.
-    #  * G large: string-array intersect per candidate (bitsets would be
-    #    G/8 bytes per doc). Diverse vocabularies prune candidates hard in
-    #    the prefix stage, so the per-pair cost matters less there.
-    n_grams = df_g.count()
-    if n_grams <= 65536:
-        n_words = (n_grams + 63) // 64
-        gid = df_g.select(
-            "shingle",
-            (F.row_number().over(Window.orderBy("df", "shingle")) - 1).alias("gid"),
-        )
-        bitmap_expr = (
-            f"transform(sequence(0, {n_words - 1}), w -> "
-            "aggregate(filter(gids, g -> g div 64 = w), cast(0 as bigint),"
-            " (acc, g) -> acc | shiftleft(cast(1 as bigint), cast(g % 64 as int))))"
-        )
-        sets = (
-            sh.join(F.broadcast(gid), "shingle")
-            .groupBy("doc_id")
-            .agg(F.collect_list("gid").alias("gids"))
-            .select(
-                "doc_id",
-                F.expr(bitmap_expr).alias("bm"),
-                F.size("gids").alias("n"),
-            )
-        )
-        inter_expr = (
-            "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x & y)),"
-            " 0, (acc, v) -> acc + v)"
-        )
-        sa = sets.select(
-            F.col("doc_id").alias("doc_a"), F.col("bm").alias("ba"), F.col("n").alias("na")
-        )
-        sb = sets.select(
-            F.col("doc_id").alias("doc_b"), F.col("bm").alias("bb"), F.col("n").alias("nb")
-        )
-        verified = (
-            cand.join(F.broadcast(sa), "doc_a")
-            .join(F.broadcast(sb), "doc_b")
-            .withColumn("n_inter", F.expr(inter_expr))
-        )
-    else:
-        sets = sh.groupBy("doc_id").agg(
-            F.collect_set("shingle").alias("grams"), F.count("*").alias("n")
-        )
-        sa = sets.select(
-            F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"), F.col("n").alias("na")
-        )
-        sb = sets.select(
-            F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"), F.col("n").alias("nb")
-        )
-        verified = (
-            cand.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .withColumn("n_inter", F.size(F.array_intersect("ga", "gb")))
-        )
+    nb = spread.select(
+        F.col("doc_id").alias("pb"), F.expr(f"size({SHINGLES_SPARK})").alias("nb")
+    )
     return (
-        verified.withColumn(
-            "jaccard",
-            F.col("n_inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        inter.join(F.broadcast(na), "pa")
+        .join(nb, "pb")
+        # q*|A&B| >= p*|A|B| -- identical integer form to the oracle
+        .filter(
+            F.lit(q) * F.col("n_inter")
+            >= F.lit(p) * (F.col("na") + F.col("nb") - F.col("n_inter"))
         )
-        .filter(F.col("jaccard") >= t)
-        .select("doc_a", "doc_b", "jaccard")
+        .select(
+            F.least("pa", "pb").alias("doc_a"),
+            F.greatest("pa", "pb").alias("doc_b"),
+            (
+                F.col("n_inter")
+                * 1.0
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        # probe-probe pairs arrive from both directions with identical
+        # integer operands (hence identical double) -- keep one
+        .distinct()
     )
 
 
 @register("x_jaccard_ngram_pairs", oracle=_JACCARD_DUCK)
 def x_jaccard_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs (threshold 0.4) on the
-    fixed-count AUDIT_K-smallest-doc_id subset — the audit baseline for
-    the LSH path (``x_dedup_near_survivors`` verifies candidates exactly;
-    this entry measures what banding might have MISSED). The audit kernel
-    is O(AUDIT_K²) pairs *independent of corpus size* — at 100× the data
-    the subset, and therefore the audit cost, is unchanged (contrast a
-    fixed-fraction slice, whose pair count grows quadratically)."""
+    """Exact n-gram Jaccard near-duplicate pairs (threshold 0.4) touching
+    the AUDIT_K-smallest-doc_id probe set, verified against the WHOLE
+    corpus — the audit baseline for the LSH path
+    (``x_dedup_near_survivors`` verifies candidates exactly; this entry
+    measures what banding MISSED, exhaustively, for a fixed
+    deterministic sample of documents). Probe-anchoring is what keeps
+    the audit both meaningful and scalable: a fixed-fraction slice is
+    quadratic at 100×, and a within-subset all-pairs audit finds zero
+    pairs once the corpus outgrows the subset (near-dups are uniformly
+    spread — both endpoints rarely land in any small sample). Cost is
+    linear in corpus size at fixed K — the same shape as the IVF
+    fixed-query recall audit."""
     return _jaccard_pairs(spark, sf_dir)
 
 
