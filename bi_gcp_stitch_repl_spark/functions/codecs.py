@@ -195,6 +195,10 @@ def sniff_decode_image(payload: bytes) -> tuple[np.ndarray, str]:
         return decode_png(payload)
     if payload[:2] in (b"P6", b"P5"):
         return decode_netpbm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError("unrecognized image format")
 
 

@@ -298,11 +298,12 @@ def extract_video_frames(
     keep_frame_png: bool = True,
 ) -> DataFrame:
     """REAL video frame extraction: decode each payload's frames (DEFAULT:
-    the pure-stdlib Y4M codec, ``codecs.iter_y4m_frames``) and emit one
-    row per sampled frame — (id, frame_idx, width, height, n_frames,
-    mean_luma, frame_png, _decode_ok). ``decoder`` is the injection seam
-    for compressed containers (an ffmpeg/PyAV deployment yields (H, W, C)
-    uint8 arrays through the same signature).
+    magic-byte dispatch between the pure-stdlib Y4M codec and the
+    pure-numpy baseline MJPEG-AVI codec, ``jpeg.sniff_video_frames``)
+    and emit one row per sampled frame — (id, frame_idx, width, height,
+    n_frames, mean_luma, frame_png, _decode_ok). ``decoder`` is the
+    injection seam for other containers (an ffmpeg/PyAV deployment
+    yields (H, W, C) uint8 arrays through the same signature).
 
     Sampling is stride-based (``every_n_frames``); the decoder is a lazy
     iterator so skipped frames still cost a header walk but no pixel
@@ -318,9 +319,10 @@ def extract_video_frames(
     """
     import pandas as pd
 
-    from .codecs import encode_png, iter_y4m_frames
+    from .codecs import encode_png
+    from .jpeg import sniff_video_frames
 
-    decoder = decoder or iter_y4m_frames
+    decoder = decoder or sniff_video_frames
     fields = [
         T.StructField(id_col, T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),

@@ -1608,6 +1608,88 @@ def x_video_frames_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_mjpeg_avi_roundtrip",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(i * 3 AS INT) AS frame_idx,
+       CAST(16 + (doc_id % 2) * 8 AS INT) AS width,
+       CAST(8 + (doc_id % 3) * 8 AS INT) AS height,
+       CAST(3 + doc_id % 4 AS INT) AS n_frames,
+       CAST(128 + 2 * ((doc_id + 17 * i * 3) % 50 - 25) AS DOUBLE) AS mean_luma,
+       CAST(TRUE AS BOOLEAN) AS _decode_ok
+FROM documents,
+     LATERAL UNNEST(generate_series(
+         0, CAST(floor((2 + doc_id % 4) / 3.0) AS INT))) AS t(i)
+WHERE doc_id % 10 = 7
+""",
+)
+def x_mjpeg_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video codec end-to-end: synthesize an MJPEG AVI
+    per document (1-in-10 slice) — ``3 + doc_id % 4`` grayscale JPEG
+    frames, frame *f* filled with the constant
+    ``128 + 2·((doc_id + 17f) % 50 − 25)`` — then decode through the
+    DEFAULT ``extract_video_frames`` path (RIFF demux → baseline JPEG
+    entropy decode → dequant → IDCT, all pure numpy/stdlib:
+    ``functions.jpeg``), sampling every 3rd frame.
+
+    The fills keep ``v − 128`` even, so at quality 50 (Annex K table,
+    Q₀₀=16) the DC coefficient 8·(v−128) quantizes EXACTLY to
+    (v−128)/2 and every AC coefficient rounds to zero — a DC-only block
+    reconstructs the constant bit-exactly through the float IDCT
+    (error ~1e−15, killed by the uint8 round). Mean luma is therefore
+    exactly the fill value and the SQL oracle predicts the whole decode
+    chain — entropy coding, zigzag, dequant, IDCT — value-for-value.
+    DETERMINISM.md round-4 recipe, compressed-codec corollary."""
+    from ..functions.multimodal import extract_video_frames
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    src = docs.filter(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("media_id"),
+        (16 + (F.col("doc_id") % 2) * 8).cast("int").alias("w"),
+        (8 + (F.col("doc_id") % 3) * 8).cast("int").alias("h"),
+        (3 + F.col("doc_id") % 4).cast("int").alias("nf"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bi_gcp_stitch_repl_spark.functions.jpeg import (
+            encode_avi_mjpeg,
+            encode_jpeg,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, w, h, nf in zip(pdf["media_id"], pdf["w"], pdf["h"], pdf["nf"]):
+                frames = [
+                    encode_jpeg(
+                        np.full(
+                            (int(h), int(w)),
+                            128 + 2 * ((int(mid) + 17 * f) % 50 - 25),
+                            np.uint8,
+                        ),
+                        quality=50,
+                    )
+                    for f in range(int(nf))
+                ]
+                out.append(
+                    {
+                        "media_id": mid,
+                        "payload": encode_avi_mjpeg(frames, int(w), int(h)),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    payloads = src.mapInPandas(synth, schema="media_id long, payload binary")
+    frames = extract_video_frames(payloads, every_n_frames=3, keep_frame_png=False)
+    return frames.select(
+        "media_id", "frame_idx", "width", "height", "n_frames",
+        "mean_luma", "_decode_ok",
+    )
+
+
 _SQDIST_DUCK = (
     "list_sum(list_transform(list_zip({a}, {b}),"
     " p -> (p[1] - p[2]) * (p[1] - p[2])))"

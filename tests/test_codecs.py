@@ -292,3 +292,25 @@ def test_y4m_rejects_truncated_and_garbage():
     with _pytest.raises(ValueError):
         # odd dims are illegal under 420 subsampling
         codecs.encode_y4m([np.zeros((3, 5, 3), np.uint8)], colorspace="420jpeg")
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    nf=st.integers(1, 6),
+    cs=st.sampled_from(["mono", "444"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_y4m_lossless_roundtrip_property(h, w, nf, cs, seed):
+    """Any stack of frames survives encode->decode bit-exact for the
+    non-subsampled colorspaces, at any dims/frame count."""
+    rng = np.random.default_rng(seed)
+    ch = 1 if cs == "mono" else 3
+    frames = [
+        rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8) for _ in range(nf)
+    ]
+    meta, dec = codecs.decode_y4m(codecs.encode_y4m(frames, colorspace=cs))
+    assert meta["n_frames"] == nf and (meta["width"], meta["height"]) == (w, h)
+    for d, f in zip(dec, frames):
+        assert np.array_equal(d, f)

@@ -138,5 +138,11 @@ def test_driver_window_covers_survey_gates():
             with open(path) as f:
                 seen |= set(json.load(f))
     if len(seen) > 50:  # artifacts were present
-        never = [n for n in catalog.queries() if n not in seen]
+        # registered AFTER the r04 window froze — first eligible for the
+        # r05 rotation (keep this list empty-able, never growing quietly)
+        post_freeze = {"x_mjpeg_avi_roundtrip"}
+        never = [
+            n for n in catalog.queries()
+            if n not in seen and n not in post_freeze
+        ]
         assert not never, f"queries with no driver row in any round: {never}"

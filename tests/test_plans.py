@@ -252,6 +252,7 @@ def test_no_python_eval_anywhere_in_catalog(spark):
         "x_image_roundtrip_meta",
         "x_audio_roundtrip_features",
         "x_video_frames_roundtrip",
+        "x_mjpeg_avi_roundtrip",
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
