@@ -749,6 +749,74 @@ def incremental_summary_refresh_cdc(
     return cur
 
 
+def multimodal_corpus_ingest(
+    spark: SparkSession,
+    catalog_path: str,
+    batch: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    app_id: str | None = None,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Continuous multimodal-corpus ingest: catalog each arriving payload
+    exactly once — content-hash dedup against everything ever ingested,
+    REAL metadata decode for the survivors only, one atomic commit.
+
+    1. ``attach_payload_meta``: n_bytes + sha256 computed JVM-side (the
+       payload bytes never touch Python for rows that turn out to be
+       duplicates — at 100 TB that is the dominant saving: re-crawled
+       images cost a hash, not a decode);
+    2. anti-join against the catalog's own ``content_sha256`` column —
+       the metadata table IS the dedup index, so there is exactly ONE
+       commit and no cross-table crash ordering to defend. The probe
+       scans one 32-byte column, column-pruned, never the payloads;
+    3. in-batch keep-first (lowest id per hash, deterministic);
+    4. ``decode_image_meta`` (magic-byte dispatch: PNG/netpbm/JPEG) runs
+       ONLY on fresh content; undecodable payloads are cataloged with
+       ``_decode_ok = false`` — they stay deduped and visible rather
+       than silently retried forever;
+    5. one versioned append of (id, sha, n_bytes, width, height, mode,
+       _decode_ok), materialized BEFORE the commit so a crash between
+       decode and commit just re-decodes the same batch on retry;
+       ``app_id``/``batch_id`` switch the commit to ``append_txn`` for
+       at-least-once (streaming foreachBatch) callers.
+
+    Payload BYTES are not stored here: the catalog holds hashes and
+    decoded metadata, the bytes stay at their source (lakehouse blob
+    convention — the same reason the reference's warehouse stores URIs,
+    not media). Returns the newly cataloged rows."""
+    from ..functions.multimodal import attach_payload_meta, decode_image_meta
+    from ..sinks.versioned import VersionedTable
+
+    cat = VersionedTable(spark, catalog_path)
+    enriched = attach_payload_meta(
+        batch.select(id_col, payload_col), payload_col
+    )
+    if cat.exists():
+        fresh = enriched.join(
+            cat.read().select("content_sha256"), "content_sha256", "left_anti"
+        )
+    else:
+        fresh = enriched
+    w = Window.partitionBy("content_sha256").orderBy(id_col)
+    fresh = (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    decoded = decode_image_meta(fresh, payload_col=payload_col, id_col=id_col)
+    rows = (
+        fresh.select(id_col, "content_sha256", "n_bytes")
+        .join(decoded, id_col)
+        .localCheckpoint(eager=True)
+    )
+    if app_id is not None and batch_id is not None:
+        cat.append_txn(rows, app_id=app_id, batch_id=batch_id)
+    else:
+        cat.append(rows)
+    return rows
+
+
 def prepare_training_data(
     spark: SparkSession,
     docs: DataFrame,

@@ -89,4 +89,8 @@ JOB_MANIFEST: dict[str, JobSpec] = {
         "incremental_summary_refresh", "0 5 * * *",
         "Fold the day's change feed into the additive summary view",
     ),
+    "multimodal_ingest": JobSpec(
+        "multimodal_corpus_ingest", "15 5 * * *",
+        "Hash-dedup + real-codec metadata decode of the day's media batch",
+    ),
 }

@@ -799,6 +799,20 @@ def test_job_manifest_sweep_runs_every_entry(spark, tmp_path):
         assert v is not None
         assert VersionedTable(spark, str(tmp_path / "annidx")).read().count() == 20
 
+    def run_multimodal_corpus_ingest():
+        import numpy as np
+
+        from bi_gcp_stitch_repl_spark.functions.codecs import encode_png
+
+        batch = spark.createDataFrame(
+            [(1, bytearray(encode_png(np.full((4, 4), 7, np.uint8))))],
+            "media_id long, payload binary",
+        )
+        rows = pipelines.multimodal_corpus_ingest(
+            spark, str(tmp_path / "mediacat"), batch
+        )
+        assert rows.count() == 1
+
     def run_incremental_summary_refresh():
         src = str(tmp_path / "src_vt")
         VersionedTable(spark, src).append(
@@ -943,3 +957,53 @@ def test_incremental_dedup_ingest_txn_replay_is_noop(spark, tmp_path):
         app_id="s", batch_id=1,
     )
     assert VersionedTable(spark, idx).read().count() > n1
+
+
+def test_multimodal_corpus_ingest_dedups_and_decodes_once(spark, tmp_path):
+    """Cross-batch content dedup against the catalog's own hash column,
+    in-batch keep-first, real codec decode (PNG and JPEG) for survivors,
+    error isolation for garbage, and replay-safe txn commits."""
+    import numpy as np
+
+    from bi_gcp_stitch_repl_spark.functions.codecs import encode_png
+    from bi_gcp_stitch_repl_spark.functions.jpeg import encode_jpeg
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    cat = str(tmp_path / "media")
+    png = encode_png(np.full((6, 4), 9, np.uint8))
+    jpg = encode_jpeg(np.full((8, 16), 130, np.uint8), quality=50)
+
+    # batch 1: a PNG, its exact duplicate under another id, and garbage
+    b1 = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(png)), (3, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    rows1 = pipelines.multimodal_corpus_ingest(spark, cat, b1).collect()
+    got1 = {r["media_id"]: r for r in rows1}
+    assert set(got1) == {1, 3}  # keep-first: id 2 deduped in-batch
+    assert got1[1]["_decode_ok"] and (got1[1]["width"], got1[1]["height"]) == (4, 6)
+    assert got1[1]["mode"] == "L"
+    assert not got1[3]["_decode_ok"]  # garbage cataloged, not dropped
+
+    # batch 2: the same PNG again (cross-batch dup) + a fresh JPEG
+    b2 = spark.createDataFrame(
+        [(10, bytearray(png)), (11, bytearray(jpg))],
+        "media_id long, payload binary",
+    )
+    rows2 = pipelines.multimodal_corpus_ingest(spark, cat, b2).collect()
+    assert [r["media_id"] for r in rows2] == [11]  # only the JPEG is new
+    assert rows2[0]["_decode_ok"] and rows2[0]["width"] == 16
+
+    table = VersionedTable(spark, cat).read()
+    assert table.count() == 3
+    assert table.select("content_sha256").distinct().count() == 3
+
+    # at-least-once replay: same (app, batch) txn id is a no-op
+    pipelines.multimodal_corpus_ingest(
+        spark, cat, b2, app_id="media", batch_id=7
+    )
+    n = VersionedTable(spark, cat).read().count()
+    pipelines.multimodal_corpus_ingest(
+        spark, cat, b2, app_id="media", batch_id=7
+    )
+    assert VersionedTable(spark, cat).read().count() == n
