@@ -302,11 +302,13 @@ def _parse_y4m_header(payload: bytes) -> tuple[dict, int]:
     return meta, nl + 1
 
 
-def iter_y4m_frames(payload: bytes):
+def iter_y4m_frames(payload: bytes, every_n: int = 1):
     """Lazily yield ``(H, W, C) uint8`` frames from a Y4M stream — C=1
     for mono, C=3 (YUV, chroma nearest-upsampled to full resolution)
-    otherwise. Lazy so frame-sampling consumers can skip decode work for
-    frames they drop."""
+    otherwise. ``every_n`` pushes stride sampling INTO the decoder:
+    skipped frames yield ``None`` after a pure pointer advance (no
+    frombuffer, no copies, no upsample) — the consumer still sees one
+    yield per frame so clip-length accounting stays exact."""
     meta, pos = _parse_y4m_header(payload)
     w, h, cs = meta["width"], meta["height"], meta["colorspace"]
     chroma = _Y4M_CHROMA[cs]
@@ -317,6 +319,7 @@ def iter_y4m_frames(payload: bytes):
         c_w, c_h = w // chroma[0], h // chroma[1]
         c_size = c_w * c_h
     frame_bytes = y_size + 2 * c_size
+    idx = 0
     while pos < len(payload):
         nl = payload.find(b"\n", pos)
         if nl < 0 or not payload[pos : pos + 5] == b"FRAME":
@@ -324,6 +327,12 @@ def iter_y4m_frames(payload: bytes):
         data_start = nl + 1
         if data_start + frame_bytes > len(payload):
             raise ValueError("truncated Y4M frame")
+        if idx % every_n:
+            yield None
+            idx += 1
+            pos = data_start + frame_bytes
+            continue
+        idx += 1
         yp = np.frombuffer(payload, np.uint8, y_size, data_start).reshape(h, w)
         if chroma is None:
             yield yp[:, :, None].copy()
@@ -339,6 +348,18 @@ def iter_y4m_frames(payload: bytes):
             v = np.repeat(np.repeat(v, chroma[1], 0), chroma[0], 1)
             yield np.stack([yp, u, v], axis=2)
         pos = data_start + frame_bytes
+
+
+def yuv_to_rgb(frame: np.ndarray) -> np.ndarray:
+    """(H, W, 3) full-range YUV (BT.601, JFIF convention — the same
+    matrix the JPEG codec uses) → (H, W, 3) uint8 RGB."""
+    f = frame.astype(np.float64)
+    y, u, v = f[:, :, 0], f[:, :, 1] - 128.0, f[:, :, 2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * v, y - 0.344136 * u - 0.714136 * v, y + 1.772 * u],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def decode_y4m(payload: bytes) -> tuple[dict, list[np.ndarray]]:

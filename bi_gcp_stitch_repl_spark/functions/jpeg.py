@@ -278,6 +278,9 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, str]:
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2: optional FF padding)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
@@ -613,10 +616,13 @@ def encode_avi_mjpeg(
     return chunk(b"RIFF", b"AVI " + body)
 
 
-def iter_avi_mjpeg_frames(payload: bytes):
+def iter_avi_mjpeg_frames(payload: bytes, every_n: int = 1):
     """Lazily yield decoded ``(H, W, C) uint8`` frames from an MJPG AVI
     ('00dc'/'00db' chunks, each a complete JPEG). Signature-compatible
-    with ``codecs.iter_y4m_frames`` — the extract_video_frames seam."""
+    with ``codecs.iter_y4m_frames`` — the extract_video_frames seam.
+    ``every_n`` pushes stride sampling into the demuxer: skipped chunks
+    yield ``None`` after a chunk-size pointer advance — the (dominant)
+    Huffman/IDCT work only runs for kept frames."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     pos = 12
@@ -632,27 +638,42 @@ def iter_avi_mjpeg_frames(payload: bytes):
         raise ValueError("no movi list")
     pos = movi_start
     found = False
+    idx = 0
     while pos + 8 <= min(movi_end, len(payload)):
         fourcc = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         data = payload[pos + 8 : pos + 8 + size]
         if fourcc[2:4] in (b"dc", b"db") and data[:2] == b"\xff\xd8":
             found = True
-            arr, _mode = decode_jpeg(data)
-            yield arr
+            if idx % every_n:
+                yield None
+            else:
+                arr, _mode = decode_jpeg(data)
+                yield arr
+            idx += 1
         pos += 8 + size + (size % 2)
     if not found:
         raise ValueError("no MJPEG frames in movi")
 
 
-def sniff_video_frames(payload: bytes):
+def sniff_video_frames(payload: bytes, every_n: int = 1):
     """Magic-byte dispatch to the right frame iterator — the DEFAULT
     decoder for ``multimodal.extract_video_frames``: Y4M (raw) or MJPG
-    AVI (compressed)."""
-    from .codecs import Y4M_SIG, iter_y4m_frames
+    AVI (compressed).
+
+    Normalizes the channel contract across containers: yielded frames
+    are grayscale ``(H, W, 1)`` or RGB ``(H, W, 3)``. JPEG decode
+    already emits RGB; Y4M color frames (raw YUV planes) are converted
+    with the same BT.601 matrix — without this, a downstream PNG encode
+    of a Y4M frame would write YUV bytes into RGB channels and channel 0
+    would mean Y for one container but RED for the other."""
+    from .codecs import Y4M_SIG, iter_y4m_frames, yuv_to_rgb
 
     if payload[: len(Y4M_SIG)] == Y4M_SIG:
-        return iter_y4m_frames(payload)
+        return (
+            f if f is None or f.shape[2] == 1 else yuv_to_rgb(f)
+            for f in iter_y4m_frames(payload, every_n=every_n)
+        )
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        return iter_avi_mjpeg_frames(payload)
+        return iter_avi_mjpeg_frames(payload, every_n=every_n)
     raise ValueError("unrecognized video container")

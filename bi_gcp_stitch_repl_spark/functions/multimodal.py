@@ -305,11 +305,19 @@ def extract_video_frames(
     injection seam for other containers (an ffmpeg/PyAV deployment
     yields (H, W, C) uint8 arrays through the same signature).
 
-    Sampling is stride-based (``every_n_frames``); the decoder is a lazy
-    iterator so skipped frames still cost a header walk but no pixel
-    copies for formats that support seeking. ``n_frames`` counts ALL
-    frames in the clip (the iterator is drained), so downstream quality
-    filters can reason about clip length without a second decode.
+    Sampling is stride-based (``every_n_frames``) and PUSHED INTO the
+    decoder when it accepts an ``every_n`` keyword (both defaults do):
+    skipped frames come back as ``None`` after a pointer advance — no
+    entropy decode, no pixel copies — while still occupying one yield,
+    so ``n_frames`` counts ALL frames in the clip and downstream quality
+    filters can reason about clip length without a second decode. An
+    injected decoder without the keyword just decodes every frame and
+    the consumer-side stride filter applies.
+
+    Channel contract: decoders yield grayscale ``(H, W, 1)`` or RGB
+    ``(H, W, 3)`` (the sniffing default normalizes Y4M's raw YUV);
+    ``mean_luma`` is channel 0 for grayscale and the BT.601 luma for
+    RGB, so its meaning is container-independent.
 
     Failed decodes yield a single ``_decode_ok=false`` row — same
     error-isolation contract as ``decode_image_meta``. Cost is per-row
@@ -343,15 +351,26 @@ def extract_video_frames(
             out = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
+                    raw = bytes(payload) if payload is not None else b""
+                    try:
+                        frames_iter = decoder(raw, every_n=every_n_frames)
+                    except TypeError:  # injected decoder without stride
+                        frames_iter = decoder(raw)
                     sampled = []
                     n_total = 0
-                    for idx, frame in enumerate(
-                        decoder(bytes(payload) if payload is not None else b"")
-                    ):
+                    for idx, frame in enumerate(frames_iter):
                         n_total += 1
-                        if idx % every_n_frames:
+                        if idx % every_n_frames or frame is None:
                             continue
-                        luma = frame[:, :, 0]
+                        if frame.shape[2] == 1:
+                            luma = frame[:, :, 0]
+                        else:  # RGB → BT.601 luma
+                            f64 = frame.astype(np.float64)
+                            luma = (
+                                0.299 * f64[:, :, 0]
+                                + 0.587 * f64[:, :, 1]
+                                + 0.114 * f64[:, :, 2]
+                            )
                         sampled.append(
                             {
                                 id_col: mid,

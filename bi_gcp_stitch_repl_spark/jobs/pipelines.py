@@ -477,15 +477,14 @@ def incremental_ann_ingest(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias(vec_col),
     )
     if not cents_t.exists():
-        # materialize once: the index append consumes this frame and the
-        # centers come back driver-side from the same fit — without the
-        # checkpoint the batch scan + KMeans transform pipeline would
-        # execute twice on the heaviest load of the table's life
+        # the centers come back driver-side from the fit itself and the
+        # assigned frame has exactly ONE consumer (the index append), so
+        # no checkpoint: an eager materialization here would just add a
+        # full extra pass over the heaviest load of the table's life
         assigned, centers = kmeans_ivf_index(
             emb, n_cells=n_cells, seed=seed, vec_col=vec_col,
             cell_col="ivf_cell", return_centers=True,
         )
-        assigned = assigned.localCheckpoint(eager=True)
         cents = spark.createDataFrame(
             [(i, c) for i, c in enumerate(centers)],
             "ivf_cell long, centroid array<double>",
@@ -789,9 +788,16 @@ def multimodal_corpus_ingest(
     from ..sinks.versioned import VersionedTable
 
     cat = VersionedTable(spark, catalog_path)
-    enriched = attach_payload_meta(
-        batch.select(id_col, payload_col), payload_col
+    # NULL-safe hashing: sha2(NULL) is NULL, which would (a) collapse
+    # DISTINCT null-payload rows into one keep-first survivor and (b)
+    # never match the catalog anti-join (NULL != NULL), re-appending the
+    # same missing-payload media every batch. Coalescing to b"" gives
+    # all payload-less rows ONE stable hash — cataloged once, visibly,
+    # with _decode_ok=false like any other undecodable content.
+    src = batch.select(
+        id_col, F.coalesce(F.col(payload_col), F.lit(b"")).alias(payload_col)
     )
+    enriched = attach_payload_meta(src, payload_col)
     if cat.exists():
         fresh = enriched.join(
             cat.read().select("content_sha256"), "content_sha256", "left_anti"
@@ -803,6 +809,10 @@ def multimodal_corpus_ingest(
         fresh.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        # consumed twice below (meta projection + decode input): without
+        # this the JVM hashing, catalog anti-join, and window dedup all
+        # re-execute — a doubled pass over the batch's payload bytes
+        .localCheckpoint(eager=True)
     )
     decoded = decode_image_meta(fresh, payload_col=payload_col, id_col=id_col)
     rows = (

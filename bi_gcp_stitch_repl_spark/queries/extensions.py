@@ -90,16 +90,6 @@ _FOLD_DUCK = (
 )
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — exploded distinct 5-grams per document, whole
-    corpus (the probe-anchored audit joins a K-doc slice of this against
-    all of it)."""
-    (docs,) = tables(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(F.expr(SHINGLES_SPARK)).alias("shingle")
-    )
-
-
 _SHINGLE_DUCK_CTE = f"""
 sh AS (
   SELECT doc_id, unnest({SHINGLES_DUCK}) AS shingle FROM documents

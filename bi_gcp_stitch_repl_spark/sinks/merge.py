@@ -65,17 +65,22 @@ class ParquetTable:
         ``rename(path, old)`` and ``rename(stage, path)`` leaves the
         table path missing while the pre-swap snapshot survives under
         ``<path>.old-*`` — roll it back so readers see the pre-merge
-        table (the swap never committed). A failure AFTER the swap only
-        leaves garbage ``.old-*`` / ``.stage-*`` dirs next to a valid
-        table; those are ignored here (never deleted — a sibling writer
-        may be mid-swap on its own stage)."""
+        table (the swap never committed). When several ``.old-`` dirs
+        exist (a prior crash ALSO failed its cleanup), the NEWEST by
+        mtime is the pre-crash snapshot — uuid names carry no order, and
+        restoring an older one would silently roll back every merge
+        since that crash. A failure AFTER the swap only leaves garbage
+        ``.old-*`` / ``.stage-*`` dirs next to a valid table; those are
+        ignored here (never deleted — a sibling writer may be mid-swap
+        on its own stage)."""
         import glob
 
         if os.path.exists(self.path):
             return
-        olds = sorted(glob.glob(glob.escape(self.path) + ".old-*"))
+        olds = glob.glob(glob.escape(self.path) + ".old-*")
         if olds:
-            os.rename(olds[0], self.path)
+            newest = max(olds, key=lambda p: os.path.getmtime(p))
+            os.rename(newest, self.path)
 
     def exists(self) -> bool:
         self._recover()
@@ -93,18 +98,34 @@ class ParquetTable:
         ``os.rename`` of the directory is the commit point: readers see either
         the old table or the new one, never a partial write. This closes the
         reference's DELETE-then-INSERT data-loss window (SURVEY.md §4.3.2).
+
+        The commit rename retries once: a concurrent reader's
+        ``_recover`` can observe the path missing mid-swap and roll the
+        just-renamed ``.old`` back into place, making the stage→path
+        rename fail with ENOTEMPTY. The retry simply swaps again — the
+        rolled-back snapshot is exactly the pre-merge table, so the
+        second attempt commits the identical logical change.
         """
         stage = f"{self.path}.stage-{uuid.uuid4().hex}"
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(stage)
-        old = f"{self.path}.old-{uuid.uuid4().hex}"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(stage, self.path)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        moved_olds: list[str] = []
+        for attempt in (0, 1):
+            old = f"{self.path}.old-{uuid.uuid4().hex}"
+            if os.path.exists(self.path):
+                os.rename(self.path, old)
+                moved_olds.append(old)
+            try:
+                os.rename(stage, self.path)
+                break
+            except OSError:
+                if attempt:
+                    raise
+        for old in moved_olds:
+            if os.path.exists(old):
+                shutil.rmtree(old, ignore_errors=True)
         # drop Spark's cached file listing for the path: stale listings
         # reference the pre-swap part files and fail later reads
         self.spark.catalog.refreshByPath(self.path)
@@ -115,7 +136,14 @@ class ParquetTable:
 
     def append(self, df: DataFrame) -> None:
         """K5 incremental append (parquet append is naturally atomic per
-        file; new files only become part of the table once fully written)."""
+        file; new files only become part of the table once fully written).
+
+        Runs recovery first: an append is a WRITE to the existing table,
+        and appending while the path is absent after a mid-swap crash
+        would re-create the table holding only this batch — parquet
+        append-mode happily writes into a fresh directory, permanently
+        stranding the ``.old-`` snapshot (found in review r04)."""
+        self._recover()
         writer = df.write.mode("append")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -227,21 +255,28 @@ class ParquetTable:
         """Remove orphaned write generations left by crashed writers.
 
         A crash before the commit rename leaves a ``.stage-*`` directory; a
-        crash between the two commit renames leaves a ``.old-*`` directory
-        (the table itself is intact in both cases — that's the point of the
-        staged swap). Like lakehouse VACUUM, only orphans older than
-        ``retention_sec`` are removed so a concurrent in-flight writer's
-        staging dir is never yanked from under it. Returns the paths removed.
+        crash BETWEEN the two commit renames leaves a ``.old-*`` directory
+        with the table path itself absent — in that state the ``.old``
+        dir is the ONLY copy of the data, so recovery runs first (rolls
+        it back into place) and, belt-and-braces, ``.old`` dirs are never
+        removed while the table path is missing. Like lakehouse VACUUM,
+        only orphans older than ``retention_sec`` are removed so a
+        concurrent in-flight writer's staging dir is never yanked from
+        under it. Returns the paths removed.
         """
+        self._recover()
         parent = os.path.dirname(self.path) or "."
         base = os.path.basename(self.path)
         now = time.time()
         removed: list[str] = []
         if not os.path.isdir(parent):
             return removed
+        table_present = os.path.exists(self.path)
         for entry in os.listdir(parent):
             if not (entry.startswith(f"{base}.stage-") or entry.startswith(f"{base}.old-")):
                 continue
+            if entry.startswith(f"{base}.old-") and not table_present:
+                continue  # sole surviving snapshot — never vacuum it
             full = os.path.join(parent, entry)
             try:
                 age = now - os.path.getmtime(full)

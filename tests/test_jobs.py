@@ -1007,3 +1007,26 @@ def test_multimodal_corpus_ingest_dedups_and_decodes_once(spark, tmp_path):
         spark, cat, b2, app_id="media", batch_id=7
     )
     assert VersionedTable(spark, cat).read().count() == n
+
+
+def test_multimodal_corpus_ingest_null_payloads_catalog_once(spark, tmp_path):
+    """sha2(NULL) is NULL: without coalescing, distinct null-payload rows
+    collapse in-batch AND re-append every batch (NULL never anti-joins).
+    Contract: all payload-less media share ONE stable hash — cataloged
+    exactly once, ever, with _decode_ok=false (review r04)."""
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    cat = str(tmp_path / "media")
+    b1 = spark.createDataFrame(
+        [(1, None), (2, None)], "media_id long, payload binary"
+    )
+    rows1 = pipelines.multimodal_corpus_ingest(spark, cat, b1).collect()
+    assert len(rows1) == 1 and rows1[0]["media_id"] == 1  # keep-first
+    assert not rows1[0]["_decode_ok"]
+    assert rows1[0]["content_sha256"] is not None
+
+    # later batch with another NULL payload: cross-batch dedup must hold
+    b2 = spark.createDataFrame([(9, None)], "media_id long, payload binary")
+    rows2 = pipelines.multimodal_corpus_ingest(spark, cat, b2).collect()
+    assert rows2 == []
+    assert VersionedTable(spark, cat).read().count() == 1

@@ -155,3 +155,39 @@ def test_jpeg_reaches_image_seam_via_sniff():
     assert mode == "L" and (arr[:, :, 0] == 130).all()
     meta = codecs.image_meta(jpeg.encode_jpeg(img, quality=50))
     assert (meta["width"], meta["height"], meta["mode"]) == (16, 16, "L")
+
+
+def test_stride_pushdown_yields_none_without_decoding():
+    """every_n in both iterators skips decode work: skipped positions
+    yield None and kept positions decode exactly as before."""
+    from bi_gcp_stitch_repl_spark.functions import codecs
+
+    frames = [np.full((8, 8), 80 + 2 * f, np.uint8) for f in range(5)]
+    y4m = codecs.encode_y4m(frames)
+    got = list(codecs.iter_y4m_frames(y4m, every_n=2))
+    assert [g is None for g in got] == [False, True, False, True, False]
+    assert (got[2][:, :, 0] == 84).all()
+
+    avi = jpeg.encode_avi_mjpeg(
+        [jpeg.encode_jpeg(f, quality=50) for f in frames], 8, 8
+    )
+    got = list(jpeg.iter_avi_mjpeg_frames(avi, every_n=2))
+    assert [g is None for g in got] == [False, True, False, True, False]
+    assert (got[4][:, :, 0] == 88).all()
+
+
+def test_sniff_normalizes_y4m_color_to_rgb():
+    """The seam's channel contract: Y4M color frames come back RGB
+    (BT.601), not raw YUV — so channel 0 means the same thing for every
+    container and a PNG re-encode renders correctly."""
+    from bi_gcp_stitch_repl_spark.functions import codecs
+
+    yuv = np.zeros((4, 4, 3), np.uint8)
+    yuv[:, :, 0] = 120  # Y
+    yuv[:, :, 1] = 128  # U neutral
+    yuv[:, :, 2] = 200  # V: strong red push
+    clip = codecs.encode_y4m([yuv], colorspace="444")
+    (frame,) = list(jpeg.sniff_video_frames(clip))
+    expect = codecs.yuv_to_rgb(yuv)
+    assert np.array_equal(frame, expect)
+    assert frame[0, 0, 0] > frame[0, 0, 2]  # red-shifted, not raw YUV

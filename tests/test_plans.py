@@ -234,6 +234,14 @@ def test_decontaminate_broadcasts_bench_grams(spark):
     assert "BroadcastHashJoin" in plan, "bench gram set must broadcast"
 
 
+def test_jaccard_probe_audit_broadcasts_probe_side(spark):
+    """The probe-anchored exact-Jaccard audit must broadcast the K-doc
+    probe shingles — a shuffle join there would exchange the corpus
+    shingle stream, the exact cost the probe design exists to avoid."""
+    plan = plan_of(QUERIES["x_jaccard_ngram_pairs"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_no_python_eval_anywhere_in_catalog(spark):
     """Engine rule (SURVEY §2.11): the whole catalog ships without Python
     row evaluation — no BatchEvalPython / ArrowEvalPython / FlatMapsInPandas

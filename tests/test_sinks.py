@@ -285,3 +285,49 @@ def test_chaos_crash_between_stage_and_swap_preserves_snapshot(
     assert sorted((r["k"], r["v"]) for r in t.read().collect()) == [
         (1, "a"), (2, "B"), (3, "c"),
     ]
+
+
+def test_recover_prefers_newest_old_snapshot_and_protects_append_vacuum(
+    spark, tmp_path, monkeypatch
+):
+    """Review-r04 regressions: (1) with several .old-* dirs the NEWEST is
+    the pre-crash snapshot — uuid order must not pick a stale one;
+    (2) append() on a mid-swap-crashed table must recover first, not
+    re-create the table with only the new batch; (3) vacuum() must never
+    remove an .old dir while the table path is absent."""
+    import os as os_mod
+    import time as time_mod
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(df_of(spark, [(1, "a")]))
+
+    # forge a STALE .old left by an ancient crashed cleanup
+    stale = t.path + ".old-00000000stale"
+    t.read().write.parquet(stale)
+    os_mod.utime(stale, (1, 1))  # ancient mtime
+
+    # crash mid-swap on a merge carrying the CURRENT snapshot
+    t.merge_upsert(df_of(spark, [(2, "b")]), keys=["k"])
+    current = sorted((r["k"], r["v"]) for r in t.read().collect())
+    fresh_old = t.path + ".old-ffffffffcrash"
+    os_mod.rename(t.path, fresh_old)  # simulate crash between renames
+
+    # (3) vacuum with retention 0 must not touch either .old while the
+    # table is missing — it recovers instead
+    t2 = ParquetTable(spark, t.path)
+    removed = t2.vacuum(retention_sec=0.0)
+    assert os_mod.path.exists(t2.path)
+    assert sorted((r["k"], r["v"]) for r in t2.read().collect()) == current
+    assert fresh_old not in removed
+
+    # (1) the stale .old was NOT the one restored — the newest was; once
+    # the table is back, the stale orphan is safely vacuumable garbage
+    assert not os_mod.path.exists(fresh_old)
+    assert stale in removed and not os_mod.path.exists(stale)
+
+    # (2) append on a mid-swap-crashed table recovers before writing
+    os_mod.rename(t2.path, t.path + ".old-ffffffffcrash2")
+    t3 = ParquetTable(spark, t.path)
+    t3.append(df_of(spark, [(3, "c")]))
+    got = sorted((r["k"], r["v"]) for r in t3.read().collect())
+    assert got == sorted(current + [(3, "c")])
