@@ -14,9 +14,13 @@ class adds the lakehouse layer on top of the same parquet files:
 * **snapshot isolation + time travel**: a reader resolves the file list
   at a version and is immune to concurrent commits; ``read(version=N)``
   reproduces any historical state until vacuumed;
-* **optimistic concurrency**: two writers racing for version N — one
-  wins, the loser sees EEXIST, re-reads the log and retries on top of
-  N (or aborts for non-commutative ops).
+* **optimistic concurrency**: appends (commutative) target whatever the
+  next version is at commit time and retry past lost races;
+  read-modify-write ops (overwrite/merge/delete/optimize/restore)
+  commit at ``base + 1`` of the EXACT snapshot they read, so ANY
+  interleaved commit — not just one racing the same number — surfaces
+  as CommitConflict instead of silently landing on a moved base and
+  losing the interloper's update; the caller re-reads and re-runs.
 
 * **log checkpoints**: every ``checkpoint_interval`` commits the full
   snapshot state (live files + stats, schema flag, txn marks) is
@@ -159,10 +163,11 @@ class VersionedTable:
         os.replace(
             tmp, os.path.join(self.log_path, f"{version:012d}.checkpoint.json")
         )
-        tmp2 = os.path.join(self.log_path, f"_tmp-lc-{uuid.uuid4().hex}")
-        with open(tmp2, "w") as f:
-            json.dump({"version": version}, f)
-        os.replace(tmp2, os.path.join(self.log_path, "_last_checkpoint"))
+        # no _last_checkpoint pointer file: discovery here is one local
+        # listdir (_checkpoint_versions), which also survives torn
+        # checkpoints by falling back to older ones. An object-store port
+        # would add the pointer as its listing-free fast path — THAT is
+        # where it stops being dead weight.
 
     def _snapshot_state(self, version: int | None = None) -> dict:
         """Resolve the snapshot at ``version`` (default latest): live
@@ -170,8 +175,17 @@ class VersionedTable:
         app ``txn`` high-water marks. Starts from the newest checkpoint
         at-or-before the target and replays only later commits — O(tail),
         not O(log). Raises FileNotFoundError if a needed commit predates
-        the oldest checkpoint and was expired (``expire_log``)."""
-        target = self.latest_version() if version is None else version
+        the oldest checkpoint and was expired (``expire_log``), or if an
+        explicit ``version`` does not exist yet — silently clamping a
+        future version to latest would hand a polling consumer the WRONG
+        snapshot with no error (Delta's versionAsOf raises too)."""
+        latest = self.latest_version()
+        if version is not None and (latest is None or version > latest):
+            raise FileNotFoundError(
+                f"version {version} of {self.path} does not exist "
+                f"(latest: {latest})"
+            )
+        target = latest if version is None else version
         state: dict = {
             "files": {},
             "schema_evolved": False,
@@ -290,11 +304,33 @@ class VersionedTable:
     # -- data movement -------------------------------------------------------
 
     @staticmethod
+    def _encode_bound(v):
+        """Canonical JSON-safe encoding for a stats/pruning bound, applied
+        to BOTH the logged footer stats and the query-time bounds so
+        comparisons stay apples-to-apples. ints/floats/strings pass
+        through; dates/timestamps become ISO-8601 strings (lexicographic
+        order == chronological order). Returns None for anything else —
+        the column then simply never prunes (pruning is an optimization,
+        never a filter). Decimals are deliberately excluded: a
+        float-rounded bound could cross a file's true min/max and prune a
+        file that DOES contain matches."""
+        import datetime
+
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, (int, float, str)):
+            return v
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        return None
+
+    @staticmethod
     def _file_stats(path: str) -> dict:
         """Per-column [min, max] from the parquet footer, for the log's
-        data-skipping index. Only orderable primitives whose stats
-        round-trip JSON exactly (ints, floats, strings) — a column without
-        an entry simply never prunes."""
+        data-skipping index. Only orderable primitives whose encoding
+        round-trips JSON exactly (ints, floats, strings, ISO-encoded
+        dates/timestamps — see ``_encode_bound``); a column without an
+        entry simply never prunes."""
         try:
             import pyarrow.parquet as pq
 
@@ -308,10 +344,9 @@ class VersionedTable:
                 st = col.statistics
                 if st is None or not st.has_min_max:
                     continue
-                lo, hi = st.min, st.max
-                if isinstance(lo, bytes) or isinstance(hi, bytes):
-                    continue
-                if not isinstance(lo, (int, float, str)):
+                lo = VersionedTable._encode_bound(st.min)
+                hi = VersionedTable._encode_bound(st.max)
+                if lo is None or hi is None:
                     continue
                 name = col.path_in_schema
                 cur = agg.get(name)
@@ -378,12 +413,19 @@ class VersionedTable:
     def _prune_from_stats(
         stats_map: dict[str, dict], where: dict[str, tuple]
     ) -> list[str]:
+        enc = VersionedTable._encode_bound
         out = []
         for fname, stats in sorted(stats_map.items()):
             keep = True
             for col, (lo, hi) in where.items():
                 if col not in stats:
                     continue
+                # bounds arrive as runtime values (ints, dates, ...) —
+                # encode them the same way the logged stats were; an
+                # unencodable bound can't prune this column
+                lo, hi = (enc(lo) if lo is not None else None), (
+                    enc(hi) if hi is not None else None
+                )
                 fmin, fmax = stats[col]
                 if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
                     keep = False
@@ -434,21 +476,41 @@ class VersionedTable:
         latest = self.latest_version()
         return 0 if latest is None else latest + 1
 
-    def _check_schema(self, df: DataFrame, schema_evolution: bool) -> None:
+    def _check_schema(
+        self,
+        df: DataFrame,
+        schema_evolution: bool,
+        state: dict | None = None,
+        verb: str = "writing to",
+    ) -> None:
         """Fail loudly when ``df``'s column set diverges from the table's
         (tracked in the log) unless evolution was explicitly requested —
-        a column typo must not silently fork the schema."""
-        known = self._snapshot_state()["columns"]
+        a column typo must not silently fork the schema. Pass an already-
+        resolved ``state`` to validate against a specific snapshot (and
+        avoid re-resolving one)."""
+        known = (state or self._snapshot_state())["columns"]
         if (
             not schema_evolution
             and known is not None
             and sorted(df.columns) != known
         ):
             raise ValueError(
-                f"schema drift writing to {self.path}: table has {known}, "
+                f"schema drift {verb} {self.path}: table has {known}, "
                 f"batch has {sorted(df.columns)} — pass "
                 "schema_evolution=True to evolve"
             )
+
+    def _abort_adds(self, actions: list[dict]) -> None:
+        """Best-effort removal of this transaction's staged part/cdc files
+        after a lost commit race — they are unreferenced by any snapshot,
+        so leaving them would only defer the cleanup to vacuum."""
+        for a in actions:
+            for key in ("add", "cdc"):
+                if key in a:
+                    try:
+                        os.remove(os.path.join(self.path, a[key]))
+                    except OSError:
+                        pass
 
     def append(
         self,
@@ -460,18 +522,27 @@ class VersionedTable:
         a lost race is resolved by re-committing the same adds at the next
         version. A batch whose column set differs from the table's fails
         loudly unless ``schema_evolution=True`` (readers then switch to
-        mergeSchema via the log's column tracking)."""
+        mergeSchema via the log's column tracking). The schema check
+        re-runs on EVERY attempt against the then-current snapshot — a
+        concurrent overwrite can legally re-base the column set between
+        attempts, and committing stale columns meta past it would
+        silently fork the schema."""
         os.makedirs(self.path, exist_ok=True)
-        self._check_schema(df, schema_evolution)
-        adds = [{"add": n, "stats": st} for n, st in self._write_parts(df)]
-        adds.append({"meta": {"columns": sorted(df.columns)}})
+        adds = None
         for _ in range(max_retries):
+            self._check_schema(df, schema_evolution)
+            if adds is None:  # parts are content, not state: write once
+                adds = [
+                    {"add": n, "stats": st} for n, st in self._write_parts(df)
+                ]
+                adds.append({"meta": {"columns": sorted(df.columns)}})
             try:
                 v = self._next_version()
                 self._commit(v, adds)
                 return v
             except CommitConflict:
                 continue
+        self._abort_adds(adds or [])
         raise CommitConflict("append retries exhausted")
 
     def last_txn(self, app_id: str) -> int | None:
@@ -511,13 +582,10 @@ class VersionedTable:
             except CommitConflict:
                 last = self.last_txn(app_id)
                 if last is not None and batch_id <= last:
-                    for action in adds:  # lost to a twin: drop our orphans
-                        if "add" in action:
-                            try:
-                                os.remove(os.path.join(self.path, action["add"]))
-                            except OSError:
-                                pass
+                    self._abort_adds(adds)  # lost to a twin
                     return None
+                self._check_schema(df, schema_evolution)
+        self._abort_adds(adds)
         raise CommitConflict("append_txn retries exhausted")
 
     def _feed_versions(self, from_version: int, to_version: int) -> list[int]:
@@ -525,6 +593,13 @@ class VersionedTable:
         to_version]`` — with consecutive-version continuity enforced, so an
         expired commit in the range fails loudly instead of vanishing from
         the feed silently."""
+        if to_version is None:
+            # both feed entry points default to_version to latest_version();
+            # on a never-committed table that is None, and range() over it
+            # is an opaque TypeError — say what actually happened
+            raise FileNotFoundError(
+                f"change feed of {self.path}: table has no commits"
+            )
         present = [
             v for v in self._versions() if from_version < v <= to_version
         ]
@@ -622,9 +697,14 @@ class VersionedTable:
         self, df: DataFrame, txn: tuple[str, int] | None = None
     ) -> int | None:
         """Truncate-refresh as one commit: add the new files, remove every
-        file of the snapshot this transaction read. NOT auto-retried: the
-        remove set was decided against that snapshot, so a conflict must
-        re-read (read-modify-write is not commutative).
+        file of the snapshot this transaction read. NOT auto-retried, and
+        the commit targets ``base + 1`` where ``base`` is the snapshot
+        the remove set was decided against — so ANY interleaved commit
+        (not just one racing the same number) surfaces as CommitConflict
+        instead of silently landing on a moved base and losing the
+        interloper's update. A conflict must re-read
+        (read-modify-write is not commutative); this transaction's staged
+        files are cleaned up before the raise.
 
         ``txn=(app_id, batch_id)`` rides a txn action in the same commit,
         making the replace idempotent under replay (already-committed batch
@@ -657,8 +737,13 @@ class VersionedTable:
         adds.append({"meta": {"columns": sorted(df.columns), "reset": True}})
         if txn is not None:
             adds.append({"txn": {"app": txn[0], "batch": txn[1]}})
-        self._commit(self._next_version(), adds + removes + cdc_actions)
-        return self._versions()[-1]
+        v = 0 if base is None else base + 1
+        try:
+            self._commit(v, adds + removes + cdc_actions)
+        except CommitConflict:
+            self._abort_adds(adds + cdc_actions)
+            raise
+        return v
 
     def merge_upsert(
         self,
@@ -677,7 +762,11 @@ class VersionedTable:
         commit: merge cost tracks the AFFECTED data, not the table — on a
         key-clustered table (optimize/zorder) a small batch touches a few
         files out of millions. Readers at older versions still see their
-        snapshot; time travel preserves the pre-merge state.
+        snapshot; time travel preserves the pre-merge state. Commits
+        target the read snapshot's version + 1, so a concurrent commit
+        raises CommitConflict (re-run the merge on the fresh snapshot)
+        rather than silently overwriting the interloper's rows with
+        pre-merge copies. An empty batch is a no-op.
 
         ``schema_evolution=True`` accepts a batch whose column set differs
         from the table's (APIs grow fields over versions): the union takes
@@ -697,26 +786,16 @@ class VersionedTable:
         bounds = batch.agg(
             F.min(key0).alias("lo"), F.max(key0).alias("hi")
         ).collect()[0]
-        if bounds["lo"] is not None and isinstance(
-            bounds["lo"], (int, float, str)
-        ):
+        if bounds["lo"] is None and bounds["hi"] is None and batch.isEmpty():
+            return base  # empty batch: the snapshot already IS the result
+        if self._encode_bound(bounds["lo"]) is not None:
             pruned = set(
                 self._prune_from_stats(
                     state["files"], {key0: (bounds["lo"], bounds["hi"])}
                 )
             )
             touched = [f for f in all_files if f in pruned]
-        known = state["columns"]
-        if (
-            not schema_evolution
-            and known is not None
-            and sorted(batch.columns) != known
-        ):
-            raise ValueError(
-                f"schema drift merging into {self.path}: table has {known}, "
-                f"batch has {sorted(batch.columns)} — pass "
-                "schema_evolution=True to evolve"
-            )
+        self._check_schema(batch, schema_evolution, state, verb="merging into")
         cdc_actions: list[dict] = []
         if touched:
             # honor mergeSchema on evolved tables: a plain multi-file read
@@ -762,8 +841,16 @@ class VersionedTable:
         removes = [{"remove": f} for f in touched]
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(merged)]
         adds.append({"meta": {"columns": sorted(merged.columns)}})
-        self._commit(self._next_version(), adds + removes + cdc_actions)
-        return self._versions()[-1]
+        # read-modify-write: commit on the EXACT base the remove set and
+        # anti-join were decided against — any interleaved commit raises
+        # CommitConflict instead of silently resurrecting pre-merge rows
+        # over the interloper's update (lost-update anomaly)
+        try:
+            self._commit(base + 1, adds + removes + cdc_actions)
+        except CommitConflict:
+            self._abort_adds(adds + cdc_actions)
+            raise
+        return base + 1
 
     def delete_matching(
         self,
@@ -787,7 +874,9 @@ class VersionedTable:
         key0 = keys[0]
         rhs = keys_df.select(*keys).distinct()
         bounds = rhs.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).collect()[0]
-        if bounds["lo"] is not None and isinstance(bounds["lo"], (int, float, str)):
+        if bounds["lo"] is None and bounds["hi"] is None and rhs.isEmpty():
+            return 0  # empty request set: nothing to erase
+        if self._encode_bound(bounds["lo"]) is not None:
             pruned = set(
                 self._prune_from_stats(
                     state["files"], {key0: (bounds["lo"], bounds["hi"])}
@@ -814,7 +903,13 @@ class VersionedTable:
         removes = [{"remove": f} for f in touched]
         adds = [{"add": n, "stats": st} for n, st in self._write_parts(survivors)]
         adds.append({"meta": {"columns": sorted(survivors.columns)}})
-        self._commit(self._next_version(), adds + removes + cdc_actions)
+        # same read-modify-write rule as merge_upsert: commit on the read
+        # base or conflict loudly
+        try:
+            self._commit(base + 1, adds + removes + cdc_actions)
+        except CommitConflict:
+            self._abort_adds(adds + cdc_actions)
+            raise
         return removed
 
     def optimize(
@@ -825,9 +920,13 @@ class VersionedTable:
         """OPTIMIZE: rewrite the current snapshot into ``target_files``
         right-sized files — optionally Z-order-clustered on ``zorder_by``
         (ops/layout.py) so the log's stats index prunes on every clustered
-        column — as one add+remove commit. Time travel to the pre-optimize
-        version still works until vacuumed; a concurrent appender losing
-        the race just retries on top (appends commute with re-layout)."""
+        column — as one add+remove commit targeting the read snapshot's
+        version + 1. Time travel to the pre-optimize version still works
+        until vacuumed. An append interleaving with the re-layout makes
+        THIS commit raise CommitConflict (re-run optimize — its rows
+        would otherwise vanish from the rewritten snapshot); an appender
+        losing its own race just retries on top (appends commute with
+        re-layout)."""
         base = self.latest_version()
         df = self.read(base)
         if zorder_by:
@@ -844,8 +943,13 @@ class VersionedTable:
         # re-bases — an evolved table turns homogeneous again here.
         adds.append({"meta": {"logical_noop": True}})
         adds.append({"meta": {"columns": sorted(df.columns), "reset": True}})
-        self._commit(self._next_version(), adds + removes)
-        return self._versions()[-1]
+        v = 0 if base is None else base + 1
+        try:
+            self._commit(v, adds + removes)
+        except CommitConflict:
+            self._abort_adds(adds)
+            raise
+        return v
 
     def history(self) -> list[dict]:
         """Commit audit trail, newest first: version, commit ts, add/remove
@@ -898,39 +1002,72 @@ class VersionedTable:
         version's files were already vacuumed. A ``schema_evolved`` flag
         stays set even when restoring to a pre-evolution state (the flag
         is monotonic; mergeSchema on a homogeneous table is only a spare
-        footer pass, never wrong)."""
-        target = self._snapshot_state(version)["files"]
+        footer pass, never wrong) — but the COLUMN tracking re-bases to
+        the restored snapshot's columns: the physical files are now the
+        target's, and keeping the newer column set would let a
+        post-restore append commit a wider batch against narrow files
+        with no evolution marker — a mixed snapshot read WITHOUT
+        mergeSchema silently drops the extra columns."""
+        tstate = self._snapshot_state(version)
+        target = tstate["files"]
         for f in target:
             if not os.path.exists(os.path.join(self.path, f)):
                 raise FileNotFoundError(
                     f"cannot restore {self.path} to version {version}: "
                     f"file {f} was vacuumed"
                 )
-        current = self._snapshot_state()["files"]
+        base = self.latest_version()
+        cur_state = self._snapshot_state(base)
+        current = cur_state["files"]
         adds = [
             {"add": f, "stats": st}
             for f, st in sorted(target.items())
             if f not in current
         ]
         removes = [{"remove": f} for f in sorted(current) if f not in target]
-        self._commit(self._next_version(), adds + removes)
-        return self._versions()[-1]
+        meta: list[dict] = []
+        if tstate["columns"] is not None:
+            meta.append(
+                {"meta": {"columns": tstate["columns"], "reset": True}}
+            )
+        if tstate["schema_evolved"] or cur_state["schema_evolved"]:
+            # re-assert AFTER the reset: the flag stays monotonic
+            meta.append({"meta": {"schema_evolved": True}})
+        v = 0 if base is None else base + 1
+        self._commit(v, adds + removes + meta)
+        return v
 
     # -- maintenance ---------------------------------------------------------
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_versions: int = 1, retention_sec: float = 3600.0
+    ) -> list[str]:
         """Delete part files unreferenced by the ``retain_versions`` most
         recent snapshots (older time travel stops working — the trade every
-        lakehouse vacuum makes). Returns the deleted file names."""
+        lakehouse vacuum makes). Files younger than ``retention_sec`` are
+        NEVER deleted even when unreferenced: a concurrent writer stages
+        its parts into the table dir BEFORE its commit, so without the
+        grace window vacuum could destroy a transaction's files in the
+        gap between write and commit and poison the snapshot it then
+        publishes (Delta's retention check; same guard as
+        ``ParquetTable.vacuum``). Returns the deleted file names."""
         vs = self._versions()
         if not vs:
             return []
         keep: set[str] = set()
         for v in vs[-retain_versions:]:
             keep.update(self.files_at(v))
+        now = time.time()
         deleted = []
         for fname in os.listdir(self.path):
-            if fname.endswith(".parquet") and fname not in keep:
-                os.remove(os.path.join(self.path, fname))
-                deleted.append(fname)
+            if not fname.endswith(".parquet") or fname in keep:
+                continue
+            full = os.path.join(self.path, fname)
+            try:
+                if now - os.path.getmtime(full) < retention_sec:
+                    continue  # possibly a not-yet-committed transaction
+                os.remove(full)
+            except OSError:
+                continue  # already gone (concurrent vacuum)
+            deleted.append(fname)
         return sorted(deleted)

@@ -58,19 +58,50 @@ def test_append_retries_past_commit_conflict(spark, tmp_path):
 
 
 def test_overwrite_conflict_raises(spark, tmp_path):
-    t = VersionedTable(spark, str(tmp_path / "t"))
+    """An interloper committing AFTER overwrite read its base snapshot
+    but BEFORE its commit must raise CommitConflict — the remove set was
+    decided against a snapshot that is no longer current (the lost-update
+    anomaly the base+1 commit rule exists to catch)."""
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
     t.append(_df(spark, [(1, "a")]))
 
-    class Stubborn(VersionedTable):
-        def _next_version(self):
-            return 1  # always target a version someone else will own
+    class Raced(VersionedTable):
+        def _write_parts(self, df):
+            # interloper lands version 1 inside our transaction window
+            VersionedTable(self.spark, self.path).append(
+                _df(self.spark, [(9, "interloper")])
+            )
+            return super()._write_parts(df)
 
-    s = Stubborn(spark, str(tmp_path / "t"))
-    os.makedirs(t.log_path, exist_ok=True)
-    with open(os.path.join(t.log_path, f"{1:012d}.json"), "x") as f:
-        json.dump({"version": 1, "ts": 0, "actions": []}, f)
     with pytest.raises(CommitConflict):
-        s.overwrite(_df(spark, [(2, "b")]))
+        Raced(spark, path).overwrite(_df(spark, [(2, "b")]))
+    # the interloper's row survived; no stale overwrite landed on top
+    assert {r["k"] for r in t.read().collect()} == {1, 9}
+
+
+def test_merge_upsert_conflict_raises_instead_of_lost_update(spark, tmp_path):
+    """The review-r04 OCC hole: writer B commits between A's snapshot
+    read and A's commit. A's merge must CONFLICT — committing at
+    _next_version() would silently resurrect pre-merge rows over B's
+    update (both copies live, B's merge half-lost)."""
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+
+    class Raced(VersionedTable):
+        def _write_parts(self, df):
+            VersionedTable(self.spark, self.path).merge_upsert(
+                _df(self.spark, [(2, "B-won")]), keys=["k"]
+            )
+            return super()._write_parts(df)
+
+    with pytest.raises(CommitConflict):
+        Raced(spark, path).merge_upsert(_df(spark, [(1, "A")]), keys=["k"])
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "B-won"}  # B's update intact, A never landed
+    # and no duplicate keys were introduced
+    assert t.read().count() == 2
 
 
 def test_vacuum_drops_unreferenced_files_only(spark, tmp_path):
@@ -78,7 +109,10 @@ def test_vacuum_drops_unreferenced_files_only(spark, tmp_path):
     t.append(_df(spark, [(1, "a"), (2, "b")]))
     t.overwrite(_df(spark, [(3, "c")]))
     live_before = set(t.files_at())
-    deleted = t.vacuum(retain_versions=1)
+    # default retention spares FRESH unreferenced files — they may belong
+    # to a transaction that staged its parts but hasn't committed yet
+    assert t.vacuum(retain_versions=1) == []
+    deleted = t.vacuum(retain_versions=1, retention_sec=0.0)
     assert deleted and set(deleted).isdisjoint(live_before)
     assert t.read().count() == 1  # latest snapshot untouched
     with pytest.raises(Exception):
@@ -304,10 +338,10 @@ def test_checkpoint_written_and_resolution_uses_it(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=5)
     for i in range(12):
         t.append(_df(spark, [(i, f"v{i}")]))
-    # checkpoints landed at 5 and 10, pointer names the newest
+    # checkpoints landed at 5 and 10 (discovered by listing — no
+    # _last_checkpoint pointer file here; that is an object-store
+    # optimization, and an unread pointer is just a divergence risk)
     assert t._checkpoint_versions() == [5, 10]
-    with open(os.path.join(t.log_path, "_last_checkpoint")) as f:
-        assert json.load(f)["version"] == 10
     assert t.read().count() == 12
     assert t.read(version=7).count() == 8  # resolved from cp5 + tail 6..7
 
@@ -375,7 +409,7 @@ def test_restore_rolls_back_metadata_only(spark, tmp_path):
     assert {r["k"] for r in t.read(version=2).collect()} == {9}
     t.restore(2)
     assert {r["k"] for r in t.read().collect()} == {9}
-    t.vacuum(retain_versions=1)
+    t.vacuum(retain_versions=1, retention_sec=0.0)
     with pytest.raises(FileNotFoundError):
         t.restore(0)
 
@@ -608,3 +642,95 @@ def test_contention_stress_eight_writers_twenty_commits(spark, tmp_path):
     got = {r["k"] for r in t.read().collect()}
     assert got == {w * 1000 + i for w in range(writers) for i in range(rows_per)}
     assert t.read().count() == n_commits
+
+
+def test_restore_rebases_column_tracking(spark, tmp_path):
+    """Review-r04: restore re-bases the log's column tracking to the
+    restored snapshot. Without it, a post-restore append of the NEWER
+    column set passes the schema check with no evolution marker and a
+    mixed-physical-schema snapshot reads without mergeSchema — silently
+    dropping columns."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))  # columns [k, v]
+    t.overwrite(
+        spark.createDataFrame([(2, "b", 1.5)], "k long, v string, w double")
+    )  # reset to [k, v, w]
+    t.restore(0)
+    # the wider batch must now FAIL the check (files are [k, v] again)...
+    with pytest.raises(ValueError, match="schema drift"):
+        t.append(
+            spark.createDataFrame([(3, "c", 2.5)], "k long, v string, w double")
+        )
+    # ...or evolve explicitly, flipping readers to mergeSchema
+    t.append(
+        spark.createDataFrame([(3, "c", 2.5)], "k long, v string, w double"),
+        schema_evolution=True,
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in t.read().collect()}
+    assert got == {1: ("a", None), 3: ("c", 2.5)}  # old rows NULL-filled
+
+
+def test_read_of_future_version_raises(spark, tmp_path):
+    """read(version=N) for a not-yet-committed N must raise, not silently
+    clamp to latest — a polling consumer would read the wrong snapshot."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        t.read(version=100)
+    with pytest.raises(FileNotFoundError):
+        t.files_at(3)
+
+
+def test_change_feed_on_empty_table_raises_cleanly(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError, match="no commits"):
+        t.changes_feed(from_version=0)
+    with pytest.raises(FileNotFoundError, match="no commits"):
+        t.changes_between(from_version=0)
+
+
+def test_merge_prunes_files_on_date_keys(spark, tmp_path):
+    """Review-r04: date/timestamp stats are ISO-encoded into the log so
+    the skipping index works for date-keyed tables — previously the
+    bounds check silently fell back to rewriting the WHOLE table on
+    every merge."""
+    import datetime
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for month in (1, 2, 3):
+        t.append(
+            spark.createDataFrame(
+                [
+                    (datetime.date(2024, month, d), f"m{month}d{d}")
+                    for d in range(1, 11)
+                ],
+                "day date, v string",
+            ).coalesce(1)
+        )
+    before = set(t.files_at())
+    assert len(before) == 3
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(datetime.date(2024, 2, 5), "UPDATED")], "day date, v string"
+        ),
+        keys=["day"],
+    )
+    after = set(t.files_at())
+    # the two non-February files survive physically untouched
+    assert len(before & after) == 2
+    got = {str(r["day"]): r["v"] for r in t.read().collect()}
+    assert got["2024-02-05"] == "UPDATED" and len(got) == 30
+
+
+def test_merge_and_delete_with_empty_inputs_are_noops(spark, tmp_path):
+    """Review-r04: an empty batch/request-set must not rewrite the table
+    (it degenerated to a full-table rewrite via the no-stats path)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v_before = t.latest_version()
+    files_before = set(t.files_at())
+    empty = _df(spark, []).limit(0)
+    assert t.merge_upsert(empty, keys=["k"]) == v_before
+    assert t.delete_matching(empty, keys=["k"]) == 0
+    assert t.latest_version() == v_before  # no commit happened
+    assert set(t.files_at()) == files_before
