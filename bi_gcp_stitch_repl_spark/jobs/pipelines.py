@@ -211,15 +211,20 @@ def lexoffice_invoice_items(
         schemas.LEXOFFICE_INVOICE_DETAIL,
         key_col="id",
         parallelism=fanout_parallelism,
+        error_col="_fetch_err",
     )
     if dead_letter_path is not None:
         # failed fetches land in a dead-letter table for replay instead of
-        # disappearing (reference merely filters them out, SURVEY §2.12)
+        # disappearing (reference merely filters them out, SURVEY §2.12);
+        # the captured error string separates "API flaked for a few keys"
+        # from "every key failed identically" (a systematic bug)
         failed = fetched.filter(~F.col("_fetch_ok")).select(
-            F.col("id").alias("invoice_id"), F.current_timestamp().alias("failed_at")
+            F.col("id").alias("invoice_id"),
+            F.col("_fetch_err").alias("error"),
+            F.current_timestamp().alias("failed_at"),
         )
         ParquetTable(spark, dead_letter_path).append(failed)
-    details = fetched.filter(F.col("_fetch_ok"))
+    details = fetched.filter(F.col("_fetch_ok")).drop("_fetch_err")
     items = explode_with_parent(
         details.select(F.col("id").alias("invoice_id"), "lineItems"),
         "lineItems",

@@ -189,10 +189,19 @@ def scd2_merge(
         table.overwrite(scd2_apply(None, batch, key_cols, ts_col, tracked_cols))
         return
 
+    # MAX over the open rows, deliberately mirroring scd2_apply's monotone
+    # assert (which also takes max): the two MUST agree on which side of
+    # the late/on-time split a key falls. With min, the documented crash
+    # window (merge landed, stale-row delete didn't) wedges replays
+    # forever: the duplicate-current state has open rows at t and t2>t;
+    # min routes the replayed batch (ts=t) to the ON-TIME path, whose
+    # assert compares against max=t2 and raises — on every replay. With
+    # max the anomalous key routes through the rebuild, which deletes the
+    # stale row: re-running the batch is the repair, as documented.
     open_vf = (
         current.filter(F.col("is_current"))
         .groupBy(*key_cols)
-        .agg(F.min("valid_from").alias("_ovf"))
+        .agg(F.max("valid_from").alias("_ovf"))
     )
     late_keys = (
         batch.groupBy(*key_cols)
@@ -203,7 +212,12 @@ def scd2_merge(
         .localCheckpoint(eager=True)
     )
     if late_keys.isEmpty():
-        out = scd2_apply(current, batch, key_cols, ts_col, tracked_cols)
+        # materialized once: VersionedTable.merge_upsert consumes its
+        # batch several times (bounds, key set, part write, CDC) and
+        # would otherwise replay the 3-window apply plan each time
+        out = scd2_apply(
+            current, batch, key_cols, ts_col, tracked_cols
+        ).localCheckpoint(eager=True)
         table.merge_upsert(out, keys=[*key_cols, "valid_from"])
         return
 
@@ -241,8 +255,10 @@ def scd2_merge(
         .exceptAll(rebuilt.select(*key_cols, "valid_from"))
         .localCheckpoint(eager=True)
     )
-    out = scd2_apply(current, on_time, key_cols, ts_col, tracked_cols).unionByName(
-        rebuilt
+    out = (
+        scd2_apply(current, on_time, key_cols, ts_col, tracked_cols)
+        .unionByName(rebuilt)
+        .localCheckpoint(eager=True)
     )
     table.merge_upsert(out, keys=[*key_cols, "valid_from"])
     if not stale.isEmpty():

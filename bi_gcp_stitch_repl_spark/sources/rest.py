@@ -130,14 +130,28 @@ def paginate_page_flag(
     last_key: str = "last",
     retry: RetryPolicy | None = None,
 ) -> Iterator[list[dict]]:
-    """S2: ``?page=0,1,…`` until the payload's ``last`` flag."""
+    """S2: ``?page=0,1,…`` until the payload's ``last`` flag.
+
+    A payload MISSING the flag raises instead of defaulting to "last":
+    a renamed/dropped flag after an API version bump would otherwise
+    silently truncate a multi-page extract to page 0 — partial
+    replication with zero errors. An empty page with ``last=false``
+    also stops (progress guard): looping on a stuck server would spin
+    forever yielding nothing."""
     retry = retry or RetryPolicy()
     page = 0
     while True:
         p = dict(params or {}, page=page, size=size)
         data = retry.call(lambda: transport(url, p))
-        yield data.get(items_key, [])
-        if data.get(last_key, True):
+        if last_key not in data:
+            raise KeyError(
+                f"pagination flag {last_key!r} missing from {url} response "
+                f"(keys: {sorted(data)[:8]}) — refusing to guess whether "
+                "more pages exist"
+            )
+        items = data.get(items_key, [])
+        yield items
+        if data[last_key] or not items:
             return
         page += 1
 
@@ -165,11 +179,21 @@ def paginate_keyset(
         if cursor is not None:
             p["from"] = cursor
         data = retry.call(lambda: transport(url, p))
-        items = list(data)
+        raw = list(data)
+        items = raw
         if cursor is not None:
             # keyset APIs re-include the cursor row first (reference skips it)
             items = [it for it in items if it[id_key] != cursor]
         if not items:
+            return
+        # stall guard on the UNFILTERED page: after dropping the cursor
+        # row, items can never contain the cursor id, so comparing the
+        # filtered tail to it is dead code — a misbehaving endpoint that
+        # re-serves the same page for from=<cursor> (pagination bug,
+        # stale replica) would loop forever emitting duplicates. The raw
+        # page's last id not advancing past the cursor IS the stall.
+        new_cursor = raw[-1][id_key]
+        if cursor is not None and new_cursor == cursor:
             return
         if row_limit is not None:
             items = items[: max(0, row_limit - emitted)]
@@ -177,9 +201,6 @@ def paginate_keyset(
                 return
         emitted += len(items)
         yield items
-        new_cursor = items[-1][id_key]
-        if new_cursor == cursor:
-            return
         cursor = new_cursor
         if row_limit is not None and emitted >= row_limit:
             return
@@ -246,15 +267,39 @@ def to_dataframe(
     spark: SparkSession,
     pages: Iterator[list[dict]],
     schema,
+    chunk_rows: int = 50_000,
 ) -> DataFrame:
     """Materialize a page iterator into a DataFrame with an explicit schema.
 
     The reference pickles whole pandas frames through Airflow XCom between
-    tasks (SURVEY §3.1 stage 3); here pages stream straight into Arrow
-    batches. Explicit schema = schema-on-write (SURVEY §1.3); rows missing
-    keys get NULL (the reference's required_columns padding)."""
-    rows = [row for page in pages for row in page]
-    return spark.createDataFrame(rows, schema=schema)
+    tasks (SURVEY §3.1 stage 3); here pages are shipped to the JVM in
+    ``chunk_rows`` slices as they arrive, so driver residency is bounded
+    by one chunk of Python dicts — not the whole extract (the API-side
+    pagination is inherently driver-sequential; holding 5M dicts for a
+    large pull was the old cost). The list-of-dicts conversion is kept
+    per chunk because it is the one path that handles the nested
+    struct/array payloads (vouchers, invoices) robustly; rows missing
+    keys get NULL (the reference's required_columns padding) — explicit
+    schema = schema-on-write (SURVEY §1.3)."""
+    out: DataFrame | None = None
+    buf: list[dict] = []
+
+    def flush() -> None:
+        nonlocal out, buf
+        if not buf:
+            return
+        df = spark.createDataFrame(buf, schema=schema)
+        out = df if out is None else out.unionByName(df)
+        buf = []
+
+    for page in pages:
+        buf.extend(page)
+        if len(buf) >= chunk_rows:
+            flush()
+    flush()
+    if out is None:
+        out = spark.createDataFrame([], schema=schema)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -270,6 +315,7 @@ def fanout_fetch(
     parallelism: int = 10,
     rate_limit_interval: float = 0.0,
     retry: RetryPolicy | None = None,
+    error_col: str | None = None,
 ):
     """Correlated per-key remote fetch as ``mapInPandas`` over the key frame.
 
@@ -278,6 +324,16 @@ def fanout_fetch(
     surfaced in the ``_fetch_ok`` accounting column instead of aborting the
     job — the reference's error-isolation semantics
     (``dags/lex_office/lex_office_invoice_items.py:187-210``).
+
+    The catch is deliberately broad (``fetch_one`` is arbitrary caller
+    code over an arbitrary transport — transport failures cannot be
+    enumerated here), which means a SYSTEMATIC bug (typo, bad auth)
+    surfaces as every row ``_fetch_ok=false`` rather than a traceback.
+    Pass ``error_col`` (e.g. ``"_fetch_err"``) to capture
+    ``ExceptionType: message`` per failed key — the dead-letter frame
+    then says WHY, and a monitoring check on distinct error strings
+    separates "API flaked for 0.1% of keys" from "every key failed the
+    same way". Off by default so declared result schemas stay stable.
 
     ``parallelism`` maps MAX_WORKERS: it is the repartition count of the key
     frame, i.e. the number of concurrent API streams cluster-wide. At 100 TB
@@ -291,9 +347,13 @@ def fanout_fetch(
     # failure rows carry NULLs in every non-key field, so the output schema
     # must be fully nullable regardless of the caller's declaration —
     # codegen NPEs on a null in a non-nullable slot otherwise
-    out_schema = T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in result_schema.fields]
-    )
+    out_fields = [
+        T.StructField(f.name, f.dataType, True) for f in result_schema.fields
+    ]
+    if error_col is not None:
+        out_fields.append(T.StructField(error_col, T.StringType(), True))
+    out_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
 
     def run(batches):
         limiter = RateLimiter(min_interval=rate_limit_interval)
@@ -301,16 +361,20 @@ def fanout_fetch(
             out = []
             for key in pdf[key_col]:
                 limiter.wait()
+                err = None
                 try:
                     detail = retry.call(lambda k=key: fetch_one(k))
-                except Exception:
+                except Exception as exc:  # noqa: BLE001 — see docstring
                     detail = None
+                    err = f"{type(exc).__name__}: {exc}"[:500]
                 row = {k: (detail or {}).get(k) for k in field_names}
                 if row.get(key_col) is None:
                     row[key_col] = key  # failed fetches still identify their key
                 row["_fetch_ok"] = detail is not None
+                if error_col is not None:
+                    row[error_col] = err
                 out.append(row)
-            yield pd.DataFrame(out, columns=[*field_names, "_fetch_ok"])
+            yield pd.DataFrame(out, columns=out_cols)
 
     return (
         keys_df.repartition(parallelism)

@@ -72,17 +72,27 @@ def ingest_documents_stream(
     )
 
     def split_append(batch_df: DataFrame, batch_id: int) -> None:
-        ok = F.col("r").isNotNull() & F.col(f"r.{CORRUPT_COL}").isNull()
-        clean = (
-            batch_df.filter(ok)
-            .select(*[F.col(f"r.{f.name}").alias(f.name) for f in DOCUMENT_SCHEMA])
-            .withColumn("n_chars", F.length("text").cast("long"))
-        )
-        bad = batch_df.filter(~ok).select(F.col("value").alias("raw_line"))
-        clean_table.append_txn(clean, app_id=app_id, batch_id=batch_id)
-        quarantine_table.append_txn(
-            bad, app_id=f"{app_id}-quarantine", batch_id=batch_id
-        )
+        # "one scan feeds both sinks" must be made true explicitly: the
+        # two filters below are independent consumers, and without the
+        # persist each append would re-read and re-JSON-parse every shard
+        # file of the micro-batch (measured: doubled ingest I/O+CPU)
+        batch_df.persist()
+        try:
+            ok = F.col("r").isNotNull() & F.col(f"r.{CORRUPT_COL}").isNull()
+            clean = (
+                batch_df.filter(ok)
+                .select(
+                    *[F.col(f"r.{f.name}").alias(f.name) for f in DOCUMENT_SCHEMA]
+                )
+                .withColumn("n_chars", F.length("text").cast("long"))
+            )
+            bad = batch_df.filter(~ok).select(F.col("value").alias("raw_line"))
+            clean_table.append_txn(clean, app_id=app_id, batch_id=batch_id)
+            quarantine_table.append_txn(
+                bad, app_id=f"{app_id}-quarantine", batch_id=batch_id
+            )
+        finally:
+            batch_df.unpersist()
 
     return (
         parsed.writeStream.foreachBatch(split_append)

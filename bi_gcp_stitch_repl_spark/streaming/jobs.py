@@ -33,10 +33,39 @@ def events_stream(
       1970-era values — worse than an error)
     - micros parquet read natively → TIMESTAMP_NTZ → value-preserving cast
       under the pinned UTC session TZ
+
+    The generation decision is made ONCE, at stream definition, and
+    baked into the plan — a stream cannot re-sniff per arriving file. So
+    every file in the directory must be the SAME generation: this is
+    validated up front across all present files (one footer read each,
+    no data read) and a mixed directory raises instead of silently
+    producing 1970-era timestamps for the minority generation. Files of
+    the other generation arriving AFTER the stream starts remain the
+    caller's contract to prevent (land each generation in its own
+    directory). Note the nanos path sets the session-wide
+    ``nanosAsLong`` flag — the mechanism Spark provides is read-time and
+    global, so don't interleave nanos and non-nanos event reads in one
+    session.
     """
+    import os as _os
+
     from ..queries.catalog import _events_ts_is_nanos
 
-    nanos = _events_ts_is_nanos(path)
+    if _os.path.isdir(path):
+        gens = {
+            _events_ts_is_nanos(_os.path.join(path, f))
+            for f in sorted(_os.listdir(path))
+            if f.endswith(".parquet")
+        }
+        if len(gens) > 1:
+            raise ValueError(
+                f"{path} mixes TIMESTAMP(NANOS) and non-nanos parquet "
+                "generations — a single stream schema cannot read both; "
+                "split them into per-generation directories"
+            )
+        nanos = gens.pop() if gens else False
+    else:
+        nanos = _events_ts_is_nanos(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream

@@ -248,3 +248,44 @@ def test_rest_datasource_partition_per_page(spark):
     assert len(rows) == 1234
     assert {r["id"] for r in rows} == set(range(1234))
     assert all(r["amount"] == r["id"] * 0.5 for r in rows[:50])
+
+
+def test_paginate_page_flag_missing_flag_raises_and_empty_page_stops():
+    """Review-r04: a payload MISSING the last-flag (API drift) must raise
+    loudly — defaulting to 'last' silently truncated multi-page extracts
+    to page 0; and last=false with an empty page must stop, not spin."""
+    import pytest as _pytest
+
+    from bi_gcp_stitch_repl_spark.sources import rest
+
+    def renamed_flag(url, params):
+        return {"content": [{"id": 1}], "isLast": False}  # wrong key
+
+    with _pytest.raises(KeyError, match="last"):
+        list(rest.paginate_page_flag(renamed_flag, "u"))
+
+    calls = {"n": 0}
+
+    def stuck_empty(url, params):
+        calls["n"] += 1
+        return {"content": [], "last": False}  # claims more, serves none
+
+    pages = list(rest.paginate_page_flag(stuck_empty, "u"))
+    assert pages == [[]] and calls["n"] == 1  # progress guard: one call
+
+
+def test_paginate_keyset_stalled_cursor_stops_without_duplicates():
+    """Review-r04: the stall guard compared against the CURSOR-FILTERED
+    page tail, which can never equal the cursor — a server re-serving
+    the same page looped forever emitting duplicates. The raw page's
+    last id not advancing must stop the iterator."""
+    from bi_gcp_stitch_repl_spark.sources import rest
+
+    def stuck(url, params):
+        # always the same page regardless of from=<cursor>
+        return [{"Id": 1}, {"Id": 2}, {"Id": 3}]
+
+    pages = list(rest.paginate_keyset(stuck, "u", take=3))
+    # first page emits; the second identical page is detected as a stall
+    # (raw tail == cursor) and nothing re-yields
+    assert pages == [[{"Id": 1}, {"Id": 2}, {"Id": 3}]]

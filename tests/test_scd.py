@@ -228,3 +228,47 @@ def test_same_ts_correction_replaces_open_version(spark, tmp_path):
         (1, 10): ("D", 20, False),
         (1, 20): ("C", None, True),
     }
+
+
+def test_crash_window_replay_self_repairs_duplicate_current(spark, tmp_path):
+    """Review-r04: the late path's documented crash window (merge landed,
+    stale-row delete didn't) leaves TWO is_current rows for the key.
+    Late-key detection must use MAX of the open valid_from — mirroring
+    scd2_apply's monotone assert — so the replayed batch routes through
+    the rebuild and deletes the stale row. With MIN, the replay routed
+    on-time, tripped the assert, and wedged the stream forever."""
+    from pyspark.sql import functions as F
+
+    # late row (Y @20) carries the SAME tracked value as the open
+    # successor (Y @30): the rebuild makes the successor a no-op, so the
+    # splice OBSOLETES it — exactly the case where the stale-row delete
+    # matters and a crash before it leaves a duplicate-current anomaly
+    def build(path):
+        t = VersionedTable(spark, path)
+        scd2_merge(t, _batch(spark, [(1, "X", 10)]), ["k"], "ts", ["status"])
+        scd2_merge(t, _batch(spark, [(1, "Y", 30)]), ["k"], "ts", ["status"])
+        return t
+
+    late = _batch(spark, [(1, "Y", 20)])
+    t = build(str(tmp_path / "dim"))
+    scd2_merge(t, late, ["k"], "ts", ["status"])  # clean run
+    want = sorted(
+        (r["status"], r["valid_from"], r["is_current"])
+        for r in t.read().collect()
+    )
+    assert want == [("X", 10, False), ("Y", 20, True)]  # Y@30 obsoleted
+
+    # forge the crash window: land the spliced rows WITHOUT the stale-row
+    # delete — the obsoleted Y@30 open row survives alongside Y@20 open
+    t2 = build(str(tmp_path / "dim_crashed"))
+    t2.merge_upsert(t.read(), keys=["k", "valid_from"])
+    assert t2.read().filter(F.col("is_current")).count() == 2  # anomaly
+
+    # replay the late batch: must NOT raise, and must repair the table
+    scd2_merge(t2, late, ["k"], "ts", ["status"])
+    got = sorted(
+        (r["status"], r["valid_from"], r["is_current"])
+        for r in t2.read().collect()
+    )
+    assert got == want
+    assert t2.read().filter(F.col("is_current")).count() == 1
