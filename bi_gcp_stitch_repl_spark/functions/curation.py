@@ -37,12 +37,43 @@ FOLD_SPARK = (
     " cast(0 as bigint), (acc, c) -> (acc*31 + c) % {p})"
 )
 
+#: xorshift-multiply finalizer constants: Knuth's 2^32/φ multiplier and
+#: xxhash's PRIME32_2. Both multiplications stay within int64 because the
+#: operand is always masked to 30 bits first (< 2^30 × 2.7e9 < 2^63), so
+#: the SAME expression runs on engines that error on overflow (DuckDB)
+#: and engines that wrap (Spark).
+MIX_C1, MIX_C2, MIX_MASK = 2654435761, 2246822519, (1 << 30) - 1
+
+
+def mixed_fold_spark(s: str, p: int = HASH_P) -> str:
+    """Spark SQL: polynomial fold + two xorshift-multiply rounds → a
+    well-mixed 30-bit hash.
+
+    The raw fold is AFFINE in trailing characters — h("…8") and h("…9")
+    differ by exactly 1 — so fold-mod-N keep decisions for consecutive
+    keys are maximally correlated (contiguous keep-runs instead of
+    independent draws) and fold-ordered "shuffles" barely shuffle. The
+    nonlinear finalizer (multiply → xor-shift → mask, twice) breaks the
+    affine structure; repeated subexpressions are eliminated by codegen
+    CSE. DuckDB twin: the query catalog's ``_mixed_fold_duck`` —
+    identical arithmetic, xor() spelled as a function."""
+    h = FOLD_SPARK.format(s=s, p=p)
+    r1 = f"(((({h}) * {MIX_C1}) ^ shiftright((({h}) * {MIX_C1}), 15)) & {MIX_MASK})"
+    return f"((({r1} * {MIX_C2}) ^ shiftright(({r1} * {MIX_C2}), 13)) & {MIX_MASK})"
+
 
 def word_ngram_expr(text_col: str, n: int) -> str:
     """Spark SQL expression: distinct word ``n``-grams of ``text_col`` as an
     array of space-joined strings (empty array when the document is shorter
-    than ``n`` words)."""
-    w = f"split({text_col}, ' ')"
+    than ``n`` words).
+
+    Tokenization is lowercased and whitespace-NORMALIZED (split on runs
+    of any whitespace, empties dropped): contamination checks that split
+    on a single literal space miss verbatim benchmark text that merely
+    got line-wrapped, double-spaced, or case-shifted in the training copy
+    — the normalization GPT-3/PaLM-style overlap rules apply before
+    n-gramming."""
+    w = f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t <> '')"
     return (
         f"case when size({w}) >= {n} then array_distinct("
         f"transform(sequence(1, size({w}) - {n} + 1),"
@@ -96,7 +127,7 @@ def mixture_sample(
 ) -> DataFrame:
     """Deterministic weighted per-source sampling (data mixing).
 
-    Keeps a row when ``fold_hash(salt || key) % 100 < rates_pct[source]``.
+    Keeps a row when ``mixed_fold(salt || key) % 100 < rates_pct[source]``.
     The decision is a pure function of the row key: stable under re-runs,
     partitioning changes, and AQE re-plans — unlike ``rand()``-based
     sampling, which breaks idempotent downstream merges.
@@ -104,9 +135,7 @@ def mixture_sample(
     rate = F.lit(default_pct)
     for src, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(source_col) == src, F.lit(pct)).otherwise(rate)
-    h = FOLD_SPARK.format(
-        s=f"concat('{salt}', cast({key_col} as string))", p=HASH_P
-    )
+    h = mixed_fold_spark(f"concat('{salt}', cast({key_col} as string))")
     return df.withColumn("_r", rate).filter(F.expr(h) % 100 < F.col("_r")).drop("_r")
 
 
@@ -117,16 +146,14 @@ def weighted_sample(
     salt: str = "wt",
 ) -> DataFrame:
     """Deterministic PER-ROW weighted sampling: keeps a row when
-    ``fold_hash(salt || key) % 10000 < weight_bps`` (keep probability in
+    ``mixed_fold(salt || key) % 10000 < weight_bps`` (keep probability in
     basis points, 0..10000). The per-row generalization of
     ``mixture_sample``'s per-source rates — quality-weighted corpus
     downsampling whose keep decision is a pure function of the row key,
     so it is stable under re-runs, partitioning changes, and AQE
     re-plans, and downstream incremental merges stay idempotent.
     Row-local filter: no shuffle, no Python."""
-    h = FOLD_SPARK.format(
-        s=f"concat('{salt}', cast({key_col} as string))", p=HASH_P
-    )
+    h = mixed_fold_spark(f"concat('{salt}', cast({key_col} as string))")
     return df.filter(F.expr(h) % 10000 < F.col(weight_bps_col))
 
 
@@ -141,9 +168,10 @@ def split_shard(
     """Deterministic train/valid/test split + shard assignment + shuffle
     order for training-data export.
 
-    Everything is a pure function of the row key (the same fold hash as
-    ``mixture_sample``), so the split survives re-runs, repartitioning,
-    and incremental loads — a document NEVER migrates between splits when
+    Everything is a pure function of the row key (the same MIXED fold hash as
+    ``mixture_sample`` — see ``mixed_fold_spark`` for why the raw fold's
+    affine tail correlation is unacceptable here), so the split survives
+    re-runs, repartitioning, and incremental loads — a document NEVER migrates between splits when
     the corpus grows, which is the property that keeps eval sets
     uncontaminated across data refreshes (``rand()`` splits lose it).
 
@@ -156,13 +184,13 @@ def split_shard(
       the partitioned write needs anyway, so the ordering is free.
     """
     h_split = F.expr(
-        FOLD_SPARK.format(s=f"concat('{salt}', cast({key_col} as string))", p=HASH_P)
+        mixed_fold_spark(f"concat('{salt}', cast({key_col} as string))")
     )
     h_shard = F.expr(
-        FOLD_SPARK.format(s=f"concat('shard', cast({key_col} as string))", p=HASH_P)
+        mixed_fold_spark(f"concat('shard', cast({key_col} as string))")
     )
     h_order = F.expr(
-        FOLD_SPARK.format(s=f"concat('order', cast({key_col} as string))", p=HASH_P)
+        mixed_fold_spark(f"concat('order', cast({key_col} as string))")
     )
     from pyspark.sql import Window
 
@@ -203,9 +231,14 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(tokens_col).over(w)
-    # Integer-exact: sum-of-longs window stays long, floor-div keeps it long.
-    return df.withColumn(
-        "bin_id", F.floor((cum - F.col(tokens_col)) / F.lit(context_tokens))
+    # Integer-exact: sum-of-longs window stays long, and the bin index is
+    # a true integer `div` — `/` on longs is DOUBLE division in Spark,
+    # which loses ULPs past 2^53 cumulative tokens and could floor a
+    # boundary doc into the wrong bin.
+    return (
+        df.withColumn("_before", cum - F.col(tokens_col))
+        .withColumn("bin_id", F.expr(f"_before div {int(context_tokens)}"))
+        .drop("_before")
     )
 
 

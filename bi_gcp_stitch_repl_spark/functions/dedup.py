@@ -42,9 +42,16 @@ def shingle_hashes(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataF
 def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the lowest-id row per exact content hash. Only the 64-bit hash
-    and the id shuffle; text never moves."""
-    keyed = docs.withColumn("__key", F.xxhash64(F.col(text_col)))
+    """Keep the lowest-id row per exact content hash. Only the hashes and
+    the id shuffle; text never moves. The group key is
+    (xxhash64, md5) — 192 bits: at the billions-of-docs scale this
+    module targets, a bare 64-bit key expects a birthday collision
+    (~50% at 5e9 docs) that would silently DELETE a distinct document;
+    both hashes are row-local JVM work, so widening the key costs 32
+    bytes per row in the shuffle, not a second text pass."""
+    keyed = docs.withColumn(
+        "__key", F.struct(F.xxhash64(F.col(text_col)), F.md5(F.col(text_col)))
+    )
     keep = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
     return docs.join(keep, id_col, "left_semi")
 
@@ -181,10 +188,27 @@ def jaccard_pairs(
     """Exact n-gram Jaccard for candidate pairs (or all pairs when
     candidates is None — the quadratic baseline, small corpora only).
 
+    With candidates, the shingle stream is semi-joined to the candidate
+    DOC IDS **before** the gram self-join: filtering pairs only after
+    the join would still pay the full Σ df² gram×gram explosion (a hot
+    shingle shared by 1e6 docs is ~1e12 join rows) for a candidate set
+    of a few hundred — the prune must reach the join inputs, not the
+    aggregated output. No forced broadcast: the candidate set is
+    LSH-output-sized, not driver-sized, and AQE picks the strategy.
+
     Output: (id_a, id_b, jaccard >= threshold).
     """
     hs = shingle_hashes(docs.select(id_col, text_col), text_col, n_gram)
     sh = hs.select(id_col, F.explode("hs").alias("g"))
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        # restricting ROWS to candidate docs leaves each kept doc's gram
+        # set intact, so the per-doc counts below stay exact
+        sh = sh.join(cand_ids, id_col, "left_semi")
     cnt = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -199,7 +223,7 @@ def jaccard_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     if candidates is not None:
-        inter = inter.join(F.broadcast(candidates), ["id_a", "id_b"], "left_semi")
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     ca = cnt.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     cb = cnt.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (
@@ -256,7 +280,21 @@ def _word_segments(
     docs: DataFrame, text_col: str, id_col: str, span_words: int
 ) -> DataFrame:
     """(id, seg_no, seg, pos): consecutive ``span_words``-word segments per
-    document, with the global first-occurrence ordering key ``pos``."""
+    document, with the global first-occurrence ordering key ``pos``.
+
+    ``pos = id*1e6 + seg_no`` requires a NUMERIC id: with a string id,
+    non-ANSI Spark would cast it to NULL and the first-occurrence filter
+    would silently drop EVERY occurrence of each repeated segment
+    (including the first), mutilating the rebuilt text — so the
+    precondition is enforced loudly here."""
+    id_type = dict(docs.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"span dedup needs an integral {id_col!r} (got {id_type!r}): "
+            "the first-occurrence key is id*1_000_000 + seg_no — map "
+            "string ids to a dense integer first (e.g. xxhash64 or a "
+            "dimension key)"
+        )
     return docs.select(
         id_col,
         F.posexplode(

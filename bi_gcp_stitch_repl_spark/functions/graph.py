@@ -88,6 +88,7 @@ def connected_components(
     e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
     if e.count() <= driver_threshold:
         return _cc_driver(e, nodes)
+    changed = False
     for _ in range(max_iter):
         after = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # Fixpoint: both star passes are monotone (they never merge distinct
@@ -101,6 +102,18 @@ def connected_components(
         e = after
         if not changed:
             break
+    if changed:
+        # the post-loop labeling assumes every edge is (member, root) —
+        # true ONLY at the fixpoint. Returning anyway would silently emit
+        # split components and duplicate (node, component) rows; with the
+        # documented O(log n) convergence, hitting this means max_iter
+        # was set far below log2(n) — a configuration error, not a data
+        # condition to paper over.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; raise max_iter (alternating-star "
+            "converges in O(log n) rounds)"
+        )
     # At the fixpoint every edge is (member, root); add the roots themselves.
     labels = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
@@ -200,6 +213,13 @@ def pagerank(
 
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e_deg = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    # the dangling NODE SET is loop-invariant — materialize it once;
+    # deriving it from `deg` inside the loop would re-execute the raw
+    # edge scan + distinct + degree shuffle on every one of the n_iter
+    # iterations (deg's lineage roots at the un-checkpointed edge list)
+    dangling_nodes = node_df.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
 
     ranks = node_df.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(n_iter):
@@ -213,7 +233,7 @@ def pagerank(
         )
         # dangling mass = rank held by nodes with no out-edges
         dangling = (
-            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
         base = (1.0 - damping) / n_nodes

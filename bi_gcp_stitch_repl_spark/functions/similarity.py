@@ -104,6 +104,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     centroid_col: str | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: vectors are assigned to coarse cells;
     a query scores only its ``n_probe`` nearest cells.
@@ -114,17 +115,36 @@ def ivf_topk(
     table broadcast → query-to-cell assignment → cell-equi join →
     per-query window) is identical and is what this implements. Cost per
     query: corpus/n_cells × n_probe instead of corpus.
+
+    ``centroids`` (a ``(cell, centroid array)`` frame) supplies a FROZEN
+    quantizer — pass the sidecar that ``incremental_ann_ingest``
+    persists. This matters once the index has absorbed post-fit batches:
+    stored rows were argmin-assigned against the frozen centers, and
+    probing by re-derived assignment MEANS (which drift with every load)
+    would rank cells by a different geometry than the one that placed
+    the vectors — a silent recall hit at low n_probe.
     """
     cell = centroid_col or "label"
-    # centroid table: mean vector per cell (small — broadcast everywhere)
-    centroids = (
-        corpus.select(cell, F.posexplode(vec_col).alias("i", "v"))
-        .groupBy(cell, "i")
-        .agg(F.avg("v").alias("m"))
-        .groupBy(cell)
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
-        .select(cell, F.expr("transform(pairs, p -> cast(p.m as float))").alias("cvec"))
-    )
+    if centroids is not None:
+        centroids = centroids.select(
+            F.col(centroids.columns[0]).alias(cell),
+            F.expr(
+                f"transform({centroids.columns[1]}, x -> cast(x as float))"
+            ).alias("cvec"),
+        )
+    else:
+        # centroid table: mean vector per cell (small — broadcast everywhere)
+        centroids = (
+            corpus.select(cell, F.posexplode(vec_col).alias("i", "v"))
+            .groupBy(cell, "i")
+            .agg(F.avg("v").alias("m"))
+            .groupBy(cell)
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+            .select(
+                cell,
+                F.expr("transform(pairs, p -> cast(p.m as float))").alias("cvec"),
+            )
+        )
     # assign each query to its n_probe best cells by cosine to centroid
     q = queries.select(query_id_col, F.col(vec_col).alias("qv"))
     qc = (
@@ -154,7 +174,7 @@ def kmeans_ivf_index(
     cell_col: str = "ivf_cell",
     max_iter: int = 8,
     return_centers: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, list[list[float]]]":
     """Fit IVF coarse cells with KMeans (pyspark.ml, Lloyd's over the
     cluster-parallel corpus) and return the corpus with a ``cell_col``
     assignment — the production replacement for `ivf_topk`'s per-label
@@ -218,7 +238,21 @@ def embedding_near_dup(
     Cost is linear in corpus size + bucket collisions — the quadratic
     all-pairs scan (the `x_dedup_embedding_pairs` catalog oracle) is only
     the sf0.01 correctness baseline.
+
+    ``dim`` must match the corpus vectors exactly and is validated up
+    front: Spark's ``zip_with`` pads the shorter array with NULLs, so a
+    mismatched plane length would NULL every dot product, route every
+    row to bucket 0 in every band, and silently turn the bucket
+    self-join into the all-pairs quadratic scan this function exists to
+    avoid.
     """
+    first = corpus.select(F.size(F.col(vec_col)).alias("_d")).first()
+    if first is not None and first["_d"] != dim:
+        raise ValueError(
+            f"embedding_near_dup: dim={dim} but {vec_col!r} vectors have "
+            f"{first['_d']} elements — a mismatch NULLs the hyperplane "
+            "dot products and degrades the LSH join to all-pairs"
+        )
     planes = random_hyperplanes(n_bands * band_bits, dim, seed=seed)
     band_structs = []
     for band in range(n_bands):

@@ -32,6 +32,9 @@ from pyspark.sql import functions as F
 
 from ..functions.curation import (
     HASH_P,
+    MIX_C1,
+    MIX_C2,
+    MIX_MASK,
     decontaminate,
     mixture_sample,
     pack_sequences,
@@ -39,15 +42,33 @@ from ..functions.curation import (
 from .catalog import register, tables
 from .extensions import _FOLD_DUCK
 
+
+def _mixed_fold_duck(s: str, p: int = HASH_P) -> str:
+    """DuckDB twin of ``functions.curation.mixed_fold_spark``: identical
+    fold + xorshift-multiply finalizer arithmetic (xor() spelled as a
+    function; every multiplication operand pre-masked to 30 bits so
+    DuckDB's overflow-checking int64 multiply never trips)."""
+    h = _FOLD_DUCK.format(s=s, p=p)
+    r1 = f"(xor((({h}) * {MIX_C1}), ((({h}) * {MIX_C1}) >> 15)) & {MIX_MASK})"
+    return f"(xor(({r1} * {MIX_C2}), (({r1} * {MIX_C2}) >> 13)) & {MIX_MASK})"
+
+
 BENCH_MOD = 23  # doc_id % 23 == 0 -> the held-out "benchmark" slice
 NGRAM_N = 8
+
+#: lower + whitespace-run split + empty drop — the exact twin of
+#: ``functions.curation.word_ngram_expr``'s normalized tokenization
+_TOKS_DUCK = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+    " t -> t <> '')"
+)
 
 _GRAMS_DUCK = f"""
 g AS (
   SELECT doc_id, list_distinct(
-    CASE WHEN len(string_split(text, ' ')) >= {NGRAM_N} THEN
-      [array_to_string((string_split(text, ' '))[i:i+{NGRAM_N - 1}], ' ')
-       for i in generate_series(1, len(string_split(text, ' ')) - {NGRAM_N - 1})]
+    CASE WHEN len({_TOKS_DUCK}) >= {NGRAM_N} THEN
+      [array_to_string(({_TOKS_DUCK})[i:i+{NGRAM_N - 1}], ' ')
+       for i in generate_series(1, len({_TOKS_DUCK}) - {NGRAM_N - 1})]
     ELSE [] END) AS grams
   FROM documents
 )"""
@@ -90,7 +111,7 @@ SELECT doc_id, source,
        CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25
             ELSE {MIX_DEFAULT} END AS rate_pct
 FROM documents
-WHERE {_FOLD_DUCK.format(s="concat('mix', CAST(doc_id AS VARCHAR))", p=HASH_P)}
+WHERE {_mixed_fold_duck("concat('mix', CAST(doc_id AS VARCHAR))")}
       % 100 <
       CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 WHEN 'src2' THEN 25
            ELSE {MIX_DEFAULT} END
@@ -119,7 +140,7 @@ WEIGHT_PER_CHAR_BPS = 25  # keep probability grows with doc length, caps at 1
 SELECT doc_id, n_chars,
        CAST(least(10000, n_chars * {WEIGHT_PER_CHAR_BPS}) AS BIGINT) AS keep_bps
 FROM documents
-WHERE {_FOLD_DUCK.format(s="concat('wt', CAST(doc_id AS VARCHAR))", p=HASH_P)}
+WHERE {_mixed_fold_duck("concat('wt', CAST(doc_id AS VARCHAR))")}
       % 10000 < least(10000, n_chars * {WEIGHT_PER_CHAR_BPS})
 """,
 )
@@ -308,7 +329,7 @@ WITH ranked AS (
   SELECT doc_id, source,
          CAST(ROW_NUMBER() OVER (
            PARTITION BY source
-           ORDER BY {_FOLD_DUCK.format(s="concat('strat', CAST(doc_id AS VARCHAR))", p=HASH_P)},
+           ORDER BY {_mixed_fold_duck("concat('strat', CAST(doc_id AS VARCHAR))")},
                     doc_id) AS INTEGER) AS rk
   FROM documents
 )
@@ -322,11 +343,11 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     each stratum ranks independently after a single shuffle on source;
     skewed strata fall out of AQE. The per-group-top-k-by-hash idiom is
     also how balanced eval subsets get drawn from a 100 TB corpus."""
-    from ..functions.curation import FOLD_SPARK
+    from ..functions.curation import mixed_fold_spark
 
     (docs,) = tables(spark, sf_dir, "documents")
     h = F.expr(
-        FOLD_SPARK.format(s="concat('strat', cast(doc_id as string))", p=HASH_P)
+        mixed_fold_spark("concat('strat', cast(doc_id as string))")
     )
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     return (
@@ -503,9 +524,9 @@ def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH h AS (
   SELECT doc_id,
-         {_FOLD_DUCK.format(s="concat('split', CAST(doc_id AS VARCHAR))", p=HASH_P)} % 100 AS hs,
-         {_FOLD_DUCK.format(s="concat('shard', CAST(doc_id AS VARCHAR))", p=HASH_P)} % 8 AS hd,
-         {_FOLD_DUCK.format(s="concat('order', CAST(doc_id AS VARCHAR))", p=HASH_P)} AS ho
+         {_mixed_fold_duck("concat('split', CAST(doc_id AS VARCHAR))")} % 100 AS hs,
+         {_mixed_fold_duck("concat('shard', CAST(doc_id AS VARCHAR))")} % 8 AS hd,
+         {_mixed_fold_duck("concat('order', CAST(doc_id AS VARCHAR))")} AS ho
   FROM documents
 ), banded AS (
   SELECT doc_id,
