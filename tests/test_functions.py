@@ -586,3 +586,39 @@ def test_bpe_train_strips_nul_sentinel_collisions(spark):
     cm, cenc = bpe_train(clean, n_merges=1)
     assert dm == cm == [("a", "b")]
     assert denc.collect() == cenc.collect()
+
+
+def test_ivf_topk_with_frozen_centroid_sidecar(spark, tmp_path):
+    """Review-r04: queries over an incrementally-built IVF index must be
+    able to probe with the FROZEN sidecar centroids (the geometry that
+    assigned the vectors), not re-derived assignment means. Full probe
+    with the sidecar must reproduce exact brute force."""
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.jobs import pipelines
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(6)])
+        for i in range(80)
+    ]
+    batch = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "ann")
+    pipelines.incremental_ann_ingest(spark, idx, batch, n_cells=4)
+    index = VersionedTable(spark, idx).read()
+    cents = VersionedTable(spark, idx + "_centroids").read()
+
+    queries = index.filter("vec_id % 20 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_topk(
+        index, queries, k=5, n_probe=4,
+        centroid_col="ivf_cell", centroids=cents,
+    )
+    brute = similarity.ivf_topk(  # degenerate single-cell = exact scan
+        index.withColumn("one", F.lit(0)), queries, k=5, n_probe=1,
+        centroid_col="one",
+    )
+    lhs = {(r["query_id"], r["rk"]): r["vec_id"] for r in got.collect()}
+    rhs = {(r["query_id"], r["rk"]): r["vec_id"] for r in brute.collect()}
+    assert lhs == rhs
