@@ -10,6 +10,18 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT = "\\s+"
 
 
+def tokens_expr(text_col: str) -> str:
+    """Spark SQL: whitespace tokens of ``text_col`` with EMPTY TOKENS
+    DROPPED. Spark's ``split`` keeps leading/trailing empty strings and
+    ``trim`` strips only spaces, so a bare ``size(split(trim(x), '\\s+'))``
+    overcounts text with leading/trailing tabs or newlines — every
+    tokenizing call site in this module goes through this one
+    expression so the counts agree."""
+    # SQL string literals eat one level of backslash: the regex \s+ is
+    # spelled '\\s+' inside the expression text
+    return f"filter(split(trim({text_col}), '\\\\s+'), t -> t <> '')"
+
+
 def shingles(text_col: str, n: int = 5) -> Column:
     """Distinct character n-gram set (array<string>) of the named column."""
     return F.array_distinct(
@@ -25,13 +37,16 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     length, uppercase ratio, punctuation density — the cheap per-document
     filters a training-data pipeline runs before anything expensive."""
     t = F.col(text_col)
-    n_tokens = F.size(F.split(F.trim(t), TOKEN_SPLIT)).cast("long")
+    n_tokens = F.size(F.expr(tokens_expr(text_col))).cast("long")
     no_space = F.replace(t, F.lit(" "), F.lit(""))
     return docs.withColumns(
         {
             "n_tokens": n_tokens,
             "n_chars": F.length(t).cast("long"),
-            "avg_token_len": F.length(no_space).cast("double") / n_tokens,
+            # nullif: a whitespace-only document has zero tokens — emit
+            # NULL, not a division error / infinity
+            "avg_token_len": F.length(no_space).cast("double")
+            / F.nullif(n_tokens, F.lit(0)),
             "upper_ratio": (
                 F.length(F.regexp_replace(t, "[^A-Z]", "")).cast("double")
                 / F.greatest(F.length(t), F.lit(1))
@@ -61,11 +76,16 @@ def quality_filter(
     )
 
 
-def fingerprint(text: Column | str, modulus: int = 1_000_000_007) -> Column:
+def fingerprint(text: str, modulus: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash of the full text (engine-portable content
-    identity; see queries.extensions.x_fingerprint for the oracle twin)."""
-    t = text if isinstance(text, str) else None
-    assert t is not None, "pass a column name"
+    identity; see queries.extensions.x_fingerprint for the oracle twin).
+    Takes a column NAME (the hash is built as a SQL string); a Column
+    object raises TypeError instead of silently interpolating its repr."""
+    if not isinstance(text, str):
+        raise TypeError(
+            f"fingerprint() takes a column name (str), got {type(text).__name__}"
+        )
+    t = text
     return F.expr(
         f"aggregate(transform(split({t}, ''), c -> cast(ascii(c) as bigint)),"
         f" cast(0 as bigint), (acc, c) -> (acc*31 + c) % {modulus})"
@@ -74,12 +94,20 @@ def fingerprint(text: Column | str, modulus: int = 1_000_000_007) -> Column:
 
 def lang_scores(docs: DataFrame, keywords: dict[str, list[str]], text_col: str = "text") -> DataFrame:
     """Stopword-marker language scores (one column per language) + argmax
-    guess. ``keywords`` maps lang -> marker tokens."""
+    guess. ``keywords`` maps lang -> marker tokens. Markers are escaped
+    into SQL literals (``_sql_str``) — an apostrophe marker like the
+    French elision ``l'`` must not break (or inject into) the generated
+    expression — and a language with no markers scores a constant 0."""
+    if not keywords:
+        raise ValueError("lang_scores needs at least one language")
     t = f"(' ' || {text_col} || ' ')"
     out = docs
     for lang, kws in keywords.items():
+        if not kws:
+            out = out.withColumn(f"score_{lang}", F.lit(0).cast("bigint"))
+            continue
         expr = " + ".join(
-            f"CAST((length({t}) - length(replace({t}, ' {kw} ', ''))) / {len(kw) + 2} AS BIGINT)"
+            f"CAST((length({t}) - length(replace({t}, {_sql_str(' ' + kw + ' ')}, ''))) / {len(kw) + 2} AS BIGINT)"
             for kw in kws
         )
         out = out.withColumn(f"score_{lang}", F.expr(expr))
@@ -108,7 +136,7 @@ def build_vocab(
     from pyspark.sql import Window
 
     counts = (
-        docs.select(F.explode(F.split(text_col, " ")).alias("token"))
+        docs.select(F.explode(F.expr(tokens_expr(text_col))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
@@ -132,7 +160,8 @@ def encode_tokens(
     broadcast-hash left join → ordered regroup, linear with no
     corpus-side shuffle except the per-document regroup."""
     tok = docs.select(
-        id_col, F.posexplode(F.split(text_col, " ")).alias("pos", "token")
+        id_col,
+        F.posexplode(F.expr(tokens_expr(text_col))).alias("pos", "token")
     )
     enc = tok.join(F.broadcast(vocab), "token", "left").withColumn(
         "tid", F.coalesce("token_id", F.lit(0)).cast("int")
@@ -153,7 +182,9 @@ def bm25_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """BM25 relevance of every document to a bag of query terms.
+    """BM25 relevance of every document to a bag of query terms
+    (``terms`` must be non-empty — an empty query has no meaningful
+    score and raises rather than crashing deeper in with AttributeError).
 
     One token explode → ONE per-document aggregation (doc length + one
     conditional tf counter per term, all in the same pass/shuffle); the
@@ -169,6 +200,8 @@ def bm25_scores(
     while ``ln`` is only 1-ulp-accurate and engine-dependent. Score
     terms accumulate in fixed list order.
     """
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
     tok = docs.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
     )

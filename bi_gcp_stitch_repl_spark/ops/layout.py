@@ -33,9 +33,13 @@ Z_COL = "__zval"
 def _bucket(col: Column, boundaries: list[float], bits: int) -> Column:
     """Rank ``col`` into ``[0, 2**bits)`` by its position among the quantile
     ``boundaries``. NULL and NaN sink to bucket 0 (they carry no range
-    information, so they cluster together at the curve origin)."""
+    information, so they cluster together at the curve origin). NaN is
+    normalized to NULL FIRST (``nanvl``): Spark orders NaN greater than
+    every double, so ``b <= NaN`` would keep every boundary and silently
+    plant NaN rows in the TOP bucket next to the largest values,
+    polluting that file's min/max stats."""
     arr = F.array(*[F.lit(float(b)) for b in boundaries])
-    x = col.cast("double")
+    x = F.nanvl(col.cast("double"), F.lit(None).cast("double"))
     n = F.size(F.filter(arr, lambda b: b <= x))
     return F.coalesce(F.least(n, F.lit(2**bits - 1)), F.lit(0))
 
@@ -46,8 +50,19 @@ def _interleave(buckets: list[Column], bits: int) -> Column:
     Bit k of bucket i lands at position ``k * n_cols + i`` — disjoint
     positions, so the combine is a plain sum (== bitwise OR), all native
     shiftleft/and arithmetic inside whole-stage codegen.
-    """
+
+    ``n_cols * bits`` must stay ≤ 63: position 63 is the long's sign bit
+    (sign-flipped rows would range-partition FIRST), and Java's
+    ``shiftleft`` reduces its shift amount modulo 64, so position 64+
+    would silently collide with the low-order bits — enforced loudly
+    here rather than silently degrading the curve."""
     n_cols = len(buckets)
+    if n_cols * bits > 63:
+        raise ValueError(
+            f"z-order needs n_cols*bits <= 63 (got {n_cols}*{bits}="
+            f"{n_cols * bits}); lower bits= (e.g. bits={63 // n_cols}) — "
+            "resolution beyond the sign bit would wrap shifts mod 64"
+        )
     parts = [
         F.shiftleft(
             F.shiftright(b.cast("long"), k).bitwiseAND(F.lit(1)),

@@ -126,8 +126,17 @@ class Expectations:
                 for name, cond in self._row_checks
             ]
             wide = self.df.agg(*aggs)
+
+            def lit(name: str) -> str:
+                # check names are user text — a quote or backtick must not
+                # break (or inject into) the stack() expression
+                return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+            def ref(name: str) -> str:
+                return "`" + name.replace("`", "``") + "`"
+
             stack = ", ".join(
-                f"'{name}', `{name}`" for name, _ in self._row_checks
+                f"{lit(name)}, {ref(name)}" for name, _ in self._row_checks
             )
             tall = wide.selectExpr(
                 f"stack({len(self._row_checks)}, {stack}) as (check, n_violations)"

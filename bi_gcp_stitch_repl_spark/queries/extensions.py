@@ -885,11 +885,11 @@ def x_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_text_stats",
     oracle="""
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_actual,
        CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
        CAST(length(replace(text, ' ', '')) AS DOUBLE)
-         / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len
+         / nullif(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0) AS avg_token_len
 FROM documents
 """,
 )
@@ -898,8 +898,10 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean token length — the cheap quality-scoring features a training-data
     pipeline computes on every document. Pure row-local expressions:
     embarrassingly parallel, no shuffle."""
+    from ..functions.text import tokens_expr
+
     (docs,) = tables(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+    n_tokens = F.size(F.expr(tokens_expr("text"))).cast("long")
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -909,7 +911,7 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_spaces"),
         (
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
-            / n_tokens
+            / F.nullif(n_tokens, F.lit(0))
         ).alias("avg_token_len"),
     )
 
@@ -924,10 +926,10 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
     "x_token_count",
     oracle=f"""
 SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_words,
        CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
        CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS DOUBLE)
-         / len(string_split_regex(trim(text), '\\s+')) AS fertility
+         / nullif(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0) AS fertility
 FROM documents
 """,
 )
@@ -937,14 +939,16 @@ def x_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("fertility" — tokens per word, the cost predictor for LLM training
     budgets). Row-local regex work, JVM-side, no shuffle: the canonical
     100 TB token-accounting scan."""
+    from ..functions.text import tokens_expr
+
     (docs,) = tables(spark, sf_dir, "documents")
-    n_words = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    n_words = F.size(F.expr(tokens_expr("text"))).cast("long")
     n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).cast("long")
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
         n_bpe.alias("n_bpe_tokens"),
-        (n_bpe.cast("double") / n_words).alias("fertility"),
+        (n_bpe.cast("double") / F.nullif(n_words, F.lit(0))).alias("fertility"),
     )
 
 
@@ -999,7 +1003,7 @@ VOCAB_SIZE = 20
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, i AS pos, ws[i] AS token
-  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS ws FROM documents),
        LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
 ),
 vocab AS (

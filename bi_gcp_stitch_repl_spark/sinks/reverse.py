@@ -38,6 +38,18 @@ def post_batches(
     pacing means total request rate = partitions / interval: cap the
     global rate by sizing ``df.repartition(n)``, exactly how MAX_WORKERS
     bounded the reference's thread pool.
+
+    **Delivery semantics: AT-LEAST-ONCE.** A Spark task that fails
+    mid-partition (executor loss, fetch failure) — or a speculative
+    duplicate attempt — replays the WHOLE partition, re-POSTing batches
+    the external API already accepted; Spark has no transactional
+    foreach. The receiving endpoint must therefore be idempotent: key
+    the upsert on a natural id (the reference's company-status POST is
+    exactly that), or dedupe server-side. Disable ``spark.speculation``
+    for this stage; do NOT point this sink at an endpoint where
+    replaying a batch double-applies (counters, payments). For
+    exactly-once, land to a VersionedTable (append_txn) and let a
+    downstream idempotent sync drain it.
     """
     import time
 

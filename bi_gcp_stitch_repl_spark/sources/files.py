@@ -149,7 +149,18 @@ def ingest_documents_jsonl(
     (doc_id/text/lang/source + computed n_chars), with malformed lines
     persisted to ``quarantine_path`` (parquet, appended) when given.
     Returns only the clean frame — downstream stages (gopher gate, dedup,
-    split/shard) compose lazily on top."""
+    split/shard) compose lazily on top.
+
+    COST NOTE: with ``quarantine_path`` this entry point scans the input
+    TWICE — the quarantine write is its own eager job over the full
+    parse, and the returned clean frame scans again when consumed.
+    Within either job the clean/bad split shares one scan, but not
+    across them; a lazily-returned frame cannot share a cache with an
+    already-finished write without leaking the pinned parse. When the
+    double scan matters (true corpus scale), use
+    ``streaming.ingest.ingest_documents_stream``: its foreachBatch
+    persists each micro-batch so both sinks genuinely consume one scan,
+    and it adds exactly-once txn dedup on top."""
     clean, bad = read_jsonl(
         spark, path, DOCUMENT_SCHEMA, repartition_hint=repartition_hint
     )
