@@ -49,9 +49,29 @@ def explode_with_parent(
     (the reference renames ``id`` -> ``invoice_id`` while attaching).
     ``keep_empty=True`` keeps parents with NULL/empty arrays (one row of NULL
     child fields) — ``explode_outer`` semantics.
+
+    Parent ALIASES must not collide with the element struct's field names
+    — enforced loudly: header and line-item payloads commonly both carry
+    ``id`` (bexio does), and silently emitting two ``id`` columns defers
+    the failure to the first downstream select as AMBIGUOUS_REFERENCE.
+    Alias the parent (``{"id": "invoice_id"}``) exactly as the reference
+    did.
     """
     if isinstance(parent_cols, list):
         parent_cols = {c: c for c in parent_cols}
+    elem_type = df.schema[array_col].dataType.elementType
+    child_fields = (
+        {f.name for f in elem_type.fields}
+        if isinstance(elem_type, T.StructType)
+        else set()
+    )
+    clash = (set(parent_cols.values()) | {"_elem"}) & child_fields
+    if clash:
+        raise ValueError(
+            f"parent aliases collide with element fields of {array_col!r}: "
+            f"{sorted(clash)} — alias the parent columns "
+            '(e.g. {"id": "invoice_id"})'
+        )
     exploder = F.explode_outer if keep_empty else F.explode
     parents = [F.col(src).alias(dst) for src, dst in parent_cols.items()]
     exploded = df.select(*parents, exploder(F.col(array_col)).alias("_elem"))
@@ -71,8 +91,6 @@ def flatten_structs(df: DataFrame, max_level: int = 5, sep: str = ".") -> DataFr
         cols: list[Column] = []
         for field in schema.fields:
             qualified = f"{prefix}.`{field.name}`" if prefix else f"`{field.name}`"
-            name = f"{prefix}{sep}{field.name}".lstrip(sep) if prefix else field.name
-            # strip backticks from display prefix bookkeeping
             if isinstance(field.dataType, T.StructType) and level < max_level:
                 cols.extend(leaves(field.dataType, qualified, level + 1))
             else:

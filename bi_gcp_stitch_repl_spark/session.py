@@ -68,7 +68,14 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate silently IGNORES every builder conf when a session
+    # already exists (created by a notebook, a driver harness, another
+    # library) — including the two correctness-bearing settings the
+    # DuckDB oracle and the parquet footer sniffer depend on (UTC
+    # session TZ, INT64-micros timestamps). Re-apply the runtime-settable
+    # subset so a reused session still honors the engine contract.
+    return tune_existing(spark)
 
 
 def tune_existing(spark: SparkSession) -> SparkSession:

@@ -35,8 +35,14 @@ def fetch_sheet_values(
     (Sheets accepts standard OAuth bearer tokens), tests pass a fixture.
     Returns ``[]`` for an empty range — mirror the API, let
     ``sheet_to_dataframe`` raise on genuinely empty input."""
+    from urllib.parse import quote
+
+    # percent-encode the path segments (gspread does the same): a sheet
+    # title containing '/' would otherwise split the URL path (404), and
+    # '?' or '#' would silently truncate it into query/fragment
     resp = transport(
-        f"{api_base}/{spreadsheet_id}/values/{range_a1}",
+        f"{api_base}/{quote(spreadsheet_id, safe='')}"
+        f"/values/{quote(range_a1, safe='')}",
         {"majorDimension": "ROWS"},
     )
     return resp.get("values", [])
@@ -95,7 +101,20 @@ def sheet_to_dataframe(
         tuple((r[i] if i < len(r) else None) for i in keep)
         for r in rows
     ]
+    # sanitize to plain identifiers: dots would parse as struct access in
+    # every downstream F.col()/ops.clean reference and most punctuation
+    # needs backticks; then de-duplicate (two identical headers would
+    # otherwise make ANY later select of that name AMBIGUOUS_REFERENCE)
+    import re
+
+    out_names: list[str] = []
+    seen: dict[str, int] = {}
+    for n in names:
+        base = re.sub(r"[^0-9A-Za-z_]", "_", n.replace(" ", "_"))
+        k = seen.get(base, 0)
+        seen[base] = k + 1
+        out_names.append(base if k == 0 else f"{base}_{k + 1}")
     schema = T.StructType(
-        [T.StructField(n.replace(" ", "_"), T.StringType()) for n in names]
+        [T.StructField(n, T.StringType()) for n in out_names]
     )
     return spark.createDataFrame(data, schema=schema)

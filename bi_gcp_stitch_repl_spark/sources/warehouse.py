@@ -78,6 +78,17 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         return os.path.exists(self.path(table))
 
+    def tables(self) -> list[str]:
+        """Table names present in the warehouse directory (the
+        ``<name>.parquet`` convention ``path()`` writes)."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(self.root)
+            if f.endswith(".parquet")
+        )
+
     def read(
         self,
         table: str,
@@ -96,12 +107,17 @@ class Warehouse:
     def sql(self, query: str, views: dict[str, str] | None = None) -> DataFrame:
         """SQL scan (S9): register the named tables as temp views, run text.
 
-        ``views`` maps view-name -> table-name; defaults to identity for any
-        table name appearing in the warehouse directory.
+        ``views`` maps view-name -> table-name; when omitted, every table
+        present in the warehouse directory registers under its own name
+        (the documented identity default — previously unimplemented, so
+        the advertised ``wh.sql("SELECT * FROM orders")`` usage failed
+        with TABLE_OR_VIEW_NOT_FOUND unless views had been registered by
+        an earlier call).
         """
-        if views:
-            for view, table in views.items():
-                self.read(table).createOrReplaceTempView(view)
+        if views is None:
+            views = {t: t for t in self.tables()}
+        for view, table in views.items():
+            self.read(table).createOrReplaceTempView(view)
         return self.spark.sql(query)
 
     # -- bucketed tables (co-located joins) ---------------------------------

@@ -249,3 +249,75 @@ def test_expectations_row_checks_single_scan(spark):
     )
     plan = report._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 100") == 1, "row checks re-scanned the input"
+
+
+def test_coercions_yield_null_not_ansi_errors(spark):
+    """Review-r04: under ANSI (Spark 4 default) plain casts THROW on
+    garbage — every coercion in ops.clean must keep the
+    pd.to_numeric(errors='coerce') contract instead: NULL out, job
+    alive."""
+    from bi_gcp_stitch_repl_spark.ops import clean
+
+    df = spark.createDataFrame(
+        [("", "", "", ""), ("n.a.", "x", "garbage", "abc"),
+         ("01.02.2024", "1700000000", "1700000000000000", "28.0")],
+        "d string, secs string, micros string, k string",
+    )
+    rows = df.select(
+        clean.euro_date("d").alias("d"),
+        clean.unix_seconds_ts("secs").alias("s"),
+        clean.unix_micros_ts("micros").alias("m"),
+        clean.int_key("k").alias("k"),
+    ).collect()
+    assert rows[0]["d"] is None and rows[0]["s"] is None and rows[0]["m"] is None
+    assert rows[0]["k"] == 0 and rows[1]["k"] == 0  # garbage keys coerce to 0
+    assert str(rows[2]["d"]) == "2024-02-01"
+    assert rows[2]["s"] is not None and rows[2]["m"] is not None
+    assert rows[2]["k"] == 28  # pandas float-formatted id truncates
+
+
+def test_explode_with_parent_rejects_alias_collision(spark):
+    """Review-r04: header and line items both carrying 'id' (the bexio
+    shape) must fail loudly at the helper, not as a downstream
+    AMBIGUOUS_REFERENCE."""
+    import pytest as _pytest
+
+    from bi_gcp_stitch_repl_spark.ops.normalize import explode_with_parent
+
+    df = spark.createDataFrame(
+        [(1, [{"id": 10, "v": "a"}])],
+        "id long, items array<struct<id: long, v: string>>",
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        explode_with_parent(df, "items", ["id"])
+    out = explode_with_parent(df, "items", {"id": "invoice_id"})
+    assert out.columns == ["invoice_id", "id", "v"]
+
+
+def test_sheet_headers_sanitized_and_deduplicated(spark):
+    """Review-r04: dots parse as struct access and duplicate headers make
+    every later select ambiguous — both must be sanitized at the
+    source."""
+    from bi_gcp_stitch_repl_spark.ops.clean import money
+    from bi_gcp_stitch_repl_spark.sources.sheets import sheet_to_dataframe
+
+    df = sheet_to_dataframe(
+        spark,
+        [["Rev. 2024", "Amount", "Amount"], ["1.5", "2", "3"]],
+    )
+    assert df.columns == ["Rev__2024", "Amount", "Amount_2"]
+    got = df.select(money("Rev__2024").alias("r"), "Amount_2").collect()[0]
+    assert got["r"] == 1.5 and got["Amount_2"] == "3"
+
+
+def test_warehouse_sql_identity_default_views(spark, tmp_path):
+    """Review-r04: the documented views=None identity default must
+    actually register the warehouse's tables."""
+    from bi_gcp_stitch_repl_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(
+        wh.path("orders_wh_test")
+    )
+    assert wh.tables() == ["orders_wh_test"]
+    assert wh.sql("SELECT COUNT(*) AS n FROM orders_wh_test").collect()[0]["n"] == 1
