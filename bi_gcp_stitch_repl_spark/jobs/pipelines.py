@@ -10,6 +10,8 @@ API→cluster and cluster→table.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -83,7 +85,7 @@ def bexio_invoice_replication(
     # keeps re-runs idempotent — reference used uuid4()/now() (SURVEY §7.5).
     headers = carry_forward_keys(
         headers,
-        existing.withColumnRenamed("bexio_id", "bexio_id"),
+        existing,
         "bexio_id",
         carried={
             "u_id": F.sha2(F.concat(F.lit("bexio:"), F.col("bexio_id")), 256),
@@ -111,8 +113,14 @@ def bexio_invoice_replication(
     # atomic swap invalidates outstanding plans over the old files
     # (ParquetTable docstring contract).
     n_headers, n_items = header_out.count(), items.count()
+    # line items merge on the PARENT key alone: each fetched invoice's
+    # batch rows are its complete current position set, so the anti-join
+    # removes every existing row of that invoice before inserting — the
+    # reference's per-invoice DELETE+INSERT as ONE atomic commit. A
+    # composite (invoice, position) key would only upsert and leave
+    # positions deleted upstream alive in the warehouse forever.
     merge_table(spark, line_items_path, table_factory).merge_upsert(
-        items, keys=["invoice_id", "position_id"]
+        items, keys=["invoice_id"]
     )
     headers_tbl.merge_upsert(header_out, keys=["bexio_id"])
     return n_headers, n_items
@@ -212,18 +220,30 @@ def lexoffice_invoice_items(
         key_col="id",
         parallelism=fanout_parallelism,
         error_col="_fetch_err",
-    )
+    # REMOTE fan-out: materialize ONCE. The frame is consumed by up to
+    # three actions (dead-letter append, count, merge), and each would
+    # otherwise re-run the mapInPandas fetch — one HTTP call per invoice
+    # per pass, tripling API quota — with INDEPENDENT outcomes between
+    # passes (an invoice flaking in one pass but not another could be
+    # both dead-lettered and merged).
+    ).localCheckpoint(eager=True)
     if dead_letter_path is not None:
         # failed fetches land in a dead-letter table for replay instead of
         # disappearing (reference merely filters them out, SURVEY §2.12);
         # the captured error string separates "API flaked for a few keys"
-        # from "every key failed identically" (a systematic bug)
+        # from "every key failed identically" (a systematic bug).
+        # append_if_absent on the invoice id: the daily full re-scan plus
+        # retries would otherwise append a fresh row (current_timestamp
+        # differs every run) for the same persistently-failing invoice,
+        # growing the dead-letter table without bound
         failed = fetched.filter(~F.col("_fetch_ok")).select(
             F.col("id").alias("invoice_id"),
             F.col("_fetch_err").alias("error"),
             F.current_timestamp().alias("failed_at"),
         )
-        ParquetTable(spark, dead_letter_path).append(failed)
+        ParquetTable(spark, dead_letter_path).append_if_absent(
+            failed, keys=["invoice_id"]
+        )
     details = fetched.filter(F.col("_fetch_ok")).drop("_fetch_err")
     items = explode_with_parent(
         details.select(F.col("id").alias("invoice_id"), "lineItems"),
@@ -241,8 +261,11 @@ def lexoffice_invoice_items(
         F.col("lineItemAmount").alias("amount"),
     )
     n = items.count()
+    # parent-key merge = per-invoice DELETE+INSERT in one commit (see
+    # bexio_invoice_replication): line items removed upstream disappear
+    # here too instead of surviving a composite-key upsert forever
     merge_table(spark, warehouse_path, table_factory).merge_upsert(
-        items, keys=["invoice_id", "line_id"]
+        items, keys=["invoice_id"]
     )
     return n
 
@@ -342,6 +365,23 @@ def validated_merge(
     return {"merged": n_good, "quarantined": n_bad}
 
 
+def _table_for(spark: SparkSession, path: str):
+    """Open ``path`` as the table type it actually IS: a ``_log`` dir
+    marks a VersionedTable, anything else is a plain ParquetTable.
+
+    Maintenance and erasure jobs previously hardcoded ParquetTable while
+    every load job in the manifest writes VersionedTable by default —
+    pointing ParquetTable.compact at a commit-log table resurrects every
+    logically-removed generation as duplicate rows and destroys the log
+    (ParquetTable reads ALL physical files and rewrites the directory),
+    and ParquetTable.vacuum/delete_matching silently no-op / leave the
+    to-be-erased rows alive in old generations. Auto-detection makes the
+    scheduled jobs safe for mixed warehouses with zero configuration."""
+    if os.path.isdir(os.path.join(path, "_log")):
+        return VersionedTable(spark, path)
+    return ParquetTable(spark, path)
+
+
 def compact_tables(
     spark: SparkSession,
     table_paths: list[str],
@@ -350,27 +390,45 @@ def compact_tables(
 ) -> dict[str, int]:
     """Maintenance: rewrite each table into right-sized files (small-file
     debt is the top silent killer of scan parallelism on a growing lake);
-    ``zorder_by`` additionally clusters for multi-column file skipping."""
-    return {
-        p: ParquetTable(spark, p).compact(target_partitions, zorder_by)
-        for p in table_paths
-    }
+    ``zorder_by`` additionally clusters for multi-column file skipping.
+    Table type is auto-detected per path (``_table_for``): commit-log
+    tables compact via ``optimize`` (one add+remove commit, history
+    intact), plain directories via the staged-swap ``compact``."""
+    out = {}
+    for p in table_paths:
+        t = _table_for(spark, p)
+        if isinstance(t, VersionedTable):
+            t.optimize(target_partitions or 8, zorder_by=zorder_by)
+            out[p] = t.read().count()
+        else:
+            out[p] = t.compact(target_partitions, zorder_by)
+    return out
 
 
 def vacuum_tables(
     spark: SparkSession, table_paths: list[str], retention_sec: float = 3600.0
 ) -> dict[str, int]:
-    """Maintenance: GC orphaned write generations older than retention."""
-    return {
-        p: len(ParquetTable(spark, p).vacuum(retention_sec)) for p in table_paths
-    }
+    """Maintenance: GC orphaned write generations older than retention
+    (auto-detected per path — VersionedTable generations are GC'd by the
+    commit-log vacuum, which a ParquetTable vacuum would never touch).
+    NOTE: on a commit-log table, erasure (delete_matching) removes rows
+    from the CURRENT snapshot; this vacuum is what actually reclaims the
+    old generations still holding them — schedule it after gdpr_erasure."""
+    out = {}
+    for p in table_paths:
+        t = _table_for(spark, p)
+        if isinstance(t, VersionedTable):
+            out[p] = len(t.vacuum(retention_sec=retention_sec))
+        else:
+            out[p] = len(t.vacuum(retention_sec))
+    return out
 
 
 def erase_requested_keys(
     spark: SparkSession,
     requests_path: str,
     table_keys: dict[str, list[str]],
-    table_factory=ParquetTable,
+    table_factory=None,
 ) -> dict[str, int]:
     """GDPR erasure driver: apply the pending deletion-request table to
     every warehouse table that carries the key. ``table_keys`` maps table
@@ -378,14 +436,21 @@ def erase_requested_keys(
     each table's anti-join pass. Idempotent end to end (delete_matching),
     so the daily run simply re-applies outstanding requests.
 
-    ``table_factory`` must match how the target tables were written:
-    ``ParquetTable`` (default — plain directories, full rewrite of matched
-    tables) or ``VersionedTable`` (commit-log tables, file-pruned erasure
-    that leaves non-overlapping files untouched — the 100 TB path)."""
+    ``table_factory`` defaults to per-path auto-detection
+    (``_table_for``): the manifest's load jobs write VersionedTable, and
+    erasing one through ParquetTable would both resurrect removed
+    generations AND leave the requested rows alive in the pre-delete
+    snapshot — the opposite of erasure. Pass a factory explicitly only
+    to force one type."""
     requests = ParquetTable(spark, requests_path).read()
     out = {}
     for path, keys in table_keys.items():
-        out[path] = table_factory(spark, path).delete_matching(requests, keys)
+        t = (
+            _table_for(spark, path)
+            if table_factory is None
+            else table_factory(spark, path)
+        )
+        out[path] = t.delete_matching(requests, keys)
     return out
 
 
@@ -523,6 +588,8 @@ def incremental_span_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_words: int = 10,
+    app_id: str | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Continuous-ingest C4-style span dedup: clean the NEW batch against
     the persisted segment-hash index, then commit the batch's surviving
@@ -537,19 +604,56 @@ def incremental_span_dedup(
     exchanges on the corpus side. In-batch first occurrences resolve by
     the same (id, position) rule as the batch operator.
 
-    Crash ordering mirrors ``incremental_dedup_ingest``: the cleaned
-    output is materialized BEFORE the index commit, so a failure never
-    half-updates the index and a retry re-cleans the same batch against
-    the same snapshot."""
+    Crash ordering: the cleaned output is materialized BEFORE the index
+    commit, so a pre-commit failure just re-cleans the same batch
+    against the same snapshot. The POST-commit window needs the txn
+    seam: without it, a caller crashing after the index commit (but
+    before persisting the returned batch) replays the batch against an
+    index that already contains its OWN segment hashes — every segment
+    looks seen, and the whole batch comes back emptied. With
+    ``app_id``/``batch_id``, a replay of an already-committed batch
+    rebuilds ``seen`` from the snapshot BEFORE that batch's commit
+    (located by its txn marker) and the re-commit is an append_txn
+    no-op — byte-identical output to the original run. At-least-once
+    callers (streaming foreachBatch, retrying schedulers) MUST pass the
+    txn ids."""
     from ..functions.dedup import _word_segments
     from ..sinks.versioned import VersionedTable
 
     index = VersionedTable(spark, index_path)
-    seen = (
-        index.read()
-        if index.exists()
-        else spark.createDataFrame([], "h long")
-    )
+    replay_base: int | None = None
+    if app_id is not None and batch_id is not None and index.exists():
+        last = index.last_txn(app_id)
+        if last is not None and batch_id <= last:
+            v = next(
+                (
+                    h["version"]
+                    for h in index.history()
+                    if h["txn"]
+                    and h["txn"]["app"] == app_id
+                    and h["txn"]["batch"] == batch_id
+                ),
+                None,
+            )
+            if v is None:
+                raise FileNotFoundError(
+                    f"replay of ({app_id}, {batch_id}) against {index_path}: "
+                    "the original commit was expired (expire_log) — the "
+                    "pre-batch snapshot cannot be reproduced"
+                )
+            replay_base = v - 1
+    if replay_base is not None:
+        seen = (
+            index.read(replay_base)
+            if replay_base >= 0
+            else spark.createDataFrame([], "h long")
+        )
+    else:
+        seen = (
+            index.read()
+            if index.exists()
+            else spark.createDataFrame([], "h long")
+        )
     segs = _word_segments(batch, text_col, id_col, span_words).withColumn(
         "h", F.xxhash64("seg")
     )
@@ -583,7 +687,11 @@ def incremental_span_dedup(
     cleaned = cleaned.localCheckpoint(eager=True)
     # kept rows carry one occurrence per hash by construction
     # (pos == global-in-batch min), so no distinct pass is needed
-    index.append(flagged.filter(F.col("kept") == 1).select("h"))
+    new_hashes = flagged.filter(F.col("kept") == 1).select("h")
+    if app_id is not None and batch_id is not None:
+        index.append_txn(new_hashes, app_id=app_id, batch_id=batch_id)
+    else:
+        index.append(new_hashes)
     return cleaned
 
 

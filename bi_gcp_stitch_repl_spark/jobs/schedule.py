@@ -31,6 +31,13 @@ class JobSpec:
     pipeline: str  # function name in jobs.pipelines
     cron: str  # reference cadence (staggered daily crons)
     description: str
+    #: False = the pipeline takes an argument no JSON config can express
+    #: (currently only a Python callable — reverse-ETL's ``send``); such
+    #: jobs run through a library driver / streaming job, not the
+    #: spark-submit CLI, and __main__ excludes them from its choices.
+    #: DataFrame arguments ARE expressible via the {"$parquet": path}
+    #: resolver, so the batch/snapshot-taking jobs stay CLI-runnable.
+    cli: bool = True
 
 
 #: cadences mirror the reference's staggered schedule_interval values
@@ -63,6 +70,7 @@ JOB_MANIFEST: dict[str, JobSpec] = {
     "reverse_etl_company_status": JobSpec(
         "reverse_etl_company_status", "30 9 * * *",
         "Warehouse aggregates -> CRM batch update",
+        cli=False,  # needs a send callable — library/streaming-driven
     ),
     # -- engine maintenance (no reference analog: it had no lake to keep) --
     "warehouse_compact": JobSpec(

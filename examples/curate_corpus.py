@@ -52,11 +52,15 @@ def run(base: str) -> dict:
     # --- 2. exactly-once ingest --------------------------------------------
     clean_t = VersionedTable(spark, os.path.join(base, "docs"))
     quar_t = VersionedTable(spark, os.path.join(base, "quarantine"))
-    ingest_documents_stream(
+    # availableNow stream: wait for ACTUAL completion — a timed
+    # awaitTermination returning False would silently proceed to read a
+    # partially-ingested corpus while the stream is still appending
+    if not ingest_documents_stream(
         spark, landing, clean_t, quar_t,
         app_id="example-ingest",
         checkpoint=os.path.join(base, "ckpt"),
-    ).start().awaitTermination(120)
+    ).start().awaitTermination(600):
+        raise TimeoutError("ingest stream did not finish within 600s")
 
     corpus = clean_t.read()
     bench = corpus.filter(F.col("doc_id") % 23 == 0)  # held-out eval slice

@@ -1030,3 +1030,77 @@ def test_multimodal_corpus_ingest_null_payloads_catalog_once(spark, tmp_path):
     rows2 = pipelines.multimodal_corpus_ingest(spark, cat, b2).collect()
     assert rows2 == []
     assert VersionedTable(spark, cat).read().count() == 1
+
+
+def test_jobs_cli_skips_doc_keys_and_resolves_parquet(spark, tmp_path):
+    """Review-r04: the shipped example config carries a __doc__ metadata
+    key (previously passed through as a kwarg -> TypeError at startup),
+    and DataFrame-taking jobs are CLI-expressible via {"$parquet": path}."""
+    import json
+
+    from bi_gcp_stitch_repl_spark.jobs.__main__ import main
+
+    src = str(tmp_path / "snap")
+    spark.createDataFrame(
+        [(1, "open"), (2, "paid")], "invoice_id long, status string"
+    ).write.parquet(src)
+    hist = str(tmp_path / "hist")
+    cfg = tmp_path / "job.json"
+    cfg.write_text(json.dumps({
+        "__doc__": "metadata only — must not become a kwarg",
+        "snapshot": {"$parquet": src},
+        "history_path": hist,
+        "keys": ["invoice_id", "status"],
+    }))
+    assert main(["history_capture", "--config", str(cfg)]) == 0
+    assert ParquetTable(spark, hist).read().count() == 2
+
+
+def test_line_item_merge_removes_upstream_deleted_positions(spark, tmp_path):
+    """Review-r04: the reference's per-invoice DELETE+INSERT removed
+    positions deleted upstream; a composite-key upsert kept them forever.
+    Parent-key merge must drop them in the same atomic commit."""
+    wh = str(tmp_path / "invoices")
+    li = str(tmp_path / "line_items")
+    pipelines.bexio_invoice_replication(
+        spark, bexio_transport([make_invoice(1, n_positions=3)]), wh, li,
+        page_limit=2,
+    )
+    assert read_merged(spark, li).count() == 3
+    # upstream edit removes a position; the re-fetched invoice has 2
+    pipelines.bexio_invoice_replication(
+        spark, bexio_transport([make_invoice(1, n_positions=2)]), wh, li,
+        page_limit=2,
+    )
+    items = read_merged(spark, li)
+    assert items.count() == 2  # the deleted position is GONE
+    assert sorted(r["position_id"] for r in items.collect()) == [10, 11]
+
+
+def test_incremental_span_dedup_replay_after_commit_is_identical(spark, tmp_path):
+    """Review-r04: a replay AFTER a successful index commit previously
+    cleaned the batch against its own hashes — every segment 'seen',
+    whole batch emptied. With txn ids the replay rebuilds the pre-batch
+    snapshot and returns byte-identical output, and the index does not
+    double-append."""
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    idx = str(tmp_path / "segidx")
+    words = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    b1 = spark.createDataFrame(
+        [(1, words("a", 20)), (2, words("a", 20))], "doc_id long, text string"
+    )
+    out1 = pipelines.incremental_span_dedup(
+        spark, idx, b1, app_id="seg", batch_id=0
+    )
+    first = {r["doc_id"]: (r["n_kept"], r["cleaned_text"]) for r in out1.collect()}
+    assert first[1][0] > 0 and first[2][0] == 0  # doc2 is a dup of doc1
+    n_index = VersionedTable(spark, idx).read().count()
+
+    # caller crashed before persisting out1 → replays the same batch
+    out2 = pipelines.incremental_span_dedup(
+        spark, idx, b1, app_id="seg", batch_id=0
+    )
+    replay = {r["doc_id"]: (r["n_kept"], r["cleaned_text"]) for r in out2.collect()}
+    assert replay == first  # NOT emptied
+    assert VersionedTable(spark, idx).read().count() == n_index  # no dup append
