@@ -32,9 +32,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def mg_partial_sketch(items, k: int) -> dict:
-    """Plain-Python Misra-Gries over an iterable: ≤ k counters."""
-    counters: dict = {}
+def mg_partial_sketch(items, k: int, counters: dict | None = None) -> dict:
+    """Plain-Python Misra-Gries over an iterable: ≤ k counters. Pass an
+    existing ``counters`` dict to fold several streams into one sketch —
+    the distributed path feeds each Arrow batch through the SAME
+    unit-tested loop instead of maintaining a byte-for-byte copy that
+    could silently drift."""
+    if counters is None:
+        counters = {}
     for it in items:
         if it in counters:
             counters[it] += 1
@@ -68,20 +73,7 @@ def mg_frequent_items(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     def partial(batches):
         counters: dict = {}
         for pdf in batches:
-            vals = pdf[col].dropna()
-            for it in vals:
-                if it in counters:
-                    counters[it] += 1
-                elif len(counters) < k:
-                    counters[it] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            mg_partial_sketch(pdf[col].dropna(), k, counters)
         yield pd.DataFrame(
             {"item": list(counters.keys()), "est": list(counters.values())}
         )

@@ -194,6 +194,28 @@ def x_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dau_with_rolling(e, horizon_days: int, rolling_name: str):
+    """(day, dau, <rolling_name>) — shared kernel of x_active_users /
+    x_dau_mau_stickiness: one event-scale dedupe to the (user, day)
+    grid, exact per-day distinct, and the explode-based rolling distinct
+    over ``horizon_days``. ``dau``'s keyset IS the observed-day set, so
+    the inner join with the rolling aggregate both aligns the keys and
+    trims the explode's overhang past each activity day — no separate
+    day-dimension distinct or extra join."""
+    daily = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    covered = daily.select(
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {horizon_days - 1}))")
+        ).alias("day"),
+        "user_id",
+    )
+    rolling = covered.groupBy("day").agg(
+        F.countDistinct("user_id").alias(rolling_name)
+    )
+    return dau.join(rolling, "day")
+
+
 @register(
     "x_active_users",
     oracle="""
@@ -219,22 +241,13 @@ def x_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     length. The range-join formulation (grid × day dimension) plans a
     BroadcastNestedLoopJoin whose per-row cost grows with |days| — fine
     for one month, quadratic creep over years of history. The final inner
-    join with the observed-day set trims the explode's 6-day overhang past
-    each activity day."""
+    join between dau (whose keyset IS the observed-day set) and the
+    rolling aggregate trims the explode's 6-day overhang past each
+    activity day — shared kernel ``_dau_with_rolling``."""
     (e,) = tables(spark, sf_dir, "events")
-    daily = e.select(
-        F.col("ts").cast("date").alias("day"), "user_id"
-    ).distinct()
-    days = daily.select("day").distinct()
-    dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    covered = daily.select(
-        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"),
-        "user_id",
+    return _dau_with_rolling(e, 7, "wau_trailing7").select(
+        "day", "dau", "wau_trailing7"
     )
-    wau = covered.groupBy("day").agg(
-        F.countDistinct("user_id").alias("wau_trailing7")
-    )
-    return days.join(dau, "day").join(wau, "day").select("day", "dau", "wau_trailing7")
 
 
 @register(
@@ -266,19 +279,8 @@ def x_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw events) hash-aggregated on an equi key, calendar-length
     independent. Exact integer counts; the ratio is one IEEE division."""
     (e,) = tables(spark, sf_dir, "events")
-    daily = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
-    days = daily.select("day").distinct()
-    dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    covered = daily.select(
-        F.explode(F.expr("sequence(day, date_add(day, 29))")).alias("day"),
-        "user_id",
-    )
-    mau = covered.groupBy("day").agg(
-        F.countDistinct("user_id").alias("mau_trailing30")
-    )
     return (
-        days.join(dau, "day")
-        .join(mau, "day")
+        _dau_with_rolling(e, 30, "mau_trailing30")
         .select(
             "day",
             "dau",
@@ -352,9 +354,14 @@ def x_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame includes the current row; purchases are not clicks so the
     # indicator sum over [-W, 0] equals the strict (-W, now) click count
     # ONLY if no click shares the purchase's exact timestamp — subtract
-    # same-instant clicks explicitly to honor the strict < bound
+    # same-instant clicks explicitly to honor the strict < bound. The
+    # peer count comes from a RANGE(0, 0) frame on the SAME (user_id, es)
+    # window spec as w_back — a Window.partitionBy(user_id, es) spelling
+    # would plan a SECOND full exchange of the event set and break the
+    # one-shuffle contract; the zero-width range frame reuses w_back's
+    # exchange and sort.
     same_instant_clicks = F.sum(is_click).over(
-        Window.partitionBy("user_id", "es")
+        Window.partitionBy("user_id").orderBy("es").rangeBetween(0, 0)
     ) * (F.col("event_type") == "purchase").cast("long")
     stage1 = ev.withColumn(
         "n_touch",

@@ -325,12 +325,17 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     pairs = x_minhash_lsh_candidates(spark, sf_dir)
     labels = connected_components(pairs, nodes=docs.select("doc_id"))
-    from pyspark.sql import Window
-
-    return labels.select(
+    out = labels.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-    ).withColumn(
-        "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
+    )
+    # cluster_size via aggregate + equi-join, NOT count() OVER
+    # (PARTITION BY cluster_id): a boilerplate-heavy corpus yields one
+    # giant component, and the unordered window would drag most of the
+    # labels table into a single task; the groupBy is map-side
+    # partial-aggregated and the join is AQE-skew-splittable
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
     )
 
 
@@ -487,14 +492,29 @@ def x_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed form collects (sort-key, value) structs, sorts the
     per-group array, then projects + joins, giving exactly SQL's
     string_agg(... ORDER BY). Top-5 pre-filter bounds the collected
-    array per group (never collect unbounded groups at scale)."""
+    array per group (never collect unbounded groups at scale); the
+    pre-filter itself is TWO-LEVEL (top-5 per (segment, 64-way salt),
+    then top-5 of the ≤320 survivors per segment) because a single
+    window over the 5-value segment column would funnel the whole
+    customer table into 5 unsplittable sort tasks — windows, unlike
+    joins, get no AQE skew splitting. The salt is a pure function of the
+    unique tiebreaker, so the survivor set provably contains every true
+    top-5 row and the result is exactly the single-window answer."""
     (c,) = tables(spark, sf_dir, "customer")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("c_acctbal"), F.col("c_custkey")
+    order = (F.desc("c_acctbal"), F.col("c_custkey"))
+    salted = c.withColumn("_salt", F.pmod(F.xxhash64("c_custkey"), F.lit(64)))
+    w_local = Window.partitionBy("c_mktsegment", "_salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= 5)
+        .drop("_salt", "_lrk")
     )
-    top = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    w = Window.partitionBy("c_mktsegment").orderBy(*order)
+    top = survivors.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
     return (
         top.groupBy("c_mktsegment")
         .agg(
@@ -631,10 +651,13 @@ def x_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    # one table scan: every row lands in exactly one digit group, so the
+    # grand total is the SUM over the 9-row aggregate — a separate
+    # d.agg(count) would be a second full pass over the fact table
+    digits = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = digits.agg(F.sum("n").alias("n_total"))
     return (
-        d.groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n"))
+        digits
         .crossJoin(F.broadcast(tot))
         .select(
             "digit",

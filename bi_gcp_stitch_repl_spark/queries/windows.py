@@ -31,18 +31,34 @@ SELECT o_orderstatus, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
 """,
 )
 def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k rows per group via row_number — the scalable form of 'latest/
-    largest per key' the reference approximates with anti-joins (SURVEY
-    §2.6). One hash shuffle on the partition key; with AQE skew handling a
-    hot key splits instead of stalling a task. Unique tiebreaker keeps it
-    deterministic."""
+    """Top-k rows per group, two-level: a SALTED pre-reduction window
+    (top-3 per (status, hash-salt) over 64 salt lanes) collapses the
+    table to ≤ 192 candidate rows per status, then the exact global
+    window ranks that tiny survivor set. The naive single window over
+    ``o_orderstatus`` funnels the WHOLE table into 3 unsplittable tasks
+    (one per status value) — row_number needs every row of a key in one
+    task, and AQE's skew splitting applies to joins, not windows, so at
+    100 TB that plan stalls a single reducer no matter the cluster size.
+    The salt is a pure function of the unique tiebreaker, so the result
+    is deterministic and EXACTLY the single-window answer: every true
+    global top-3 row is necessarily in its salt lane's top-3. Unique
+    tiebreaker keeps ordering total (SURVEY §2.6)."""
     (o,) = tables(spark, sf_dir, "orders")
+    src = o.select("o_orderstatus", "o_orderkey", "o_totalprice")
+    salted = src.withColumn("_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(64)))
+    w_local = Window.partitionBy("o_orderstatus", "_salt").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    survivors = (
+        salted.withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= 3)
+        .drop("_salt", "_lrk")
+    )
     w = Window.partitionBy("o_orderstatus").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.select("o_orderstatus", "o_orderkey", "o_totalprice")
-        .withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
     )
 
@@ -189,8 +205,16 @@ def w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation account-balance quartiles via ntile — the banding window
     a BI layer uses for segment assignment. NTILE is deterministic only
     under a TOTAL order, so the tiebreak on c_custkey is load-bearing
-    (equal balances would otherwise land in engine-dependent tiles). One
-    shuffle on the partition key."""
+    (equal balances would otherwise land in engine-dependent tiles).
+
+    SCALE ENVELOPE: one shuffle on the partition key, and parallelism is
+    CAPPED at the key cardinality (25 nations) — ntile needs its whole
+    partition in one task and, unlike top-k, has no exact pre-reduction
+    (every row's tile depends on the full partition's count). Right for
+    dimension-bounded banding like this; for a quartile banding over a
+    100 TB fact keyed by a few values, compute exact per-key cutoff
+    ranks first (counts + percentile boundaries, a map-side-combinable
+    aggregate) and band by comparison instead."""
     (c,) = tables(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.desc("c_acctbal"), F.asc("c_custkey")
@@ -218,14 +242,24 @@ def w_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event-time width, peer-inclusive), not a ROWS frame — the frame is
     defined by the *time* bound, so same-day orders are always peers and
     row order inside a day cannot change the answer (ROWS would make it
-    nondeterministic under ties). The DataFrame API expresses the interval
-    bound as an epoch-second rangeBetween; one shuffle on the customer
-    key, decimal-exact accumulation."""
+    nondeterministic under ties). The DataFrame API expresses the
+    interval bound as a rangeBetween over ``unix_date`` — EPOCH DAYS,
+    which are timezone-free. ``unix_timestamp(DATE)`` with a ±29·86400
+    seconds bound is the trap: it yields epoch seconds of LOCAL midnight
+    in the session timezone, and around a DST transition two midnights
+    sit 23 or 25 hours apart — an order exactly 29 days back falls
+    outside the seconds window and silently drops from the rolling sum
+    (invisible to the UTC-pinned oracle harness, fatal under a host-TZ
+    session). One shuffle on the customer key, decimal-exact
+    accumulation."""
     (o,) = tables(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
-        .rangeBetween(-29 * 86400, Window.currentRow)
+        # the NTZ→date cast is timezone-free (it just truncates the
+        # wall-clock value), so the whole ordering key never consults
+        # the session timezone
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-29, Window.currentRow)
     )
     return o.select(
         "o_custkey",
