@@ -153,8 +153,18 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Load the named testdata tables; ``events.ts`` is normalized to
     TIMESTAMP (LTZ) whichever parquet generation shipped (see module
     docstring): nanos-as-long gets the div-1000 rebuild, micros-NTZ gets a
-    value-preserving cast under the pinned UTC session TZ."""
+    value-preserving cast under the pinned UTC session TZ.
+
+    The UTC pin is UNCONDITIONAL (not just on the events-NTZ path): every
+    date/time extraction in the catalog — year(o_orderdate), to_date,
+    date_trunc, last_day — reads the session timezone, and an external
+    driver's session may carry a host TZ. Under e.g. America/Chicago,
+    ``year('1997-01-01T00:00Z')`` is 1996 — green in the pinned harness,
+    silently shifted everywhere else. The engine contract is UTC
+    (session.py); this is the catalog-side enforcement for foreign
+    sessions."""
     _ensure_importable_on_workers(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = []
     for name in names:
         if name == "events" and _events_ts_is_nanos(f"{sf_dir}/events.parquet"):

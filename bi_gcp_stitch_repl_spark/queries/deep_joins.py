@@ -59,11 +59,15 @@ GROUP BY 1, 2, 3
 )
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-region trade volume: revenue between (supplier nation, customer
-    nation) pairs in different regions, by order year. Six-table tree:
-    nation×2/supplier/customer broadcast, lineitem⋈orders hash on orderkey,
-    one groupBy shuffle on the (nation, nation, year) output key. The
-    inequality region predicate is a residual filter on broadcast columns —
-    free, never a join explosion."""
+    nation) pairs in different regions, by order year. Six-table tree.
+    Force-broadcast hints go ONLY on nation×2 (25 rows at ANY scale);
+    supplier and customer scale with SF — AQE broadcasts them while they
+    fit the threshold (the local plan) and degrades to shuffle joins at
+    100 TB, whereas a forced hint would abort the job at the broadcast
+    limit. lineitem⋈orders hash on orderkey, customer on custkey, one
+    groupBy shuffle on the (nation, nation, year) output key. The
+    inequality region predicate is a residual filter on broadcast
+    columns — free, never a join explosion."""
     l, o, s, c, n = tables(
         spark, sf_dir, "lineitem", "orders", "supplier", "customer", "nation"
     )
@@ -79,7 +83,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
@@ -121,12 +125,16 @@ FROM flows GROUP BY o_year
 """,
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """National market share: {TARGET_NATION}'s fraction of PROMO-part
-    revenue sold into region {TARGET_REGION}, per year. Seven-table tree;
-    the share is a conditional sum over the SAME aggregation pass as the
-    denominator (one scan, one shuffle on year) — the two-scan
-    self-join formulation doubles fact I/O for nothing. Both sums are
-    decimal-exact; the ratio is one IEEE division at the very end."""
+    """National market share (TARGET_NATION='NATION_7''s fraction of
+    PROMO-part revenue sold into region key TARGET_REGION=2, per year).
+    Seven-table tree; the share is a conditional sum over the SAME
+    aggregation pass as the denominator (one scan, one shuffle on year)
+    — the two-scan self-join formulation doubles fact I/O for nothing.
+    Force-broadcast hints only on the bounded nation slices; the
+    filtered part and supplier sides scale with SF, so they are left to
+    AQE (broadcast while small, shuffle at 100 TB — a forced hint would
+    abort at the broadcast limit). Both sums are decimal-exact; the
+    ratio is one IEEE division at the very end."""
     l, o, p, s, c, n = tables(
         spark, sf_dir, "lineitem", "orders", "part", "supplier", "customer", "nation"
     )
@@ -136,8 +144,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
     flows = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(p.filter(F.col("p_type") == "PROMO"), l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(
@@ -197,22 +205,38 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     price floor). The oracle keeps the CORRELATED scalar subquery; here
     it is decorrelated to a window min over the part key — one pass over
     the offer aggregate instead of a per-row rescan, the rewrite every
-    optimizer (and this plan, explicitly) performs. Dimension joins
-    broadcast; ties on the price floor all survive, so no arbitrary
-    min_by pick and the result is deterministic."""
+    optimizer (and this plan, explicitly) performs. The p_type='LARGE'
+    restriction is PUSHED BELOW the offer aggregation as a semi-join on
+    the broadcast LARGE-part keys: the window partitions by l_partkey
+    and p_type is a per-part attribute, so filtering first is
+    result-identical while both fact-sized shuffles (the groupBy and
+    the window) shrink by the type's selectivity — aggregating the full
+    offer book only to discard non-LARGE parts afterwards wastes both.
+    Dimension joins broadcast; ties on the price floor all survive, so
+    no arbitrary min_by pick and the result is deterministic."""
     from pyspark.sql import Window
 
     l, p, s, n = tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
-    offers = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice").cast("decimal(10,2)")).alias("best_price")
+    large_parts = p.filter(F.col("p_type") == "LARGE")
+    offers = (
+        l.join(
+            F.broadcast(large_parts.select("p_partkey")),
+            l.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(10,2)")).alias(
+                "best_price"
+            )
+        )
     )
     floor = Window.partitionBy("l_partkey")
     best = offers.withColumn(
         "part_floor", F.min("best_price").over(floor)
     ).filter(F.col("best_price") == F.col("part_floor"))
     return (
-        best.join(F.broadcast(p.filter(F.col("p_type") == "LARGE")),
-                  best.l_partkey == p.p_partkey)
+        best.join(F.broadcast(large_parts), best.l_partkey == p.p_partkey)
         .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
@@ -897,7 +921,12 @@ def x_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER (self-join on orderkey), so candidates are bounded by
     Σ_orders (basket_size choose 2) — linear in orders for bounded
     baskets, never a part×part pass; the tiny global order count
-    broadcasts as a 1-row aggregate onto the support aggregate. This is
+    broadcasts as a 1-row aggregate onto the support aggregate. The
+    per-part frequency joins are NOT hinted: part_freq has one row per
+    distinct part in the fact — unbounded, SF-scaled — so a forced
+    broadcast would abort at the limit at 100 TB; pairs is already
+    hash-partitioned by (part_a, part_b) from its groupBy and AQE picks
+    broadcast only while the frequency table actually fits. This is
     the co-occurrence shape (item2item recommenders, term co-occurrence
     matrices) at any scale. Counts are exact integers; lift is one IEEE
     expression."""
@@ -919,8 +948,8 @@ def x_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = part_freq.select(F.col("l_partkey").alias("part_a"), F.col("f").alias("fa"))
     fb = part_freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("fb"))
     return (
-        pairs.join(F.broadcast(fa), "part_a")
-        .join(F.broadcast(fb), "part_b")
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
@@ -936,6 +965,11 @@ def x_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x_basket_pairs.__doc__ = x_basket_pairs.__doc__.format(s=MIN_BASKET_SUPPORT)
+# @register captured the raw docstring before the .format above — keep the
+# registry's doc (what catalog UIs read) in sync with the rendered one
+from .catalog import _REGISTRY as _REG  # noqa: E402
+
+_REG["x_basket_pairs"].doc = x_basket_pairs.__doc__
 
 
 @register(

@@ -197,28 +197,48 @@ GROUP BY n_name
 """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-supplier volume (TPC-H Q5 shape): five-way join with three
-    broadcastable dims (region/nation/supplier) — the J2 CTE-join pattern
-    (dags/hubspot/BM/hubspot_bm_contact_role.py:136-159) at scale. Only the
-    orders⋈lineitem edge shuffles."""
+    """Local-supplier volume (TPC-H Q5 shape) — the J2 CTE-join pattern
+    (dags/hubspot/BM/hubspot_bm_contact_role.py:136-159) at scale.
+
+    The ASIA restriction is PUSHED AHEAD of the fact joins: Spark does
+    not reorder joins without CBO stats, so filtering customer and
+    supplier through the broadcast ASIA nation-key set FIRST shrinks
+    every subsequent exchange by the region's ~1/5 selectivity —
+    restricting only at the final region join would shuffle 5× the rows
+    through both fact exchanges. region/nation are the only force-
+    broadcast dims (bounded at 5/25 rows at ANY scale); customer and
+    supplier shuffle on their keys — at 100 TB they are fact-sized and
+    a broadcast hint on them would abort the job outright (AQE still
+    broadcasts them at small SF on its own)."""
     c, o, li, s, n, r = tables(
         spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
     )
+    asia_nations = (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    c_asia = c.join(
+        F.broadcast(asia_nations.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    s_asia = s.join(
+        F.broadcast(asia_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        c_asia.join(o, F.col("c_custkey") == F.col("o_custkey"))
         .filter(
             (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
             & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
         )
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(s),
+            s_asia,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
@@ -317,8 +337,13 @@ def j1_carry_forward_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 upsert-key carry-forward: LEFT JOIN the existing table on the
     business key; keep existing u_id/created_at, mint defaults for new keys
     (reference iterrows+.loc loop, bexio_invoice_and_line_items_de.py:155-162).
-    Defaults here are deterministic stand-ins for uuid()/now() (SURVEY §7.5);
-    the existing side broadcasts."""
+    Defaults here are deterministic stand-ins for uuid()/now() (SURVEY §7.5).
+    ``broadcast_existing=False``: this gate's existing side is a THIRD of
+    the fact table — a forced broadcast hint bypasses the size threshold
+    AND AQE demotion, and at 100 TB blows Spark's broadcast-table limit
+    outright. The hint belongs only on genuinely bounded existing sets
+    (the bexio job's key table); here the shuffle join is the honest
+    plan, and AQE still demotes to broadcast at small SF on its own."""
     (orders,) = tables(spark, sf_dir, "orders")
     existing = orders.filter(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey",
@@ -330,6 +355,7 @@ def j1_carry_forward_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch,
         existing,
         "o_orderkey",
+        broadcast_existing=False,
         carried={
             "u_id": F.concat(F.lit("new-"), F.col("o_orderkey").cast("string")),
             "created_at": F.lit("1995-01-01 00:00:00").cast("timestamp"),
@@ -446,8 +472,12 @@ def k1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference DELETE WHERE id IN … + INSERT,
     dags/bexio/bexio_invoice_and_line_items_de.py:147-150,182-186,362-386).
     The file-backed atomic version is sinks.merge.ParquetTable.merge_upsert;
-    this query is its logical core: existing LEFT ANTI batch ∪ batch, with
-    the (small) batch side broadcast into the anti-join."""
+    this query is its logical core: existing LEFT ANTI batch ∪ batch. No
+    broadcast HINT on the anti-join: this gate's batch is a third of the
+    fact table, and a forced hint would blow the broadcast limit at
+    100 TB — AQE broadcasts small batches on its own and shuffles big
+    ones (exactly the broadcast_batch=False escape hatch
+    sinks.merge.merge_upsert documents for backfills)."""
     (orders,) = tables(spark, sf_dir, "orders")
     existing = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice", F.lit("existing").alias("src")
@@ -458,7 +488,7 @@ def k1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("batch").alias("src"),
     )
     survivors = existing.join(
-        F.broadcast(batch.select("o_orderkey")), "o_orderkey", "left_anti"
+        batch.select("o_orderkey"), "o_orderkey", "left_anti"
     )
     return survivors.unionByName(batch)
 
@@ -597,7 +627,16 @@ def k8_reverse_etl_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch 100 per POST, dags/hubspot/BM/hubspot_bm_company_status_v3.py:
     66-100): grouped rollup + deterministic batch numbering. The actual POST
     is sinks.reverse.post_batches (foreachPartition); batching here is the
-    SQL-checkable half."""
+    SQL-checkable half.
+
+    Numbering is TWO-PHASE: a bare Window.orderBy(user_id) would
+    single-partition the whole per-user rollup (one task sorts every
+    user — the exact anti-pattern q22's docstring calls out). Instead:
+    range-partition on the unique key, number locally per partition,
+    and add broadcast per-partition offsets — the global sequence is
+    identical for ANY range boundaries (offsets come from actual
+    counts), so the output is deterministic while every phase stays
+    parallel."""
     from pyspark.sql import Window
 
     (events,) = tables(spark, sf_dir, "events")
@@ -606,11 +645,31 @@ def k8_reverse_etl_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("value", "total_value"),
         F.max("ts").alias("last_seen"),
     )
+    parts = per_key.repartitionByRange(64, "user_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("_pid").orderBy("user_id")
+    local = parts.withColumn("_lrk", F.row_number().over(w_local))
+    # offsets: cumulative counts over <=64 rows — the unpartitioned
+    # window is fine HERE because its input is partition-count-sized
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
     # floor() explicitly: Spark's double→long cast truncates but DuckDB's
     # rounds, so a bare cast disagrees at batch boundaries
-    w = Window.orderBy("user_id")
-    return per_key.withColumn(
-        "batch_id", F.floor((F.row_number().over(w) - 1) / 100).cast("long")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "batch_id",
+            F.floor((F.col("_off") + F.col("_lrk") - 1) / 100).cast("long"),
+        )
+        .select("user_id", "n_events", "total_value", "last_seen", "batch_id")
     )
 
 
@@ -813,20 +872,35 @@ def s9_sql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     BigQueryExecuteQueryOperator temp-table pattern,
     dags/lex_office/lex_office_invoice_items.py:55-59,331-348): the same
     text-SQL surface via spark.sql over registered views — the staging
-    temp table is just a CTE in DataFrame lineage."""
+    temp table is just a CTE in DataFrame lineage. View names are UNIQUE
+    per call and dropped on exit: temp views are session-global mutable
+    state, and the catalog explicitly supports threaded staging — two
+    threads registering a fixed name against different sf_dirs could
+    bind one thread's SQL to the other's data (and fixed names would
+    leak in the session catalog forever)."""
+    import uuid as _uuid
+
     customer, orders = tables(spark, sf_dir, "customer", "orders")
-    customer.createOrReplaceTempView("s9_customer")
-    orders.createOrReplaceTempView("s9_orders")
-    return spark.sql(
-        """
-        WITH big AS (
-          SELECT o_custkey, COUNT(*) AS n_orders
-          FROM s9_orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    tag = _uuid.uuid4().hex
+    cust_v, ord_v = f"s9_customer_{tag}", f"s9_orders_{tag}"
+    customer.createOrReplaceTempView(cust_v)
+    orders.createOrReplaceTempView(ord_v)
+    try:
+        # the plan is resolved eagerly here; dropping the views after
+        # does not invalidate the returned DataFrame's lineage
+        return spark.sql(
+            f"""
+            WITH big AS (
+              SELECT o_custkey, COUNT(*) AS n_orders
+              FROM {ord_v} GROUP BY o_custkey HAVING COUNT(*) >= 12
+            )
+            SELECT c.c_custkey, c.c_name, b.n_orders
+            FROM {cust_v} c JOIN big b ON c.c_custkey = b.o_custkey
+            """
         )
-        SELECT c.c_custkey, c.c_name, b.n_orders
-        FROM s9_customer c JOIN big b ON c.c_custkey = b.o_custkey
-        """
-    )
+    finally:
+        spark.catalog.dropTempView(cust_v)
+        spark.catalog.dropTempView(ord_v)
 
 
 # ---------------------------------------------------------------------------
