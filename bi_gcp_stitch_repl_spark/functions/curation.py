@@ -88,21 +88,29 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 8,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Per-training-document contamination counts against a benchmark set.
 
     Returns every ``train`` row's ``id_col`` with ``n_hit_grams`` (distinct
     word ``n``-grams also present anywhere in ``bench``) and a boolean
-    ``contaminated``. The benchmark gram set is broadcast — the corpus side
-    never shuffles its text, only gram-matched rows reach the aggregation.
+    ``contaminated``. With ``broadcast_bench=True`` (the default,
+    matching the production contract: eval sets are FIXED-size, a few MB
+    of grams at any corpus scale) the gram set broadcasts and the corpus
+    side never shuffles its text. Pass ``False`` when the bench side
+    SCALES with the corpus (e.g. a mod-slice of it, as the catalog's
+    driver gate uses) — a forced broadcast hint on a growing side
+    bypasses the size threshold and aborts at Spark's broadcast limit;
+    unhinted, AQE still broadcasts it while it actually fits.
     """
     grams = word_ngram_expr(text_col, n)
     train_grams = train.select(
         F.col(id_col), F.explode(F.expr(grams)).alias("gram")
     )
     bench_grams = bench.select(F.explode(F.expr(grams)).alias("gram")).distinct()
+    bench_side = F.broadcast(bench_grams) if broadcast_bench else bench_grams
     hits = (
-        train_grams.join(F.broadcast(bench_grams), "gram")
+        train_grams.join(bench_side, "gram")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hit_grams"))
     )
@@ -180,8 +188,14 @@ def split_shard(
       for parallel export (at 100 TB, shards are the files);
     - ``shuffle_rank``: rank within (split, shard) by an independent hash —
       a deterministic within-shard shuffle so training reads are already
-      order-randomized. One shuffle on (split, shard): the same exchange
-      the partitioned write needs anyway, so the ordering is free.
+      order-randomized. Numbering is TWO-PHASE (range-partition on the
+      full ordering key, rank locally, add broadcast per-(split, shard,
+      partition) offsets): a plain window over (split, shard) has at
+      most 3 × n_shards partitions, and a window partition cannot be
+      split across tasks — at 100 TB each (train, shard) group is a
+      multi-TB single-task sort. The two-phase ranks are identical for
+      ANY range boundaries (offsets come from actual counts), so the
+      output stays deterministic while every phase is fully parallel.
     """
     h_split = F.expr(
         mixed_fold_spark(f"concat('{salt}', cast({key_col} as string))")
@@ -203,10 +217,30 @@ def split_shard(
         (h_shard % n_shards).cast("int").alias("shard"),
         h_order.alias("_h"),
     )
-    w = Window.partitionBy("split", "shard").orderBy(F.col("_h"), F.col(key_col))
-    return banded.withColumn(
-        "shuffle_rank", F.row_number().over(w).cast("long")
-    ).drop("_h")
+    parts = banded.repartitionByRange(
+        64, "split", "shard", F.col("_h"), F.col(key_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid", "split", "shard").orderBy(
+        F.col("_h"), F.col(key_col)
+    )
+    local = parts.withColumn("_lrk", F.row_number().over(w_local))
+    # offsets frame: <= 64 × 3 × n_shards rows — tiny at any data scale
+    w_off = (
+        Window.partitionBy("split", "shard")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("split", "shard", "_pid")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select("split", "shard", "_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["split", "shard", "_pid"])
+        .withColumn("shuffle_rank", (F.col("_off") + F.col("_lrk")).cast("long"))
+        .drop("_h", "_pid", "_lrk", "_off")
+    )
 
 
 def pack_sequences(
@@ -223,14 +257,35 @@ def pack_sequences(
     into the bin where the running stream stands when it arrives, so every
     bin holds >= ``context_tokens`` only by its last doc's overflow (the
     standard streaming-concat packing used for LLM pretraining shards).
-    One window (= one shuffle on the shard key); no driver-side state.
+
+    The running sum is TWO-PHASE (range-partition on (shard, order), sum
+    locally, add broadcast per-(shard, partition) offsets): a plain
+    window over the shard key serializes each shard — a handful of
+    source values at 100 TB means a handful of tasks each
+    cumulative-summing tens of TB. Identical results for any range
+    boundaries; no driver-side state.
     """
-    w = (
-        Window.partitionBy(shard_col)
+    parts = df.repartitionByRange(64, shard_col, order_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid", shard_col)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(tokens_col).over(w)
+    w_off = (
+        Window.partitionBy(shard_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parts.groupBy(shard_col, "_pid")
+        .agg(F.sum(tokens_col).alias("_n"))
+        .withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+        .select(shard_col, "_pid", "_off")
+    )
+    df = parts.join(F.broadcast(offsets), [shard_col, "_pid"])
+    cum = F.col("_off") + F.sum(tokens_col).over(w_local)
     # Integer-exact: sum-of-longs window stays long, and the bin index is
     # a true integer `div` — `/` on longs is DOUBLE division in Spark,
     # which loses ULPs past 2^53 cumulative tokens and could floor a
@@ -238,7 +293,7 @@ def pack_sequences(
     return (
         df.withColumn("_before", cum - F.col(tokens_col))
         .withColumn("bin_id", F.expr(f"_before div {int(context_tokens)}"))
-        .drop("_before")
+        .drop("_before", "_pid", "_off")
     )
 
 

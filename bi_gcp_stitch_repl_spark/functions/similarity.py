@@ -158,9 +158,25 @@ def ivf_topk(
         .select(query_id_col, "qv", cell)
     )
     scored = corpus.join(probes, cell).withColumn("cosine", cosine(vec_col, "qv"))
+    # SALTED two-level per-query top-k: a bare window over query_id makes
+    # ONE task sort each query's full probe set (n_probe/n_cells of the
+    # corpus) — unsplittable by AQE. Local top-k per (query, 64-way salt
+    # of the unique vector id) bounds the exact final window to ≤ 64·k
+    # candidates per query; every true top-k row is necessarily in its
+    # salt lane's top-k, so the result is exactly the single-window
+    # answer.
+    salted = scored.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)))
+    w_local = Window.partitionBy(query_id_col, "_salt").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    survivors = (
+        salted.withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= k)
+        .drop("_salt", "_lrk")
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(query_id_col, id_col, "cosine", "rk")
     )

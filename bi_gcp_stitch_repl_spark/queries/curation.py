@@ -97,7 +97,11 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
-    return decontaminate(train, bench, n=NGRAM_N)
+    # broadcast_bench=False: this gate's bench slice is doc_id % 23 of
+    # the CORPUS — it scales with SF, unlike a real (fixed-size) eval
+    # set, so the forced broadcast would abort at 100 TB; AQE still
+    # broadcasts it at test scale (the plan lint stays green)
+    return decontaminate(train, bench, n=NGRAM_N, broadcast_bench=False)
 
 
 MIX_RATES = {"src0": 80, "src1": 50, "src2": 25}
@@ -293,7 +297,7 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
     bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
     contaminated = (
-        decontaminate(train, bench, n=NGRAM_N)
+        decontaminate(train, bench, n=NGRAM_N, broadcast_bench=False)
         .filter(F.col("contaminated"))
         .select("doc_id")
     )
@@ -339,20 +343,35 @@ SELECT doc_id, source, rk FROM ranked WHERE rk <= {STRAT_K}
 def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sample: exactly {STRAT_K} documents per source, chosen by
     key-hash order (deterministic "random": stable across re-runs and
-    partitionings, no rand()). One window per stratum — at corpus scale
-    each stratum ranks independently after a single shuffle on source;
-    skewed strata fall out of AQE. The per-group-top-k-by-hash idiom is
-    also how balanced eval subsets get drawn from a 100 TB corpus."""
+    partitionings, no rand()). SALTED two-level top-k: a single window
+    over the handful of source values would drag each whole stratum
+    into one unsplittable sort task (AQE cannot split window
+    partitions); top-{STRAT_K} per (source, 64-way salt) first bounds
+    the exact final window to ≤ 64·{STRAT_K} candidate rows per source,
+    and since the salt is a pure function of the unique tiebreaker,
+    every true top row is necessarily in its lane's top-{STRAT_K} — the
+    result is exactly the single-window answer. The idiom balanced eval
+    subsets get drawn with from a 100 TB corpus."""
     from ..functions.curation import mixed_fold_spark
 
     (docs,) = tables(spark, sf_dir, "documents")
     h = F.expr(
         mixed_fold_spark("concat('strat', cast(doc_id as string))")
     )
+    src = docs.select("doc_id", "source").withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(64))
+    )
+    w_local = Window.partitionBy("source", "_salt").orderBy(
+        h.asc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        src.withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= STRAT_K)
+        .drop("_salt", "_lrk")
+    )
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     return (
-        docs.select("doc_id", "source")
-        .withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= STRAT_K)
     )
 
@@ -444,12 +463,19 @@ def x_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_w"),
         F.count("*").alias("distinct_w"),
     )
-    big = docs.select(
+    # hoisted token array + short-doc guard: the inlined
+    # split-inside-the-lambda form re-split the text once per bigram
+    # (the O(words²) pathology _bigram_explode documents), and Spark's
+    # INCLUSIVE sequence(1, 0) runs BACKWARDS for one-word docs, making
+    # slice() abort under ANSI (DuckDB's generate_series(1,0) is empty,
+    # so only the Spark side needs the guard)
+    big = docs.withColumn("_ws", F.split("text", " ")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> array_join(slice(split(text, ' '), i, 2), ' '))"
+                "CASE WHEN size(_ws) < 2 THEN CAST(array() AS ARRAY<STRING>) "
+                "ELSE transform(sequence(1, size(_ws) - 1),"
+                " i -> array_join(slice(_ws, i, 2), ' ')) END"
             )
         ).alias("bigram"),
     )
@@ -623,7 +649,7 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_STOPWORDS = ("the", "a", "and", "of", "to")
 
 
-def _gopher_sql(duck: bool) -> str:
+def _gopher_sql(duck: bool, table: str = "documents") -> str:
     """One SQL text, two dialects. All features are row-local lambda
     expressions over the token/line arrays — scan-speed, zero shuffle.
     Dialect deltas: len/size, list_*/array lambdas, string_split names."""
@@ -657,7 +683,7 @@ def _gopher_sql(duck: bool) -> str:
     ellip_sym_n = "(length(text) - length(replace(text, '...', ''))) / 3"
     return f"""
 WITH toks AS (
-  SELECT doc_id, {words} AS words, {lines} AS lines, text FROM documents
+  SELECT doc_id, {words} AS words, {lines} AS lines, text FROM {table}
 ),
 feat AS (
   SELECT doc_id,
@@ -697,9 +723,18 @@ def x_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     composes in front of any dedup/mixing stage. Counting STOPWORD KINDS
     via array membership (not substring hits) keeps the rule
     tokenization-consistent with the wc/mean_wl features."""
+    import uuid as _uuid
+
     (docs,) = tables(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("documents")
-    return spark.sql(_gopher_sql(duck=False))
+    # unique per-call view, dropped after plan resolution: a
+    # session-global 'documents' view would shadow the name for every
+    # later spark.sql and race concurrent catalog builds
+    view = f"gopher_docs_{_uuid.uuid4().hex}"
+    docs.createOrReplaceTempView(view)
+    try:
+        return spark.sql(_gopher_sql(duck=False, table=view))
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 
@@ -1056,7 +1091,8 @@ WITH tok AS (
   FROM (SELECT unnest(words) AS w FROM tok)
 ), s AS (
   SELECT bg.doc_id,
-         ((cb.cb + 1) * {LM_SCALE}) // (cp.np + v.v) AS p9
+         CAST((CAST(cb.cb + 1 AS HUGEINT) * {LM_SCALE}) // (cp.np + v.v)
+              AS BIGINT) AS p9
   FROM bg
   JOIN cb USING (bigram)
   JOIN cp ON string_split(bg.bigram, ' ')[1] = cp.w1
@@ -1104,8 +1140,17 @@ def x_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cp, "w1")
         .crossJoin(F.broadcast(v))
         .withColumn(
+            # widen the intermediate product: (cb+1)*1e9 overflows int64
+            # once a single bigram tops ~9.2e9 corpus-wide occurrences —
+            # plausible at 100 TB (ANSI: job abort; non-ANSI: silent
+            # negative garbage). decimal(38,0)/HUGEINT carry the product;
+            # the QUOTIENT is bounded by LM_SCALE (np >= cb), so it
+            # always fits the bigint both engines sum
             "p9",
-            F.expr(f"((cb + 1) * {LM_SCALE}) div (np + v)"),
+            F.expr(
+                f"cast((cast(cb + 1 as decimal(38,0)) * {LM_SCALE})"
+                " div (np + v) as bigint)"
+            ),
         )
     )
     return scored.groupBy("doc_id").agg(

@@ -314,15 +314,21 @@ def _gram5_hash(index_fn) -> str:
 
 
 #: distinct 5-gram hashes per document (Spark / DuckDB) — the hash-domain
-#: shingle set used by MinHash. Requires length(text) >= 5 (driver corpus
-#: min length is 44); both sides use the same positions so the sets agree.
+#: shingle set used by MinHash. Documents shorter than 5 chars yield an
+#: EMPTY gram set on BOTH dialects: the old greatest(size-4, 1) lower
+#: bound still emitted i=1 for short docs, indexing element_at past the
+#: array end — fine on the driver corpus (min length 44) but an
+#: INVALID_ARRAY_INDEX abort under ANSI (the Spark 4 default) on the
+#: first short/empty document of a real corpus.
 GRAM_HASHES_SPARK = (
-    "array_distinct(transform(sequence(1, greatest(size(cs)-4, 1)),"
-    f" i -> {_gram5_hash(lambda j: f'element_at(cs, i + {j})')}))"
+    "CASE WHEN size(cs) < 5 THEN CAST(array() AS ARRAY<BIGINT>) ELSE "
+    "array_distinct(transform(sequence(1, size(cs)-4),"
+    f" i -> {_gram5_hash(lambda j: f'element_at(cs, i + {j})')})) END"
 )
 GRAM_HASHES_DUCK = (
+    "CASE WHEN len(cs) < 5 THEN CAST([] AS BIGINT[]) ELSE "
     f"list_distinct([{_gram5_hash(lambda j: f'cs[i + {j}]')}"
-    " for i in generate_series(1, greatest(len(cs)-4, 1))])"
+    " for i in generate_series(1, len(cs)-4)]) END"
 )
 CODEPOINTS_SPARK = "transform(split(text, ''), c -> cast(ascii(c) as bigint))"
 CODEPOINTS_DUCK = "[CAST(ord(c) AS BIGINT) for c in split(text, '')]"
@@ -699,8 +705,12 @@ def x_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     dot = _DOT_SPARK.format(a="va", b="vb")
+    # no broadcast HINT: b is the ENTIRE embeddings table (there is no
+    # smaller side in an all-pairs baseline), and a forced hint would
+    # hard-fail at the broadcast limit long before the O(n²) compute
+    # does — unhinted, Catalyst still broadcasts it while it fits
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine", F.expr(dot) / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
@@ -760,14 +770,19 @@ def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_ivf_topk",
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(TRUE AS BOOLEAN) AS recall_ok
-FROM embeddings WHERE vec_id % 25 = 0
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0
+      ORDER BY vec_id LIMIT 200)
 """,
 )
 def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search over KMeans coarse cells (functions.similarity.
     kmeans_ivf_index + ivf_topk): each query scores only its 3 nearest of
     8 cells — per-query cost corpus × n_probe/n_cells instead of corpus.
-    Queries = every 25th vector, k=5.
+    Queries = ONE BOUNDED BATCH (the 200 smallest of every-25th vector,
+    k=5): a query set that scaled with the corpus (the old bare %-25
+    slice) made total scored rows grow as corpus² — a real ANN service
+    answers fixed-size query batches, and the index cost model is
+    per-QUERY, so the gate's workload is a fixed batch too.
 
     Approximate by design, so the hash-checkable contract is a recall
     BOUND, not the hit list: the query recomputes the exact brute-force
@@ -786,17 +801,31 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     indexed = kmeans_ivf_index(emb, n_cells=8, seed=42)
-    queries = indexed.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
+    queries = (
+        indexed.filter(F.col("vec_id") % 25 == 0)
+        .orderBy("vec_id")
+        .limit(200)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding"))
+        # limit leaves one partition; spread the per-query probe work
+        .repartition(8, "query_id")
     )
     k = 5
     ivf = ivf_topk(indexed, queries, k=k, n_probe=3, centroid_col="ivf_cell")
     audit_q = queries.orderBy("query_id").limit(20)
     q = audit_q.select("query_id", F.col("embedding").alias("qv"))
+    # salted two-level top-k for the exact audit too: a bare window over
+    # the 20 query ids would sort the FULL corpus per query in 20
+    # single tasks
+    w_local = Window.partitionBy("query_id", "_salt").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     exact = (
         emb.crossJoin(F.broadcast(q))
         .withColumn("cosine", cosine("embedding", "qv"))
+        .withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.lit(64)))
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= k)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id")
@@ -1178,14 +1207,17 @@ WINNOW_W = 4
 #: candidate cost Σ df² stays bounded by construction)
 WINNOW_DF_CAP = 20
 
-#: POSITIONAL gram hashes (winnowing needs adjacency — no array_distinct)
+#: POSITIONAL gram hashes (winnowing needs adjacency — no array_distinct);
+#: same short-doc empty-set guard as GRAM_HASHES (ANSI-safe, see above)
 POS_GRAM_HASHES_SPARK = (
-    "transform(sequence(1, greatest(size(cs)-4, 1)),"
-    f" i -> {_gram5_hash(lambda j: f'element_at(cs, i + {j})')})"
+    "CASE WHEN size(cs) < 5 THEN CAST(array() AS ARRAY<BIGINT>) ELSE "
+    "transform(sequence(1, size(cs)-4),"
+    f" i -> {_gram5_hash(lambda j: f'element_at(cs, i + {j})')}) END"
 )
 POS_GRAM_HASHES_DUCK = (
+    "CASE WHEN len(cs) < 5 THEN CAST([] AS BIGINT[]) ELSE "
     f"[{_gram5_hash(lambda j: f'cs[i + {j}]')}"
-    " for i in generate_series(1, greatest(len(cs)-4, 1))]"
+    " for i in generate_series(1, len(cs)-4)] END"
 )
 
 _WINNOW_SPARK = (
@@ -1296,10 +1328,14 @@ def x_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOPWORDS = ["the", "and", "of", "to", "der", "und", "le", "et"]
 
 
-def _quality_sql(global_flag: str) -> str:
+def _quality_sql(global_flag: str, table: str = "documents") -> str:
     """Quality-score SQL, identical for Spark and DuckDB (basic regex +
     length arithmetic only). DuckDB regexp_replace is single-match without
-    'g', so the flag is passed there; Spark replaces globally by default."""
+    'g', so the flag is passed there; Spark replaces globally by default.
+    ``table`` parameterizes the FROM target: the Spark side binds a
+    UNIQUE per-call temp view instead of registering a session-global
+    'documents' view, which would shadow that name for every later
+    spark.sql in the session and race concurrent catalog builds."""
     n_chars = "CAST(length(text) AS BIGINT)"
     n_words = (
         "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
@@ -1325,7 +1361,7 @@ SELECT doc_id,
        {stop_ratio} AS stop_ratio,
        {score} AS quality_score,
        ({score}) >= 0.5 AND {n_chars} >= 20 AS keep
-FROM documents
+FROM {table}
 """
 
 
@@ -1337,9 +1373,15 @@ def x_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression (regex strip + length arithmetic): the filter runs at scan
     speed with zero shuffle. Same SQL text runs in DuckDB, modulo its
     non-global-default regexp_replace flag and split-function name."""
+    import uuid as _uuid
+
     (docs,) = tables(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("documents")
-    return spark.sql(_quality_sql(""))
+    view = f"quality_docs_{_uuid.uuid4().hex}"
+    docs.createOrReplaceTempView(view)
+    try:
+        return spark.sql(_quality_sql("", table=view))
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 @register(
