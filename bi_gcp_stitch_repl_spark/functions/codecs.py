@@ -170,19 +170,22 @@ def decode_netpbm(payload: bytes) -> tuple[np.ndarray, str]:
     # (nonconforming but common from Windows writers) — consuming only
     # the '\r' would shift every pixel by one byte, silently
     i += 2 if payload[i : i + 2] == b"\r\n" else 1
-    # netpbm permits header comments up to the final raster delimiter:
-    # "255\n# written by foo\n<raster>" is legal, and without this loop
-    # the comment bytes would be consumed as pixel data, silently
-    # shifting every pixel. A comment's terminating newline doubles as
-    # the raster delimiter.
-    while payload[i : i + 1] == b"#":
-        while i < len(payload) and payload[i] != 0x0A:
-            i += 1
-        i += 1
     w, h, maxval = vals
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
     ch, mode = (3, "RGB") if magic == b"P6" else (1, "L")
+    # Some nonconforming writers emit a comment line BETWEEN the maxval
+    # delimiter and the raster ("255\n# written by foo\n<raster>"). Per
+    # spec the raster starts here, so a conforming image whose first
+    # raster byte happens to be 0x23 ('#') must NOT be eaten — gate the
+    # tolerance skip on surplus bytes: only treat '#' as a comment while
+    # more bytes remain than the raster needs. An exact-size conforming
+    # raster therefore never loses pixels.
+    need = h * w * ch
+    while payload[i : i + 1] == b"#" and len(payload) - i > need:
+        while i < len(payload) and payload[i] != 0x0A:
+            i += 1
+        i += 1
     pix = np.frombuffer(payload, dtype=np.uint8, count=h * w * ch, offset=i)
     return pix.reshape(h, w, ch).copy(), mode
 

@@ -83,6 +83,12 @@ def connected_components(
     large-star/small-star rounds run unchanged; results are identical
     (min-label semantics both paths).
     """
+    if max_iter < 1:
+        # with zero rounds the post-loop labeling would run on raw
+        # (non-fixpoint) edges and the non-convergence guard below could
+        # never fire (changed starts False) — exactly the silent
+        # split-component failure that guard exists to prevent
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     src, dst = edges.columns[:2]
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)

@@ -21,6 +21,7 @@ decoder through the same ``decoder=`` seam.
 
 from __future__ import annotations
 
+import inspect
 from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -331,6 +332,18 @@ def extract_video_frames(
     from .jpeg import sniff_video_frames
 
     decoder = decoder or sniff_video_frames
+    # Detect stride support by SIGNATURE, not by catching TypeError from
+    # the call: an eager injected decoder (not a generator function) that
+    # raises TypeError internally would otherwise be silently re-invoked
+    # without the stride — running its side effects twice and masking the
+    # genuine bug as a signature mismatch.
+    try:
+        sig = inspect.signature(decoder)
+        supports_stride = "every_n" in sig.parameters or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD for p in sig.parameters.values()
+        )
+    except (TypeError, ValueError):  # builtins/C callables without signatures
+        supports_stride = False
     fields = [
         T.StructField(id_col, T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
@@ -352,9 +365,9 @@ def extract_video_frames(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     raw = bytes(payload) if payload is not None else b""
-                    try:
+                    if supports_stride:
                         frames_iter = decoder(raw, every_n=every_n_frames)
-                    except TypeError:  # injected decoder without stride
+                    else:  # injected decoder without stride keyword
                         frames_iter = decoder(raw)
                     sampled = []
                     n_total = 0

@@ -118,9 +118,15 @@ def bexio_invoice_replication(
     # removes every existing row of that invoice before inserting — the
     # reference's per-invoice DELETE+INSERT as ONE atomic commit. A
     # composite (invoice, position) key would only upsert and leave
-    # positions deleted upstream alive in the warehouse forever.
+    # positions deleted upstream alive in the warehouse forever. The
+    # delete scope is the FULL fetched invoice-id set (key_frame), not
+    # the batch's ids: an invoice whose position list became empty
+    # upstream contributes zero exploded rows, and without the key
+    # frame its stale items would survive the merge.
     merge_table(spark, line_items_path, table_factory).merge_upsert(
-        items, keys=["invoice_id"]
+        items,
+        keys=["invoice_id"],
+        key_frame=headers.select(F.col("bexio_id").alias("invoice_id")),
     )
     headers_tbl.merge_upsert(header_out, keys=["bexio_id"])
     return n_headers, n_items
@@ -263,9 +269,16 @@ def lexoffice_invoice_items(
     n = items.count()
     # parent-key merge = per-invoice DELETE+INSERT in one commit (see
     # bexio_invoice_replication): line items removed upstream disappear
-    # here too instead of surviving a composite-key upsert forever
+    # here too instead of surviving a composite-key upsert forever. The
+    # delete scope is every SUCCESSFULLY fetched invoice id (key_frame):
+    # an invoice whose current item set is empty explodes to zero batch
+    # rows, and without the key frame its stale items would never be
+    # purged. Failed fetches stay OUT of the frame — an API flake must
+    # not delete a warehouse invoice's items.
     merge_table(spark, warehouse_path, table_factory).merge_upsert(
-        items, keys=["invoice_id"]
+        items,
+        keys=["invoice_id"],
+        key_frame=details.select(F.col("id").alias("invoice_id")),
     )
     return n
 

@@ -80,7 +80,16 @@ class ParquetTable:
         olds = glob.glob(glob.escape(self.path) + ".old-*")
         if olds:
             newest = max(olds, key=lambda p: os.path.getmtime(p))
-            os.rename(newest, self.path)
+            try:
+                os.rename(newest, self.path)
+            except OSError:
+                # two readers can race this rollback (both observed the
+                # path missing); the loser's rename fails AFTER the
+                # winner restored the table — that is success, not an
+                # error. Also covers a writer's retry swap landing its
+                # stage first. Re-raise only if the table is still gone.
+                if not os.path.exists(self.path):
+                    raise
 
     def exists(self) -> bool:
         self._recover()
@@ -158,12 +167,25 @@ class ParquetTable:
         keys: list[str],
         broadcast_batch: bool = True,
         schema_evolution: bool = False,
+        key_frame: DataFrame | None = None,
     ) -> None:
         """K1/K6 delete+insert upsert: rows in ``batch`` replace existing rows
         with the same key; all other existing rows survive.
 
         Equivalent to ``MERGE INTO t USING b ON t.k=b.k WHEN MATCHED THEN
         UPDATE * WHEN NOT MATCHED THEN INSERT *``.
+
+        ``key_frame`` widens the DELETE scope beyond the keys present in
+        ``batch``: every existing row whose key appears in ``key_frame``
+        is removed in the same atomic commit, even when ``batch`` carries
+        no row for that key. This is the parent-key merge a fan-out
+        pipeline needs — a parent (invoice) whose child set became EMPTY
+        upstream produces zero batch rows, so a batch-keyed anti join
+        alone would let its stale children survive forever. Pass the
+        full fetched parent-id set and the purge is exact. The scope is
+        key_frame ∪ batch keys, so batch rows always replace same-key
+        rows regardless of the frame's contents. Default None: delete
+        scope = batch keys (classic upsert).
 
         ``schema_evolution=True`` accepts a batch with added/removed columns
         (union takes the superset, missing sides fill NULL); since this
@@ -181,8 +203,11 @@ class ParquetTable:
             self._staged_write(batch)
             return
         existing = self.read()
-        anti_rhs = F.broadcast(batch) if broadcast_batch else batch
-        survivors = existing.join(anti_rhs.select(*keys), on=keys, how="left_anti")
+        delete_keys = batch.select(*keys)
+        if key_frame is not None:
+            delete_keys = delete_keys.unionByName(key_frame.select(*keys)).distinct()
+        anti_rhs = F.broadcast(delete_keys) if broadcast_batch else delete_keys
+        survivors = existing.join(anti_rhs, on=keys, how="left_anti")
         merged = survivors.unionByName(batch, allowMissingColumns=schema_evolution)
         self._staged_write(merged)
 

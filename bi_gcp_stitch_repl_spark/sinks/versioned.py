@@ -751,6 +751,7 @@ class VersionedTable:
         keys: list[str],
         schema_evolution: bool = False,
         broadcast_batch: bool = True,
+        key_frame: DataFrame | None = None,
     ) -> int:
         """K1 upsert with snapshot semantics AND file-pruned rewrite.
 
@@ -775,7 +776,17 @@ class VersionedTable:
         readers to ``mergeSchema`` — old rows surface NULL for new
         columns, exactly Delta's ``mergeSchema`` write semantics. Without
         the flag a differing batch fails loudly (the safe default: a
-        column typo should not silently fork the schema)."""
+        column typo should not silently fork the schema).
+
+        ``key_frame`` widens the DELETE scope beyond the batch's keys
+        (same contract as ``ParquetTable.merge_upsert``): existing rows
+        whose key appears in ``key_frame`` are removed in the same commit
+        even when the batch carries no replacement — the parent-key merge
+        case where a parent's child set became empty upstream. The scope
+        is key_frame ∪ batch keys, so batch rows always replace same-key
+        rows regardless of the frame's contents; file pruning and the
+        empty-no-op check run on that union. CDC records the purged-only
+        keys as ``delete`` rows."""
         if not self.exists():
             return self.overwrite(batch)
         base = self.latest_version()
@@ -783,11 +794,18 @@ class VersionedTable:
         all_files = sorted(state["files"])
         touched = all_files
         key0 = keys[0]
-        bounds = batch.agg(
+        batch_keys = batch.select(*keys).distinct()
+        if key_frame is not None:
+            delete_keys = batch_keys.unionByName(
+                key_frame.select(*keys)
+            ).distinct()
+        else:
+            delete_keys = batch_keys
+        bounds = delete_keys.agg(
             F.min(key0).alias("lo"), F.max(key0).alias("hi")
         ).collect()[0]
-        if bounds["lo"] is None and bounds["hi"] is None and batch.isEmpty():
-            return base  # empty batch: the snapshot already IS the result
+        if bounds["lo"] is None and bounds["hi"] is None and delete_keys.isEmpty():
+            return base  # nothing to insert or purge: snapshot IS the result
         if self._encode_bound(bounds["lo"]) is not None:
             pruned = set(
                 self._prune_from_stats(
@@ -802,20 +820,34 @@ class VersionedTable:
             # takes ONE footer's schema and would silently drop the
             # evolved columns from the rewritten survivors
             existing = self._read_files(touched, state["schema_evolved"])
-            batch_keys = batch.select(*keys).distinct()
             # broadcast fits the incremental-batch case; pass
             # broadcast_batch=False for mega-batches (backfills) so the
             # anti-join shuffles instead of materializing the key set on
             # every executor
-            anti_rhs = F.broadcast(batch_keys) if broadcast_batch else batch_keys
+            anti_rhs = F.broadcast(delete_keys) if broadcast_batch else delete_keys
             survivors = existing.join(anti_rhs, on=keys, how="left_anti")
             merged = survivors.unionByName(
                 batch, allowMissingColumns=schema_evolution
             )
             if self.enable_cdc:
-                pre = existing.join(
-                    anti_rhs, keys, "left_semi"
-                ).withColumn("_change_type", F.lit("update_preimage"))
+                pre_all = existing.join(anti_rhs, keys, "left_semi")
+                if key_frame is not None:
+                    # purged-only keys (in the frame, absent from the
+                    # batch) are true deletes, not update pre-images
+                    bkeys = (
+                        F.broadcast(batch_keys) if broadcast_batch else batch_keys
+                    )
+                    pre = pre_all.join(bkeys, keys, "left_semi").withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    dels = pre_all.join(bkeys, keys, "left_anti").withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                else:
+                    pre = pre_all.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    dels = None
                 ex_keys = existing.select(*keys).distinct()
                 post = batch.join(ex_keys, keys, "left_semi").withColumn(
                     "_change_type", F.lit("update_postimage")
@@ -826,6 +858,10 @@ class VersionedTable:
                 changes = pre.unionByName(
                     post, allowMissingColumns=True
                 ).unionByName(ins, allowMissingColumns=True)
+                if dels is not None:
+                    changes = changes.unionByName(
+                        dels, allowMissingColumns=True
+                    )
                 cdc_actions = [
                     {"cdc": p} for p in self._write_cdc(changes)
                 ]

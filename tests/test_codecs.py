@@ -241,6 +241,28 @@ def test_netpbm_comment_between_maxval_and_raster():
     assert mode == "L" and np.array_equal(back, arr)
 
 
+def test_netpbm_raster_starting_with_hash_not_eaten():
+    """Spec-valid image whose FIRST raster byte is 0x23 ('#'): the
+    post-delimiter comment tolerance must not consume raster bytes when
+    the payload is exact-size (ADVICE r04). Every pixel set to '#'
+    (worst case: a hungrier skip would also mis-align later rows)."""
+    arr = np.full((3, 5, 1), 0x23, np.uint8)
+    pgm = b"P5\n5 3\n255\n" + arr.tobytes()
+    back, mode = codecs.decode_netpbm(pgm)
+    assert mode == "L" and np.array_equal(back, arr)
+    # RGB variant with only the first byte '#'
+    rgb = _rng(11).integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    rgb[0, 0, 0] = 0x23
+    ppm = b"P6\n3 2\n255\n" + rgb.tobytes()
+    back2, mode2 = codecs.decode_netpbm(ppm)
+    assert mode2 == "RGB" and np.array_equal(back2, rgb)
+    # and the nonconforming writer-comment case still decodes (surplus
+    # bytes present → tolerance skip applies)
+    pgm2 = b"P5\n5 3\n255\n# writer comment\n" + arr.tobytes()
+    back3, _ = codecs.decode_netpbm(pgm2)
+    assert np.array_equal(back3, arr)
+
+
 def test_y4m_mono_roundtrip_exact():
     frames = [np.full((6, 8), v, np.uint8) for v in (0, 17, 255)]
     pay = codecs.encode_y4m(frames, fps=(30, 1), colorspace="mono")

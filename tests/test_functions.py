@@ -218,6 +218,38 @@ def test_multimodal_extract_video_frames_real_decode(spark):
     assert len(by_id[3]) == 1 and not by_id[3][0]["_decode_ok"]
 
 
+def test_extract_video_frames_eager_decoder_not_reinvoked(spark):
+    """Stride support is detected by SIGNATURE, not by catching TypeError
+    from the call (ADVICE r04): an eager injected decoder that raises
+    TypeError internally must surface as a failed decode (_decode_ok
+    False), not be silently re-invoked without the stride — which would
+    run side effects twice and mask the genuine bug."""
+    import numpy as np
+
+    calls = []
+
+    def eager_buggy_decoder(raw, every_n=1):
+        calls.append(1)  # eager side effect at call time
+        raise TypeError("genuine bug inside the decoder")
+
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "media_id long, payload binary")
+    out = multimodal.extract_video_frames(
+        df, every_n_frames=2, decoder=eager_buggy_decoder, partitions=1
+    ).collect()
+    assert len(out) == 1 and not out[0]["_decode_ok"]
+
+    # a strideless decoder still works through the signature probe
+    def strideless(raw):
+        yield np.full((2, 3, 1), 7, np.uint8)
+        yield np.full((2, 3, 1), 9, np.uint8)
+
+    out2 = multimodal.extract_video_frames(
+        df, every_n_frames=2, decoder=strideless, partitions=1
+    ).collect()
+    good = sorted((r["frame_idx"], r["mean_luma"]) for r in out2 if r["_decode_ok"])
+    assert good == [(0, 7.0)] and all(r["n_frames"] == 2 for r in out2)
+
+
 def test_ivf_topk_full_probe_equals_bruteforce(spark):
     """n_probe = all cells ⇒ IVF degenerates to the exact scan — results
     must equal brute force. (With these random embeddings the coarse cells

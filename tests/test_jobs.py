@@ -262,6 +262,36 @@ def test_lexoffice_pipeline_fanout_and_nested(spark, tmp_path):
     assert l1["discount_pct"] == 0.0  # NULL coalesced
 
 
+def test_lexoffice_empty_item_set_purges_stale_lines(spark, tmp_path):
+    """Second run where an invoice's lineItems became EMPTY upstream: its
+    warehouse rows must disappear (ADVICE r04 — explode yields no batch
+    row for that invoice, so the purge must come from the fetched-id key
+    frame). A FAILED fetch, by contrast, must leave its rows untouched."""
+    list_t, detail_t = lexoffice_transports(20)
+    wh = str(tmp_path / "lex_items")
+    pipelines.lexoffice_invoice_items(
+        spark, list_t, detail_t, wh, page_size=6, fanout_parallelism=3
+    )
+    before = {r["invoice_id"] for r in read_merged(spark, wh).collect()}
+    assert "v1" in before and "v2" in before
+
+    def detail_t2(vid):
+        d = detail_t(vid)
+        if d is not None and vid == "v1":
+            d["lineItems"] = []  # all items deleted upstream
+        if vid == "v2":
+            return None  # API flake this run
+        return d
+
+    pipelines.lexoffice_invoice_items(
+        spark, list_t, detail_t2, wh, page_size=6, fanout_parallelism=3
+    )
+    after = {r["invoice_id"] for r in read_merged(spark, wh).collect()}
+    assert "v1" not in after  # emptied invoice purged
+    assert "v2" in after  # failed fetch preserved
+    assert before - {"v1"} == after
+
+
 def test_job_manifest_names_resolve(spark):
     from bi_gcp_stitch_repl_spark.jobs import pipelines as p
     from bi_gcp_stitch_repl_spark.jobs.schedule import JOB_MANIFEST

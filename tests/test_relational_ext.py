@@ -196,6 +196,18 @@ def test_connected_components_long_chain(spark):
     assert set(got.values()) == {0}
 
 
+def test_connected_components_rejects_nonpositive_max_iter(spark):
+    """max_iter <= 0 must fail loudly up front (ADVICE r04): with zero
+    star rounds the post-loop labeling would run on raw edges and emit
+    split components while the non-convergence guard stays silent."""
+    import pytest
+
+    # above driver_threshold so the distributed loop (the buggy path) runs
+    edges_df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(edges_df, max_iter=0, driver_threshold=0)
+
+
 def test_connected_components_no_edges(spark):
     edges_df = spark.createDataFrame([], "src long, dst long")
     nodes_df = spark.createDataFrame([(i,) for i in range(5)], "node long")

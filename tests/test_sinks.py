@@ -35,6 +35,55 @@ def test_merge_upsert_idempotent_rerun(spark, tmp_path):
     assert sorted(map(tuple, t.read().collect())) == first
 
 
+def test_merge_upsert_key_frame_purges_empty_parents(spark, tmp_path):
+    """Parent-key merge with key_frame (ADVICE r04): an invoice whose
+    child set became EMPTY upstream contributes zero batch rows; the key
+    frame must still purge its stale children. Keys absent from both
+    batch and key_frame survive untouched."""
+    t = ParquetTable(spark, str(tmp_path / "items"))
+    t.overwrite(
+        df_of(
+            spark,
+            [(1, "inv1-a"), (1, "inv1-b"), (2, "inv2-a"), (3, "inv3-a")],
+            "invoice_id long, item string",
+        )
+    )
+    # fetched invoices: 1 (now has one item), 2 (now EMPTY), not 3
+    batch = df_of(spark, [(1, "inv1-new")], "invoice_id long, item string")
+    fetched = spark.createDataFrame([(1,), (2,)], "invoice_id long")
+    t.merge_upsert(batch, keys=["invoice_id"], key_frame=fetched)
+    got = sorted((r["invoice_id"], r["item"]) for r in t.read().collect())
+    assert got == [(1, "inv1-new"), (3, "inv3-a")]
+
+
+def test_recover_race_loser_rename_is_not_an_error(spark, tmp_path, monkeypatch):
+    """Two readers racing _recover's rollback: the loser's os.rename
+    fails with OSError AFTER the winner already restored the table —
+    that must read as success, not a spurious failure (ADVICE r04)."""
+    path = str(tmp_path / "t")
+    t = ParquetTable(spark, path)
+    t.overwrite(df_of(spark, [(1, "a")]))
+    # simulate a crash between the two swap renames: table path missing,
+    # pre-swap snapshot under .old-
+    os.rename(path, path + ".old-deadbeef")
+
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        # the "other reader" wins the rollback first, then our rename fails
+        import shutil
+
+        shutil.copytree(src, dst)
+        raise OSError(39, "Directory not empty", dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    try:
+        assert t.exists()  # _recover must swallow the loser's OSError
+    finally:
+        monkeypatch.setattr(os, "rename", real_rename)
+    assert {r["k"] for r in t.read().collect()} == {1}
+
+
 def test_merge_upsert_composite_key(spark, tmp_path):
     t = ParquetTable(spark, str(tmp_path / "t"))
     t.overwrite(

@@ -722,6 +722,46 @@ def test_merge_prunes_files_on_date_keys(spark, tmp_path):
     assert got["2024-02-05"] == "UPDATED" and len(got) == 30
 
 
+def test_merge_upsert_key_frame_purges_and_cdc_records_delete(spark, tmp_path):
+    """key_frame widens the delete scope (ADVICE r04): a frame key with no
+    batch rows purges its existing rows in the same commit, CDC records
+    them as 'delete', and an all-empty batch+frame is still a no-op."""
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"), enable_cdc=True)
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))  # v0
+    v = t.merge_upsert(
+        _df(spark, [(1, "A")]),
+        keys=["k"],
+        key_frame=_df(spark, [(1, "x"), (2, "y")]),
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "A", 3: "c"}  # 2 purged, 1 replaced, 3 untouched
+    feed = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in t.changes_feed(v - 1).collect()
+    )
+    assert feed == [
+        (1, "A", "update_postimage"),
+        (1, "a", "update_preimage"),
+        (2, "b", "delete"),
+    ]
+    # a batch key OUTSIDE the frame still replaces its existing row
+    # (delete scope = frame ∪ batch keys), while frame-only key 1 purges
+    t.merge_upsert(
+        _df(spark, [(3, "C")]), keys=["k"], key_frame=_df(spark, [(1, "x")])
+    )
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {3: "C"}
+    # empty batch + empty frame: no commit
+    v_before = t.latest_version()
+    empty = _df(spark, []).limit(0)
+    assert t.merge_upsert(empty, keys=["k"], key_frame=empty) == v_before
+
+    # empty batch + NON-empty frame: a pure purge commit
+    t.merge_upsert(empty, keys=["k"], key_frame=_df(spark, [(3, "x")]))
+    assert t.read().count() == 0
+
+
 def test_merge_and_delete_with_empty_inputs_are_noops(spark, tmp_path):
     """Review-r04: an empty batch/request-set must not rewrite the table
     (it degenerated to a full-table rewrite via the no-stats path)."""
