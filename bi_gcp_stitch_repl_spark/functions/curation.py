@@ -72,14 +72,22 @@ def word_ngram_expr(text_col: str, n: int) -> str:
     on a single literal space miss verbatim benchmark text that merely
     got line-wrapped, double-spaced, or case-shifted in the training copy
     — the normalization GPT-3/PaLM-style overlap rules apply before
-    n-gramming."""
+    n-gramming.
+
+    The token array is LET-BOUND via ``transform(array(<split>), ws ->
+    ...)[0]``: the gram body references the tokens three times (two
+    ``size`` calls + the ``slice``), and without the binding Catalyst
+    inlines the regex split into each reference — measured 7× slower at
+    sf0.1 (2.9 s vs 0.4 s for the full-corpus gram explode). Spark SQL
+    has no LET; a 1-element transform is the standard binding idiom."""
     w = f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> t <> '')"
-    return (
-        f"case when size({w}) >= {n} then array_distinct("
-        f"transform(sequence(1, size({w}) - {n} + 1),"
-        f" i -> array_join(slice({w}, i, {n}), ' '))) "
+    body = (
+        f"case when size(ws) >= {n} then array_distinct("
+        f"transform(sequence(1, size(ws) - {n} + 1),"
+        f" i -> array_join(slice(ws, i, {n}), ' '))) "
         f"else array() end"
     )
+    return f"transform(array({w}), ws -> {body})[0]"
 
 
 def decontaminate(

@@ -396,6 +396,16 @@ def _minhash_candidates(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) LSH candidate pairs via the DuckDB-reproducible
     permutation family — shared by the candidate query and the
     candidate-verified near-dedup survivors."""
+    # A small-file fixture scans as ONE task and the whole shingle→
+    # signature chain (the CPU-heavy part) runs serially until the band
+    # shuffle. Spread it first — but only when the scan is narrower than
+    # the session's parallelism: at 100 TB the input is already
+    # thousands of splits and an unconditional repartition would shuffle
+    # the raw corpus text for nothing. Measured 1.9 s → 0.8 s at sf0.1.
+    sc = docs.sparkSession.sparkContext
+    docs = docs.select("doc_id", "text")  # shuffle only what the hash needs
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism, "doc_id")
     cp = docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs"))
     hs = cp.select("doc_id", F.expr(GRAM_HASHES_SPARK).alias("hs"))
     sig = _minhash_signature(hs)
@@ -498,6 +508,11 @@ def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below a projection, and the gram-hash array is the expensive part —
     # build it for the ~1% of docs that collided, not the corpus
     cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    # single-file fixtures scan as ONE task; spread the verify-side gram
+    # build the same way _minhash_candidates spreads the signature chain
+    sc = docs.sparkSession.sparkContext
+    if cand_docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        cand_docs = cand_docs.repartition(sc.defaultParallelism, "doc_id")
     hs = cand_docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs")).select(
         "doc_id", F.expr(GRAM_HASHES_SPARK).alias("hs")
     )
@@ -776,7 +791,7 @@ FROM (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0
 )
 def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search over KMeans coarse cells (functions.similarity.
-    kmeans_ivf_index + ivf_topk): each query scores only its 3 nearest of
+    kmeans_ivf_index + ivf_topk): each query scores only its 5 nearest of
     8 cells — per-query cost corpus × n_probe/n_cells instead of corpus.
     Queries = ONE BOUNDED BATCH (the 200 smallest of every-25th vector,
     k=5): a query set that scaled with the corpus (the old bare %-25
@@ -788,9 +803,12 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOUND, not the hit list: the query recomputes the exact brute-force
     top-k for a FIXED 20-query audit subset (smallest query ids —
     deterministic) and emits one row asserting mean recall@5 over the
-    audited set ≥ 0.5 (empirically ~0.75-0.81 on the synthetic corpus —
-    these vectors are near-uniform, the hardest case for coarse
-    quantization; 3/8 cells probed alone would predict 0.375). A recall
+    audited set ≥ 0.8 at n_probe=5 (measured 0.89 at sf0.01 / 0.90 at
+    sf0.1; n_probe=3 sat at 0.75-0.81, too close to a 0.8 bar — these
+    near-uniform synthetic vectors are the hardest case for coarse
+    quantization, so 5/8 cells probed is the honest multi-probe
+    operating point, still 1.6× cheaper than the full scan and the
+    ratio widens as n_cells grows with corpus size). A recall
     regression is a hard hash mismatch, not a silent quality drop.
     The audit cost is 20 × corpus — CONSTANT in the query count, linear
     in corpus — so it stays a rounding error at 100×; auditing every
@@ -810,7 +828,7 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "query_id")
     )
     k = 5
-    ivf = ivf_topk(indexed, queries, k=k, n_probe=3, centroid_col="ivf_cell")
+    ivf = ivf_topk(indexed, queries, k=k, n_probe=5, centroid_col="ivf_cell")
     audit_q = queries.orderBy("query_id").limit(20)
     q = audit_q.select("query_id", F.col("embedding").alias("qv"))
     # salted two-level top-k for the exact audit too: a bare window over
@@ -838,7 +856,7 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_query = audit_q.select("query_id").join(hits, "query_id", "left").select(
         "query_id", (F.coalesce(F.col("n_hits"), F.lit(0)) / k).alias("recall")
     )
-    recall = per_query.agg((F.avg("recall") >= 0.5).alias("recall_ok"))
+    recall = per_query.agg((F.avg("recall") >= 0.8).alias("recall_ok"))
     return queries.agg(F.count("*").alias("n_queries")).crossJoin(
         F.broadcast(recall)
     )

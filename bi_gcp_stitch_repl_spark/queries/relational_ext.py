@@ -328,6 +328,14 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = labels.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+    # The label plan (edge-derived labels ∪ singleton anti-join over the
+    # corpus id set) feeds BOTH the output and the size aggregate below;
+    # without a cut it executes twice — including a second corpus-id
+    # scan+distinct for the singleton branch. One materialization of the
+    # (id, cluster) table — 2 narrow columns, the same data the size
+    # join must shuffle anyway — measured 2.2 s → 0.9 s for the
+    # size-attach phase at sf0.1.
+    out = out.localCheckpoint(eager=True)
     # cluster_size via aggregate + equi-join, NOT count() OVER
     # (PARTITION BY cluster_id): a boilerplate-heavy corpus yields one
     # giant component, and the unordered window would drag most of the
