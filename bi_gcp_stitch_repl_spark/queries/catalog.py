@@ -185,51 +185,48 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 #: Explicit catalog order. The external correctness driver checks the FIRST
-#: 50 registered queries only. Round-4 rotation closes the coverage loop:
-#: after r01-r03 exactly 40 catalog entries had never received a hard
-#: driver row — this window contains ALL of them, so after r04 every
-#: catalog query is driver-verified at least once. The remaining slots:
-#: a minimal §2 spine (flagship + one gate per family, per the r03
-#: verdict), one canary from the rotated-out LLM-core family (regressions
-#: there would otherwise be visible only to the local suite — ADVICE
-#: r03), and the two entries that CHANGED this round and therefore need a
-#: fresh hard row (the fixed-count Jaccard audit rewrite and the new
-#: real-codec video roundtrip). Rotated OUT (every name has ≥1 driver-
-#: green row in r01-r03 plus the judge's independent sf0.01 sweep):
-#: the remaining §2 gates, most of the LLM-pipeline core, and TPC-H
-#: q1/q3/q5/q17/q20/q21. Names absent from this list keep registration
-#: order after it.
+#: 50 registered queries only. Round-5 rotation policy (now pinned by
+#: tests/window_policy.py + test_layout.py — a changed query or library
+#: module without a window slot is a test FAILURE, not a verdict finding):
+#: 1. §2 spine + the LLM-core canary stay every round.
+#: 2. The two entries that never received a hard driver row
+#:    (x_approx_distinct — r01 predated its oracle; x_mjpeg_avi_roundtrip
+#:    — registered after the r04 freeze). After r05, all 136 catalog
+#:    queries have a driver row.
+#: 3. Everything whose implementation changed since its freshest row:
+#:    the r04 tokenizer-change pair (x_decontaminate/x_curation_pipeline,
+#:    rows stale at r03) and this round's changes (IVF multi-probe +
+#:    0.8 recall gate; MinHash spread-scan plans; duplicate-cluster
+#:    label checkpoint; netpbm comment-skip fix; video stride-detection
+#:    fix).
+#: 4. Remaining slots rotate the STALEST families: all of the r01-last-row
+#:    group, then the oldest r02 entries. Rotated out: everything with a
+#:    fresh r03/r04 row (all covered by the per-round local oracle sweep).
+#: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
-    # §2 spine (7): flagship, sink, join, sources, batteries
+    # §2 spine (7) + LLM canary (1)
     "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
     "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
-    "f_string_clean_coerce",
-    # canaries + this-round changes (3)
-    "x_dedup_exact", "x_jaccard_ngram_pairs", "x_video_frames_roundtrip",
-    # --- never-driver-verified tail (40): every remaining catalog entry
-    # without a hard driver row in any prior round ---
-    # TPC-H completions: the full subquery-decorrelation pack + the rest
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    "q9_product_profit", "q10_returned_items", "q11_revenue_concentration",
-    "q12_linestatus_priority", "q13_order_distribution", "q14_promo_share",
-    "q15_top_supplier", "q16_supplier_variety", "q18_large_orders",
-    "q19_disjunctive_predicates", "q22_idle_customers",
-    # window suite canaries (never-verified members)
-    "w_rolling_30d_revenue", "w_frames_battery", "st_time_rollup",
-    # relational extensions
-    "x_grouping_sets", "x_asof_nearest", "x_null_aware_anti",
-    "x_string_agg", "x_stats_battery", "x_benford_digits",
-    "x_length_histogram", "x_approx_quantiles",
-    # text analysis / fingerprinting / retrieval
-    "x_lang_id_ngram", "x_winnowing_fingerprints", "x_winnowing_pairs",
-    "x_lm_likelihood", "x_bm25_topk", "x_bigram_stats", "x_zipf_fit",
-    "x_inverted_index", "x_feature_hash_embed",
-    # similarity / clustering
-    "x_kmeans_assign",
-    # curation / sampling / behavioral
-    "x_source_overlap", "x_basket_pairs", "x_weighted_sample",
-    # multimodal (real-codec audio roundtrip + video sampling plan)
-    "x_audio_roundtrip_features", "x_frame_sample_plan",
+    "f_string_clean_coerce", "x_dedup_exact",
+    # never-driver-verified (2)
+    "x_approx_distinct", "x_mjpeg_avi_roundtrip",
+    # changed after their freshest driver row (8)
+    "x_decontaminate", "x_curation_pipeline",
+    "x_ivf_topk", "x_minhash_lsh_candidates", "x_dedup_near_survivors",
+    "x_dedup_clusters", "x_video_frames_roundtrip", "x_image_roundtrip_meta",
+    # --- stalest rotation: last driver row r01 (20) ---
+    "x_funnel", "x_retention_cohorts", "x_active_users",
+    "x_dedup_normalized", "x_simhash", "x_lsh_cosine_buckets",
+    "x_embedding_quantize", "x_embedding_norms", "x_token_count",
+    "x_lang_id", "x_quality_score", "x_fingerprint", "x_multimodal_meta",
+    "x_mixture_sample", "x_pack_sequences", "x_top_terms",
+    "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
+    "x_pii_redact",
+    # --- last driver row r02 (12) ---
+    "x_session_gaps", "q7_volume_shipping", "q8_market_share",
+    "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
+    "n_flatten_serialize", "x_asof_join", "x_set_ops",
+    "x_pivot_status_by_year", "x_unpivot_status", "x_dq_report",
 ]
 
 

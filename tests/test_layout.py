@@ -88,11 +88,12 @@ def test_compact_zorder_roundtrip(spark, tmp_path):
 
 def test_driver_window_covers_survey_gates():
     """The external correctness driver checks only the FIRST 50 registered
-    queries; this pins the round-4 window (catalog._PRIORITY): the §2
-    spine + canaries + the 40 entries that had never received a hard
-    driver row in rounds 1-3 + the two queries changed this round. It
+    queries; this pins the round-5 window (catalog._PRIORITY): §2 spine +
+    LLM canary, the two entries with no driver row in any prior round,
+    everything changed since its freshest row, and the stalest-row
+    rotation (all r01-last-row entries + the oldest r02 ones). It
     additionally proves the coverage-closure invariant: the union of the
-    r01-r03 driver windows and this window is the ENTIRE catalog."""
+    r01-r04 driver windows and this window is the ENTIRE catalog."""
     import json
     import os
 
@@ -102,26 +103,30 @@ def test_driver_window_covers_survey_gates():
     assert len(catalog._PRIORITY) == 50
     assert first50 == catalog._PRIORITY
     required = {
-        # §2 spine + canaries + this-round changes
+        # §2 spine + LLM canary
         "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
         "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
-        "f_string_clean_coerce", "x_dedup_exact", "x_jaccard_ngram_pairs",
-        "x_video_frames_roundtrip",
-        # previously never-driver-verified tail
-        "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-        "q9_product_profit", "q10_returned_items", "q11_revenue_concentration",
-        "q12_linestatus_priority", "q13_order_distribution", "q14_promo_share",
-        "q15_top_supplier", "q16_supplier_variety", "q18_large_orders",
-        "q19_disjunctive_predicates", "q22_idle_customers",
-        "w_rolling_30d_revenue", "w_frames_battery", "st_time_rollup",
-        "x_grouping_sets", "x_asof_nearest", "x_null_aware_anti",
-        "x_string_agg", "x_stats_battery", "x_benford_digits",
-        "x_length_histogram", "x_approx_quantiles",
-        "x_lang_id_ngram", "x_winnowing_fingerprints", "x_winnowing_pairs",
-        "x_lm_likelihood", "x_bm25_topk", "x_bigram_stats", "x_zipf_fit",
-        "x_inverted_index", "x_feature_hash_embed", "x_kmeans_assign",
-        "x_source_overlap", "x_basket_pairs", "x_weighted_sample",
-        "x_audio_roundtrip_features", "x_frame_sample_plan",
+        "f_string_clean_coerce", "x_dedup_exact",
+        # never driver-verified before r05
+        "x_approx_distinct", "x_mjpeg_avi_roundtrip",
+        # changed after their freshest driver row
+        "x_decontaminate", "x_curation_pipeline", "x_ivf_topk",
+        "x_minhash_lsh_candidates", "x_dedup_near_survivors",
+        "x_dedup_clusters", "x_video_frames_roundtrip",
+        "x_image_roundtrip_meta",
+        # stalest rotation: last driver row r01
+        "x_funnel", "x_retention_cohorts", "x_active_users",
+        "x_dedup_normalized", "x_simhash", "x_lsh_cosine_buckets",
+        "x_embedding_quantize", "x_embedding_norms", "x_token_count",
+        "x_lang_id", "x_quality_score", "x_fingerprint", "x_multimodal_meta",
+        "x_mixture_sample", "x_pack_sequences", "x_top_terms",
+        "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
+        "x_pii_redact",
+        # last driver row r02
+        "x_session_gaps", "q7_volume_shipping", "q8_market_share",
+        "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
+        "n_flatten_serialize", "x_asof_join", "x_set_ops",
+        "x_pivot_status_by_year", "x_unpivot_status", "x_dq_report",
     }
     assert len(required) == 50
     missing = required - set(first50)
@@ -132,17 +137,54 @@ def test_driver_window_covers_survey_gates():
     # CORRECTNESS artifacts aren't present
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen = set(first50)
-    for r in (1, 2, 3):
+    for r in (1, 2, 3, 4):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             with open(path) as f:
                 seen |= set(json.load(f))
     if len(seen) > 50:  # artifacts were present
-        # registered AFTER the r04 window froze — first eligible for the
-        # r05 rotation (keep this list empty-able, never growing quietly)
-        post_freeze = {"x_mjpeg_avi_roundtrip"}
-        never = [
-            n for n in catalog.queries()
-            if n not in seen and n not in post_freeze
-        ]
+        never = [n for n in catalog.queries() if n not in seen]
         assert not never, f"queries with no driver row in any round: {never}"
+
+
+def test_changed_queries_hold_window_slots():
+    """Window-staleness policy as code (r04 verdict #8): every catalog
+    query whose implementation changed since the last window rotation —
+    and every changed shared library module's canary queries — must hold
+    a slot in the driver's first-50 window. Rotating = editing
+    catalog._PRIORITY and regenerating tests/window_snapshot.json in the
+    same commit (tools/update_window_snapshot.py)."""
+    from tests import window_policy
+
+    from bi_gcp_stitch_repl_spark.queries import catalog
+
+    assert window_policy.load_snapshot() is not None, (
+        "tests/window_snapshot.json missing — run "
+        "tools/update_window_snapshot.py"
+    )
+    first50 = set(list(catalog.queries())[:50])
+    changed_q, changed_libs = window_policy.changed_since_snapshot()
+    stale = sorted(changed_q - first50)
+    assert not stale, (
+        f"queries changed since the window rotation but hold no driver-"
+        f"window slot: {stale} — add them to catalog._PRIORITY and rerun "
+        f"tools/update_window_snapshot.py"
+    )
+    lib_missing = {
+        lib: sorted(set(window_policy.LIB_CANARIES[lib]) - first50)
+        for lib in changed_libs
+        if set(window_policy.LIB_CANARIES[lib]) - first50
+    }
+    assert not lib_missing, (
+        f"library modules changed since the window rotation but their "
+        f"canary queries hold no window slot: {lib_missing}"
+    )
+    # every canary name must exist (guards against catalog renames
+    # silently voiding the policy)
+    all_names = set(catalog.queries())
+    unknown = {
+        lib: [n for n in names if n not in all_names]
+        for lib, names in window_policy.LIB_CANARIES.items()
+        if any(n not in all_names for n in names)
+    }
+    assert not unknown, f"LIB_CANARIES names not in the catalog: {unknown}"

@@ -1,0 +1,39 @@
+"""Regenerate tests/window_snapshot.json after a driver-window rotation.
+
+Run this in the SAME commit that edits ``catalog._PRIORITY``: the layout
+test (`test_changed_queries_hold_window_slots`) compares current query /
+library hashes against the snapshot and requires every changed entry to
+hold a window slot — regenerating the snapshot is the explicit "the
+window now accounts for these changes" acknowledgment.
+
+Prints what changed so the rotation can be checked against it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests import window_policy  # noqa: E402
+
+
+def main() -> None:
+    changed_q, changed_l = window_policy.changed_since_snapshot()
+    if changed_q:
+        print("changed queries:", ", ".join(sorted(changed_q)))
+    if changed_l:
+        print("changed libraries:", ", ".join(sorted(changed_l)))
+    if not changed_q and not changed_l:
+        print("no changes vs snapshot")
+    cur = window_policy.compute_hashes()
+    with open(window_policy.SNAPSHOT_PATH, "w") as f:
+        json.dump(cur, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {window_policy.SNAPSHOT_PATH}")
+
+
+if __name__ == "__main__":
+    main()
