@@ -184,6 +184,26 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return out
 
 
+def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition a SEVERELY-narrow scan (under 1/8 of session
+    parallelism) up to session parallelism, so a CPU-heavy expression
+    chain doesn't run serially until its first natural shuffle — the
+    single-file fixture problem.
+
+    The 1/8 trigger is measured, both ways: at ONE scan task the spread
+    is a clear win (MinHash signature chain 1.9 s → 0.8 s at sf0.1); at
+    8 tasks on 32 cores the extra pass over the raw data measurably
+    LOSES (+0.1 s on bench's staged 8-file layout). On a production
+    input (thousands of splits at 100 TB) this is always a no-op — the
+    partition-count probe reads plan metadata, it runs no job."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < max(2, sc.defaultParallelism // 8):
+        df = df.repartition(sc.defaultParallelism, *key_cols) if key_cols else (
+            df.repartition(sc.defaultParallelism)
+        )
+    return df
+
+
 #: Explicit catalog order. The external correctness driver checks the FIRST
 #: 50 registered queries only. Round-5 rotation policy (now pinned by
 #: tests/window_policy.py + test_layout.py — a changed query or library
@@ -210,10 +230,11 @@ _PRIORITY: list[str] = [
     "f_string_clean_coerce", "x_dedup_exact",
     # never-driver-verified (2)
     "x_approx_distinct", "x_mjpeg_avi_roundtrip",
-    # changed after their freshest driver row (8)
+    # changed after their freshest driver row (11)
     "x_decontaminate", "x_curation_pipeline",
     "x_ivf_topk", "x_minhash_lsh_candidates", "x_dedup_near_survivors",
     "x_dedup_clusters", "x_video_frames_roundtrip", "x_image_roundtrip_meta",
+    "x_source_overlap", "x_winnowing_fingerprints", "x_winnowing_pairs",
     # --- stalest rotation: last driver row r01 (20) ---
     "x_funnel", "x_retention_cohorts", "x_active_users",
     "x_dedup_normalized", "x_simhash", "x_lsh_cosine_buckets",
@@ -222,11 +243,10 @@ _PRIORITY: list[str] = [
     "x_mixture_sample", "x_pack_sequences", "x_top_terms",
     "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
     "x_pii_redact",
-    # --- last driver row r02 (12) ---
+    # --- last driver row r02 (9; the remaining r02 entries rotate in r06) ---
     "x_session_gaps", "q7_volume_shipping", "q8_market_share",
     "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
     "n_flatten_serialize", "x_asof_join", "x_set_ops",
-    "x_pivot_status_by_year", "x_unpivot_status", "x_dq_report",
 ]
 
 

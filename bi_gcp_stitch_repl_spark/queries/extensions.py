@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import register, tables
+from .catalog import register, spread_narrow, tables
 
 P = 1_000_000_007
 #: (a, b) pairs for the MinHash permutation family h_k(x) = (a*x + b) mod P.
@@ -396,16 +396,11 @@ def _minhash_candidates(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) LSH candidate pairs via the DuckDB-reproducible
     permutation family — shared by the candidate query and the
     candidate-verified near-dedup survivors."""
-    # A small-file fixture scans as ONE task and the whole shingle→
-    # signature chain (the CPU-heavy part) runs serially until the band
-    # shuffle. Spread it first — but only when the scan is narrower than
-    # the session's parallelism: at 100 TB the input is already
-    # thousands of splits and an unconditional repartition would shuffle
-    # the raw corpus text for nothing. Measured 1.9 s → 0.8 s at sf0.1.
-    sc = docs.sparkSession.sparkContext
-    docs = docs.select("doc_id", "text")  # shuffle only what the hash needs
-    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        docs = docs.repartition(sc.defaultParallelism, "doc_id")
+    # spread a severely-narrow scan before the CPU-heavy shingle→
+    # signature chain (catalog.spread_narrow: measured trigger, no-op on
+    # wide inputs); select first so any spread shuffles only what the
+    # hash needs
+    docs = spread_narrow(docs.select("doc_id", "text"), "doc_id")
     cp = docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs"))
     hs = cp.select("doc_id", F.expr(GRAM_HASHES_SPARK).alias("hs"))
     sig = _minhash_signature(hs)
@@ -510,9 +505,7 @@ def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     # single-file fixtures scan as ONE task; spread the verify-side gram
     # build the same way _minhash_candidates spreads the signature chain
-    sc = docs.sparkSession.sparkContext
-    if cand_docs.rdd.getNumPartitions() < sc.defaultParallelism:
-        cand_docs = cand_docs.repartition(sc.defaultParallelism, "doc_id")
+    cand_docs = spread_narrow(cand_docs, "doc_id")
     hs = cand_docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs")).select(
         "doc_id", F.expr(GRAM_HASHES_SPARK).alias("hs")
     )
@@ -818,7 +811,18 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import cosine, ivf_topk, kmeans_ivf_index
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    indexed = kmeans_ivf_index(emb, n_cells=8, seed=42)
+    # Materialize the assignment once: ivf_topk consumes `indexed` three
+    # times (centroid derivation, query-side probes, corpus side), and
+    # each use would otherwise re-run model.transform over the corpus.
+    # In production the index IS a persisted table (incremental_ann_
+    # ingest); this checkpoint is the in-query stand-in for that.
+    # max_iter=4: a coarse quantizer needs roughly-balanced cells, not
+    # converged centers — measured recall@5 at n_probe=5 is 0.89/0.88
+    # (sf0.01/sf0.1) at 4 iterations vs 0.89/0.90 at 8, and the fit is
+    # the query's dominant cost term.
+    indexed = kmeans_ivf_index(emb, n_cells=8, seed=42, max_iter=4).localCheckpoint(
+        eager=True
+    )
     queries = (
         indexed.filter(F.col("vec_id") % 25 == 0)
         .orderBy("vec_id")
@@ -1277,6 +1281,9 @@ def x_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is per-doc accounting. Library twin with xxhash64:
     ``functions.dedup.winnowing_fingerprints``."""
     (docs,) = tables(spark, sf_dir, "documents")
+    # spread a severely-narrow scan: zero-shuffle chains otherwise run
+    # as ONE task on a single-file fixture (no-op on a wide input)
+    docs = spread_narrow(docs.select("doc_id", "text"), "doc_id")
     return (
         docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs"))
         .select("doc_id", F.expr(POS_GRAM_HASHES_SPARK).alias("hs"))
@@ -1318,8 +1325,11 @@ def x_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-the-tiny-side + equi-join shape as the MinHash band join;
     text never moves, only 8-byte fingerprints."""
     (docs,) = tables(spark, sf_dir, "documents")
+    # spread a severely-narrow scan before the CPU-heavy fingerprint
+    # chain (no-op on a wide input)
+    src = spread_narrow(docs.select("doc_id", "text"), "doc_id")
     fps = (
-        docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs"))
+        src.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs"))
         .select("doc_id", F.expr(POS_GRAM_HASHES_SPARK).alias("hs"))
         .select("doc_id", F.explode(F.expr(_WINNOW_SPARK)).alias("fp"))
     )

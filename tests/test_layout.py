@@ -113,7 +113,8 @@ def test_driver_window_covers_survey_gates():
         "x_decontaminate", "x_curation_pipeline", "x_ivf_topk",
         "x_minhash_lsh_candidates", "x_dedup_near_survivors",
         "x_dedup_clusters", "x_video_frames_roundtrip",
-        "x_image_roundtrip_meta",
+        "x_image_roundtrip_meta", "x_source_overlap",
+        "x_winnowing_fingerprints", "x_winnowing_pairs",
         # stalest rotation: last driver row r01
         "x_funnel", "x_retention_cohorts", "x_active_users",
         "x_dedup_normalized", "x_simhash", "x_lsh_cosine_buckets",
@@ -122,11 +123,10 @@ def test_driver_window_covers_survey_gates():
         "x_mixture_sample", "x_pack_sequences", "x_top_terms",
         "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
         "x_pii_redact",
-        # last driver row r02
+        # last driver row r02 (remaining r02 entries rotate in r06)
         "x_session_gaps", "q7_volume_shipping", "q8_market_share",
         "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
         "n_flatten_serialize", "x_asof_join", "x_set_ops",
-        "x_pivot_status_by_year", "x_unpivot_status", "x_dq_report",
     }
     assert len(required) == 50
     missing = required - set(first50)

@@ -47,6 +47,18 @@ def main() -> None:
     # JVM warm-up: one cheap scan so the first timed query isn't billed
     # for codegen/compiler startup
     spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
+    # pyspark.ml warm-up: class loading + breeze init costs ~1.5-2 s on
+    # first use; that's session init, not the first ML query's cost
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        tiny = spark.createDataFrame(
+            [([0.0, 1.0],), ([1.0, 0.0],), ([0.5, 0.5],)], ["v"]
+        ).withColumn("_fv", array_to_vector("v"))
+        KMeans(k=2, seed=1, featuresCol="_fv", maxIter=1).fit(tiny)
+    except Exception:
+        pass
 
     results: dict[str, dict] = {}
     for name in names:
