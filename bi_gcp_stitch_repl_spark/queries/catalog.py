@@ -230,11 +230,12 @@ _PRIORITY: list[str] = [
     "f_string_clean_coerce", "x_dedup_exact",
     # never-driver-verified (2)
     "x_approx_distinct", "x_mjpeg_avi_roundtrip",
-    # changed after their freshest driver row (11)
+    # changed after their freshest driver row (12)
     "x_decontaminate", "x_curation_pipeline",
     "x_ivf_topk", "x_minhash_lsh_candidates", "x_dedup_near_survivors",
     "x_dedup_clusters", "x_video_frames_roundtrip", "x_image_roundtrip_meta",
     "x_source_overlap", "x_winnowing_fingerprints", "x_winnowing_pairs",
+    "x_simhash_pairs",
     # --- stalest rotation: last driver row r01 (20) ---
     "x_funnel", "x_retention_cohorts", "x_active_users",
     "x_dedup_normalized", "x_simhash", "x_lsh_cosine_buckets",
@@ -243,10 +244,10 @@ _PRIORITY: list[str] = [
     "x_mixture_sample", "x_pack_sequences", "x_top_terms",
     "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
     "x_pii_redact",
-    # --- last driver row r02 (9; the remaining r02 entries rotate in r06) ---
+    # --- last driver row r02 (8; the remaining r02 entries rotate in r06) ---
     "x_session_gaps", "q7_volume_shipping", "q8_market_share",
     "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
-    "n_flatten_serialize", "x_asof_join", "x_set_ops",
+    "n_flatten_serialize", "x_asof_join",
 ]
 
 

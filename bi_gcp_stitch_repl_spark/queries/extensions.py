@@ -567,7 +567,10 @@ def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     to find candidates without any pairwise pass."""
     (docs,) = tables(spark, sf_dir, "documents")
     fold = _FOLD_SPARK.format(s="t", p=P)
-    toks = docs.select(
+    # spread a severely-narrow scan before the tokenize+hash explode
+    # (ONE task until the vote groupBy's shuffle otherwise)
+    src = spread_narrow(docs.select("doc_id", "text"), "doc_id")
+    toks = src.select(
         "doc_id",
         F.explode(
             F.expr(f"transform(split(trim(text), '\\\\s+'), t -> {fold})")
@@ -1962,6 +1965,9 @@ def x_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sims.select(
         "doc_id", "simhash", F.expr(f"explode(array({band_arr}))").alias("bv")
     ).select("doc_id", "simhash", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
+    # one exchange on the join key so both self-join sides hang off the
+    # SAME shuffle and ReusedExchange computes the vote pipeline once
+    bands = bands.repartition("b", "v")
     left = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "b", "v"
     )

@@ -114,7 +114,7 @@ def test_driver_window_covers_survey_gates():
         "x_minhash_lsh_candidates", "x_dedup_near_survivors",
         "x_dedup_clusters", "x_video_frames_roundtrip",
         "x_image_roundtrip_meta", "x_source_overlap",
-        "x_winnowing_fingerprints", "x_winnowing_pairs",
+        "x_winnowing_fingerprints", "x_winnowing_pairs", "x_simhash_pairs",
         # stalest rotation: last driver row r01
         "x_funnel", "x_retention_cohorts", "x_active_users",
         "x_dedup_normalized", "x_simhash", "x_lsh_cosine_buckets",
@@ -126,7 +126,7 @@ def test_driver_window_covers_survey_gates():
         # last driver row r02 (remaining r02 entries rotate in r06)
         "x_session_gaps", "q7_volume_shipping", "q8_market_share",
         "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
-        "n_flatten_serialize", "x_asof_join", "x_set_ops",
+        "n_flatten_serialize", "x_asof_join",
     }
     assert len(required) == 50
     missing = required - set(first50)
@@ -145,6 +145,22 @@ def test_driver_window_covers_survey_gates():
     if len(seen) > 50:  # artifacts were present
         never = [n for n in catalog.queries() if n not in seen]
         assert not never, f"queries with no driver row in any round: {never}"
+
+
+def test_spread_narrow_only_touches_narrow_scans(spark):
+    """catalog.spread_narrow: a 1-partition frame is spread to session
+    parallelism; a frame at/above the 1/8-of-parallelism trigger is
+    returned UNCHANGED (no extra exchange on wide production inputs)."""
+    from bi_gcp_stitch_repl_spark.queries.catalog import spread_narrow
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    spread = spread_narrow(narrow.selectExpr("id", "id * 2 AS v"), "id")
+    assert spread.rdd.getNumPartitions() == par
+    assert spread.count() == 100
+    wide_n = max(2, par // 8)
+    wide = spark.range(100).repartition(wide_n)
+    assert spread_narrow(wide) is wide  # untouched, not just same count
 
 
 def test_changed_queries_hold_window_slots():

@@ -83,6 +83,47 @@ def test_merge_upsert_matches_dict_model(spark, tmp_path_factory, existing, batc
         assert got[k] == {batch_d[k]}  # batch keys fully replaced
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(existing=row_strategy, batch=row_strategy, frame=st.lists(st.integers(0, 9), max_size=10))
+def test_merge_upsert_key_frame_matches_dict_model(
+    spark, tmp_path_factory, existing, batch, frame
+):
+    """merge_upsert with key_frame ≡ (drop keys in frame ∪ batch-keys)
+    then dict.update with the batch — for arbitrary overlaps between
+    existing keys, batch keys, and frame keys (ADVICE r04 purge
+    semantics as a law, not just the pipeline example)."""
+    batch_d = {}
+    for k, v in batch:
+        batch_d[k] = v
+    model = {}
+    for k, v in existing:
+        model[k] = v
+    for k in set(frame) | set(batch_d):
+        model.pop(k, None)
+    model.update(batch_d)
+
+    tmp = tmp_path_factory.mktemp("mergekf")
+    t = ParquetTable(spark, str(tmp / "t"))
+    if not existing:
+        return  # merge into a missing table ignores the frame by contract
+    t.overwrite(spark.createDataFrame(existing, "k long, v string"))
+    batch_df = spark.createDataFrame(
+        sorted(batch_d.items()), "k long, v string"
+    ) if batch_d else spark.createDataFrame([], "k long, v string")
+    frame_df = spark.createDataFrame([(k,) for k in frame], "k long")
+    t.merge_upsert(batch_df, keys=["k"], key_frame=frame_df)
+    got = {}
+    for r in t.read().collect():
+        got.setdefault(r["k"], set()).add(r["v"])
+    assert set(got) == set(model)
+    for k in batch_d:
+        assert got[k] == {batch_d[k]}
+
+
 zrow_strategy = st.lists(
     st.tuples(
         st.integers(min_value=-(2**31), max_value=2**31),
