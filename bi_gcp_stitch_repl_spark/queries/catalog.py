@@ -193,11 +193,27 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
     The 1/8 trigger is measured, both ways: at ONE scan task the spread
     is a clear win (MinHash signature chain 1.9 s → 0.8 s at sf0.1); at
     8 tasks on 32 cores the extra pass over the raw data measurably
-    LOSES (+0.1 s on bench's staged 8-file layout). On a production
-    input (thousands of splits at 100 TB) this is always a no-op — the
-    partition-count probe reads plan metadata, it runs no job."""
+    LOSES (+0.1 s on bench's staged 8-file layout).
+
+    Two-tier probe, cheap-first: ``inputFiles()`` is a file listing
+    (~2 ms, no planning) and file count LOWER-bounds partition count
+    (big files split, they never merge below the file count under the
+    default open-cost) — so ≥-threshold file counts skip without
+    touching ``.rdd``. Only a below-threshold listing (or a non-scan
+    frame, which lists empty) falls through to
+    ``rdd.getNumPartitions()``, which compiles the physical plan
+    (~50-100 ms) but answers exactly — catching the one-big-splittable-
+    file case where a repartition would be wasted. On a production
+    input (thousands of splits at 100 TB) the cheap tier always
+    answers."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < max(2, sc.defaultParallelism // 8):
+    threshold = max(2, sc.defaultParallelism // 8)
+    try:
+        if len(df.inputFiles()) >= threshold:
+            return df
+    except Exception:
+        pass  # non-scan frames: fall through to the exact probe
+    if df.rdd.getNumPartitions() < threshold:
         df = df.repartition(sc.defaultParallelism, *key_cols) if key_cols else (
             df.repartition(sc.defaultParallelism)
         )
