@@ -400,18 +400,30 @@ def compact_tables(
     table_paths: list[str],
     target_partitions: int | None = None,
     zorder_by: list[str] | None = None,
+    incremental: bool = False,
+    min_file_bytes: int = 32 << 20,
 ) -> dict[str, int]:
     """Maintenance: rewrite each table into right-sized files (small-file
     debt is the top silent killer of scan parallelism on a growing lake);
     ``zorder_by`` additionally clusters for multi-column file skipping.
     Table type is auto-detected per path (``_table_for``): commit-log
     tables compact via ``optimize`` (one add+remove commit, history
-    intact), plain directories via the staged-swap ``compact``."""
+    intact), plain directories via the staged-swap ``compact``.
+
+    ``incremental=True`` switches commit-log tables to
+    ``compact_small`` — pack only the sub-``min_file_bytes`` backlog,
+    O(backlog) instead of O(table). This is the NIGHTLY cadence; keep
+    the full ``optimize(zorder_by=…)`` on a rarer (weekly) schedule for
+    clustering quality. Plain directories have no per-file commit
+    accounting, so they always compact fully."""
     out = {}
     for p in table_paths:
         t = _table_for(spark, p)
         if isinstance(t, VersionedTable):
-            t.optimize(target_partitions or 8, zorder_by=zorder_by)
+            if incremental:
+                t.compact_small(min_file_bytes=min_file_bytes)
+            else:
+                t.optimize(target_partitions or 8, zorder_by=zorder_by)
             out[p] = t.read().count()
         else:
             out[p] = t.compact(target_partitions, zorder_by)

@@ -948,6 +948,57 @@ class VersionedTable:
             raise
         return removed
 
+    def compact_small(
+        self,
+        min_file_bytes: int = 32 << 20,
+        target_file_bytes: int = 128 << 20,
+    ) -> int | None:
+        """Incremental OPTIMIZE: bin-pack ONLY files smaller than
+        ``min_file_bytes`` into ~``target_file_bytes`` files; files
+        already right-sized are physically untouched and keep their
+        logged stats. This is the nightly maintenance pass a lake
+        actually runs — streaming/micro-batch appends grow a small-file
+        backlog daily, and a full ``optimize`` is O(table) where this is
+        O(backlog): on a 100 TB table with a few GB of overnight
+        appends, the difference between a minutes-long pass and a
+        full-table rewrite. Returns the committed version, or None when
+        fewer than two small files exist (nothing to pack — a single
+        small file stays until it has company, so repeated runs are
+        no-op-idempotent). One add+remove commit with the
+        ``logical_noop`` marker (rows move, none change: the CDC feed
+        skips it, like ``optimize``); an interleaved commit raises
+        CommitConflict — re-run (appends commute, the backlog is simply
+        re-listed).
+
+        Z-order note: packed files merge whatever key ranges the small
+        files held, so their [min,max] stats widen — clustering quality
+        is ``optimize(zorder_by=…)``'s job on its (rarer) full-table
+        cadence; this pass only pays down file-count debt between
+        those."""
+        base = self.latest_version()
+        if base is None:
+            return None
+        state = self._snapshot_state(base)
+        sizes = {
+            f: os.path.getsize(os.path.join(self.path, f))
+            for f in state["files"]
+        }
+        small = sorted(f for f, s in sizes.items() if s < min_file_bytes)
+        if len(small) < 2:
+            return None
+        total = sum(sizes[f] for f in small)
+        n_out = max(1, round(total / target_file_bytes))
+        df = self._read_files(small, state["schema_evolved"]).repartition(n_out)
+        removes = [{"remove": f} for f in small]
+        adds = [{"add": n, "stats": st} for n, st in self._write_parts(df)]
+        adds.append({"meta": {"logical_noop": True}})
+        try:
+            self._commit(base + 1, adds + removes)
+        except CommitConflict:
+            self._abort_adds(adds)
+            raise
+        return base + 1
+
     def optimize(
         self,
         target_files: int = 8,

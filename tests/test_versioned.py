@@ -722,6 +722,47 @@ def test_merge_prunes_files_on_date_keys(spark, tmp_path):
     assert got["2024-02-05"] == "UPDATED" and len(got) == 30
 
 
+def test_compact_small_packs_only_the_backlog(spark, tmp_path):
+    """Incremental OPTIMIZE: only sub-threshold files are rewritten —
+    the compacted big file survives by NAME (physically untouched), the
+    small-file backlog bin-packs into one commit, rows are identical,
+    the CDC/change feed skips the commit, re-running is a no-op, and
+    time travel still sees the pre-compact layout."""
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"), enable_cdc=True)
+    # one "large" file (500 rows) + a 5-append small-file backlog
+    t.append(spark.range(500).selectExpr("id AS k", "CAST(id AS STRING) AS v").coalesce(1))
+    big = set(t.files_at())
+    assert len(big) == 1
+    for i in range(5):
+        t.append(
+            spark.range(500 + i * 10, 510 + i * 10)
+            .selectExpr("id AS k", "CAST(id AS STRING) AS v")
+            .coalesce(1)
+        )
+    pre_files = t.files_at()
+    pre_version = t.latest_version()
+    assert len(pre_files) == 6
+    import os
+
+    big_bytes = os.path.getsize(os.path.join(t.path, next(iter(big))))
+    v = t.compact_small(min_file_bytes=big_bytes, target_file_bytes=1 << 30)
+    assert v == pre_version + 1
+    post = set(t.files_at())
+    assert big <= post  # the large file was not rewritten
+    assert len(post) == 2  # big + one packed file
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == sorted(list(range(500)) + [k for i in range(5) for k in range(500 + i * 10, 510 + i * 10)])
+    # change feed skips the logical-noop commit
+    assert t.changes_feed(v - 1).count() == 0
+    # idempotent: one packed file + one big file, nothing under threshold x2
+    assert t.compact_small(min_file_bytes=big_bytes, target_file_bytes=1 << 30) is None
+    # time travel: the pre-compact snapshot still lists 6 files
+    assert len(t.files_at(pre_version)) == 6
+    assert t.read(pre_version).count() == 550
+
+
 def test_merge_upsert_key_frame_purges_and_cdc_records_delete(spark, tmp_path):
     """key_frame widens the delete scope (ADVICE r04): a frame key with no
     batch rows purges its existing rows in the same commit, CDC records
