@@ -104,6 +104,75 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=NGRAM_N, broadcast_bench=False)
 
 
+#: semantic-contamination bar = the corpus' near-dup cosine bar: an eval
+#: item whose embedding sits at near-dup similarity to a training doc is
+#: contamination even when no 8-gram survived the paraphrase
+SEMANTIC_DECON_T = 0.45
+
+
+@register(
+    "x_semantic_decontaminate",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+  FROM embeddings
+),
+b AS (SELECT * FROM n WHERE vec_id % {BENCH_MOD} = 0),
+t AS (SELECT * FROM n WHERE vec_id % {BENCH_MOD} <> 0)
+SELECT t.vec_id,
+       MAX(list_sum(list_transform(list_zip(t.v, b.v), x -> x[1]*x[2]))
+           / (t.nrm * b.nrm)) AS max_bench_cosine,
+       MAX(list_sum(list_transform(list_zip(t.v, b.v), x -> x[1]*x[2]))
+           / (t.nrm * b.nrm)) >= {SEMANTIC_DECON_T} AS contaminated
+FROM t, b
+GROUP BY t.vec_id
+""",
+)
+def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval decontamination: flag every training item whose
+    embedding reaches near-dup cosine similarity to ANY benchmark item —
+    the paraphrase-robust complement to ``x_decontaminate``'s 8-gram
+    rule (a reworded benchmark copy shares no verbatim 8-gram but keeps
+    its embedding neighborhood; GPT-4/Llama-style contamination reports
+    run both checks).
+
+    Scale shape: norms are computed once per row BEFORE the join; the
+    benchmark side is the small one (a fixed-size eval set in
+    production — broadcast; here a mod-slice, left unhinted so AQE
+    broadcasts it while it fits, same rule as ``x_decontaminate``), so
+    the pass is one broadcast nested-loop over the corpus: cost
+    corpus × |bench| dot products, linear in corpus, zero shuffle of
+    the embedding column beyond the final per-id max. At 100 TB, prune
+    candidates with the IVF index first (``functions.similarity``) and
+    run this exact kernel only on probed cells. MAX over IEEE doubles
+    is order-insensitive and every cosine is the deterministic
+    sequential fold, so the result hash-matches DuckDB bit-for-bit."""
+    from .extensions import _DOT_SPARK, _NORM_SPARK
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    norm = F.expr(_NORM_SPARK.format(a="embedding"))
+    n = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        norm.alias("nrm"),
+    )
+    bench = n.filter(F.col("vec_id") % BENCH_MOD == 0).select(
+        F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    # spread the train side: the per-row probe work (|bench| dot
+    # products) otherwise runs on a single-file scan's one task
+    train = spread_narrow(n.filter(F.col("vec_id") % BENCH_MOD != 0), "vec_id")
+    dot = _DOT_SPARK.format(a="v", b="bv")
+    scored = train.crossJoin(bench).select(
+        "vec_id", (F.expr(dot) / (F.col("nrm") * F.col("bn"))).alias("cos")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max("cos").alias("max_bench_cosine"),
+        (F.max("cos") >= SEMANTIC_DECON_T).alias("contaminated"),
+    )
+
+
 MIX_RATES = {"src0": 80, "src1": 50, "src2": 25}
 MIX_DEFAULT = 60
 
