@@ -231,6 +231,71 @@ def kmeans_ivf_index(
     return assigned
 
 
+def semantic_contamination_ivf(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF-pruned semantic contamination: corpus ids whose embedding
+    reaches cosine ≥ ``threshold`` to ANY bench vector, scoring only the
+    corpus cells each bench vector probes — the 100 TB path behind the
+    catalog's exact ``x_semantic_decontaminate`` kernel.
+
+    ``corpus`` must carry a coarse cell assignment (``cell_col`` from
+    :func:`kmeans_ivf_index`). Each bench vector probes its ``n_probe``
+    nearest cells (centroids re-derived as assigned-vector means — pass
+    the persisted centers via an upstream join if the index absorbed
+    post-fit batches, same caveat as :func:`ivf_topk`); exact cosines
+    run only on (bench × probed-cell) pairs, so cost is
+    |bench| × corpus × n_probe/n_cells instead of |bench| × corpus.
+    Precision is 1.0 by construction (every flag is an exact-cosine
+    verify); recall < 1.0 — a contaminated pair whose corpus member
+    sits in an unprobed cell is missed, recall rises with ``n_probe``
+    and equals the exact scan at n_probe = n_cells (tested).
+
+    Returns distinct ``(id_col, max_bench_cosine)`` for flagged ids
+    only (the anti-join input for a drop-contaminated step)."""
+    # per-cell centroid = assigned-vector mean (tiny: n_cells × dim)
+    centroids = (
+        corpus.select(cell_col, F.posexplode(vec_col).alias("i", "v"))
+        .groupBy(cell_col, "i")
+        .agg(F.avg("v").alias("m"))
+        .groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+        .select(
+            cell_col,
+            F.expr("transform(pairs, p -> cast(p.m as float))").alias("cvec"),
+        )
+    )
+    b = bench.select(
+        F.col(bench_id_col).alias("_bid"), F.col(vec_col).alias("bv")
+    )
+    bc = b.crossJoin(F.broadcast(centroids)).withColumn(
+        "csim", cosine("bv", "cvec")
+    )
+    w_cells = Window.partitionBy("_bid").orderBy(
+        F.col("csim").desc(), F.col(cell_col)
+    )
+    probes = (
+        bc.withColumn("cr", F.row_number().over(w_cells))
+        .filter(F.col("cr") <= n_probe)
+        .select("bv", cell_col)
+    )
+    scored = corpus.join(probes, cell_col).withColumn(
+        "cosine", cosine(vec_col, "bv")
+    )
+    return (
+        scored.filter(F.col("cosine") >= threshold)
+        .groupBy(id_col)
+        .agg(F.max("cosine").alias("max_bench_cosine"))
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.45,

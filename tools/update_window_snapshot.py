@@ -28,6 +28,28 @@ def main() -> None:
         print("changed libraries:", ", ".join(sorted(changed_l)))
     if not changed_q and not changed_l:
         print("no changes vs snapshot")
+
+    # REFUSE to absolve a change whose window slot is missing: writing
+    # the snapshot is the acknowledgment, so the slot must exist FIRST
+    # (otherwise a regenerate-then-commit flow silently skips the
+    # policy the layout test enforces).
+    from bi_gcp_stitch_repl_spark.queries import catalog
+
+    first50 = set(list(catalog.queries())[:50])
+    stale_q = sorted(changed_q - first50)
+    stale_l = {
+        lib: sorted(set(window_policy.LIB_CANARIES[lib]) - first50)
+        for lib in changed_l
+        if set(window_policy.LIB_CANARIES[lib]) - first50
+    }
+    if stale_q or stale_l:
+        if stale_q:
+            print(f"REFUSING: changed queries without a window slot: {stale_q}")
+        if stale_l:
+            print(f"REFUSING: changed libraries whose canaries lack slots: {stale_l}")
+        print("Edit catalog._PRIORITY first, then rerun this tool.")
+        raise SystemExit(1)
+
     cur = window_policy.compute_hashes()
     with open(window_policy.SNAPSHOT_PATH, "w") as f:
         json.dump(cur, f, indent=1, sort_keys=True)
