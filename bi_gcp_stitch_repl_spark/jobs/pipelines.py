@@ -980,6 +980,11 @@ def prepare_training_data(
     valid_pct: int = 5,
     n_shards: int = 8,
     collect_stats: bool = False,
+    embeddings: DataFrame | None = None,
+    bench_embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.45,
+    semantic_n_probe: int = 4,
+    semantic_n_cells: int = 16,
 ) -> dict:
     """End-to-end LLM training-data preparation — the whole curation
     stack as ONE declarative plan:
@@ -991,6 +996,14 @@ def prepare_training_data(
     3. benchmark decontamination (``curation.decontaminate``): any doc
        sharing a word ``decon_ngram``-gram with ``bench`` is dropped
        (bench gram set broadcast — the corpus never shuffles its text);
+       3b. OPTIONAL semantic decontamination: pass ``embeddings`` (a
+       ``(id_col, embedding)`` frame for the corpus) and
+       ``bench_embeddings`` and any doc whose embedding reaches
+       near-dup cosine to a bench item is ALSO dropped — the
+       paraphrase-robust check verbatim n-grams miss. Runs the
+       IVF-pruned kernel (``similarity.semantic_contamination_ivf``:
+       cost |bench| × corpus × n_probe/n_cells, precision 1.0), whose
+       KMeans fit is the pipeline's one eager pre-pass;
     4. vocabulary build + token-id encoding (``text.build_vocab`` /
        ``encode_tokens``): corpus-frequency top-V vocab, every surviving
        doc carries its ``token_ids`` sequence;
@@ -1026,6 +1039,24 @@ def prepare_training_data(
         id_col,
         "left_semi",
     )
+    if embeddings is not None and bench_embeddings is not None:
+        from ..functions.similarity import (
+            kmeans_ivf_index,
+            semantic_contamination_ivf,
+        )
+
+        indexed = kmeans_ivf_index(
+            embeddings, n_cells=semantic_n_cells, seed=42
+        )
+        sem_flags = semantic_contamination_ivf(
+            indexed,
+            bench_embeddings,
+            threshold=semantic_threshold,
+            n_probe=semantic_n_probe,
+            id_col=id_col,
+            bench_id_col=bench_embeddings.columns[0],
+        )
+        clean = clean.join(sem_flags.select(id_col), id_col, "left_anti")
     vocab = build_vocab(clean, vocab_size, text_col)
     payload = clean.join(encode_tokens(clean, vocab, text_col, id_col), id_col)
     splits = export_training_shards(
@@ -1043,6 +1074,8 @@ def prepare_training_data(
             "input": docs.count(),
             "after_span_dedup": cleaned.count(),
             "after_quality": passed.count(),
+            # includes the semantic stage when enabled (clean is the
+            # post-both-filters frame)
             "after_decontamination": clean.count(),
             "vocab_size": vocab.count(),
         }

@@ -724,6 +724,52 @@ def test_prepare_training_data_end_to_end(spark, tmp_path):
     assert again == first
 
 
+def test_prepare_training_data_semantic_stage(spark, tmp_path):
+    """Optional semantic decontamination: a doc that shares NO 8-gram
+    with the benchmark (survives the verbatim rule) but whose embedding
+    is near-identical to a bench item is dropped when embeddings are
+    supplied — and untouched when they are not."""
+    from bi_gcp_stitch_repl_spark.jobs.pipelines import prepare_training_data
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "paraphrased copy reworded enough to defeat ngrams fully ok"),
+            (2, "clean clean2 clean3 clean4 clean5 clean6 clean7 clean8"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark text that shares no gram with any training doc x")],
+        "doc_id long, text string",
+    )
+    # doc 1's embedding ≡ the bench embedding (a paraphrase keeps its
+    # neighborhood); docs 0/2 orthogonal
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.1]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    bench_emb = spark.createDataFrame(
+        [(100, [0.0, 1.0, 0.0, 0.05])], "doc_id long, embedding array<double>"
+    )
+    res = prepare_training_data(
+        spark, docs, bench, str(tmp_path / "e1"), vocab_size=10, n_shards=1,
+        collect_stats=True,
+        embeddings=emb, bench_embeddings=bench_emb,
+        semantic_threshold=0.9, semantic_n_cells=2, semantic_n_probe=2,
+    )
+    assert res["stages"]["after_decontamination"] == 2  # doc 1 dropped
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "e1")).collect()}
+    assert kept == {0, 2}
+    # without embeddings the paraphrase survives
+    res2 = prepare_training_data(
+        spark, docs, bench, str(tmp_path / "e2"), vocab_size=10, n_shards=1,
+        collect_stats=True,
+    )
+    assert res2["stages"]["after_decontamination"] == 3
+
+
 def test_job_manifest_sweep_runs_every_entry(spark, tmp_path):
     """The 'Airflow scheduling Spark jobs' north-star, proven per-MANIFEST:
     every JOB_MANIFEST entry executes end-to-end against hermetic fixtures
