@@ -763,6 +763,54 @@ def test_compact_small_packs_only_the_backlog(spark, tmp_path):
     assert t.read(pre_version).count() == 550
 
 
+def test_compact_small_conflict_and_crash_leave_table_intact(spark, tmp_path):
+    """compact_small under contention and crash: an interleaved append
+    raises CommitConflict and the aborted run's staged parts are removed
+    (the append's row survives; a re-run compacts cleanly); a hard crash
+    AFTER parts were written but BEFORE commit leaves the snapshot
+    untouched and vacuum reclaims the orphans."""
+    import glob
+    import os
+
+    path = str(tmp_path / "t")
+    t = VersionedTable(spark, path)
+    for i in range(3):
+        t.append(_df(spark, [(i, f"v{i}")]).coalesce(1))
+
+    class Raced(VersionedTable):
+        def _write_parts(self, df):
+            VersionedTable(self.spark, self.path).append(
+                _df(self.spark, [(9, "interloper")])
+            )
+            return super()._write_parts(df)
+
+    with pytest.raises(CommitConflict):
+        Raced(spark, path).compact_small(min_file_bytes=1 << 30)
+    assert {r["k"] for r in t.read().collect()} == {0, 1, 2, 9}
+    v = t.compact_small(min_file_bytes=1 << 30)  # re-run on the fresh base
+    assert v is not None and len(t.files_at()) == 1
+
+    # crash path: parts written, commit never happens
+    t.append(_df(spark, [(5, "v5")]).coalesce(1))
+    files_before = set(t.files_at())
+
+    class Crashed(VersionedTable):
+        def _commit(self, version, actions):
+            raise RuntimeError("power loss")
+
+    with pytest.raises(RuntimeError):
+        Crashed(spark, path).compact_small(min_file_bytes=1 << 30)
+    assert set(t.files_at()) == files_before  # snapshot untouched
+    assert {r["k"] for r in t.read().collect()} == {0, 1, 2, 9, 5}
+    on_disk = {os.path.basename(p) for p in glob.glob(os.path.join(path, "part-*.parquet"))}
+    orphans = on_disk - {f for v2 in range(t.latest_version() + 1) for f in t.files_at(v2)}
+    assert orphans  # the crashed run's parts linger...
+    t.vacuum(retention_sec=0.0)
+    on_disk2 = {os.path.basename(p) for p in glob.glob(os.path.join(path, "part-*.parquet"))}
+    assert not (orphans & on_disk2)  # ...until vacuum reclaims them
+    assert {r["k"] for r in t.read().collect()} == {0, 1, 2, 9, 5}
+
+
 def test_merge_upsert_key_frame_purges_and_cdc_records_delete(spark, tmp_path):
     """key_frame widens the delete scope (ADVICE r04): a frame key with no
     batch rows purges its existing rows in the same commit, CDC records
