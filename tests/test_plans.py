@@ -287,6 +287,7 @@ def test_no_unbounded_join_strategies_in_catalog(spark):
         "x_ivf_topk",            # broadcast centroid table + query probes
         "x_lsh_cosine_buckets",  # broadcast plane/model constants
         "x_dedup_embedding_pairs",
+        "x_semantic_decontaminate",  # broadcast fixed-size eval/bench set
         "a4_max_watermark",      # 1-row watermark crossJoin
         "a4_a6_watermark_accounting",  # 1-row watermark crossJoin
         "x_bm25_topk",           # 1-row corpus-stats crossJoin
