@@ -499,3 +499,48 @@ def kmeans_lloyd(
             .select(F.col("cluster").alias("cid"), "cv")
         )
     raise AssertionError("unreachable")
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009 — public paper)
+    of named per-retriever rank lists: ``score(d) = Σ_lists 1/(k + rank)``,
+    the standard way hybrid (lexical + semantic) RAG stacks combine a
+    BM25 list with an ANN list without comparable score scales.
+
+    Each input frame is ``(id_col, <name>_rank)`` with ranks 1..depth;
+    lists are fused with full-outer joins so an item present in only one
+    list still scores (its missing-list term is 0). The joins run over
+    k-deep lists — bounded by retrieval depth, never corpus size — so the
+    fusion cost is O(depth × lists) regardless of corpus scale; all the
+    heavy lifting stays in the per-retriever top-k plans.
+
+    Determinism: ranks are exact integers and ``1/(k+rank)`` plus the
+    fixed-order sum are exactly-rounded IEEE operations, so fused scores
+    are bit-identical across engines (the catalog's hash-parity rule).
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    names = list(ranked)
+    fused: DataFrame | None = None
+    for name in names:
+        df = ranked[name].select(id_col, f"{name}_rank")
+        fused = df if fused is None else fused.join(df, id_col, "full_outer")
+    terms = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"{n}_rank").cast("double")),
+            F.lit(0.0),
+        )
+        for n in names
+    ]
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    return fused.select(
+        id_col,
+        *[F.col(f"{n}_rank").cast("bigint").alias(f"{n}_rank") for n in names],
+        score.alias("rrf_score"),
+    )

@@ -708,6 +708,122 @@ def x_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: RRF fusion constant (the k=60 of Cormack et al. 2009) and per-retriever
+#: retrieval depth for the hybrid-search catalog query
+RRF_K = 60
+HYBRID_DEPTH = 20
+
+_RRF_TERM_DUCK = (
+    "COALESCE(CAST(1.0 AS DOUBLE) / (CAST({k} AS DOUBLE)"
+    " + CAST({rank} AS DOUBLE)), CAST(0.0 AS DOUBLE))"
+)
+
+
+@register(
+    "x_hybrid_search_rrf",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE doc_id <> 0
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         {", ".join(f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}" for i, t in enumerate(BM25_TERMS))}
+  FROM tok GROUP BY 1
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         {", ".join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(BM25_TERMS)))}
+  FROM stats
+),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM (SELECT doc_id,
+               {" + ".join(f"({_bm25_term_sql(i)})" for i in range(len(BM25_TERMS)))} AS bm25
+        FROM stats, corpus)
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+  FROM (
+    SELECT e.vec_id AS doc_id,
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qe), x -> x[1]*x[2]))
+           / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+              * sqrt(list_sum(list_transform(q.qe, x -> x*x)))) AS cosine
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+  )
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       CAST(l.lex_rank AS BIGINT) AS lex_rank,
+       CAST(s.sem_rank AS BIGINT) AS sem_rank,
+       {_RRF_TERM_DUCK.format(k=RRF_K, rank="l.lex_rank")}
+       + {_RRF_TERM_DUCK.format(k=RRF_K, rank="s.sem_rank")} AS rrf_score
+FROM (SELECT * FROM lex WHERE lex_rank <= {HYBRID_DEPTH}) l
+FULL OUTER JOIN (SELECT * FROM sem WHERE sem_rank <= {HYBRID_DEPTH}) s
+  ON l.doc_id = s.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+)
+def x_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for a RAG / training-data search stack: fuse the
+    BM25 lexical top-20 (functions.text.bm25_scores, same term bag as
+    x_bm25_topk) with the embedding-cosine semantic top-20 (query =
+    item 0's vector, the x_knn_cosine_topk shape) via reciprocal-rank
+    fusion (functions.similarity.rrf_fuse) and return the fused top-10.
+    Item 0 is the query document, so it is excluded from both candidate
+    sides.
+
+    Scale shape: each retriever is its own bounded top-k plan — BM25 is
+    one token-explode aggregation + TakeOrdered heap, the semantic side
+    is a broadcast 1-row query vector over a JVM fold + TakeOrdered;
+    the fusion then joins two DEPTH-row lists, so its cost is fixed by
+    retrieval depth, never corpus size. The rank windows run over the
+    already-limited 20-row frames (single tiny partition by
+    construction). At 100 TB the semantic side swaps in ivf_topk and
+    the fusion is unchanged — that seam is the point of rrf_fuse.
+
+    Determinism: ranks are ints with doc_id tiebreaks; 1/(k+rank) and
+    the fixed-order two-term sum are exactly-rounded IEEE ops, so the
+    fused scores hash-match DuckDB bit-for-bit."""
+    from ..functions.similarity import rrf_fuse
+    from ..functions.text import bm25_scores
+    from .extensions import _DOT_SPARK, _NORM_SPARK
+
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    lex_top = (
+        bm25_scores(
+            docs.filter(F.col("doc_id") != 0), BM25_TERMS, k1=_BM25_K1, b=_BM25_B
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(HYBRID_DEPTH)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = _DOT_SPARK.format(a="embedding", b="qe")
+    norm_e = _NORM_SPARK.format(a="embedding")
+    norm_q = _NORM_SPARK.format(a="qe")
+    sem_top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", F.expr(f"{dot} / ({norm_e} * {norm_q})"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(HYBRID_DEPTH)
+    )
+    sem = sem_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "vec_id"))
+        .alias("sem_rank"),
+    )
+    fused = rrf_fuse({"lex": lex, "sem": sem}, id_col="doc_id", k=RRF_K)
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style rule-based quality gate (Rae et al. 2021, appendix A1.1 —
 # public paper). Distinct from x_quality_score's blended score: these are

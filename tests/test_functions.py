@@ -693,3 +693,32 @@ def test_ivf_topk_with_frozen_centroid_sidecar(spark, tmp_path):
     lhs = {(r["query_id"], r["rk"]): r["vec_id"] for r in got.collect()}
     rhs = {(r["query_id"], r["rk"]): r["vec_id"] for r in brute.collect()}
     assert lhs == rhs
+
+
+def test_rrf_fuse_scores_and_missing_lists(spark):
+    """RRF: items in both lists outscore same-rank single-list items; an
+    item present in only one list still scores (missing term = 0); the
+    fused score is exactly 1/(k+r_lex) + 1/(k+r_sem)."""
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, lex_rank int")
+    sem = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, sem_rank int")
+    out = {
+        r["doc_id"]: r
+        for r in similarity.rrf_fuse({"lex": lex, "sem": sem}, k=60).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert out[1]["rrf_score"] == 1.0 / 61          # sem term absent -> 0
+    assert out[4]["rrf_score"] == 1.0 / 62
+    assert out[4]["lex_rank"] is None and out[4]["sem_rank"] == 2
+    # both-lists item beats the best single-list item
+    assert out[2]["rrf_score"] > out[1]["rrf_score"]
+
+
+def test_rrf_fuse_single_list_and_empty_error(spark):
+    lex = spark.createDataFrame([(7, 1)], "doc_id long, lex_rank int")
+    row = similarity.rrf_fuse({"lex": lex}).collect()[0]
+    assert row["doc_id"] == 7 and row["rrf_score"] == 1.0 / 61
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        similarity.rrf_fuse({})

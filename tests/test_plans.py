@@ -284,6 +284,7 @@ def test_no_unbounded_join_strategies_in_catalog(spark):
     # n_cells rows / n_queries rows) — the nested loop is the right plan
     allowed = {
         "x_knn_cosine_topk",     # broadcast 1-row query vector
+        "x_hybrid_search_rrf",   # broadcast 1-row query vector (semantic side)
         "x_ivf_topk",            # broadcast centroid table + query probes
         "x_lsh_cosine_buckets",  # broadcast plane/model constants
         "x_dedup_embedding_pairs",
