@@ -44,7 +44,10 @@ def main() -> None:
     k = args.k
 
     (emb,) = tables(spark, args.sf_dir, "embeddings")
-    indexed = S.kmeans_ivf_index(emb, n_cells=8, seed=42).localCheckpoint()
+    # init_mode="random" = the shipped x_ivf_topk configuration (r05)
+    indexed = S.kmeans_ivf_index(
+        emb, n_cells=8, seed=42, init_mode="random"
+    ).localCheckpoint()
     queries = (
         indexed.filter(F.col("vec_id") % 25 == 0)
         .orderBy("vec_id")
