@@ -449,3 +449,47 @@ def test_aqe_skew_join_splits_hot_partition(spark):
             if val is not None:
                 spark.conf.set(key, val)
     assert "skew=true" in plan, plan[:2000]
+
+
+# -- model-based RRF fusion ---------------------------------------------------
+
+rank_list = st.dictionaries(
+    st.integers(0, 12), st.integers(1, 30), min_size=0, max_size=8
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lex=rank_list, sem=rank_list, extra=rank_list)
+def test_rrf_fuse_matches_python_model(spark, lex, sem, extra):
+    """rrf_fuse over arbitrary 1-3 rank lists ≡ the python-float model:
+    ids = union of lists, score = Σ 1/(k+rank) over the lists containing
+    the id (missing-list term 0), exact float equality (the same IEEE
+    ops in the same order)."""
+    from bi_gcp_stitch_repl_spark.functions.similarity import rrf_fuse
+
+    lists = {"lex": lex, "sem": sem, "extra": extra}
+    frames = {}
+    for name, ranks in lists.items():
+        if ranks:
+            frames[name] = spark.createDataFrame(
+                list(ranks.items()), f"doc_id long, {name}_rank int"
+            )
+        else:  # empty retriever list still fuses (all its terms = 0)
+            frames[name] = spark.range(0).selectExpr(
+                "id AS doc_id", f"CAST(NULL AS INT) AS {name}_rank"
+            )
+    out = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse(frames).collect()}
+    expect = {}
+    for ranks in lists.values():
+        for i, r in ranks.items():
+            expect[i] = expect.get(i, 0.0)
+    for i in expect:
+        s = 0.0
+        for ranks in lists.values():
+            s = s + (1.0 / (60.0 + float(ranks[i])) if i in ranks else 0.0)
+        expect[i] = s
+    assert out == expect
