@@ -252,6 +252,7 @@ _PRIORITY: list[str] = [
     "x_dedup_clusters", "x_video_frames_roundtrip", "x_image_roundtrip_meta",
     "x_source_overlap", "x_winnowing_fingerprints", "x_winnowing_pairs",
     "x_simhash_pairs", "x_semantic_decontaminate", "x_hybrid_search_rrf",
+    "x_ccnet_buckets", "x_token_budget_plan",
     # --- stalest rotation: last driver row r01 (20) ---
     "x_funnel", "x_retention_cohorts", "x_active_users",
     "x_dedup_normalized", "x_simhash", "x_lsh_cosine_buckets",
@@ -260,11 +261,12 @@ _PRIORITY: list[str] = [
     "x_mixture_sample", "x_pack_sequences", "x_top_terms",
     "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
     "x_pii_redact",
-    # --- last driver row r02 (6; the remaining r02 entries, incl.
-    # n_flatten_serialize, rotate in r06; the as-of family keeps its
-    # fresher x_asof_nearest r04 row) ---
+    # --- last driver row r02 (4; the remaining r02 entries — incl.
+    # n_flatten_serialize, a6_count_accounting, n_array_head_field,
+    # displaced by this round's three new queries — rotate in r06; the
+    # as-of family keeps its fresher x_asof_nearest r04 row) ---
     "x_session_gaps", "q7_volume_shipping", "q8_market_share",
-    "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
+    "a4_max_watermark",
 ]
 
 

@@ -1353,3 +1353,184 @@ def x_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.lit(float(LM_SCALE)))
         ).alias("avg_cond_p"),
     )
+
+
+#: the oracle SQL of x_lm_likelihood, reused as a subquery by the CCNet
+#: bucketing below (same CTE text — one scoring definition, two dialects)
+_LM_LIKELIHOOD_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')
+           AS words
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM tok
+), cb AS (
+  SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY 1
+), cp AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, COUNT(*) AS np
+  FROM bg GROUP BY 1
+), v AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest(words) AS w FROM tok)
+), s AS (
+  SELECT bg.doc_id,
+         CAST((CAST(cb.cb + 1 AS HUGEINT) * {LM_SCALE}) // (cp.np + v.v)
+              AS BIGINT) AS p9
+  FROM bg
+  JOIN cb USING (bigram)
+  JOIN cp ON string_split(bg.bigram, ' ')[1] = cp.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(SUM(p9) AS DOUBLE) / (COUNT(*) * {LM_SCALE}.0) AS avg_cond_p
+FROM s GROUP BY 1
+"""
+
+
+@register(
+    "x_ccnet_buckets",
+    oracle=f"""
+WITH lm AS ({_LM_LIKELIHOOD_DUCK}),
+b AS (
+  SELECT d.doc_id, d.source, lm.avg_cond_p,
+         NTILE(3) OVER (PARTITION BY d.source
+                        ORDER BY lm.avg_cond_p DESC, d.doc_id) AS tercile
+  FROM documents d JOIN lm USING (doc_id)
+)
+SELECT doc_id, source, avg_cond_p,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM b
+""",
+)
+def x_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020 — public paper):
+    split each source's documents into head/middle/tail terciles by
+    corpus-LM likelihood (x_lm_likelihood's add-one bigram score; CCNet
+    uses KenLM perplexity — same shape, heavier model). Training recipes
+    then mix buckets (keep head+middle, downsample tail) rather than
+    hard-filtering.
+
+    Scale: the LM scoring is the linear two-aggregation pass documented
+    on x_lm_likelihood; bucketing adds one per-source NTILE window —
+    exact terciles for the hash-checkable oracle. In production with few
+    huge sources, swap the exact window for approx_percentile cutoffs
+    (map-side-combinable sketch) broadcast back as comparisons — CCNet
+    itself draws thresholds from a sample; the catalog keeps the exact
+    form because determinism is the contract here. Ties break on doc_id,
+    so NTILE assignment is total-order deterministic in both engines."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    lm = x_lm_likelihood(spark, sf_dir).select("doc_id", "avg_cond_p")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("avg_cond_p"), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(lm, "doc_id")
+        .withColumn("tercile", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "source",
+            "avg_cond_p",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+
+
+#: integer per-source mixture weights for the token-budget plan (basis:
+#: arbitrary units, only ratios matter) and the budget as a fraction of
+#: the corpus: budget = total_tokens // TOKEN_BUDGET_DIV
+TOKEN_BUDGET_WEIGHTS = {"src0": 8, "src1": 4}
+TOKEN_BUDGET_DEFAULT_W = 1
+TOKEN_BUDGET_DIV = 2
+
+_TBP_W_SQL = (
+    "CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4 ELSE 1 END"
+)
+
+
+@register(
+    "x_token_budget_plan",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  w -> w <> ''))) AS BIGINT) AS avail_tokens,
+         CAST({_TBP_W_SQL} AS BIGINT) AS weight
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(avail_tokens) // {TOKEN_BUDGET_DIV} AS budget,
+         SUM(weight) AS sum_w
+  FROM per_src
+)
+SELECT source, n_docs, avail_tokens, weight,
+       CAST(budget * weight // sum_w AS BIGINT) AS target_tokens,
+       CAST(budget * weight // sum_w // avail_tokens AS BIGINT) AS full_epochs,
+       CAST((budget * weight // sum_w % avail_tokens) * 10000
+            // avail_tokens AS BIGINT) AS remainder_rate_bp
+FROM per_src, tot
+""",
+)
+def x_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning — the Llama/Dolma-style data recipe
+    step: given per-source mixture weights and a global training token
+    budget (here half the corpus' tokens, so the plan exercises both
+    regimes), compute each source's target token count, the number of
+    FULL passes (epochs) over it, and the fractional remainder as a
+    hash-sampling rate in basis points. Downstream, `mixture_sample`
+    applies the remainder rate and a sequence-explode replicates the
+    full passes; this query is the planner that produces those knobs.
+
+    Scale: one map-side-combinable per-source aggregation over the
+    corpus (token counts are row-local `size(filter(split(...)))`), a
+    1-row budget frame broadcast back over the ≤|sources| plan rows.
+    Determinism: the ENTIRE plan is integer arithmetic — floor-division
+    targets, epoch counts, and basis-point remainders are exact BIGINTs
+    in both engines; no doubles anywhere."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    w_expr = F.expr(_TBP_W_SQL).cast("long")
+    per_src = (
+        docs.select(
+            "source",
+            F.expr(
+                "size(filter(split(trim(text), '\\\\s+'), w -> w <> ''))"
+            ).alias("toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("avail_tokens"),
+        )
+        .withColumn("weight", w_expr)
+    )
+    # `div` (not `/` + cast): Spark's `/` on longs goes through DOUBLE,
+    # which floor-casts exactly only below 2^53 — a real corpus' token
+    # totals can pass that; `div` stays in BIGINT like DuckDB's `//`
+    tot = per_src.agg(
+        F.expr(f"sum(avail_tokens) div {TOKEN_BUDGET_DIV}").alias("budget"),
+        F.sum("weight").alias("sum_w"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn("target_tokens", F.expr("budget * weight div sum_w"))
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            "weight",
+            "target_tokens",
+            F.expr("target_tokens div avail_tokens").alias("full_epochs"),
+            F.expr(
+                "(target_tokens % avail_tokens) * 10000 div avail_tokens"
+            ).alias("remainder_rate_bp"),
+        )
+    )

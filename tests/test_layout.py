@@ -116,6 +116,7 @@ def test_driver_window_covers_survey_gates():
         "x_image_roundtrip_meta", "x_source_overlap",
         "x_winnowing_fingerprints", "x_winnowing_pairs", "x_simhash_pairs",
         "x_semantic_decontaminate", "x_hybrid_search_rrf",
+        "x_ccnet_buckets", "x_token_budget_plan",
         # stalest rotation: last driver row r01
         "x_funnel", "x_retention_cohorts", "x_active_users",
         "x_dedup_normalized", "x_simhash", "x_lsh_cosine_buckets",
@@ -126,7 +127,7 @@ def test_driver_window_covers_survey_gates():
         "x_pii_redact",
         # last driver row r02 (remaining r02 entries rotate in r06)
         "x_session_gaps", "q7_volume_shipping", "q8_market_share",
-        "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
+        "a4_max_watermark",
     }
     assert len(required) == 50
     missing = required - set(first50)
