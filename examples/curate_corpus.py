@@ -78,5 +78,10 @@ def run(base: str) -> dict:
 
 
 if __name__ == "__main__":
+    # `python examples/curate_corpus.py` puts examples/ (not the repo
+    # root) on sys.path; add the root so the package imports
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out = run(sys.argv[1] if len(sys.argv) > 1 else "/tmp/curate_demo")
     print(json.dumps(out, indent=2, default=str))

@@ -41,3 +41,21 @@ def test_curate_corpus_example_end_to_end(spark, tmp_path):
         "valid",
         "test",
     }
+
+
+def test_hybrid_search_example(spark):
+    """rrf_fuse's documented seam — ivf_topk as the semantic side — must
+    actually run end-to-end, return a full fused top-10, and keep IVF
+    recall sane at n_probe=5/8."""
+    sys.path.insert(0, "examples")
+    try:
+        import hybrid_search
+    finally:
+        sys.path.pop(0)
+    top = hybrid_search.run("/root/testdata/sf0.001")
+    assert len(top) == hybrid_search.K
+    assert all(r["rrf_score"] > 0 for r in top)
+    # every fused row came from at least one retriever list
+    assert all(
+        r["lex_rank"] is not None or r["sem_rank"] is not None for r in top
+    )
