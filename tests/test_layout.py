@@ -125,9 +125,10 @@ def test_driver_window_covers_survey_gates():
         "x_mixture_sample", "x_pack_sequences", "x_top_terms",
         "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
         "x_pii_redact",
+        # new this round (a new query always takes a slot)
+        "x_dsir_weights", "x_semdedup",
         # last driver row r02 (remaining r02 entries rotate in r06)
-        "x_session_gaps", "q7_volume_shipping", "q8_market_share",
-        "a4_max_watermark",
+        "x_session_gaps", "q7_volume_shipping",
     }
     assert len(required) == 50
     missing = required - set(first50)

@@ -295,6 +295,7 @@ def test_no_unbounded_join_strategies_in_catalog(spark):
         "x_lm_likelihood",       # 1-row vocabulary-size crossJoin
         "x_ccnet_buckets",       # same LM kernel (1-row vocab crossJoin)
         "x_token_budget_plan",   # 1-row budget crossJoin
+        "x_dsir_weights",        # 1-row token-totals crossJoin
         "x_kmeans_assign",       # broadcast k-row centroid table
         "q22_idle_customers",    # 1-row avg-balance threshold crossJoin
         "x_basket_pairs",        # 1-row global order-count crossJoin
