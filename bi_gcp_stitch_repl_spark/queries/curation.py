@@ -1611,23 +1611,31 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     by either is monotone in the same per-bucket model, and
     ``mixture_sample`` downstream consumes either as a sampling knob.
 
-    Scale: two passes over the token stream BY DESIGN — the fit pass
-    reduces the corpus to a {DSIR_BUCKETS}-row model (one map-side-
-    combinable aggregation; a 100 TB deployment persists this frame),
-    and the apply pass broadcasts the model back over the stream with a
-    single doc-keyed aggregation. Nothing is quadratic; the model never
-    grows with the corpus. Determinism: BIGINT arithmetic end to end
-    (HUGEINT/decimal(38) widening on the products — bucket counts at
-    100 TB overflow an int64 product), one IEEE division at the end."""
+    Scale: the corpus is tokenized and fold-hashed exactly ONCE — the
+    token stream reduces to per-(doc, bucket) counts (map-side
+    combinable; ≤{DSIR_BUCKETS} rows per doc), and both the model fit
+    (a further {DSIR_BUCKETS}-row aggregation; a 100 TB deployment
+    persists this frame) and the apply pass read that checkpointed
+    reduction. Nothing is quadratic; the model never grows with the
+    corpus. Determinism: BIGINT arithmetic end to end (HUGEINT/
+    decimal(38) widening on the model products — bucket counts at
+    100 TB overflow an int64 product; the per-doc c·q9 terms stay in
+    the bucket-constant's documented 2^63 envelope), one IEEE division
+    at the end."""
     (docs,) = tables(spark, sf_dir, "documents")
     # bind the token split ONCE (the word_ngram_expr LET-binding lesson:
     # textual repetition re-runs the regex split per reference), then
     # append bigrams; sequence(1, 0) is DESCENDING in Spark, so the
-    # one-word case is guarded explicitly
-    words = docs.select(
+    # one-word case is guarded explicitly. spread_narrow: the per-token
+    # fold hash is the CPU-heavy chain the single-file fixture would
+    # otherwise run on one task
+    words = spread_narrow(
+        docs.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_tgt"),
+            F.expr(_TOKS_SPARK).alias("ws"),
+        ),
         "doc_id",
-        (F.col("lang") == "en").alias("is_tgt"),
-        F.expr(_TOKS_SPARK).alias("ws"),
     )
     tb = words.select(
         "doc_id",
@@ -1643,9 +1651,19 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.expr(f"({_FOLD_SPARK.format(s='tok', p=HASH_P)}) % {DSIR_BUCKETS}"),
     )
-    bc = tb.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("cr"),
-        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).cast("long").alias("ct"),
+    # fold-hash every token ONCE: reduce the token stream to per-(doc,
+    # bucket) counts first — both the model fit and the apply pass read
+    # this (checkpointed) frame, so the corpus is tokenized exactly once
+    dbc = (
+        tb.groupBy("doc_id", "is_tgt", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bc = dbc.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("cr"),
+        F.sum(F.when(F.col("is_tgt"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("ct"),
     )
     tot = bc.agg(F.sum("cr").alias("r_tot"), F.sum("ct").alias("t_tot"))
     ratio = (
@@ -1662,14 +1680,14 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "q9")
     )
     return (
-        tb.join(F.broadcast(ratio), "bucket")
+        dbc.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("q9").cast("long").alias("sum_q9"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("q9")).cast("long").alias("sum_q9"),
             (
-                F.sum("q9").cast("double")
-                / (F.count(F.lit(1)) * F.lit(float(DSIR_SCALE)))
+                F.sum(F.col("c") * F.col("q9")).cast("double")
+                / (F.sum("c") * F.lit(float(DSIR_SCALE)))
             ).alias("mean_ratio"),
         )
     )
