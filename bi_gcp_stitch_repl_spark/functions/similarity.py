@@ -509,6 +509,68 @@ def kmeans_lloyd(
     raise AssertionError("unreachable")
 
 
+def semdedup(
+    labeled: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    salt: int = 16,
+) -> DataFrame:
+    """SemDeDup cluster-pruned semantic dedup (Abbas et al., 2023 —
+    public): given vectors already labeled with a cluster id (from
+    ``kmeans_lloyd`` for oracle parity or ``kmeans_ivf_index`` at scale
+    — the ANN index's own cells), drop every vector that has an EARLIER
+    (lower-id) in-cluster neighbor at cosine ≥ ``threshold``. Returns
+    ``(id_col, cluster_col, kept)``, row per input vector.
+
+    The pair search is an equi-join on (cluster, salt): pair cost is
+    Σ|cell|² — the method's point vs the all-pairs O(n²) baseline — and
+    the salt fans the probe side out ``salt`` ways so small cluster
+    counts (k < cores) still parallelize; with thousands of bounded
+    cells the salt is harmless fan-out of a tiny frame. One-pass
+    keep-first survivorship: in a transitive chain a→b→c with only
+    adjacent pairs close, b AND c both drop; exact transitive
+    survivorship is the connected-components path (functions.graph)."""
+    n = labeled.select(
+        id_col,
+        cluster_col,
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+        F.expr(NORM.format(a=vec_col)).alias("nrm"),
+    ).localCheckpoint(eager=False)
+    a = n.select(
+        F.col(id_col).alias("id_a"),
+        F.col(cluster_col).alias("cl_a"),
+        (F.col(id_col) % salt).alias("salt_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col(id_col).alias("id_b"),
+        F.col(cluster_col).alias("cl_b"),
+        F.explode(F.expr(f"sequence(0, {salt - 1})")).alias("salt_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = DOT.format(a="va", b="vb")
+    dup = (
+        a.join(
+            b,
+            (F.col("cl_a") == F.col("cl_b"))
+            & (F.col("salt_a") == F.col("salt_b"))
+            & (F.col("id_a") > F.col("id_b")),
+        )
+        .filter(F.expr(dot) / (F.col("na") * F.col("nb")) >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return (
+        n.select(id_col, cluster_col)
+        .join(dup.withColumn("is_dup", F.lit(True)), id_col, "left")
+        .select(id_col, cluster_col, F.col("is_dup").isNull().alias("kept"))
+    )
+
+
 def rrf_fuse(
     ranked: dict[str, DataFrame],
     id_col: str = "doc_id",

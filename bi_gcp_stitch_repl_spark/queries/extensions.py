@@ -1899,57 +1899,15 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive survivorship is ``x_dedup_clusters``' connected-
     components path. Determinism: assignments and cosines are
     sequential-fold doubles, bit-identical cross-engine."""
-    from ..functions.similarity import kmeans_lloyd
+    from ..functions.similarity import kmeans_lloyd, semdedup
 
     (emb,) = tables(spark, sf_dir, "embeddings")
     asg = kmeans_lloyd(emb, k=KMEANS_K, n_iter=2)
-    n = emb.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
-        F.expr(_NORM_SPARK.format(a="embedding")).alias("nrm"),
-    )
-    # the labeled frame feeds three consumers (both self-join sides and
-    # the output spine); checkpoint once so the Lloyd trajectory is not
-    # replanned per consumer
-    lab = asg.join(n, "vec_id").localCheckpoint(eager=False)
-    # salt the pair join: at catalog scale there are only k=4 cells, so
-    # an unsalted cluster equi-join runs on 4 tasks (measured 7.9 s vs
-    # 2.5 s salted at sf0.1/local[32]) — the standard skew recipe when
-    # key count < cores. The probe side fans out x SALT (it is the
-    # smaller per-pair payload either way); at production k (thousands
-    # of cells, each bounded) the salt is harmless fan-out of a tiny
-    # frame and the join key count already exceeds the cluster
-    _SALT = 16
-    a = lab.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("cluster").alias("cl_a"),
-        (F.col("vec_id") % _SALT).alias("salt_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = lab.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("cluster").alias("cl_b"),
-        F.explode(F.expr(f"sequence(0, {_SALT - 1})")).alias("salt_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = _DOT_SPARK.format(a="va", b="vb")
-    dup = (
-        a.join(
-            b,
-            (F.col("cl_a") == F.col("cl_b"))
-            & (F.col("salt_a") == F.col("salt_b"))
-            & (F.col("vec_a") > F.col("vec_b")),
-        )
-        .filter(F.expr(dot) / (F.col("na") * F.col("nb")) >= COSINE_DUP_THRESHOLD)
-        .select(F.col("vec_a").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        lab.select("vec_id", "cluster")
-        .join(dup.withColumn("is_dup", F.lit(True)), "vec_id", "left")
-        .select("vec_id", "cluster", F.col("is_dup").isNull().alias("kept"))
+    # salt=16: at catalog scale there are only k=4 cells, so an unsalted
+    # cluster equi-join runs on 4 tasks (measured 7.9 s vs 2.5 s salted
+    # at sf0.1/local[32]) — see functions.similarity.semdedup
+    return semdedup(
+        asg.join(emb, "vec_id"), threshold=COSINE_DUP_THRESHOLD
     )
 
 

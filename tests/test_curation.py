@@ -158,3 +158,32 @@ def test_mixture_sample_decisions_are_uncorrelated_across_adjacent_keys(spark):
     # independent draws: E[adjacent] ≈ n * 10% ≈ 100; the affine fold
     # produced ~800. Deterministic hash → this is a stable exact count.
     assert adjacent < 250, adjacent
+
+
+def test_dsir_weights_rank_target_slice_higher(spark):
+    """The DSIR signal's semantic claim (not just oracle parity): on the
+    real corpus, the target slice (lang='en') must average a HIGHER mean
+    per-token target/raw ratio than every other language, and the global
+    token-weighted mean ratio must sit near 1.0 (importance weights are
+    a reweighting, not a drift)."""
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.queries import catalog
+    from bi_gcp_stitch_repl_spark.queries.curation import x_dsir_weights
+
+    sf = "/root/testdata/sf0.01"
+    (docs,) = catalog.tables(spark, sf, "documents")
+    per_lang = (
+        x_dsir_weights(spark, sf)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("mean_ratio").alias("avg_ratio"))
+        .collect()
+    )
+    ratios = {r["lang"]: r["avg_ratio"] for r in per_lang}
+    others = {l: v for l, v in ratios.items() if l != "en"}
+    assert ratios["en"] > max(others.values()), ratios
+    # token-weighted global mean ~1: sum over buckets of cr * q9 / R
+    # is ~1 by construction (add-one smoothing shifts it only at the
+    # bucket-count scale)
+    assert 0.97 < sum(ratios.values()) / len(ratios) < 1.03, ratios

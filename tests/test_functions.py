@@ -722,3 +722,26 @@ def test_rrf_fuse_single_list_and_empty_error(spark):
 
     with _pytest.raises(ValueError):
         similarity.rrf_fuse({})
+
+
+def test_semdedup_keep_first_within_cluster_only(spark):
+    """The SemDeDup survivorship rule, pinned on a hand-built frame: a
+    vector drops iff an EARLIER-id vector in the SAME cluster sits at
+    cosine >= threshold — near-identical vectors in different clusters
+    must both survive (the method's known blind spot, not a bug), and
+    anti-parallel vectors (cosine -1) never match."""
+    from bi_gcp_stitch_repl_spark.functions.similarity import semdedup
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.999, 0.01]),    # ~id1, same cluster  -> dropped
+        (3, 1, [0.0, 1.0]),
+        (4, 0, [-1.0, 0.0]),      # anti-parallel to id1 -> kept
+        (5, 1, [0.01, 0.9999]),   # ~id3, same cluster  -> dropped
+        (6, 1, [1.0, 0.0]),       # ~id1 but cluster 1  -> kept (blind spot)
+    ]
+    lab = spark.createDataFrame(
+        rows, "vec_id long, cluster long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r["kept"] for r in semdedup(lab, threshold=0.95).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: True, 5: False, 6: True}
