@@ -985,6 +985,7 @@ def prepare_training_data(
     semantic_threshold: float = 0.45,
     semantic_n_probe: int = 4,
     semantic_n_cells: int = 16,
+    semdedup_threshold: float | None = None,
 ) -> dict:
     """End-to-end LLM training-data preparation — the whole curation
     stack as ONE declarative plan:
@@ -1004,6 +1005,12 @@ def prepare_training_data(
        IVF-pruned kernel (``similarity.semantic_contamination_ivf``:
        cost |bench| × corpus × n_probe/n_cells, precision 1.0), whose
        KMeans fit is the pipeline's one eager pre-pass;
+       3c. OPTIONAL semantic dedup: set ``semdedup_threshold`` (with
+       ``embeddings``) and docs whose embedding has an earlier
+       near-duplicate in its IVF cell are dropped
+       (``similarity.semdedup`` riding the SAME IVF fit as 3b — the
+       index is built once and serves both embedding stages); docs
+       without an embedding row pass through untouched;
     4. vocabulary build + token-id encoding (``text.build_vocab`` /
        ``encode_tokens``): corpus-frequency top-V vocab, every surviving
        doc carries its ``token_ids`` sequence;
@@ -1039,15 +1046,20 @@ def prepare_training_data(
         id_col,
         "left_semi",
     )
-    if embeddings is not None and bench_embeddings is not None:
-        from ..functions.similarity import (
-            kmeans_ivf_index,
-            semantic_contamination_ivf,
-        )
+    indexed = None
+    if embeddings is not None and (
+        bench_embeddings is not None or semdedup_threshold is not None
+    ):
+        from ..functions.similarity import kmeans_ivf_index
 
+        # one IVF fit serves BOTH embedding stages — semantic decon
+        # probes its cells, SemDeDup prunes pairs inside them
         indexed = kmeans_ivf_index(
             embeddings, n_cells=semantic_n_cells, seed=42
         )
+    if indexed is not None and bench_embeddings is not None:
+        from ..functions.similarity import semantic_contamination_ivf
+
         sem_flags = semantic_contamination_ivf(
             indexed,
             bench_embeddings,
@@ -1057,6 +1069,24 @@ def prepare_training_data(
             bench_id_col=bench_embeddings.columns[0],
         )
         clean = clean.join(sem_flags.select(id_col), id_col, "left_anti")
+    if indexed is not None and semdedup_threshold is not None:
+        from ..functions.similarity import semdedup
+
+        # 3c. OPTIONAL semantic dedup (SemDeDup): drop docs whose
+        # embedding has an earlier near-duplicate in its IVF cell.
+        # Anti-join on the flagged ids (NOT semi on the kept ones) so
+        # documents without an embedding row are untouched
+        dupes = (
+            semdedup(
+                indexed,
+                threshold=semdedup_threshold,
+                id_col=id_col,
+                cluster_col="ivf_cell",
+            )
+            .filter(~F.col("kept"))
+            .select(id_col)
+        )
+        clean = clean.join(dupes, id_col, "left_anti")
     vocab = build_vocab(clean, vocab_size, text_col)
     payload = clean.join(encode_tokens(clean, vocab, text_col, id_col), id_col)
     splits = export_training_shards(

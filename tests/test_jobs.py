@@ -770,6 +770,40 @@ def test_prepare_training_data_semantic_stage(spark, tmp_path):
     assert res2["stages"]["after_decontamination"] == 3
 
 
+def test_prepare_training_data_semdedup_stage(spark, tmp_path):
+    """Optional SemDeDup stage: of two docs with near-identical
+    embeddings the LATER one is dropped; a doc with no embedding row
+    passes through untouched (anti-join, not semi-join, semantics)."""
+    from bi_gcp_stitch_repl_spark.jobs.pipelines import prepare_training_data
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "surface rewording of the alpha doc same meaning here yes"),
+            (2, "clean clean2 clean3 clean4 clean5 clean6 clean7 clean8"),
+            (3, "doc without any embedding row must always survive fine"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark text that shares no gram with any training doc x")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    res = prepare_training_data(
+        spark, docs, bench, str(tmp_path / "sd1"), vocab_size=10,
+        n_shards=1, collect_stats=True,
+        embeddings=emb, semantic_n_cells=2, semdedup_threshold=0.95,
+    )
+    assert res["stages"]["after_decontamination"] == 3  # doc 1 dropped
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "sd1")).collect()}
+    assert kept == {0, 2, 3}
+
+
 def test_job_manifest_sweep_runs_every_entry(spark, tmp_path):
     """The 'Airflow scheduling Spark jobs' north-star, proven per-MANIFEST:
     every JOB_MANIFEST entry executes end-to-end against hermetic fixtures
