@@ -261,14 +261,14 @@ _PRIORITY: list[str] = [
     "x_mixture_sample", "x_pack_sequences", "x_top_terms",
     "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
     "x_pii_redact",
-    # --- new this round (2; every new query must hold a slot) ---
-    "x_dsir_weights", "x_semdedup",
-    # --- last driver row r02 (2; the remaining r02 entries — incl.
+    # --- new this round (3; every new query must hold a slot) ---
+    "x_dsir_weights", "x_semdedup", "x_jl_project",
+    # --- last driver row r02 (1; the remaining r02 entries — incl.
     # n_flatten_serialize, a6_count_accounting, n_array_head_field,
-    # q8_market_share and a4_max_watermark, displaced by this round's
-    # five new queries — rotate in r06; the as-of family keeps its
-    # fresher x_asof_nearest r04 row) ---
-    "x_session_gaps", "q7_volume_shipping",
+    # q8_market_share, a4_max_watermark and x_session_gaps, displaced
+    # by this round's six new queries — rotate in r06; the as-of family
+    # keeps its fresher x_asof_nearest r04 row) ---
+    "q7_volume_shipping",
 ]
 
 

@@ -932,6 +932,111 @@ def x_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: JL projection geometry: 64 → 8 dims with Achlioptas's sparse
+#: {+1, 0, -1} matrix (P = 1/6, 2/3, 1/6) scaled by sqrt(3/k); the
+#: matrix is generated ONCE from a seeded PRNG and embedded as literal
+#: constants in BOTH dialects (the random_hyperplanes recipe), so the
+#: projection is a fixed pure function — at 100 TB the matrix is ~0
+#: bytes of driver state and the whole operator is a narrow projection
+JL_IN_DIM = 64
+JL_OUT_DIM = 8
+JL_SCALE = (3.0 / JL_OUT_DIM) ** 0.5  # repr() round-trips exactly
+
+
+def _jl_matrix(d: int = JL_IN_DIM, k: int = JL_OUT_DIM, seed: int = 7) -> list[list[int]]:
+    """k columns of d sparse Achlioptas entries in {+1, 0, -1}."""
+    import random
+
+    rng = random.Random(seed)
+    cols = []
+    for _ in range(k):
+        col = []
+        for _ in range(d):
+            u = rng.random()
+            col.append(1 if u < 1 / 6 else (-1 if u > 5 / 6 else 0))
+        cols.append(col)
+    return cols
+
+
+def _jl_cols(spark_side: bool) -> list[str]:
+    out = []
+    for j, col in enumerate(_jl_matrix()):
+        lits = ", ".join(f"{float(m)}" for m in col)
+        if spark_side:
+            expr = (
+                f"aggregate(zip_with(v, array({lits}), (x, m) -> x * m),"
+                f" 0.0D, (a, b) -> a + b) * {JL_SCALE!r}D"
+            )
+        else:
+            expr = (
+                f"list_sum(list_transform(list_zip(v, [{lits}]::DOUBLE[]),"
+                f" p -> p[1] * p[2])) * CAST({JL_SCALE!r} AS DOUBLE)"
+            )
+        out.append(f"{expr} AS f{j}")
+    return out
+
+
+_JL_RATIO = (
+    "(" + " + ".join(f"f{j} * f{j}" for j in range(JL_OUT_DIM)) + ") / nx"
+)
+
+
+@register(
+    "x_jl_project",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) AS nx
+  FROM embeddings
+), p AS (
+  SELECT vec_id, nx, {", ".join(_jl_cols(spark_side=False))}
+  FROM v
+)
+SELECT vec_id, {", ".join(f"f{j}" for j in range(JL_OUT_DIM))},
+       {_JL_RATIO} AS norm_ratio
+FROM p
+""",
+)
+def x_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (Achlioptas, JCSS 2003 —
+    the database-friendly sparse matrix, public): {din}-dim embeddings
+    down to {k} dims via a fixed seeded {{+1, 0, −1}} matrix scaled by
+    sqrt(3/{k}), plus each vector's projected/original squared-norm
+    ratio (the quantity JL bounds — E[ratio] = 1, concentration gives
+    the distance guarantee; the pytest audit pins the corpus mean).
+    This is the cheap front-end that makes downstream pair joins
+    (SemDeDup, near-dup, ANN probes) {din}/{k}× lighter per comparison
+    when full precision isn't needed.
+
+    Scale: ZERO shuffles — a narrow per-row projection ({k} sequential
+    folds over the 2/3-sparse columns), exactly what survives any
+    corpus size. Determinism: matrix literals are identical text in
+    both dialects; each output coordinate is a sequential fold of
+    double products in array order, then ONE multiply by the literal
+    scale — bit-identical cross-engine (the x_dedup_embedding_pairs
+    fold-parity recipe); norm_ratio adds one division of two such
+    folds."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    vdf = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "nx",
+        F.expr("aggregate(transform(v, x -> x * x), 0.0D, (a, b) -> a + b)"),
+    )
+    proj = vdf.select(
+        "vec_id", "nx", *[F.expr(c) for c in _jl_cols(spark_side=True)]
+    )
+    return proj.select(
+        "vec_id",
+        *[f"f{j}" for j in range(JL_OUT_DIM)],
+        F.expr(_JL_RATIO).alias("norm_ratio"),
+    )
+
+
+x_jl_project.__doc__ = x_jl_project.__doc__.format(din=JL_IN_DIM, k=JL_OUT_DIM)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -745,3 +745,17 @@ def test_semdedup_keep_first_within_cluster_only(spark):
     )
     out = {r["vec_id"]: r["kept"] for r in semdedup(lab, threshold=0.95).collect()}
     assert out == {1: True, 2: False, 3: True, 4: True, 5: False, 6: True}
+
+
+def test_jl_projection_preserves_norms_on_average(spark):
+    """The JL guarantee the x_jl_project catalog query is built on:
+    E[projected/original squared-norm ratio] = 1 under the Achlioptas
+    sparse matrix — the corpus mean must sit tight around 1, and no
+    single 64→8 projection may collapse a vector to (near) zero."""
+    from bi_gcp_stitch_repl_spark.queries.extensions import x_jl_project
+
+    rows = x_jl_project(spark, "/root/testdata/sf0.01").collect()
+    ratios = [r["norm_ratio"] for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 0.9 < mean < 1.1, mean
+    assert min(ratios) > 0.05, min(ratios)

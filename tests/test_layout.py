@@ -126,9 +126,9 @@ def test_driver_window_covers_survey_gates():
         "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
         "x_pii_redact",
         # new this round (a new query always takes a slot)
-        "x_dsir_weights", "x_semdedup",
+        "x_dsir_weights", "x_semdedup", "x_jl_project",
         # last driver row r02 (remaining r02 entries rotate in r06)
-        "x_session_gaps", "q7_volume_shipping",
+        "q7_volume_shipping",
     }
     assert len(required) == 50
     missing = required - set(first50)
