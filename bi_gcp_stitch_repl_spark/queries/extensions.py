@@ -1004,9 +1004,14 @@ def x_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(3/{k}), plus each vector's projected/original squared-norm
     ratio (the quantity JL bounds — E[ratio] = 1, concentration gives
     the distance guarantee; the pytest audit pins the corpus mean).
-    This is the cheap front-end that makes downstream pair joins
-    (SemDeDup, near-dup, ANN probes) {din}/{k}× lighter per comparison
-    when full precision isn't needed.
+    Use it where coarse geometry suffices — clustering features,
+    IVF cell assignment, storage/bandwidth cuts — at {din}/{k}× the
+    per-comparison cost. Measured honestly: it is NOT a candidate
+    filter for tight-margin near-dup on this corpus (true pairs sit at
+    cosine ≥ 0.45 with the bulk at ~0.3–0.4; JL distortion at k = 8–32
+    buries that margin — recall 0.56–0.75 with 1000× false candidates;
+    PERF.md). Signed-hyperplane LSH / IVF remain the candidate
+    generators; JL is the geometry compressor.
 
     Scale: ZERO shuffles — a narrow per-row projection ({k} sequential
     folds over the 2/3-sparse columns), exactly what survives any
