@@ -1009,8 +1009,11 @@ def prepare_training_data(
        ``embeddings``) and docs whose embedding has an earlier
        near-duplicate in its IVF cell are dropped
        (``similarity.semdedup`` riding the SAME IVF fit as 3b — the
-       index is built once and serves both embedding stages); docs
-       without an embedding row pass through untouched;
+       index is built once and serves both embedding stages).
+       Keep-first runs among stage-1–3b SURVIVORS only, so a document
+       is never dropped in favor of a "keeper" that was itself
+       filtered out; docs without an embedding row pass through
+       untouched;
     4. vocabulary build + token-id encoding (``text.build_vocab`` /
        ``encode_tokens``): corpus-frequency top-V vocab, every surviving
        doc carries its ``token_ids`` sequence;
@@ -1074,14 +1077,24 @@ def prepare_training_data(
 
         # 3c. OPTIONAL semantic dedup (SemDeDup): drop docs whose
         # embedding has an earlier near-duplicate in its IVF cell.
-        # Anti-join on the flagged ids (NOT semi on the kept ones) so
-        # documents without an embedding row are untouched
+        # Dedup runs among SURVIVORS of stages 1-3b only (semi-join
+        # first): keep-first against the full corpus would drop a doc
+        # whose earlier "keeper" was itself already quality-filtered —
+        # losing every copy of that content. Anti-join on the flagged
+        # ids (NOT semi on the kept ones) so documents without an
+        # embedding row are untouched. Salt only when cells < cores:
+        # the salt replicates the probe side through the exchange, so
+        # it must never be paid when the cell count already saturates
+        # the session (production IVF cell counts)
+        par = spark.sparkContext.defaultParallelism
+        survivors = indexed.join(clean.select(id_col), id_col, "left_semi")
         dupes = (
             semdedup(
-                indexed,
+                survivors,
                 threshold=semdedup_threshold,
                 id_col=id_col,
                 cluster_col="ivf_cell",
+                salt=max(1, par // semantic_n_cells),
             )
             .filter(~F.col("kept"))
             .select(id_col)

@@ -759,3 +759,22 @@ def test_jl_projection_preserves_norms_on_average(spark):
     mean = sum(ratios) / len(ratios)
     assert 0.9 < mean < 1.1, mean
     assert min(ratios) > 0.05, min(ratios)
+
+
+def test_semdedup_handles_negative_hash_ids(spark):
+    """Regression: the salt key must be pmod, not %, or hash-derived
+    NEGATIVE ids salt into [-(salt-1)..0], never meet the probe side's
+    0..salt-1, and their duplicate pairs are silently missed."""
+    from bi_gcp_stitch_repl_spark.functions.similarity import semdedup
+
+    lab = spark.createDataFrame(
+        [(-7, 0, [1.0, 0.0]), (3, 0, [0.999, 0.01])],
+        "vec_id long, cluster long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["kept"] for r in semdedup(lab, threshold=0.95).collect()}
+    assert out == {-7: True, 3: False}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semdedup(lab, threshold=0.95, salt=0)

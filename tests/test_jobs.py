@@ -804,6 +804,38 @@ def test_prepare_training_data_semdedup_stage(spark, tmp_path):
     assert kept == {0, 2, 3}
 
 
+def test_prepare_training_data_semdedup_runs_among_survivors(spark, tmp_path):
+    """SemDeDup's keep-first must operate on stage-1–3b SURVIVORS: if a
+    doc's earlier near-duplicate was itself quality-filtered, the later
+    doc must SURVIVE — otherwise every copy of the content is lost."""
+    from bi_gcp_stitch_repl_spark.jobs.pipelines import prepare_training_data
+
+    docs = spark.createDataFrame(
+        [
+            (0, "xx"),  # spam: fails the quality gate (too few tokens)
+            (1, "clean near duplicate of the spam doc by embedding only ok"),
+            (2, "another clean unrelated document with enough tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark text sharing no gram with any training doc x")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0, 0.0]),
+         (2, [0.0, 0.0, 1.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    prepare_training_data(
+        spark, docs, bench, str(tmp_path / "sv"), vocab_size=10,
+        n_shards=1, min_tokens=5,
+        embeddings=emb, semantic_n_cells=2, semdedup_threshold=0.95,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "sv")).collect()}
+    assert kept == {1, 2}  # doc 1 survives: its "keeper" (doc 0) was spam
+
+
 def test_job_manifest_sweep_runs_every_entry(spark, tmp_path):
     """The 'Airflow scheduling Spark jobs' north-star, proven per-MANIFEST:
     every JOB_MANIFEST entry executes end-to-end against hermetic fixtures
