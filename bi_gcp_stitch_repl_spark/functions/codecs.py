@@ -177,15 +177,26 @@ def decode_netpbm(payload: bytes) -> tuple[np.ndarray, str]:
     # Some nonconforming writers emit a comment line BETWEEN the maxval
     # delimiter and the raster ("255\n# written by foo\n<raster>"). Per
     # spec the raster starts here, so a conforming image whose first
-    # raster byte happens to be 0x23 ('#') must NOT be eaten — gate the
-    # tolerance skip on surplus bytes: only treat '#' as a comment while
-    # more bytes remain than the raster needs. An exact-size conforming
-    # raster therefore never loses pixels.
+    # raster byte happens to be 0x23 ('#') must NOT be eaten — including
+    # one with trailing padding bytes after the raster (a surplus-bytes
+    # gate alone would still eat it). The skip is therefore applied only
+    # when it lands EXACTLY on a full raster (strong evidence the '#'
+    # line really was a writer comment); any other shape takes the
+    # raster as-is from the spec-mandated position. The one remaining
+    # ambiguous input — a writer comment AND trailing padding — is
+    # doubly nonconforming and decodes from the spec position.
     need = h * w * ch
-    while payload[i : i + 1] == b"#" and len(payload) - i > need:
-        while i < len(payload) and payload[i] != 0x0A:
-            i += 1
-        i += 1
+    if payload[i : i + 1] == b"#" and len(payload) - i != need:
+        j = i
+        # line-by-line with an early stop the moment the remainder is
+        # exactly one raster — otherwise a raster whose rows ALSO start
+        # with '#' would be walked through as "comments"
+        while payload[j : j + 1] == b"#" and len(payload) - j != need:
+            while j < len(payload) and payload[j] != 0x0A:
+                j += 1
+            j += 1
+        if len(payload) - j == need:
+            i = j
     pix = np.frombuffer(payload, dtype=np.uint8, count=h * w * ch, offset=i)
     return pix.reshape(h, w, ch).copy(), mode
 

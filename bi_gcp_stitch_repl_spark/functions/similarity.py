@@ -95,6 +95,39 @@ def bucket_expr(vec_col: str, n_planes: int = 8) -> Column:
     return bucket
 
 
+def _cell_centroids(
+    corpus: DataFrame,
+    cell: str,
+    vec_col: str,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The one centroid-table builder every IVF consumer shares: either
+    normalize a supplied frozen-quantizer frame ((cell, center array) —
+    the sidecar ``incremental_ann_ingest`` persists) or derive per-cell
+    assigned-vector means (tiny: n_cells × dim — broadcast everywhere).
+    Deriving from means is only valid while the index holds exactly the
+    fitted rows; after post-fit batches, pass the frozen centers (the
+    means drift half a Lloyd step per load — silent recall loss)."""
+    if centroids is not None:
+        return centroids.select(
+            F.col(centroids.columns[0]).alias(cell),
+            F.expr(
+                f"transform({centroids.columns[1]}, x -> cast(x as float))"
+            ).alias("cvec"),
+        )
+    return (
+        corpus.select(cell, F.posexplode(vec_col).alias("i", "v"))
+        .groupBy(cell, "i")
+        .agg(F.avg("v").alias("m"))
+        .groupBy(cell)
+        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
+        .select(
+            cell,
+            F.expr("transform(pairs, p -> cast(p.m as float))").alias("cvec"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -125,26 +158,7 @@ def ivf_topk(
     the vectors — a silent recall hit at low n_probe.
     """
     cell = centroid_col or "label"
-    if centroids is not None:
-        centroids = centroids.select(
-            F.col(centroids.columns[0]).alias(cell),
-            F.expr(
-                f"transform({centroids.columns[1]}, x -> cast(x as float))"
-            ).alias("cvec"),
-        )
-    else:
-        # centroid table: mean vector per cell (small — broadcast everywhere)
-        centroids = (
-            corpus.select(cell, F.posexplode(vec_col).alias("i", "v"))
-            .groupBy(cell, "i")
-            .agg(F.avg("v").alias("m"))
-            .groupBy(cell)
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
-            .select(
-                cell,
-                F.expr("transform(pairs, p -> cast(p.m as float))").alias("cvec"),
-            )
-        )
+    centroids = _cell_centroids(corpus, cell, vec_col, centroids)
     # assign each query to its n_probe best cells by cosine to centroid
     q = queries.select(query_id_col, F.col(vec_col).alias("qv"))
     qc = (
@@ -248,6 +262,7 @@ def semantic_contamination_ivf(
     id_col: str = "vec_id",
     bench_id_col: str = "vec_id",
     cell_col: str = "ivf_cell",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-pruned semantic contamination: corpus ids whose embedding
     reaches cosine ≥ ``threshold`` to ANY bench vector, scoring only the
@@ -256,30 +271,19 @@ def semantic_contamination_ivf(
 
     ``corpus`` must carry a coarse cell assignment (``cell_col`` from
     :func:`kmeans_ivf_index`). Each bench vector probes its ``n_probe``
-    nearest cells (centroids re-derived as assigned-vector means — pass
-    the persisted centers via an upstream join if the index absorbed
-    post-fit batches, same caveat as :func:`ivf_topk`); exact cosines
-    run only on (bench × probed-cell) pairs, so cost is
-    |bench| × corpus × n_probe/n_cells instead of |bench| × corpus.
-    Precision is 1.0 by construction (every flag is an exact-cosine
-    verify); recall < 1.0 — a contaminated pair whose corpus member
-    sits in an unprobed cell is missed, recall rises with ``n_probe``
-    and equals the exact scan at n_probe = n_cells (tested).
+    nearest cells; ``centroids`` supplies a frozen quantizer exactly as
+    in :func:`ivf_topk` (REQUIRED once the index absorbed post-fit
+    batches — see :func:`_cell_centroids`), else assigned-vector means
+    are derived. Exact cosines run only on (bench × probed-cell) pairs,
+    so cost is |bench| × corpus × n_probe/n_cells instead of
+    |bench| × corpus. Precision is 1.0 by construction (every flag is
+    an exact-cosine verify); recall < 1.0 — a contaminated pair whose
+    corpus member sits in an unprobed cell is missed, recall rises with
+    ``n_probe`` and equals the exact scan at n_probe = n_cells (tested).
 
     Returns distinct ``(id_col, max_bench_cosine)`` for flagged ids
     only (the anti-join input for a drop-contaminated step)."""
-    # per-cell centroid = assigned-vector mean (tiny: n_cells × dim)
-    centroids = (
-        corpus.select(cell_col, F.posexplode(vec_col).alias("i", "v"))
-        .groupBy(cell_col, "i")
-        .agg(F.avg("v").alias("m"))
-        .groupBy(cell_col)
-        .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("pairs"))
-        .select(
-            cell_col,
-            F.expr("transform(pairs, p -> cast(p.m as float))").alias("cvec"),
-        )
-    )
+    centroids = _cell_centroids(corpus, cell_col, vec_col, centroids)
     b = bench.select(
         F.col(bench_id_col).alias("_bid"), F.col(vec_col).alias("bv")
     )

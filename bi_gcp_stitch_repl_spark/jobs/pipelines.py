@@ -1056,10 +1056,14 @@ def prepare_training_data(
         from ..functions.similarity import kmeans_ivf_index
 
         # one IVF fit serves BOTH embedding stages — semantic decon
-        # probes its cells, SemDeDup prunes pairs inside them
+        # probes its cells, SemDeDup prunes pairs inside them — and the
+        # assignment is checkpointed because each stage consumes it more
+        # than once (centroid derivation + probe join; pair sides):
+        # without it every consumer re-runs model.transform over the
+        # full corpus (the recomputation x_ivf_topk's docstring records)
         indexed = kmeans_ivf_index(
             embeddings, n_cells=semantic_n_cells, seed=42
-        )
+        ).localCheckpoint(eager=False)
     if indexed is not None and bench_embeddings is not None:
         from ..functions.similarity import semantic_contamination_ivf
 

@@ -227,8 +227,11 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 #: 1. §2 spine + the LLM-core canary stay every round.
 #: 2. The two entries that never received a hard driver row
 #:    (x_approx_distinct — r01 predated its oracle; x_mjpeg_avi_roundtrip
-#:    — registered after the r04 freeze). After r05, all 136 catalog
-#:    queries have a driver row.
+#:    — registered after the r04 freeze), plus every query ADDED this
+#:    round (seven: the four mid-round + x_dsir_weights, x_semdedup,
+#:    x_jl_project). After r05, all 143 registered queries have a
+#:    driver row (136 carried one from r01–r04; the additions get
+#:    theirs from this window).
 #: 3. Everything whose implementation changed since its freshest row:
 #:    the r04 tokenizer-change pair (x_decontaminate/x_curation_pipeline,
 #:    rows stale at r03) and this round's changes (IVF multi-probe +
@@ -246,7 +249,9 @@ _PRIORITY: list[str] = [
     "f_string_clean_coerce", "x_dedup_exact",
     # never-driver-verified (2)
     "x_approx_distinct", "x_mjpeg_avi_roundtrip",
-    # changed after their freshest driver row (12)
+    # changed after their freshest driver row (16, incl. the four
+    # mid-round additions x_semantic_decontaminate / x_hybrid_search_rrf
+    # / x_ccnet_buckets / x_token_budget_plan)
     "x_decontaminate", "x_curation_pipeline",
     "x_ivf_topk", "x_minhash_lsh_candidates", "x_dedup_near_survivors",
     "x_dedup_clusters", "x_video_frames_roundtrip", "x_image_roundtrip_meta",

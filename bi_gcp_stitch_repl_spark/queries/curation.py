@@ -1355,40 +1355,18 @@ def x_lm_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the oracle SQL of x_lm_likelihood, reused as a subquery by the CCNet
-#: bucketing below (same CTE text — one scoring definition, two dialects)
-_LM_LIKELIHOOD_DUCK = f"""
-WITH tok AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')
-           AS words
-  FROM documents
-), bg AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(words)),
-                               i -> words[i] || ' ' || words[i + 1])) AS bigram
-  FROM tok
-), cb AS (
-  SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY 1
-), cp AS (
-  SELECT string_split(bigram, ' ')[1] AS w1, COUNT(*) AS np
-  FROM bg GROUP BY 1
-), v AS (
-  SELECT COUNT(DISTINCT w) AS v
-  FROM (SELECT unnest(words) AS w FROM tok)
-), s AS (
-  SELECT bg.doc_id,
-         CAST((CAST(cb.cb + 1 AS HUGEINT) * {LM_SCALE}) // (cp.np + v.v)
-              AS BIGINT) AS p9
-  FROM bg
-  JOIN cb USING (bigram)
-  JOIN cp ON string_split(bg.bigram, ' ')[1] = cp.w1
-  CROSS JOIN v
-)
-SELECT doc_id,
-       CAST(SUM(p9) AS DOUBLE) / (COUNT(*) * {LM_SCALE}.0) AS avg_cond_p
-FROM s GROUP BY 1
-"""
+#: the oracle SQL of x_lm_likelihood, reused verbatim as a subquery by
+#: the CCNet bucketing below — taken FROM THE REGISTRY so there is
+#: exactly one scoring definition (a hand-maintained copy silently
+#: forked once; the wrapper selects columns by name, so the extra
+#: n_bigrams column is inert)
+def _lm_likelihood_oracle() -> str:
+    from .catalog import _REGISTRY
+
+    return _REGISTRY["x_lm_likelihood"].oracle
+
+
+_LM_LIKELIHOOD_DUCK = _lm_likelihood_oracle()
 
 
 @register(
@@ -1451,8 +1429,12 @@ TOKEN_BUDGET_WEIGHTS = {"src0": 8, "src1": 4}
 TOKEN_BUDGET_DEFAULT_W = 1
 TOKEN_BUDGET_DIV = 2
 
+#: generated FROM the dict (one source of truth — editing the weights
+#: above is the only knob; identical text in both dialects)
 _TBP_W_SQL = (
-    "CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4 ELSE 1 END"
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {w}" for s, w in TOKEN_BUDGET_WEIGHTS.items())
+    + f" ELSE {TOKEN_BUDGET_DEFAULT_W} END"
 )
 
 

@@ -502,10 +502,17 @@ def x_dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semi-join FIRST, expressions after: Catalyst won't reorder a join
     # below a projection, and the gram-hash array is the expensive part —
     # build it for the ~1% of docs that collided, not the corpus
-    cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     # single-file fixtures scan as ONE task; spread the verify-side gram
-    # build the same way _minhash_candidates spreads the signature chain
-    cand_docs = spread_narrow(cand_docs, "doc_id")
+    # build the same way _minhash_candidates spreads the signature chain.
+    # Probe/spread the BARE SCAN, not the post-join frame: under AQE the
+    # probe's .rdd fallback materializes every upstream broadcast stage,
+    # so probing after the join would execute the whole candidate
+    # pipeline once more just to count partitions — the scan answers
+    # from its file listing. The broadcast semi-join keeps the spread
+    # partitioning (no exchange), so the gram build still runs wide.
+    cand_docs = spread_narrow(docs, "doc_id").join(
+        F.broadcast(cand_ids), "doc_id", "left_semi"
+    )
     hs = cand_docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs")).select(
         "doc_id", F.expr(GRAM_HASHES_SPARK).alias("hs")
     )

@@ -68,12 +68,17 @@ def build_dags() -> dict[str, "DAG"]:
                 "retry_delay": timedelta(minutes=5),
             },
         )
+        # spark-submit has NO module (-m) mode: the application must be a
+        # .py/.jar primary resource. submit_job.py (shipped next to this
+        # DAG) forwards argv to the package CLI, which the zip in
+        # py_files makes importable on driver and executors
         SparkSubmitOperator(
             task_id=name,
             dag=dag,
-            application="-m",
+            application=os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "submit_job.py"
+            ),
             application_args=[
-                "bi_gcp_stitch_repl_spark.jobs",
                 name,
                 "--config",
                 os.path.join(CONFIG_DIR, f"{name}.json"),

@@ -336,3 +336,20 @@ def test_y4m_lossless_roundtrip_property(h, w, nf, cs, seed):
     assert meta["n_frames"] == nf and (meta["width"], meta["height"]) == (w, h)
     for d, f in zip(dec, frames):
         assert np.array_equal(d, f)
+
+
+def test_netpbm_padded_conforming_raster_starting_with_hash():
+    """Review r05: a SPEC-VALID raster whose first byte is '#' followed
+    by trailing padding bytes (writers/concatenators commonly pad) must
+    decode from the spec position — the comment tolerance only fires
+    when skipping lands exactly on a full raster."""
+    arr = np.full((3, 5, 1), 0x23, np.uint8)
+    pgm = b"P5\n5 3\n255\n" + arr.tobytes() + b"\n\n\n"
+    back, mode = codecs.decode_netpbm(pgm)
+    assert mode == "L" and np.array_equal(back, arr)
+    # mixed raster (only first byte '#') with one pad byte
+    arr2 = _rng(3).integers(0, 256, size=(2, 4, 1), dtype=np.uint8)
+    arr2[0, 0, 0] = 0x23
+    pgm2 = b"P5\n4 2\n255\n" + arr2.tobytes() + b"\n"
+    back2, _ = codecs.decode_netpbm(pgm2)
+    assert np.array_equal(back2, arr2)

@@ -59,3 +59,19 @@ def test_hybrid_search_example(spark):
     assert all(
         r["lex_rank"] is not None or r["sem_rank"] is not None for r in top
     )
+
+
+def test_submit_job_script_forwards_to_cli():
+    """The spark-submit primary resource must reach the package CLI:
+    --help exits 0 via argparse (spark-submit has no -m mode, so this
+    file IS the deployment entry; review r05)."""
+    import os
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "examples/submit_job.py", "--help"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0
+    assert "bi_gcp_stitch_repl_spark.jobs" in out.stdout

@@ -288,6 +288,20 @@ def test_semantic_contamination_ivf_vs_exact(spark):
     for k, v in part_d.items():
         assert v <= exact_d[k] + 1e-12  # found max can only miss cells
 
+    # frozen-quantizer seam (review r05): supplying the fit's own centers
+    # must reproduce the full-probe result — the path a post-fit-batch
+    # deployment is REQUIRED to use (assignment means drift per load)
+    indexed2, centers = similarity.kmeans_ivf_index(
+        train, n_cells=4, seed=7, return_centers=True
+    )
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], "cell int, center array<double>"
+    )
+    frozen = similarity.semantic_contamination_ivf(
+        indexed2, bench, threshold=t, n_probe=4, centroids=cent
+    )
+    assert {r["vec_id"]: r["max_bench_cosine"] for r in frozen.collect()} == exact_d
+
 
 def test_ivf_topk_full_probe_equals_bruteforce(spark):
     """n_probe = all cells ⇒ IVF degenerates to the exact scan — results

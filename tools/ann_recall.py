@@ -44,9 +44,11 @@ def main() -> None:
     k = args.k
 
     (emb,) = tables(spark, args.sf_dir, "embeddings")
-    # init_mode="random" = the shipped x_ivf_topk configuration (r05)
+    # init_mode="random", max_iter=4 = the shipped x_ivf_topk
+    # configuration (r05) — the trend must measure the quantizer the
+    # driver gate actually runs, not a differently-converged one
     indexed = S.kmeans_ivf_index(
-        emb, n_cells=8, seed=42, init_mode="random"
+        emb, n_cells=8, seed=42, init_mode="random", max_iter=4
     ).localCheckpoint()
     queries = (
         indexed.filter(F.col("vec_id") % 25 == 0)

@@ -130,8 +130,12 @@ def main() -> None:
     print(f"rows={n}  hot-key share=99%  k={k}  cpus={args.cpus}")
     print(f"naive_window      wall {wall_n:6.2f}s  max_task {task_n:6.2f}s")
     print(f"salted_two_level  wall {wall_s:6.2f}s  max_task {task_s:6.2f}s")
+    # max-task metrics come from the UI REST API; if that was
+    # unavailable (ui disabled, port bind failure) they are 0.0 — keep
+    # the wall-clock result instead of dying on the ratio
+    ratio = f"{task_n / task_s:.1f}x" if task_s > 0 else "n/a (no UI metrics)"
     print(
-        f"speedup: wall {wall_n / wall_s:.1f}x, max-task {task_n / task_s:.1f}x"
+        f"speedup: wall {wall_n / wall_s:.1f}x, max-task {ratio}"
         " (max-task is what a cluster pays)"
     )
 
