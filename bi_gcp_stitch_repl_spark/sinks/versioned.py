@@ -282,7 +282,18 @@ class VersionedTable:
         cps = self._checkpoint_versions()
         if not cps:
             return []
-        horizon = cps[-1] - retain_versions
+        # the horizon must be CHECKPOINT-ALIGNED: retained versions above
+        # it resolve by replaying from a checkpoint at-or-before them, so
+        # deleting up to a raw (cps[-1] - retain) could remove commits a
+        # retained version still needs (e.g. checkpoints at 10 and 20,
+        # retain 8 → raw horizon 12 kills 11-12, which version 16 replays
+        # through) — clamp to the newest checkpoint at-or-below the raw
+        # horizon so every surviving version stays resolvable
+        raw = cps[-1] - retain_versions
+        aligned = [c for c in cps if c <= raw]
+        if not aligned:
+            return []
+        horizon = aligned[-1]
         deleted = []
         for v in self._versions():
             if v <= horizon:
@@ -320,7 +331,16 @@ class VersionedTable:
             return None
         if isinstance(v, (int, float, str)):
             return v
-        if isinstance(v, (datetime.date, datetime.datetime)):
+        if isinstance(v, datetime.datetime):
+            # NORMALIZE TO UTC-NAIVE: pyarrow footer stats arrive
+            # tz-aware UTC ('...+00:00') while Spark collect() bounds are
+            # naive (session TZ pinned UTC by session.py) — mixing the
+            # two forms makes '...+00:00' lexicographically GREATER than
+            # its naive twin and prunes a file that contains the match
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            return v.isoformat()
+        if isinstance(v, datetime.date):
             return v.isoformat()
         return None
 
@@ -427,6 +447,13 @@ class VersionedTable:
                     enc(hi) if hi is not None else None
                 )
                 fmin, fmax = stats[col]
+                # legacy logs (pre tz-normalization in _encode_bound) hold
+                # tz-aware ISO stat strings; strip the UTC suffix so they
+                # compare against naive bounds instead of wrongly pruning
+                if isinstance(fmin, str) and fmin.endswith("+00:00"):
+                    fmin = fmin[:-6]
+                if isinstance(fmax, str) and fmax.endswith("+00:00"):
+                    fmax = fmax[:-6]
                 if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
                     keep = False
                     break
@@ -530,14 +557,21 @@ class VersionedTable:
         os.makedirs(self.path, exist_ok=True)
         adds = None
         for _ in range(max_retries):
-            self._check_schema(df, schema_evolution)
+            # pin the attempt to the snapshot the schema was checked
+            # against: committing at a floating _next_version() would let
+            # an interleaved overwrite re-base the columns between check
+            # and commit WITHOUT a conflict — pinned at base+1, any
+            # interleaving raises and the next attempt re-checks
+            base = self.latest_version()
+            state = self._snapshot_state(base) if base is not None else None
+            self._check_schema(df, schema_evolution, state=state)
             if adds is None:  # parts are content, not state: write once
                 adds = [
                     {"add": n, "stats": st} for n, st in self._write_parts(df)
                 ]
                 adds.append({"meta": {"columns": sorted(df.columns)}})
             try:
-                v = self._next_version()
+                v = 0 if base is None else base + 1
                 self._commit(v, adds)
                 return v
             except CommitConflict:
@@ -567,7 +601,7 @@ class VersionedTable:
         os.makedirs(self.path, exist_ok=True)
         last = self.last_txn(app_id)
         if last is not None and batch_id <= last:
-            return None
+            return None  # cheap early-out before the write job
         self._check_schema(df, schema_evolution)
         adds: list[dict] = [
             {"add": n, "stats": st} for n, st in self._write_parts(df)
@@ -575,16 +609,26 @@ class VersionedTable:
         adds.append({"meta": {"columns": sorted(df.columns)}})
         adds.append({"txn": {"app": app_id, "batch": batch_id}})
         for _ in range(5):
-            try:
-                v = self._next_version()
-                self._commit(v, adds)
-                return v
-            except CommitConflict:
-                last = self.last_txn(app_id)
+            # the dedup guarantee lives HERE, not in the early-out: the
+            # txn mark is checked against the snapshot at base and the
+            # commit pins base+1, so a twin landing the same batch after
+            # our check raises CommitConflict and the recheck sees its
+            # marker. A floating _next_version() commit would let both
+            # twins land (different version numbers — no conflict)
+            base = self.latest_version()
+            state = self._snapshot_state(base) if base is not None else None
+            if state is not None:
+                last = state["txn"].get(app_id)
                 if last is not None and batch_id <= last:
                     self._abort_adds(adds)  # lost to a twin
                     return None
-                self._check_schema(df, schema_evolution)
+                self._check_schema(df, schema_evolution, state=state)
+            try:
+                v = 0 if base is None else base + 1
+                self._commit(v, adds)
+                return v
+            except CommitConflict:
+                continue
         self._abort_adds(adds)
         raise CommitConflict("append_txn retries exhausted")
 
@@ -600,12 +644,20 @@ class VersionedTable:
             raise FileNotFoundError(
                 f"change feed of {self.path}: table has no commits"
             )
+        latest = self.latest_version()
+        if latest is None or to_version > latest:
+            # fail loudly like _snapshot_state does for future versions:
+            # silently clamping would let a polling consumer advance its
+            # cursor past commits that don't exist yet and skip them
+            # forever once they land
+            raise FileNotFoundError(
+                f"change feed upper bound {to_version} of {self.path} does "
+                f"not exist (latest: {latest})"
+            )
         present = [
             v for v in self._versions() if from_version < v <= to_version
         ]
-        latest = self.latest_version()
-        upper = to_version if latest is None else min(to_version, latest)
-        if present != list(range(from_version + 1, upper + 1)):
+        if present != list(range(from_version + 1, to_version + 1)):
             raise FileNotFoundError(
                 f"change feed ({from_version}, {to_version}] of {self.path} "
                 "crosses commits expired by expire_log"
@@ -712,11 +764,19 @@ class VersionedTable:
         incremental view folds) become exactly-once because the state
         replacement and the dedup marker are one atomic commit."""
         os.makedirs(self.path, exist_ok=True)
+        base = self.latest_version()
         if txn is not None:
-            last = self.last_txn(txn[0])
+            # the marker is checked against the SAME snapshot the commit
+            # pins (base): a twin landing between a latest-resolved check
+            # and the base read would bypass the marker without a
+            # CommitConflict — checked-at-base, any interleaving conflicts
+            last = (
+                self._snapshot_state(base)["txn"].get(txn[0])
+                if base is not None
+                else None
+            )
             if last is not None and txn[1] <= last:
                 return None
-        base = self.latest_version()
         removes = [{"remove": f} for f in (self.files_at(base) if base is not None else [])]
         cdc_actions: list[dict] = []
         if self.enable_cdc:
@@ -794,6 +854,13 @@ class VersionedTable:
         all_files = sorted(state["files"])
         touched = all_files
         key0 = keys[0]
+        # ONE consistent batch snapshot: the plan feeds the bounds agg,
+        # the anti-join, the CDC joins and the final union — without the
+        # checkpoint a non-deterministic upstream (live source, rand())
+        # is re-evaluated per consumer and the CDC records can disagree
+        # with the rows actually committed; deterministic batches simply
+        # stop paying ~5 recomputations of their plan
+        batch = batch.localCheckpoint(eager=False)
         batch_keys = batch.select(*keys).distinct()
         if key_frame is not None:
             delete_keys = batch_keys.unionByName(
@@ -1098,11 +1165,21 @@ class VersionedTable:
         tstate = self._snapshot_state(version)
         target = tstate["files"]
         for f in target:
-            if not os.path.exists(os.path.join(self.path, f)):
+            full = os.path.join(self.path, f)
+            if not os.path.exists(full):
                 raise FileNotFoundError(
                     f"cannot restore {self.path} to version {version}: "
                     f"file {f} was vacuumed"
                 )
+            # bump mtime: the re-added files are OLD (unreferenced by
+            # recent snapshots), so a vacuum running between this check
+            # and the commit would otherwise delete them — the touch puts
+            # them inside vacuum's retention_sec grace window, the same
+            # protection a writer's freshly staged parts get
+            try:
+                os.utime(full, None)
+            except OSError:
+                pass
         base = self.latest_version()
         cur_state = self._snapshot_state(base)
         current = cur_state["files"]
@@ -1137,19 +1214,46 @@ class VersionedTable:
         grace window vacuum could destroy a transaction's files in the
         gap between write and commit and poison the snapshot it then
         publishes (Delta's retention check; same guard as
-        ``ParquetTable.vacuum``). Returns the deleted file names."""
+        ``ParquetTable.vacuum``). Crash-orphaned scratch (``_tmp-*``
+        staging dirs here, ``_tmp-commit-*`` files in the log) is swept
+        under the same grace window — without this a writer dying
+        mid-write leaks its staging forever (nothing else ever deletes
+        non-``*.parquet`` names). Returns the deleted file names."""
+        if retain_versions < 1:
+            # vs[-0:] is the WHOLE list — "retain zero snapshots" would
+            # silently keep every file, the opposite of the ask
+            raise ValueError(
+                f"retain_versions must be >= 1, got {retain_versions} "
+                "(the latest snapshot's files are always live)"
+            )
         vs = self._versions()
         if not vs:
             return []
         keep: set[str] = set()
+        # unresolvable retained versions (older than an expire_log
+        # horizon) contribute no live files; skip rather than crash the
+        # whole maintenance pass
         for v in vs[-retain_versions:]:
-            keep.update(self.files_at(v))
+            try:
+                keep.update(self.files_at(v))
+            except FileNotFoundError:
+                continue
         now = time.time()
         deleted = []
         for fname in os.listdir(self.path):
+            full = os.path.join(self.path, fname)
+            if fname.startswith("_tmp-") and os.path.isdir(full):
+                # crash-orphaned staging dir (writer died mid-_write_parts)
+                try:
+                    if now - os.path.getmtime(full) < retention_sec:
+                        continue
+                    shutil.rmtree(full)
+                    deleted.append(fname)
+                except OSError:
+                    pass
+                continue
             if not fname.endswith(".parquet") or fname in keep:
                 continue
-            full = os.path.join(self.path, fname)
             try:
                 if now - os.path.getmtime(full) < retention_sec:
                     continue  # possibly a not-yet-committed transaction
@@ -1157,4 +1261,17 @@ class VersionedTable:
             except OSError:
                 continue  # already gone (concurrent vacuum)
             deleted.append(fname)
+        # log-side scratch: a writer that died between json.dump and the
+        # hard-link claim leaves _tmp-commit-* behind
+        if os.path.isdir(self.log_path):
+            for fname in os.listdir(self.log_path):
+                if not fname.startswith("_tmp-commit-"):
+                    continue
+                full = os.path.join(self.log_path, fname)
+                try:
+                    if now - os.path.getmtime(full) >= retention_sec:
+                        os.remove(full)
+                        deleted.append(fname)
+                except OSError:
+                    pass
         return sorted(deleted)

@@ -863,3 +863,113 @@ def test_merge_and_delete_with_empty_inputs_are_noops(spark, tmp_path):
     assert t.delete_matching(empty, keys=["k"]) == 0
     assert t.latest_version() == v_before  # no commit happened
     assert set(t.files_at()) == files_before
+
+
+def test_append_txn_twin_redelivery_cannot_double_land(spark, tmp_path):
+    """Review r05: the txn dedup must hold even when the twin's commit
+    lands AFTER this writer's pre-write check — the commit pins base+1,
+    so the interleaving surfaces as CommitConflict and the recheck sees
+    the twin's marker (a floating next-version commit let both land)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append_txn(_df(spark, [(1, "a")]), "app", 1)
+    # simulate the race: monkeypatch _commit to have a twin land batch 2
+    # between this writer's check and its own commit attempt
+    real_commit = t._commit
+    state = {"raced": False}
+
+    def racing_commit(version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            twin = VersionedTable(spark, str(tmp_path / "t"))
+            real_commit2 = twin._commit
+            twin._commit = real_commit2  # twin commits normally
+            assert twin.append_txn(_df(spark, [(9, "twin")]), "app", 2) is not None
+        return real_commit(version, actions)
+
+    t._commit = racing_commit
+    out = t.append_txn(_df(spark, [(9, "mine")]), "app", 2)
+    t._commit = real_commit
+    assert out is None  # lost to the twin -> no-op, NOT a second landing
+    rows = [r for r in t.read().collect() if r["k"] == 9]
+    assert len(rows) == 1 and rows[0]["v"] == "twin"
+
+
+def test_overwrite_txn_checked_against_pinned_base(spark, tmp_path):
+    """Review r05: overwrite's idempotency marker is checked against the
+    SAME snapshot the commit pins; a twin landing in the window raises
+    CommitConflict instead of double-applying the replace."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    assert t.overwrite(_df(spark, [(2, "x")]), txn=("fold", 6)) is not None
+    # replay of the same (app, batch) is a no-op
+    assert t.overwrite(_df(spark, [(3, "y")]), txn=("fold", 6)) is None
+    assert {r["k"] for r in t.read().collect()} == {2}
+
+
+def test_timestamp_stats_prune_is_tz_safe(spark, tmp_path):
+    """Review r05: pyarrow logs tz-aware UTC timestamp stats while Spark
+    bounds collect naive — the encodings must normalize to one form or a
+    file CONTAINING the key gets pruned (merge then duplicates instead
+    of replacing)."""
+    import datetime
+
+    ts = datetime.datetime(2026, 6, 1, 12, 0, 0)
+    df = spark.createDataFrame([(ts, "old")], "ts timestamp, v string")
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(df)
+    # same key, new value: the merge must REPLACE, not append a duplicate
+    t.merge_upsert(
+        spark.createDataFrame([(ts, "new")], "ts timestamp, v string"),
+        keys=["ts"],
+    )
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0]["v"] == "new"
+
+
+def test_expire_log_horizon_is_checkpoint_aligned(spark, tmp_path):
+    """Review r05: expire_log must never delete commits a RETAINED
+    version still replays through — the horizon clamps to a checkpoint,
+    and every surviving version stays resolvable."""
+    t = VersionedTable(spark, str(tmp_path / "t"), checkpoint_interval=10)
+    for i in range(26):
+        t.append(_df(spark, [(i, "x")]))
+    t.expire_log(retain_versions=8)
+    # raw horizon would be 20-8=12 (killing 11-12, needed by 13..19);
+    # aligned horizon is checkpoint 10, so every version >= 10 resolves
+    for v in range(10, 26):
+        assert t.files_at(v)  # no FileNotFoundError
+    # and vacuum over a window reaching into the retained range works
+    t.vacuum(retain_versions=10, retention_sec=0.0)
+
+
+def test_vacuum_rejects_retain_zero_and_sweeps_orphans(spark, tmp_path):
+    """Review r05: retain_versions=0 would slice vs[-0:] == everything
+    (keeping ALL files — the opposite of the ask) → loud error; crash-
+    orphaned _tmp-* staging and _tmp-commit-* log scratch are swept once
+    past the grace window."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError):
+        t.vacuum(retain_versions=0)
+    # plant crash orphans
+    orphan_dir = os.path.join(t.path, "_tmp-deadbeef")
+    os.makedirs(orphan_dir)
+    open(os.path.join(orphan_dir, "part-x.parquet"), "w").write("junk")
+    orphan_commit = os.path.join(t.log_path, "_tmp-commit-deadbeef")
+    open(orphan_commit, "w").write("{}")
+    deleted = t.vacuum(retain_versions=1, retention_sec=0.0)
+    assert "_tmp-deadbeef" in deleted and "_tmp-commit-deadbeef" in deleted
+    assert not os.path.exists(orphan_dir)
+    assert not os.path.exists(orphan_commit)
+    assert t.read().count() == 1  # live data untouched
+
+
+def test_changes_between_future_upper_bound_raises(spark, tmp_path):
+    """Review r05: a future to_version must raise (like _snapshot_state),
+    not silently clamp — a clamped feed lets a consumer advance its
+    cursor past commits that land later and lose them forever."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    with pytest.raises(FileNotFoundError):
+        t.changes_between(0, 15)
