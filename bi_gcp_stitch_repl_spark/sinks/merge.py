@@ -45,6 +45,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this transaction's read and its
+    swap. The table now holds THEIR result; this transaction's staged
+    output was computed from a stale snapshot and must not clobber the
+    interloper — re-read and re-run the merge. (ParquetTable offers
+    last-writer-wins only for non-overlapping schedules; concurrent
+    writers that need real OCC should use VersionedTable.)"""
+
+
+def _null_safe_on(left: DataFrame, right: DataFrame, keys: list[str]):
+    """Join condition matching key tuples with NULL == NULL semantics:
+    plain ``on=keys`` equality never matches NULL keys, so a NULL-key row
+    would survive every anti-join delete and re-append on every re-run —
+    idempotency (the module's core contract) requires null-safe
+    equality, exactly like Delta MERGE's ``<=>``."""
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else cond & c
+    return cond
+
+
 class ParquetTable:
     """One logical table stored as a parquet directory with atomic swaps.
 
@@ -96,8 +118,23 @@ class ParquetTable:
         return os.path.exists(self.path)
 
     def read(self) -> DataFrame:
-        self._recover()
-        return self.spark.read.parquet(self.path)
+        # a concurrent writer's swap can yank the path between _recover's
+        # success and Spark resolving the scan (schema read happens HERE);
+        # the window is microseconds wide but real — retry the resolution
+        # a few times before surfacing the error
+        last_err: Exception | None = None
+        for _ in range(3):
+            self._recover()
+            try:
+                return self.spark.read.parquet(self.path)
+            except Exception as e:  # AnalysisException: PATH_NOT_FOUND
+                if "PATH_NOT_FOUND" not in str(e) and not isinstance(
+                    e, FileNotFoundError
+                ):
+                    raise
+                last_err = e
+                time.sleep(0.05)
+        raise last_err
 
     # -- write primitives ----------------------------------------------------
 
@@ -111,9 +148,15 @@ class ParquetTable:
         The commit rename retries once: a concurrent reader's
         ``_recover`` can observe the path missing mid-swap and roll the
         just-renamed ``.old`` back into place, making the stage→path
-        rename fail with ENOTEMPTY. The retry simply swaps again — the
-        rolled-back snapshot is exactly the pre-merge table, so the
-        second attempt commits the identical logical change.
+        rename fail with ENOTEMPTY. The retry distinguishes WHO put the
+        table back: a reader rollback consumed OUR ``.old`` dir (it no
+        longer exists) and the retry simply swaps again — the rolled-back
+        snapshot is exactly the pre-merge table. But if our ``.old`` dir
+        still exists, the reappeared table is a CONCURRENT WRITER'S
+        commit; renaming it away and committing our stale-snapshot result
+        would permanently delete every row that writer merged (lost
+        update) — raise ConcurrentWriteError instead and leave their
+        table standing.
         """
         stage = f"{self.path}.stage-{uuid.uuid4().hex}"
         writer = df.write.mode("overwrite")
@@ -125,6 +168,16 @@ class ParquetTable:
             old = f"{self.path}.old-{uuid.uuid4().hex}"
             if os.path.exists(self.path):
                 os.rename(self.path, old)
+                # bump the snapshot's mtime: rename PRESERVES it, so a
+                # table last written hours ago would look hours old the
+                # instant it becomes a .old-* dir and a concurrent
+                # vacuum's retention window wouldn't protect it — the
+                # touch makes "age" mean time-since-swap, not
+                # time-since-last-write
+                try:
+                    os.utime(old, None)
+                except OSError:
+                    pass
                 moved_olds.append(old)
             try:
                 os.rename(stage, self.path)
@@ -132,6 +185,20 @@ class ParquetTable:
             except OSError:
                 if attempt:
                     raise
+                if not os.path.exists(self.path):
+                    # the rename failed for a reason OTHER than the path
+                    # reappearing (IO error mid-swap): propagate — the
+                    # .old snapshot stays for _recover to roll back
+                    raise
+                if not moved_olds or os.path.exists(moved_olds[-1]):
+                    # the table reappeared but NOT via a reader rolling
+                    # back our own .old dir → a concurrent writer
+                    # committed; do not clobber their result
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise ConcurrentWriteError(
+                        f"{self.path}: another writer committed during the "
+                        "swap; re-read the table and re-run this merge"
+                    )
         for old in moved_olds:
             if os.path.exists(old):
                 shutil.rmtree(old, ignore_errors=True)
@@ -207,7 +274,12 @@ class ParquetTable:
         if key_frame is not None:
             delete_keys = delete_keys.unionByName(key_frame.select(*keys)).distinct()
         anti_rhs = F.broadcast(delete_keys) if broadcast_batch else delete_keys
-        survivors = existing.join(anti_rhs, on=keys, how="left_anti")
+        # null-safe key match (see _null_safe_on): a NULL-key batch row
+        # must REPLACE the existing NULL-key row, or every re-run appends
+        # another copy and idempotency — the crash-recovery story — breaks
+        survivors = existing.join(
+            anti_rhs, on=_null_safe_on(existing, anti_rhs, keys), how="left_anti"
+        )
         merged = survivors.unionByName(batch, allowMissingColumns=schema_evolution)
         self._staged_write(merged)
 
@@ -225,9 +297,11 @@ class ParquetTable:
         — the same atomic staged-swap guarantee as ``merge_upsert``, and the
         same outstanding-DataFrame invalidation contract. The key set is
         broadcast (erasure requests are tiny next to the table), making the
-        pass one map-side anti join per partition: at 100 TB the cost is a
-        full rewrite of touched partitions and nothing else when the table
-        is hive-partitioned on a key prefix.
+        pass one map-side anti join per partition. Cost honesty: the
+        staged swap rewrites the WHOLE table, untouched hive partitions
+        included (a partition-scoped replace is not implemented here) —
+        VersionedTable's file-pruned delete is the O(affected-data) path;
+        size erasure jobs on this sink accordingly.
         """
         if not self.exists():
             return 0
@@ -241,9 +315,13 @@ class ParquetTable:
         # passes instead of materializing the survivor set to executor disk
         # (localCheckpoint) — which at 100 TB would write the whole surviving
         # table TWICE (checkpoint + staged parquet).
-        removed = existing.join(rhs, on=keys, how="left_semi").count()
+        removed = existing.join(
+            rhs, on=_null_safe_on(existing, rhs, keys), how="left_semi"
+        ).count()
         if removed:
-            survivors = existing.join(rhs, on=keys, how="left_anti")
+            survivors = existing.join(
+                rhs, on=_null_safe_on(existing, rhs, keys), how="left_anti"
+            )
             self._staged_write(survivors)
         return removed
 
@@ -272,7 +350,14 @@ class ParquetTable:
         elif target_partitions:
             compacted = df.repartition(target_partitions)
         else:
-            compacted = df.coalesce(8)
+            # no explicit target: write at the SCAN's partitioning — the
+            # parquet reader packs small files up to
+            # spark.sql.files.maxPartitionBytes per task, so the rewrite
+            # lands ~totalBytes/128MB right-sized files at any table
+            # size. A fixed coalesce(N) here would clamp the whole job
+            # (scan included — coalesce propagates upstream) to N tasks
+            # and emit N unboundedly-large files on a big table.
+            compacted = df
         self._staged_write(compacted)
         return n
 
@@ -296,11 +381,13 @@ class ParquetTable:
         removed: list[str] = []
         if not os.path.isdir(parent):
             return removed
-        table_present = os.path.exists(self.path)
         for entry in os.listdir(parent):
             if not (entry.startswith(f"{base}.stage-") or entry.startswith(f"{base}.old-")):
                 continue
-            if entry.startswith(f"{base}.old-") and not table_present:
+            # re-check PER ENTRY, not once up front: a writer can enter
+            # its swap window (path renamed away) while this loop runs,
+            # making a just-created .old-* dir the sole live snapshot
+            if entry.startswith(f"{base}.old-") and not os.path.exists(self.path):
                 continue  # sole surviving snapshot — never vacuum it
             full = os.path.join(parent, entry)
             try:
@@ -321,7 +408,13 @@ class ParquetTable:
             self._staged_write(delta)
             return delta
         hist_keys = self.read().select(*keys)
-        delta = batch.dropDuplicates(keys).join(hist_keys, on=keys, how="left_anti")
+        deduped = batch.dropDuplicates(keys)
+        # null-safe: dropDuplicates already treats NULL keys as equal
+        # within the batch, so the history join must too — plain equality
+        # would re-append the NULL-key row on EVERY scheduled run
+        delta = deduped.join(
+            hist_keys, on=_null_safe_on(deduped, hist_keys, keys), how="left_anti"
+        )
         self.append(delta)
         return delta
 
@@ -346,12 +439,17 @@ class WatermarkStore:
             return json.load(f).get(name, default)
 
     def advance(self, name: str, value) -> None:
+        if value is None:
+            # an empty fetch yields no new cursor — advancing to None
+            # would CLOBBER the stored watermark and make the next run
+            # re-read the entire source history
+            return
         state = {}
         if os.path.exists(self.path):
             with open(self.path) as f:
                 state = json.load(f)
         prev = state.get(name)
-        if prev is not None and value is not None and value <= prev:
+        if prev is not None and value <= prev:
             return  # never move backwards (re-run safety)
         state[name] = value
         state[f"{name}__advanced_at"] = time.time()

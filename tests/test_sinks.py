@@ -380,3 +380,105 @@ def test_recover_prefers_newest_old_snapshot_and_protects_append_vacuum(
     t3.append(df_of(spark, [(3, "c")]))
     got = sorted((r["k"], r["v"]) for r in t3.read().collect())
     assert got == sorted(current + [(3, "c")])
+
+
+def test_merge_upsert_null_keys_idempotent(spark, tmp_path):
+    """Review r05: NULL-key rows must REPLACE under re-run (null-safe key
+    equality) — plain join equality never matches NULL, so every re-run
+    appended another copy, breaking the sink's idempotency contract."""
+    from bi_gcp_stitch_repl_spark.sinks.merge import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    batch = spark.createDataFrame([(None, "x"), (1, "a")], "k long, v string")
+    t.merge_upsert(batch, keys=["k"])
+    t.merge_upsert(batch, keys=["k"])  # re-run: must be a no-op
+    rows = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert rows == {(None, "x"), (1, "a")}
+    # and the NULL-key row is replaceable, not just deduped
+    t.merge_upsert(
+        spark.createDataFrame([(None, "y")], "k long, v string"), keys=["k"]
+    )
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (None, "y"), (1, "a"),
+    }
+
+
+def test_append_if_absent_null_keys_append_once(spark, tmp_path):
+    """Review r05: the K7 history join must be null-safe like its
+    dropDuplicates — or one NULL-key row is appended per scheduled run
+    forever."""
+    from bi_gcp_stitch_repl_spark.sinks.merge import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "h"))
+    batch = spark.createDataFrame([(None, "x"), (2, "b")], "k long, v string")
+    assert t.append_if_absent(batch, keys=["k"]).count() == 2
+    assert t.append_if_absent(batch, keys=["k"]).count() == 0  # re-run
+    assert t.read().count() == 2
+
+
+def test_staged_write_refuses_to_clobber_concurrent_commit(spark, tmp_path):
+    """Review r05: when the table path reappears mid-swap WITHOUT our
+    .old dir being consumed (i.e. a concurrent writer committed, not a
+    reader rollback), the swap must raise ConcurrentWriteError and leave
+    the interloper's table standing — the old retry renamed it away and
+    deleted it (lost update)."""
+    import os
+
+    from bi_gcp_stitch_repl_spark.sinks.merge import (
+        ConcurrentWriteError,
+        ParquetTable,
+    )
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame([(1, "mine")], "k long, v string"))
+    real_rename = os.rename
+    state = {"armed": True}
+
+    def racing_rename(src, dst):
+        real_rename(src, dst)
+        # the moment our table is renamed away, a "concurrent writer"
+        # commits its own table at the path
+        if state["armed"] and dst.startswith(str(tmp_path / "t") + ".old-"):
+            state["armed"] = False
+            os.makedirs(str(tmp_path / "t"))
+            with open(os.path.join(str(tmp_path / "t"), "part-theirs.parquet"), "wb") as f:
+                f.write(b"theirs")
+
+    os.rename = racing_rename
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(ConcurrentWriteError):
+            t.overwrite(spark.createDataFrame([(2, "stale")], "k long, v string"))
+    finally:
+        os.rename = real_rename
+    # the interloper's table is untouched
+    assert os.path.exists(os.path.join(str(tmp_path / "t"), "part-theirs.parquet"))
+
+
+def test_watermark_advance_none_never_clobbers(tmp_path):
+    """Review r05: advancing with None (empty fetch) must keep the stored
+    cursor — clobbering it to null re-reads the whole source next run."""
+    from bi_gcp_stitch_repl_spark.sinks.merge import WatermarkStore
+
+    ws = WatermarkStore(str(tmp_path / "wm.json"))
+    ws.advance("inv", 100)
+    ws.advance("inv", None)
+    assert ws.get("inv") == 100
+
+
+def test_compact_default_packs_small_files(spark, tmp_path):
+    """Review r05: default compact() must right-size via the scan's
+    small-file packing (maxPartitionBytes), not clamp the job to a
+    hard-coded coalesce(8)."""
+    import glob
+
+    from bi_gcp_stitch_repl_spark.sinks.merge import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.range(1000).repartition(40).selectExpr("id AS k"))
+    before = len(glob.glob(str(tmp_path / "t" / "*.parquet")))
+    assert before >= 30  # many small files
+    assert t.compact() == 1000
+    after = len(glob.glob(str(tmp_path / "t" / "*.parquet")))
+    assert after < before  # packed, rows preserved
