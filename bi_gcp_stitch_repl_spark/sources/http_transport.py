@@ -162,33 +162,34 @@ class HttpTransport:
             headers.update(self.auth.headers())
         return headers
 
-    def __call__(self, url: str, params: dict | None = None) -> Any:
-        resp = self._get_session().get(
-            url, params=params or {}, headers=self._headers(), timeout=self.timeout
-        )
+    def _request(self, method: str, url: str, **kwargs) -> Any:
+        """The ONE retry/auth/parse contract behind both verbs (a prior
+        GET/POST copy-paste let the two drift): refresh auth once on 401,
+        map 429/5xx to RetryableError, raise on other 4xx, and treat a
+        body-less success (204 No Content — common from reverse-ETL
+        accept endpoints) as None instead of crashing in ``.json()``
+        (retrying a successful-but-empty acknowledgement would double-
+        deliver the batch)."""
+        send = getattr(self._get_session(), method)
+        resp = send(url, headers=self._headers(), timeout=self.timeout, **kwargs)
         if resp.status_code == 401 and self.auth and self.auth.on_unauthorized():
-            resp = self._get_session().get(
-                url, params=params or {}, headers=self._headers(), timeout=self.timeout
+            resp = send(
+                url, headers=self._headers(), timeout=self.timeout, **kwargs
             )
         if resp.status_code in RETRYABLE_STATUSES:
-            raise RetryableError(f"GET {url} -> {resp.status_code}")
+            raise RetryableError(f"{method.upper()} {url} -> {resp.status_code}")
         resp.raise_for_status()
+        if resp.status_code == 204 or not resp.content:
+            return None
         return resp.json()
+
+    def __call__(self, url: str, params: dict | None = None) -> Any:
+        return self._request("get", url, params=params or {})
 
     def post(self, url: str, json_body: Any) -> Any:
         """Reverse-ETL POST (K8 sink side, sinks.reverse): same retry/auth
         contract as GET."""
-        resp = self._get_session().post(
-            url, json=json_body, headers=self._headers(), timeout=self.timeout
-        )
-        if resp.status_code == 401 and self.auth and self.auth.on_unauthorized():
-            resp = self._get_session().post(
-                url, json=json_body, headers=self._headers(), timeout=self.timeout
-            )
-        if resp.status_code in RETRYABLE_STATUSES:
-            raise RetryableError(f"POST {url} -> {resp.status_code}")
-        resp.raise_for_status()
-        return resp.json()
+        return self._request("post", url, json=json_body)
 
     def __getstate__(self):
         state = self.__dict__.copy()

@@ -121,6 +121,22 @@ def paginate_offset(
         offset += limit
 
 
+def _require_items(data: dict, items_key: str, url: str) -> list:
+    """A payload MISSING its items container raises instead of reading as
+    an empty page: a renamed key after an API version bump (or a
+    misconfigured ``items_key``) would otherwise produce a ZERO-row
+    extract with zero errors — and a truncate-refresh pipeline would then
+    overwrite its target with an empty table. An empty LIST under the key
+    is a legitimate empty page and passes through."""
+    if items_key not in data:
+        raise KeyError(
+            f"items container {items_key!r} missing from {url} response "
+            f"(keys: {sorted(data)[:8]}) — refusing to read a renamed "
+            "payload as an empty extract"
+        )
+    return data[items_key]
+
+
 def paginate_page_flag(
     transport: Transport,
     url: str,
@@ -149,7 +165,7 @@ def paginate_page_flag(
                 f"(keys: {sorted(data)[:8]}) — refusing to guess whether "
                 "more pages exist"
             )
-        items = data.get(items_key, [])
+        items = _require_items(data, items_key, url)
         yield items
         if data[last_key] or not items:
             return
@@ -214,7 +230,10 @@ def paginate_cursor_link(
     next_path: tuple[str, ...] = ("paging", "next", "link"),
     retry: RetryPolicy | None = None,
 ) -> Iterator[list[dict]]:
-    """S5: follow ``paging.next.link`` until absent (HubSpot)."""
+    """S5: follow ``paging.next.link`` until absent (HubSpot). A server
+    re-serving the SAME next link (pagination bug, stale replica) would
+    loop forever emitting duplicate pages — the keyset stall guard,
+    applied to links."""
     retry = retry or RetryPolicy()
     next_url: str | None = url
     next_params = dict(params or {})
@@ -222,12 +241,14 @@ def paginate_cursor_link(
         u = next_url
         pp = next_params
         data = retry.call(lambda: transport(u, pp))
-        yield data.get(items_key, [])
+        yield _require_items(data, items_key, u)
         node: Any = data
         for k in next_path:
             node = node.get(k) if isinstance(node, dict) else None
             if node is None:
                 break
+        if node == u:
+            return  # stall: the link did not advance
         next_url = node
         next_params = {}  # cursor links embed their own params
 
@@ -242,7 +263,10 @@ def paginate_starting_after(
     id_key: str = "id",
     retry: RetryPolicy | None = None,
 ) -> Iterator[list[dict]]:
-    """S6: Stripe-style ``starting_after=<last id>`` + ``has_more``."""
+    """S6: Stripe-style ``starting_after=<last id>`` + ``has_more``. A
+    server that ignores ``starting_after`` and re-serves the same page
+    with ``has_more=true`` stalls the cursor — return instead of looping
+    forever emitting duplicates (the keyset stall guard)."""
     retry = retry or RetryPolicy()
     cursor = None
     while True:
@@ -250,10 +274,13 @@ def paginate_starting_after(
         if cursor is not None:
             p["starting_after"] = cursor
         data = retry.call(lambda: transport(url, p))
-        items = data.get(items_key, [])
+        items = _require_items(data, items_key, url)
         if items:
+            new_cursor = items[-1][id_key]
+            if cursor is not None and new_cursor == cursor:
+                return  # stall: the cursor did not advance
             yield items
-            cursor = items[-1][id_key]
+            cursor = new_cursor
         if not data.get(more_key, False) or not items:
             return
 
@@ -281,15 +308,14 @@ def to_dataframe(
     struct/array payloads (vouchers, invoices) robustly; rows missing
     keys get NULL (the reference's required_columns padding) — explicit
     schema = schema-on-write (SURVEY §1.3)."""
-    out: DataFrame | None = None
+    chunks: list[DataFrame] = []
     buf: list[dict] = []
 
     def flush() -> None:
-        nonlocal out, buf
+        nonlocal buf
         if not buf:
             return
-        df = spark.createDataFrame(buf, schema=schema)
-        out = df if out is None else out.unionByName(df)
+        chunks.append(spark.createDataFrame(buf, schema=schema))
         buf = []
 
     for page in pages:
@@ -297,9 +323,19 @@ def to_dataframe(
         if len(buf) >= chunk_rows:
             flush()
     flush()
-    if out is None:
-        out = spark.createDataFrame([], schema=schema)
-    return out
+    if not chunks:
+        return spark.createDataFrame([], schema=schema)
+    # balanced union tree, not a left-leaning chain: a large backfill's
+    # thousands of chunks would otherwise build an O(n)-deep Union plan
+    # (quadratic analysis time, driver StackOverflow risk) — pairwise
+    # folding keeps depth at log2(n)
+    while len(chunks) > 1:
+        nxt = []
+        for i in range(0, len(chunks), 2):
+            pair = chunks[i : i + 2]
+            nxt.append(pair[0] if len(pair) == 1 else pair[0].unionByName(pair[1]))
+        chunks = nxt
+    return chunks[0]
 
 
 # ---------------------------------------------------------------------------
@@ -364,6 +400,14 @@ def fanout_fetch(
                 err = None
                 try:
                     detail = retry.call(lambda k=key: fetch_one(k))
+                    if detail is not None and not isinstance(detail, dict):
+                        # a truthy non-dict (list/string error envelope)
+                        # must dead-letter like any other failure — built
+                        # into the row it would crash the whole stage
+                        raise TypeError(
+                            f"fetch_one returned {type(detail).__name__}, "
+                            "expected dict or None"
+                        )
                 except Exception as exc:  # noqa: BLE001 — see docstring
                     detail = None
                     err = f"{type(exc).__name__}: {exc}"[:500]

@@ -56,6 +56,9 @@ class RestDataSourceReader(DataSourceReader):
         self.schema_obj = schema
         self.url = options["url"]
         self.transport_path = options["transport"]
+        # same factory-argument channel the stream reader supports — a
+        # supplied option must not be silently dropped on the batch path
+        self.transport_arg = options.get("transport_arg")
         self.page_size = int(options.get("page_size", "500"))
         self.total_rows = int(options["total_rows"])
         self.retries = int(options.get("retries", "5"))
@@ -67,7 +70,8 @@ class RestDataSourceReader(DataSourceReader):
         ]
 
     def read(self, partition: _PagePartition):
-        transport = _load_factory(self.transport_path)()
+        factory = _load_factory(self.transport_path)
+        transport = factory(self.transport_arg) if self.transport_arg else factory()
         retry = RetryPolicy(total=self.retries)
         rows = retry.call(
             lambda: transport(
@@ -111,7 +115,7 @@ class RestStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"last_id": None}
 
-    def _fetch(self, start_after, row_limit):
+    def _fetch(self, start_after, row_limit, stop_after_id=None):
         factory = _load_factory(self.transport_path)
         transport = factory(self.transport_arg) if self.transport_arg else factory()
         retry = RetryPolicy(total=self.retries)
@@ -126,6 +130,8 @@ class RestStreamReader(SimpleDataSourceStreamReader):
             retry=retry,
         ):
             rows.extend(page)
+            if stop_after_id is not None and page[-1][self.id_key] >= stop_after_id:
+                break  # replay upper bound reached (ids are monotonic)
         return rows
 
     def _tuples(self, rows):
@@ -143,7 +149,12 @@ class RestStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         last = end.get("last_id")
-        rows = self._fetch(start.get("last_id"), None)
+        # bound the replay at the committed end offset: fetching the whole
+        # remaining upstream (which may have grown by millions of rows
+        # since the crash) just to filter it down to one micro-batch is
+        # unbounded in memory and API calls — pagination stops at the
+        # first page whose last id reaches the bound (ids are monotonic)
+        rows = self._fetch(start.get("last_id"), None, stop_after_id=last)
         return self._tuples([r for r in rows if r[self.id_key] <= last])
 
 

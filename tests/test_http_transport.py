@@ -57,6 +57,11 @@ class _ApiHandler(BaseHTTPRequestHandler):
             else:
                 self._send(400, {"error": "invalid_grant"})
             return
+        if urlparse(self.path).path == "/accept":
+            # reverse-ETL acknowledge endpoint: 204, no body
+            self.send_response(204)
+            self.end_headers()
+            return
         self._send(404, {"error": "not found"})
 
     def do_GET(self):  # noqa: N802 - http.server API
@@ -238,3 +243,14 @@ def test_example_factory_builds_from_env(monkeypatch):
     clone = pickle.loads(pickle.dumps(t))  # ships into fan-out workers
     assert clone.auth.token_url == "https://example.invalid/oauth/token"
     assert clone.auth._token is None  # workers fetch their own token
+
+
+def test_post_204_no_content_returns_none(api_server):
+    """Review r05: a body-less 2xx acknowledgement (204 — common from
+    reverse-ETL accept endpoints) must return None, not crash in .json()
+    — a retried 'failure' would double-deliver the batch."""
+    from bi_gcp_stitch_repl_spark.sources.http_transport import HttpTransport
+
+    _, base = api_server
+    t = HttpTransport()
+    assert t.post(f"{base}/accept", {"rows": [1, 2]}) is None

@@ -289,3 +289,82 @@ def test_paginate_keyset_stalled_cursor_stops_without_duplicates():
     # first page emits; the second identical page is detected as a stall
     # (raw tail == cursor) and nothing re-yields
     assert pages == [[{"Id": 1}, {"Id": 2}, {"Id": 3}]]
+
+
+# -- review r05 guards --------------------------------------------------------
+
+
+def test_missing_items_container_raises_not_empty_extract():
+    """A renamed items key must raise, not read as a 0-row extract that a
+    truncate-refresh would then commit (review r05)."""
+    with pytest.raises(KeyError):
+        list(rest.paginate_page_flag(
+            make_transport(lambda u, p: {"last": False, "items": [1]}), "u"
+        ))
+    with pytest.raises(KeyError):
+        list(rest.paginate_cursor_link(
+            make_transport(lambda u, p: {"items": [1]}), "u"
+        ))
+    with pytest.raises(KeyError):
+        list(rest.paginate_starting_after(
+            make_transport(lambda u, p: {"items": [1], "has_more": False}), "u"
+        ))
+
+
+def test_cursor_link_stall_guard_stops():
+    """A server re-serving the same next link must terminate, not loop
+    forever emitting duplicates (review r05)."""
+    t = make_transport(
+        lambda u, p: {"results": [1], "paging": {"next": {"link": "u"}}}
+    )
+    pages = list(rest.paginate_cursor_link(t, "u"))
+    assert pages == [[1]]
+    assert len(t.calls) == 1
+
+
+def test_starting_after_stall_guard_stops():
+    """A server ignoring starting_after (same page, has_more=true) must
+    terminate without duplicates (review r05)."""
+    t = make_transport(lambda u, p: {"data": [{"id": "a"}], "has_more": True})
+    pages = list(rest.paginate_starting_after(t, "u"))
+    assert pages == [[{"id": "a"}]]
+    assert len(t.calls) == 2  # first page + the stalled probe
+
+
+def test_fanout_nondict_detail_dead_letters(spark):
+    """A truthy non-dict fetch result must surface as _fetch_ok=false,
+    not crash the stage (review r05)."""
+    keys = spark.createDataFrame([(1,), (2,)], "id long")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("_fetch_ok", T.BooleanType()),
+    ])
+    out = rest.fanout_fetch(
+        keys,
+        lambda k: ["error", "envelope"] if k == 2 else {"id": k, "v": "ok"},
+        schema,
+        error_col="_err",
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["_fetch_ok"] and by_id[1]["v"] == "ok"
+    assert not by_id[2]["_fetch_ok"] and "TypeError" in by_id[2]["_err"]
+
+
+def test_to_dataframe_many_chunks_balanced_union(spark):
+    """Thousands of pages must not build an O(n)-deep union plan; rows
+    survive the balanced fold (review r05)."""
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    pages = iter([[{"k": i}] for i in range(65)])
+    df = rest.to_dataframe(spark, pages, schema, chunk_rows=1)
+    assert df.count() == 65
+    # depth check (node COUNT is ~n either way; nesting depth is what
+    # kills analysis): max indentation of the logical plan tree tracks
+    # depth — a left-leaning 65-chunk chain indents ~65 levels deep,
+    # the balanced tree stays logarithmic
+    plan = df._jdf.queryExecution().logical().toString()
+    max_indent = max(
+        (len(l) - len(l.lstrip(" :+-")) for l in plan.splitlines() if l.strip()),
+        default=0,
+    )
+    assert max_indent <= 64, max_indent
