@@ -180,14 +180,20 @@ def billwerk_incremental_invoices(
     pages = rest.paginate_keyset(
         transport, api_base, take=500, start_after=cursor, row_limit=row_limit
     )
-    rows = [r for page in pages for r in page]
-    if not rows:
+    # to_dataframe, not a driver list: the catch-up run (first load, or
+    # after an outage with row_limit=None) is exactly when the slice is
+    # the WHOLE upstream history — driver residency must stay one chunk
+    schema = "Id long, amount double, status string"
+    batch = rest.to_dataframe(spark, pages, schema).localCheckpoint(eager=True)
+    stats = batch.agg(
+        F.count(F.lit(1)).alias("n"), F.max("Id").alias("hi")
+    ).collect()[0]
+    if not stats["n"]:
         return 0
-    batch = spark.createDataFrame(rows, "Id long, amount double, status string")
     tbl = merge_table(spark, warehouse_path, table_factory)
     tbl.merge_upsert(batch.withColumnRenamed("Id", "invoice_id"), keys=["invoice_id"])
-    ws.advance("billwerk_invoices", max(r["Id"] for r in rows))
-    return len(rows)
+    ws.advance("billwerk_invoices", stats["hi"])
+    return stats["n"]
 
 
 def lexoffice_invoice_items(
@@ -402,7 +408,7 @@ def compact_tables(
     zorder_by: list[str] | None = None,
     incremental: bool = False,
     min_file_bytes: int = 32 << 20,
-) -> dict[str, int]:
+) -> dict[str, int | None]:
     """Maintenance: rewrite each table into right-sized files (small-file
     debt is the top silent killer of scan parallelism on a growing lake);
     ``zorder_by`` additionally clusters for multi-column file skipping.
@@ -415,16 +421,20 @@ def compact_tables(
     O(backlog) instead of O(table). This is the NIGHTLY cadence; keep
     the full ``optimize(zorder_by=…)`` on a rarer (weekly) schedule for
     clustering quality. Plain directories have no per-file commit
-    accounting, so they always compact fully."""
+    accounting, so they always compact fully.
+
+    Returns the COMMITTED VERSION per commit-log table (row count for
+    plain directories, whose compact already scans) — re-reading a just-
+    compacted 100 TB table end-to-end for a report row count would
+    double the maintenance window's IO."""
     out = {}
     for p in table_paths:
         t = _table_for(spark, p)
         if isinstance(t, VersionedTable):
             if incremental:
-                t.compact_small(min_file_bytes=min_file_bytes)
+                out[p] = t.compact_small(min_file_bytes=min_file_bytes)
             else:
-                t.optimize(target_partitions or 8, zorder_by=zorder_by)
-            out[p] = t.read().count()
+                out[p] = t.optimize(target_partitions or 8, zorder_by=zorder_by)
         else:
             out[p] = t.compact(target_partitions, zorder_by)
     return out
@@ -466,8 +476,11 @@ def erase_requested_keys(
     erasing one through ParquetTable would both resurrect removed
     generations AND leave the requested rows alive in the pre-delete
     snapshot — the opposite of erasure. Pass a factory explicitly only
-    to force one type."""
-    requests = ParquetTable(spark, requests_path).read()
+    to force one type. The REQUESTS table is auto-detected too: reading
+    a VersionedTable requests dir as raw parquet would resurrect
+    superseded generations — including WITHDRAWN requests, which would
+    then be irreversibly applied."""
+    requests = _table_for(spark, requests_path).read()
     out = {}
     for path, keys in table_keys.items():
         t = (
@@ -536,9 +549,17 @@ def incremental_ann_ingest(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> int:
+    app_id: str | None = None,
+    batch_id: int | None = None,
+) -> int | None:
     """Persisted IVF-ANN index for continuous embedding ingest — the
     similarity-search twin of ``incremental_dedup_ingest``.
+
+    ``app_id``/``batch_id`` ride a txn action exactly as the sibling
+    ingest jobs: an at-least-once scheduler replaying an
+    already-committed batch is a no-op (returns None) instead of
+    double-appending every vector — duplicate index rows would surface
+    as duplicate kNN neighbors.
 
     First load fits the coarse cells on the batch
     (``functions.similarity.kmeans_ivf_index``) and stores the KMeans
@@ -587,11 +608,12 @@ def incremental_ann_ingest(
         # centroids commit FIRST: a crash between the two commits leaves a
         # valid quantizer and no rows — the retry just re-ingests
         cents_t.overwrite(cents)
-        return index.append(
-            assigned.select(
-                id_col, vec_col, F.col("ivf_cell").cast("long").alias("ivf_cell")
-            )
+        first = assigned.select(
+            id_col, vec_col, F.col("ivf_cell").cast("long").alias("ivf_cell")
         )
+        if app_id is not None and batch_id is not None:
+            return index.append_txn(first, app_id, batch_id)
+        return index.append(first)
     cents = cents_t.read().select(
         F.col("ivf_cell").alias("_cid"), F.col("centroid").alias("_cv")
     )
@@ -603,6 +625,8 @@ def incremental_ann_ingest(
         .filter(F.col("_rn") == 1)
         .select(id_col, vec_col, F.col("_cid").alias("ivf_cell"))
     )
+    if app_id is not None and batch_id is not None:
+        return index.append_txn(assigned, app_id, batch_id)
     return index.append(assigned)
 
 
@@ -1049,6 +1073,17 @@ def prepare_training_data(
         id_col,
         "left_semi",
     )
+    if embeddings is None and (
+        bench_embeddings is not None or semdedup_threshold is not None
+    ):
+        # fail loudly: silently skipping the semantic stages would ship
+        # benchmark-contaminated / semantically-duplicated shards with
+        # zero errors (the silent-partial-extract class the REST sources
+        # refuse too)
+        raise ValueError(
+            "bench_embeddings/semdedup_threshold require `embeddings` — "
+            "the semantic stages cannot run without the corpus vectors"
+        )
     indexed = None
     if embeddings is not None and (
         bench_embeddings is not None or semdedup_threshold is not None

@@ -725,14 +725,22 @@ class VersionedTable:
         """Change feed for append-only workloads: rows landed by commits in
         ``(from_version, to_version]`` — read straight from those commits'
         added files, so an incremental consumer's cost tracks the DELTA,
-        never the table. Raises on rewrite commits in the range (optimize /
-        merge / overwrite: their adds re-shuffle old rows, so file-level
-        provenance no longer equals row-level inserts)."""
+        never the table. Raises on rewrite commits in the range (merge /
+        overwrite: their adds re-shuffle old rows, so file-level
+        provenance no longer equals row-level inserts) — EXCEPT
+        ``logical_noop`` re-layouts (optimize / compact_small: rows move,
+        none change), which are skipped exactly as ``changes_feed`` skips
+        them. Without the skip, routine weekly compaction would wedge
+        every incremental consumer forever (the cursor only advances on a
+        successful fold, so the same compaction commit re-raises on every
+        subsequent run)."""
         to_version = self.latest_version() if to_version is None else to_version
         present = self._feed_versions(from_version, to_version)
         added: list[str] = []
         for v in present:
             actions = self._actions(v)
+            if any(a.get("meta", {}).get("logical_noop") for a in actions):
+                continue  # compaction: rows moved, none changed
             if any("remove" in a for a in actions):
                 raise ValueError(
                     f"version {v} rewrites files; change feed is exact only "

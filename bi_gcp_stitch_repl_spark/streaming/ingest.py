@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.files import CORRUPT_COL, DOCUMENT_SCHEMA, _with_corrupt
+from ..sources.files import CORRUPT_COL, DOCUMENT_SCHEMA, _split, _with_corrupt
 
 
 def documents_jsonl_stream(
@@ -78,15 +78,11 @@ def ingest_documents_stream(
         # file of the micro-batch (measured: doubled ingest I/O+CPU)
         batch_df.persist()
         try:
-            ok = F.col("r").isNotNull() & F.col(f"r.{CORRUPT_COL}").isNull()
-            clean = (
-                batch_df.filter(ok)
-                .select(
-                    *[F.col(f"r.{f.name}").alias(f.name) for f in DOCUMENT_SCHEMA]
-                )
-                .withColumn("n_chars", F.length("text").cast("long"))
-            )
-            bad = batch_df.filter(~ok).select(F.col("value").alias("raw_line"))
+            # the batch reader's classification (sources.files._split) is
+            # the one source of truth — an inline copy here let batch and
+            # streaming ingest classify the same line differently
+            clean, bad = _split(batch_df, DOCUMENT_SCHEMA)
+            clean = clean.withColumn("n_chars", F.length("text").cast("long"))
             clean_table.append_txn(clean, app_id=app_id, batch_id=batch_id)
             quarantine_table.append_txn(
                 bad, app_id=f"{app_id}-quarantine", batch_id=batch_id

@@ -74,10 +74,8 @@ def events_stream(
     # the file stream source wants a directory; a single-file path becomes
     # its parent dir + a glob filter (the driver fixture is one file/table)
     if path.endswith(".parquet"):
-        import os
-
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
+        reader = reader.option("pathGlobFilter", _os.path.basename(path))
+        path = _os.path.dirname(path)
     df = reader.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":

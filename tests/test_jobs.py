@@ -1246,3 +1246,47 @@ def test_incremental_span_dedup_replay_after_commit_is_identical(spark, tmp_path
     replay = {r["doc_id"]: (r["n_kept"], r["cleaned_text"]) for r in out2.collect()}
     assert replay == first  # NOT emptied
     assert VersionedTable(spark, idx).read().count() == n_index  # no dup append
+
+
+def test_incremental_ann_ingest_txn_replay_is_noop(spark, tmp_path):
+    """Review r05: an at-least-once replay of a committed ANN ingest batch
+    must be a no-op (txn dedup), not a double append that duplicates
+    every kNN neighbor."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ann")
+    v = pipelines.incremental_ann_ingest(
+        spark, idx, emb, n_cells=2, app_id="ann", batch_id=1
+    )
+    assert v is not None
+    replay = pipelines.incremental_ann_ingest(
+        spark, idx, emb, n_cells=2, app_id="ann", batch_id=1
+    )
+    assert replay is None
+    from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
+
+    assert VersionedTable(spark, idx).read().count() == 6
+
+
+def test_prepare_training_data_semantic_options_require_embeddings(spark, tmp_path):
+    """Review r05: semantic options without the corpus vectors must raise,
+    not silently skip the stage and ship contaminated shards."""
+    docs = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
+    bench = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    import pytest as _pytest
+
+    from bi_gcp_stitch_repl_spark.jobs.pipelines import prepare_training_data
+
+    with _pytest.raises(ValueError):
+        prepare_training_data(
+            spark, docs, bench, str(tmp_path / "e"),
+            bench_embeddings=spark.createDataFrame(
+                [(1, [1.0])], "doc_id long, embedding array<double>"
+            ),
+        )
+    with _pytest.raises(ValueError):
+        prepare_training_data(
+            spark, docs, bench, str(tmp_path / "e2"), semdedup_threshold=0.9
+        )

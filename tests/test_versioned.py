@@ -973,3 +973,16 @@ def test_changes_between_future_upper_bound_raises(spark, tmp_path):
     t.append(_df(spark, [(2, "b")]))
     with pytest.raises(FileNotFoundError):
         t.changes_between(0, 15)
+
+
+def test_changes_between_skips_compaction_commits(spark, tmp_path):
+    """Review r05: routine compaction (logical_noop re-layouts) must not
+    wedge incremental consumers — changes_between skips them exactly as
+    changes_feed does, and the appended rows before/after still feed."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    v1 = t.append(_df(spark, [(2, "b")]))
+    t.optimize(target_files=1)  # logical_noop rewrite
+    t.append(_df(spark, [(3, "c")]))
+    delta = t.changes_between(v1)  # spans the compaction commit
+    assert {r["k"] for r in delta.collect()} == {3}
