@@ -42,10 +42,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, pre_oriented: bool = False) -> DataFrame:
     """Orient edges to the larger endpoint, connect all smaller neighbors
-    (and the center) to the minimum."""
-    oriented = _symmetrize(edges).filter(F.col("dst") < F.col("src"))
+    (and the center) to the minimum. ``pre_oriented=True`` skips the
+    symmetrize+filter when the input already satisfies dst < src —
+    _large_star's output does by construction (_m <= src < dst), and
+    re-symmetrizing it paid a distinct() exchange over 2E rows on every
+    CC round for rows the filter immediately discarded."""
+    oriented = (
+        edges if pre_oriented else _symmetrize(edges).filter(F.col("dst") < F.col("src"))
+    )
     mins = oriented.groupBy("src").agg(F.min("dst").alias("_m"))
     nbr_edges = (
         oriented.join(mins, "src")
@@ -91,12 +97,21 @@ def connected_components(
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     src, dst = edges.columns[:2]
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # widen BOTH id columns to their common type up front: the driver
+    # fast path builds its label schema from one column's type, so an
+    # (int, long) edge frame would overflow the narrow field there while
+    # the distributed path's unions silently widened — same inputs must
+    # take the same types on both paths
+    common = e.select(F.array("src", "dst").alias("_x")).schema[0].dataType.elementType
+    e = e.select(F.col("src").cast(common).alias("src"), F.col("dst").cast(common).alias("dst"))
     e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
     if e.count() <= driver_threshold:
         return _cc_driver(e, nodes)
     changed = False
     for _ in range(max_iter):
-        after = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        after = _small_star(_large_star(e), pre_oriented=True).localCheckpoint(
+            eager=True
+        )
         # Fixpoint: both star passes are monotone (they never merge distinct
         # components or split one), so edge-set equality means convergence.
         # Checked as (equal size) ∧ (after ⊆ e): multiset inclusion plus

@@ -23,6 +23,53 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    left_tiebreak: str | None,
+    right_tiebreak: str | None,
+    side_left: int,
+    side_right: int,
+    keep_right_ts: bool = False,
+) -> tuple[DataFrame, list[str]]:
+    """Shared scaffold for both as-of variants: the tagged side union and
+    its total ordering. The ordering places ``_tb`` BETWEEN the sides
+    only when BOTH sides supplied a real tiebreak (a shared sequence
+    domain); with a one-sided tiebreak the other side's ``lit(0)``
+    default would otherwise compete against real values and silently
+    flip equal-timestamp matches across the strict/side rule — so the
+    one-sided (and no-tiebreak) ordering is (_t, _side, _tb): side
+    decides ties, the tiebreak only makes the within-side pick
+    deterministic."""
+    ltb = F.col(left_tiebreak) if left_tiebreak else F.lit(0)
+    rtb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    left_part = left.select(
+        *on,
+        F.col(left_ts).alias("_t"),
+        ltb.alias("_tb"),
+        F.lit(side_left).alias("_side"),
+        F.struct(*left.columns).alias("_row"),
+    )
+    pay = [F.col(src).alias(out) for out, src in payload.items()]
+    if keep_right_ts:
+        pay = [F.col(right_ts).alias("_rt")] + pay
+    right_part = right.select(
+        *on,
+        F.col(right_ts).alias("_t"),
+        rtb.alias("_tb"),
+        F.lit(side_right).alias("_side"),
+        F.struct(*pay).alias("_p"),
+    )
+    unioned = left_part.unionByName(right_part, allowMissingColumns=True)
+    both_tb = left_tiebreak is not None and right_tiebreak is not None
+    order = ["_t", "_tb", "_side"] if both_tb else ["_t", "_side", "_tb"]
+    return unioned, order
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -36,43 +83,30 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the most recent right row at-or-before it.
 
-    A right row matches a left row when they share the ``on`` key and the
-    right row's ``(ts, tiebreak)`` is ``<=`` (or ``<`` when ``strict``) the
-    left row's, comparing lexicographically. The tiebreak column makes the
-    ordering total, hence the result deterministic, even with duplicate
-    timestamps; it must be unique per key on the right side.
+    With tiebreaks on BOTH sides (a shared sequence domain), a right row
+    matches when its ``(ts, tiebreak)`` is ``<=`` (or ``<`` when
+    ``strict``) the left row's, comparing lexicographically. With a
+    tiebreak on ONE side (or none), equal timestamps resolve purely by
+    the strict/side rule and the tiebreak only makes the within-side
+    pick deterministic — a one-sided tiebreak competing against the
+    other side's implicit constant would silently flip equal-ts matches.
 
     ``payload`` maps output column name → right column; the result is every
     left column plus the payload columns (NULL where no right row precedes).
     """
     side_left, side_right = (0, 1) if strict else (1, 0)
-    ltb = F.col(left_tiebreak) if left_tiebreak else F.lit(0)
-    rtb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
-    left_part = left.select(
-        *on,
-        F.col(left_ts).alias("_t"),
-        ltb.alias("_tb"),
-        F.lit(side_left).alias("_side"),
-        F.struct(*left.columns).alias("_row"),
+    unioned, order = _tagged_union(
+        left, right, on, left_ts, right_ts, payload,
+        left_tiebreak, right_tiebreak, side_left, side_right,
     )
-    right_part = right.select(
-        *on,
-        F.col(right_ts).alias("_t"),
-        rtb.alias("_tb"),
-        F.lit(side_right).alias("_side"),
-        F.struct(
-            *[F.col(src).alias(out) for out, src in payload.items()]
-        ).alias("_p"),
-    )
-    unioned = left_part.unionByName(right_part, allowMissingColumns=True)
-    # With strict=True a right row that ties the left row on (_t, _tb) sorts
-    # AFTER it (side 1 > 0) and falls outside the up-to-current-row frame;
-    # with strict=False it sorts before and is picked up. `last(ignorenulls)`
-    # skips the left rows' NULL payloads, so each left row sees exactly the
-    # latest preceding right payload.
+    # With strict=True a right row that ties the left row sorts AFTER it
+    # and falls outside the up-to-current-row frame; with strict=False it
+    # sorts before and is picked up. `last(ignorenulls)` skips the left
+    # rows' NULL payloads, so each left row sees exactly the latest
+    # preceding right payload.
     w = (
         Window.partitionBy(*on)
-        .orderBy("_t", "_tb", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
@@ -106,37 +140,22 @@ def asof_join_nearest(
     last-ignorenulls, forward first-ignorenulls — the second window
     re-sorts but never re-shuffles). No row explosion, no per-row probe.
     """
-    ltb = F.col(left_tiebreak) if left_tiebreak else F.lit(0)
-    rtb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
-    left_part = left.select(
-        *on,
-        F.col(left_ts).alias("_t"),
-        ltb.alias("_tb"),
-        F.lit(1).alias("_side"),
-        F.struct(*left.columns).alias("_row"),
+    unioned, order = _tagged_union(
+        left, right, on, left_ts, right_ts, payload,
+        left_tiebreak, right_tiebreak, side_left=1, side_right=0,
+        keep_right_ts=True,
     )
-    right_part = right.select(
-        *on,
-        F.col(right_ts).alias("_t"),
-        rtb.alias("_tb"),
-        F.lit(0).alias("_side"),
-        F.struct(
-            F.col(right_ts).alias("_rt"),
-            *[F.col(src).alias(out) for out, src in payload.items()],
-        ).alias("_p"),
-    )
-    unioned = left_part.unionByName(right_part, allowMissingColumns=True)
-    # ties on (_t, _tb): the right row sorts BEFORE the left row (side 0 <
-    # 1), so an exact-tie match lands on the backward side with Δ=0 and
-    # wins outright — the forward window never needs to see it.
+    # ties: the right row sorts BEFORE the left row (side 0 < 1), so an
+    # exact-tie match lands on the backward side with Δ=0 and wins
+    # outright — the forward window never needs to see it.
     w_back = (
         Window.partitionBy(*on)
-        .orderBy("_t", "_tb", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_fwd = (
         Window.partitionBy(*on)
-        .orderBy("_t", "_tb", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     m = unioned.withColumn("_b", F.last("_p", ignorenulls=True).over(w_back))

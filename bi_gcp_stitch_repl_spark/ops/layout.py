@@ -74,22 +74,41 @@ def _interleave(buckets: list[Column], bits: int) -> Column:
     return reduce(lambda a, c: a + c, parts)
 
 
+def _rankable(df: DataFrame, col: str) -> Column:
+    """``col`` as a rank-preserving double. DATE cannot cast to a numeric
+    in Spark 3+ (AnalysisException — clustering on order_date, the most
+    common BI key, crashed outright); route it through epoch days, and
+    timestamps through their epoch value, before the double cast."""
+    dt = dict(df.dtypes).get(col, "")
+    c = F.col(col)
+    if dt == "date":
+        c = F.unix_date(c)  # timestamps cast to double directly; DATE doesn't
+    return c.cast("double")
+
+
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
     """Attach the Z-order curve position of ``cols`` as column ``__zval``.
 
-    Boundaries are equi-depth (approxQuantile, 1% relative error), so the
-    curve adapts to the data distribution — skewed columns still split
-    into balanced buckets, which is what keeps output files equal-sized.
-    Clustered columns must be numeric / date / timestamp (rank order is
-    what the curve preserves).
+    Boundaries are equi-depth (approxQuantile at an error that SCALES
+    with the bucket count — a fixed 1% would exceed the 1/2**bits bucket
+    width at bits=8 and let adjacent boundaries collapse, producing
+    multi-sized output files), so the curve adapts to the data
+    distribution — skewed columns still split into balanced buckets,
+    which is what keeps output files equal-sized. Clustered columns must
+    be numeric / date / timestamp (rank order is what the curve
+    preserves; dates/timestamps are ranked via their epoch value).
     """
     probs = [i / 2**bits for i in range(1, 2**bits)]
+    rel_err = min(0.01, 1.0 / (4 * 2**bits))
     dbl = df.select(
-        *[F.col(c).cast("double").alias(f"__d{i}") for i, c in enumerate(cols)]
+        *[_rankable(df, c).alias(f"__d{i}") for i, c in enumerate(cols)]
     )
-    all_bounds = dbl.approxQuantile([f"__d{i}" for i in range(len(cols))], probs, 0.01)
+    all_bounds = dbl.approxQuantile(
+        [f"__d{i}" for i in range(len(cols))], probs, rel_err
+    )
     buckets = [
-        _bucket(F.col(c), bounds, bits) for c, bounds in zip(cols, all_bounds)
+        _bucket(_rankable(df, c), bounds, bits)
+        for c, bounds in zip(cols, all_bounds)
     ]
     return df.withColumn(Z_COL, _interleave(buckets, bits))
 

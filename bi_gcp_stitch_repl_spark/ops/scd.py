@@ -133,8 +133,7 @@ def scd2_apply(
         "_noop", (F.col("_src") == 1) & F.coalesce(prev_same, F.lit(False))
     ).filter(~F.col("_noop"))
 
-    w2 = Window.partitionBy(*key_cols).orderBy("valid_from", "_src")
-    nxt = F.lead("valid_from").over(w2)
+    nxt = F.lead("valid_from").over(w)  # same spec as the no-op window
     return kept.select(
         *key_cols,
         *tracked_cols,

@@ -28,9 +28,15 @@ def salted_join(
     """Join with a hot-keyed ``skewed`` side by splitting each key into
     ``n_salts`` sub-keys.
 
-    ``skewed`` rows get a pseudo-random salt (rand-derived — affects only
-    placement, never the result set); ``other`` is exploded ×n_salts so
-    every (key, salt) partner exists. Supports inner/left joins (the salt
+    ``skewed`` rows get a DETERMINISTIC content-derived salt — never
+    ``rand()``: a non-deterministic expression feeding a shuffle is a
+    correctness hazard under partial stage retries (a recomputed map
+    task re-salts its rows differently, so reducers that already fetched
+    the old output can double-join or drop rows). Hashing the whole row
+    scatters a hot key's rows across salts as long as ANY non-key column
+    varies; fully identical duplicate rows share a salt (they are
+    indistinguishable anyway). ``other`` is exploded ×n_salts so every
+    (key, salt) partner exists. Supports inner/left joins (the salt
     lives only on join plumbing columns and is dropped).
 
     Cost model: ``other`` is shuffled n_salts× larger — use when
@@ -40,7 +46,9 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how}")
-    salt = (F.rand() * n_salts).cast("int")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+    ).cast("int")
     s = skewed.withColumn("__salt", salt)
     o = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

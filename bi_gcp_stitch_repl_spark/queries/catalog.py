@@ -268,12 +268,13 @@ _PRIORITY: list[str] = [
     "x_pii_redact",
     # --- new this round (3; every new query must hold a slot) ---
     "x_dsir_weights", "x_semdedup", "x_jl_project",
-    # --- last driver row r02 (1; the remaining r02 entries — incl.
-    # n_flatten_serialize, a6_count_accounting, n_array_head_field,
-    # q8_market_share, a4_max_watermark and x_session_gaps, displaced
-    # by this round's six new queries — rotate in r06; the as-of family
-    # keeps its fresher x_asof_nearest r04 row) ---
-    "q7_volume_shipping",
+    # --- changed late in the round (1): ops/asof.py's one-sided-
+    # tiebreak ordering fix — its canary takes the final slot (the
+    # remaining r02-stale entries — n_flatten_serialize,
+    # a6_count_accounting, n_array_head_field, q8_market_share,
+    # a4_max_watermark, x_session_gaps, q7_volume_shipping — rotate in
+    # r06; changed code outranks stale rotation) ---
+    "x_asof_join",
 ]
 
 

@@ -792,3 +792,21 @@ def test_semdedup_handles_negative_hash_ids(spark):
 
     with _pytest.raises(ValueError):
         semdedup(lab, threshold=0.95, salt=0)
+
+
+def test_connected_components_mixed_width_ids_both_paths(spark):
+    """Review r05: an (int, long) edge frame must take the same widened
+    id type on the driver fast path as on the distributed path — the
+    narrow-schema driver labeling crashed on a wide dst id."""
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2**40), (2, 3)], "a int, b long"
+    )
+    small = connected_components(edges)  # driver path (2 edges)
+    got = {r["node"]: r["component"] for r in small.collect()}
+    assert got[2**40] == 1 and got[3] == 2
+    big = connected_components(edges, driver_threshold=0)  # distributed
+    assert {r["node"]: r["component"] for r in big.collect()} == got

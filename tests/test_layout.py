@@ -127,8 +127,8 @@ def test_driver_window_covers_survey_gates():
         "x_pii_redact",
         # new this round (a new query always takes a slot)
         "x_dsir_weights", "x_semdedup", "x_jl_project",
-        # last driver row r02 (remaining r02 entries rotate in r06)
-        "q7_volume_shipping",
+        # changed late in the round (asof one-sided-tiebreak fix)
+        "x_asof_join",
     }
     assert len(required) == 50
     missing = required - set(first50)

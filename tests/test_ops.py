@@ -321,3 +321,53 @@ def test_warehouse_sql_identity_default_views(spark, tmp_path):
     )
     assert wh.tables() == ["orders_wh_test"]
     assert wh.sql("SELECT COUNT(*) AS n FROM orders_wh_test").collect()[0]["n"] == 1
+
+
+def test_asof_one_sided_tiebreak_equal_ts(spark):
+    """Review r05: with a tiebreak on only ONE side, equal-timestamp
+    matching must follow the strict/side rule — the other side's implicit
+    constant must not compete against real tiebreak values (it silently
+    missed the at-or-before match)."""
+    from bi_gcp_stitch_repl_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame([(1, 100, 7, "hit")], "k long, ts long, rid long, v string")
+    # non-strict: the equal-ts right row matches
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        payload={"v": "v"}, right_tiebreak="rid", strict=False,
+    ).collect()
+    assert out[0]["v"] == "hit"
+    # strict: it must NOT match
+    out2 = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        payload={"v": "v"}, right_tiebreak="rid", strict=True,
+    ).collect()
+    assert out2[0]["v"] is None
+    # nearest: equal-ts row is a backward Δ=0 match
+    from bi_gcp_stitch_repl_spark.ops.asof import asof_join_nearest
+
+    out3 = asof_join_nearest(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        payload={"v": "v"}, right_tiebreak="rid",
+    ).collect()
+    assert out3[0]["v"] == "hit"
+
+
+def test_zorder_on_date_column(spark):
+    """Review r05: DATE cannot cast to double in Spark 3+ — clustering on
+    a date key (the most common BI layout) crashed; it must rank via
+    epoch days and produce a working curve."""
+    import datetime
+
+    from bi_gcp_stitch_repl_spark.ops.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1 + i % 28), i) for i in range(200)],
+        "d date, v long",
+    )
+    keyed = zorder_key(df, ["d", "v"], bits=4)
+    assert keyed.count() == 200
+    # curve positions exist and later dates rank no lower than earlier
+    rows = keyed.select("d", "__zval").collect()
+    assert all(r["__zval"] >= 0 for r in rows)
