@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .text import _sql_str
+
 #: polynomial fold of a string to [0, P) — portable across Spark and DuckDB
 #: (same fragment family as queries.extensions; kept here so library users
 #: get deterministic sampling without importing the query catalog).
@@ -58,8 +60,14 @@ def mixed_fold_spark(s: str, p: int = HASH_P) -> str:
     CSE. DuckDB twin: the query catalog's ``_mixed_fold_duck`` —
     identical arithmetic, xor() spelled as a function."""
     h = FOLD_SPARK.format(s=s, p=p)
-    r1 = f"(((({h}) * {MIX_C1}) ^ shiftright((({h}) * {MIX_C1}), 15)) & {MIX_MASK})"
-    return f"((({r1} * {MIX_C2}) ^ shiftright(({r1} * {MIX_C2}), 13)) & {MIX_MASK})"
+    # LET-bind the fold (the word_ngram_expr lesson): Catalyst inlines
+    # textual repetition, and the finalizer referenced h four times —
+    # four evaluations of the per-character fold per row. Bound through
+    # a one-element transform, it evaluates once; the finalizer
+    # arithmetic on the bound value is cheap either way.
+    r1 = f"((((_h) * {MIX_C1}) ^ shiftright(((_h) * {MIX_C1}), 15)) & {MIX_MASK})"
+    fin = f"((({r1} * {MIX_C2}) ^ shiftright(({r1} * {MIX_C2}), 13)) & {MIX_MASK})"
+    return f"transform(array({h}), _h -> {fin})[0]"
 
 
 def word_ngram_expr(text_col: str, n: int) -> str:
@@ -151,7 +159,7 @@ def mixture_sample(
     rate = F.lit(default_pct)
     for src, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(source_col) == src, F.lit(pct)).otherwise(rate)
-    h = mixed_fold_spark(f"concat('{salt}', cast({key_col} as string))")
+    h = mixed_fold_spark(f"concat({_sql_str(salt)}, cast({key_col} as string))")
     return df.withColumn("_r", rate).filter(F.expr(h) % 100 < F.col("_r")).drop("_r")
 
 
@@ -169,7 +177,7 @@ def weighted_sample(
     so it is stable under re-runs, partitioning changes, and AQE
     re-plans, and downstream incremental merges stay idempotent.
     Row-local filter: no shuffle, no Python."""
-    h = mixed_fold_spark(f"concat('{salt}', cast({key_col} as string))")
+    h = mixed_fold_spark(f"concat({_sql_str(salt)}, cast({key_col} as string))")
     return df.filter(F.expr(h) % 10000 < F.col(weight_bps_col))
 
 
@@ -206,7 +214,7 @@ def split_shard(
       output stays deterministic while every phase is fully parallel.
     """
     h_split = F.expr(
-        mixed_fold_spark(f"concat('{salt}', cast({key_col} as string))")
+        mixed_fold_spark(f"concat({_sql_str(salt)}, cast({key_col} as string))")
     )
     h_shard = F.expr(
         mixed_fold_spark(f"concat('shard', cast({key_col} as string))")
@@ -225,8 +233,9 @@ def split_shard(
         (h_shard % n_shards).cast("int").alias("shard"),
         h_order.alias("_h"),
     )
+    n_parts = max(64, df.sparkSession.sparkContext.defaultParallelism)
     parts = banded.repartitionByRange(
-        64, "split", "shard", F.col("_h"), F.col(key_col)
+        n_parts, "split", "shard", F.col("_h"), F.col(key_col)
     ).withColumn("_pid", F.spark_partition_id())
     w_local = Window.partitionBy("_pid", "split", "shard").orderBy(
         F.col("_h"), F.col(key_col)
@@ -273,7 +282,8 @@ def pack_sequences(
     cumulative-summing tens of TB. Identical results for any range
     boundaries; no driver-side state.
     """
-    parts = df.repartitionByRange(64, shard_col, order_col).withColumn(
+    n_parts = max(64, df.sparkSession.sparkContext.defaultParallelism)
+    parts = df.repartitionByRange(n_parts, shard_col, order_col).withColumn(
         "_pid", F.spark_partition_id()
     )
     w_local = (

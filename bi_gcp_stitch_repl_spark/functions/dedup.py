@@ -71,7 +71,10 @@ def minhash_bands(
     probes the index: O(batch) work per load instead of re-hashing the
     whole corpus (see ``minhash_lsh_pairs_incremental``).
     """
-    assert n_perm % n_bands == 0
+    if n_perm % n_bands != 0:
+        # ValueError, not assert: python -O strips asserts and the LSH
+        # recall contract would degrade silently (unused permutations)
+        raise ValueError(f"n_perm ({n_perm}) must divide by n_bands ({n_bands})")
     rows_per_band = n_perm // n_bands
     hs = shingle_hashes(docs.select(id_col, text_col), text_col, n_gram)
     # minhash k = min over gram hashes of xxhash64(gram_hash, seed_k).
@@ -248,9 +251,16 @@ def simhash_fingerprints(
     hashes; bit votes aggregated in one grouped pass)."""
     toks = docs.select(
         id_col,
-        F.explode(F.expr(f"transform(split(trim({text_col}), '\\\\s+'), t -> xxhash64(t))")).alias(
-            "h"
-        ),
+        # empties dropped (text.tokens_expr's rule): split keeps boundary
+        # empty strings for leading/trailing tabs/newlines, and
+        # xxhash64('') would vote on all 64 bits — enough to flip
+        # fingerprint bits on short documents
+        F.explode(
+            F.expr(
+                f"transform(filter(split(trim({text_col}), '\\\\s+'),"
+                " t -> t <> ''), t -> xxhash64(t))"
+            )
+        ).alias("h"),
     )
     votes = toks.groupBy(id_col).agg(
         *[
@@ -305,7 +315,13 @@ def _word_segments(
                 f" i * {span_words} + 1, {span_words}), ' '))"
             )
         ).alias("seg_no", "seg"),
-    ).withColumn("pos", F.col(id_col) * 1_000_000 + F.col("seg_no"))
+    ).withColumn(
+        # cast BEFORE the multiply: with an int id column the literal
+        # multiply runs in 32-bit and wraps at id >= 2148 (ANSI: abort;
+        # non-ANSI: colliding/negative ordering keys -> wrong "first
+        # occurrence" kept). The ~9e12 envelope holds only in bigint.
+        "pos", F.col(id_col).cast("long") * 1_000_000 + F.col("seg_no")
+    )
 
 
 def span_dedup(

@@ -194,16 +194,22 @@ def bm25_scores(
 
     Determinism contract (the catalog's bit-parity rule): the classic
     ``ln``-based idf is replaced by its argument ``(N - df + 0.5) /
-    (df + 0.5)`` — a strictly monotone transform, so rankings are
-    unchanged — because every remaining operation (+,-,*,/) is exactly
+    (df + 0.5)`` because every remaining operation (+,-,*,/) is exactly
     rounded under IEEE 754 and therefore bit-identical across engines,
-    while ``ln`` is only 1-ulp-accurate and engine-dependent. Score
-    terms accumulate in fixed list order.
+    while ``ln`` is only 1-ulp-accurate and engine-dependent. Honest
+    caveat: the transform is monotone PER TERM, which preserves
+    single-term rankings exactly but not multi-term sums — the linear
+    idf weights rare terms more aggressively than ln-idf, so this is the
+    "linear-idf BM25" variant (a deterministic member of the BM25
+    scoring family), not a rank-identical reproduction of ln-BM25.
+    Score terms accumulate in fixed list order. Tokenization is the
+    module-wide ``tokens_expr`` (whitespace runs, empties dropped), so
+    ``dl`` agrees with ``token_stats``' n_tokens.
     """
     if not terms:
         raise ValueError("bm25_scores needs at least one query term")
     tok = docs.select(
-        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+        id_col, F.explode(F.expr(tokens_expr(text_col))).alias("term")
     )
     aggs = [F.count("*").alias("dl")]
     for i, t in enumerate(terms):
@@ -313,9 +319,7 @@ def bpe_train(
         "_bpe_txt", F.translate(F.col(text_col), "\x00", "")
     ).select(
         id_col,
-        F.explode(
-            F.expr("filter(split(trim(_bpe_txt), '\\\\s+'), w -> w <> '')")
-        ).alias("w"),
+        F.explode(F.expr(tokens_expr("_bpe_txt"))).alias("w"),
     ).withColumn("pos", F.monotonically_increasing_id())
     seqs = words.select(
         id_col, "pos", F.expr("split(w, '')").alias("seq")

@@ -671,7 +671,10 @@ def _bm25_term_sql(i: int) -> str:
     "x_bm25_topk",
     oracle=f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
 ),
 stats AS (
   SELECT doc_id, COUNT(*) AS dl,
@@ -723,7 +726,9 @@ _RRF_TERM_DUCK = (
     "x_hybrid_search_rrf",
     oracle=f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) AS term
   FROM documents WHERE doc_id <> 0
 ),
 stats AS (

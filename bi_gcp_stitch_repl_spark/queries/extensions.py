@@ -554,7 +554,7 @@ def _simhash_duck() -> str:
     votes, recombine = _simhash_exprs(SIMHASH_BITS, spark_side=False)
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest([{fold} for t in string_split_regex(trim(text), '\\s+')]) AS h
+  SELECT doc_id, unnest([{fold} for t in list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')]) AS h
   FROM documents
 ), votes AS (
   SELECT doc_id,
@@ -580,7 +580,10 @@ def x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = src.select(
         "doc_id",
         F.explode(
-            F.expr(f"transform(split(trim(text), '\\\\s+'), t -> {fold})")
+            F.expr(
+                "transform(filter(split(trim(text), '\\\\s+'), t -> t <> ''),"
+                f" t -> {fold})"
+            )
         ).alias("h"),
     )
     _, recombine_sql = _simhash_exprs(SIMHASH_BITS, spark_side=True)
