@@ -79,7 +79,12 @@ def mg_frequent_items(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         )
 
     item_type = dict(df.dtypes)[col]
-    partials = df.select(F.col(col).alias(col)).mapInPandas(
-        partial, schema=f"item {item_type}, est long"
+    # drop nulls JVM-side: a bigint batch containing a null converts to
+    # float64 in Arrow->pandas, silently rounding ids above 2^53 so
+    # distinct items collapse before counting
+    partials = (
+        df.select(F.col(col).alias(col))
+        .filter(F.col(col).isNotNull())
+        .mapInPandas(partial, schema=f"item {item_type}, est long")
     )
     return partials.groupBy("item").agg(F.sum("est").alias("est"))

@@ -98,7 +98,12 @@ def int_key(c: Column | str) -> Column:
     garbage key coerces through the fillna(0) instead of throwing under
     ANSI."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.coalesce(col.try_cast("double").try_cast("long"), F.lit(0))
+    # try the DIRECT long cast first: the double hop rounds integers
+    # above 2^53 (silent key corruption); only float-formatted ids
+    # ('28.0') fall through to the double path
+    return F.coalesce(
+        col.try_cast("long"), col.try_cast("double").try_cast("long"), F.lit(0)
+    )
 
 
 def array_head_field(array_col: str, field: str) -> Column:

@@ -38,13 +38,30 @@ def append_only_delta(
 
 
 def latest_per_key(
-    df: DataFrame, keys: list[str], order_col: str, descending: bool = True
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Newest row per key via ``row_number() over (partition by keys order by
     order_col desc)`` — a single hash-partitioned shuffle, skew-safe under
-    AQE; never a self-join with max()."""
-    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
-    w = Window.partitionBy(*keys).orderBy(order, *[F.col(k) for k in keys])
+    AQE; never a self-join with max().
+
+    ``tiebreak_cols`` make equal ``order_col`` values deterministic (the
+    partition keys are CONSTANT within the window, so appending them —
+    the old behavior — tie-broke nothing: equal-timestamp rows were
+    picked per shuffle layout, breaking re-run idempotency). Default:
+    every remaining column, descending with ``order_col`` — pass an
+    explicit unique column (e.g. the event id) in hot paths so the sort
+    key stays narrow."""
+    if tiebreak_cols is None:
+        tiebreak_cols = [
+            c for c in df.columns if c not in keys and c != order_col
+        ]
+    cols = [F.col(order_col), *[F.col(c) for c in tiebreak_cols]]
+    order = [c.desc() if descending else c.asc() for c in cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

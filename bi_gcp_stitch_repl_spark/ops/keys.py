@@ -37,6 +37,15 @@ def carry_forward_keys(
     in production; deterministic expressions in tests).
     """
     lookup = existing.select(business_key, *carried.keys())
+    # ONE row per business key, picked deterministically (min carried
+    # struct): a duplicate-keyed existing table — easy after a crashed
+    # append — would otherwise fan every matching batch row out N ways
+    # through the left join, silently duplicating rows into the upsert
+    lookup = (
+        lookup.groupBy(business_key)
+        .agg(F.min(F.struct(*carried.keys())).alias("_c"))
+        .select(business_key, *[F.col(f"_c.{c}").alias(c) for c in carried])
+    )
     if broadcast_existing:
         lookup = F.broadcast(lookup)
     # Suffix existing-side columns to avoid ambiguity with batch columns.

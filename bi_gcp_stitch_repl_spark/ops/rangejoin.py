@@ -36,6 +36,15 @@ def band_join(
     emits each of its three candidate buckets once), so no distinct pass
     is needed.
     """
+    if tolerance <= 0:
+        # floor(x/0) is NULL in non-ANSI mode (silent EMPTY result) and a
+        # DIVIDE_BY_ZERO abort under ANSI — neither is "exact match"
+        raise ValueError(f"band_join tolerance must be > 0, got {tolerance}")
+    for side, name in ((left, "left"), (right, "right")):
+        if "_b" in side.columns:
+            raise ValueError(
+                f"band_join reserves column '_b'; {name} side already has it"
+            )
     tol = F.lit(tolerance)
     lb = F.floor(F.col(left_key) / tol).cast("long")
     exploded = left.withColumn(

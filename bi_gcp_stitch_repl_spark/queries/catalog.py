@@ -261,15 +261,19 @@ _PRIORITY: list[str] = [
     # --- stalest rotation: last driver row r01 (20) ---
     "x_funnel", "x_retention_cohorts", "x_active_users",
     "x_dedup_normalized", "x_simhash", "x_lsh_cosine_buckets",
-    "x_embedding_quantize", "x_embedding_norms", "x_token_count",
-    "x_lang_id", "x_quality_score", "x_multimodal_meta",
+    "x_embedding_quantize", "x_token_count",
+    "x_quality_score", "x_multimodal_meta",
     "x_mixture_sample", "x_pack_sequences", "x_top_terms",
     "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
     "x_pii_redact",
     # changed late in the round: bm25_scores moved to the module-wide
-    # tokenizer (x_hybrid_search_rrf already holds a slot above);
-    # displaces x_fingerprint's r01 rotation to r06
-    "x_bm25_topk",
+    # tokenizer (x_hybrid_search_rrf already holds a slot above) and the
+    # end-of-round library review touched warehouse.py (doc-only) and
+    # rangejoin.py (input-validation guard) — their canaries take slots
+    # per the policy even though the catalog behavior is provably
+    # unchanged (both re-verified hash-exact locally). Displaces the
+    # x_fingerprint / x_embedding_norms / x_lang_id r01 rotations to r06
+    "x_bm25_topk", "s9_sql_scan", "x_range_join_density",
     # --- new this round (3; every new query must hold a slot) ---
     "x_dsir_weights", "x_semdedup", "x_jl_project",
     # --- changed late in the round (1): ops/asof.py's one-sided-

@@ -81,7 +81,10 @@ def post_batches(
             batch = []
 
         for row in rows:
-            batch.append(row.asDict())
+            # recursive: nested struct/array-of-struct columns otherwise
+            # arrive as pyspark Row objects, which json.dumps rejects —
+            # every batch would then count as failed with no indication why
+            batch.append(row.asDict(recursive=True))
             if len(batch) >= batch_size:
                 flush()
         flush()

@@ -112,8 +112,13 @@ def read_csv(
     full = _with_corrupt(schema)
     raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
     if header:
+        # compare the NORMALIZED line (quotes stripped, cells trimmed):
+        # exporters commonly quote headers ('"name","city"') or pad them,
+        # and with an all-string schema a missed header parses cleanly
+        # and pollutes the clean frame as a data row
         hdr = delimiter.join(f.name for f in schema.fields)
-        raw = raw.filter(F.col("value") != hdr)
+        norm = F.regexp_replace(F.regexp_replace("value", '"', ""), r"\s*,\s*", ",")
+        raw = raw.filter(F.trim(norm) != hdr)
     if repartition_hint:
         raw = raw.repartition(repartition_hint)
     opts = {

@@ -108,12 +108,17 @@ def sheet_to_dataframe(
     import re
 
     out_names: list[str] = []
-    seen: dict[str, int] = {}
+    used: set[str] = set()
     for n in names:
         base = re.sub(r"[^0-9A-Za-z_]", "_", n.replace(" ", "_"))
-        k = seen.get(base, 0)
-        seen[base] = k + 1
-        out_names.append(base if k == 0 else f"{base}_{k + 1}")
+        # bump the suffix until genuinely unused: a literal 'a_2' header
+        # coexisting with duplicate 'a's would otherwise still collide
+        name, k = base, 2
+        while name in used:
+            name = f"{base}_{k}"
+            k += 1
+        used.add(name)
+        out_names.append(name)
     schema = T.StructType(
         [T.StructField(n, T.StringType()) for n in out_names]
     )

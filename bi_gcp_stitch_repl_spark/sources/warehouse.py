@@ -112,7 +112,11 @@ class Warehouse:
         (the documented identity default — previously unimplemented, so
         the advertised ``wh.sql("SELECT * FROM orders")`` usage failed
         with TABLE_OR_VIEW_NOT_FOUND unless views had been registered by
-        an earlier call).
+        an earlier call). CLOBBER WARNING: ``createOrReplaceTempView``
+        REPLACES any same-named temp view the session already holds —
+        with the identity default that means every warehouse table name.
+        Pass an explicit ``views`` mapping when the session curates its
+        own views under those names.
         """
         if views is None:
             views = {t: t for t in self.tables()}

@@ -120,16 +120,16 @@ def test_driver_window_covers_survey_gates():
         # stalest rotation: last driver row r01
         "x_funnel", "x_retention_cohorts", "x_active_users",
         "x_dedup_normalized", "x_simhash", "x_lsh_cosine_buckets",
-        "x_embedding_quantize", "x_embedding_norms", "x_token_count",
-        "x_lang_id", "x_quality_score", "x_multimodal_meta",
+        "x_embedding_quantize", "x_token_count",
+        "x_quality_score", "x_multimodal_meta",
         "x_mixture_sample", "x_pack_sequences", "x_top_terms",
         "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
         "x_pii_redact",
         # new this round (a new query always takes a slot)
         "x_dsir_weights", "x_semdedup", "x_jl_project",
-        # changed late in the round (asof one-sided-tiebreak fix;
-        # bm25 module-wide tokenizer)
-        "x_asof_join", "x_bm25_topk",
+        # changed late in the round (asof one-sided-tiebreak fix; bm25
+        # module-wide tokenizer; warehouse/rangejoin canaries)
+        "x_asof_join", "x_bm25_topk", "s9_sql_scan", "x_range_join_density",
     }
     assert len(required) == 50
     missing = required - set(first50)
