@@ -38,7 +38,11 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     filters a training-data pipeline runs before anything expensive."""
     t = F.col(text_col)
     n_tokens = F.size(F.expr(tokens_expr(text_col))).cast("long")
-    no_space = F.replace(t, F.lit(" "), F.lit(""))
+    # strip ALL whitespace (\s), not just literal spaces: tokens come from
+    # a \s+ split, so tab/newline-heavy docs would otherwise count their
+    # separators as token mass and inflate avg_token_len past
+    # quality_filter's max_avg_token_len gate
+    no_space = F.regexp_replace(t, r"\s", "")
     return docs.withColumns(
         {
             "n_tokens": n_tokens,

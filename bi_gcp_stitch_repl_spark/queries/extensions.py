@@ -1064,7 +1064,7 @@ SELECT doc_id,
        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_actual,
        CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
-       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
          / nullif(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0) AS avg_token_len
 FROM documents
 """,
@@ -1085,8 +1085,10 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
         .cast("long")
         .alias("n_spaces"),
+        # \s-stripped length (not just spaces): tokens come from a \s+
+        # split, so tab/newline separators must not count as token mass
         (
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
             / F.nullif(n_tokens, F.lit(0))
         ).alias("avg_token_len"),
     )

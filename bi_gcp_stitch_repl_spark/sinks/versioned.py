@@ -45,6 +45,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .merge import _null_safe_on
+
 _LOG_DIR = "_log"
 
 
@@ -433,26 +435,42 @@ class VersionedTable:
     def _prune_from_stats(
         stats_map: dict[str, dict], where: dict[str, tuple]
     ) -> list[str]:
+        import datetime
+
         enc = VersionedTable._encode_bound
         out = []
         for fname, stats in sorted(stats_map.items()):
             keep = True
-            for col, (lo, hi) in where.items():
+            for col, (lo_raw, hi_raw) in where.items():
                 if col not in stats:
                     continue
                 # bounds arrive as runtime values (ints, dates, ...) —
                 # encode them the same way the logged stats were; an
                 # unencodable bound can't prune this column
-                lo, hi = (enc(lo) if lo is not None else None), (
-                    enc(hi) if hi is not None else None
-                )
+                lo = enc(lo_raw) if lo_raw is not None else None
+                hi = enc(hi_raw) if hi_raw is not None else None
                 fmin, fmax = stats[col]
                 # legacy logs (pre tz-normalization in _encode_bound) hold
                 # tz-aware ISO stat strings; strip the UTC suffix so they
-                # compare against naive bounds instead of wrongly pruning
-                if isinstance(fmin, str) and fmin.endswith("+00:00"):
+                # compare against naive bounds — but ONLY when the query
+                # bound itself is datetime-derived. A genuine STRING column
+                # may legitimately hold values ending in '+00:00' (ISO
+                # strings from APIs); stripping those would sort the stat
+                # below an exact-match bound and wrongly prune the file.
+                # Each stat is stripped per the bound it compares against
+                # (fmin vs hi, fmax vs lo).
+                dt = (datetime.date, datetime.datetime)
+                if (
+                    isinstance(hi_raw, dt)
+                    and isinstance(fmin, str)
+                    and fmin.endswith("+00:00")
+                ):
                     fmin = fmin[:-6]
-                if isinstance(fmax, str) and fmax.endswith("+00:00"):
+                if (
+                    isinstance(lo_raw, dt)
+                    and isinstance(fmax, str)
+                    and fmax.endswith("+00:00")
+                ):
                     fmax = fmax[:-6]
                 if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
                     keep = False
@@ -877,11 +895,21 @@ class VersionedTable:
         else:
             delete_keys = batch_keys
         bounds = delete_keys.agg(
-            F.min(key0).alias("lo"), F.max(key0).alias("hi")
+            F.min(key0).alias("lo"),
+            F.max(key0).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(key0).alias("n_nonnull"),
         ).collect()[0]
-        if bounds["lo"] is None and bounds["hi"] is None and delete_keys.isEmpty():
+        if bounds["n"] == 0:
             return base  # nothing to insert or purge: snapshot IS the result
-        if self._encode_bound(bounds["lo"]) is not None:
+        # NULL-key rows match null-safely (see _null_safe_on) but parquet
+        # min/max stats ignore NULLs — a file holding a NULL-key row can sit
+        # entirely outside the batch's [lo,hi]. Any NULL in key0 therefore
+        # disables pruning; the rewrite falls back to the full file set.
+        if (
+            bounds["n_nonnull"] == bounds["n"]
+            and self._encode_bound(bounds["lo"]) is not None
+        ):
             pruned = set(
                 self._prune_from_stats(
                     state["files"], {key0: (bounds["lo"], bounds["hi"])}
@@ -900,36 +928,44 @@ class VersionedTable:
             # anti-join shuffles instead of materializing the key set on
             # every executor
             anti_rhs = F.broadcast(delete_keys) if broadcast_batch else delete_keys
-            survivors = existing.join(anti_rhs, on=keys, how="left_anti")
+            # null-safe key match, same contract as ParquetTable.merge_upsert:
+            # a NULL-key batch row must REPLACE its existing NULL-key twin,
+            # not append a duplicate on every re-run (divergent idempotency
+            # between the two sinks behind the merge_table seam otherwise)
+            survivors = existing.join(
+                anti_rhs, on=_null_safe_on(existing, anti_rhs, keys), how="left_anti"
+            )
             merged = survivors.unionByName(
                 batch, allowMissingColumns=schema_evolution
             )
             if self.enable_cdc:
-                pre_all = existing.join(anti_rhs, keys, "left_semi")
+                pre_all = existing.join(
+                    anti_rhs, _null_safe_on(existing, anti_rhs, keys), "left_semi"
+                )
                 if key_frame is not None:
                     # purged-only keys (in the frame, absent from the
                     # batch) are true deletes, not update pre-images
                     bkeys = (
                         F.broadcast(batch_keys) if broadcast_batch else batch_keys
                     )
-                    pre = pre_all.join(bkeys, keys, "left_semi").withColumn(
-                        "_change_type", F.lit("update_preimage")
-                    )
-                    dels = pre_all.join(bkeys, keys, "left_anti").withColumn(
-                        "_change_type", F.lit("delete")
-                    )
+                    pre = pre_all.join(
+                        bkeys, _null_safe_on(pre_all, bkeys, keys), "left_semi"
+                    ).withColumn("_change_type", F.lit("update_preimage"))
+                    dels = pre_all.join(
+                        bkeys, _null_safe_on(pre_all, bkeys, keys), "left_anti"
+                    ).withColumn("_change_type", F.lit("delete"))
                 else:
                     pre = pre_all.withColumn(
                         "_change_type", F.lit("update_preimage")
                     )
                     dels = None
                 ex_keys = existing.select(*keys).distinct()
-                post = batch.join(ex_keys, keys, "left_semi").withColumn(
-                    "_change_type", F.lit("update_postimage")
-                )
-                ins = batch.join(ex_keys, keys, "left_anti").withColumn(
-                    "_change_type", F.lit("insert")
-                )
+                post = batch.join(
+                    ex_keys, _null_safe_on(batch, ex_keys, keys), "left_semi"
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                ins = batch.join(
+                    ex_keys, _null_safe_on(batch, ex_keys, keys), "left_anti"
+                ).withColumn("_change_type", F.lit("insert"))
                 changes = pre.unionByName(
                     post, allowMissingColumns=True
                 ).unionByName(ins, allowMissingColumns=True)
@@ -984,10 +1020,20 @@ class VersionedTable:
         touched = all_files
         key0 = keys[0]
         rhs = keys_df.select(*keys).distinct()
-        bounds = rhs.agg(F.min(key0).alias("lo"), F.max(key0).alias("hi")).collect()[0]
-        if bounds["lo"] is None and bounds["hi"] is None and rhs.isEmpty():
+        bounds = rhs.agg(
+            F.min(key0).alias("lo"),
+            F.max(key0).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(key0).alias("n_nonnull"),
+        ).collect()[0]
+        if bounds["n"] == 0:
             return 0  # empty request set: nothing to erase
-        if self._encode_bound(bounds["lo"]) is not None:
+        # NULL keys match null-safely but never appear in parquet min/max
+        # stats — any NULL in key0 disables file pruning (see merge_upsert)
+        if (
+            bounds["n_nonnull"] == bounds["n"]
+            and self._encode_bound(bounds["lo"]) is not None
+        ):
             pruned = set(
                 self._prune_from_stats(
                     state["files"], {key0: (bounds["lo"], bounds["hi"])}
@@ -998,11 +1044,16 @@ class VersionedTable:
             return 0
         existing = self._read_files(touched, state["schema_evolved"])
         del_rhs = F.broadcast(rhs) if broadcast_keys else rhs
-        removed_rows = existing.join(del_rhs, on=keys, how="left_semi")
+        # null-safe match: a NULL-key erasure request must find its row
+        removed_rows = existing.join(
+            del_rhs, on=_null_safe_on(existing, del_rhs, keys), how="left_semi"
+        )
         removed = removed_rows.count()
         if not removed:
             return 0
-        survivors = existing.join(del_rhs, on=keys, how="left_anti")
+        survivors = existing.join(
+            del_rhs, on=_null_safe_on(existing, del_rhs, keys), how="left_anti"
+        )
         cdc_actions: list[dict] = []
         if self.enable_cdc:
             cdc_actions = [
@@ -1223,7 +1274,8 @@ class VersionedTable:
         gap between write and commit and poison the snapshot it then
         publishes (Delta's retention check; same guard as
         ``ParquetTable.vacuum``). Crash-orphaned scratch (``_tmp-*``
-        staging dirs here, ``_tmp-commit-*`` files in the log) is swept
+        staging dirs here, any ``_tmp-*`` temp in the log — commit
+        claims AND checkpoint temps) is swept
         under the same grace window — without this a writer dying
         mid-write leaks its staging forever (nothing else ever deletes
         non-``*.parquet`` names). Returns the deleted file names."""
@@ -1270,10 +1322,12 @@ class VersionedTable:
                 continue  # already gone (concurrent vacuum)
             deleted.append(fname)
         # log-side scratch: a writer that died between json.dump and the
-        # hard-link claim leaves _tmp-commit-* behind
+        # atomic claim leaves temps behind — _tmp-commit-* (hard-link
+        # commit claim) AND _tmp-cp-* (checkpoint os.replace); sweep any
+        # _tmp- prefix so no temp class leaks forever
         if os.path.isdir(self.log_path):
             for fname in os.listdir(self.log_path):
-                if not fname.startswith("_tmp-commit-"):
+                if not fname.startswith("_tmp-"):
                     continue
                 full = os.path.join(self.log_path, fname)
                 try:

@@ -117,7 +117,15 @@ def read_csv(
         # and with an all-string schema a missed header parses cleanly
         # and pollutes the clean frame as a data row
         hdr = delimiter.join(f.name for f in schema.fields)
-        norm = F.regexp_replace(F.regexp_replace("value", '"', ""), r"\s*,\s*", ",")
+        # collapse padding around the ACTUAL delimiter — hardcoding ','
+        # lets padded headers ('name ; city') through for ';'-delimited
+        # exports (common in DACH-locale CSVs where ',' is the decimal)
+        import re as _re
+
+        sep = _re.escape(delimiter)
+        norm = F.regexp_replace(
+            F.regexp_replace("value", '"', ""), rf"\s*{sep}\s*", delimiter
+        )
         raw = raw.filter(F.trim(norm) != hdr)
     if repartition_hint:
         raw = raw.repartition(repartition_hint)

@@ -231,15 +231,18 @@ def paginate_cursor_link(
     retry: RetryPolicy | None = None,
 ) -> Iterator[list[dict]]:
     """S5: follow ``paging.next.link`` until absent (HubSpot). A server
-    re-serving the SAME next link (pagination bug, stale replica) would
-    loop forever emitting duplicate pages — the keyset stall guard,
-    applied to links."""
+    re-serving a PREVIOUSLY SEEN link (pagination bug, stale replica,
+    load-balanced A→B→A two-link cycle) would loop forever emitting
+    duplicate pages — the keyset stall guard, applied to the full set of
+    visited links, not just the immediate predecessor."""
     retry = retry or RetryPolicy()
     next_url: str | None = url
     next_params = dict(params or {})
+    seen: set[str] = set()
     while next_url:
         u = next_url
         pp = next_params
+        seen.add(u)
         data = retry.call(lambda: transport(u, pp))
         yield _require_items(data, items_key, u)
         node: Any = data
@@ -247,8 +250,8 @@ def paginate_cursor_link(
             node = node.get(k) if isinstance(node, dict) else None
             if node is None:
                 break
-        if node == u:
-            return  # stall: the link did not advance
+        if node in seen:
+            return  # stall/cycle: the link revisits a fetched page
         next_url = node
         next_params = {}  # cursor links embed their own params
 

@@ -93,3 +93,19 @@ def test_jsonl_gzip_shard_reads_transparently(spark, tmp_path):
         )
     clean, bad = files.read_jsonl(spark, str(p), files.DOCUMENT_SCHEMA)
     assert clean.count() == 5 and bad.count() == 0
+
+
+def test_csv_padded_header_filtered_for_custom_delimiter(spark, tmp_path):
+    """ADVICE r05: the header-normalization collapse must be built from the
+    ACTUAL delimiter — with ';' (DACH-locale exports) a padded header like
+    'name ; city' slipped past the comma-hardcoded regex and polluted the
+    clean frame as a data row."""
+    p = tmp_path / "t.csv"
+    p.write_text('name ; city\nada ; berlin\n"name" ; "city"\n')
+    schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("city", T.StringType())]
+    )
+    clean, bad = files.read_csv(spark, str(p), schema, delimiter=";")
+    rows = [(r.name.strip(), r.city.strip()) for r in clean.collect()]
+    assert rows == [("ada", "berlin")]
+    assert bad.count() == 0

@@ -810,3 +810,16 @@ def test_connected_components_mixed_width_ids_both_paths(spark):
     assert got[2**40] == 1 and got[3] == 2
     big = connected_components(edges, driver_threshold=0)  # distributed
     assert {r["node"]: r["component"] for r in big.collect()} == got
+
+
+def test_token_stats_whitespace_separators_not_token_mass(spark):
+    """ADVICE/verdict r05: avg_token_len must strip ALL whitespace (\\s),
+    not just literal spaces — tab/newline-separated docs otherwise count
+    their separators as token mass and trip quality_filter's
+    max_avg_token_len gate."""
+    docs = spark.createDataFrame(
+        [(1, "aa\tbb\ncc dd"), (2, "aa bb cc dd")], "doc_id long, text string"
+    )
+    stats = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    assert stats[1]["n_tokens"] == 4
+    assert stats[1]["avg_token_len"] == stats[2]["avg_token_len"] == 2.0

@@ -368,3 +368,17 @@ def test_to_dataframe_many_chunks_balanced_union(spark):
         default=0,
     )
     assert max_indent <= 64, max_indent
+
+
+def test_cursor_link_two_link_cycle_stops():
+    """ADVICE r05: a two-link cycle (A→B→A from a buggy or load-balanced
+    endpoint) must terminate like the self-loop stall — the guard tracks
+    ALL visited links, not just the immediate predecessor."""
+    book = {
+        "a": {"results": [1], "paging": {"next": {"link": "b"}}},
+        "b": {"results": [2], "paging": {"next": {"link": "a"}}},
+    }
+    t = make_transport(lambda u, p: book[u])
+    pages = list(rest.paginate_cursor_link(t, "a"))
+    assert pages == [[1], [2]]
+    assert len(t.calls) == 2  # each page fetched exactly once

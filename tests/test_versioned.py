@@ -986,3 +986,74 @@ def test_changes_between_skips_compaction_commits(spark, tmp_path):
     t.append(_df(spark, [(3, "c")]))
     delta = t.changes_between(v1)  # spans the compaction commit
     assert {r["k"] for r in delta.collect()} == {3}
+
+
+def test_prune_stats_string_column_utc_suffix_not_stripped():
+    """ADVICE r05: the legacy-stats '+00:00' strip must only apply when the
+    query bound is datetime-derived. A STRING column may legitimately hold
+    ISO strings ending in '+00:00'; stripping the stat would sort it below
+    an exact-match bound and wrongly prune the file (merge then silently
+    duplicates keys; delete misses rows)."""
+    import datetime
+
+    val = "2024-01-01T00:00:00+00:00"
+    stats = {"f1.parquet": {"ts_str": (val, val)}}
+    # exact-match STRING bound: the file must survive
+    kept = VersionedTable._prune_from_stats(stats, {"ts_str": (val, val)})
+    assert kept == ["f1.parquet"]
+    # datetime bound against a legacy tz-aware stat string: the strip DOES
+    # apply, so the naive-encoded bound still matches the file
+    dt = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    kept = VersionedTable._prune_from_stats(stats, {"ts_str": (dt, dt)})
+    assert kept == ["f1.parquet"]
+    # and a genuinely out-of-range datetime bound still prunes
+    lo = datetime.datetime(2030, 1, 1)
+    assert VersionedTable._prune_from_stats(stats, {"ts_str": (lo, None)}) == []
+
+
+def test_versioned_merge_upsert_null_keys_idempotent(spark, tmp_path):
+    """ADVICE r05: VersionedTable.merge_upsert must match NULL keys
+    null-safely like ParquetTable.merge_upsert — behind the auto-detecting
+    merge_table seam the two sinks must not diverge on idempotency."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    batch = spark.createDataFrame([(None, "x"), (1, "a")], "k long, v string")
+    t.merge_upsert(batch, keys=["k"])
+    t.merge_upsert(batch, keys=["k"])  # re-run: must be a no-op
+    rows = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert rows == {(None, "x"), (1, "a")}
+    # the NULL-key row is replaceable, not just deduped
+    t.merge_upsert(
+        spark.createDataFrame([(None, "y")], "k long, v string"), keys=["k"]
+    )
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {
+        (None, "y"), (1, "a"),
+    }
+
+
+def test_versioned_delete_matching_null_keys(spark, tmp_path):
+    """NULL-key delete requests must erase NULL-key rows (null-safe match,
+    pruning disabled when the request set carries a NULL)."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(None, "x"), (1, "a"), (2, "b")], "k long, v string")
+    )
+    n = t.delete_matching(
+        spark.createDataFrame([(None,)], "k long"), keys=["k"]
+    )
+    assert n == 1
+    assert {(r["k"], r["v"]) for r in t.read().collect()} == {(1, "a"), (2, "b")}
+
+
+def test_vacuum_sweeps_orphaned_checkpoint_temps(spark, tmp_path):
+    """ADVICE r05: a writer dying between json.dump and os.replace in
+    _write_checkpoint leaks '_tmp-cp-*' in the log dir forever — vacuum's
+    log-side sweep must cover every '_tmp-' temp class, not just
+    '_tmp-commit-*'."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    orphan_cp = os.path.join(t.log_path, "_tmp-cp-deadbeef")
+    open(orphan_cp, "w").write("{}")
+    deleted = t.vacuum(retain_versions=1, retention_sec=0.0)
+    assert "_tmp-cp-deadbeef" in deleted
+    assert not os.path.exists(orphan_cp)
+    assert t.read().count() == 1
