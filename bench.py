@@ -96,10 +96,17 @@ HEADLINE = [
 #: "value" stays the same 13-query total every prior round recorded —
 #: round-over-round comparability survives the set growing. Round 4 adds
 #: the real-codec video roundtrip (tracks mapInPandas codec throughput).
+#: Round 6 adds the three LLM-pipeline heavyweights (semantic dedup, DSIR
+#: importance weights, the composed curation pipeline) so the per-round
+#: driver record covers the 100 TB-relevant operators, not just the
+#: warehouse headline.
 EXTENDED = [
     "q21_waiting_suppliers",
     "x_sparse_cosine_pairs",
     "x_video_frames_roundtrip",
+    "x_semdedup",
+    "x_dsir_weights",
+    "x_curation_pipeline",
 ]
 
 

@@ -196,9 +196,24 @@ def ivf_topk(
     )
 
 
+def auto_n_cells(n_rows: int, floor: int = 4, cap: int = 1 << 18) -> int:
+    """Cells-grow-with-corpus rule: ≈ sqrt(N), floored and capped.
+
+    sqrt(N) balances the two per-query cost terms — centroid scan
+    (∝ n_cells) and probed-cell scan (∝ n_probe · N / n_cells) — the
+    standard IVF sizing (faiss guideline 4·sqrt(N)..16·sqrt(N) for
+    billion-scale; plain sqrt keeps cells ≥ ~sqrt(N) rows here, which is
+    what the small local fixtures need to stay non-degenerate). The cap
+    bounds the driver-resident centroid table (256 k cells × dim floats)
+    at a size that still broadcasts comfortably."""
+    import math
+
+    return max(floor, min(cap, int(round(math.sqrt(max(n_rows, 1))))))
+
+
 def kmeans_ivf_index(
     corpus: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     seed: int = 42,
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
@@ -209,7 +224,10 @@ def kmeans_ivf_index(
     """Fit IVF coarse cells with KMeans (pyspark.ml, Lloyd's over the
     cluster-parallel corpus) and return the corpus with a ``cell_col``
     assignment — the production replacement for `ivf_topk`'s per-label
-    centroid derivation.
+    centroid derivation. ``n_cells=None`` applies the
+    cells-grow-with-corpus rule (``auto_n_cells`` ≈ sqrt(N)) so the
+    index geometry scales with the table instead of being pinned at a
+    fixture size (measured trend: tools/ann_scale_trend.py → PERF.md).
 
     The fit is a few passes over the data (distributed; the model itself is
     tiny — n_cells × dim floats on the driver); the assignment pass is one
@@ -230,6 +248,11 @@ def kmeans_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_cells is None:
+        # cells-grow-with-corpus (see auto_n_cells): one count() — cheap
+        # against a stored index table, and the count is the same scan
+        # the KMeans fit is about to make anyway
+        n_cells = auto_n_cells(corpus.count())
     feats = corpus.withColumn("_fv", array_to_vector(F.col(vec_col)))
     # max_iter=8, not pyspark.ml's default 20: a coarse quantizer needs
     # roughly-balanced cells, not converged centers — recall is set by

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import schemas
-from ..ops.clean import array_head_field, money, strip_newlines
+from ..ops.clean import array_head_field, money, strip_newlines, strip_thousands
 from ..ops.keys import carry_forward_keys
 from ..ops.normalize import explode_with_parent, maps_to_json, struct_get
 from ..sinks.merge import ParquetTable, WatermarkStore
@@ -286,6 +286,117 @@ def lexoffice_invoice_items(
         keys=["invoice_id"],
         key_frame=details.select(F.col("id").alias("invoice_id")),
     )
+    return n
+
+
+def sheet_import_snapshot(
+    spark: SparkSession,
+    transport,
+    warehouse_path: str,
+    spreadsheet_id: str,
+    range_a1: str,
+    header_row: int = 0,
+    data_start: int | None = None,
+    data_end: int | None = None,
+    col_slice=None,
+    date_cols: dict[str, str] | None = None,
+    thousands_cols: list[str] | None = None,
+    renames: dict[str, str] | None = None,
+    select: list[str] | None = None,
+    fill_zero: bool = False,
+    api_base: str = "https://sheets.googleapis.com/v4/spreadsheets",
+    table_factory=None,
+) -> int:
+    """Sheets-import archetype: S10 sheet scan → declarative clean
+    (F4 locale dates / F5 thousands strip / rename / select) → K2
+    truncate-refresh. One pipeline covers the reference's whole
+    sheet-import family — ``dags/price-increase/import_bi_dev_ltv.py:35-105``
+    (header at row 375, data from 376, cols 0:7, '%d/%m/%Y' dates,
+    comma-stripped FTE columns, fillna(0), rename, WRITE_TRUNCATE) and
+    ``dags/key_accounts/active_orgs.py:25-39`` (header promotion +
+    straight truncate load) are two configs of this function, not two
+    DAG files.
+
+    All config is JSON-expressible, so every sheet import is CLI-runnable
+    (``$transport`` resolver for the API client). ``date_cols`` maps
+    column → Java datetime pattern (``{"year_month": "dd/MM/yyyy"}``);
+    parse failures coerce to NULL (the module's try_-everything contract —
+    a stray header fragment or 'n.a.' cell must not kill the nightly
+    load). ``thousands_cols`` strip ',' and cast double; with
+    ``fill_zero`` they default 0.0 (the reference's ``fillna(0)``).
+    Column names in the cleaning spec use the SANITIZED header names
+    (sheet_to_dataframe's identifier rules); ``renames`` then maps them
+    to warehouse names and ``select`` fixes the final column set/order.
+    Sheets are driver-sized by nature (≤ a few 10⁵ cells) — the fetch is
+    driver-side, everything after createDataFrame is distributed; at
+    100 TB warehouse scale this job's cost is the OVERWRITE commit, which
+    is O(sheet), not O(table)."""
+    from ..sources.sheets import sheet_source
+
+    df = sheet_source(
+        spark,
+        transport,
+        spreadsheet_id,
+        range_a1,
+        api_base=api_base,
+        header_row=header_row,
+        data_start=data_start,
+        data_end=data_end,
+        col_slice=tuple(col_slice) if col_slice is not None else None,
+    )
+    for col, fmt in (date_cols or {}).items():
+        df = df.withColumn(col, F.try_to_date(F.col(col), fmt))
+    for col in thousands_cols or []:
+        df = df.withColumn(col, strip_thousands(col).try_cast("double"))
+        if fill_zero:
+            df = df.withColumn(col, F.coalesce(F.col(col), F.lit(0.0)))
+    for old, new in (renames or {}).items():
+        df = df.withColumnRenamed(old, new)
+    if select:
+        df = df.select(*select)
+    n = df.count()  # count BEFORE the swap invalidates lineage
+    merge_table(spark, warehouse_path, table_factory).overwrite(df)
+    return n
+
+
+def hubspot_ticket_refresh(
+    spark: SparkSession,
+    transport: rest.Transport,
+    warehouse_path: str,
+    api_base: str = "https://api.example/crm/v3/objects/tickets",
+    table_factory=None,
+) -> int:
+    """HubSpot forward CRM ingest (``dags/hubspot/tickets/get_tickets.py:
+    43-104``): cursor-link scan (S5) over the tickets collection →
+    first-company association extraction (F21 — the reference's
+    ``r[0]['id']`` over ``associations.companies.results``) → K9
+    truncate load. The association extraction is a row-local
+    try_element_at (NULL-safe on tickets with no company, like the
+    reference's np.nan passthrough) — scan-speed, zero shuffle; the
+    table swap is atomic (WRITE_TRUNCATE equivalent without the
+    mid-load visibility window)."""
+    pages = rest.paginate_cursor_link(
+        transport,
+        api_base,
+        params={
+            "associations": "companies",
+            "properties": "createdate",
+            "limit": 100,
+            "archived": "false",
+        },
+        items_key="results",
+    )
+    raw = rest.to_dataframe(spark, pages, schemas.HUBSPOT_TICKET)
+    flat = raw.select(
+        F.col("id").alias("ticket_id"),
+        F.col("createdAt").alias("created_at"),
+        F.col("updatedAt").alias("updated_at"),
+        F.try_element_at(F.col("associations.companies.results"), F.lit(1))[
+            "id"
+        ].alias("company_id"),
+    )
+    n = flat.count()  # count BEFORE the swap invalidates lineage
+    merge_table(spark, warehouse_path, table_factory).overwrite(flat)
     return n
 
 

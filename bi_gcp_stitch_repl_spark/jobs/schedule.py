@@ -67,6 +67,21 @@ JOB_MANIFEST: dict[str, JobSpec] = {
         "history_capture", "0 6 * * *",
         "Invoice status change-history append",
     ),
+    "sheets_bi_dev_ltv": JobSpec(
+        "sheet_import_snapshot", "0 7 * * *",
+        "Sheet-import archetype: BI Dev LTV sheet slice -> clean -> "
+        "truncate-refresh (import_bi_dev_ltv.py config)",
+    ),
+    "sheets_active_orgs": JobSpec(
+        "sheet_import_snapshot", "15 7 * * *",
+        "Sheet-import archetype: key-accounts Active Orgs sheet -> "
+        "truncate-refresh (active_orgs.py config)",
+    ),
+    "hubspot_tickets": JobSpec(
+        "hubspot_ticket_refresh", "30 7 * * *",
+        "HubSpot tickets cursor scan + company-association extraction "
+        "-> truncate load",
+    ),
     "reverse_etl_company_status": JobSpec(
         "reverse_etl_company_status", "30 9 * * *",
         "Warehouse aggregates -> CRM batch update",

@@ -221,68 +221,47 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 #: Explicit catalog order. The external correctness driver checks the FIRST
-#: 50 registered queries only. Round-5 rotation policy (now pinned by
+#: 50 registered queries only. Round-6 rotation (policy pinned by
 #: tests/window_policy.py + test_layout.py — a changed query or library
-#: module without a window slot is a test FAILURE, not a verdict finding):
-#: 1. §2 spine + the LLM-core canary stay every round.
-#: 2. The two entries that never received a hard driver row
-#:    (x_approx_distinct — r01 predated its oracle; x_mjpeg_avi_roundtrip
-#:    — registered after the r04 freeze), plus every query ADDED this
-#:    round (seven: the four mid-round + x_dsir_weights, x_semdedup,
-#:    x_jl_project). After r05, all 143 registered queries have a
-#:    driver row (136 carried one from r01–r04; the additions get
-#:    theirs from this window).
-#: 3. Everything whose implementation changed since its freshest row:
-#:    the r04 tokenizer-change pair (x_decontaminate/x_curation_pipeline,
-#:    rows stale at r03) and this round's changes (IVF multi-probe +
-#:    0.8 recall gate; MinHash spread-scan plans; duplicate-cluster
-#:    label checkpoint; netpbm comment-skip fix; video stride-detection
-#:    fix).
-#: 4. Remaining slots rotate the STALEST families: all of the r01-last-row
-#:    group, then the oldest r02 entries. Rotated out: everything with a
-#:    fresh r03/r04 row (all covered by the per-round local oracle sweep).
+#: module without a window slot is a test FAILURE):
+#: 1. §2 spine + the LLM-core canary stay every round (8).
+#: 2. Changed this round (4): x_text_stats (avg_token_len now strips \s —
+#:    semantics change, both dialects in lockstep) with x_gopher_rules
+#:    rotated alongside per the r05 verdict; x_token_count as
+#:    functions/text.py's mapped canary; x_ivf_topk (corpus-derived
+#:    n_cells=sqrt(N) / n_probe=0.625·n_cells gate — VERDICT r05 #5,
+#:    also functions/similarity.py's canary). The other changed modules'
+#:    canaries (versioned.py → k1_merge_upsert; rest.py →
+#:    s4_keyset_increment + s7_detail_fanout) already sit in the spine.
+#: 3. The FULL r01/r02-stale rotation debt (21): every catalog entry
+#:    whose freshest driver row predates r03 — after r06 no entry's
+#:    freshest row is older than r03 (the r05 verdict's done-bar).
+#: 4. Remaining 17 slots: the oldest r03 cohort, §2 gates first.
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
     # §2 spine (7) + LLM canary (1)
     "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
     "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
     "f_string_clean_coerce", "x_dedup_exact",
-    # never-driver-verified (2)
-    "x_approx_distinct", "x_mjpeg_avi_roundtrip",
-    # changed after their freshest driver row (16, incl. the four
-    # mid-round additions x_semantic_decontaminate / x_hybrid_search_rrf
-    # / x_ccnet_buckets / x_token_budget_plan)
-    "x_decontaminate", "x_curation_pipeline",
-    "x_ivf_topk", "x_minhash_lsh_candidates", "x_dedup_near_survivors",
-    "x_dedup_clusters", "x_video_frames_roundtrip", "x_image_roundtrip_meta",
-    "x_source_overlap", "x_winnowing_fingerprints", "x_winnowing_pairs",
-    "x_simhash_pairs", "x_semantic_decontaminate", "x_hybrid_search_rrf",
-    "x_ccnet_buckets", "x_token_budget_plan",
-    # --- stalest rotation: last driver row r01 (20) ---
-    "x_funnel", "x_retention_cohorts", "x_active_users",
-    "x_dedup_normalized", "x_simhash", "x_lsh_cosine_buckets",
-    "x_embedding_quantize", "x_token_count",
-    "x_quality_score", "x_multimodal_meta",
-    "x_mixture_sample", "x_pack_sequences", "x_top_terms",
-    "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
-    "x_pii_redact",
-    # changed late in the round: bm25_scores moved to the module-wide
-    # tokenizer (x_hybrid_search_rrf already holds a slot above) and the
-    # end-of-round library review touched warehouse.py (doc-only) and
-    # rangejoin.py (input-validation guard) — their canaries take slots
-    # per the policy even though the catalog behavior is provably
-    # unchanged (both re-verified hash-exact locally). Displaces the
-    # x_fingerprint / x_embedding_norms / x_lang_id r01 rotations to r06
-    "x_bm25_topk", "s9_sql_scan", "x_range_join_density",
-    # --- new this round (3; every new query must hold a slot) ---
-    "x_dsir_weights", "x_semdedup", "x_jl_project",
-    # --- changed late in the round (1): ops/asof.py's one-sided-
-    # tiebreak ordering fix — its canary takes the final slot (the
-    # remaining r02-stale entries — n_flatten_serialize,
-    # a6_count_accounting, n_array_head_field, q8_market_share,
-    # a4_max_watermark, x_session_gaps, q7_volume_shipping — rotate in
-    # r06; changed code outranks stale rotation) ---
-    "x_asof_join",
+    # changed this round (4)
+    "x_text_stats", "x_gopher_rules", "x_token_count", "x_ivf_topk",
+    # --- rotation debt: freshest row r01 (3) ---
+    "x_embedding_norms", "x_fingerprint", "x_lang_id",
+    # --- rotation debt: freshest row r02 (18) ---
+    "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
+    "n_flatten_serialize", "q7_volume_shipping", "q8_market_share",
+    "st_session_windows", "st_tumbling_window", "w_latest_per_key",
+    "w_ntile_quartiles", "w_running_total", "w_topk_per_group",
+    "x_dq_report", "x_pivot_status_by_year", "x_scd2_intervals",
+    "x_session_gaps", "x_set_ops", "x_unpivot_status",
+    # --- stalest r03 cohort (17): §2 gates first ---
+    "a1_a2_distinct_dedup", "a3_conditional_rollup",
+    "a4_a6_watermark_accounting", "a5_first_wins_merge",
+    "f_date_functions", "f_timestamp_json", "j2_dim_enrichment",
+    "j3_j4_k7_history_delta", "j5_semi_join", "k8_reverse_etl_batches",
+    "n_explode_with_parent", "o1_order_limit_offset",
+    "p1_p2_project_rename", "p3_p4_p5_predicates", "p6_date_boundary",
+    "u2_vertical_concat", "q1_pricing_summary",
 ]
 
 

@@ -797,34 +797,42 @@ FROM (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0
 )
 def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search over KMeans coarse cells (functions.similarity.
-    kmeans_ivf_index + ivf_topk): each query scores only its 5 nearest of
-    8 cells — per-query cost corpus × n_probe/n_cells instead of corpus.
-    Queries = ONE BOUNDED BATCH (the 200 smallest of every-25th vector,
-    k=5): a query set that scaled with the corpus (the old bare %-25
-    slice) made total scored rows grow as corpus² — a real ANN service
-    answers fixed-size query batches, and the index cost model is
-    per-QUERY, so the gate's workload is a fixed batch too.
+    kmeans_ivf_index + ivf_topk) with CORPUS-DERIVED index geometry:
+    n_cells = auto_n_cells(N) ≈ sqrt(N) (22 at sf0.01, 45 at sf0.1) and
+    n_probe = ceil(0.625 · n_cells) — both scale with the table instead
+    of being pinned at a fixture size (VERDICT r05 #5). Queries = ONE
+    BOUNDED BATCH (the 200 smallest of every-25th vector, k=5): a query
+    set that scaled with the corpus made total scored rows grow as
+    corpus² — a real ANN service answers fixed-size query batches.
 
     Approximate by design, so the hash-checkable contract is a recall
     BOUND, not the hit list: the query recomputes the exact brute-force
     top-k for a FIXED 20-query audit subset (smallest query ids —
-    deterministic) and emits one row asserting mean recall@5 over the
-    audited set ≥ 0.8 at n_probe=5 (measured 0.91 at sf0.01 AND sf0.1
-    with random-init cells; n_probe=3 sat at 0.75-0.81, too close to a
-    0.8 bar — these
+    deterministic) and emits one row asserting mean recall@5 ≥ 0.8.
+    The 0.625 probe fraction is the measured scale-stable operating
+    point on this corpus: recall@5 at ~62% of sqrt(N) cells probed is
+    0.90 (sf0.01, 14/22 cells) and 0.92 (sf0.1, 28/45) — the same
+    recall the old pinned 5-of-8 config measured, because these
     near-uniform synthetic vectors are the hardest case for coarse
-    quantization, so 5/8 cells probed is the honest multi-probe
-    operating point, still 1.6× cheaper than the full scan and the
-    ratio widens as n_cells grows with corpus size). A recall
-    regression is a hard hash mismatch, not a silent quality drop.
-    The audit cost is 20 × corpus — CONSTANT in the query count, linear
-    in corpus — so it stays a rounding error at 100×; auditing every
-    query was the one O(queries×corpus) kernel left in the catalog.
-    Per-configuration recall curves are additionally pinned in
-    test_functions.py."""
-    from ..functions.similarity import cosine, ivf_topk, kmeans_ivf_index
+    quantization and recall tracks the probed-mass fraction, NOT the
+    absolute cell count (40%→0.81-0.82, 75%→0.94-0.97 at both scales;
+    /tmp-reproducible via tools/ann_scale_trend.py + the fixture sweep).
+    On realistic CLUSTERED corpora the same sqrt(N) rule needs only a
+    constant few probes: measured recall@5 = 1.000 at n_probe=5 (1.1%
+    of cells) on a 200 k-vector clustered corpus (PERF.md trend table).
+    A recall regression is a hard hash mismatch, not a silent quality
+    drop. The audit cost is 20 × corpus — constant in query count,
+    linear in corpus. Per-configuration recall curves are additionally
+    pinned in test_functions.py."""
+    import math
+
+    from ..functions.similarity import (
+        auto_n_cells, cosine, ivf_topk, kmeans_ivf_index,
+    )
 
     (emb,) = tables(spark, sf_dir, "embeddings")
+    n_cells = auto_n_cells(emb.count())
+    n_probe = math.ceil(0.625 * n_cells)
     # Materialize the assignment once: ivf_topk consumes `indexed` three
     # times (centroid derivation, query-side probes, corpus side), and
     # each use would otherwise re-run model.transform over the corpus.
@@ -836,7 +844,7 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # these near-uniform vectors, and drops the fit (the query's dominant
     # cost term) ~4x by skipping the k-means|| init passes.
     indexed = kmeans_ivf_index(
-        emb, n_cells=8, seed=42, max_iter=4, init_mode="random"
+        emb, n_cells=n_cells, seed=42, max_iter=4, init_mode="random"
     ).localCheckpoint(eager=True)
     queries = (
         indexed.filter(F.col("vec_id") % 25 == 0)
@@ -847,7 +855,7 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "query_id")
     )
     k = 5
-    ivf = ivf_topk(indexed, queries, k=k, n_probe=5, centroid_col="ivf_cell")
+    ivf = ivf_topk(indexed, queries, k=k, n_probe=n_probe, centroid_col="ivf_cell")
     audit_q = queries.orderBy("query_id").limit(20)
     q = audit_q.select("query_id", F.col("embedding").alias("qv"))
     # salted two-level top-k for the exact audit too: a bare window over

@@ -179,3 +179,34 @@ STRIPE_BALANCE_TXN = T.StructType(
         _f("created", L),  # epoch seconds
     ]
 )
+
+#: HubSpot CRM ticket with company associations (get_tickets.py:43-75).
+#: The association arrives as a nested results array; the pipeline keeps
+#: only the FIRST company id (the reference's r[0]['id'] extraction).
+HUBSPOT_TICKET = T.StructType(
+    [
+        _f("id", S, False),
+        _f("createdAt", S),
+        _f("updatedAt", S),
+        _f(
+            "associations",
+            T.StructType(
+                [
+                    _f(
+                        "companies",
+                        T.StructType(
+                            [
+                                _f(
+                                    "results",
+                                    T.ArrayType(
+                                        T.StructType([_f("id", S), _f("type", S)])
+                                    ),
+                                )
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        ),
+    ]
+)

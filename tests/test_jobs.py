@@ -955,6 +955,19 @@ def test_job_manifest_sweep_runs_every_entry(spark, tmp_path):
         )
         assert rows.count() == 1
 
+    def run_sheet_import_snapshot():
+        values = [["k", "v"], ["1", "a"]]
+        assert pipelines.sheet_import_snapshot(
+            spark, sheets_values_transport(values), str(tmp_path / "sheet"),
+            spreadsheet_id="s", range_a1="A",
+        ) == 1
+
+    def run_hubspot_ticket_refresh():
+        assert pipelines.hubspot_ticket_refresh(
+            spark, hubspot_ticket_transport([[_ticket(1, company=5)]]),
+            str(tmp_path / "hs"), api_base="p0",
+        ) == 1
+
     def run_incremental_summary_refresh():
         src = str(tmp_path / "src_vt")
         VersionedTable(spark, src).append(
@@ -1290,3 +1303,162 @@ def test_prepare_training_data_semantic_options_require_embeddings(spark, tmp_pa
         prepare_training_data(
             spark, docs, bench, str(tmp_path / "e2"), semdedup_threshold=0.9
         )
+
+
+# -- sheet-import + hubspot forward-ingest composed jobs (round 6) ----------
+
+
+def sheets_values_transport(values):
+    """Sheets v4 values.get fixture: any URL returns the one matrix."""
+    calls = []
+
+    def t(url, params):
+        calls.append((url, dict(params or {})))
+        return {"values": values}
+
+    t.calls = calls
+    return t
+
+
+def _ltv_values():
+    """Values matrix shaped like import_bi_dev_ltv.py's sheet: junk rows
+    above the header, the header itself, then data rows with locale dates
+    and thousands-separated numerics, plus a trailing column outside the
+    reference's 0:7 slice."""
+    junk = [["ignore"] * 8] * 3
+    header = [
+        "year-month", "Marketing other", "Marketing FTEs",
+        "Partnerships FTEs", "Sales FTEs (100%)", "Key Account FTEs",
+        "notes", "OUT-OF-SLICE",
+    ]
+    rows = [
+        ["19/01/2024", "1,250", "2", "0.5", "3", "1", "x", "zzz"],
+        ["20/01/2024", "980", "2,5", "", "3", "1", "y", "zzz"],
+    ]
+    return junk + [header] + [r + [""] for r in rows]
+
+
+def test_sheet_import_snapshot_ltv_archetype(spark, tmp_path):
+    """import_bi_dev_ltv.py:35-105 as one manifest config: header promotion
+    at depth, column slice, dd/MM/yyyy dates, thousands strip + fillna(0),
+    rename, select, truncate load."""
+    wh = str(tmp_path / "ltv")
+    n = pipelines.sheet_import_snapshot(
+        spark,
+        sheets_values_transport(_ltv_values()),
+        wh,
+        spreadsheet_id="sheet-1",
+        range_a1="BI Sheet",
+        header_row=3,
+        data_start=4,
+        col_slice=[0, 7],
+        date_cols={"year_month": "dd/MM/yyyy"},
+        thousands_cols=["Marketing_other", "Sales_FTEs__100__"],
+        fill_zero=True,
+        renames={
+            "Marketing_other": "marketing_other",
+            "Sales_FTEs__100__": "sales_ftes",
+        },
+        select=["year_month", "marketing_other", "sales_ftes"],
+    )
+    assert n == 2
+    rows = {str(r["year_month"]): r for r in read_merged(spark, wh).collect()}
+    assert set(rows) == {"2024-01-19", "2024-01-20"}
+    assert rows["2024-01-19"]["marketing_other"] == 1250.0
+    assert rows["2024-01-20"]["marketing_other"] == 980.0
+    assert rows["2024-01-19"]["sales_ftes"] == 3.0
+    assert read_merged(spark, wh).columns == [
+        "year_month", "marketing_other", "sales_ftes",
+    ]
+    # truncate-refresh semantics: a re-import with fewer rows REPLACES
+    smaller = _ltv_values()[:5]  # junk + header + first data row
+    n2 = pipelines.sheet_import_snapshot(
+        spark,
+        sheets_values_transport(smaller),
+        wh,
+        spreadsheet_id="sheet-1",
+        range_a1="BI Sheet",
+        header_row=3,
+        data_start=4,
+        col_slice=[0, 7],
+        date_cols={"year_month": "dd/MM/yyyy"},
+        thousands_cols=["Marketing_other", "Sales_FTEs__100__"],
+        fill_zero=True,
+        renames={
+            "Marketing_other": "marketing_other",
+            "Sales_FTEs__100__": "sales_ftes",
+        },
+        select=["year_month", "marketing_other", "sales_ftes"],
+    )
+    assert n2 == 1
+    assert read_merged(spark, wh).count() == 1
+
+
+def test_sheet_import_snapshot_active_orgs_archetype(spark, tmp_path):
+    """active_orgs.py:25-39: plain header promotion, no cleaning spec —
+    the minimal sheet→overwrite config."""
+    wh = str(tmp_path / "orgs")
+    values = [["org_id", "name"], ["1", "alpha"], ["2", "beta"]]
+    n = pipelines.sheet_import_snapshot(
+        spark,
+        sheets_values_transport(values),
+        wh,
+        spreadsheet_id="sheet-2",
+        range_a1="Active Orgs",
+    )
+    assert n == 2
+    got = sorted((r["org_id"], r["name"]) for r in read_merged(spark, wh).collect())
+    assert got == [("1", "alpha"), ("2", "beta")]
+
+
+def hubspot_ticket_transport(pages):
+    """Cursor-link protocol over a canned page list (get_tickets.py:43-59):
+    page i links to page i+1 via paging.next.link; the last page omits
+    paging."""
+    calls = []
+
+    def t(url, params):
+        calls.append((url, dict(params or {})))
+        idx = int(url[len("p"):]) if url.startswith("p") else 0
+        body = {"results": pages[idx]}
+        if idx + 1 < len(pages):
+            body["paging"] = {"next": {"link": f"p{idx + 1}"}}
+        return body
+
+    t.calls = calls
+    return t
+
+
+def _ticket(i, company=None):
+    t = {"id": str(i), "createdAt": f"2024-01-0{i}T00:00:00Z",
+         "updatedAt": f"2024-02-0{i}T00:00:00Z"}
+    if company is not None:
+        t["associations"] = {
+            "companies": {"results": [{"id": str(company), "type": "ticket_to_company"}]}
+        }
+    return t
+
+
+def test_hubspot_ticket_refresh(spark, tmp_path):
+    """get_tickets.py:43-104: cursor-link pagination, first-company
+    association extraction (NULL-safe for unassociated tickets), truncate
+    load, re-run replaces."""
+    wh = str(tmp_path / "tickets")
+    pages = [[_ticket(1, company=77), _ticket(2)], [_ticket(3, company=88)]]
+    n = pipelines.hubspot_ticket_refresh(
+        spark, hubspot_ticket_transport(pages), wh, api_base="p0"
+    )
+    assert n == 3
+    rows = {r["ticket_id"]: r for r in read_merged(spark, wh).collect()}
+    assert set(rows) == {"1", "2", "3"}
+    assert rows["1"]["company_id"] == "77"
+    assert rows["2"]["company_id"] is None  # no association -> NULL, not error
+    assert rows["3"]["company_id"] == "88"
+    assert rows["1"]["created_at"] == "2024-01-01T00:00:00Z"
+    # truncate semantics
+    n2 = pipelines.hubspot_ticket_refresh(
+        spark, hubspot_ticket_transport([[_ticket(9, company=1)]]), wh,
+        api_base="p0",
+    )
+    assert n2 == 1
+    assert {r["ticket_id"] for r in read_merged(spark, wh).collect()} == {"9"}

@@ -88,12 +88,13 @@ def test_compact_zorder_roundtrip(spark, tmp_path):
 
 def test_driver_window_covers_survey_gates():
     """The external correctness driver checks only the FIRST 50 registered
-    queries; this pins the round-5 window (catalog._PRIORITY): §2 spine +
-    LLM canary, the two entries with no driver row in any prior round,
-    everything changed since its freshest row, and the stalest-row
-    rotation (all r01-last-row entries + the oldest r02 ones). It
-    additionally proves the coverage-closure invariant: the union of the
-    r01-r04 driver windows and this window is the ENTIRE catalog."""
+    queries; this pins the round-6 window (catalog._PRIORITY): §2 spine +
+    LLM canary, the queries/modules changed this round, the FULL
+    r01/r02-stale rotation debt (after r06 no entry's freshest row is
+    older than r03 — the r05 verdict's done-bar), and the oldest r03
+    cohort. It additionally proves the coverage-closure invariant: the
+    union of the r01-r05 driver windows and this window is the ENTIRE
+    catalog."""
     import json
     import os
 
@@ -107,29 +108,27 @@ def test_driver_window_covers_survey_gates():
         "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
         "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
         "f_string_clean_coerce", "x_dedup_exact",
-        # never driver-verified before r05
-        "x_approx_distinct", "x_mjpeg_avi_roundtrip",
-        # changed after their freshest driver row
-        "x_decontaminate", "x_curation_pipeline", "x_ivf_topk",
-        "x_minhash_lsh_candidates", "x_dedup_near_survivors",
-        "x_dedup_clusters", "x_video_frames_roundtrip",
-        "x_image_roundtrip_meta", "x_source_overlap",
-        "x_winnowing_fingerprints", "x_winnowing_pairs", "x_simhash_pairs",
-        "x_semantic_decontaminate", "x_hybrid_search_rrf",
-        "x_ccnet_buckets", "x_token_budget_plan",
-        # stalest rotation: last driver row r01
-        "x_funnel", "x_retention_cohorts", "x_active_users",
-        "x_dedup_normalized", "x_simhash", "x_lsh_cosine_buckets",
-        "x_embedding_quantize", "x_token_count",
-        "x_quality_score", "x_multimodal_meta",
-        "x_mixture_sample", "x_pack_sequences", "x_top_terms",
-        "x_stratified_sample", "x_chunk_documents", "x_repetition_metrics",
-        "x_pii_redact",
-        # new this round (a new query always takes a slot)
-        "x_dsir_weights", "x_semdedup", "x_jl_project",
-        # changed late in the round (asof one-sided-tiebreak fix; bm25
-        # module-wide tokenizer; warehouse/rangejoin canaries)
-        "x_asof_join", "x_bm25_topk", "s9_sql_scan", "x_range_join_density",
+        # changed this round (avg_token_len \s fix + its verdict-paired
+        # twin; text.py canary; corpus-derived IVF gate geometry, also
+        # similarity.py's canary)
+        "x_text_stats", "x_gopher_rules", "x_token_count", "x_ivf_topk",
+        # rotation debt: freshest driver row r01
+        "x_embedding_norms", "x_fingerprint", "x_lang_id",
+        # rotation debt: freshest driver row r02
+        "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
+        "n_flatten_serialize", "q7_volume_shipping", "q8_market_share",
+        "st_session_windows", "st_tumbling_window", "w_latest_per_key",
+        "w_ntile_quartiles", "w_running_total", "w_topk_per_group",
+        "x_dq_report", "x_pivot_status_by_year", "x_scd2_intervals",
+        "x_session_gaps", "x_set_ops", "x_unpivot_status",
+        # stalest r03 cohort, §2 gates first
+        "a1_a2_distinct_dedup", "a3_conditional_rollup",
+        "a4_a6_watermark_accounting", "a5_first_wins_merge",
+        "f_date_functions", "f_timestamp_json", "j2_dim_enrichment",
+        "j3_j4_k7_history_delta", "j5_semi_join", "k8_reverse_etl_batches",
+        "n_explode_with_parent", "o1_order_limit_offset",
+        "p1_p2_project_rename", "p3_p4_p5_predicates", "p6_date_boundary",
+        "u2_vertical_concat", "q1_pricing_summary",
     }
     assert len(required) == 50
     missing = required - set(first50)
@@ -140,7 +139,7 @@ def test_driver_window_covers_survey_gates():
     # CORRECTNESS artifacts aren't present
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen = set(first50)
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -148,6 +147,24 @@ def test_driver_window_covers_survey_gates():
     if len(seen) > 50:  # artifacts were present
         never = [n for n in catalog.queries() if n not in seen]
         assert not never, f"queries with no driver row in any round: {never}"
+
+    # staleness closure (the r05 verdict's r06 done-bar): with this
+    # window counted as fresh, no catalog entry's freshest driver row
+    # predates r03
+    freshest: dict[str, int] = {}
+    for r in (1, 2, 3, 4, 5):
+        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                for name in json.load(f):
+                    freshest[name] = r
+    if freshest:
+        stale = [
+            n
+            for n in catalog.queries()
+            if freshest.get(n, 0) < 3 and n not in set(first50)
+        ]
+        assert not stale, f"pre-r03 rows left out of the window: {stale}"
 
 
 def test_spread_narrow_only_touches_narrow_scans(spark):

@@ -44,11 +44,13 @@ def main() -> None:
     k = args.k
 
     (emb,) = tables(spark, args.sf_dir, "embeddings")
-    # init_mode="random", max_iter=4 = the shipped x_ivf_topk
-    # configuration (r05) — the trend must measure the quantizer the
-    # driver gate actually runs, not a differently-converged one
+    # init_mode="random", max_iter=4, n_cells=auto sqrt(N) = the shipped
+    # x_ivf_topk configuration (r06) — the trend must measure the
+    # quantizer the driver gate actually runs, not a differently-
+    # converged one
+    n_cells = S.auto_n_cells(emb.count())
     indexed = S.kmeans_ivf_index(
-        emb, n_cells=8, seed=42, init_mode="random", max_iter=4
+        emb, n_cells=n_cells, seed=42, init_mode="random", max_iter=4
     ).localCheckpoint()
     queries = (
         indexed.filter(F.col("vec_id") % 25 == 0)
@@ -93,9 +95,15 @@ def main() -> None:
         return r
 
     print(f"sf_dir={args.sf_dir} k={k} corpus={emb.count()} queries=20")
-    for n_probe in (3, 4, 5, 6):
+    # probe FRACTIONS of the auto-sized cell count (the scale-stable
+    # knob; 0.625 is the shipped gate operating point)
+    for frac in (0.3, 0.4, 0.5, 0.625, 0.75):
+        n_probe = max(1, round(frac * n_cells))
         ivf = S.ivf_topk(indexed, queries, k=k, n_probe=n_probe, centroid_col="ivf_cell")
-        print(f"IVF n_cells=8 n_probe={n_probe}: recall@{k} = {recall(ivf):.3f}")
+        print(
+            f"IVF n_cells={n_cells} n_probe={n_probe} ({frac:.0%}): "
+            f"recall@{k} = {recall(ivf):.3f}"
+        )
     for n_planes in (2, 3, 4):
         lsh = S.lsh_bucket_topk(emb, queries, k=k, n_planes=n_planes)
         print(f"LSH n_planes={n_planes}: recall@{k} = {recall(lsh):.3f}")
