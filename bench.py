@@ -128,6 +128,34 @@ def run_query(spark, name: str, queries, sf_dir: str, iters: int = 2) -> float |
     return best
 
 
+def calibrate(spark) -> dict:
+    """Fixed-work host-speed probe, reported alongside the timings.
+
+    The bench host's effective MULTI-core throughput varies run-to-run
+    (shared-hypervisor contention: the same code measured 6.45 s and
+    8.63 s headline forty minutes apart on an idle guest, while a
+    single-thread Python loop stayed within 4%) — so absolute
+    round-over-round comparisons need a same-run yardstick. Two probes,
+    both deterministic fixed work: a 32-way Spark codegen sum (tracks
+    the parallel JVM throughput the queries actually see) and a
+    single-thread Python loop (tracks scalar speed). Divide headline by
+    ``spark_parallel_sec`` to compare across runs/hosts."""
+    t0 = time.time()
+    spark.range(0, 400_000_000, 1, 32).selectExpr(
+        "sum(id * 2 + 1) AS s"
+    ).collect()
+    spark_sec = time.time() - t0
+    t0 = time.time()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    py_sec = time.time() - t0
+    return {
+        "spark_parallel_sec": round(spark_sec, 3),
+        "py_single_sec": round(py_sec, 3),
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -162,6 +190,7 @@ def main() -> None:
         sec = run_query(spark, name, queries, bench_dir)
         extended[name] = round(sec, 3) if sec is not None else None
 
+    calib = calibrate(spark)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
     failed = [n for n, v in {**timings, **extended}.items() if v is None]
@@ -178,6 +207,7 @@ def main() -> None:
         "failed": failed,
         "sf": sf,
         "stage_sec": round(stage_sec, 3),
+        "calib": calib,
     }
     print(json.dumps(out))
 

@@ -687,7 +687,12 @@ def incremental_ann_ingest(
     O(1) versioned append — per-ingest cost is O(batch × n_cells), the
     corpus is never re-read or re-fit. Freezing the coarse quantizer after
     the first fit is standard IVF practice (FAISS trains once on a
-    sample); refit offline and rebuild if drift ever matters.
+    sample); refit offline and rebuild if drift ever matters. Size
+    ``n_cells`` for the EVENTUAL corpus (≈ sqrt(N_target),
+    ``similarity.auto_n_cells``), not the first batch — ``n_cells=None``
+    would auto-size against the first load only, which under-cells a
+    table that grows 100× past it (the offline-refit cadence is where
+    re-sizing belongs).
 
     Queries run ``functions.similarity.ivf_topk(index.read(), queries,
     centroid_col="ivf_cell")``; with ``n_probe=n_cells`` that reproduces

@@ -238,11 +238,18 @@ def paginate_cursor_link(
     retry = retry or RetryPolicy()
     next_url: str | None = url
     next_params = dict(params or {})
-    seen: set[str] = set()
+    # bounded memory on a months-long backfill (millions of pages): a
+    # real cycle revisits a RECENT link, so remembering the last 4096 is
+    # enough to break any plausible loop without holding every URL
+    from collections import OrderedDict
+
+    seen: OrderedDict[str, None] = OrderedDict()
     while next_url:
         u = next_url
         pp = next_params
-        seen.add(u)
+        seen[u] = None
+        if len(seen) > 4096:
+            seen.popitem(last=False)
         data = retry.call(lambda: transport(u, pp))
         yield _require_items(data, items_key, u)
         node: Any = data
