@@ -1,0 +1,136 @@
+"""Web-corpus preprocessing: HTML boilerplate extraction + URL canonicalization.
+
+The two row-local transforms every web-crawl training pipeline runs before
+any dedup/quality stage: turn raw HTML into clean text (drop script/style/
+comments/tags, decode entities, collapse whitespace) and collapse the many
+spellings of one web resource into a canonical URL (case, default port,
+``www.``, tracking params, fragments, param order) so URL-level dedup works.
+
+Both are built as SQL EXPRESSION STRINGS with a ``dialect`` switch
+('spark' | 'duck') so the catalog's DuckDB oracle runs the IDENTICAL
+pipeline — the only differences are engine spellings (regexp_replace's
+global flag, ``$1`` vs ``\\1`` group refs, array vs list function names).
+Everything is JVM-side regexp/string builtins: zero UDFs, zero shuffles —
+at 100 TB these run at scan speed inside WholeStageCodegen and the plan
+cost is the parquet read.
+
+Scope note (honest): this is the regex tier of HTML cleaning — the right
+shape for boilerplate stripping at scan speed, not a browser-grade parser
+(no malformed-tag recovery, no CSS visibility, no trafilatura-style main-
+content detection; those are per-document library calls behind a
+mapInPandas seam if ever needed). The regex tier is what C4's cleaning and
+most crawl pipelines' first pass actually use.
+
+Reference parity: the reference replicates SaaS APIs, not web crawls
+(SURVEY.md §0) — this is §7.6 LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+
+def _rr(e: str, pat: str, repl: str, dialect: str) -> str:
+    """regexp_replace in either dialect. ``pat`` is the RAW regex: Spark
+    SQL string literals eat one backslash level ('\\\\s' in SQL text),
+    DuckDB's don't; group refs are ``$1`` (Java) vs ``\\1`` (RE2)."""
+    if dialect == "spark":
+        p = pat.replace("\\", "\\\\")
+        r = repl.replace("\\", "$")  # \1 \2 group refs -> $1 $2 (Java)
+        return f"regexp_replace({e}, '{p}', '{r}')"
+    return f"regexp_replace({e}, '{pat}', '{repl}', 'g')"
+
+
+#: the five XML/HTML entities plus nbsp — decoded AFTER tag removal, with
+#: ``&amp;`` last so double-encoded text ('&amp;lt;') decodes one level per
+#: pass like real parsers do
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "''"),  # SQL-escaped single quote, both dialects
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_text_expr(col: str, dialect: str = "spark") -> str:
+    """SQL expression: visible text of an HTML document column.
+
+    Order is load-bearing: script/style bodies go FIRST as whole blocks
+    (their content may contain '<' '>' that are not markup), then
+    comments, then every remaining tag becomes a space (so adjacent block
+    elements don't weld words together), then entities decode, then
+    whitespace collapses. Each step is one vectorized regexp over the
+    row — the whole chain fuses into one codegen stage."""
+    e = col
+    e = _rr(e, r"(?s)<script[^>]*>.*?</script>", " ", dialect)
+    e = _rr(e, r"(?s)<style[^>]*>.*?</style>", " ", dialect)
+    e = _rr(e, r"(?s)<!--.*?-->", " ", dialect)
+    e = _rr(e, r"<[^>]+>", " ", dialect)
+    for ent, ch in _ENTITIES:
+        e = f"replace({e}, '{ent}', '{ch}')"
+    e = _rr(e, r"\s+", " ", dialect)
+    return f"trim({e})"
+
+
+def html_escape_expr(col: str) -> str:
+    """SQL expression: minimal HTML-escape of a text column (& < >) —
+    same spelling in both dialects; used to BUILD well-formed HTML from
+    plain text (the catalog's roundtrip construction)."""
+    return (
+        f"replace(replace(replace({col}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+
+
+#: tracking params dropped by canonicalization: the utm_* family + the
+#: bare click-ref params (the list every URL-normalizer ships; extend per
+#: deployment)
+_TRACKING_RE = r"^(utm_[^=]*|ref|fbclid|gclid)="
+
+
+def canonical_url_expr(col: str, dialect: str = "spark") -> str:
+    """SQL expression: canonical form of a URL column.
+
+    Steps (RFC 3986 normalization + the crawl-dedup conventions):
+    fragment off; scheme+authority lowercased (path/query case is
+    SIGNIFICANT and kept); default ports (:443 https, :80 http) off;
+    ``www.`` off; tracking params (utm_*/ref/fbclid/gclid) out; remaining
+    query params SORTED so param order doesn't split dup groups; empty
+    query and trailing path slash tidied.
+
+    All row-local string work — canonicalization itself never shuffles;
+    the downstream groupBy(canonical) is the one exchange URL-level dedup
+    fundamentally needs (hash-partition by the canonical key)."""
+    e = _rr(col, r"#.*$", "", dialect)  # fragment
+    # lowercase scheme://host[:port] only (path/query case kept). The
+    # textual repetition of cheap row-local regexes is fine — callers
+    # project the raw URL as a real column first so the EXPENSIVE part
+    # (URL construction / upstream chains) is never re-evaluated.
+    sh = f"regexp_extract({e}, '^([^/]*//[^/]*)', 1)"
+    e = f"concat(lower({sh}), substr({e}, length({sh}) + 1))"
+    # default ports: RE2 (duck oracle) has no lookahead — capture the
+    # delimiter (or end) and put it back
+    e = _rr(e, r"^(https://[^/:?]*):443([/?]|$)", r"\1\2", dialect)
+    e = _rr(e, r"^(http://[^/:?]*):80([/?]|$)", r"\1\2", dialect)
+    e = _rr(e, r"^([a-z]+://)www\.", r"\1", dialect)
+    # split off the query, filter tracking params, sort, rejoin
+    base = _rr(e, r"\?.*$", "", dialect)
+    base = _rr(base, r"/$", "", dialect)
+    q = f"regexp_extract({e}, '\\\\?(.*)$', 1)" if dialect == "spark" else (
+        f"regexp_extract({e}, '\\?(.*)$', 1)"
+    )
+    if dialect == "spark":
+        kept = (
+            f"array_join(array_sort(filter(split({q}, '&'),"
+            f" p -> p != '' AND NOT p rlike '{_TRACKING_RE}')), '&')"
+        )
+    else:
+        # coalesce: duck's array_to_string on an EMPTY list yields NULL
+        # (spark's array_join yields ''), and NULL would sail through the
+        # CASE below into a stray trailing '?'
+        kept = (
+            f"coalesce(array_to_string(list_sort(list_filter(string_split({q}, '&'),"
+            f" p -> p != '' AND NOT regexp_matches(p, '{_TRACKING_RE}'))), '&'), '')"
+        )
+    return (
+        f"concat({base}, CASE WHEN {kept} = '' THEN '' ELSE concat('?', {kept}) END)"
+    )

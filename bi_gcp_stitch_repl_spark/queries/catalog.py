@@ -236,15 +236,21 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 #: 3. The FULL r01/r02-stale rotation debt (21): every catalog entry
 #:    whose freshest driver row predates r03 — after r06 no entry's
 #:    freshest row is older than r03 (the r05 verdict's done-bar).
-#: 4. Remaining 17 slots: the oldest r03 cohort, §2 gates first.
+#: 4. Remaining slots: the oldest r03 cohort, §2 gates first (three of
+#:    its tail — p6_date_boundary, u2_vertical_concat, q1_pricing_summary,
+#:    all r03-fresh so the staleness bar is unaffected — gave their slots
+#:    to the three queries added this round).
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
     # §2 spine (7) + LLM canary (1)
     "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
     "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
     "f_string_clean_coerce", "x_dedup_exact",
-    # changed this round (4)
+    # changed this round (4) + NEW this round (3: the web-corpus front —
+    # bloom decontamination prefilter, HTML extraction, URL
+    # canonicalization; a new query's first round must hold a slot)
     "x_text_stats", "x_gopher_rules", "x_token_count", "x_ivf_topk",
+    "x_bloom_decontaminate", "x_html_extract", "x_url_canonicalize",
     # --- rotation debt: freshest row r01 (3) ---
     "x_embedding_norms", "x_fingerprint", "x_lang_id",
     # --- rotation debt: freshest row r02 (18) ---
@@ -260,8 +266,7 @@ _PRIORITY: list[str] = [
     "f_date_functions", "f_timestamp_json", "j2_dim_enrichment",
     "j3_j4_k7_history_delta", "j5_semi_join", "k8_reverse_etl_batches",
     "n_explode_with_parent", "o1_order_limit_offset",
-    "p1_p2_project_rename", "p3_p4_p5_predicates", "p6_date_boundary",
-    "u2_vertical_concat", "q1_pricing_summary",
+    "p1_p2_project_rename", "p3_p4_p5_predicates",
 ]
 
 
@@ -300,6 +305,7 @@ def _load_all() -> None:
         extensions,
         parity,
         relational_ext,
+        web,
         windows,
     )
 

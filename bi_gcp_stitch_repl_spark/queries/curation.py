@@ -173,6 +173,70 @@ def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_pos_duck(src: str) -> str:
+    """DuckDB twin of ``functions.bloom.bloom_positions``'s arithmetic:
+    double-hashed position for hash column ``h`` and series column ``i``
+    (m prime ⇒ the k positions of one gram are pairwise distinct)."""
+    from ..functions.bloom import BLOOM_M as M
+
+    return f"(({src} % {M}) + i * (1 + (({src} // {M}) % {M - 1}))) % {M}"
+
+
+def _bloom_oracle() -> str:
+    from ..functions.bloom import BLOOM_K as K
+
+    p = _bloom_pos_duck("h")
+    fold = _mixed_fold_duck("gram")
+    return f"""
+WITH {_GRAMS_DUCK},
+tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % {BENCH_MOD} <> 0),
+bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
+bh AS (SELECT {fold} AS h FROM bg),
+bp AS (SELECT DISTINCT {p} AS p
+       FROM bh CROSS JOIN generate_series(0, {K - 1}) AS gs(i)),
+th AS (SELECT doc_id, gram, {fold} AS h FROM tg),
+tp AS (SELECT doc_id, gram, {p} AS p
+       FROM th CROSS JOIN generate_series(0, {K - 1}) AS gs(i)),
+bloomhit AS (SELECT doc_id FROM tp JOIN bp USING (p)
+             GROUP BY doc_id, gram HAVING COUNT(*) = {K}),
+nb AS (SELECT doc_id, COUNT(*) AS n FROM bloomhit GROUP BY doc_id),
+ne AS (SELECT doc_id, COUNT(*) AS n FROM tg
+       WHERE gram IN (SELECT gram FROM bg) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(nb.n, 0) AS BIGINT) AS n_bloom_grams,
+       CAST(COALESCE(ne.n, 0) AS BIGINT) AS n_exact_grams,
+       COALESCE(nb.n, 0) > 0 AS bloom_flagged,
+       COALESCE(ne.n, 0) > 0 AS exact_flagged
+FROM documents d LEFT JOIN nb USING (doc_id) LEFT JOIN ne USING (doc_id)
+WHERE d.doc_id % {BENCH_MOD} <> 0
+"""
+
+
+@register("x_bloom_decontaminate", oracle=_bloom_oracle())
+def x_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prefilter (functions.bloom.
+    bloom_decontaminate): the benchmark's 8-grams collapse to an m-bit
+    filter — relationally, the ≤ m-row set of SET bit positions, safely
+    force-broadcast because its size is capped by m NO MATTER how the
+    bench side grows (the fixed-size replacement for x_decontaminate's
+    gram-string broadcast). Train grams probe k double-hashed positions
+    each (one portable 30-bit hash per gram supplies all k) and
+    ``count == k`` decides membership; corpus text never shuffles.
+    False positives are the m/k tradeoff — the query also runs the exact
+    gram semi-join as an in-result audit, so ``n_bloom_grams >=
+    n_exact_grams`` (superset invariant, pinned per row by the oracle)
+    and the realized FP mass is visible in the driver-hashed output.
+    Production at 100 TB runs only the bloom branch; the exact branch
+    here is the measurement, not the operator."""
+    from ..functions.bloom import bloom_decontaminate
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    docs = spread_narrow(docs, "doc_id")
+    train = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    return bloom_decontaminate(train, bench, n=NGRAM_N)
+
+
 MIX_RATES = {"src0": 80, "src1": 50, "src2": 25}
 MIX_DEFAULT = 60
 

@@ -1,0 +1,174 @@
+"""Web-corpus preprocessing queries: HTML extraction, URL canonicalization.
+
+The row-local front of a web-crawl training pipeline (functions.web),
+each as a catalog entry whose DuckDB oracle runs the IDENTICAL expression
+pipeline — the synthetic ``documents`` table has no raw HTML or URL
+column, so each query first CONSTRUCTS a deterministic instance per row
+(escaped text wrapped in boilerplate markup; a messy URL with mixed case,
+default port, tracking params, unstable param order and per-parity
+trailing-slash/param-order variants) and then runs the real operator on
+it. The construction is the fixture; the extraction/canonicalization
+chain is the surface under test, and the roundtrip/dup-group columns pin
+its semantics end to end.
+
+Determinism: pure string/regexp builtins and integer arithmetic — no
+floats, no nondeterministic functions; window dup-counts partition on the
+canonical key itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.web import canonical_url_expr, html_escape_expr, html_text_expr
+from .catalog import register, tables
+
+# --- shared fixture fragments (identical SQL text in both dialects) --------
+
+#: boilerplate HTML wrapped around each document's escaped text: script and
+#: style blocks whose bodies contain '<' '>' and a fake closing tag inside
+#: a JS string, a comment, entity-encoded title/heading pieces — the traps
+#: a naive single-regex tag strip gets wrong
+_HTML_BUILD = (
+    "concat('<html><head><title>T &amp; ', source, '</title>',"
+    " '<script type=\"text/javascript\">if (1 < 2 && 3 > 0)"
+    " {{ var s = \"</p>no\"; }}</script>',"
+    " '<style media=\"all\">p {{ content: \"<div>\"; }}</style>',"
+    " '</head><body><h1 class=\"h\">Doc &lt;', lang, '&gt; &#39;', source,"
+    " '&#39;</h1><!-- boilerplate comment --><p>', {esc}, '</p>',"
+    " '<div>footer &quot;fin&quot;&nbsp;end</div></body></html>')"
+).format(esc=html_escape_expr("text"))
+
+#: what the extractor must produce for the build above: title + heading +
+#: body text (whitespace-collapsed) + footer, entities decoded one level
+_HTML_EXPECTED = (
+    "concat('T & ', source, ' Doc <', lang, '> ''', source, ''' ',"
+    " trim({ws}), ' footer \"fin\" end')"
+)
+
+#: messy raw URL: uppercase scheme/host, www, explicit default port,
+#: tracking params (utm_*, ref), fragment — and PER-PARITY variants
+#: (trailing slash + swapped param order on even doc_ids) so one resource
+#: has two raw spellings that must collapse to one canonical form
+#: moduli sized so canonical dup GROUPS exist at the driver's sf0.01 scale
+#: (500 docs): the canonical key is (doc_id%3 host, doc_id%8 path,
+#: doc_id%10 id, doc_id%5 z) — lcm 120, so ~4 raw spellings per resource,
+#: and group members span BOTH parity variants (trailing slash + param
+#: order), so dup_count > 1 happens only because canonicalization unified
+#: genuinely different raw strings
+_URL_BUILD = (
+    "concat('HTTPS://WWW.EXAMPLE', cast(doc_id % 3 as string), '.COM:443/p/',"
+    " cast(doc_id % 8 as string),"
+    " CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,"
+    " '?utm_source=rss&utm_campaign=a',"
+    " CASE WHEN doc_id % 2 = 0"
+    "  THEN concat('&id=', cast(doc_id % 10 as string),"
+    "              '&z=', cast(doc_id % 5 as string))"
+    "  ELSE concat('&z=', cast(doc_id % 5 as string),"
+    "              '&id=', cast(doc_id % 10 as string)) END,"
+    " '&ref=', lang, '#s-', cast(doc_id as string))"
+)
+
+
+_EXPECTED_DUCK = _HTML_EXPECTED.format(
+    ws="regexp_replace(text, '\\s+', ' ', 'g')"
+)
+
+@register(
+    "x_html_extract",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, lang, source, text, {_HTML_BUILD} AS html FROM documents
+),
+cleaned AS (
+  SELECT doc_id, lang, source, text,
+         CAST(length(html) AS BIGINT) AS n_chars_html,
+         {html_text_expr("html", "duck")} AS clean_text
+  FROM raw
+)
+SELECT doc_id, n_chars_html, clean_text,
+       clean_text = {_EXPECTED_DUCK} AS roundtrip_ok
+FROM cleaned
+""",
+)
+def x_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (functions.web.html_text_expr): strip
+    script/style bodies as blocks, comments, every tag (as a word
+    boundary), decode the core entities one level, collapse whitespace.
+    Each row builds a deterministic HTML document around its escaped text
+    (the fixture carries the classic traps: '<' inside JS, a fake
+    '</p>' inside a JS string literal, markup inside CSS content) and
+    ``roundtrip_ok`` pins that extraction recovers exactly the expected
+    visible text. Row-local regexp builtins end to end — zero UDFs, zero
+    shuffles; at 100 TB this runs at parquet-scan speed inside one
+    codegen stage."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    # separate projections, NOT textual nesting: the extraction chain
+    # references its input several times, and Catalyst re-evaluates
+    # textual repetition but not a prior projection's column — html is
+    # built once, extracted once, compared once
+    raw = docs.select(
+        "doc_id", "lang", "source", "text", F.expr(_HTML_BUILD).alias("html")
+    )
+    cleaned = raw.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.length("html").cast("long").alias("n_chars_html"),
+        F.expr(html_text_expr("html", "spark")).alias("clean_text"),
+    )
+    expected = _HTML_EXPECTED.format(ws="regexp_replace(text, '\\\\s+', ' ')")
+    return cleaned.select(
+        "doc_id",
+        "n_chars_html",
+        "clean_text",
+        (F.col("clean_text") == F.expr(expected)).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "x_url_canonicalize",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_BUILD} AS url_raw FROM documents
+),
+canon AS (
+  SELECT doc_id, url_raw, {canonical_url_expr("url_raw", "duck")} AS url_canonical
+  FROM raw
+)
+SELECT doc_id, url_raw, url_canonical,
+       CAST(COUNT(*) OVER (PARTITION BY url_canonical) AS BIGINT) AS dup_count,
+       doc_id = MIN(doc_id) OVER (PARTITION BY url_canonical) AS is_kept
+FROM canon
+""",
+)
+def x_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (functions.web.
+    canonical_url_expr): lowercase scheme/authority, strip default port /
+    ``www.`` / fragment / tracking params, SORT surviving query params,
+    tidy trailing slash — then dedup on the canonical form (keep-first by
+    doc_id). The fixture builds two raw spellings per resource (trailing
+    slash + param order flip by doc_id parity) so dup groups are real:
+    ``dup_count`` > 1 rows exist only BECAUSE canonicalization unified
+    distinct raw strings. Canonicalization is row-local string work (zero
+    shuffle); the keep-first window partitions on the canonical key —
+    the one hash exchange URL dedup fundamentally needs at any scale."""
+    from pyspark.sql import Window
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.expr(_URL_BUILD).alias("url_raw"))
+    canon = raw.select(
+        "doc_id",
+        "url_raw",
+        F.expr(canonical_url_expr("url_raw", "spark")).alias("url_canonical"),
+    )
+    w = Window.partitionBy("url_canonical")
+    return canon.select(
+        "doc_id",
+        "url_raw",
+        "url_canonical",
+        F.count("*").over(w).cast("long").alias("dup_count"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
+    )

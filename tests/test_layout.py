@@ -112,6 +112,8 @@ def test_driver_window_covers_survey_gates():
         # twin; text.py canary; corpus-derived IVF gate geometry, also
         # similarity.py's canary)
         "x_text_stats", "x_gopher_rules", "x_token_count", "x_ivf_topk",
+        # NEW this round: web-corpus front (first driver rows)
+        "x_bloom_decontaminate", "x_html_extract", "x_url_canonicalize",
         # rotation debt: freshest driver row r01
         "x_embedding_norms", "x_fingerprint", "x_lang_id",
         # rotation debt: freshest driver row r02
@@ -127,8 +129,7 @@ def test_driver_window_covers_survey_gates():
         "f_date_functions", "f_timestamp_json", "j2_dim_enrichment",
         "j3_j4_k7_history_delta", "j5_semi_join", "k8_reverse_etl_batches",
         "n_explode_with_parent", "o1_order_limit_offset",
-        "p1_p2_project_rename", "p3_p4_p5_predicates", "p6_date_boundary",
-        "u2_vertical_concat", "q1_pricing_summary",
+        "p1_p2_project_rename", "p3_p4_p5_predicates",
     }
     assert len(required) == 50
     missing = required - set(first50)

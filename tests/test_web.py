@@ -1,0 +1,204 @@
+"""functions.bloom + functions.web unit coverage: the Bloom filter's
+set-theory invariants (incl. a forced-false-positive regime the catalog's
+production-sized filter never enters), and the HTML/URL expression
+builders' semantics with dual-dialect agreement."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bi_gcp_stitch_repl_spark.functions.bloom import (
+    BLOOM_K,
+    BLOOM_M,
+    bloom_bit_set,
+    bloom_decontaminate,
+    bloom_positions,
+)
+from bi_gcp_stitch_repl_spark.functions.web import (
+    canonical_url_expr,
+    html_escape_expr,
+    html_text_expr,
+)
+
+# --------------------------------------------------------------------------
+# bloom
+# --------------------------------------------------------------------------
+
+
+def test_bloom_positions_distinct_in_range(spark):
+    """m prime + double hashing ⇒ every gram probes exactly k pairwise
+    distinct positions in [0, m)."""
+    df = spark.createDataFrame(
+        [(f"gram number {i} with words",) for i in range(200)], "gram string"
+    )
+    rows = df.select(bloom_positions("gram").alias("p")).collect()
+    for (p,) in rows:
+        assert len(p) == BLOOM_K
+        assert len(set(p)) == BLOOM_K
+        assert all(0 <= x < BLOOM_M for x in p)
+
+
+def test_bloom_positions_deterministic(spark):
+    a = spark.createDataFrame([("the same gram",)], "gram string")
+    one = a.select(bloom_positions("gram")).collect()[0][0]
+    two = a.select(bloom_positions("gram")).collect()[0][0]
+    assert one == two
+
+
+def test_bloom_bit_set_bounded(spark):
+    """The filter is ≤ m rows no matter the bench size — with a tiny m
+    every position lands in [0, m) and the distinct set saturates."""
+    bench = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    bits = bloom_bit_set(bench, n=8, m=17, k=3)
+    vals = [r.p for r in bits.collect()]
+    assert len(vals) == len(set(vals)) <= 17
+    assert all(0 <= v < 17 for v in vals)
+
+
+def _docs(spark):
+    # doc 1 shares its 8-gram run with bench doc 100; docs 2/3 are clean
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    return (
+        spark.createDataFrame(
+            [
+                (1, "x " + bench_text + " y"),
+                (2, "one two three four five six seven eight nine"),
+                (3, "cold warm hot cool mild damp dry wet windy"),
+            ],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame([(100, bench_text)], "doc_id long, text string"),
+    )
+
+
+def test_bloom_decontaminate_exact_hits_always_flagged(spark):
+    """No false negatives: every exact-hit gram's positions are in the
+    filter by construction, at ANY m/k."""
+    train, bench = _docs(spark)
+    for m, k in [(BLOOM_M, BLOOM_K), (31, 2), (7, 2)]:
+        out = {r.doc_id: r for r in bloom_decontaminate(train, bench, m=m, k=k).collect()}
+        assert out[1].exact_flagged and out[1].bloom_flagged
+        assert out[1].n_bloom_grams >= out[1].n_exact_grams >= 1
+        # superset invariant row-by-row
+        assert all(r.n_bloom_grams >= r.n_exact_grams for r in out.values())
+
+
+def test_bloom_decontaminate_tiny_m_forces_false_positives(spark):
+    """In a deliberately saturated regime every clean doc bloom-flags
+    while staying exact-clean — the false-positive mechanism is real and
+    measured, not theoretical. Saturation is asserted first (the fixed
+    hash arithmetic fills all m=17 bits on this fixture), so the test is
+    deterministic, not probabilistic."""
+    train, _ = _docs(spark)
+    bench = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    assert bloom_bit_set(bench, n=8, m=17, k=2).count() == 17  # saturated
+    out = {
+        r.doc_id: r
+        for r in bloom_decontaminate(train, bench, m=17, k=2).collect()
+    }
+    # no train doc shares an 8-gram with the w-vocab bench…
+    assert not any(r.exact_flagged for r in out.values())
+    # …yet every gram probes only set bits: all docs are false positives
+    assert all(r.bloom_flagged for r in out.values())
+    # production-sized filter (m=BLOOM_M): the same docs pass clean
+    big = {r.doc_id: r for r in bloom_decontaminate(train, bench).collect()}
+    assert not any(r.bloom_flagged for r in big.values())
+
+
+def test_bloom_decontaminate_no_audit_branch(spark):
+    train, bench = _docs(spark)
+    out = {
+        r.doc_id: r
+        for r in bloom_decontaminate(train, bench, audit_exact=False).collect()
+    }
+    assert out[1].bloom_flagged and out[1].n_exact_grams == 0
+    assert not out[1].exact_flagged  # audit off: exact columns are inert zeros
+
+
+# --------------------------------------------------------------------------
+# web expressions — semantics + dual-dialect agreement
+# --------------------------------------------------------------------------
+
+_HTML_CASES = [
+    # (html, expected visible text)
+    ("<p>plain</p>", "plain"),
+    ("<p>a</p><p>b</p>", "a b"),  # tags become word boundaries
+    ('<script a="1">if (1 < 2) { var s = "</p>x"; }</script>ok', "ok"),
+    ("<style>p { content: '<div>'; }</style>ok", "ok"),
+    ("a<!-- hidden\nmulti-line -->b", "a b"),
+    ("&lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39;&nbsp;end",
+     "<tag> &amp; \"q\" 's' end"),  # one decode level only
+    ("  a \t\n  b  ", "a b"),
+]
+
+
+@pytest.mark.parametrize("html,expected", _HTML_CASES)
+def test_html_text_expr_semantics(spark, html, expected):
+    df = spark.createDataFrame([(html,)], "h string")
+    got = df.select(F.expr(html_text_expr("h", "spark")).alias("t")).collect()[0].t
+    assert got == expected
+
+
+_URL_CASES = [
+    ("HTTPS://WWW.EX.COM:443/A/B?b=2&a=1#frag", "https://ex.com/A/B?a=1&b=2"),
+    ("http://ex.com:80/", "http://ex.com"),
+    ("http://ex.com:8080/a", "http://ex.com:8080/a"),  # non-default port kept
+    ("https://ex.com/a/?utm_source=x&utm_medium=y&ref=z&fbclid=1&gclid=2",
+     "https://ex.com/a"),  # all-tracking query vanishes entirely
+    ("https://ex.com/a?", "https://ex.com/a"),
+    ("https://Sub.WWW.ex.com/P", "https://sub.www.ex.com/P"),  # www only at host START
+    ("https://ex.com/CaseKept?Q=V", "https://ex.com/CaseKept?Q=V"),
+]
+
+
+@pytest.mark.parametrize("raw,canon", _URL_CASES)
+def test_canonical_url_expr_semantics(spark, raw, canon):
+    df = spark.createDataFrame([(raw,)], "u string")
+    got = df.select(F.expr(canonical_url_expr("u", "spark")).alias("c")).collect()[0].c
+    assert got == canon
+
+
+def test_web_exprs_dialects_agree(spark):
+    """The duck dialect of every builder produces byte-identical results —
+    the property the catalog oracle rests on."""
+    con = duckdb.connect()
+    for html, _ in _HTML_CASES:
+        con.execute("CREATE OR REPLACE TABLE wt AS SELECT ? AS h", [html])
+        d = con.sql(f"SELECT {html_text_expr('h', 'duck')} FROM wt").fetchone()[0]
+        s = (
+            spark.createDataFrame([(html,)], "h string")
+            .select(F.expr(html_text_expr("h", "spark")))
+            .collect()[0][0]
+        )
+        assert d == s, html
+    for raw, _ in _URL_CASES:
+        con.execute("CREATE OR REPLACE TABLE wt AS SELECT ? AS u", [raw])
+        d = con.sql(
+            f"SELECT {canonical_url_expr('u', 'duck')} FROM wt"
+        ).fetchone()[0]
+        s = (
+            spark.createDataFrame([(raw,)], "u string")
+            .select(F.expr(canonical_url_expr("u", "spark")))
+            .collect()[0][0]
+        )
+        assert d == s, raw
+
+
+def test_html_escape_roundtrips_through_extract(spark):
+    """escape → wrap in markup → extract recovers the original text
+    (whitespace-collapsed), even when the text contains markup chars."""
+    nasty = 'a < b & c > d "quoted" <script>not code</script>'
+    df = spark.createDataFrame([(nasty,)], "text string")
+    wrapped = f"concat('<body><p>', {html_escape_expr('text')}, '</p></body>')"
+    got = df.select(
+        F.expr(html_text_expr(wrapped, "spark")).alias("t")
+    ).collect()[0].t
+    assert got == nasty

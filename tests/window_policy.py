@@ -39,6 +39,10 @@ LIB_CANARIES: dict[str, list[str]] = {
     "bi_gcp_stitch_repl_spark/functions/curation.py": [
         "x_decontaminate", "x_curation_pipeline",
     ],
+    "bi_gcp_stitch_repl_spark/functions/bloom.py": ["x_bloom_decontaminate"],
+    "bi_gcp_stitch_repl_spark/functions/web.py": [
+        "x_html_extract", "x_url_canonicalize",
+    ],
     "bi_gcp_stitch_repl_spark/functions/dedup.py": ["x_dedup_exact"],
     "bi_gcp_stitch_repl_spark/functions/text.py": ["x_token_count"],
     "bi_gcp_stitch_repl_spark/functions/similarity.py": ["x_ivf_topk"],
