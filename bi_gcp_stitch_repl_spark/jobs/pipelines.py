@@ -1278,3 +1278,89 @@ def prepare_training_data(
             "vocab_size": vocab.count(),
         }
     return out
+
+
+def prepare_web_corpus(
+    spark: SparkSession,
+    crawl: DataFrame,
+    bench: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decon_ngram: int = 8,
+    bloom_m: int | None = None,
+    bloom_k: int | None = None,
+) -> DataFrame:
+    """Web-crawl front end for ``prepare_training_data``: raw
+    ``(id, url, html)`` pages → deduped, extracted, decontaminated
+    ``(id, url_canonical, text)`` documents. Order is the 100 TB cost
+    model — each stage shrinks what the next one touches:
+
+    1. **URL canonicalization + keep-first dedup** (functions.web) runs
+       FIRST, on the url column alone: a re-crawl is dropped for the
+       price of one canonical-key exchange before its HTML is ever
+       parsed. NULL urls are never collapsed together (a per-row
+       fallback key keeps them all).
+    2. **HTML→text extraction** (functions.web.html_text_expr) on the
+       URL survivors only — row-local regexp chain, scan speed.
+    3. **Two-tier decontamination**: the Bloom prefilter
+       (functions.bloom, audit off — the production mode) flags
+       CANDIDATE docs against the bench gram filter at broadcast-int
+       cost over the whole corpus, then the exact gram semi-join
+       (functions.curation.decontaminate) re-checks ONLY the flagged
+       docs — the expensive gram-string comparison runs on the Bloom
+       survivors (exact hits + the tunable FP mass), not the corpus.
+       No false negatives (Bloom supersets exact), so the composition
+       drops exactly the verbatim-contaminated set.
+
+    The result feeds ``prepare_training_data`` (span dedup, quality,
+    optional semantic stages, vocab/encode, shard export) with
+    ``decon_ngram`` hits already removed — pass it a bench of the SAME
+    eval suite and its exact pass just confirms zero, or a different
+    suite to stack protections. Everything is one lazy plan; the only
+    exchanges are the canonical-key window and the per-doc gram counts.
+
+    ``bloom_m``/``bloom_k`` override the filter geometry (tests force a
+    tiny saturated filter to prove the FP path stays harmless)."""
+    from ..functions.bloom import BLOOM_K, BLOOM_M, bloom_decontaminate
+    from ..functions.curation import decontaminate
+    from ..functions.web import canonical_url_expr, html_text_expr
+
+    m = BLOOM_M if bloom_m is None else bloom_m
+    k = BLOOM_K if bloom_k is None else bloom_k
+    canon = crawl.withColumn(
+        "url_canonical", F.expr(canonical_url_expr(url_col, "spark"))
+    )
+    # NULL-safe dedup key: every NULL-url row keeps itself (one synthetic
+    # key per row) instead of all NULLs collapsing into one group
+    dedup_key = F.coalesce(
+        F.col("url_canonical"),
+        F.concat(F.lit("_nourl_"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(dedup_key).orderBy(id_col)
+    kept = (
+        canon.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    docs = kept.select(
+        id_col,
+        "url_canonical",
+        F.expr(html_text_expr(html_col, "spark")).alias(text_col),
+    )
+    candidates = (
+        bloom_decontaminate(
+            docs, bench, text_col=text_col, id_col=id_col,
+            n=decon_ngram, m=m, k=k, audit_exact=False,
+        )
+        .filter(F.col("bloom_flagged"))
+        .select(id_col)
+    )
+    flagged_docs = docs.join(candidates, id_col, "left_semi")
+    confirmed = (
+        decontaminate(flagged_docs, bench, id_col, text_col, decon_ngram)
+        .filter(F.col("contaminated"))
+        .select(id_col)
+    )
+    return docs.join(confirmed, id_col, "left_anti")

@@ -1462,3 +1462,70 @@ def test_hubspot_ticket_refresh(spark, tmp_path):
     )
     assert n2 == 1
     assert {r["ticket_id"] for r in read_merged(spark, wh).collect()} == {"9"}
+
+
+def _page(doc_id, url, text):
+    html = (
+        "<html><head><script>var a = 1 < 2;</script></head>"
+        f"<body><p>{text}</p><!-- nav --></body></html>"
+    )
+    return Row(doc_id=doc_id, url=url, html=html)
+
+
+_BENCH_GRAM = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def _crawl(spark):
+    return spark.createDataFrame(
+        [
+            _page(1, "HTTPS://WWW.SITE.COM:443/a/b/?utm_source=x&id=1&z=2#f",
+                  "fresh words about one topic kept intact here"),
+            # same RESOURCE as doc 1 in a different raw spelling: no port,
+            # no www, no slash, swapped param order — URL dedup must drop it
+            _page(2, "https://site.com/a/b?z=2&id=1",
+                  "a recrawl body that must never be parsed into the corpus"),
+            _page(3, "https://site.com/leak",
+                  "prefix " + _BENCH_GRAM + " suffix"),
+            _page(4, "https://other.com/ok",
+                  "nine clean tokens walk into a bar tonight again"),
+            _page(5, None, "first null url doc with its own words here"),
+            _page(6, None, "second null url doc must also survive dedup"),
+        ]
+    )
+
+
+def _bench(spark):
+    return spark.createDataFrame([Row(doc_id=100, text=_BENCH_GRAM)])
+
+
+def test_prepare_web_corpus_end_to_end(spark):
+    """URL dedup (cross-spelling), HTML extraction, two-tier bloom→exact
+    decontamination, NULL urls never collapsed."""
+    out = pipelines.prepare_web_corpus(spark, _crawl(spark), _bench(spark))
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 2 fell to URL dedup (same canonical resource as doc 1, lower id
+    # wins); doc 3 fell to decontamination; NULL-url docs BOTH survive
+    assert set(rows) == {1, 4, 5, 6}
+    assert rows[1].url_canonical == "https://site.com/a/b?id=1&z=2"
+    assert rows[1].text == "fresh words about one topic kept intact here"
+    assert rows[5].url_canonical is None and rows[6].url_canonical is None
+
+
+def test_prepare_web_corpus_bloom_false_positives_harmless(spark):
+    """With a deliberately SATURATED tiny filter every doc becomes a bloom
+    candidate — the exact tier still drops only the true hit, so filter
+    geometry tunes cost, never correctness."""
+    # pad the bench with enough vocab to set all 17 bits (saturation makes
+    # the test deterministic); the pad shares no 8-gram with any crawl doc
+    pad = spark.createDataFrame(
+        [Row(doc_id=200 + i, text=" ".join(f"w{i}x{j}" for j in range(12)))
+         for i in range(60)]
+    )
+    bench = _bench(spark).unionByName(pad)
+    from bi_gcp_stitch_repl_spark.functions.bloom import bloom_bit_set
+
+    assert bloom_bit_set(bench, n=8, m=17, k=2).count() == 17  # saturated
+    out = pipelines.prepare_web_corpus(
+        spark, _crawl(spark), bench, bloom_m=17, bloom_k=2
+    )
+    assert {r.doc_id for r in out.collect()} == {1, 4, 5, 6}
