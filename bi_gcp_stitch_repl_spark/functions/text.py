@@ -9,6 +9,13 @@ from pyspark.sql import functions as F
 
 TOKEN_SPLIT = "\\s+"
 
+#: Java regex ``\s`` spelled as an explicit class. Spark (Java) ``\s`` is
+#: exactly this set; RE2 (the DuckDB oracle dialect) ``\s`` LACKS \x0B —
+#: a vertical-tab-carrying document would make the two dialects disagree.
+#: Oracle SQL must use this class (or the per-query duck twin constants
+#: built from it) wherever the Spark side says ``\s``.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
 
 def tokens_expr(text_col: str) -> str:
     """Spark SQL: whitespace tokens of ``text_col`` with EMPTY TOKENS

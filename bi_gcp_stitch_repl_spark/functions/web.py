@@ -39,6 +39,15 @@ def _rr(e: str, pat: str, repl: str, dialect: str) -> str:
     return f"regexp_replace({e}, '{pat}', '{repl}', 'g')"
 
 
+def _let(expr: str, var: str, body: str, dialect: str) -> str:
+    """LET-bind ``expr`` as ``var`` inside ``body`` — the one-element
+    transform idiom (Spark SQL has no LET; an unbound repeated
+    subexpression is re-evaluated per textual reference)."""
+    if dialect == "spark":
+        return f"transform(array({expr}), {var} -> {body})[0]"
+    return f"list_transform([{expr}], {var} -> {body})[1]"
+
+
 #: the five XML/HTML entities plus nbsp — decoded AFTER tag removal, with
 #: ``&amp;`` last so double-encoded text ('&amp;lt;') decodes one level per
 #: pass like real parsers do
@@ -62,8 +71,11 @@ def html_text_expr(col: str, dialect: str = "spark") -> str:
     whitespace collapses. Each step is one vectorized regexp over the
     row — the whole chain fuses into one codegen stage."""
     e = col
-    e = _rr(e, r"(?s)<script[^>]*>.*?</script>", " ", dialect)
-    e = _rr(e, r"(?s)<style[^>]*>.*?</style>", " ", dialect)
+    # (?is): tag NAMES are case-insensitive in HTML — <SCRIPT>/<Style>
+    # blocks must strip as blocks too, or their bodies leak into the
+    # extracted corpus text (both Java regex and RE2 support (?is))
+    e = _rr(e, r"(?is)<script[^>]*>.*?</script>", " ", dialect)
+    e = _rr(e, r"(?is)<style[^>]*>.*?</style>", " ", dialect)
     e = _rr(e, r"(?s)<!--.*?-->", " ", dialect)
     e = _rr(e, r"<[^>]+>", " ", dialect)
     for ent, ch in _ENTITIES:
@@ -83,8 +95,10 @@ def html_escape_expr(col: str) -> str:
 
 #: tracking params dropped by canonicalization: the utm_* family + the
 #: bare click-ref params (the list every URL-normalizer ships; extend per
-#: deployment)
-_TRACKING_RE = r"^(utm_[^=]*|ref|fbclid|gclid)="
+#: deployment). (=|$): truncated/shared links carry these VALUELESS
+#: ('?utm_source&b=1') — a bare tracking param must strip too or the same
+#: resource splits into two dedup groups
+_TRACKING_RE = r"^(utm_[^=&]*|ref|fbclid|gclid)(=|$)"
 
 
 def canonical_url_expr(col: str, dialect: str = "spark") -> str:
@@ -99,12 +113,17 @@ def canonical_url_expr(col: str, dialect: str = "spark") -> str:
 
     All row-local string work — canonicalization itself never shuffles;
     the downstream groupBy(canonical) is the one exchange URL-level dedup
-    fundamentally needs (hash-partition by the canonical key)."""
+    fundamentally needs (hash-partition by the canonical key).
+
+    The rewritten URL and the surviving-params string are each LET-BOUND
+    through the one-element transform idiom (the repo's word_ngram_expr
+    lesson: Catalyst inlines textual repetition, so an unbound chain
+    would re-run the whole rewrite stack in each of its three downstream
+    references and the split/filter/sort twice)."""
     e = _rr(col, r"#.*$", "", dialect)  # fragment
-    # lowercase scheme://host[:port] only (path/query case kept). The
-    # textual repetition of cheap row-local regexes is fine — callers
-    # project the raw URL as a real column first so the EXPENSIVE part
-    # (URL construction / upstream chains) is never re-evaluated.
+    # lowercase scheme://host[:port] only (path/query case kept); _w
+    # below binds the finished rewrite, so these cheap regexes over the
+    # raw column are the only textually-repeated work
     sh = f"regexp_extract({e}, '^([^/]*//[^/]*)', 1)"
     e = f"concat(lower({sh}), substr({e}, length({sh}) + 1))"
     # default ports: RE2 (duck oracle) has no lookahead — capture the
@@ -112,11 +131,13 @@ def canonical_url_expr(col: str, dialect: str = "spark") -> str:
     e = _rr(e, r"^(https://[^/:?]*):443([/?]|$)", r"\1\2", dialect)
     e = _rr(e, r"^(http://[^/:?]*):80([/?]|$)", r"\1\2", dialect)
     e = _rr(e, r"^([a-z]+://)www\.", r"\1", dialect)
-    # split off the query, filter tracking params, sort, rejoin
-    base = _rr(e, r"\?.*$", "", dialect)
+    # below here everything reads the bound rewrite _w, never e
+    base = _rr("_w", r"\?.*$", "", dialect)
     base = _rr(base, r"/$", "", dialect)
-    q = f"regexp_extract({e}, '\\\\?(.*)$', 1)" if dialect == "spark" else (
-        f"regexp_extract({e}, '\\?(.*)$', 1)"
+    q = (
+        "regexp_extract(_w, '\\\\?(.*)$', 1)"
+        if dialect == "spark"
+        else "regexp_extract(_w, '\\?(.*)$', 1)"
     )
     if dialect == "spark":
         kept = (
@@ -131,6 +152,7 @@ def canonical_url_expr(col: str, dialect: str = "spark") -> str:
             f"coalesce(array_to_string(list_sort(list_filter(string_split({q}, '&'),"
             f" p -> p != '' AND NOT regexp_matches(p, '{_TRACKING_RE}'))), '&'), '')"
         )
-    return (
-        f"concat({base}, CASE WHEN {kept} = '' THEN '' ELSE concat('?', {kept}) END)"
+    body = (
+        f"concat({base}, CASE WHEN _q = '' THEN '' ELSE concat('?', _q) END)"
     )
+    return _let(e, "_w", _let(kept, "_q", body, dialect), dialect)

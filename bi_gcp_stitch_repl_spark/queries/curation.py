@@ -908,7 +908,14 @@ def _gopher_sql(duck: bool, table: str = "documents") -> str:
     expressions over the token/line arrays — scan-speed, zero shuffle.
     Dialect deltas: len/size, list_*/array lambdas, string_split names."""
     if duck:
-        words = "list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')"
+        # WS_CLASS, not RE2 '\s' (Java \s includes \x0B, RE2's does not)
+        from ..functions.text import WS_CLASS
+
+        words = (
+            "list_filter(string_split_regex(trim(text), '"
+            + WS_CLASS
+            + "+'), w -> w <> '')"
+        )
         lines = "string_split(text, chr(10))"
         size = "len"
         wl_sum = "list_sum(list_transform(words, w -> length(w)))"

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import WS_CLASS as _WS
 from .catalog import register, spread_narrow, tables
 
 P = 1_000_000_007
@@ -1067,13 +1068,15 @@ x_jl_project.__doc__ = x_jl_project.__doc__.format(din=JL_IN_DIM, k=JL_OUT_DIM)
 
 @register(
     "x_text_stats",
-    oracle="""
+    # WS_CLASS, not RE2 '\s': the Spark side's Java \s includes \x0B,
+    # RE2's does not — the oracle must spell the Java set explicitly
+    oracle=f"""
 SELECT doc_id,
-       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(trim(text), '{_WS}+'), t -> t <> '')) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_actual,
        CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
-       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-         / nullif(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0) AS avg_token_len
+       CAST(length(regexp_replace(text, '{_WS}', '', 'g')) AS DOUBLE)
+         / nullif(len(list_filter(string_split_regex(trim(text), '{_WS}+'), t -> t <> '')), 0) AS avg_token_len
 FROM documents
 """,
 )
@@ -1106,16 +1109,19 @@ def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: non-alnum glyph. Basic character classes only — Java regex (Spark) and
 #: RE2 (DuckDB) agree on these.
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+#: duck twin: the class-internal \s spelled as the explicit Java set
+#: (RE2's \s lacks \x0B — see functions.text.WS_CLASS)
+BPE_TOKEN_RE_DUCK = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9" + _WS[1:]
 
 
 @register(
     "x_token_count",
     oracle=f"""
 SELECT doc_id,
-       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_words,
-       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
-       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS DOUBLE)
-         / nullif(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')), 0) AS fertility
+       CAST(len(list_filter(string_split_regex(trim(text), '{_WS}+'), t -> t <> '')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE_DUCK}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE_DUCK}')) AS DOUBLE)
+         / nullif(len(list_filter(string_split_regex(trim(text), '{_WS}+'), t -> t <> '')), 0) AS fertility
 FROM documents
 """,
 )

@@ -133,6 +133,10 @@ _HTML_CASES = [
     ("<p>a</p><p>b</p>", "a b"),  # tags become word boundaries
     ('<script a="1">if (1 < 2) { var s = "</p>x"; }</script>ok', "ok"),
     ("<style>p { content: '<div>'; }</style>ok", "ok"),
+    # tag names are case-insensitive: uppercase blocks must strip as
+    # blocks, not leak their bodies as text
+    ("<SCRIPT>var x = 1;</SCRIPT>ok", "ok"),
+    ("<Style media='x'>p { color: red; }</STYLE>ok", "ok"),
     ("a<!-- hidden\nmulti-line -->b", "a b"),
     ("&lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39;&nbsp;end",
      "<tag> &amp; \"q\" 's' end"),  # one decode level only
@@ -156,6 +160,10 @@ _URL_CASES = [
     ("https://ex.com/a?", "https://ex.com/a"),
     ("https://Sub.WWW.ex.com/P", "https://sub.www.ex.com/P"),  # www only at host START
     ("https://ex.com/CaseKept?Q=V", "https://ex.com/CaseKept?Q=V"),
+    # VALUELESS tracking params (truncated/shared links) strip too…
+    ("https://ex.com/a?utm_source&b=1&fbclid", "https://ex.com/a?b=1"),
+    # …but params that merely START with a tracking name survive
+    ("https://ex.com/a?refresh=1&gclid_x=2", "https://ex.com/a?gclid_x=2&refresh=1"),
 ]
 
 
@@ -190,6 +198,33 @@ def test_web_exprs_dialects_agree(spark):
             .collect()[0][0]
         )
         assert d == s, raw
+
+
+def test_ws_class_dialect_parity_on_vertical_tab(spark):
+    """WS_CLASS exists because RE2's \\s lacks \\x0B while Java's has it:
+    on a vertical-tab document the explicit class keeps both engines
+    token- and strip-identical where a duck-side '\\s' would diverge."""
+    from bi_gcp_stitch_repl_spark.functions.text import WS_CLASS
+
+    txt = "a\x0bb c"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE wt AS SELECT ? AS text", [txt])
+    d_tokens, d_strip = con.sql(
+        f"SELECT len(list_filter(string_split_regex(trim(text), '{WS_CLASS}+'),"
+        f" t -> t <> '')), length(regexp_replace(text, '{WS_CLASS}', '', 'g'))"
+        " FROM wt"
+    ).fetchone()
+    # duck's own \s: the divergence this guards against
+    d_s = con.sql("SELECT length(regexp_replace(text, '\\s', '', 'g')) FROM wt").fetchone()[0]
+    df = spark.createDataFrame([(txt,)], "text string")
+    s_tokens = df.selectExpr(
+        "size(filter(split(trim(text), '\\\\s+'), t -> t <> ''))"
+    ).collect()[0][0]
+    s_strip = df.selectExpr(
+        "length(regexp_replace(text, '\\\\s', ''))"
+    ).collect()[0][0]
+    assert (d_tokens, d_strip) == (s_tokens, s_strip) == (3, 3)
+    assert d_s == 4  # RE2 \s left the \x0B in — the bug WS_CLASS closes
 
 
 def test_html_escape_roundtrips_through_extract(spark):
