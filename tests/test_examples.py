@@ -75,3 +75,24 @@ def test_submit_job_script_forwards_to_cli():
     )
     assert out.returncode == 0
     assert "bi_gcp_stitch_repl_spark.jobs" in out.stdout
+
+
+def test_web_pipeline_example_end_to_end(spark, tmp_path):
+    """The web-crawl example must run its whole chain: 240 crawled pages
+    (every resource fetched twice under different raw spellings) collapse
+    to 120 docs at the URL tier, the 3 benchmark-contaminated pages fall
+    to the two-tier decontamination, and shards export for every split."""
+    sys.path.insert(0, "examples")
+    try:
+        import web_pipeline
+    finally:
+        sys.path.pop(0)
+    stats = web_pipeline.run(str(tmp_path))
+    assert stats["crawled_pages"] == 240
+    assert stats["after_web_front"] == 117  # 120 resources - 3 contaminated
+    out = spark.read.parquet(str(tmp_path / "shards"))
+    assert {r.split for r in out.select("split").distinct().collect()} == {
+        "train",
+        "valid",
+        "test",
+    }
