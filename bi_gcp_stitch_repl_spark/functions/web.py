@@ -123,8 +123,11 @@ def canonical_url_expr(col: str, dialect: str = "spark") -> str:
     e = _rr(col, r"#.*$", "", dialect)  # fragment
     # lowercase scheme://host[:port] only (path/query case kept); _w
     # below binds the finished rewrite, so these cheap regexes over the
-    # raw column are the only textually-repeated work
-    sh = f"regexp_extract({e}, '^([^/]*//[^/]*)', 1)"
+    # raw column are the only textually-repeated work. The authority
+    # must stop at '/' AND '?': on a path-less URL ('http://ex.com?Q=V')
+    # a bare [^/]* would eat the query and lowercase it — caught by the
+    # idempotence property test
+    sh = f"regexp_extract({e}, '^([^/?#]*//[^/?#]*)', 1)"
     e = f"concat(lower({sh}), substr({e}, length({sh}) + 1))"
     # default ports: RE2 (duck oracle) has no lookahead — capture the
     # delimiter (or end) and put it back

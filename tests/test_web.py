@@ -164,6 +164,9 @@ _URL_CASES = [
     ("https://ex.com/a?utm_source&b=1&fbclid", "https://ex.com/a?b=1"),
     # …but params that merely START with a tracking name survive
     ("https://ex.com/a?refresh=1&gclid_x=2", "https://ex.com/a?gclid_x=2&refresh=1"),
+    # path-less URL with a query: authority lowercasing must stop at '?'
+    # (the idempotence property test's falsifying example)
+    ("http://EX.com?Q=V", "http://ex.com?Q=V"),
 ]
 
 
@@ -237,3 +240,94 @@ def test_html_escape_roundtrips_through_extract(spark):
         F.expr(html_text_expr(wrapped, "spark")).alias("t")
     ).collect()[0].t
     assert got == nasty
+
+
+# --------------------------------------------------------------------------
+# property tests (hypothesis)
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# whitespace restricted to Java's \s set (which extraction collapses);
+# includes the entity/markup metacharacters the escape must neutralize
+_TEXT_ALPHABET = " \t\n\r\x0b\x0cabcXYZ012.,;:!?&<>\"'#/=-"
+_texts = st.lists(
+    st.text(alphabet=_TEXT_ALPHABET, max_size=60), min_size=1, max_size=8
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts)
+def test_html_escape_wrap_extract_roundtrip_property(spark, texts):
+    """For ARBITRARY text over markup-hostile characters (raw & < > ' "
+    entity-lookalikes, every Java-\\s whitespace): escape → wrap in
+    markup → extract returns exactly the whitespace-collapsed text."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    wrapped = f"concat('<body><p>', {html_escape_expr('text')}, '</p></body>')"
+    got = {
+        r.i: r.t
+        for r in df.select("i", F.expr(html_text_expr(wrapped, "spark")).alias("t")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == " ".join(t.split()), repr(t)
+
+
+_url_parts = st.fixed_dictionaries(
+    {
+        "scheme": st.sampled_from(["http", "https"]),
+        "www": st.booleans(),
+        "host": st.sampled_from(["ex.com", "Ex.COM", "a-b.ex.com", "ex2.com"]),
+        "port": st.sampled_from(["", ":443", ":80", ":8080"]),
+        "path": st.lists(st.sampled_from(["a", "B", "c9"]), max_size=3),
+        "slash": st.booleans(),
+        "params": st.lists(
+            st.sampled_from(
+                ["id=1", "z=9", "utm_source=x", "ref", "fbclid=2", "Q=V", "utm_x", "b=2"]
+            ),
+            max_size=4,
+        ),
+        "frag": st.booleans(),
+    }
+)
+
+
+def _mk_url(p) -> str:
+    u = f"{p['scheme']}://{'www.' if p['www'] else ''}{p['host']}{p['port']}"
+    u += "/" + "/".join(p["path"])
+    if p["slash"] and p["path"]:
+        u += "/"
+    if p["params"]:
+        u += "?" + "&".join(p["params"])
+    if p["frag"]:
+        u += "#frag"
+    return u
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(parts=st.lists(_url_parts, min_size=1, max_size=8))
+def test_canonical_url_idempotent_and_dialect_equal_property(spark, parts):
+    """Canonicalization is IDEMPOTENT (canonical(canonical(u)) ==
+    canonical(u) — the property that makes re-runs and already-clean
+    inputs safe) and the duck dialect agrees byte-for-byte on arbitrary
+    scheme/www/port/path/param/fragment combinations."""
+    urls = [_mk_url(p) for p in parts]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, u string")
+    once = df.select("i", "u", F.expr(canonical_url_expr("u", "spark")).alias("c1"))
+    twice = once.select(
+        "i", "u", "c1", F.expr(canonical_url_expr("c1", "spark")).alias("c2")
+    ).collect()
+    con = duckdb.connect()
+    for r in twice:
+        assert r.c2 == r.c1, f"not idempotent: {r.u!r} -> {r.c1!r} -> {r.c2!r}"
+        con.execute("CREATE OR REPLACE TABLE wt AS SELECT ? AS u", [r.u])
+        d = con.sql(f"SELECT {canonical_url_expr('u', 'duck')} FROM wt").fetchone()[0]
+        assert d == r.c1, f"dialects disagree on {r.u!r}: {d!r} vs {r.c1!r}"
