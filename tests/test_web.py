@@ -331,3 +331,38 @@ def test_canonical_url_idempotent_and_dialect_equal_property(spark, parts):
         con.execute("CREATE OR REPLACE TABLE wt AS SELECT ? AS u", [r.u])
         d = con.sql(f"SELECT {canonical_url_expr('u', 'duck')} FROM wt").fetchone()[0]
         assert d == r.c1, f"dialects disagree on {r.u!r}: {d!r} vs {r.c1!r}"
+
+
+_words = st.lists(st.sampled_from([f"w{i}" for i in range(12)]), min_size=0, max_size=14)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    train_docs=st.lists(_words, min_size=1, max_size=5),
+    bench_docs=st.lists(_words, min_size=1, max_size=3),
+    m=st.sampled_from([7, 31, 131_071]),
+)
+def test_bloom_superset_and_no_false_negative_property(
+    spark, train_docs, bench_docs, m
+):
+    """For ARBITRARY word documents and any filter size: bloom counts
+    superset exact counts row-by-row, and exact-hit docs always
+    bloom-flag (no false negatives) — the pair of invariants the whole
+    prefilter composition rests on."""
+    train = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(train_docs)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, " ".join(ws)) for i, ws in enumerate(bench_docs)],
+        "doc_id long, text string",
+    )
+    out = bloom_decontaminate(train, bench, n=3, m=m, k=2).collect()
+    assert len(out) == len(train_docs)
+    for r in out:
+        assert r.n_bloom_grams >= r.n_exact_grams
+        assert (not r.exact_flagged) or r.bloom_flagged
