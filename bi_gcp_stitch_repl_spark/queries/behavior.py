@@ -308,7 +308,8 @@ SELECT c.event_id, c.user_id, c.ts,
               WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
                 AND p.es > c.es AND p.es <= c.es + {ATTR_WINDOW_US})
             AS BIGINT) AS n_conversions,
-       COALESCE((SELECT SUM(1.0 / t.n_touch) FROM (
+       COALESCE((SELECT CAST(SUM(CAST(floor(1000000000000.0 / t.n_touch) AS BIGINT)) AS DOUBLE)
+                        / 1000000000000.0 FROM (
            SELECT p.es,
                   (SELECT COUNT(*) FROM ev c2
                     WHERE c2.user_id = p.user_id AND c2.event_type = 'click'
@@ -335,9 +336,12 @@ def x_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
        following hour via a (now, +W] RANGE frame.
 
     The oracle is the textbook doubly-correlated form — O(|events|²) per
-    user — that these two frames replace. Window sums of 1/n are IEEE
-    adds in frame order (ts, event_id — total), deterministic. Events
-    outside {{click, purchase}} are filtered at the scan."""
+    user — that these two frames replace. Credit shares are FIXED-POINT
+    picoshares (floor(1e12/n_touch)) summed as BIGINT, so the frame sum
+    is order-insensitive — a RANGE frame can't carry a (ts, event_id)
+    total order, and same-microsecond peers would otherwise make an IEEE
+    double sum ulp-unstable. Events outside {{click, purchase}} are
+    filtered at the scan."""
     from pyspark.sql import Window
 
     (e,) = tables(spark, sf_dir, "events")
@@ -375,13 +379,23 @@ def x_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("es")
         .rangeBetween(1, ATTR_WINDOW_SEC * 1_000_000)  # strictly after, within W
     )
-    conv_share = F.when(
+    # FIXED-POINT credit share (picoshares: floor(1e12 / n_touch), a pure
+    # per-VALUE function), so the frame sum is exact BIGINT arithmetic —
+    # order-INSENSITIVE. A double 1/n_touch summed by the RANGE frame
+    # would accumulate in partition-sort order, and same-microsecond
+    # peers have no defined relative order (a RANGE frame cannot carry a
+    # (ts, event_id) total order), so ties would make the IEEE sum
+    # ulp-unstable across runs. Overflow headroom: ≤ ~1e6 conversions
+    # per frame × 1e12 ≪ 2^63.
+    conv_share_fp = F.when(
         (F.col("event_type") == "purchase") & (F.col("n_touch") > 0),
-        F.lit(1.0) / F.col("n_touch"),
+        F.floor(F.lit(1_000_000_000_000.0) / F.col("n_touch")),
     )
     conv_flag = (F.col("event_type") == "purchase").cast("long")
     stage2 = stage1.withColumn(
-        "credit", F.coalesce(F.sum(conv_share).over(w_fwd), F.lit(0.0))
+        "credit",
+        F.coalesce(F.sum(conv_share_fp).over(w_fwd), F.lit(0)).cast("double")
+        / F.lit(1_000_000_000_000.0),
     ).withColumn(
         "n_conversions", F.coalesce(F.sum(conv_flag).over(w_fwd), F.lit(0))
     )

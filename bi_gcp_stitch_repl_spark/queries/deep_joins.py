@@ -196,7 +196,7 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE p.p_type = 'LARGE'
   AND o.best_price = (SELECT MIN(o2.best_price) FROM offers o2
                       WHERE o2.l_partkey = o.l_partkey)
-ORDER BY best_price, p.p_name, s.s_name LIMIT 100
+ORDER BY best_price, p.p_name, s.s_name, o.l_partkey, o.l_suppkey LIMIT 100
 """,
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,20 +207,26 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the offer aggregate instead of a per-row rescan, the rewrite every
     optimizer (and this plan, explicitly) performs. The p_type='LARGE'
     restriction is PUSHED BELOW the offer aggregation as a semi-join on
-    the broadcast LARGE-part keys: the window partitions by l_partkey
-    and p_type is a per-part attribute, so filtering first is
+    the LARGE-part keys (AQE-broadcast while small; part scales with SF,
+    so no forced hint — the q7/q8 rule): the window partitions by
+    l_partkey and p_type is a per-part attribute, so filtering first is
     result-identical while both fact-sized shuffles (the groupBy and
     the window) shrink by the type's selectivity — aggregating the full
     offer book only to discard non-LARGE parts afterwards wastes both.
-    Dimension joins broadcast; ties on the price floor all survive, so
+    Only fixed-size nation keeps a broadcast hint; ties on the price
+    floor all survive with a (partkey, suppkey) total tiebreaker, so
     no arbitrary min_by pick and the result is deterministic."""
     from pyspark.sql import Window
 
     l, p, s, n = tables(spark, sf_dir, "lineitem", "part", "supplier", "nation")
     large_parts = p.filter(F.col("p_type") == "LARGE")
+    # part/supplier sides scale with SF — no forced broadcast hint (the
+    # q7/q8 discipline: a hint on a growing side bypasses the size check
+    # and aborts at the broadcast limit at 100 TB; AQE still broadcasts
+    # them while they actually fit). Only fixed-size nation keeps a hint.
     offers = (
         l.join(
-            F.broadcast(large_parts.select("p_partkey")),
+            large_parts.select("p_partkey"),
             l.l_partkey == F.col("p_partkey"),
             "left_semi",
         )
@@ -236,17 +242,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part_floor", F.min("best_price").over(floor)
     ).filter(F.col("best_price") == F.col("part_floor"))
     return (
-        best.join(F.broadcast(large_parts), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(large_parts, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "p_name",
             "s_name",
             F.col("n_name").alias("supp_nation"),
             F.col("best_price").cast("double").alias("best_price"),
+            # carried ONLY as tiebreakers: (best_price, p_name, s_name)
+            # is not a total order — p_name/s_name are non-unique, so a
+            # duplicate triple straddling rank 100 would make the LIMIT
+            # pick engine-dependent rows (catalog unique-tiebreaker rule)
+            "l_partkey",
+            "l_suppkey",
         )
-        .orderBy("best_price", "p_name", "s_name")
+        .orderBy("best_price", "p_name", "s_name", "l_partkey", "l_suppkey")
         .limit(100)
+        .drop("l_partkey", "l_suppkey")
     )
 
 
@@ -318,10 +331,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(p.filter(F.col("p_name").like("%widget%"))),
+            # widget-filtered, but still ∝ SF — unhinted (q7/q8 rule)
+            p.filter(F.col("p_name").like("%widget%")),
             l.l_partkey == p.p_partkey,
         )
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("supp_nation"),
@@ -446,7 +460,7 @@ def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l, s, n = tables(spark, sf_dir, "lineitem", "supplier", "nation")
     nat_rev = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)  # supplier ∝ SF: unhinted
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("supp_nation"))
         .agg(F.sum(_rev_spark()).alias("revenue"))
@@ -605,7 +619,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))  # part ∝ SF: unhinted
         .agg(
             (
                 F.lit(100.0)
@@ -654,7 +668,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = rev.withColumn(
         "max_rev", F.max("total_rev").over(Window.partitionBy())
     ).filter(F.col("total_rev") == F.col("max_rev"))
-    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+    # supplier ∝ SF: unhinted (q7/q8 rule); AQE broadcasts while it fits
+    return best.join(s, best.l_suppkey == s.s_suppkey).select(
         "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
     )
 
@@ -686,8 +701,9 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        l.join(F.broadcast(excluded), l.l_suppkey == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p_f), F.col("l_partkey") == F.col("p_partkey"))
+        # both sides ∝ SF (supplier subset, filtered part): unhinted
+        l.join(excluded, l.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(p_f, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -717,7 +733,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l, p = tables(spark, sf_dir, "lineitem", "part")
     p_f = p.filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
-    joined = l.join(F.broadcast(p_f), l.l_partkey == p.p_partkey)
+    joined = l.join(p_f, l.l_partkey == p.p_partkey)  # filtered part ∝ SF: unhinted
     avg_qty = F.avg("l_quantity").over(Window.partitionBy("l_partkey"))
     return (
         joined.withColumn("avg_qty", avg_qty)
@@ -762,7 +778,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
     )
     return (
-        l_f.join(F.broadcast(p_f), F.col("l_partkey") == F.col("p_partkey"))
+        l_f.join(p_f, F.col("l_partkey") == F.col("p_partkey"))  # part ∝ SF: unhinted
         .filter(
             branch("Brand#12", 15, 1, 11)
             | branch("Brand#23", 25, 10, 20)
@@ -829,7 +845,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdict.filter(
             (F.col("late_rows") > 0) & (F.col("nsupp") >= 2) & (F.col("nlate") == 1)
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))  # supplier ∝ SF: unhinted
         .groupBy("s_name")
         .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -1022,10 +1038,11 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dominant.join(
-            F.broadcast(p.filter(F.col("p_type") == "SMALL")),
+            # SMALL-filtered, but still ∝ SF — unhinted (q7/q8 rule)
+            p.filter(F.col("p_type") == "SMALL"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))  # supplier ∝ SF: unhinted
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name", F.col("n_name").alias("supp_nation"))
         .agg(F.count(F.lit(1)).alias("n_dominated_parts"))

@@ -96,10 +96,13 @@ def x_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = o.filter(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
     earlier = o.filter(F.col("o_orderdate") < cut).select("o_custkey").distinct()
     lit = lambda s: F.lit(s).alias("cohort")  # noqa: E731
+    # subtract = EXCEPT (distinct), matching the documented set-typed
+    # contract directly; exceptAll would only be equivalent while the
+    # inputs stay pre-distinct, a refactor-fragile coincidence
     return (
         active.intersect(earlier).select(lit("retained"), "o_custkey")
-        .unionByName(active.exceptAll(earlier).select(lit("new"), "o_custkey"))
-        .unionByName(earlier.exceptAll(active).select(lit("churned"), "o_custkey"))
+        .unionByName(active.subtract(earlier).select(lit("new"), "o_custkey"))
+        .unionByName(earlier.subtract(active).select(lit("churned"), "o_custkey"))
     )
 
 

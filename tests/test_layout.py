@@ -114,6 +114,13 @@ def test_driver_window_covers_survey_gates():
         "x_text_stats", "x_gopher_rules", "x_token_count", "x_ivf_topk",
         # NEW this round: web-corpus front (first driver rows)
         "x_bloom_decontaminate", "x_html_extract", "x_url_canonicalize",
+        # changed late-round (review batch: SF-scaled broadcast unhints,
+        # q2 total tiebreaker, fixed-point attribution credit)
+        "q2_min_cost_supplier", "q9_product_profit",
+        "q11_revenue_concentration", "q14_promo_share", "q15_top_supplier",
+        "q16_supplier_variety", "q17_small_quantity_revenue",
+        "q19_disjunctive_predicates", "q20_dominant_suppliers",
+        "q21_waiting_suppliers", "x_linear_attribution",
         # rotation debt: freshest driver row r01
         "x_embedding_norms", "x_fingerprint", "x_lang_id",
         # rotation debt: freshest driver row r02
@@ -123,13 +130,9 @@ def test_driver_window_covers_survey_gates():
         "w_ntile_quartiles", "w_running_total", "w_topk_per_group",
         "x_dq_report", "x_pivot_status_by_year", "x_scd2_intervals",
         "x_session_gaps", "x_set_ops", "x_unpivot_status",
-        # stalest r03 cohort, §2 gates first
-        "a1_a2_distinct_dedup", "a3_conditional_rollup",
-        "a4_a6_watermark_accounting", "a5_first_wins_merge",
-        "f_date_functions", "f_timestamp_json", "j2_dim_enrichment",
-        "j3_j4_k7_history_delta", "j5_semi_join", "k8_reverse_etl_batches",
-        "n_explode_with_parent", "o1_order_limit_offset",
-        "p1_p2_project_rename", "p3_p4_p5_predicates",
+        # stalest r03 cohort: the slots the review batch left
+        "a1_a2_distinct_dedup", "j3_j4_k7_history_delta",
+        "k8_reverse_etl_batches",
     }
     assert len(required) == 50
     missing = required - set(first50)
