@@ -261,6 +261,11 @@ _PRIORITY: list[str] = [
     "q14_promo_share", "q15_top_supplier", "q16_supplier_variety",
     "q17_small_quantity_revenue", "q19_disjunctive_predicates",
     "q20_dominant_suppliers", "q21_waiting_suppliers", "x_linear_attribution",
+    # changed late-round batch 2: the MinHash-LSH family's empty-gram-set
+    # guard (short docs can't be candidates; the unguarded fold's init
+    # sentinel gave every <5-char doc the SAME band signature on the
+    # Spark side and NULL on the oracle side)
+    "x_minhash_lsh_candidates", "x_dedup_near_survivors", "x_dedup_clusters",
     # --- rotation debt: freshest row r01 (3) ---
     "x_embedding_norms", "x_fingerprint", "x_lang_id",
     # --- rotation debt: freshest row r02 (18) ---
@@ -270,9 +275,8 @@ _PRIORITY: list[str] = [
     "w_ntile_quartiles", "w_running_total", "w_topk_per_group",
     "x_dq_report", "x_pivot_status_by_year", "x_scd2_intervals",
     "x_session_gaps", "x_set_ops", "x_unpivot_status",
-    # --- stalest r03 cohort: the three slots the late-round review batch
-    # left (the displaced entries stay r03-fresh — bar unaffected) ---
-    "a1_a2_distinct_dedup", "j3_j4_k7_history_delta", "k8_reverse_etl_batches",
+    # (the r03 cohort's last three slots went to late-round batch 2; every
+    # displaced entry stays r03-fresh, so the staleness bar is unaffected)
 ]
 
 

@@ -377,6 +377,7 @@ def _minhash_lsh_duck_ctes() -> str:
   SELECT doc_id,
          {mh_exprs}
   FROM hs
+  WHERE len(hs) > 0
 ), bands AS (
   SELECT doc_id, band, sig FROM sig,
   LATERAL (VALUES
@@ -404,6 +405,13 @@ def _minhash_candidates(docs: DataFrame) -> DataFrame:
     docs = spread_narrow(docs.select("doc_id", "text"), "doc_id")
     cp = docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs"))
     hs = cp.select("doc_id", F.expr(GRAM_HASHES_SPARK).alias("hs"))
+    # a <5-char doc has NO 5-gram shingles — it cannot be a near-dup
+    # candidate. Without this filter the signature fold returns its init
+    # sentinel [P,P,...] for empty gram sets, giving every short doc the
+    # SAME band signature: m short docs emit ~m²/2 bogus candidate pairs
+    # (and the oracle's list_min([]) is NULL → zero pairs — a hard
+    # cross-engine divergence). The duck CTE applies the same guard.
+    hs = hs.filter(F.size("hs") > 0)
     sig = _minhash_signature(hs)
     band_structs = [
         F.struct(

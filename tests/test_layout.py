@@ -121,6 +121,9 @@ def test_driver_window_covers_survey_gates():
         "q16_supplier_variety", "q17_small_quantity_revenue",
         "q19_disjunctive_predicates", "q20_dominant_suppliers",
         "q21_waiting_suppliers", "x_linear_attribution",
+        # late-round batch 2: MinHash-LSH empty-gram-set guard
+        "x_minhash_lsh_candidates", "x_dedup_near_survivors",
+        "x_dedup_clusters",
         # rotation debt: freshest driver row r01
         "x_embedding_norms", "x_fingerprint", "x_lang_id",
         # rotation debt: freshest driver row r02
@@ -130,9 +133,6 @@ def test_driver_window_covers_survey_gates():
         "w_ntile_quartiles", "w_running_total", "w_topk_per_group",
         "x_dq_report", "x_pivot_status_by_year", "x_scd2_intervals",
         "x_session_gaps", "x_set_ops", "x_unpivot_status",
-        # stalest r03 cohort: the slots the review batch left
-        "a1_a2_distinct_dedup", "j3_j4_k7_history_delta",
-        "k8_reverse_etl_batches",
     }
     assert len(required) == 50
     missing = required - set(first50)
