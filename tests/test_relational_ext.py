@@ -300,3 +300,25 @@ def test_connected_components_paths_agree(spark, seed, n_nodes, n_edges):
         ).collect()
     }
     assert fast == dist == _uf_components(edges, list(range(n_nodes)))
+
+
+def test_minhash_lsh_short_docs_are_not_candidates(spark, duck):
+    """A <5-char document has no 5-gram shingles, so it must never appear
+    in a candidate pair. Unguarded, the signature fold's init sentinel
+    gave every short doc the SAME band signature (m short docs → ~m²/2
+    bogus pairs) while the oracle's list_min([]) produced NULL and zero
+    pairs — a hard cross-engine divergence this pins closed."""
+    from bi_gcp_stitch_repl_spark.queries.extensions import _minhash_candidates
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ab"),
+            (2, "xy"),
+            (3, ""),
+            (4, "the same long document body shared verbatim by two rows"),
+            (5, "the same long document body shared verbatim by two rows"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in _minhash_candidates(docs).collect()}
+    assert pairs == {(4, 5)}  # true dup found; no short-doc pair emitted
