@@ -222,7 +222,17 @@ class VersionedTable:
                 break
         vs = self._versions()
         if not vs and base == -1:
-            return state  # empty table (no commits, no checkpoints)
+            if self._checkpoint_versions():
+                # checkpoints EXIST but none at-or-before target and every
+                # commit file is expired: the history this version needs is
+                # gone — fail loudly, never return a silently-empty
+                # snapshot (a caller would read "version N was empty")
+                raise FileNotFoundError(
+                    f"version {target} of {self.path} is not resolvable: "
+                    "its commits were expired (expire_log) and no "
+                    "checkpoint at-or-before it survives"
+                )
+            return state  # genuinely empty table (no commits, no checkpoints)
         tail = [v for v in vs if base < v <= target]
         # commits are consecutive integers, so the replay range
         # (base, min(target, latest)] must be gap-free and fully present;
@@ -517,9 +527,10 @@ class VersionedTable:
 
     # -- transactions --------------------------------------------------------
 
-    def _next_version(self) -> int:
-        latest = self.latest_version()
-        return 0 if latest is None else latest + 1
+    # (no _next_version helper on purpose: every transaction computes
+    # base+1 inline against the snapshot it validated — a floating
+    # "next version" lookup is exactly the lost-update race the commit
+    # paths' comments warn about, and a convenient helper would invite it)
 
     def _check_schema(
         self,
@@ -574,26 +585,37 @@ class VersionedTable:
         silently fork the schema."""
         os.makedirs(self.path, exist_ok=True)
         adds = None
-        for _ in range(max_retries):
-            # pin the attempt to the snapshot the schema was checked
-            # against: committing at a floating _next_version() would let
-            # an interleaved overwrite re-base the columns between check
-            # and commit WITHOUT a conflict — pinned at base+1, any
-            # interleaving raises and the next attempt re-checks
-            base = self.latest_version()
-            state = self._snapshot_state(base) if base is not None else None
-            self._check_schema(df, schema_evolution, state=state)
-            if adds is None:  # parts are content, not state: write once
-                adds = [
-                    {"add": n, "stats": st} for n, st in self._write_parts(df)
-                ]
-                adds.append({"meta": {"columns": sorted(df.columns)}})
-            try:
-                v = 0 if base is None else base + 1
-                self._commit(v, adds)
-                return v
-            except CommitConflict:
-                continue
+        try:
+            for _ in range(max_retries):
+                # pin the attempt to the snapshot the schema was checked
+                # against: committing at a floating next-version lookup
+                # would let an interleaved overwrite re-base the columns
+                # between check and commit WITHOUT a conflict — pinned at
+                # base+1, any interleaving raises and the next attempt
+                # re-checks
+                base = self.latest_version()
+                state = self._snapshot_state(base) if base is not None else None
+                self._check_schema(df, schema_evolution, state=state)
+                if adds is None:  # parts are content, not state: write once
+                    adds = [
+                        {"add": n, "stats": st}
+                        for n, st in self._write_parts(df)
+                    ]
+                    adds.append({"meta": {"columns": sorted(df.columns)}})
+                try:
+                    v = 0 if base is None else base + 1
+                    self._commit(v, adds)
+                    return v
+                except CommitConflict:
+                    continue
+        except BaseException:
+            # a RETRY attempt can raise after parts were staged (e.g. a
+            # concurrent overwrite re-based the columns and the re-check
+            # now fails) — without this, the staged part files leak until
+            # a vacuum past retention happens, or forever on an
+            # unvacuumed table
+            self._abort_adds(adds or [])
+            raise
         self._abort_adds(adds or [])
         raise CommitConflict("append retries exhausted")
 
@@ -626,27 +648,33 @@ class VersionedTable:
         ]
         adds.append({"meta": {"columns": sorted(df.columns)}})
         adds.append({"txn": {"app": app_id, "batch": batch_id}})
-        for _ in range(5):
-            # the dedup guarantee lives HERE, not in the early-out: the
-            # txn mark is checked against the snapshot at base and the
-            # commit pins base+1, so a twin landing the same batch after
-            # our check raises CommitConflict and the recheck sees its
-            # marker. A floating _next_version() commit would let both
-            # twins land (different version numbers — no conflict)
-            base = self.latest_version()
-            state = self._snapshot_state(base) if base is not None else None
-            if state is not None:
-                last = state["txn"].get(app_id)
-                if last is not None and batch_id <= last:
-                    self._abort_adds(adds)  # lost to a twin
-                    return None
-                self._check_schema(df, schema_evolution, state=state)
-            try:
-                v = 0 if base is None else base + 1
-                self._commit(v, adds)
-                return v
-            except CommitConflict:
-                continue
+        try:
+            for _ in range(5):
+                # the dedup guarantee lives HERE, not in the early-out: the
+                # txn mark is checked against the snapshot at base and the
+                # commit pins base+1, so a twin landing the same batch after
+                # our check raises CommitConflict and the recheck sees its
+                # marker. A floating next-version commit would let both
+                # twins land (different version numbers — no conflict)
+                base = self.latest_version()
+                state = self._snapshot_state(base) if base is not None else None
+                if state is not None:
+                    last = state["txn"].get(app_id)
+                    if last is not None and batch_id <= last:
+                        self._abort_adds(adds)  # lost to a twin
+                        return None
+                    self._check_schema(df, schema_evolution, state=state)
+                try:
+                    v = 0 if base is None else base + 1
+                    self._commit(v, adds)
+                    return v
+                except CommitConflict:
+                    continue
+        except BaseException:
+            # retry-attempt raises (schema re-check against a re-based
+            # snapshot) must not leak the staged txn-marked parts
+            self._abort_adds(adds)
+            raise
         self._abort_adds(adds)
         raise CommitConflict("append_txn retries exhausted")
 
@@ -1019,7 +1047,15 @@ class VersionedTable:
         all_files = sorted(state["files"])
         touched = all_files
         key0 = keys[0]
-        rhs = keys_df.select(*keys).distinct()
+        # ONE consistent request snapshot (merge_upsert's rule): the key
+        # set feeds four independent actions — the bounds collect, the
+        # removed count, the CDC delete records, and the survivors
+        # anti-join write. Without the checkpoint a non-deterministic
+        # upstream is re-evaluated per action, and the committed
+        # survivors can disagree with the CDC audit trail and the
+        # returned count — for a GDPR-erasure primitive, the audit
+        # evidence MUST match the rows actually removed.
+        rhs = keys_df.select(*keys).distinct().localCheckpoint(eager=False)
         bounds = rhs.agg(
             F.min(key0).alias("lo"),
             F.max(key0).alias("hi"),
@@ -1191,15 +1227,17 @@ class VersionedTable:
         timestamp-based time travel: ``t.read(t.version_at_time(ts))``.
         Resolved from surviving commit files' recorded commit times;
         raises if ``ts`` predates the surviving history (expired or
-        never-existed)."""
+        never-existed). Scans EVERY surviving commit instead of
+        early-breaking: commit timestamps are writers' wall clocks, not
+        guaranteed monotone across versions (NTP step-back, multi-writer
+        skew), and a break at the first ts > target would silently skip
+        a newer version whose skewed clock stamped it earlier."""
         best = None
         for v in self._versions():
             with open(os.path.join(self.log_path, f"{v:012d}.json")) as f:
                 commit_ts = json.load(f).get("ts", 0.0)
             if commit_ts <= ts:
                 best = v
-            else:
-                break
         if best is None:
             raise FileNotFoundError(
                 f"no commit of {self.path} at-or-before ts={ts} survives"

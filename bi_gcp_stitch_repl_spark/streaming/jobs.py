@@ -194,9 +194,11 @@ def user_ledger_tws(events: DataFrame) -> DataFrame:
     RocksDB-backed state (set by the caller's session conf) so per-key state
     spills off-heap and scales with keys, not memory.
 
-    Same semantics as ``running_user_totals`` (count, decimal-safe value
-    total, max event id per user) so tests can cross-check the two APIs
-    against the batch rollup.
+    Same semantics as ``running_user_totals`` — count, FLOAT value total
+    (the identical per-key sequential accumulation, so the two APIs stay
+    bit-comparable with each other; it is NOT decimal-exact, and a batch
+    rollup cross-check must compare within float tolerance or sum cents),
+    max event id per user.
 
     Requires the ``protobuf`` package (the transformWithState state-server
     protocol is protobuf-framed); raises ImportError where it's absent —
@@ -428,16 +430,21 @@ def near_dedup_stream(
     Per micro-batch the work is O(batch grams) + one (band, sig) equi-join
     probe of the index; the corpus is never re-hashed, which is what makes
     this viable as a forever-running job in front of a 100 TB landing
-    zone. Exactly-once under foreachBatch's at-least-once delivery: the
-    index commit carries a txn marker on (stream, batch_id) — a replayed
-    micro-batch re-probes, its pairs land idempotently via
-    append_if_absent on the pair key, and its band commit is a no-op
-    instead of silently doubling the batch's bands in the index.
-    AvailableNow trigger = the nightly-cron semantics; a processing-time
-    trigger makes it continuous.
+    zone. Exactly-once under foreachBatch's at-least-once delivery: BOTH
+    sinks carry a txn marker on (stream, batch_id). The pairs sink is a
+    VersionedTable ``append_txn`` — NOT a key-anti-join append, whose
+    history probe re-reads every pair ever found on every micro-batch
+    (O(accumulated pairs), unbounded for a forever-running job). The txn
+    marker alone suffices: a replayed batch re-probes against an index
+    that now contains its own bands, and the pair set it derives is the
+    IDENTICAL deterministic set (minhash is pure, id_a < id_b excludes
+    self-pairs, in-batch pairs reappear via both the self-probe and the
+    index probe and dedup away), so the replay is a no-op commit, not a
+    duplicate append. AvailableNow trigger = the nightly-cron semantics;
+    a processing-time trigger makes it continuous.
     """
     from ..jobs.pipelines import incremental_dedup_ingest
-    from ..sinks.merge import ParquetTable
+    from ..sinks.versioned import VersionedTable
 
     def probe_and_commit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -452,8 +459,11 @@ def near_dedup_stream(
             app_id=f"near_dedup_stream:{index_path}",
             batch_id=batch_id,
         )
-        sink = ParquetTable(spark, pairs_path)
-        sink.append_if_absent(pairs, keys=["id_a", "id_b"])
+        VersionedTable(spark, pairs_path).append_txn(
+            pairs,
+            app_id=f"near_dedup_stream:pairs:{index_path}",
+            batch_id=batch_id,
+        )
 
     return (
         docs.writeStream.foreachBatch(probe_and_commit)

@@ -332,7 +332,6 @@ def test_near_dedup_stream_probes_and_commits(spark, tmp_path):
     the same source is a no-op (offset checkpoint + idempotent appends)."""
     import json
 
-    from bi_gcp_stitch_repl_spark.sinks.merge import ParquetTable
     from bi_gcp_stitch_repl_spark.sinks.versioned import VersionedTable
     from bi_gcp_stitch_repl_spark.streaming.jobs import near_dedup_stream
 
@@ -370,7 +369,7 @@ def test_near_dedup_stream_probes_and_commits(spark, tmp_path):
     run()
     got = {
         (r["id_a"], r["id_b"])
-        for r in ParquetTable(spark, pairs_p).read().collect()
+        for r in VersionedTable(spark, pairs_p).read().collect()
     }
     assert got == {(1, 11)}  # the near-copy pair and nothing else
     # index holds bands for all three docs
@@ -378,6 +377,6 @@ def test_near_dedup_stream_probes_and_commits(spark, tmp_path):
         r["doc_id"] for r in VersionedTable(spark, idx).read().collect()
     }
     assert idx_docs == {1, 2, 11}
-    n_before = ParquetTable(spark, pairs_p).read().count()
+    n_before = VersionedTable(spark, pairs_p).read().count()
     run()  # replay: no new files -> no-op
-    assert ParquetTable(spark, pairs_p).read().count() == n_before
+    assert VersionedTable(spark, pairs_p).read().count() == n_before

@@ -1057,3 +1057,83 @@ def test_vacuum_sweeps_orphaned_checkpoint_temps(spark, tmp_path):
     assert "_tmp-cp-deadbeef" in deleted
     assert not os.path.exists(orphan_cp)
     assert t.read().count() == 1
+
+
+def test_expired_pre_checkpoint_version_raises_not_empty(spark, tmp_path):
+    """Resolving a version OLDER than every surviving checkpoint after its
+    commits were expired must raise — the old early-return handed back a
+    silently-EMPTY snapshot ('version N was empty') for history that is
+    simply gone."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(spark.range(i * 10, i * 10 + 5).selectExpr("id AS k"))
+    t._write_checkpoint(2)
+    t.expire_log(retain_versions=0)  # deletes commits 0..2; checkpoint stays
+    assert t.read(2).count() == 15  # at-checkpoint version still resolves
+    with pytest.raises(FileNotFoundError):
+        t.files_at(1)  # pre-checkpoint history expired: loud, not empty
+    with pytest.raises(FileNotFoundError):
+        t.read(0)
+
+
+def test_version_at_time_survives_non_monotone_commit_clocks(spark, tmp_path):
+    """Commit timestamps are writers' wall clocks: a later version can
+    carry an EARLIER ts (NTP step-back, multi-writer skew). The old scan
+    broke at the first ts > target and silently skipped the newer valid
+    version."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(spark.range(i, i + 1).selectExpr("id AS k"))
+    # rewrite the recorded clocks: v0=100.0, v1=200.5 (skewed AHEAD), v2=150.0
+    for v, ts in [(0, 100.0), (1, 200.5), (2, 150.0)]:
+        p = os.path.join(t.log_path, f"{v:012d}.json")
+        with open(p) as f:
+            commit = json.load(f)
+        commit["ts"] = ts
+        with open(p, "w") as f:
+            json.dump(commit, f)
+    # target 160: v2 (ts 150) is the newest at-or-before commit — the old
+    # break at v1 (ts 200.5 > 160) returned v0
+    assert t.version_at_time(160.0) == 2
+    assert t.version_at_time(100.0) == 0
+    with pytest.raises(FileNotFoundError):
+        t.version_at_time(99.0)
+
+
+def test_append_retry_schema_failure_aborts_staged_parts(spark, tmp_path):
+    """A retry attempt can raise AFTER part files were staged (a concurrent
+    overwrite re-based the columns between attempts): the staged parts
+    must be aborted, not leaked until some future vacuum."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(3).selectExpr("id AS k"))
+    calls = {"commit": 0, "check": 0}
+    real_commit, real_check = t._commit, t._check_schema
+
+    def flaky_commit(v, actions):
+        calls["commit"] += 1
+        if calls["commit"] == 1:
+            raise CommitConflict("lost the race")
+        return real_commit(v, actions)
+
+    def flaky_check(df, schema_evolution, state=None, verb="writing to"):
+        calls["check"] += 1
+        if calls["check"] >= 2:  # the re-check after the lost race
+            raise ValueError("columns re-based by a concurrent overwrite")
+        return real_check(df, schema_evolution, state=state, verb=verb)
+
+    t._commit = flaky_commit
+    t._check_schema = flaky_check
+    try:
+        with pytest.raises(ValueError):
+            t.append(spark.range(3, 6).selectExpr("id AS k"))
+    finally:
+        t._commit, t._check_schema = real_commit, real_check
+    live = {os.path.join(str(tmp_path / "t"), f) for f in t.files_at()}
+    on_disk = {
+        os.path.join(r, f)
+        for r, _, fs in os.walk(str(tmp_path / "t"))
+        for f in fs
+        if f.endswith(".parquet") and "_commits" not in r and "_cdc" not in r
+    }
+    assert on_disk == live, "staged parts leaked after a retry-attempt raise"
+    assert t.read().count() == 3  # table unchanged
