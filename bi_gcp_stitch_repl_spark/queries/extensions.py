@@ -402,16 +402,23 @@ def _minhash_candidates(docs: DataFrame) -> DataFrame:
     # signature chain (catalog.spread_narrow: measured trigger, no-op on
     # wide inputs); select first so any spread shuffles only what the
     # hash needs
-    docs = spread_narrow(docs.select("doc_id", "text"), "doc_id")
-    cp = docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs"))
-    hs = cp.select("doc_id", F.expr(GRAM_HASHES_SPARK).alias("hs"))
     # a <5-char doc has NO 5-gram shingles — it cannot be a near-dup
-    # candidate. Without this filter the signature fold returns its init
+    # candidate. Without this guard the signature fold returns its init
     # sentinel [P,P,...] for empty gram sets, giving every short doc the
     # SAME band signature: m short docs emit ~m²/2 bogus candidate pairs
     # (and the oracle's list_min([]) is NULL → zero pairs — a hard
-    # cross-engine divergence). The duck CTE applies the same guard.
-    hs = hs.filter(F.size("hs") > 0)
+    # cross-engine divergence). The guard is the CHEAP equivalent
+    # length(text) >= 5 at the scan (hs is empty ⟺ size(cs) < 5 ⟺
+    # length(text) < 5): a filter(size(hs) > 0) AFTER the projection gets
+    # predicate-pushed into the gram expression and re-evaluates the
+    # whole shingle-hash build per row — measured 45 s vs 0.9 s at sf0.1
+    # (the module's "never project size(arr) next to its builder" lesson).
+    # The duck CTE guards with WHERE len(hs) > 0 (one evaluation there).
+    docs = spread_narrow(
+        docs.select("doc_id", "text").filter(F.length("text") >= 5), "doc_id"
+    )
+    cp = docs.select("doc_id", F.expr(CODEPOINTS_SPARK).alias("cs"))
+    hs = cp.select("doc_id", F.expr(GRAM_HASHES_SPARK).alias("hs"))
     sig = _minhash_signature(hs)
     band_structs = [
         F.struct(
