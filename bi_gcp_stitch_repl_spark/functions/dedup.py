@@ -173,8 +173,23 @@ def minhash_lsh_pairs_incremental(
     recompute.
     """
     batch_bands = minhash_bands(batch, text_col, id_col, n_gram, n_perm, n_bands)
-    cross = _band_pairs(corpus_bands, batch_bands, id_col).unionByName(
-        _band_pairs(batch_bands, corpus_bands, id_col)
+    # ONE probe of the corpus index, not one per id ordering: least/
+    # greatest normalizes (id_a, id_b) so a single (band, sig) equi-join
+    # covers both directions — the index-side join is the per-ingest cost
+    # term this function exists to minimize
+    a, b = corpus_bands.alias("a"), batch_bands.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
     )
     within = _band_pairs(batch_bands, batch_bands, id_col)
     return cross.unionByName(within).distinct(), batch_bands
@@ -248,7 +263,14 @@ def simhash_fingerprints(
     n_bits: int = 64,
 ) -> DataFrame:
     """64-bit SimHash per document over whitespace tokens (xxhash64 token
-    hashes; bit votes aggregated in one grouped pass)."""
+    hashes; bit votes aggregated in one grouped pass).
+
+    Contract: a document with ZERO tokens (empty/whitespace-only text)
+    has no votes and therefore NO output row — an inner join of
+    fingerprints back to the corpus drops such docs. Callers needing
+    every doc present must left-join and decide a policy for the
+    token-less rows (they have no meaningful SimHash; ``exact_dedup``
+    is the operator that deduplicates empties against each other)."""
     toks = docs.select(
         id_col,
         # empties dropped (text.tokens_expr's rule): split keeps boundary
@@ -302,8 +324,10 @@ def _word_segments(
         raise ValueError(
             f"span dedup needs an integral {id_col!r} (got {id_type!r}): "
             "the first-occurrence key is id*1_000_000 + seg_no — map "
-            "string ids to a dense integer first (e.g. xxhash64 or a "
-            "dimension key)"
+            "string ids to a DENSE integer first (a dimension key / "
+            "row_number over a stable order). Do NOT map via xxhash64: "
+            "its full-range int64 values overflow the ~9e12 id envelope "
+            "this key encoding documents"
         )
     return docs.select(
         id_col,
@@ -341,7 +365,7 @@ def span_dedup(
 
     Scale shape (100 TB): the corpus is exploded ONCE behind an explicit
     ``repartition(seg)`` boundary — the owner aggregate (map-side-
-    combinable count/min, so a viral boilerplate segment is absorbed
+    combinable min, so a viral boilerplate segment is absorbed
     before the exchange) and the join probe both consume that same
     exchange (AQE satisfies the second read from the stage cache), and
     the join itself is co-partitioned, so no further segment shuffle.
@@ -355,12 +379,12 @@ def span_dedup(
     segs = _word_segments(docs, text_col, id_col, span_words).repartition(
         F.col("seg")
     )
-    owners = segs.groupBy("seg").agg(
-        F.count("*").alias("n_occ"), F.min("pos").alias("first_pos")
-    )
+    # min(pos) alone decides survivorship: a segment's unique occurrence
+    # IS its min-pos occurrence, so a separate n_occ count would be dead
+    # weight in the owner aggregate and the join payload
+    owners = segs.groupBy("seg").agg(F.min("pos").alias("first_pos"))
     flagged = segs.join(owners, "seg").withColumn(
-        "kept",
-        ((F.col("n_occ") == 1) | (F.col("pos") == F.col("first_pos"))).cast("int"),
+        "kept", (F.col("pos") == F.col("first_pos")).cast("int")
     )
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_segs"),

@@ -32,7 +32,16 @@ NORM = (
 
 
 def cosine(a: str, b: str) -> Column:
-    return F.expr(f"{DOT.format(a=a, b=b)} / ({NORM.format(a=a)} * {NORM.format(a=b)})")
+    """Cosine similarity as the deterministic sequential fold. The norm
+    product goes through nullif: a zero-norm vector (padding/dead row —
+    plausible in any at-scale embedding table) yields NULL similarity
+    instead of a DIVIDE_BY_ZERO job abort under ANSI (the Spark 4
+    default); NULLs rank last under the descending top-k orderings every
+    caller uses, which is exactly where a zero vector belongs."""
+    return F.expr(
+        f"{DOT.format(a=a, b=b)}"
+        f" / nullif(({NORM.format(a=a)} * {NORM.format(a=b)}), 0.0d)"
+    )
 
 
 def brute_force_topk(
@@ -165,7 +174,12 @@ def ivf_topk(
         q.crossJoin(F.broadcast(centroids))
         .withColumn("csim", cosine("qv", "cvec"))
     )
-    w_cells = Window.partitionBy(query_id_col).orderBy(F.col("csim").desc())
+    # cell tiebreak: equal centroid similarity (symmetric data, duplicate
+    # centroids) must not make the probed cell SET run-dependent — same
+    # rule semantic_contamination_ivf's probe window already applies
+    w_cells = Window.partitionBy(query_id_col).orderBy(
+        F.col("csim").desc(), F.col(cell)
+    )
     probes = (
         qc.withColumn("cr", F.row_number().over(w_cells))
         .filter(F.col("cr") <= n_probe)
@@ -436,6 +450,18 @@ def lsh_bucket_topk(
     zero-cost axis-aligned sign-bit bucketing.
     """
     if planes is not None:
+        # same up-front dim validation as embedding_near_dup: zip_with
+        # pads a length mismatch with NULLs, every WHEN goes false, every
+        # row lands in bucket 0, and the bucket join silently becomes the
+        # full corpus × queries product this function exists to avoid
+        first = corpus.select(F.size(F.col(vec_col)).alias("_d")).first()
+        if first is not None and first["_d"] != len(planes[0]):
+            raise ValueError(
+                f"lsh_bucket_topk: planes have {len(planes[0])} dims but "
+                f"{vec_col!r} vectors have {first['_d']} elements — a "
+                "mismatch NULLs the plane dot products and routes every "
+                "row to bucket 0 (all-pairs join)"
+            )
         bucket = lambda col: hyperplane_bucket_expr(col, planes)  # noqa: E731
     else:
         bucket = lambda col: bucket_expr(col, n_planes)  # noqa: E731
@@ -573,10 +599,12 @@ def semdedup(
     a = n.select(
         F.col(id_col).alias("id_a"),
         F.col(cluster_col).alias("cl_a"),
-        # pmod, not %: Spark's % is sign-preserving, so hash-derived
-        # NEGATIVE ids would salt into [-(salt-1)..0] and never meet the
-        # b-side's 0..salt-1 — their duplicate pairs silently missed
-        F.pmod(F.col(id_col), F.lit(salt)).alias("salt_a"),
+        # pmod over xxhash64, not over the raw id: hashing admits ANY id
+        # type (a string id fed to pmod(id, salt) would CAST_INVALID_INPUT
+        # under ANSI — or salt to NULL under non-ANSI, where salt_a ==
+        # salt_b never matches and the dedup silently no-ops corpus-wide),
+        # and pmod (not %) keeps hash-negative values in [0, salt)
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).alias("salt_a"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
     )
@@ -595,7 +623,13 @@ def semdedup(
             & (F.col("salt_a") == F.col("salt_b"))
             & (F.col("id_a") > F.col("id_b")),
         )
-        .filter(F.expr(dot) / (F.col("na") * F.col("nb")) >= threshold)
+        # nullif: a zero-norm vector in a cell must yield NULL similarity
+        # (the filter drops it — a zero vector is nobody's near-dup), not
+        # a DIVIDE_BY_ZERO job abort under ANSI
+        .filter(
+            F.expr(dot) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0))
+            >= threshold
+        )
         .select(F.col("id_a").alias(id_col))
         .distinct()
     )

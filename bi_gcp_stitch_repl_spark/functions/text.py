@@ -108,18 +108,27 @@ def lang_scores(docs: DataFrame, keywords: dict[str, list[str]], text_col: str =
     guess. ``keywords`` maps lang -> marker tokens. Markers are escaped
     into SQL literals (``_sql_str``) — an apostrophe marker like the
     French elision ``l'`` must not break (or inject into) the generated
-    expression — and a language with no markers scores a constant 0."""
+    expression — and a language with no markers scores a constant 0.
+
+    Counting is EXACT token equality over one LET-bound ``\\s+`` split —
+    not the ``replace(' kw ', '')`` length-arithmetic idiom, which
+    undercounts ADJACENT repeats (consecutive ``' le le '`` matches share
+    a delimiter space: 'le le le' counts 2 of 3) and can flip the argmax
+    on short documents whose markers happen to run adjacent."""
     if not keywords:
         raise ValueError("lang_scores needs at least one language")
-    t = f"(' ' || {text_col} || ' ')"
     out = docs
     for lang, kws in keywords.items():
         if not kws:
             out = out.withColumn(f"score_{lang}", F.lit(0).cast("bigint"))
             continue
-        expr = " + ".join(
-            f"CAST((length({t}) - length(replace({t}, {_sql_str(' ' + kw + ' ')}, ''))) / {len(kw) + 2} AS BIGINT)"
-            for kw in kws
+        body = " + ".join(
+            f"size(filter(ws, t -> t = {_sql_str(kw)}))" for kw in kws
+        )
+        # one split per language, not per marker (LET-bound token array)
+        expr = (
+            f"CAST(transform(array({tokens_expr(text_col)}),"
+            f" ws -> {body})[0] AS BIGINT)"
         )
         out = out.withColumn(f"score_{lang}", F.expr(expr))
     langs = list(keywords)
