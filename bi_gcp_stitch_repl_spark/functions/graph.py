@@ -104,6 +104,25 @@ def connected_components(
     # take the same types on both paths
     common = e.select(F.array("src", "dst").alias("_x")).schema[0].dataType.elementType
     e = e.select(F.col("src").cast(common).alias("src"), F.col("dst").cast(common).alias("dst"))
+    # a node appearing ONLY in self-loop edges must still be labeled (a
+    # singleton component): the src != dst filter below would otherwise
+    # erase it from both label paths and the output would silently drop
+    # it — fold self-loop-only nodes into the ``nodes`` frame before the
+    # filter so the existing isolated-node path covers them
+    loop_only = e.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("node")
+    )
+    if nodes is not None:
+        n0, = nodes.columns[:1]
+        nodes = nodes.select(F.col(n0).cast(common).alias("node")).unionByName(
+            loop_only
+        ).distinct()
+    else:
+        all_nodes = e.select(F.col("src").alias("node")).unionByName(
+            e.select(F.col("dst").alias("node"))
+        ).distinct()
+        # only pay the extra frame when self-loops actually exist
+        nodes = all_nodes if loop_only.limit(1).count() > 0 else None
     e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
     if e.count() <= driver_threshold:
         return _cc_driver(e, nodes)

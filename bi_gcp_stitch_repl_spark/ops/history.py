@@ -34,7 +34,16 @@ def append_only_delta(
     ``dropDuplicates(keys)`` (one shuffle + arbitrary-row pick per key) for
     callers whose snapshot may repeat keys."""
     batch = snapshot.dropDuplicates(keys) if dedup_batch else snapshot
-    return batch.join(history.select(*keys), on=keys, how="left_anti")
+    # null-safe key match (the sinks' convention): a plain equi-anti-join
+    # never matches NULL = NULL, so a row with a NULL key column would be
+    # "absent from history" on EVERY run and re-append one duplicate per
+    # night, unbounded
+    hist = history.select(*keys)
+    cond = None
+    for k in keys:
+        c = batch[k].eqNullSafe(hist[k])
+        cond = c if cond is None else cond & c
+    return batch.join(hist, on=cond, how="left_anti")
 
 
 def latest_per_key(
@@ -56,8 +65,18 @@ def latest_per_key(
     explicit unique column (e.g. the event id) in hot paths so the sort
     key stays narrow."""
     if tiebreak_cols is None:
+        # skip unorderable types: a map column (the property-bag payloads
+        # ops.normalize.maps_to_json exists for) in the default tiebreak
+        # list fails analysis with INVALID_ORDERING_TYPE — the default
+        # must work on any frame, and map contents are not a meaningful
+        # tiebreaker anyway
+        unorderable = {
+            c for c, t in df.dtypes if t.startswith("map<") or "map<" in t
+        }
         tiebreak_cols = [
-            c for c in df.columns if c not in keys and c != order_col
+            c
+            for c in df.columns
+            if c not in keys and c != order_col and c not in unorderable
         ]
     cols = [F.col(order_col), *[F.col(c) for c in tiebreak_cols]]
     order = [c.desc() if descending else c.asc() for c in cols]

@@ -65,12 +65,21 @@ def explode_with_parent(
         if isinstance(elem_type, T.StructType)
         else set()
     )
-    clash = (set(parent_cols.values()) | {"_elem"}) & child_fields
+    clash = set(parent_cols.values()) & child_fields
     if clash:
         raise ValueError(
             f"parent aliases collide with element fields of {array_col!r}: "
             f"{sorted(clash)} — alias the parent columns "
             '(e.g. {"id": "invoice_id"})'
+        )
+    # '_elem' is the exploded-element working name: a parent ALIAS (not a
+    # child field — a child field named _elem is harmless) shadowing it
+    # makes the intermediate select emit two '_elem' columns and defers
+    # the failure to the final select as AMBIGUOUS_REFERENCE
+    if "_elem" in parent_cols.values():
+        raise ValueError(
+            "parent alias '_elem' collides with the exploded-element "
+            "working column — pick another alias"
         )
     exploder = F.explode_outer if keep_empty else F.explode
     parents = [F.col(src).alias(dst) for src, dst in parent_cols.items()]
@@ -108,11 +117,23 @@ def pad_columns(df: DataFrame, required: list[tuple[str, str]]) -> DataFrame:
     are added as typed NULL. Output column order follows ``required`` exactly
     (the reference's ``desired_order`` contract, SURVEY P1)."""
     present = set(df.columns)
+    # backtick-quoted, not bare F.col(name): flatten_structs (this
+    # module) produces LITERAL dotted column names, which an unquoted
+    # reference parses as struct access — unresolvable, or silently the
+    # WRONG data when a same-named struct also exists (flatten cut off
+    # by max_level)
     cols = [
-        F.col(name) if name in present else F.lit(None).cast(dtype).alias(name)
+        _lit_col(name) if name in present
+        else F.lit(None).cast(dtype).alias(name)
         for name, dtype in required
     ]
     return df.select(*cols)
+
+
+def _lit_col(name: str) -> Column:
+    """Column reference treating ``name`` as ONE literal column name
+    (dots and all), never a struct path."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def struct_get(path: str, default=None) -> Column:
@@ -128,8 +149,10 @@ def struct_get(path: str, default=None) -> Column:
 
 
 def maps_to_json(df: DataFrame, map_cols: list[str]) -> DataFrame:
-    """Serialize map/struct property-bag columns to JSON strings (sink prep)."""
+    """Serialize map/struct property-bag columns to JSON strings (sink prep).
+    Backtick-quoted references: dotted names from ``flatten_structs``
+    must resolve as literal columns, not struct paths."""
     out = df
     for c in map_cols:
-        out = out.withColumn(c, F.to_json(F.col(c)))
+        out = out.withColumn(c, F.to_json(_lit_col(c)))
     return out

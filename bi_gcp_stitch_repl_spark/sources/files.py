@@ -123,8 +123,13 @@ def read_csv(
         import re as _re
 
         sep = _re.escape(delimiter)
+        # the REPLACEMENT side has its own metacharacters ($ = group ref,
+        # \ = escape): a '$'-delimited export previously failed every scan
+        # task with INVALID_REGEXP_REPLACE ('illegal group reference') —
+        # Java's Matcher.quoteReplacement escaping, by hand
+        repl = delimiter.replace("\\", "\\\\").replace("$", "\\$")
         norm = F.regexp_replace(
-            F.regexp_replace("value", '"', ""), rf"\s*{sep}\s*", delimiter
+            F.regexp_replace("value", '"', ""), rf"\s*{sep}\s*", repl
         )
         raw = raw.filter(F.trim(norm) != hdr)
     if repartition_hint:

@@ -71,7 +71,11 @@ class RestDataSourceReader(DataSourceReader):
 
     def read(self, partition: _PagePartition):
         factory = _load_factory(self.transport_path)
-        transport = factory(self.transport_arg) if self.transport_arg else factory()
+        transport = (  # `is not None`, not truthiness: '' is a legitimate arg
+            factory(self.transport_arg)
+            if self.transport_arg is not None
+            else factory()
+        )
         retry = RetryPolicy(total=self.retries)
         rows = retry.call(
             lambda: transport(
@@ -117,7 +121,11 @@ class RestStreamReader(SimpleDataSourceStreamReader):
 
     def _fetch(self, start_after, row_limit, stop_after_id=None):
         factory = _load_factory(self.transport_path)
-        transport = factory(self.transport_arg) if self.transport_arg else factory()
+        transport = (  # `is not None`, not truthiness: '' is a legitimate arg
+            factory(self.transport_arg)
+            if self.transport_arg is not None
+            else factory()
+        )
         retry = RetryPolicy(total=self.retries)
         rows: list[dict] = []
         for page in paginate_keyset(

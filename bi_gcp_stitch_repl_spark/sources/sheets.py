@@ -87,12 +87,19 @@ def sheet_to_dataframe(
         raise ValueError("empty sheet values")
     if data_start is None:
         data_start = header_row + 1
-    header = values[header_row]
+    header = list(values[header_row])
     rows = values[data_start:data_end]
     if col_slice is not None:
         lo, hi = col_slice
         header = header[lo:hi]
         rows = [r[lo:hi] for r in rows]
+    # the Sheets values API trims trailing empty cells PER ROW, so a
+    # header with a trailing blank arrives SHORTER than its data rows —
+    # pad the header to the widest data row (the pads are unnamed, so
+    # drop_empty_cols removes them and drop_empty_cols=False surfaces
+    # them as _c<i>) instead of silently dropping those data columns
+    width = max([len(header), *(len(r) for r in rows)] or [len(header)])
+    header += [""] * (width - len(header))
     keep = list(range(len(header)))
     if drop_empty_cols:
         keep = [i for i in keep if (header[i] or "").strip() != ""]

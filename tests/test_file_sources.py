@@ -109,3 +109,25 @@ def test_csv_padded_header_filtered_for_custom_delimiter(spark, tmp_path):
     rows = [(r.name.strip(), r.city.strip()) for r in clean.collect()]
     assert rows == [("ada", "berlin")]
     assert bad.count() == 0
+
+
+def test_read_csv_dollar_delimiter_header_filter(spark, tmp_path):
+    """'$' in the delimiter reaches regexp_replace's REPLACEMENT side,
+    where it is a group-reference metacharacter — previously every scan
+    task failed with INVALID_REGEXP_REPLACE."""
+    from bi_gcp_stitch_repl_spark.sources.files import read_csv
+
+    p = tmp_path / "d.csv"
+    p.write_text("name $ city\na$b\nname$city\n")
+    from pyspark.sql import types as T
+
+    clean, quarantine = read_csv(
+        spark,
+        str(p),
+        schema=T.StructType.fromDDL("name string, city string"),
+        delimiter="$",
+        header=True,
+    )
+    rows = [(r["name"], r["city"]) for r in clean.collect()]
+    assert rows == [("a", "b")]  # padded header AND repeat both filtered
+    assert quarantine.count() == 0

@@ -910,3 +910,15 @@ def test_extract_video_frames_mp4_demuxer_seam(spark):
     assert mode == "RGB" and arr.shape == (4, 6, 3) and (arr == 160).all()
     # non-MP4 payload: one _decode_ok=false row, decode error isolated
     assert len(by_id[2]) == 1 and not by_id[2][0]["_decode_ok"]
+
+
+def test_connected_components_labels_self_loop_only_nodes(spark):
+    """A node appearing ONLY in self-loop edges must still come back as a
+    singleton component instead of vanishing from the labeling."""
+    from bi_gcp_stitch_repl_spark.functions import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (5, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["component"] for r in graph.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 5: 5}

@@ -371,3 +371,77 @@ def test_zorder_on_date_column(spark):
     # curve positions exist and later dates rank no lower than earlier
     rows = keyed.select("d", "__zval").collect()
     assert all(r["__zval"] >= 0 for r in rows)
+
+
+def test_sheet_wider_data_rows_than_header(spark):
+    """The Sheets API trims trailing empty cells per row, so a header with
+    a trailing blank arrives SHORTER than its data rows — those columns
+    must not silently vanish."""
+    from bi_gcp_stitch_repl_spark.sources.sheets import sheet_to_dataframe
+
+    values = [["name", "city"], ["a", "b", "2024"], ["c", "d"]]
+    df = sheet_to_dataframe(spark, values, drop_empty_cols=False)
+    assert df.columns == ["name", "city", "_c2"]
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["a"]["_c2"] == "2024" and rows["c"]["_c2"] is None
+    # with drop_empty_cols (default) the unnamed pad column drops cleanly
+    assert sheet_to_dataframe(spark, values).columns == ["name", "city"]
+
+
+def test_append_only_delta_null_keys_append_once(spark):
+    """A NULL-key row must stop matching as 'absent from history' after it
+    lands — the equi-join never matched NULL=NULL, re-appending one
+    duplicate per run, unbounded."""
+    from bi_gcp_stitch_repl_spark.ops.history import append_only_delta
+
+    snap = spark.createDataFrame(
+        [(1, "open"), (2, None)], "id long, status string"
+    )
+    empty = snap.limit(0)
+    first = append_only_delta(snap, empty, ["id", "status"])
+    assert first.count() == 2  # both rows new, NULL included
+    second = append_only_delta(snap, first, ["id", "status"])
+    assert second.count() == 0  # NULL-key row matched its history twin
+
+
+def test_latest_per_key_default_tiebreak_skips_map_columns(spark):
+    """The default tiebreak list must work on frames carrying map columns
+    (property bags) — maps are unorderable and used to fail analysis."""
+    from bi_gcp_stitch_repl_spark.ops.history import latest_per_key
+
+    df = spark.createDataFrame(
+        [(1, 2, {"k": "v"}), (1, 1, {"k": "w"})],
+        "id long, ts long, props map<string,string>",
+    )
+    out = latest_per_key(df, ["id"], "ts").collect()
+    assert len(out) == 1 and out[0]["ts"] == 2
+
+
+def test_pad_columns_resolves_literal_dotted_names(spark):
+    """flatten_structs emits LITERAL dotted names; pad_columns must select
+    them as columns, not parse them as struct paths."""
+    from bi_gcp_stitch_repl_spark.ops.normalize import flatten_structs, pad_columns
+
+    df = spark.createDataFrame([((1,),)], "a struct<b int>")
+    flat = flatten_structs(df)
+    assert flat.columns == ["a.b"]
+    out = pad_columns(flat, [("a.b", "int"), ("missing", "string")])
+    assert out.columns == ["a.b", "missing"]
+    assert out.collect()[0]["a.b"] == 1
+
+
+def test_explode_with_parent_elem_alias_guard(spark):
+    """A parent alias of '_elem' must raise up front (it shadows the
+    exploded-element working column); a CHILD field named '_elem' is
+    harmless and must NOT raise."""
+    import pytest as _pytest
+
+    from bi_gcp_stitch_repl_spark.ops.normalize import explode_with_parent
+
+    df = spark.createDataFrame(
+        [(7, [(1,)])], "x long, items array<struct<_elem int>>"
+    )
+    out = explode_with_parent(df, "items", {"x": "parent_x"})
+    assert set(out.columns) == {"parent_x", "_elem"}
+    with _pytest.raises(ValueError, match="_elem"):
+        explode_with_parent(df, "items", {"x": "_elem"})
