@@ -430,17 +430,23 @@ def winnowing_fingerprints(
         )
         .withColumn(
             "hs",
+            # empty-gram guard: a doc shorter than k chars must yield hs=[]
+            # (the greatest(..,1) window would otherwise hash a truncated
+            # gram and, below, emit a NULL fingerprint shared by every
+            # short doc — a bogus candidate-pair magnet)
             F.expr(
-                f"transform(sequence(1, greatest(size(cs) - {k - 1}, 1)),"
-                f" i -> xxhash64(concat_ws(',', slice(cs, i, {k}))))"
+                f"CASE WHEN size(cs) < {k} THEN CAST(array() AS ARRAY<BIGINT>)"
+                f" ELSE transform(sequence(1, greatest(size(cs) - {k - 1}, 1)),"
+                f" i -> xxhash64(concat_ws(',', slice(cs, i, {k})))) END"
             ),
         )
         .withColumn(
             "fp",
             F.explode(
                 F.expr(
-                    f"array_distinct(transform(sequence(1, {n_wins}),"
-                    f" i -> array_min(slice(hs, i, {w}))))"
+                    f"CASE WHEN size(hs) = 0 THEN CAST(array() AS ARRAY<BIGINT>)"
+                    f" ELSE array_distinct(transform(sequence(1, {n_wins}),"
+                    f" i -> array_min(slice(hs, i, {w})))) END"
                 )
             ),
         )

@@ -27,6 +27,34 @@ Reference parity: the reference replicates SaaS APIs, not web crawls
 
 from __future__ import annotations
 
+from .text import WS_CLASS
+
+
+def _java_repl(repl: str) -> str:
+    """Rewrite an RE2-style replacement (``\\1`` group refs) for Java's
+    Matcher (``$1`` group refs), escaping literal ``$``/``\\`` instead of
+    corrupting them (a blanket ``'\\'->'$'`` turned any literal backslash
+    into a bogus group ref and a literal ``$`` into an illegal one). The
+    output is then SQL-escaped one level (Spark string literals eat one
+    backslash)."""
+    out: list[str] = []
+    i = 0
+    while i < len(repl):
+        c = repl[i]
+        if c == "\\" and i + 1 < len(repl) and repl[i + 1].isdigit():
+            out.append("$" + repl[i + 1])
+            i += 2
+        elif c == "\\":  # literal backslash: Java '\\', SQL text '\\\\'
+            out.append("\\\\\\\\")
+            i += 1
+        elif c == "$":  # literal dollar: Java '\$', SQL text '\\$'
+            out.append("\\\\$")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
 
 def _rr(e: str, pat: str, repl: str, dialect: str) -> str:
     """regexp_replace in either dialect. ``pat`` is the RAW regex: Spark
@@ -34,8 +62,7 @@ def _rr(e: str, pat: str, repl: str, dialect: str) -> str:
     DuckDB's don't; group refs are ``$1`` (Java) vs ``\\1`` (RE2)."""
     if dialect == "spark":
         p = pat.replace("\\", "\\\\")
-        r = repl.replace("\\", "$")  # \1 \2 group refs -> $1 $2 (Java)
-        return f"regexp_replace({e}, '{p}', '{r}')"
+        return f"regexp_replace({e}, '{p}', '{_java_repl(repl)}')"
     return f"regexp_replace({e}, '{pat}', '{repl}', 'g')"
 
 
@@ -80,7 +107,9 @@ def html_text_expr(col: str, dialect: str = "spark") -> str:
     e = _rr(e, r"<[^>]+>", " ", dialect)
     for ent, ch in _ENTITIES:
         e = f"replace({e}, '{ent}', '{ch}')"
-    e = _rr(e, r"\s+", " ", dialect)
+    # WS_CLASS, not '\s': RE2 (the duck oracle) lacks \x0B in \s — a
+    # vertical-tab doc would make clean_text diverge between dialects
+    e = _rr(e, WS_CLASS + "+", " ", dialect)
     return f"trim({e})"
 
 

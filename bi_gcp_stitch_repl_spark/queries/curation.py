@@ -39,6 +39,7 @@ from ..functions.curation import (
     mixture_sample,
     pack_sequences,
 )
+from ..functions.text import WS_CLASS as _WS
 from .catalog import register, spread_narrow, tables
 from .extensions import _FOLD_DUCK, _FOLD_SPARK
 
@@ -57,9 +58,11 @@ BENCH_MOD = 23  # doc_id % 23 == 0 -> the held-out "benchmark" slice
 NGRAM_N = 8
 
 #: lower + whitespace-run split + empty drop — the exact twin of
-#: ``functions.curation.word_ngram_expr``'s normalized tokenization
+#: ``functions.curation.word_ngram_expr``'s normalized tokenization.
+#: WS_CLASS, not RE2 '\s': Java \s includes \x0B, RE2's does not — a
+#: vertical-tab doc would tokenize differently between the dialects.
 _TOKS_DUCK = (
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+    f"list_filter(string_split_regex(lower(trim(text)), '{_WS}+'),"
     " t -> t <> '')"
 )
 
@@ -122,9 +125,9 @@ b AS (SELECT * FROM n WHERE vec_id % {BENCH_MOD} = 0),
 t AS (SELECT * FROM n WHERE vec_id % {BENCH_MOD} <> 0)
 SELECT t.vec_id,
        MAX(list_sum(list_transform(list_zip(t.v, b.v), x -> x[1]*x[2]))
-           / (t.nrm * b.nrm)) AS max_bench_cosine,
+           / nullif(t.nrm * b.nrm, 0.0)) AS max_bench_cosine,
        MAX(list_sum(list_transform(list_zip(t.v, b.v), x -> x[1]*x[2]))
-           / (t.nrm * b.nrm)) >= {SEMANTIC_DECON_T} AS contaminated
+           / nullif(t.nrm * b.nrm, 0.0)) >= {SEMANTIC_DECON_T} AS contaminated
 FROM t, b
 GROUP BY t.vec_id
 """,
@@ -164,8 +167,13 @@ def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # products) otherwise runs on a single-file scan's one task
     train = spread_narrow(n.filter(F.col("vec_id") % BENCH_MOD != 0), "vec_id")
     dot = _DOT_SPARK.format(a="v", b="bv")
+    # nullif: a zero-norm vector scores NULL against every bench vector
+    # (max ignores NULLs), never an ANSI divide-by-zero abort
     scored = train.crossJoin(bench).select(
-        "vec_id", (F.expr(dot) / (F.col("nrm") * F.col("bn"))).alias("cos")
+        "vec_id",
+        (F.expr(dot) / F.nullif(F.col("nrm") * F.col("bn"), F.lit(0.0))).alias(
+            "cos"
+        ),
     )
     return scored.groupBy("vec_id").agg(
         F.max("cos").alias("max_bench_cosine"),
@@ -736,7 +744,7 @@ def _bm25_term_sql(i: int) -> str:
     oracle=f"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         unnest(list_filter(string_split_regex(trim(text), '{_WS}+'),
                             t -> t <> '')) AS term
   FROM documents
 ),
@@ -791,7 +799,7 @@ _RRF_TERM_DUCK = (
     oracle=f"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         unnest(list_filter(string_split_regex(trim(text), '{_WS}+'),
                             t -> t <> '')) AS term
   FROM documents WHERE doc_id <> 0
 ),
@@ -817,8 +825,8 @@ sem AS (
   FROM (
     SELECT e.vec_id AS doc_id,
            list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qe), x -> x[1]*x[2]))
-           / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
-              * sqrt(list_sum(list_transform(q.qe, x -> x*x)))) AS cosine
+           / nullif(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+              * sqrt(list_sum(list_transform(q.qe, x -> x*x))), 0.0) AS cosine
     FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
   )
 )
@@ -878,8 +886,12 @@ def x_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_q = _NORM_SPARK.format(a="qe")
     sem_top = (
         emb.filter(F.col("vec_id") != 0)
+        # nullif: a zero-norm vector scores NULL (sorts after every real
+        # score), never an ANSI divide-by-zero abort
         .crossJoin(F.broadcast(q))
-        .withColumn("cosine", F.expr(f"{dot} / ({norm_e} * {norm_q})"))
+        .withColumn(
+            "cosine", F.expr(f"{dot} / nullif({norm_e} * {norm_q}, 0.0d)")
+        )
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(HYBRID_DEPTH)
     )
@@ -918,7 +930,9 @@ def _gopher_sql(duck: bool, table: str = "documents") -> str:
         )
         lines = "string_split(text, chr(10))"
         size = "len"
-        wl_sum = "list_sum(list_transform(words, w -> length(w)))"
+        # coalesce: duck's list_sum of an EMPTY list is NULL where spark's
+        # aggregate(.., 0L, ..) fold is 0 — an empty doc must agree
+        wl_sum = "coalesce(list_sum(list_transform(words, w -> length(w))), 0)"
         alpha_n = "len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))"
         bullet_n = "len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))"
         ellip_n = "len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$')))"
@@ -1020,10 +1034,10 @@ def _bigram_explode(docs: DataFrame) -> DataFrame:
 
 @register(
     "x_bigram_stats",
-    oracle="""
+    oracle=f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')
+         list_filter(string_split_regex(trim(text), '{_WS}+'), w -> w <> '')
            AS words
   FROM documents
 ),
@@ -1070,7 +1084,7 @@ _COS_TAU = 0.5
     oracle=f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')
+         list_filter(string_split_regex(trim(text), '{_WS}+'), w -> w <> '')
            AS words
   FROM documents
 ), bg AS (
@@ -1342,7 +1356,7 @@ LM_SCALE = 1_000_000_000
     oracle=f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '')
+         list_filter(string_split_regex(trim(text), '{_WS}+'), w -> w <> '')
            AS words
   FROM documents
 ), bg AS (
@@ -1520,7 +1534,7 @@ _TBP_W_SQL = (
 WITH per_src AS (
   SELECT source,
          CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         CAST(SUM(len(list_filter(string_split_regex(trim(text), '{_WS}+'),
                                   w -> w <> ''))) AS BIGINT) AS avail_tokens,
          CAST({_TBP_W_SQL} AS BIGINT) AS weight
   FROM documents GROUP BY source

@@ -84,9 +84,12 @@ SHINGLES_DUCK = (
     "list_distinct([substr(text, i, 5)"
     " for i in generate_series(1, greatest(len(text)-4, 1))])"
 )
+# CASE: both engines split '' to [''], but duck ord('') is -1 where spark
+# ascii('') is 0 — an EMPTY string must fold to the same hash (0) in both
 _FOLD_DUCK = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT),"
-    " [CAST(ord(c) AS BIGINT) for c in split({s}, '')]),"
+    " [CAST(CASE WHEN c = '' THEN 0 ELSE ord(c) END AS BIGINT)"
+    " for c in split({s}, '')]),"
     " (acc, c) -> (acc*31 + c) % {p})"
 )
 
@@ -123,8 +126,10 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_dedup_normalized",
-    oracle="""
-SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_key,
+    # WS_CLASS, not RE2 '\s': Java \s includes \x0B, RE2's does not — a
+    # vertical-tab doc would hash-diverge between the dialects otherwise
+    oracle=f"""
+SELECT md5(lower(trim(regexp_replace(text, '{_WS}+', ' ', 'g')))) AS content_key,
        MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents
 GROUP BY 1
@@ -332,7 +337,11 @@ GRAM_HASHES_DUCK = (
     " for i in generate_series(1, len(cs)-4)]) END"
 )
 CODEPOINTS_SPARK = "transform(split(text, ''), c -> cast(ascii(c) as bigint))"
-CODEPOINTS_DUCK = "[CAST(ord(c) AS BIGINT) for c in split(text, '')]"
+# CASE: duck ord('') = -1 vs spark ascii('') = 0 on the empty-text split
+CODEPOINTS_DUCK = (
+    "[CAST(CASE WHEN c = '' THEN 0 ELSE ord(c) END AS BIGINT)"
+    " for c in split(text, '')]"
+)
 
 
 def _minhash_signature(hs_df: DataFrame) -> DataFrame:
@@ -570,7 +579,7 @@ def _simhash_duck() -> str:
     votes, recombine = _simhash_exprs(SIMHASH_BITS, spark_side=False)
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest([{fold} for t in list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')]) AS h
+  SELECT doc_id, unnest([{fold} for t in list_filter(string_split_regex(trim(text), '{_WS}+'), t -> t <> '')]) AS h
   FROM documents
 ), votes AS (
   SELECT doc_id,
@@ -634,8 +643,8 @@ WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id, e.label,
          list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qe), x -> x[1]*x[2]))
-         / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
-            * sqrt(list_sum(list_transform(q.qe, x -> x*x)))) AS cosine
+         / nullif(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+            * sqrt(list_sum(list_transform(q.qe, x -> x*x))), 0.0) AS cosine
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id != 0
 )
@@ -656,8 +665,10 @@ def x_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_q = _NORM_SPARK.format(a="qe")
     return (
         emb.filter(F.col("vec_id") != 0)
+        # nullif: a zero-norm vector must score NULL (excluded from the
+        # top-k), never an ANSI divide-by-zero abort / NaN divergence
         .crossJoin(F.broadcast(q))
-        .withColumn("cosine", F.expr(f"{dot} / ({norm_e} * {norm_q})"))
+        .withColumn("cosine", F.expr(f"{dot} / nullif({norm_e} * {norm_q}, 0.0d)"))
         .select("vec_id", "label", "cosine")
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
@@ -711,10 +722,10 @@ WITH n AS (
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
-         / (a.nrm * b.nrm) AS cosine
+         / nullif(a.nrm * b.nrm, 0.0) AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
-        / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+        / nullif(a.nrm * b.nrm, 0.0) >= {COSINE_DUP_THRESHOLD}
 """,
 )
 def x_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,7 +759,12 @@ def x_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # does — unhinted, Catalyst still broadcasts it while it fits
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.expr(dot) / (F.col("na") * F.col("nb")))
+        # nullif: zero-norm vectors yield NULL cosine (dropped by the
+        # threshold filter), never an ANSI divide-by-zero abort
+        .withColumn(
+            "cosine",
+            F.expr(dot) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -766,12 +782,14 @@ WITH scaled AS (
 SELECT e.vec_id,
        s.max_abs,
        array_to_string(list_transform(e.embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / s.max_abs + 0.5)
-                     AS INTEGER)), ',') AS q8,
+           x -> coalesce(CAST(floor(CAST(x AS DOUBLE) * 127.0
+                                    / nullif(s.max_abs, 0.0) + 0.5)
+                              AS INTEGER), 0)), ',') AS q8,
        list_max(list_transform(e.embedding,
-           x -> abs(CAST(x AS DOUBLE)
-                    - floor(CAST(x AS DOUBLE) * 127.0 / s.max_abs + 0.5)
-                      * s.max_abs / 127.0))) AS max_err
+           x -> coalesce(abs(CAST(x AS DOUBLE)
+                    - floor(CAST(x AS DOUBLE) * 127.0
+                            / nullif(s.max_abs, 0.0) + 0.5)
+                      * s.max_abs / 127.0), 0.0))) AS max_err
 FROM embeddings e JOIN scaled s USING (vec_id)
 """,
 )
@@ -791,14 +809,20 @@ def x_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(array_max(transform(embedding, x -> abs(cast(x as double)))) as double)"
     ).alias("max_abs")
     with_scale = emb.select("vec_id", "embedding", max_abs)
+    # zero-vector guard (both dialects in lockstep): max_abs = 0 would
+    # divide by zero — nullif makes the scale NULL and coalesce maps the
+    # whole vector to the exact quantization a zero vector deserves
+    # (all-zero q8, max_err 0.0) instead of engine-specific NaN/Inf
     q8 = F.expr(
         "array_join(transform(embedding,"
-        " x -> cast(floor(cast(x as double) * 127.0D / max_abs + 0.5D) as int)), ',')"
+        " x -> coalesce(cast(floor(cast(x as double) * 127.0D"
+        " / nullif(max_abs, 0.0D) + 0.5D) as int), 0)), ',')"
     ).alias("q8")
     max_err = F.expr(
         "array_max(transform(embedding,"
-        " x -> abs(cast(x as double)"
-        " - floor(cast(x as double) * 127.0D / max_abs + 0.5D) * max_abs / 127.0D)))"
+        " x -> coalesce(abs(cast(x as double)"
+        " - floor(cast(x as double) * 127.0D / nullif(max_abs, 0.0D) + 0.5D)"
+        " * max_abs / 127.0D), 0.0D)))"
     ).alias("max_err")
     return with_scale.select("vec_id", "max_abs", q8, max_err)
 
@@ -1010,8 +1034,10 @@ def _jl_cols(spark_side: bool) -> list[str]:
     return out
 
 
+# nullif: a zero vector has nx = 0 and an (undefined) norm ratio — NULL in
+# both dialects, never an engine-specific 0/0 NaN-vs-error surprise
 _JL_RATIO = (
-    "(" + " + ".join(f"f{j} * f{j}" for j in range(JL_OUT_DIM)) + ") / nx"
+    "(" + " + ".join(f"f{j} * f{j}" for j in range(JL_OUT_DIM)) + ") / nullif(nx, 0.0)"
 )
 
 
@@ -1210,7 +1236,7 @@ VOCAB_SIZE = 20
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, i AS pos, ws[i] AS token
-  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS ws FROM documents),
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '{_WS}+'), t -> t <> '') AS ws FROM documents),
        LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
 ),
 vocab AS (
@@ -1259,52 +1285,68 @@ _LANG_KEYWORDS = {
 }
 
 
-def _kw_count(text_expr: str, kw: str) -> str:
-    """Occurrences of ' kw ' in a space-padded text (same SQL both engines)."""
-    padded = f"(' ' || {text_expr} || ' ')"
-    return (
-        f"CAST((length({padded}) - length(replace({padded}, ' {kw} ', '')))"
-        f" / {len(kw) + 2} AS BIGINT)"
-    )
+def _tok_eq_count(toks: str, kw: str, duck: bool) -> str:
+    """EXACT token-equality count over a bound token array — not the
+    ``replace(' kw ', '')`` length-arithmetic idiom, which undercounts
+    ADJACENT repeats (consecutive markers share a delimiter space:
+    'le le le' counts 2 of 3) and can flip an argmax on short docs.
+    Same fix as functions.text.lang_scores (the library twin)."""
+    if duck:
+        return f"len(list_filter({toks}, t -> t = '{kw}'))"
+    return f"size(filter({toks}, t -> t = '{kw}'))"
 
 
-def _lang_id_sql() -> tuple[str, str, str]:
+def _lang_id_sql(duck: bool, table: str = "documents") -> str:
+    """Language-marker scores + argmax guess, one LET-bound whitespace
+    split per row (the ``ws`` subquery column). Dialect deltas: len/size,
+    list_filter/filter, string_split_regex/split — and the duck split
+    pattern is WS_CLASS, not RE2 '\\s' (which lacks \\x0B)."""
+    if duck:
+        ws = (
+            f"list_filter(string_split_regex(trim(text), '{_WS}+'),"
+            " t -> t <> '')"
+        )
+    else:
+        ws = "filter(split(trim(text), '\\\\s+'), t -> t <> '')"
     scores = {
-        lang: " + ".join(_kw_count("text", kw) for kw in kws)
+        lang: "CAST("
+        + " + ".join(_tok_eq_count("ws", kw, duck) for kw in kws)
+        + " AS BIGINT)"
         for lang, kws in _LANG_KEYWORDS.items()
     }
-    guess = (
-        f"CASE WHEN ({scores['en']}) >= ({scores['de']})"
-        f"      AND ({scores['en']}) >= ({scores['fr']}) THEN 'en'"
-        f"     WHEN ({scores['de']}) >= ({scores['fr']}) THEN 'de'"
-        f"     ELSE 'fr' END"
-    )
-    return scores["en"], scores["de"], guess
-
-
-@register(
-    "x_lang_id",
-    oracle=f"""
-SELECT doc_id,
-       {_lang_id_sql()[0]} AS score_en,
-       {_lang_id_sql()[1]} AS score_de,
-       {_lang_id_sql()[2]} AS lang_guess
-FROM documents
-""",
+    return f"""
+WITH w AS (SELECT doc_id, {ws} AS ws FROM {table}),
+s AS (
+  SELECT doc_id,
+         {scores['en']} AS score_en,
+         {scores['de']} AS score_de,
+         {scores['fr']} AS score_fr
+  FROM w
 )
+SELECT doc_id, score_en, score_de,
+       CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+            WHEN score_de >= score_fr THEN 'de'
+            ELSE 'fr' END AS lang_guess
+FROM s
+"""
+
+
+@register("x_lang_id", oracle=_lang_id_sql(duck=True))
 def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-frequency language ID heuristic: count language-marker tokens
-    by substring arithmetic (no regex, no UDF), argmax wins. The real
-    quality gate would use richer n-gram profiles — the plumbing (row-local
-    scoring then filter/route) is identical."""
+    """Stopword-frequency language ID heuristic: count language-marker
+    tokens by exact token equality over ONE whitespace split (no regex in
+    the hot loop, no UDF), argmax wins. The real quality gate would use
+    richer n-gram profiles — the plumbing (row-local scoring then
+    filter/route) is identical."""
+    import uuid as _uuid
+
     (docs,) = tables(spark, sf_dir, "documents")
-    score_en, score_de, guess = _lang_id_sql()
-    return docs.select(
-        "doc_id",
-        F.expr(score_en).alias("score_en"),
-        F.expr(score_de).alias("score_de"),
-        F.expr(guess).alias("lang_guess"),
-    )
+    view = f"lang_id_docs_{_uuid.uuid4().hex}"
+    docs.createOrReplaceTempView(view)
+    try:
+        return spark.sql(_lang_id_sql(duck=False, table=view))
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 #: character-trigram profiles (public linguistic facts: the highest-
@@ -1398,13 +1440,18 @@ POS_GRAM_HASHES_DUCK = (
     " for i in generate_series(1, len(cs)-4)] END"
 )
 
+# empty-gram guard: a doc shorter than the gram size has hs = [] and the
+# unguarded window transform would emit a [NULL] "fingerprint" (array_min
+# of an empty slice) — a bogus shared-by-all-short-docs key. Guard to [].
 _WINNOW_SPARK = (
+    "CASE WHEN size(hs) = 0 THEN CAST(array() AS ARRAY<BIGINT>) ELSE "
     f"array_distinct(transform(sequence(1, greatest(size(hs)-{WINNOW_W - 1}, 1)),"
-    f" i -> array_min(slice(hs, i, {WINNOW_W}))))"
+    f" i -> array_min(slice(hs, i, {WINNOW_W})))) END"
 )
 _WINNOW_DUCK = (
+    "CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE "
     f"list_distinct([list_min(hs[i:i+{WINNOW_W - 1}])"
-    f" for i in generate_series(1, greatest(len(hs)-{WINNOW_W - 1}, 1))])"
+    f" for i in generate_series(1, greatest(len(hs)-{WINNOW_W - 1}, 1))]) END"
 )
 
 _WINNOW_DUCK_CTES = f"""cp AS (
@@ -1423,7 +1470,7 @@ WITH {_WINNOW_DUCK_CTES}
 SELECT h.doc_id,
        CAST(len(h.hs) AS BIGINT) AS n_grams,
        CAST(len({_WINNOW_DUCK}) AS BIGINT) AS n_fp,
-       CAST(len({_WINNOW_DUCK}) AS DOUBLE) / len(h.hs) AS density
+       CAST(len({_WINNOW_DUCK}) AS DOUBLE) / nullif(len(h.hs), 0) AS density
 FROM hs h
 """,
 )
@@ -1452,7 +1499,10 @@ def x_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             F.size("_w").cast("long").alias("n_fp"),
-            (F.size("_w").cast("double") / F.col("n_grams")).alias("density"),
+            (
+                F.size("_w").cast("double")
+                / F.nullif(F.col("n_grams"), F.lit(0))  # empty doc: NULL, not /0
+            ).alias("density"),
         )
     )
 
@@ -1513,29 +1563,43 @@ _STOPWORDS = ["the", "and", "of", "to", "der", "und", "le", "et"]
 
 
 def _quality_sql(global_flag: str, table: str = "documents") -> str:
-    """Quality-score SQL, identical for Spark and DuckDB (basic regex +
-    length arithmetic only). DuckDB regexp_replace is single-match without
-    'g', so the flag is passed there; Spark replaces globally by default.
+    """Quality-score SQL in both dialects (basic regex + length
+    arithmetic + one bound whitespace split). DuckDB regexp_replace is
+    single-match without 'g', so the flag is passed there; Spark replaces
+    globally by default. Dialect deltas beyond the flag: len/size,
+    list_filter/filter, string_split_regex/split, and the duck split
+    pattern is WS_CLASS, not RE2 '\\s' (which lacks \\x0B).
     ``table`` parameterizes the FROM target: the Spark side binds a
     UNIQUE per-call temp view instead of registering a session-global
     'documents' view, which would shadow that name for every later
-    spark.sql in the session and race concurrent catalog builds."""
+    spark.sql in the session and race concurrent catalog builds.
+
+    Zero-input guards: every ratio divides through ``nullif(.., 0)`` — an
+    EMPTY document must yield NULL ratios (and keep=FALSE via 3VL with the
+    n_chars gate), not a dialect-dependent div-by-zero surprise. Stopword
+    hits use exact token equality over the bound split (``_tok_eq_count``)
+    — the replace-arithmetic idiom undercounts adjacent markers."""
+    duck = bool(global_flag)
+    if duck:
+        ws = (
+            f"list_filter(string_split_regex(lower(trim(text)), '{_WS}+'),"
+            " t -> t <> '')"
+        )
+        n_words = "CAST(len(ws) AS BIGINT)"
+    else:
+        ws = "filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')"
+        n_words = "CAST(size(ws) AS BIGINT)"
     n_chars = "CAST(length(text) AS BIGINT)"
-    n_words = (
-        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
-        if global_flag
-        else "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
-    )
     alpha = (
         f"CAST(length(regexp_replace(text, '[^A-Za-z]', ''{global_flag})) AS DOUBLE)"
-        " / length(text)"
+        " / nullif(length(text), 0)"
     )
     punct = (
         f"CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', ''{global_flag}))"
-        " AS DOUBLE) / length(text)"
+        " AS DOUBLE) / nullif(length(text), 0)"
     )
-    stop_hits = " + ".join(_kw_count("lower(text)", kw) for kw in _STOPWORDS)
-    stop_ratio = f"CAST({stop_hits} AS DOUBLE) / {n_words}"
+    stop_hits = " + ".join(_tok_eq_count("ws", kw, duck) for kw in _STOPWORDS)
+    stop_ratio = f"CAST({stop_hits} AS DOUBLE) / nullif({n_words}, 0)"
     score = f"(({alpha}) + (1.0 - ({punct})) + least(({stop_ratio}) * 2.0, 1.0)) / 3.0"
     return f"""
 SELECT doc_id,
@@ -1545,7 +1609,7 @@ SELECT doc_id,
        {stop_ratio} AS stop_ratio,
        {score} AS quality_score,
        ({score}) >= 0.5 AND {n_chars} >= 20 AS keep
-FROM {table}
+FROM (SELECT doc_id, text, {ws} AS ws FROM {table})
 """
 
 
@@ -2022,7 +2086,7 @@ d AS (
   JOIN n na ON na.vec_id = ka.vec_id
   JOIN n nb ON nb.vec_id = kb.vec_id
   WHERE list_sum(list_transform(list_zip(na.v, nb.v), x -> x[1]*x[2]))
-          / (na.nrm * nb.nrm) >= {COSINE_DUP_THRESHOLD}
+          / nullif(na.nrm * nb.nrm, 0.0) >= {COSINE_DUP_THRESHOLD}
 )
 SELECT km.vec_id, km.cluster, (d.vec_id IS NULL) AS kept
 FROM km LEFT JOIN d ON km.vec_id = d.vec_id
@@ -2272,7 +2336,7 @@ def _feathash_cols(spark_side: bool) -> list[str]:
     oracle=f"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         unnest(list_filter(string_split_regex(trim(text), '{_WS}+'),
                             w -> w <> '')) AS tok
   FROM documents
 )

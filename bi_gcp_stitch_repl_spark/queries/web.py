@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import WS_CLASS as _WS
 from ..functions.web import canonical_url_expr, html_escape_expr, html_text_expr
 from .catalog import register, tables
 
@@ -71,8 +72,10 @@ _URL_BUILD = (
 )
 
 
+# WS_CLASS, not RE2 '\s' (which lacks \x0B) — matches html_text_expr's
+# collapse so roundtrip_ok agrees between the dialects on any whitespace
 _EXPECTED_DUCK = _HTML_EXPECTED.format(
-    ws="regexp_replace(text, '\\s+', ' ', 'g')"
+    ws=f"regexp_replace(text, '{_WS}+', ' ', 'g')"
 )
 
 @register(
@@ -119,7 +122,10 @@ def x_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("html").cast("long").alias("n_chars_html"),
         F.expr(html_text_expr("html", "spark")).alias("clean_text"),
     )
-    expected = _HTML_EXPECTED.format(ws="regexp_replace(text, '\\\\s+', ' ')")
+    ws_sql = _WS.replace("\\", "\\\\")  # SQL literal eats one level
+    expected = _HTML_EXPECTED.format(
+        ws=f"regexp_replace(text, '{ws_sql}+', ' ')"
+    )
     return cleaned.select(
         "doc_id",
         "n_chars_html",
