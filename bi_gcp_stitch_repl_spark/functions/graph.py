@@ -118,11 +118,15 @@ def connected_components(
             loop_only
         ).distinct()
     else:
-        all_nodes = e.select(F.col("src").alias("node")).unionByName(
+        # built BEFORE the src != dst filter, so loop-only nodes are in —
+        # taken unconditionally: the former "probe for self-loops first"
+        # optimization ran an EAGER limit(1).count() job over the
+        # un-checkpointed edge frame on every call (a full upstream
+        # re-evaluation) to sometimes save one bounded anti-join on the
+        # node set — a bad trade at any scale
+        nodes = e.select(F.col("src").alias("node")).unionByName(
             e.select(F.col("dst").alias("node"))
         ).distinct()
-        # only pay the extra frame when self-loops actually exist
-        nodes = all_nodes if loop_only.limit(1).count() > 0 else None
     e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
     if e.count() <= driver_threshold:
         return _cc_driver(e, nodes)

@@ -193,21 +193,15 @@ def ivf_topk(
     # candidates per query; every true top-k row is necessarily in its
     # salt lane's top-k, so the result is exactly the single-window
     # answer.
-    salted = scored.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(64)))
-    w_local = Window.partitionBy(query_id_col, "_salt").orderBy(
-        F.col("cosine").desc(), F.col(id_col)
-    )
-    survivors = (
-        salted.withColumn("_lrk", F.row_number().over(w_local))
-        .filter(F.col("_lrk") <= k)
-        .drop("_salt", "_lrk")
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
-    return (
-        survivors.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(query_id_col, id_col, "cosine", "rk")
-    )
+    from ..ops.skew import salted_topk
+
+    return salted_topk(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.col("cosine").desc(), F.col(id_col)],
+        k=k,
+        salt_on=id_col,
+    ).select(query_id_col, id_col, "cosine", "rk")
 
 
 def auto_n_cells(n_rows: int, floor: int = 4, cap: int = 1 << 18) -> int:
@@ -453,15 +447,19 @@ def lsh_bucket_topk(
         # same up-front dim validation as embedding_near_dup: zip_with
         # pads a length mismatch with NULLs, every WHEN goes false, every
         # row lands in bucket 0, and the bucket join silently becomes the
-        # full corpus × queries product this function exists to avoid
-        first = corpus.select(F.size(F.col(vec_col)).alias("_d")).first()
-        if first is not None and first["_d"] != len(planes[0]):
-            raise ValueError(
-                f"lsh_bucket_topk: planes have {len(planes[0])} dims but "
-                f"{vec_col!r} vectors have {first['_d']} elements — a "
-                "mismatch NULLs the plane dot products and routes every "
-                "row to bucket 0 (all-pairs join)"
-            )
+        # full corpus × queries product this function exists to avoid.
+        # BOTH frames are checked — a queries-side mismatch routes every
+        # query to bucket 0 just as silently as a corpus-side one
+        for side, frame in (("corpus", corpus), ("queries", queries)):
+            first = frame.select(F.size(F.col(vec_col)).alias("_d")).first()
+            if first is not None and first["_d"] != len(planes[0]):
+                raise ValueError(
+                    f"lsh_bucket_topk: planes have {len(planes[0])} dims "
+                    f"but the {side} frame's {vec_col!r} vectors have "
+                    f"{first['_d']} elements — a mismatch NULLs the plane "
+                    "dot products and routes every row to bucket 0 "
+                    "(all-pairs join)"
+                )
         bucket = lambda col: hyperplane_bucket_expr(col, planes)  # noqa: E731
     else:
         bucket = lambda col: bucket_expr(col, n_planes)  # noqa: E731

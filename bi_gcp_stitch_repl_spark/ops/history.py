@@ -37,11 +37,17 @@ def append_only_delta(
     # null-safe key match (the sinks' convention): a plain equi-anti-join
     # never matches NULL = NULL, so a row with a NULL key column would be
     # "absent from history" on EVERY run and re-append one duplicate per
-    # night, unbounded
-    hist = history.select(*keys)
+    # night, unbounded.
+    # Both frames are ALIASED and the condition built from the aliased
+    # references: with batch[k].eqNullSafe(hist[k]) directly, a snapshot
+    # sharing lineage with history can resolve both sides to the SAME
+    # attribute (trivially-true predicate or AMBIGUOUS_SELF_JOIN) and
+    # anti-join away the whole batch
+    batch = batch.alias("_aod_b")
+    hist = history.select(*keys).alias("_aod_h")
     cond = None
     for k in keys:
-        c = batch[k].eqNullSafe(hist[k])
+        c = F.col(f"_aod_b.`{k}`").eqNullSafe(F.col(f"_aod_h.`{k}`"))
         cond = c if cond is None else cond & c
     return batch.join(hist, on=cond, how="left_anti")
 

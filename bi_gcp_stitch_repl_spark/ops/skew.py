@@ -14,8 +14,51 @@ ALL sub-keys, so every original match pair still meets exactly once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def salted_topk(
+    df: DataFrame,
+    partition_by: list,
+    order_by: list,
+    k: int,
+    salt_on: str | Column,
+    n_salts: int = 64,
+    rank_name: str = "rk",
+) -> DataFrame:
+    """EXACT top-k rows per group, two-level: a salted pre-reduction
+    window (top-k per (group, hash-salt) over ``n_salts`` lanes)
+    collapses each group to ≤ n_salts·k candidate rows, then the exact
+    global window ranks that bounded survivor set as ``rank_name``.
+
+    Why: a bare row_number window funnels each group's ENTIRE row set
+    into one unsplittable sort task (windows, unlike joins, get no AQE
+    skew splitting) — at 100 TB a low-cardinality group key stalls a
+    single reducer no matter the cluster size. Every true global top-k
+    row is necessarily in its salt lane's local top-k, so the two-level
+    result is exactly the single-window answer.
+
+    ``salt_on`` must be a pure function of a UNIQUE tiebreaker that also
+    appears in ``order_by`` (deterministic lanes + total order = exact,
+    rerun-stable results — never ``rand()``, see ``salted_join``).
+    ``order_by`` entries are Columns (e.g. ``F.col(c).desc()``) or names.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col(salt_on) if isinstance(salt_on, str) else salt_on),
+        F.lit(n_salts),
+    )
+    w_local = Window.partitionBy(*partition_by, "__tk_salt").orderBy(*order_by)
+    survivors = (
+        df.withColumn("__tk_salt", salt)
+        .withColumn("__tk_lrk", F.row_number().over(w_local))
+        .filter(F.col("__tk_lrk") <= k)
+        .drop("__tk_salt", "__tk_lrk")
+    )
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return survivors.withColumn(rank_name, F.row_number().over(w)).filter(
+        F.col(rank_name) <= k
+    )
 
 
 def salted_join(

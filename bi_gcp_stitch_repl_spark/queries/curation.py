@@ -499,21 +499,14 @@ def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.expr(
         mixed_fold_spark("concat('strat', cast(doc_id as string))")
     )
-    src = docs.select("doc_id", "source").withColumn(
-        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(64))
-    )
-    w_local = Window.partitionBy("source", "_salt").orderBy(
-        h.asc(), F.col("doc_id").asc()
-    )
-    survivors = (
-        src.withColumn("_lrk", F.row_number().over(w_local))
-        .filter(F.col("_lrk") <= STRAT_K)
-        .drop("_salt", "_lrk")
-    )
-    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
-    return (
-        survivors.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= STRAT_K)
+    from ..ops.skew import salted_topk
+
+    return salted_topk(
+        docs.select("doc_id", "source"),
+        partition_by=["source"],
+        order_by=[h.asc(), F.col("doc_id").asc()],
+        k=STRAT_K,
+        salt_on="doc_id",
     )
 
 

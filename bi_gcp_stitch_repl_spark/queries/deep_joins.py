@@ -35,6 +35,17 @@ _REV_DUCK = (
 )
 
 
+def _rev_duck(alias: str = "") -> str:
+    """The decimal revenue term with both lineitem columns qualified by
+    ``alias`` — replaces the copy-pasted ``.replace(...).replace(...)``
+    chains at every multi-table oracle site."""
+    if not alias:
+        return _REV_DUCK
+    return _REV_DUCK.replace(
+        "l_extendedprice", f"{alias}.l_extendedprice"
+    ).replace("l_discount", f"{alias}.l_discount")
+
+
 def _rev_spark() -> "F.Column":
     return F.col("l_extendedprice").cast("decimal(10,2)") * (
         F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
@@ -46,7 +57,7 @@ def _rev_spark() -> "F.Column":
     oracle=f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM({_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE) AS revenue
+       CAST(SUM({_rev_duck("l")}) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -106,7 +117,7 @@ TARGET_REGION = 2  # its region key: share measured within this market
     oracle=f"""
 WITH flows AS (
   SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-         {_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")} AS volume,
+         {_rev_duck("l")} AS volume,
          n1.n_name AS supp_nation
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -303,7 +314,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT n.n_name AS supp_nation,
        CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM({_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}
+       CAST(SUM({_rev_duck("l")}
                 - CAST(p.p_retailprice AS DECIMAL(10,2))
                   * CAST(l.l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS profit
 FROM lineitem l
@@ -349,7 +360,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle=f"""
 SELECT c.c_custkey, c.c_name, n.n_name AS cust_nation,
-       CAST(SUM({_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE) AS revenue
+       CAST(SUM({_rev_duck("l")}) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -435,7 +446,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH nat_rev AS (
   SELECT n.n_name AS supp_nation,
-         SUM({_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS revenue
+         SUM({_rev_duck("l")}) AS revenue
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -595,9 +606,9 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_share",
     oracle=f"""
 SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                  THEN {_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}
+                  THEN {_rev_duck("l")}
                   ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
-       / CAST(SUM({_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE) AS DOUBLE) AS promo_share
+       / CAST(SUM({_rev_duck("l")}) AS DOUBLE) AS DOUBLE) AS promo_share
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
@@ -750,7 +761,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     oracle=f"""
-SELECT CAST(SUM({_REV_DUCK.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount")}) AS DOUBLE) AS revenue
+SELECT CAST(SUM({_rev_duck("l")}) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15

@@ -463,7 +463,7 @@ def _minhash_candidates(docs: DataFrame) -> DataFrame:
 @register("x_minhash_lsh_candidates", oracle=_minhash_lsh_duck())
 def x_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding candidate pairs — the scale path for near-dedup:
-    shingle → 8 minhashes → 4 bands of 2 → bucket-join on (band, signature).
+    shingle → 8 minhashes → 2 bands of 4 → bucket-join on (band, signature).
     Cost is linear in corpus size + bucket collisions (vs the quadratic
     shingle self-join), which is what survives 100 TB. The signature pass is
     pure JVM-side expression work (one shuffle on the band key).
@@ -851,7 +851,7 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic) and emits one row asserting mean recall@5 ≥ 0.8.
     The 0.625 probe fraction is the measured scale-stable operating
     point on this corpus: recall@5 at ~62% of sqrt(N) cells probed is
-    0.90 (sf0.01, 14/22 cells) and 0.92 (sf0.1, 28/45) — the same
+    0.90 (sf0.01, 14/22 cells) and 0.92 (sf0.1, 29/45) — the same
     recall the old pinned 5-of-8 config measured, because these
     near-uniform synthetic vectors are the hardest case for coarse
     quantization and recall tracks the probed-mass fraction, NOT the
@@ -897,24 +897,21 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 5
     ivf = ivf_topk(indexed, queries, k=k, n_probe=n_probe, centroid_col="ivf_cell")
     audit_q = queries.orderBy("query_id").limit(20)
+    from ..ops.skew import salted_topk
+
     q = audit_q.select("query_id", F.col("embedding").alias("qv"))
     # salted two-level top-k for the exact audit too: a bare window over
     # the 20 query ids would sort the FULL corpus per query in 20
     # single tasks
-    w_local = Window.partitionBy("query_id", "_salt").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    exact = (
-        emb.crossJoin(F.broadcast(q))
-        .withColumn("cosine", cosine("embedding", "qv"))
-        .withColumn("_salt", F.pmod(F.xxhash64("vec_id"), F.lit(64)))
-        .withColumn("_lrk", F.row_number().over(w_local))
-        .filter(F.col("_lrk") <= k)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "vec_id")
-    )
+    exact = salted_topk(
+        emb.crossJoin(F.broadcast(q)).withColumn(
+            "cosine", cosine("embedding", "qv")
+        ),
+        partition_by=["query_id"],
+        order_by=[F.col("cosine").desc(), F.col("vec_id")],
+        k=k,
+        salt_on="vec_id",
+    ).select("query_id", "vec_id")
     hits = (
         ivf.join(exact, ["query_id", "vec_id"], "left_semi")
         .groupBy("query_id")

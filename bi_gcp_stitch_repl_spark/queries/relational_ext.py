@@ -514,17 +514,14 @@ def x_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c,) = tables(spark, sf_dir, "customer")
     from pyspark.sql import Window
 
-    order = (F.desc("c_acctbal"), F.col("c_custkey"))
-    salted = c.withColumn("_salt", F.pmod(F.xxhash64("c_custkey"), F.lit(64)))
-    w_local = Window.partitionBy("c_mktsegment", "_salt").orderBy(*order)
-    survivors = (
-        salted.withColumn("_lrk", F.row_number().over(w_local))
-        .filter(F.col("_lrk") <= 5)
-        .drop("_salt", "_lrk")
-    )
-    w = Window.partitionBy("c_mktsegment").orderBy(*order)
-    top = survivors.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= 5
+    from ..ops.skew import salted_topk
+
+    top = salted_topk(
+        c,
+        partition_by=["c_mktsegment"],
+        order_by=[F.desc("c_acctbal"), F.col("c_custkey")],
+        k=5,
+        salt_on="c_custkey",
     )
     return (
         top.groupBy("c_mktsegment")

@@ -43,23 +43,16 @@ def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic and EXACTLY the single-window answer: every true
     global top-3 row is necessarily in its salt lane's top-3. Unique
     tiebreaker keeps ordering total (SURVEY §2.6)."""
+    from ..ops.skew import salted_topk
+
     (o,) = tables(spark, sf_dir, "orders")
     src = o.select("o_orderstatus", "o_orderkey", "o_totalprice")
-    salted = src.withColumn("_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(64)))
-    w_local = Window.partitionBy("o_orderstatus", "_salt").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    survivors = (
-        salted.withColumn("_lrk", F.row_number().over(w_local))
-        .filter(F.col("_lrk") <= 3)
-        .drop("_salt", "_lrk")
-    )
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        survivors.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+    return salted_topk(
+        src,
+        partition_by=["o_orderstatus"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+        salt_on="o_orderkey",
     )
 
 

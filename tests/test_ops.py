@@ -445,3 +445,19 @@ def test_explode_with_parent_elem_alias_guard(spark):
     assert set(out.columns) == {"parent_x", "_elem"}
     with _pytest.raises(ValueError, match="_elem"):
         explode_with_parent(df, "items", {"x": "_elem"})
+
+
+def test_append_only_delta_shared_lineage_self_join(spark):
+    """history derived from the SAME plan as snapshot (a filter over it)
+    must still anti-join correctly: with the condition built from raw
+    frame attributes, Spark can bind both sides to one attribute
+    (trivially-true predicate / AMBIGUOUS_SELF_JOIN) and anti-join away
+    the whole batch — the aliased condition keeps the sides distinct."""
+    from bi_gcp_stitch_repl_spark.ops.history import append_only_delta
+
+    snap = spark.createDataFrame(
+        [(1, "open"), (2, "open"), (3, "closed")], "id long, status string"
+    )
+    hist = snap.filter("status = 'open'")  # shared lineage, same attrs
+    out = append_only_delta(snap, hist, ["id", "status"])
+    assert [r["id"] for r in out.collect()] == [3]

@@ -493,3 +493,29 @@ def test_rrf_fuse_matches_python_model(spark, lex, sem, extra):
             s = s + (1.0 / (60.0 + float(ranks[i])) if i in ranks else 0.0)
         expect[i] = s
     assert out == expect
+
+
+def test_salted_topk_equals_bare_window(spark):
+    """Two-level salted top-k must be EXACTLY the single-window answer
+    (every true top-k row is in its salt lane's local top-k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.ops.skew import salted_topk
+
+    df = spark.range(500).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("uid"),
+        F.pmod(F.xxhash64("id"), F.lit(97)).alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("uid")]
+    got = salted_topk(
+        df, partition_by=["g"], order_by=order, k=7, salt_on="uid", n_salts=8
+    )
+    w = Window.partitionBy("g").orderBy(*order)
+    want = (
+        df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 7)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
