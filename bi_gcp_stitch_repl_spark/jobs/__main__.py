@@ -72,6 +72,9 @@ def main(argv: list[str] | None = None) -> int:
             # with an unexpected-keyword TypeError
             if not k.startswith("__")
         }
+    # baked per-entity declarative config first; the runtime --config
+    # supplies deployment concerns (transport, paths) and may override
+    kwargs = {**(spec.params or {}), **kwargs}
     result = fn(spark, **kwargs)
     print(json.dumps({"job": args.job, "result": repr(result)}))
     return 0

@@ -23,21 +23,10 @@ Example Airflow DAG (deployment-side, not part of the engine):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from .entities import ENTITY_MANIFEST
+from .spec import JobSpec
 
-
-@dataclass(frozen=True)
-class JobSpec:
-    pipeline: str  # function name in jobs.pipelines
-    cron: str  # reference cadence (staggered daily crons)
-    description: str
-    #: False = the pipeline takes an argument no JSON config can express
-    #: (currently only a Python callable — reverse-ETL's ``send``); such
-    #: jobs run through a library driver / streaming job, not the
-    #: spark-submit CLI, and __main__ excludes them from its choices.
-    #: DataFrame arguments ARE expressible via the {"$parquet": path}
-    #: resolver, so the batch/snapshot-taking jobs stay CLI-runnable.
-    cli: bool = True
+__all__ = ["JOB_MANIFEST", "JobSpec"]
 
 
 #: cadences mirror the reference's staggered schedule_interval values
@@ -117,3 +106,6 @@ JOB_MANIFEST: dict[str, JobSpec] = {
         "Hash-dedup + real-codec metadata decode of the day's media batch",
     ),
 }
+
+# per-entity declarative configs (one JobSpec per reference DAG file)
+JOB_MANIFEST.update(ENTITY_MANIFEST)

@@ -221,62 +221,54 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 #: Explicit catalog order. The external correctness driver checks the FIRST
-#: 50 registered queries only. Round-6 rotation (policy pinned by
+#: 50 registered queries only. Round-7 rotation (policy pinned by
 #: tests/window_policy.py + test_layout.py — a changed query or library
 #: module without a window slot is a test FAILURE):
 #: 1. §2 spine + the LLM-core canary stay every round (8).
-#: 2. Changed this round (4): x_text_stats (avg_token_len now strips \s —
-#:    semantics change, both dialects in lockstep) with x_gopher_rules
-#:    rotated alongside per the r05 verdict; x_token_count as
-#:    functions/text.py's mapped canary; x_ivf_topk (corpus-derived
-#:    n_cells=sqrt(N) / n_probe=0.625·n_cells gate — VERDICT r05 #5,
-#:    also functions/similarity.py's canary). The other changed modules'
-#:    canaries (versioned.py → k1_merge_upsert; rest.py →
-#:    s4_keyset_increment + s7_detail_fanout) already sit in the spine.
-#: 3. The FULL r01/r02-stale rotation debt (21): every catalog entry
-#:    whose freshest driver row predates r03 — after r06 no entry's
-#:    freshest row is older than r03 (the r05 verdict's done-bar).
-#: 4. Remaining slots: the oldest r03 cohort, §2 gates first (three of
-#:    its tail — p6_date_boundary, u2_vertical_concat, q1_pricing_summary,
-#:    all r03-fresh so the staleness bar is unaffected — gave their slots
-#:    to the three queries added this round).
+#: 2. Every query whose EVALUATED ORACLE changed this round (36): the
+#:    edge-case family — WS_CLASS sweep of the remaining RE2-'\s' oracle
+#:    sites, exact token-equality marker counts (x_lang_id /
+#:    x_quality_score), zero-input guards (winnowing empty grams,
+#:    quantize/JL zero vectors, cosine nullif), and the duck
+#:    ord('') = -1 fold-hash parity fix (x_fingerprint and every
+#:    _FOLD_DUCK consumer).
+#: 3. Changed-behavior lib canaries not already in (2): x_url_canonicalize
+#:    (functions/web.py — the _rr group-ref-only replacement rewrite),
+#:    x_ivf_topk (functions/similarity.py — queries-side plane-dim guard
+#:    + salted_topk extraction), w_topk_per_group (the salted-top-k
+#:    idiom now lives in ops/skew.salted_topk).
+#:    Excluded though textually touched: q7/q8/q9/q10/q11/q14/q19 (the
+#:    _rev_duck helper refactor — evaluated oracle verified BYTE-IDENTICAL
+#:    pre/post, Spark side untouched, all r06-fresh; the policy hash now
+#:    covers (function body + EVALUATED oracle), so decorator-template
+#:    refactors no longer burn slots).
+#: 4. Remaining slots (2): the oldest r03 cohort, §2 gates first —
+#:    p6_date_boundary, u2_vertical_concat (q1_pricing_summary, also
+#:    r03-fresh, ceded its slot to x_string_agg's refactored body).
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
     # §2 spine (7) + LLM canary (1)
     "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
     "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
     "f_string_clean_coerce", "x_dedup_exact",
-    # changed this round (4) + NEW this round (3: the web-corpus front —
-    # bloom decontamination prefilter, HTML extraction, URL
-    # canonicalization; a new query's first round must hold a slot)
-    "x_text_stats", "x_gopher_rules", "x_token_count", "x_ivf_topk",
-    "x_bloom_decontaminate", "x_html_extract", "x_url_canonicalize",
-    # changed late-round (review batch): broadcast hints dropped from
-    # SF-scaled sides (the q7/q8 rule — a forced hint on a growing side
-    # aborts at the broadcast limit at 100 TB), q2 gains a total
-    # tiebreaker, x_linear_attribution's credit went fixed-point
-    # (order-insensitive under same-microsecond ties); x_set_ops
-    # (exceptAll→subtract) already holds an r02-debt slot below
-    "q2_min_cost_supplier", "q9_product_profit", "q11_revenue_concentration",
-    "q14_promo_share", "q15_top_supplier", "q16_supplier_variety",
-    "q17_small_quantity_revenue", "q19_disjunctive_predicates",
-    "q20_dominant_suppliers", "q21_waiting_suppliers", "x_linear_attribution",
-    # changed late-round batch 2: the MinHash-LSH family's empty-gram-set
-    # guard (short docs can't be candidates; the unguarded fold's init
-    # sentinel gave every <5-char doc the SAME band signature on the
-    # Spark side and NULL on the oracle side)
-    "x_minhash_lsh_candidates", "x_dedup_near_survivors", "x_dedup_clusters",
-    # --- rotation debt: freshest row r01 (3) ---
-    "x_embedding_norms", "x_fingerprint", "x_lang_id",
-    # --- rotation debt: freshest row r02 (18) ---
-    "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
-    "n_flatten_serialize", "q7_volume_shipping", "q8_market_share",
-    "st_session_windows", "st_tumbling_window", "w_latest_per_key",
-    "w_ntile_quartiles", "w_running_total", "w_topk_per_group",
-    "x_dq_report", "x_pivot_status_by_year", "x_scd2_intervals",
-    "x_session_gaps", "x_set_ops", "x_unpivot_status",
-    # (the r03 cohort's last three slots went to late-round batch 2; every
-    # displaced entry stays r03-fresh, so the staleness bar is unaffected)
+    # oracle-changed this round (36): WS_CLASS sweep + exact marker
+    # counts + zero-input guards + ord('') fold parity
+    "x_bigram_stats", "x_bloom_decontaminate", "x_bm25_topk",
+    "x_ccnet_buckets", "x_curation_pipeline", "x_decontaminate",
+    "x_dedup_clusters", "x_dedup_embedding_pairs", "x_dedup_near_survivors",
+    "x_dedup_normalized", "x_dsir_weights", "x_embedding_quantize",
+    "x_feature_hash_embed", "x_fingerprint", "x_gopher_rules",
+    "x_html_extract", "x_hybrid_search_rrf", "x_jl_project",
+    "x_knn_cosine_topk", "x_lang_id", "x_lm_likelihood",
+    "x_minhash_lsh_candidates", "x_mixture_sample", "x_quality_score",
+    "x_semantic_decontaminate", "x_semdedup", "x_simhash",
+    "x_simhash_pairs", "x_sparse_cosine_pairs", "x_split_shard",
+    "x_stratified_sample", "x_token_budget_plan", "x_vocab_encode",
+    "x_weighted_sample", "x_winnowing_fingerprints", "x_winnowing_pairs",
+    # changed-behavior lib canaries + refactored bodies (4)
+    "x_url_canonicalize", "x_ivf_topk", "w_topk_per_group", "x_string_agg",
+    # oldest r03 cohort, §2 gates first (2)
+    "p6_date_boundary", "u2_vertical_concat",
 ]
 
 

@@ -978,6 +978,20 @@ def test_job_manifest_sweep_runs_every_entry(spark, tmp_path):
         )
         assert v is not None
 
+    def run_entity_replication():
+        # one declarative-archetype run; per-entity depth lives in
+        # tests/test_entities.py
+        from bi_gcp_stitch_repl_spark.jobs.entities import ENTITY_MANIFEST
+
+        spec = ENTITY_MANIFEST["billwerk_subscriptions"]
+        rows = [{"Id": "s1", "CustomerId": "c1", "Status": "Active"}]
+        assert pipelines.entity_replication(
+            spark,
+            billwerk_keyset_transport(rows),
+            str(tmp_path / "ent"),
+            **spec.params,
+        ) == 1
+
     runners = {
         name[len("run_"):]: fn
         for name, fn in locals().items()

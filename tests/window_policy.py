@@ -75,12 +75,22 @@ def compute_hashes() -> dict:
     from bi_gcp_stitch_repl_spark.queries import catalog
 
     catalog._load_all()
+    import re
+
     queries = {}
     for name, qd in catalog._REGISTRY.items():
         try:
             src = inspect.getsource(qd.fn)
         except (OSError, TypeError):
             src = ""
+        # hash the function BODY (decorator lines stripped) + the
+        # EVALUATED oracle: the decorator's only semantic payload is the
+        # oracle SQL, and hashing its source TEMPLATE instead made pure
+        # helper-extraction refactors (identical evaluated oracle,
+        # untouched body) count as "changed" and burn window slots
+        m = re.search(r"^def ", src, re.M)
+        if m:
+            src = src[m.start():]
         queries[name] = hashlib.sha256(
             (src + "\x00" + (qd.oracle or "")).encode()
         ).hexdigest()[:16]
