@@ -208,6 +208,16 @@ def main() -> None:
         "sf": sf,
         "stage_sec": round(stage_sec, 3),
         "calib": calib,
+        # host-independent unit: headline / calib.spark_parallel_sec — a
+        # dimensionless multiple of this host's fixed-work 32-way Spark
+        # throughput (NORMALIZED.md keeps the per-round series; the r5→r6
+        # host drift episode is why raw seconds don't compare across
+        # rounds)
+        "headline_normalized": (
+            round(legacy_total / calib["spark_parallel_sec"], 2)
+            if calib.get("spark_parallel_sec")
+            else None
+        ),
     }
     print(json.dumps(out))
 

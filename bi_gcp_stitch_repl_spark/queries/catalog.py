@@ -242,9 +242,12 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 #:    pre/post, Spark side untouched, all r06-fresh; the policy hash now
 #:    covers (function body + EVALUATED oracle), so decorator-template
 #:    refactors no longer burn slots).
-#: 4. Remaining slots (2): the oldest r03 cohort, §2 gates first —
-#:    p6_date_boundary, u2_vertical_concat (q1_pricing_summary, also
-#:    r03-fresh, ceded its slot to x_string_agg's refactored body).
+#: 4. x_multimodal_meta: functions/multimodal.py's canary (the module
+#:    gained the PyAV decoder adapter this round).
+#: 5. Remaining slot (1): the oldest r03 cohort, §2 gates first —
+#:    p6_date_boundary (u2_vertical_concat and q1_pricing_summary, also
+#:    r03-fresh, ceded to x_string_agg's refactored body and the
+#:    multimodal canary).
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
     # §2 spine (7) + LLM canary (1)
@@ -267,8 +270,10 @@ _PRIORITY: list[str] = [
     "x_weighted_sample", "x_winnowing_fingerprints", "x_winnowing_pairs",
     # changed-behavior lib canaries + refactored bodies (4)
     "x_url_canonicalize", "x_ivf_topk", "w_topk_per_group", "x_string_agg",
-    # oldest r03 cohort, §2 gates first (2)
-    "p6_date_boundary", "u2_vertical_concat",
+    # multimodal.py canary (PyAV adapter added this round)
+    "x_multimodal_meta",
+    # oldest r03 cohort, §2 gates first (1)
+    "p6_date_boundary",
 ]
 
 

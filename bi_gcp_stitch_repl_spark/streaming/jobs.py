@@ -470,3 +470,98 @@ def near_dedup_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def web_corpus_stream(
+    crawl: DataFrame,
+    bench: DataFrame,
+    url_index_path: str,
+    out_path: str,
+    checkpoint: str,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decon_ngram: int = 8,
+    bloom_m: int | None = None,
+    bloom_k: int | None = None,
+):
+    """Streaming form of ``jobs.pipelines.prepare_web_corpus``: each
+    micro-batch of raw ``(id, url, html)`` pages is URL-canonicalized,
+    deduped against every PREVIOUS batch's canonical URLs (the persisted
+    url index — a re-crawl is dropped before its HTML is parsed, the
+    same 100 TB cost-model ordering as the batch job), then extracted and
+    two-tier bloom→exact decontaminated against the static ``bench``.
+
+    Per micro-batch cost is O(batch) work plus one canonical-key
+    equi-probe of the url index — the corpus is never re-parsed
+    (near_dedup_stream's index-probe discipline, applied to URLs).
+
+    Exactly-once under foreachBatch's at-least-once delivery: both sinks
+    are VersionedTable ``append_txn`` on (stream, batch_id), and the OUT
+    sink commits BEFORE the url index. Order is load-bearing: with
+    index-first, a crash between the commits would replay the batch
+    against an index that already contains its own URLs, anti-join away
+    every row, and commit ZERO docs — silent data loss. Out-first, a
+    replay after the out commit recomputes the identical doc set (the
+    probe still excludes the batch's urls), the out append is a txn
+    no-op, and the index commit completes; a replay before the out
+    commit is just a fresh run.
+    """
+    from ..jobs.pipelines import prepare_web_corpus
+    from ..sinks.versioned import VersionedTable
+
+    from ..functions.web import canonical_url_expr
+
+    def clean_and_commit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        url_index = VersionedTable(spark, url_index_path)
+        batch = batch_df.withColumn(
+            "url_canonical", F.expr(canonical_url_expr(url_col, "spark"))
+        )
+        if url_index.exists():
+            # NULL canonical urls never match an anti-join key — every
+            # no-url page survives the cross-batch dedup, exactly like
+            # the batch job's per-row fallback key
+            batch = batch.join(
+                url_index.read().select("url_canonical"),
+                "url_canonical",
+                "left_anti",
+            )
+        batch = batch.drop("url_canonical")
+        docs = prepare_web_corpus(
+            spark,
+            batch,
+            bench,
+            html_col=html_col,
+            url_col=url_col,
+            id_col=id_col,
+            text_col=text_col,
+            decon_ngram=decon_ngram,
+            bloom_m=bloom_m,
+            bloom_k=bloom_k,
+        )
+        # one computation feeds both sinks; without the persist each
+        # append re-parses the batch's HTML (the ingest-stream lesson)
+        docs.persist()
+        try:
+            VersionedTable(spark, out_path).append_txn(
+                docs,
+                app_id=f"web_corpus_stream:{out_path}",
+                batch_id=batch_id,
+            )
+            url_index.append_txn(
+                docs.select("url_canonical").where(
+                    F.col("url_canonical").isNotNull()
+                ).distinct(),
+                app_id=f"web_corpus_stream:urls:{out_path}",
+                batch_id=batch_id,
+            )
+        finally:
+            docs.unpersist()
+
+    return (
+        crawl.writeStream.foreachBatch(clean_and_commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

