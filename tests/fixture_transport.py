@@ -32,3 +32,26 @@ def make_keyset_transport(path):
         return rows[: params["take"]]
 
     return transport
+
+
+def make_billwerk_customer_transport():
+    """Factory for the CLI $transport resolver test: a tiny keyset
+    'customers' API (jobs/entities.py billwerk_customers entity)."""
+    rows = [
+        {
+            "Id": f"c{i}",
+            "CustomerName": f"Cust {i}",
+            "Address": {"Street": "Main", "HouseNumber": str(i)},
+            "Hidden": False,
+        }
+        for i in range(3)
+    ]
+
+    def transport(url, params):
+        data = sorted(rows, key=lambda r: r["Id"])
+        start = params.get("from")
+        if start is not None:
+            data = [r for r in data if r["Id"] >= start]
+        return data[: params["take"]]
+
+    return transport

@@ -457,3 +457,30 @@ def test_ka_inactive_orgs_sheet_entity(spark, tmp_path):
     assert n == 2
     out = pipelines.merge_table(spark, str(tmp_path / "ka_inactive")).read()
     assert sorted(out.columns) == ["org_id", "org_name", "status"]
+
+
+def test_cli_runs_entity_job_with_baked_params(spark, tmp_path):
+    """The spark-submit CLI path end-to-end for a per-entity job: __main__
+    merges the entity's baked JobSpec.params UNDER the runtime config
+    (transport via the $transport resolver + warehouse path), runs
+    entity_replication, and the table lands."""
+    import json as _json
+
+    from bi_gcp_stitch_repl_spark.jobs.__main__ import main
+
+    cfg = tmp_path / "job.json"
+    cfg.write_text(
+        _json.dumps(
+            {
+                "transport": {
+                    "$transport": "tests.fixture_transport:"
+                    "make_billwerk_customer_transport"
+                },
+                "warehouse_path": str(tmp_path / "cust"),
+            }
+        )
+    )
+    assert main(["billwerk_customers", "--config", str(cfg)]) == 0
+    out = pipelines.merge_table(spark, str(tmp_path / "cust")).read()
+    assert out.count() == 3
+    assert out.filter("id = 'c1'").first()["address"] == "Main 1"
