@@ -539,12 +539,19 @@ def entity_replication(
         detail_schema = _ddl_schema(d.pop("schema")).add(
             T.StructField("_fetch_ok", T.BooleanType())
         )
+        # checkpoint BEFORE anything consumes the fan-out: the count and
+        # each sink are separate actions, and an unmaterialized
+        # mapInPandas fetch would re-call the API once per action
+        # (double traffic + rate-limit burn — the lexoffice pipelines'
+        # established discipline, pipelines.py:241)
         raw = rest.fanout_fetch(
             raw,
             detail_fetch,
             detail_schema,
             **d,
-        ).filter(F.col("_fetch_ok")).drop("_fetch_ok")
+        ).filter(F.col("_fetch_ok")).drop("_fetch_ok").localCheckpoint(
+            eager=True
+        )
 
     now = (
         F.lit(clock).cast("timestamp")

@@ -484,3 +484,31 @@ def test_cli_runs_entity_job_with_baked_params(spark, tmp_path):
     out = pipelines.merge_table(spark, str(tmp_path / "cust")).read()
     assert out.count() == 3
     assert out.filter("id = 'c1'").first()["address"] == "Main 1"
+
+
+def test_detail_fanout_fetches_each_key_exactly_once(spark, tmp_path):
+    """The fan-out is checkpointed before count/sink actions: without it,
+    every downstream action re-runs the mapInPandas fetch and the API
+    sees each key once PER ACTION (double traffic + rate-limit burn)."""
+    calls_dir = tmp_path / "calls"
+    calls_dir.mkdir()
+    calls_path = str(calls_dir)  # workers share the local FS in local mode
+    rows = [{"Id": f"ct{i}"} for i in range(4)]
+
+    def fetch(contract_id):
+        import os
+        import uuid
+
+        with open(os.path.join(calls_path, uuid.uuid4().hex), "w") as f:
+            f.write(contract_id)
+        return {"Id": contract_id, "ComponentId": "c", "Quantity": 1.0}
+
+    run_entry(
+        spark,
+        "billwerk_component_subscriptions",
+        keyset_transport(rows),
+        tmp_path,
+        detail_fetch=fetch,
+    )
+    calls = sorted(p.read_text() for p in calls_dir.iterdir())
+    assert calls == [f"ct{i}" for i in range(4)]  # once each
