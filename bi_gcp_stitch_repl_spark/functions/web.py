@@ -188,3 +188,37 @@ def canonical_url_expr(col: str, dialect: str = "spark") -> str:
         f"concat({base}, CASE WHEN _q = '' THEN '' ELSE concat('?', _q) END)"
     )
     return _let(e, "_w", _let(kept, "_q", body, dialect), dialect)
+
+
+def registrable_domain_expr(url_col: str, dialect: str = "spark") -> str:
+    """SQL expression: the registrable domain of a URL column — host
+    lowercased, ``www.`` off, last two dot-labels kept ("a.b.example.com"
+    → "example.com").
+
+    Honest scope: the real rule is the Public Suffix List (multi-label
+    suffixes like ``co.uk`` need a data file); this is the deterministic
+    two-label heuristic crawl pipelines use when the PSL isn't loaded —
+    right for quota/cap grouping, not for cookie-scope security
+    decisions. Swap the expression for a broadcast PSL join when the
+    list is available; every consumer (domain caps, domain stats) is
+    agnostic to which produces the column.
+
+    Row-local string work (one regexp_extract + one split) — zero
+    shuffle; the groupBy(domain) a consumer runs is the one exchange
+    domain-level policies fundamentally need."""
+    # [a-zA-Z] in BOTH dialects: the extract runs on the RAW url where the
+    # scheme may be uppercase — a duck-side [a-z] silently captured ''
+    host = f"lower(regexp_extract({url_col}, '^[a-zA-Z]+://([^/:?#]+)', 1))"
+    host = _rr(host, r"^www\.", "", dialect)
+    if dialect == "spark":
+        parts = f"split({host}, '\\\\.')"
+        return (
+            f"CASE WHEN size({parts}) <= 2 THEN {host}"
+            f" ELSE concat_ws('.', element_at({parts}, -2),"
+            f" element_at({parts}, -1)) END"
+        )
+    parts = f"string_split({host}, '.')"
+    return (
+        f"CASE WHEN len({parts}) <= 2 THEN {host}"
+        f" ELSE concat({parts}[-2], '.', {parts}[-1]) END"
+    )

@@ -244,10 +244,11 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 #:    refactors no longer burn slots).
 #: 4. x_multimodal_meta: functions/multimodal.py's canary (the module
 #:    gained the PyAV decoder adapter this round).
-#: 5. Remaining slot (1): the oldest r03 cohort, §2 gates first —
-#:    p6_date_boundary (u2_vertical_concat and q1_pricing_summary, also
-#:    r03-fresh, ceded to x_string_agg's refactored body and the
-#:    multimodal canary).
+#: 5. x_domain_caps: NEW this round (per-domain quota sampling — a new
+#:    query's first round must hold a slot). It takes the last spare
+#:    slot; the whole r03 cohort (p6_date_boundary, u2_vertical_concat,
+#:    q1_pricing_summary among them, all r03-fresh so the staleness bar
+#:    is unaffected) waits for r8's lighter changed-set pressure.
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
     # §2 spine (7) + LLM canary (1)
@@ -272,8 +273,8 @@ _PRIORITY: list[str] = [
     "x_url_canonicalize", "x_ivf_topk", "w_topk_per_group", "x_string_agg",
     # multimodal.py canary (PyAV adapter added this round)
     "x_multimodal_meta",
-    # oldest r03 cohort, §2 gates first (1)
-    "p6_date_boundary",
+    # NEW this round: per-domain quota sampling (first driver row)
+    "x_domain_caps",
 ]
 
 

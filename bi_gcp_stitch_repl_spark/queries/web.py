@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import WS_CLASS as _WS
-from ..functions.web import canonical_url_expr, html_escape_expr, html_text_expr
+from ..functions.web import (
+    canonical_url_expr,
+    html_escape_expr,
+    html_text_expr,
+    registrable_domain_expr,
+)
 from .catalog import register, tables
 
 # --- shared fixture fragments (identical SQL text in both dialects) --------
@@ -177,4 +182,72 @@ def x_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_canonical",
         F.count("*").over(w).cast("long").alias("dup_count"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_kept"),
+    )
+
+
+#: per-domain document quota (the Dolma/C4-style domain cap: no single
+#: registrable domain may contribute more than this many documents).
+#: Sized against the fixture's 3-domain URL space so the cap BINDS at
+#: driver scale (sf0.01: 500 docs / 3 domains ~ 167 each -> 17 dropped
+#: per domain) — a cap nothing hits would test nothing.
+DOMAIN_CAP = 150
+
+
+@register(
+    "x_domain_caps",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id, {_URL_BUILD} AS url_raw FROM documents
+),
+d AS (
+  SELECT doc_id, {registrable_domain_expr("url_raw", "duck")} AS domain
+  FROM raw
+),
+r AS (
+  SELECT doc_id, domain,
+         CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id)
+              AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY domain) AS BIGINT) AS n_domain
+  FROM d
+)
+SELECT doc_id, domain, rk, n_domain FROM r WHERE rk <= {DOMAIN_CAP}
+""",
+)
+def x_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota (the web-mix balancing stage every crawl
+    pipeline runs after URL dedup: no registrable domain may dominate the
+    corpus): extract the registrable domain
+    (functions.web.registrable_domain_expr — two-label heuristic, PSL
+    seam documented there), keep the first ``DOMAIN_CAP`` docs per domain
+    by the deterministic doc_id order, and carry the domain's total so
+    downstream mixing can reason about what the cap removed.
+
+    Scale shape: domain extraction is row-local string work; the quota is
+    ``ops.skew.salted_topk`` — the EXACT two-level top-k (local top-k per
+    64-way salt lane, final window over <= 64*cap survivors), because a
+    bare per-domain row_number window funnels each domain's entire row
+    set into ONE task and crawl domains are the canonical heavy-hitter
+    key (a big domain is exactly the row set you're capping). The domain
+    totals are one map-side-combinable groupBy broadcast back onto the
+    bounded survivor set."""
+    from ..ops.skew import salted_topk
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.expr(_URL_BUILD).alias("url_raw"))
+    dom = raw.select(
+        "doc_id",
+        F.expr(registrable_domain_expr("url_raw", "spark")).alias("domain"),
+    )
+    totals = dom.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_domain")
+    )
+    kept = salted_topk(
+        dom,
+        partition_by=["domain"],
+        order_by=[F.col("doc_id")],
+        k=DOMAIN_CAP,
+        salt_on="doc_id",
+    )
+    return kept.join(F.broadcast(totals), "domain").select(
+        "doc_id", "domain", F.col("rk").cast("long").alias("rk"), "n_domain"
     )

@@ -92,7 +92,7 @@ def test_driver_window_covers_survey_gates():
     LLM canary, every query whose evaluated oracle changed this round
     (the edge-case family: WS_CLASS sweep, exact marker counts,
     zero-input guards, duck ord('') fold parity), the changed-behavior
-    lib canaries, and three oldest-r03-cohort §2 gates. It additionally
+    lib canaries, and the round's new query. It additionally
     proves the coverage-closure invariant: the union of the r01-r06
     driver windows and this window is the ENTIRE catalog."""
     import json
@@ -126,8 +126,8 @@ def test_driver_window_covers_survey_gates():
         "x_string_agg",
         # multimodal.py canary (PyAV adapter added this round)
         "x_multimodal_meta",
-        # oldest r03 cohort, §2 gates first
-        "p6_date_boundary",
+        # NEW this round: per-domain quota sampling (first driver row)
+        "x_domain_caps",
     }
     assert len(required) == 50
     missing = required - set(first50)

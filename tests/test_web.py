@@ -366,3 +366,59 @@ def test_bloom_superset_and_no_false_negative_property(
     for r in out:
         assert r.n_bloom_grams >= r.n_exact_grams
         assert (not r.exact_flagged) or r.bloom_flagged
+
+
+_DOMAIN_CASES = [
+    ("https://a.b.example.com/x?q=1", "example.com"),  # subdomain chain
+    ("HTTPS://WWW.EXAMPLE.COM:443/p", "example.com"),  # upper + www + port
+    ("http://example.com", "example.com"),  # no path
+    ("http://www.example.co/x", "example.co"),  # two labels after www
+    ("https://localhost/x", "localhost"),  # single-label host
+    ("https://deep.sub.tracker.example.org/a/b", "example.org"),
+    ("ftp://www.files.example.net", "example.net"),  # non-http scheme
+]
+
+
+def test_registrable_domain_expr_semantics_and_dialect_parity(spark):
+    """Two-label registrable-domain heuristic: subdomains collapse,
+    www/port/scheme-case strip, single-label hosts pass through — and the
+    duck twin is byte-identical (the x_domain_caps oracle's foundation)."""
+    from bi_gcp_stitch_repl_spark.functions.web import registrable_domain_expr
+
+    con = duckdb.connect()
+    for raw, want in _DOMAIN_CASES:
+        s = (
+            spark.createDataFrame([(raw,)], "u string")
+            .select(F.expr(registrable_domain_expr("u", "spark")))
+            .collect()[0][0]
+        )
+        assert s == want, (raw, s)
+        con.execute("CREATE OR REPLACE TABLE wt AS SELECT ? AS u", [raw])
+        d = con.sql(
+            f"SELECT {registrable_domain_expr('u', 'duck')} FROM wt"
+        ).fetchone()[0]
+        assert d == s, (raw, d, s)
+
+
+def test_domain_caps_binds_and_is_deterministic(spark):
+    """salted_topk-backed per-domain quota on the driver fixture: the cap
+    binds (no domain keeps more than DOMAIN_CAP), survivors are the LOWEST
+    doc_ids per domain (deterministic keep-first), and n_domain carries
+    the PRE-cap mass so mixing can reason about what was removed."""
+    from bi_gcp_stitch_repl_spark.queries.web import DOMAIN_CAP, x_domain_caps
+
+    from .conftest import SF_SMOKE
+
+    out = x_domain_caps(spark, SF_SMOKE).collect()
+    by_dom: dict[str, list] = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert set(by_dom) == {"example0.com", "example1.com", "example2.com"}
+    for dom, rows in by_dom.items():
+        assert len(rows) <= DOMAIN_CAP
+        assert len(rows) < rows[0]["n_domain"]  # the cap BINDS (500/3 > 150)
+        kept_ids = sorted(r["doc_id"] for r in rows)
+        # keep-first: the kept set is exactly the domain's smallest ids
+        assert kept_ids == sorted(
+            i for i in range(500) if f"example{i % 3}.com" == dom
+        )[: len(rows)]
