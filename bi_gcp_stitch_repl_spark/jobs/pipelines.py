@@ -1445,6 +1445,7 @@ def prepare_web_corpus(
     decon_ngram: int = 8,
     bloom_m: int | None = None,
     bloom_k: int | None = None,
+    domain_cap: int | None = None,
 ) -> DataFrame:
     """Web-crawl front end for ``prepare_training_data``: raw
     ``(id, url, html)`` pages → deduped, extracted, decontaminated
@@ -1476,7 +1477,13 @@ def prepare_web_corpus(
     exchanges are the canonical-key window and the per-doc gram counts.
 
     ``bloom_m``/``bloom_k`` override the filter geometry (tests force a
-    tiny saturated filter to prove the FP path stays harmless)."""
+    tiny saturated filter to prove the FP path stays harmless).
+    ``domain_cap`` (optional, LAST stage) applies the Dolma/C4-style
+    per-registrable-domain quota over the decontaminated survivors —
+    keep-first by ``id_col`` via the exact salted two-level top-k
+    (``ops.skew.salted_topk``: crawl domains are the canonical
+    heavy-hitter window key). It runs last because a capped doc must not
+    shield a duplicate or a contaminated doc from the earlier stages."""
     from ..functions.bloom import BLOOM_K, BLOOM_M, bloom_decontaminate
     from ..functions.curation import decontaminate
     from ..functions.web import canonical_url_expr, html_text_expr
@@ -1517,4 +1524,27 @@ def prepare_web_corpus(
         .filter(F.col("contaminated"))
         .select(id_col)
     )
-    return docs.join(confirmed, id_col, "left_anti")
+    out = docs.join(confirmed, id_col, "left_anti")
+    if domain_cap is not None:
+        from ..functions.web import registrable_domain_expr
+        from ..ops.skew import salted_topk
+
+        # NULL/unparseable urls never share a quota group: each such doc
+        # is its own "domain" (the URL-dedup fallback-key idiom) — a cap
+        # must bound real domains, not collapse every no-url doc into one
+        domain = F.coalesce(
+            F.nullif(
+                F.expr(registrable_domain_expr("url_canonical", "spark")),
+                F.lit(""),
+            ),
+            F.concat(F.lit("_nodomain_"), F.col(id_col).cast("string")),
+        )
+        capped = salted_topk(
+            out.withColumn("_domain", domain),
+            partition_by=["_domain"],
+            order_by=[F.col(id_col)],
+            k=domain_cap,
+            salt_on=id_col,
+        )
+        out = capped.drop("_domain", "rk")
+    return out

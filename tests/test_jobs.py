@@ -1543,3 +1543,28 @@ def test_prepare_web_corpus_bloom_false_positives_harmless(spark):
         spark, _crawl(spark), bench, bloom_m=17, bloom_k=2
     )
     assert {r.doc_id for r in out.collect()} == {1, 4, 5, 6}
+
+
+def test_prepare_web_corpus_domain_cap_binds_last(spark):
+    """Optional domain_cap stage: caps per registrable domain AFTER dedup
+    and decontamination (a capped doc never shields a dup/contaminated
+    one), keep-first by doc_id, and NULL-url docs are never collapsed
+    into one quota group."""
+    from pyspark.sql import Row
+
+    crawl = _crawl(spark)
+    # add more site.com resources so the domain has 4 surviving docs
+    extra = spark.createDataFrame(
+        [
+            _page(7, "https://site.com/c", "more words on a second page"),
+            _page(8, "https://site.com/d", "and words on a third page"),
+            _page(9, "https://site.com/e", "plus words on a fourth page"),
+        ]
+    )
+    out = pipelines.prepare_web_corpus(
+        spark, crawl.unionByName(extra), _bench(spark), domain_cap=2
+    )
+    rows = {r.doc_id for r in out.collect()}
+    # site.com survivors pre-cap: 1 (dedup winner), 7, 8, 9 -> cap 2 keeps
+    # the two lowest ids; other.com under cap; BOTH null-url docs survive
+    assert rows == {1, 7, 4, 5, 6}
