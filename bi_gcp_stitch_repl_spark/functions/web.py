@@ -36,7 +36,13 @@ def _java_repl(repl: str) -> str:
     corrupting them (a blanket ``'\\'->'$'`` turned any literal backslash
     into a bogus group ref and a literal ``$`` into an illegal one). The
     output is then SQL-escaped one level (Spark string literals eat one
-    backslash)."""
+    backslash).
+
+    The RE2 escaped-backslash pair ``\\\\`` (two input chars) is consumed
+    as ONE literal backslash — treating each char independently emitted
+    TWO backslashes on the Spark side while DuckDB's raw pass-through
+    emits one (latent dialect divergence; no current call site passes
+    backslashes, pinned by test anyway)."""
     out: list[str] = []
     i = 0
     while i < len(repl):
@@ -44,7 +50,11 @@ def _java_repl(repl: str) -> str:
         if c == "\\" and i + 1 < len(repl) and repl[i + 1].isdigit():
             out.append("$" + repl[i + 1])
             i += 2
-        elif c == "\\":  # literal backslash: Java '\\', SQL text '\\\\'
+        elif c == "\\" and i + 1 < len(repl) and repl[i + 1] == "\\":
+            # RE2 '\\' = one literal backslash: Java '\\', SQL '\\\\'
+            out.append("\\\\\\\\")
+            i += 2
+        elif c == "\\":  # stray trailing backslash: one literal
             out.append("\\\\\\\\")
             i += 1
         elif c == "$":  # literal dollar: Java '\$', SQL text '\\$'

@@ -549,7 +549,16 @@ def _bexio_payments(country: str, cron: str) -> JobSpec:
                 {"name": "is_client_account_redemption"},
                 {"name": "is_cash_discount"},
             ],
-            "sink": {"mode": "upsert", "keys": ["kb_invoice_id"]},
+            # key_frame: delete scope = EVERY fetched invoice id (a
+            # payment row's kb_invoice_id IS its parent invoice's id), so
+            # an invoice whose payment list became empty upstream purges
+            # its stale rows — the reference's per-parent DELETE+INSERT
+            # (bexio_payments_de.py full-refetch semantics)
+            "sink": {
+                "mode": "upsert",
+                "keys": ["kb_invoice_id"],
+                "key_frame": {"kb_invoice_id": "id"},
+            },
         },
     )
 

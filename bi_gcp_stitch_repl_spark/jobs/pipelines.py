@@ -558,15 +558,25 @@ def entity_replication(
         if clock is not None
         else F.current_timestamp()
     )
+    explode_parents = None
+    fetched = raw  # the PRE-explode fetched rows (key_frame source)
     if explode is not None:
         # the MAIN rows are array elements (a detail endpoint returning a
         # LIST per key — e.g. one invoice's several payments): explode
-        # before projecting, parents attached under their mapped names
-        parent_map = dict(explode["parent_map"])
+        # before projecting, parents attached under their mapped names.
+        # Keep the PRE-explode parent key set: a parent whose array became
+        # empty upstream explodes to ZERO batch rows, and an upsert merge
+        # keyed only on the batch would leave its stale rows alive forever
+        # — the key_frame contract bexio_invoice_replication (above,
+        # :116-130) and lexoffice_invoice_items (:279-288) implement.
+        explode_map = dict(explode["parent_map"])
+        explode_parents = raw.select(
+            *[F.col(r).alias(c) for r, c in explode_map.items()]
+        )
         raw = explode_with_parent(
-            raw.select(*parent_map, explode["array_col"]),
+            raw.select(*explode_map, explode["array_col"]),
             explode["array_col"],
-            parent_map,
+            explode_map,
         )
     frame = raw.withColumn("_now", now)
     out = _apply_select(frame, select)
@@ -590,16 +600,46 @@ def entity_replication(
         else:
             # child rows merge on the PARENT key: each parent's batch rows
             # are its complete current item set (bexio_invoice_replication's
-            # contract — stale items of refetched parents must die)
+            # contract — stale items of refetched parents must die). The
+            # delete scope must be the FULL fetched parent set (key_frame),
+            # not the batch's keys: a refetched parent whose child array
+            # became EMPTY contributes zero batch rows, and without the
+            # frame its stale children would survive every merge. Only
+            # derivable when every child key is a parent-mapped column —
+            # an element-level key has no per-parent completeness contract.
             ckeys = child.get("keys") or keys
-            ctbl.merge_upsert(items, keys=ckeys)
+            ckf = None
+            if set(ckeys) <= set(parent_map.values()):
+                rev = {c: r for r, c in parent_map.items()}
+                ckf = frame.select(
+                    *[F.col(rev[c]).alias(c) for c in ckeys]
+                )
+            ctbl.merge_upsert(items, keys=ckeys, key_frame=ckf)
 
     n = out.count()
     tbl = merge_table(spark, warehouse_path, table_factory)
     if mode == "truncate":
         tbl.overwrite(out)
     elif mode == "upsert":
-        tbl.merge_upsert(out, keys=keys)
+        # explode-path main merge: same per-parent DELETE+INSERT contract
+        # as the child sink — the fetched-parent key set widens the delete
+        # scope so a parent whose list became empty purges its stale rows.
+        # Derivation: an explicit sink["key_frame"] {out_key: raw parent
+        # col} wins (needed when the merge key is an element-level field
+        # that EQUALS the parent key under another name, e.g. a payment's
+        # kb_invoice_id = the fetched invoice's id); else auto-derive when
+        # every sink key is a parent-mapped explode column.
+        kf = None
+        kf_map = sink.get("key_frame")
+        if kf_map is not None:
+            kf = fetched.select(
+                *[F.col(r).alias(o) for o, r in kf_map.items()]
+            )
+        elif explode_parents is not None and set(keys) <= set(
+            explode_parents.columns
+        ):
+            kf = explode_parents.select(*keys)
+        tbl.merge_upsert(out, keys=keys, key_frame=kf)
     elif mode == "append_dedup":
         tbl.append_if_absent(out, keys=keys)
     else:

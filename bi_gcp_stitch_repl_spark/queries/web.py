@@ -248,6 +248,13 @@ def x_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=DOMAIN_CAP,
         salt_on="doc_id",
     )
-    return kept.join(F.broadcast(totals), "domain").select(
+    # NO broadcast hint: `totals` is one row per registrable domain — a
+    # CORPUS-scaled side (10^7-10^8 rows on a real crawl), and a forced
+    # hint bypasses the size check and aborts at the broadcast limit (the
+    # abort-at-limit class r6 purged from the TPC queries). Both sides
+    # here are same-order cardinality (survivors <= cap x domains); AQE
+    # converts the join to broadcast at test scale on its own and keeps
+    # the shuffle form when the domain space is actually large.
+    return kept.join(totals, "domain").select(
         "doc_id", "domain", F.col("rk").cast("long").alias("rk"), "n_domain"
     )

@@ -218,6 +218,94 @@ def test_bexio_orders_header_child_and_upsert(spark, tmp_path):
     assert out2.filter("id = 2").first()["total"] == 202.0
 
 
+def test_bexio_orders_child_purges_emptied_parent_positions(spark, tmp_path):
+    """Per-parent DELETE+INSERT for the child sink: a refetched order
+    whose positions array became EMPTY contributes zero batch rows, and
+    only the key_frame (the full fetched parent-id set) purges its stale
+    positions — a batch-keyed merge would keep them alive forever
+    (bexio_invoice_replication's contract, pipelines.py:116-130)."""
+
+    def order(i, n_pos):
+        return {
+            "id": i,
+            "document_nr": f"O-{i}",
+            "total": str(100 + i),
+            "taxs": [{"percentage": "7.7", "value": "1.0"}],
+            "positions": [
+                {"id": i * 10 + j, "type": "KbPositionCustom", "amount": "1.5"}
+                for j in range(n_pos)
+            ],
+        }
+
+    child_path = str(tmp_path / "bexio_positions")
+    run_entry(
+        spark,
+        "bexio_orders_de",
+        offset_transport([order(i, 2) for i in range(3)]),
+        tmp_path,
+        child_warehouse_path=child_path,
+    )
+    items = pipelines.merge_table(spark, child_path).read()
+    assert items.filter("order_id = 1").count() == 2
+    # order 1's position list shrinks to EMPTY upstream; orders 0/2 keep 2
+    run_entry(
+        spark,
+        "bexio_orders_de",
+        offset_transport([order(0, 2), order(1, 0), order(2, 2)]),
+        tmp_path,
+        child_warehouse_path=child_path,
+    )
+    items2 = pipelines.merge_table(spark, child_path).read()
+    assert items2.filter("order_id = 1").count() == 0  # stale rows died
+    assert items2.count() == 4
+
+
+def test_bexio_payments_purges_emptied_invoice_payments(spark, tmp_path):
+    """Explode-path main merge: an invoice whose payments list became
+    EMPTY between runs explodes to zero batch rows; the sink's explicit
+    key_frame mapping (kb_invoice_id = fetched invoice id) widens the
+    delete scope so its stale payment rows are purged."""
+
+    def fetcher(n_by_invoice):
+        def fetch(invoice_id):
+            return {
+                "id": invoice_id,
+                "payments": [
+                    {
+                        "id": invoice_id * 100 + j,
+                        "kb_invoice_id": invoice_id,
+                        "value": "12.50",
+                        "is_cash_discount": False,
+                    }
+                    for j in range(n_by_invoice.get(invoice_id, 0))
+                ],
+            }
+
+        return fetch
+
+    rows = [{"id": i} for i in range(3)]
+    run_entry(
+        spark,
+        "bexio_payments_de",
+        offset_transport(rows),
+        tmp_path,
+        detail_fetch=fetcher({0: 2, 1: 2, 2: 2}),
+    )
+    out = read(spark, tmp_path, "bexio_payments_de")
+    assert out.filter("kb_invoice_id = 1").count() == 2
+    # invoice 1 refunds everything: payments list now empty
+    run_entry(
+        spark,
+        "bexio_payments_de",
+        offset_transport(rows),
+        tmp_path,
+        detail_fetch=fetcher({0: 2, 1: 0, 2: 2}),
+    )
+    out2 = read(spark, tmp_path, "bexio_payments_de")
+    assert out2.filter("kb_invoice_id = 1").count() == 0  # stale rows died
+    assert out2.count() == 4
+
+
 def test_bexio_payments_list_detail_explodes_to_rows(spark, tmp_path):
     rows = [{"id": i} for i in range(4)]
 

@@ -383,3 +383,61 @@ def test_embedding_pairs_spread_before_nested_loop(spark):
     the O(n²) nested loop onto one task."""
     plan = plan_of(QUERIES["x_dedup_embedding_pairs"](spark, SF_SMOKE), mode="simple")
     assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
+
+
+def test_no_forced_broadcast_on_scaled_sides_in_queries():
+    """Source-level gate (the r7 verdict's x_domain_caps lesson): a forced
+    ``F.broadcast`` hint BYPASSES Spark's size check, so a hint on a side
+    that scales with the data ABORTS at the 8 GB broadcast limit instead
+    of degrading — the class r6 purged from the TPC queries (f16766e) and
+    r8 purged from x_domain_caps. Every broadcast call site in queries/
+    must name a side that is fixed-size BY CONSTRUCTION (a 25-row nation /
+    5-row region dim, a 1-row aggregate, a k-capped top-k, a bounded probe
+    set). New sites fail here until reviewed into the allowlist with a
+    justification."""
+    import ast
+    import os
+
+    import bi_gcp_stitch_repl_spark.queries as qpkg
+
+    # (file, broadcast-arg source) -> why the side is fixed-size
+    allowed = {
+        # nation (25 rows) / region (5 rows) dimension tables
+        ("parity.py", "n"), ("parity.py", "r"),
+        ("parity.py", "asia_nations"),
+        ("parity.py", "asia_nations.select('n_nationkey')"),
+        ("deep_joins.py", "n"), ("deep_joins.py", "n1"),
+        ("deep_joins.py", "n2"),
+        ("deep_joins.py", "n2.filter(F.col('c_rk') == TARGET_REGION)"),
+        # 1-row (or n-partition-row) aggregates / thresholds
+        ("parity.py", "wm"), ("parity.py", "offsets"),
+        ("deep_joins.py", "threshold"), ("deep_joins.py", "n_orders"),
+        ("curation.py", "tot"), ("curation.py", "ratio"),
+        ("relational_ext.py", "tot"),
+        # fixed-size bench/eval/query sets and k-capped outputs
+        ("curation.py", "q"), ("curation.py", "sa"), ("curation.py", "sb"),
+        ("curation.py", "v"),
+        ("extensions.py", "q"), ("extensions.py", "probe"),
+        ("extensions.py", "na"), ("extensions.py", "cand_ids"),
+        ("extensions.py", "recall"), ("extensions.py", "top"),
+    }
+    qdir = os.path.dirname(qpkg.__file__)
+    offenders = []
+    for fname in sorted(os.listdir(qdir)):
+        if not fname.endswith(".py"):
+            continue
+        tree = ast.parse(open(os.path.join(qdir, fname)).read())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and node.args
+            ):
+                arg = ast.unparse(node.args[0])
+                if (fname, arg) not in allowed:
+                    offenders.append((fname, node.lineno, arg))
+    assert not offenders, (
+        "unreviewed F.broadcast hint(s) — a forced hint on a data-scaled "
+        f"side aborts at the broadcast limit at 100 TB: {offenders}"
+    )

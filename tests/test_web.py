@@ -203,6 +203,39 @@ def test_web_exprs_dialects_agree(spark):
         assert d == s, raw
 
 
+def test_rr_replacement_backslash_pair_dialect_parity(spark):
+    """_java_repl consumes the RE2 escaped-backslash pair '\\\\' as ONE
+    literal backslash — treating each char independently emitted TWO
+    backslashes on the Spark side while DuckDB's raw pass-through emits
+    one (latent divergence; no production call site passes backslashes,
+    this pins the contract for the first one that does). Also re-pins
+    group refs and literal '$' in the same replacement."""
+    from bi_gcp_stitch_repl_spark.functions.web import _rr
+
+    cases = [
+        ("abc", "b", "\\\\"),        # RE2 escaped backslash -> one '\'
+        ("abc", "(b)", "[\\1]"),     # group ref
+        ("abc", "b", "$"),           # literal dollar
+        ("abc", "(b)", "\\\\\\1$"),  # backslash + group + dollar together
+    ]
+    con = duckdb.connect()
+    for text, pat, repl in cases:
+        con.execute("CREATE OR REPLACE TABLE wt AS SELECT ? AS t", [text])
+        d = con.sql(f"SELECT {_rr('t', pat, repl, 'duck')} FROM wt").fetchone()[0]
+        s = (
+            spark.createDataFrame([(text,)], "t string")
+            .select(F.expr(_rr("t", pat, repl, "spark")))
+            .collect()[0][0]
+        )
+        assert d == s, (text, pat, repl, d, s)
+    # and the pair really is ONE output backslash, not two
+    assert (
+        con.sql(f"SELECT {_rr('t', 'b', chr(92) * 2, 'duck')} FROM wt")
+        .fetchone()[0]
+        == "a\\c"
+    )
+
+
 def test_ws_class_dialect_parity_on_vertical_tab(spark):
     """WS_CLASS exists because RE2's \\s lacks \\x0B while Java's has it:
     on a vertical-tab document the explicit class keeps both engines
