@@ -947,11 +947,30 @@ IMPORT_BI_DEV_GROSS_MARGIN = JobSpec(
     ref="dags/price-increase/import_bi_dev_gross_margin.py",
     params={"range_a1": "Gross Margin", "header_row": 0},
 )
+BILLWERK_CEASE_DATE = JobSpec(
+    "sheet_import_snapshot", "0 23 * * *",
+    "Billwerk admin cease-date sheet -> date normalize -> truncate-refresh",
+    ref="dags/billwerk/billwerk_cease_date.py",
+    params={
+        "range_a1": "Billwerk Cease Date",
+        "header_row": 0,
+        # billwerk_cease_date.py:45: 4-column projection
+        "select": ["No", "customer_id", "admin_cease_date", "Note"],
+        # billwerk_cease_date.py:25-29 (dataset_transform): per-row
+        # yyyy-MM-dd parse + re-render — here one typed to_date column;
+        # the reference's empty-string passthrough becomes NULL (F8
+        # sentinel->NULL, the engine's norm), malformed cells coerce to
+        # NULL instead of killing the nightly load
+        "date_cols": {"admin_cease_date": "yyyy-MM-dd"},
+    },
+)
 STRIPE_DISPUTES = JobSpec(
     "sheet_import_snapshot", "45 7 * * *",
     "Finance stripe-disputes sheet -> truncate-refresh",
     ref="dags/finance/disputed_invoices/stripe_dispute.py",
-    params={"range_a1": "shore :: disputes stripe", "header_row": 0},
+    # neutral placeholder tab name (the real deployment sets range_a1 in
+    # its runtime config; the reference hardcodes its own sheet tab)
+    params={"range_a1": "Stripe Disputes", "header_row": 0},
 )
 
 # --------------------------------------------------------------------------
@@ -990,5 +1009,6 @@ ENTITY_MANIFEST: dict[str, JobSpec] = {
     "ka_orgs": KA_ORGS,
     "import_bi_dev": IMPORT_BI_DEV,
     "import_bi_dev_gross_margin": IMPORT_BI_DEV_GROSS_MARGIN,
+    "billwerk_cease_date": BILLWERK_CEASE_DATE,
     "stripe_disputes": STRIPE_DISPUTES,
 }

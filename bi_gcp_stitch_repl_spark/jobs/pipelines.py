@@ -1530,9 +1530,15 @@ def prepare_web_corpus(
 
     m = BLOOM_M if bloom_m is None else bloom_m
     k = BLOOM_K if bloom_k is None else bloom_k
-    canon = crawl.withColumn(
-        "url_canonical", F.expr(canonical_url_expr(url_col, "spark"))
-    )
+    if "url_canonical" in crawl.columns:
+        # caller already canonicalized (the streaming front computes it
+        # for its url-index probe): reuse instead of running the regexp
+        # chain a second time over every surviving row
+        canon = crawl
+    else:
+        canon = crawl.withColumn(
+            "url_canonical", F.expr(canonical_url_expr(url_col, "spark"))
+        )
     # NULL-safe dedup key: every NULL-url row keeps itself (one synthetic
     # key per row) instead of all NULLs collapsing into one group
     dedup_key = F.coalesce(

@@ -485,6 +485,8 @@ def web_corpus_stream(
     decon_ngram: int = 8,
     bloom_m: int | None = None,
     bloom_k: int | None = None,
+    domain_cap: int | None = None,
+    domain_counts_path: str | None = None,
 ):
     """Streaming form of ``jobs.pipelines.prepare_web_corpus``: each
     micro-batch of raw ``(id, url, html)`` pages is URL-canonicalized,
@@ -497,21 +499,36 @@ def web_corpus_stream(
     equi-probe of the url index — the corpus is never re-parsed
     (near_dedup_stream's index-probe discipline, applied to URLs).
 
-    Exactly-once under foreachBatch's at-least-once delivery: both sinks
-    are VersionedTable ``append_txn`` on (stream, batch_id), and the OUT
-    sink commits BEFORE the url index. Order is load-bearing: with
-    index-first, a crash between the commits would replay the batch
-    against an index that already contains its own URLs, anti-join away
-    every row, and commit ZERO docs — silent data loss. Out-first, a
-    replay after the out commit recomputes the identical doc set (the
-    probe still excludes the batch's urls), the out append is a txn
-    no-op, and the index commit completes; a replay before the out
-    commit is just a fresh run.
+    ``domain_cap`` (optional; requires ``domain_counts_path``) enforces
+    the batch job's per-registrable-domain quota ACROSS micro-batches:
+    per-domain running totals persist as txn-marked increments (read =
+    one map-side-combinable groupBy sum), each batch ranks its own docs
+    per domain with the exact salted top-k and keeps rows while
+    ``prior + rank <= cap`` — the url-index probe discipline applied to
+    ``groupBy(domain)`` counters. NULL/unparseable urls each form their
+    own quota group (never capped, never persisted to the counts table).
+
+    Exactly-once under foreachBatch's at-least-once delivery: every sink
+    is VersionedTable ``append_txn`` on (stream, batch_id), committed in
+    the order OUT → domain counts → url index. Order is load-bearing
+    twice over: (a) index LAST — with index-first, a crash between the
+    commits would replay the batch against an index that already
+    contains its own URLs, anti-join away every row, and commit ZERO
+    docs — silent data loss; (b) counts BEFORE the index and AFTER out —
+    a replay before the counts commit recomputes the IDENTICAL kept set
+    (the counts the cap read are unchanged), so the increments appended
+    always match the docs the out sink committed, and a replay after it
+    is a txn no-op. The url index records the batch's full post-probe
+    URL set (not the surviving docs'), so its content is independent of
+    the cap decision and identical under any replay.
     """
     from ..jobs.pipelines import prepare_web_corpus
     from ..sinks.versioned import VersionedTable
 
     from ..functions.web import canonical_url_expr
+
+    if domain_cap is not None and domain_counts_path is None:
+        raise ValueError("domain_cap needs a domain_counts_path")
 
     def clean_and_commit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -528,7 +545,9 @@ def web_corpus_stream(
                 "url_canonical",
                 "left_anti",
             )
-        batch = batch.drop("url_canonical")
+        # keep url_canonical: prepare_web_corpus reuses it (no second
+        # regexp pass), and the index append below reads it
+        batch = batch.localCheckpoint(eager=True)
         docs = prepare_web_corpus(
             spark,
             batch,
@@ -541,7 +560,48 @@ def web_corpus_stream(
             bloom_m=bloom_m,
             bloom_k=bloom_k,
         )
-        # one computation feeds both sinks; without the persist each
+        increments = None
+        if domain_cap is not None:
+            from ..functions.web import registrable_domain_expr
+            from ..ops.skew import salted_topk
+
+            counts_tbl = VersionedTable(spark, domain_counts_path)
+            domain = F.coalesce(
+                F.nullif(
+                    F.expr(registrable_domain_expr("url_canonical", "spark")),
+                    F.lit(""),
+                ),
+                F.concat(F.lit("_nodomain_"), F.col(id_col).cast("string")),
+            )
+            dom = docs.withColumn("_domain", domain)
+            if counts_tbl.exists():
+                prior = counts_tbl.read().groupBy("domain").agg(
+                    F.sum("n").alias("_prior")
+                ).withColumnRenamed("domain", "_domain")
+                dom = dom.join(prior, "_domain", "left")
+            else:
+                dom = dom.withColumn("_prior", F.lit(None).cast("long"))
+            # rank within the batch per domain (exact salted top-k — a
+            # heavy domain inside one batch must not stall one reducer),
+            # keep while the running total stays under the cap
+            ranked = salted_topk(
+                dom,
+                partition_by=["_domain"],
+                order_by=[F.col(id_col)],
+                k=domain_cap,
+                salt_on=id_col,
+            )
+            kept = ranked.filter(
+                F.col("rk") + F.coalesce(F.col("_prior"), F.lit(0))
+                <= F.lit(domain_cap)
+            )
+            increments = (
+                kept.filter(~F.col("_domain").startswith("_nodomain_"))
+                .groupBy(F.col("_domain").alias("domain"))
+                .agg(F.count("*").cast("long").alias("n"))
+            )
+            docs = kept.drop("_domain", "_prior", "rk")
+        # one computation feeds every sink; without the persist each
         # append re-parses the batch's HTML (the ingest-stream lesson)
         docs.persist()
         try:
@@ -550,8 +610,14 @@ def web_corpus_stream(
                 app_id=f"web_corpus_stream:{out_path}",
                 batch_id=batch_id,
             )
+            if increments is not None:
+                counts_tbl.append_txn(
+                    increments,
+                    app_id=f"web_corpus_stream:domains:{out_path}",
+                    batch_id=batch_id,
+                )
             url_index.append_txn(
-                docs.select("url_canonical").where(
+                batch.select("url_canonical").where(
                     F.col("url_canonical").isNotNull()
                 ).distinct(),
                 app_id=f"web_corpus_stream:urls:{out_path}",

@@ -547,6 +547,46 @@ def test_ka_inactive_orgs_sheet_entity(spark, tmp_path):
     assert sorted(out.columns) == ["org_id", "org_name", "status"]
 
 
+def test_billwerk_cease_date_sheet_date_normalize(spark, tmp_path):
+    """The one reference DAG whose core is a per-row date transform over
+    a sheet (billwerk_cease_date.py:25-29): 4-column projection + typed
+    yyyy-MM-dd parse (empty/malformed cells -> NULL, not a crashed load)
+    -> truncate refresh."""
+    import datetime
+
+    values = [
+        ["No", "customer_id", "admin_cease_date", "Note", "extra_col"],
+        ["1", "cu1", "2026-03-31", "churn", "ignored"],
+        ["2", "cu2", "", "no date yet", "ignored"],
+        ["3", "cu3", "not-a-date", "typo'd cell", "ignored"],
+    ]
+    spec = ENTITY_MANIFEST["billwerk_cease_date"]
+    fn = getattr(pipelines, spec.pipeline)
+    n = fn(
+        spark,
+        sheets_values_transport(values),
+        str(tmp_path / "cease"),
+        spreadsheet_id="sheet-1",
+        **spec.params,
+    )
+    assert n == 3
+    out = pipelines.merge_table(spark, str(tmp_path / "cease")).read()
+    assert out.columns == ["No", "customer_id", "admin_cease_date", "Note"]
+    rows = {r["customer_id"]: r for r in out.collect()}
+    assert rows["cu1"]["admin_cease_date"] == datetime.date(2026, 3, 31)
+    assert rows["cu2"]["admin_cease_date"] is None
+    assert rows["cu3"]["admin_cease_date"] is None
+    # truncate: a shrunk sheet fully replaces the table
+    fn(
+        spark,
+        sheets_values_transport(values[:2]),
+        str(tmp_path / "cease"),
+        spreadsheet_id="sheet-1",
+        **spec.params,
+    )
+    assert pipelines.merge_table(spark, str(tmp_path / "cease")).read().count() == 1
+
+
 def test_cli_runs_entity_job_with_baked_params(spark, tmp_path):
     """The spark-submit CLI path end-to-end for a per-entity job: __main__
     merges the entity's baked JobSpec.params UNDER the runtime config

@@ -99,7 +99,14 @@ def compute_hashes() -> dict:
         path = os.path.join(repo_root(), rel)
         with open(path, "rb") as f:
             libs[rel] = hashlib.sha256(f.read()).hexdigest()[:16]
-    return {"queries": queries, "libs": libs}
+    # hash of THIS policy module: update_window_snapshot's
+    # --migrate-hash-definition bypass is only honored when this differs
+    # from the snapshot's recorded value (i.e. the hash definition itself
+    # changed), so the bypass can't silently skip the slot check on an
+    # ordinary rotation
+    with open(os.path.abspath(__file__), "rb") as f:
+        policy = hashlib.sha256(f.read()).hexdigest()[:16]
+    return {"queries": queries, "libs": libs, "policy": policy}
 
 
 def load_snapshot() -> dict | None:

@@ -47,8 +47,21 @@ def main() -> None:
         # window_policy.compute_hashes itself — every old-snapshot hash
         # mismatches the new definition, so the slot check is vacuous;
         # the rotation must then be validated by hand (e.g. diff the
-        # EVALUATED oracles against the previous snapshot commit).
+        # EVALUATED oracles against the previous snapshot commit). The
+        # flag is only HONORED when window_policy.py actually differs
+        # from the snapshot commit (its own hash is recorded in the
+        # snapshot) — otherwise any rotation could pass it and silently
+        # regenerate without slots for changed queries.
         if "--migrate-hash-definition" in sys.argv:
+            snap = window_policy.load_snapshot() or {}
+            cur_policy = window_policy.compute_hashes()["policy"]
+            if snap.get("policy") == cur_policy:
+                print(
+                    "REFUSING --migrate-hash-definition: tests/"
+                    "window_policy.py is unchanged since the snapshot — "
+                    "the bypass is only for hash-definition migrations."
+                )
+                raise SystemExit(1)
             print(
                 "WARNING: hash-definition migration — slot check skipped; "
                 "validate the rotation manually"
