@@ -218,6 +218,17 @@ def main() -> None:
             if calib.get("spark_parallel_sec")
             else None
         ),
+        # per-query normalized values (sec / calib.spark_parallel_sec):
+        # cross-round PER-QUERY comparisons without manual calib
+        # arithmetic (NORMALIZED.md's stated gap; r7 verdict #6)
+        "queries_normalized": {
+            n: (
+                round(v / calib["spark_parallel_sec"], 2)
+                if v is not None and calib.get("spark_parallel_sec")
+                else None
+            )
+            for n, v in {**timings, **extended}.items()
+        },
     }
     print(json.dumps(out))
 

@@ -1486,6 +1486,7 @@ def prepare_web_corpus(
     bloom_m: int | None = None,
     bloom_k: int | None = None,
     domain_cap: int | None = None,
+    domain_psl: DataFrame | None = None,
 ) -> DataFrame:
     """Web-crawl front end for ``prepare_training_data``: raw
     ``(id, url, html)`` pages → deduped, extracted, decontaminated
@@ -1575,14 +1576,23 @@ def prepare_web_corpus(
         from ..functions.web import registrable_domain_expr
         from ..ops.skew import salted_topk
 
+        # domain producer: PSL-backed exact algorithm when a rules frame
+        # is supplied (multi-label suffixes like co.uk group correctly),
+        # else the two-label heuristic — both row-local / broadcast-only
+        if domain_psl is not None:
+            from ..functions.web import registrable_domain_psl
+
+            out = registrable_domain_psl(
+                out, "url_canonical", domain_psl, out_col="_rdom"
+            )
+            base = F.col("_rdom")
+        else:
+            base = F.expr(registrable_domain_expr("url_canonical", "spark"))
         # NULL/unparseable urls never share a quota group: each such doc
         # is its own "domain" (the URL-dedup fallback-key idiom) — a cap
         # must bound real domains, not collapse every no-url doc into one
         domain = F.coalesce(
-            F.nullif(
-                F.expr(registrable_domain_expr("url_canonical", "spark")),
-                F.lit(""),
-            ),
+            F.nullif(base, F.lit("")),
             F.concat(F.lit("_nodomain_"), F.col(id_col).cast("string")),
         )
         capped = salted_topk(
@@ -1593,4 +1603,6 @@ def prepare_web_corpus(
             salt_on=id_col,
         )
         out = capped.drop("_domain", "rk")
+        if domain_psl is not None:
+            out = out.drop("_rdom")
     return out

@@ -221,60 +221,50 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 #: Explicit catalog order. The external correctness driver checks the FIRST
-#: 50 registered queries only. Round-7 rotation (policy pinned by
+#: 50 registered queries only. Round-8 rotation (policy pinned by
 #: tests/window_policy.py + test_layout.py — a changed query or library
 #: module without a window slot is a test FAILURE):
 #: 1. §2 spine + the LLM-core canary stay every round (8).
-#: 2. Every query whose EVALUATED ORACLE changed this round (36): the
-#:    edge-case family — WS_CLASS sweep of the remaining RE2-'\s' oracle
-#:    sites, exact token-equality marker counts (x_lang_id /
-#:    x_quality_score), zero-input guards (winnowing empty grams,
-#:    quantize/JL zero vectors, cosine nullif), and the duck
-#:    ord('') = -1 fold-hash parity fix (x_fingerprint and every
-#:    _FOLD_DUCK consumer).
-#: 3. Changed-behavior lib canaries not already in (2): x_url_canonicalize
-#:    (functions/web.py — the _rr group-ref-only replacement rewrite),
-#:    x_ivf_topk (functions/similarity.py — queries-side plane-dim guard
-#:    + salted_topk extraction), w_topk_per_group (the salted-top-k
-#:    idiom now lives in ops/skew.salted_topk).
-#:    Excluded though textually touched: q7/q8/q9/q10/q11/q14/q19 (the
-#:    _rev_duck helper refactor — evaluated oracle verified BYTE-IDENTICAL
-#:    pre/post, Spark side untouched, all r06-fresh; the policy hash now
-#:    covers (function body + EVALUATED oracle), so decorator-template
-#:    refactors no longer burn slots).
-#: 4. x_multimodal_meta: functions/multimodal.py's canary (the module
-#:    gained the PyAV decoder adapter this round).
-#: 5. x_domain_caps: NEW this round (per-domain quota sampling — a new
-#:    query's first round must hold a slot). It takes the last spare
-#:    slot; the whole r03 cohort (p6_date_boundary, u2_vertical_concat,
-#:    q1_pricing_summary among them, all r03-fresh so the staleness bar
-#:    is unaffected) waits for r8's lighter changed-set pressure.
+#: 2. Changed this round (4): x_domain_caps (forced-broadcast hint
+#:    dropped — the r7 verdict's one scale-killer), x_registrable_domain_psl
+#:    (NEW: PSL-backed registrable domain — a new query's first round
+#:    must hold a slot), and functions/web.py's canaries
+#:    x_html_extract / x_url_canonicalize (_java_repl backslash-pair fix
+#:    + registrable_domain_psl added to the module).
+#: 3. The ENTIRE r03-fresh cohort (24): p6_date_boundary,
+#:    u2_vertical_concat, q1_pricing_summary and the rest — this lifts
+#:    the machine-checked staleness bar from >=r03 to >=r04
+#:    (test_layout.py), the r7 verdict's #2.
+#: 4. Remaining 14 slots: the OLDEST r04-fresh entries (alphabetical
+#:    order for determinism) to pre-empt the next bar lift; the 11
+#:    r04-fresh entries that didn't fit rotate in r9.
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
     # §2 spine (7) + LLM canary (1)
     "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
     "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
     "f_string_clean_coerce", "x_dedup_exact",
-    # oracle-changed this round (36): WS_CLASS sweep + exact marker
-    # counts + zero-input guards + ord('') fold parity
-    "x_bigram_stats", "x_bloom_decontaminate", "x_bm25_topk",
-    "x_ccnet_buckets", "x_curation_pipeline", "x_decontaminate",
-    "x_dedup_clusters", "x_dedup_embedding_pairs", "x_dedup_near_survivors",
-    "x_dedup_normalized", "x_dsir_weights", "x_embedding_quantize",
-    "x_feature_hash_embed", "x_fingerprint", "x_gopher_rules",
-    "x_html_extract", "x_hybrid_search_rrf", "x_jl_project",
-    "x_knn_cosine_topk", "x_lang_id", "x_lm_likelihood",
-    "x_minhash_lsh_candidates", "x_mixture_sample", "x_quality_score",
-    "x_semantic_decontaminate", "x_semdedup", "x_simhash",
-    "x_simhash_pairs", "x_sparse_cosine_pairs", "x_split_shard",
-    "x_stratified_sample", "x_token_budget_plan", "x_vocab_encode",
-    "x_weighted_sample", "x_winnowing_fingerprints", "x_winnowing_pairs",
-    # changed-behavior lib canaries + refactored bodies (4)
-    "x_url_canonicalize", "x_ivf_topk", "w_topk_per_group", "x_string_agg",
-    # multimodal.py canary (PyAV adapter added this round)
-    "x_multimodal_meta",
-    # NEW this round: per-domain quota sampling (first driver row)
-    "x_domain_caps",
+    # changed this round (4): broadcast-hint drop, NEW PSL query,
+    # functions/web.py canaries
+    "x_domain_caps", "x_registrable_domain_psl",
+    "x_html_extract", "x_url_canonicalize",
+    # the whole r03-fresh cohort (24): staleness bar r03 -> r04
+    "a1_a2_distinct_dedup", "a3_conditional_rollup",
+    "a4_a6_watermark_accounting", "a5_first_wins_merge",
+    "a7_rollup_hierarchy", "a8_percentiles", "a9_cube_status_priority",
+    "f_date_functions", "f_timestamp_json", "j2_dim_enrichment",
+    "j3_j4_k7_history_delta", "j5_semi_join", "k8_reverse_etl_batches",
+    "n_explode_with_parent", "o1_order_limit_offset",
+    "p1_p2_project_rename", "p3_p4_p5_predicates", "p6_date_boundary",
+    "q1_pricing_summary", "q3_top_revenue_orders",
+    "q5_local_supplier_volume", "u2_vertical_concat",
+    "x_dau_mau_stickiness", "x_span_dedup",
+    # oldest r04-fresh entries (14 of 25; the rest rotate in r9)
+    "q10_returned_items", "q12_linestatus_priority",
+    "q13_order_distribution", "q18_large_orders", "q22_idle_customers",
+    "q4_order_priority", "q6_forecast_revenue", "st_time_rollup",
+    "w_frames_battery", "w_rolling_30d_revenue", "x_approx_quantiles",
+    "x_asof_nearest", "x_audio_roundtrip_features", "x_basket_pairs",
 ]
 
 

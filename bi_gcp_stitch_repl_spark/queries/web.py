@@ -258,3 +258,102 @@ def x_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(totals, "domain").select(
         "doc_id", "domain", F.col("rk").cast("long").alias("rk"), "n_domain"
     )
+
+
+#: PSL fixture for x_registrable_domain_psl: a rule set exercising every
+#: rule kind (plain multi-label, wildcard, exception, comment/blank
+#: filtering) and a host set exercising every resolution path — co.uk
+#: grouping the two-label heuristic gets wrong, a wildcard suffix, the
+#: list's own exception test vector (!www.ck -> www.ck registrable), a
+#: cased www host, and an unknown TLD (implicit '*' rule fallback)
+_PSL_RULES = ["// test rules", "", "com", "uk", "co.uk", "ck", "*.ck", "!www.ck"]
+_PSL_HOST_CASE = (
+    "CASE CAST(doc_id % 7 AS INT)"
+    " WHEN 0 THEN 'shop.example0.co.uk'"
+    " WHEN 1 THEN 'deep.a.example1.co.uk'"
+    " WHEN 2 THEN 'other.co.uk'"
+    " WHEN 3 THEN 'WWW.EXAMPLE2.COM'"
+    " WHEN 4 THEN 'x.foo.ck'"
+    " WHEN 5 THEN 'www.ck'"
+    " ELSE 'svc.internal.xyz' END"
+)
+_PSL_URL_BUILD = (
+    "CASE WHEN doc_id % 29 = 0 THEN NULL"
+    f" ELSE concat('https://', {_PSL_HOST_CASE}, '/p/',"
+    " cast(doc_id as string)) END"
+)
+_PSL_RULES_VALUES = ", ".join(f"('{r}')" for r in _PSL_RULES)
+
+
+@register(
+    "x_registrable_domain_psl",
+    oracle=f"""
+WITH rules(rule) AS (VALUES {_PSL_RULES_VALUES}),
+norm AS (
+  SELECT lower(CASE WHEN rule LIKE '!%' THEN substr(rule, 2) ELSE rule END)
+           AS key,
+         CAST(len(string_split(
+                CASE WHEN rule LIKE '!%' THEN substr(rule, 2) ELSE rule END,
+                '.'))
+              - CASE WHEN rule LIKE '!%' THEN 1 ELSE 0 END AS INT) AS ps,
+         rule LIKE '!%' AS exc
+  FROM rules WHERE trim(rule) <> '' AND trim(rule) NOT LIKE '//%'
+),
+raw AS (SELECT doc_id, {_PSL_URL_BUILD} AS url_raw FROM documents),
+hostt AS (
+  SELECT doc_id, url_raw,
+         lower(regexp_extract(url_raw, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS h
+  FROM raw
+),
+lab AS (
+  SELECT doc_id, url_raw, h, string_split(h, '.') AS ls,
+         len(string_split(h, '.')) AS n
+  FROM hostt
+),
+cand AS (
+  SELECT l.doc_id, l.n, t.k,
+         array_to_string(l.ls[l.n - t.k + 1 : l.n], '.') AS suffix
+  FROM lab l, (SELECT unnest(range(1, 6)) AS k) t
+  WHERE l.h IS NOT NULL AND l.h <> '' AND t.k <= l.n
+),
+m AS (
+  SELECT c.doc_id,
+         max(CASE WHEN r.exc AND r.key = c.suffix THEN r.ps END) AS exc_ps,
+         max(CASE WHEN NOT r.exc THEN r.ps END) AS best
+  FROM cand c JOIN norm r
+    ON r.key = c.suffix OR (r.key = '*.' || c.suffix AND c.n >= c.k + 1)
+  GROUP BY c.doc_id
+),
+res AS (
+  SELECT l.doc_id, l.url_raw, l.h, l.n, l.ls,
+         COALESCE(m.exc_ps, m.best, 1) AS ps
+  FROM lab l LEFT JOIN m USING (doc_id)
+)
+SELECT doc_id, url_raw,
+       CASE WHEN h IS NOT NULL AND h <> '' AND n > ps
+            THEN array_to_string(ls[n - ps : n], '.') END AS domain
+FROM res
+""",
+)
+def x_registrable_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public-Suffix-List registrable domain
+    (functions.web.registrable_domain_psl): the exact publicsuffix.org
+    algorithm — exception beats longest match beats the implicit ``*``
+    rule — over a rules DataFrame, exercising the paths the two-label
+    heuristic gets wrong (``*.co.uk`` sites keep their own quota groups,
+    wildcard ``*.ck`` suffixes, the ``!www.ck`` exception vector). The
+    DuckDB oracle implements the SAME algorithm relationally
+    (unnest-candidates → rule join → exception/longest aggregation), so
+    the two engines verify each other through entirely different shapes.
+
+    Scale shape: the rule list (~10k rows published) collapses to ONE
+    broadcast map row; per-doc resolution is a pure array fold over ≤5
+    suffix probes — zero shuffles, zero UDFs, scan speed. Consumers
+    (`prepare_web_corpus(domain_psl=...)`, ``web_corpus_stream``) swap it
+    in for the heuristic without touching the quota machinery."""
+    from ..functions.web import registrable_domain_psl
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.expr(_PSL_URL_BUILD).alias("url_raw"))
+    rules = spark.createDataFrame([(r,) for r in _PSL_RULES], "rule string")
+    return registrable_domain_psl(raw, "url_raw", rules, out_col="domain")

@@ -487,6 +487,7 @@ def web_corpus_stream(
     bloom_k: int | None = None,
     domain_cap: int | None = None,
     domain_counts_path: str | None = None,
+    domain_psl: DataFrame | None = None,
 ):
     """Streaming form of ``jobs.pipelines.prepare_web_corpus``: each
     micro-batch of raw ``(id, url, html)`` pages is URL-canonicalized,
@@ -566,14 +567,24 @@ def web_corpus_stream(
             from ..ops.skew import salted_topk
 
             counts_tbl = VersionedTable(spark, domain_counts_path)
+            if domain_psl is not None:
+                from ..functions.web import registrable_domain_psl
+
+                docs = registrable_domain_psl(
+                    docs, "url_canonical", domain_psl, out_col="_rdom"
+                )
+                base = F.col("_rdom")
+            else:
+                base = F.expr(
+                    registrable_domain_expr("url_canonical", "spark")
+                )
             domain = F.coalesce(
-                F.nullif(
-                    F.expr(registrable_domain_expr("url_canonical", "spark")),
-                    F.lit(""),
-                ),
+                F.nullif(base, F.lit("")),
                 F.concat(F.lit("_nodomain_"), F.col(id_col).cast("string")),
             )
             dom = docs.withColumn("_domain", domain)
+            if domain_psl is not None:
+                dom = dom.drop("_rdom")
             if counts_tbl.exists():
                 prior = counts_tbl.read().groupBy("domain").agg(
                     F.sum("n").alias("_prior")

@@ -1568,3 +1568,31 @@ def test_prepare_web_corpus_domain_cap_binds_last(spark):
     # site.com survivors pre-cap: 1 (dedup winner), 7, 8, 9 -> cap 2 keeps
     # the two lowest ids; other.com under cap; BOTH null-url docs survive
     assert rows == {1, 7, 4, 5, 6}
+
+
+def test_prepare_web_corpus_domain_psl_groups_multilabel_suffixes(spark):
+    """domain_psl swaps the PSL algorithm in for the two-label heuristic:
+    two *.co.uk SITES keep separate quota groups (the heuristic collapses
+    them into one 'co.uk' group and the cap would bind across sites)."""
+    from pyspark.sql import Row
+
+    crawl = spark.createDataFrame(
+        [
+            _page(1, "https://a.alpha.co.uk/1", "first page of site alpha"),
+            _page(2, "https://b.alpha.co.uk/2", "second page of site alpha"),
+            _page(3, "https://c.alpha.co.uk/3", "third page of site alpha"),
+            _page(4, "https://a.beta.co.uk/1", "first page of site beta"),
+            _page(5, "https://b.beta.co.uk/2", "second page of site beta"),
+        ]
+    )
+    psl = spark.createDataFrame([("uk",), ("co.uk",)], "rule string")
+    out = pipelines.prepare_web_corpus(
+        spark, crawl, _bench(spark), domain_cap=2, domain_psl=psl
+    )
+    # PSL grouping: alpha.co.uk {1,2,3} capped to {1,2}; beta.co.uk {4,5}
+    assert {r.doc_id for r in out.collect()} == {1, 2, 4, 5}
+    # the heuristic would collapse BOTH sites into one 'co.uk' group
+    out_h = pipelines.prepare_web_corpus(
+        spark, crawl, _bench(spark), domain_cap=2
+    )
+    assert {r.doc_id for r in out_h.collect()} == {1, 2}

@@ -88,13 +88,13 @@ def test_compact_zorder_roundtrip(spark, tmp_path):
 
 def test_driver_window_covers_survey_gates():
     """The external correctness driver checks only the FIRST 50 registered
-    queries; this pins the round-7 window (catalog._PRIORITY): §2 spine +
-    LLM canary, every query whose evaluated oracle changed this round
-    (the edge-case family: WS_CLASS sweep, exact marker counts,
-    zero-input guards, duck ord('') fold parity), the changed-behavior
-    lib canaries, and the round's new query. It additionally
-    proves the coverage-closure invariant: the union of the r01-r06
-    driver windows and this window is the ENTIRE catalog."""
+    queries; this pins the round-8 window (catalog._PRIORITY): §2 spine +
+    LLM canary, this round's changed queries (x_domain_caps hint drop,
+    the NEW x_registrable_domain_psl) and functions/web.py canaries, the
+    ENTIRE r03-fresh cohort (lifting the staleness bar to >=r04), and 14
+    of the oldest r04-fresh entries. It additionally proves the
+    coverage-closure invariant: the union of the r01-r07 driver windows
+    and this window is the ENTIRE catalog."""
     import json
     import os
 
@@ -108,26 +108,28 @@ def test_driver_window_covers_survey_gates():
         "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
         "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
         "f_string_clean_coerce", "x_dedup_exact",
-        # oracle-changed this round (36)
-        "x_bigram_stats", "x_bloom_decontaminate", "x_bm25_topk",
-        "x_ccnet_buckets", "x_curation_pipeline", "x_decontaminate",
-        "x_dedup_clusters", "x_dedup_embedding_pairs",
-        "x_dedup_near_survivors", "x_dedup_normalized", "x_dsir_weights",
-        "x_embedding_quantize", "x_feature_hash_embed", "x_fingerprint",
-        "x_gopher_rules", "x_html_extract", "x_hybrid_search_rrf",
-        "x_jl_project", "x_knn_cosine_topk", "x_lang_id", "x_lm_likelihood",
-        "x_minhash_lsh_candidates", "x_mixture_sample", "x_quality_score",
-        "x_semantic_decontaminate", "x_semdedup", "x_simhash",
-        "x_simhash_pairs", "x_sparse_cosine_pairs", "x_split_shard",
-        "x_stratified_sample", "x_token_budget_plan", "x_vocab_encode",
-        "x_weighted_sample", "x_winnowing_fingerprints", "x_winnowing_pairs",
-        # changed-behavior lib canaries + refactored bodies
-        "x_url_canonicalize", "x_ivf_topk", "w_topk_per_group",
-        "x_string_agg",
-        # multimodal.py canary (PyAV adapter added this round)
-        "x_multimodal_meta",
-        # NEW this round: per-domain quota sampling (first driver row)
-        "x_domain_caps",
+        # changed this round: scale-hint drop + NEW PSL query + web.py
+        # canaries
+        "x_domain_caps", "x_registrable_domain_psl",
+        "x_html_extract", "x_url_canonicalize",
+        # the whole r03-fresh cohort (staleness bar r03 -> r04)
+        "a1_a2_distinct_dedup", "a3_conditional_rollup",
+        "a4_a6_watermark_accounting", "a5_first_wins_merge",
+        "a7_rollup_hierarchy", "a8_percentiles", "a9_cube_status_priority",
+        "f_date_functions", "f_timestamp_json", "j2_dim_enrichment",
+        "j3_j4_k7_history_delta", "j5_semi_join", "k8_reverse_etl_batches",
+        "n_explode_with_parent", "o1_order_limit_offset",
+        "p1_p2_project_rename", "p3_p4_p5_predicates", "p6_date_boundary",
+        "q1_pricing_summary", "q3_top_revenue_orders",
+        "q5_local_supplier_volume", "u2_vertical_concat",
+        "x_dau_mau_stickiness", "x_span_dedup",
+        # oldest r04-fresh entries (spare slots; the remaining 11
+        # r04-fresh queries rotate in r9)
+        "q10_returned_items", "q12_linestatus_priority",
+        "q13_order_distribution", "q18_large_orders", "q22_idle_customers",
+        "q4_order_priority", "q6_forecast_revenue", "st_time_rollup",
+        "w_frames_battery", "w_rolling_30d_revenue", "x_approx_quantiles",
+        "x_asof_nearest", "x_audio_roundtrip_features", "x_basket_pairs",
     }
     assert len(required) == 50
     missing = required - set(first50)
@@ -138,7 +140,7 @@ def test_driver_window_covers_survey_gates():
     # CORRECTNESS artifacts aren't present
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen = set(first50)
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -148,11 +150,10 @@ def test_driver_window_covers_survey_gates():
         assert not never, f"queries with no driver row in any round: {never}"
 
     # staleness closure: with this window counted as fresh, no catalog
-    # entry's freshest driver row predates r03 (the bar could not tighten
-    # to r04 this round: 36 slots are FORCED by the oracle-changed set;
-    # the 3 spare went to the oldest-cohort §2 gates)
+    # entry's freshest driver row predates r04 (tightened from r03 this
+    # round: the whole 24-entry r03 cohort holds a slot above)
     freshest: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -162,9 +163,9 @@ def test_driver_window_covers_survey_gates():
         stale = [
             n
             for n in catalog.queries()
-            if freshest.get(n, 0) < 3 and n not in set(first50)
+            if freshest.get(n, 0) < 4 and n not in set(first50)
         ]
-        assert not stale, f"pre-r03 rows left out of the window: {stale}"
+        assert not stale, f"pre-r04 rows left out of the window: {stale}"
 
 
 def test_spread_narrow_only_touches_narrow_scans(spark):

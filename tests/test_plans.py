@@ -297,6 +297,7 @@ def test_no_unbounded_join_strategies_in_catalog(spark):
         "x_token_budget_plan",   # 1-row budget crossJoin
         "x_dsir_weights",        # 1-row token-totals crossJoin
         "x_kmeans_assign",       # broadcast k-row centroid table
+        "x_registrable_domain_psl",  # 1-row broadcast PSL-rules map crossJoin
         "q22_idle_customers",    # 1-row avg-balance threshold crossJoin
         "x_basket_pairs",        # 1-row global order-count crossJoin
         "x_benford_digits",      # 1-row total-count crossJoin

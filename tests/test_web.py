@@ -236,6 +236,46 @@ def test_rr_replacement_backslash_pair_dialect_parity(spark):
     )
 
 
+def test_registrable_domain_psl_algorithm(spark):
+    """functions.web.registrable_domain_psl implements the
+    publicsuffix.org algorithm: exception beats longest match beats the
+    implicit '*' rule; wildcard suffixes need the extra label; a host
+    that IS a public suffix has no registrable domain; comments/blank
+    rule lines are ignored; NULL/unparseable hosts yield NULL. The www
+    label is NOT pre-stripped (www.ck is the list's own exception test
+    vector; www.com is a registered domain) — ps=1 rules fold it away
+    where it is genuinely a subdomain."""
+    from bi_gcp_stitch_repl_spark.functions.web import registrable_domain_psl
+
+    rules = spark.createDataFrame(
+        [(r,) for r in
+         ["// test rules", "", "com", "uk", "co.uk", "ck", "*.ck", "!www.ck"]],
+        "rule string",
+    )
+    cases = [
+        ("https://shop.example.co.uk/x", "example.co.uk"),
+        ("HTTPS://WWW.DEEP.A.EXAMPLE.CO.UK/y", "example.co.uk"),
+        ("https://other.co.uk", "other.co.uk"),
+        ("https://plain.example.com/z", "example.com"),
+        ("https://www.example.com/w", "example.com"),  # ps=1 'com' rule
+        ("https://x.foo.ck/a", "x.foo.ck"),   # wildcard: foo.ck is the suffix
+        ("https://www.ck/b", "www.ck"),       # exception: ck is the suffix
+        ("https://co.uk/", None),             # host IS a public suffix
+        (None, None),
+        ("notaurl", None),
+        ("https://unknown.tld.xyz/q", "tld.xyz"),  # implicit '*' fallback
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = {
+        r["id"]: r["domain"]
+        for r in registrable_domain_psl(df, "url", rules).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, want, got[i])
+
+
 def test_ws_class_dialect_parity_on_vertical_tab(spark):
     """WS_CLASS exists because RE2's \\s lacks \\x0B while Java's has it:
     on a vertical-tab document the explicit class keeps both engines
