@@ -1,0 +1,151 @@
+"""Diversified retrieval rerank: Maximal Marginal Relevance (MMR).
+
+Carbonell & Goldstein 1998 (public): given a query vector and a relevance-
+ranked candidate pool, greedily select k results maximizing
+
+    mmr(d) = lam * rel(q, d) - mu * max_{s in S} sim(d, s)
+
+so the result set trades raw relevance against redundancy with what is
+already selected. This is the standard last stage of a retrieval pipeline
+(ANN recall -> rerank), complementing the repo's recall stages
+(functions.similarity: brute kNN, IVF, LSH buckets, hybrid RRF).
+
+Scale shape (the part that must survive 100 TB): relevance scoring and the
+top-``pool`` cut are DISTRIBUTED — one broadcast of the 1-row query vector,
+a JVM-side sequential-fold cosine per row, and a TakeOrdered (never a
+global sort). Only then does the algorithm leave the cluster: the greedy
+selection is inherently sequential (pick i depends on picks 1..i-1), so it
+runs on the DRIVER over the collected pool — a documented BOUNDED collect
+(``pool`` rows + ``pool²`` pairwise sims; pool is a constant ≤ a few
+hundred in any real reranker, enforced here), the same discipline as the
+capped BPE argmax in functions/text.py. All floating-point that decides an
+argmax is computed by the ENGINE's sequential folds (the proven
+dual-dialect cosine expressions); Python only combines collected scalars
+with ``lam*rel - mu*maxsim`` — exact IEEE-754 binary64 ops that DuckDB
+reproduces bit-for-bit, so the catalog twin hash-matches.
+
+``mu`` is an explicit parameter instead of the textbook ``1 - lam``: the
+cross-engine contract needs the same binary64 LITERAL on both sides, and
+``1 - 0.7`` in IEEE arithmetic is 0.30000000000000004, not 0.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: Spark sequential-fold dot / norm over double arrays — identical
+#: accumulation order to DuckDB's list_sum(list_transform(list_zip(...)))
+#: (see queries/extensions.py similarity section for the parity proof).
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " cast(0.0 as double), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({a}, x -> x * x),"
+    " cast(0.0 as double), (acc, v) -> acc + v))"
+)
+
+#: hard cap on the rerank pool: the driver-side greedy is O(k * pool²) on
+#: collected rows — fine at reranker pool sizes, wrong as a corpus scan.
+MAX_POOL = 4096
+
+_SCHEMA = StructType(
+    [
+        StructField("rnk", IntegerType(), False),
+        StructField("vec_id", LongType(), False),
+        StructField("rel", DoubleType(), True),
+        StructField("mmr", DoubleType(), True),
+    ]
+)
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 8,
+    pool: int = 24,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(rnk, vec_id, rel, mmr): the k MMR-selected rows of ``emb``.
+
+    ``emb``: (id_col, vec_col) corpus (vec_col: array<float|double>).
+    ``query``: 1-row DataFrame whose first column is the query vector.
+    Zero-norm rows score NULL relevance and are excluded from the pool
+    (never an ANSI divide-by-zero). Ties break on ascending id at every
+    argmax, so the output is deterministic. Returns fewer than k rows when
+    the pool is smaller than k.
+    """
+    if pool > MAX_POOL:
+        raise ValueError(f"pool={pool} exceeds MAX_POOL={MAX_POOL}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = emb.sparkSession
+    qcol = query.columns[0]
+    q = query.select(
+        F.expr(f"transform({qcol}, x -> cast(x as double))").alias("_qe")
+    )
+    dot = _DOT.format(a="_v", b="_qe")
+    norm_v = _NORM.format(a="_v")
+    norm_q = _NORM.format(a="_qe")
+    scored = (
+        emb.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+        )
+        .crossJoin(F.broadcast(q))
+        .withColumn("_rel", F.expr(f"{dot} / nullif({norm_v} * {norm_q}, 0.0d)"))
+        .filter(F.col("_rel").isNotNull())
+    )
+    # TakeOrdered top-pool, then pin the pool so the pairwise-sim join and
+    # the collect read ONE materialization, not two re-executions
+    cand = (
+        scored.orderBy(F.col("_rel").desc(), "_id")
+        .limit(pool)
+        .localCheckpoint(eager=True)
+    )
+    pdot = _DOT.format(a="_va", b="_vb")
+    pna = _NORM.format(a="_va")
+    pnb = _NORM.format(a="_vb")
+    a = cand.select(F.col("_id").alias("_ai"), F.col("_v").alias("_va"))
+    b = cand.select(F.col("_id").alias("_bi"), F.col("_v").alias("_vb"))
+    sims = (
+        a.crossJoin(F.broadcast(b))  # bounded: pool² rows by construction
+        .filter(F.col("_ai") != F.col("_bi"))
+        .select(
+            "_ai", "_bi", F.expr(f"{pdot} / nullif({pna} * {pnb}, 0.0d)").alias("_s")
+        )
+    )
+    rel_rows = [(r._id, r._rel) for r in cand.select("_id", "_rel").collect()]
+    sim_map: dict[tuple[int, int], float] = {
+        (r._ai, r._bi): r._s for r in sims.collect()
+    }
+    # greedy selection over collected SCALARS: every float that decides an
+    # argmax was computed engine-side above; lam*rel - mu*maxsim is exact
+    # binary64, bit-identical to the SQL twin's expression
+    remaining = dict(rel_rows)
+    selected: list[tuple[int, int, float, float]] = []
+    while remaining and len(selected) < k:
+        best_id, best_mmr, best_rel = None, None, None
+        for vid in sorted(remaining):  # ascending-id tie-break
+            rel = remaining[vid]
+            if selected:
+                maxsim = max(sim_map[(vid, s[1])] for s in selected)
+            else:
+                maxsim = 0.0
+            score = lam * rel - mu * maxsim
+            if best_mmr is None or score > best_mmr:
+                best_id, best_mmr, best_rel = vid, score, rel
+        selected.append((len(selected) + 1, best_id, best_rel, best_mmr))
+        del remaining[best_id]
+    return spark.createDataFrame(selected, _SCHEMA)

@@ -2362,3 +2362,83 @@ def x_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id").agg(
         *[F.expr(c) for c in _feathash_cols(spark_side=True)]
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversified rerank (MMR)
+# ---------------------------------------------------------------------------
+
+MMR_K = 8
+MMR_POOL = 24
+#: duck dual of functions.rerank's fold cosine, over candidate double arrays
+_MMR_COS_DUCK = (
+    "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
+    " / nullif(sqrt(list_sum(list_transform({a}, x -> x*x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x*x))), 0.0)"
+)
+
+
+def _mmr_oracle(k: int, pool: int) -> str:
+    """Unrolled greedy-MMR SQL: pick_i is an argmax CTE over the candidates
+    not yet selected, referencing the union of picks 1..i-1 — the textbook
+    sequential dependence, expressed as k chained CTEs (the same unrolling
+    discipline as the span-dedup oracle). Every chained CTE is
+    ``AS MATERIALIZED``: inlining re-evaluates the whole prefix chain at
+    each of its (multiple) references, doubling work per level — measured
+    exponential (k=5 already 3.2 s; materialized, k=8 is 0.07 s).
+    Constants are CAST(... AS DOUBLE) so both engines compare the SAME
+    binary64 literals."""
+    rel = _MMR_COS_DUCK.format(a="e.embedding::DOUBLE[]", b="q.qe")
+    sim = _MMR_COS_DUCK.format(a="a.v", b="b.v")
+    parts = [
+        f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v, {rel} AS rel
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+),
+cand AS MATERIALIZED (SELECT vec_id, v, rel FROM scored WHERE rel IS NOT NULL
+         ORDER BY rel DESC, vec_id LIMIT {pool}),
+sim AS MATERIALIZED (
+  SELECT a.vec_id AS ai, b.vec_id AS bi, {sim} AS s
+  FROM cand a, cand b WHERE a.vec_id != b.vec_id
+),
+p1 AS MATERIALIZED (SELECT 1 AS rnk, vec_id, rel,
+              CAST(0.7 AS DOUBLE)*rel - CAST(0.3 AS DOUBLE)*CAST(0.0 AS DOUBLE) AS mmr
+       FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT vec_id FROM p1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+p{i} AS MATERIALIZED (
+  SELECT {i} AS rnk, c.vec_id, c.rel,
+         CAST(0.7 AS DOUBLE)*c.rel - CAST(0.3 AS DOUBLE)*(
+           SELECT MAX(s.s) FROM sim s
+           WHERE s.ai = c.vec_id AND s.bi IN (SELECT vec_id FROM sel{i-1})) AS mmr
+  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i-1})
+  ORDER BY mmr DESC, c.vec_id LIMIT 1
+),
+sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i-1} UNION ALL SELECT vec_id FROM p{i})"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT * FROM p{i}" for i in range(1, k + 1))
+    return "".join(parts) + f"\n{union}\n"
+
+
+@register("x_mmr_rerank", oracle=_mmr_oracle(MMR_K, MMR_POOL))
+def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (functions.rerank):
+    the rerank stage a retrieval pipeline runs AFTER ANN recall — select 8
+    of the 24 most-relevant vectors, each pick trading relevance against
+    similarity to what is already selected (lam=0.7, mu=0.3). Relevance
+    scoring + the pool cut are distributed (broadcast query vector, fold
+    cosine, TakeOrdered); the inherently-sequential greedy runs on the
+    driver over the BOUNDED pool (documented in functions/rerank.py). The
+    oracle unrolls the greedy as 8 chained argmax CTEs."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    from ..functions.rerank import mmr_rerank
+
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return mmr_rerank(
+        emb.filter(F.col("vec_id") != 0), q, k=MMR_K, pool=MMR_POOL
+    )

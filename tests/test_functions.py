@@ -977,3 +977,69 @@ def test_extract_video_frames_real_pyav_mp4(spark):
     assert lumas == sorted(lumas) and lumas[-1] > lumas[0]
     bad = [r for r in out if r["media_id"] == 2]
     assert len(bad) == 1 and not bad[0]["_decode_ok"]  # error isolation
+
+
+# --- mmr_rerank ---------------------------------------------------------------
+
+
+def _vecs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_mmr_skips_near_duplicate_of_selected(spark):
+    """The defining MMR property: pure top-k would take the near-duplicate
+    of pick 1; MMR (lam=0.7) takes the diverse lower-relevance vector."""
+    from bi_gcp_stitch_repl_spark.functions.rerank import mmr_rerank
+
+    q = _vecs_df(spark, [(99, [1.0, 0.0])]).select("embedding")
+    corpus = _vecs_df(
+        spark,
+        [
+            (1, [1.0, 1.0]),    # rel 1/sqrt(2); wins pick 1 on id tie-break
+            (2, [1.0, 1.0]),    # exact duplicate of 1 — equally relevant
+            (3, [1.0, -1.0]),   # equally relevant, orthogonal to 1
+        ],
+    )
+    out = mmr_rerank(corpus, q, k=2, pool=3).collect()
+    picks = [r.vec_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert picks[0] == 1
+    assert picks[1] == 3  # sim(2,1)=1 crushes the duplicate's mmr
+    ranks = [r.rnk for r in out]
+    assert sorted(ranks) == [1, 2]
+
+
+def test_mmr_pool_smaller_than_k_and_zero_vectors_excluded(spark):
+    from bi_gcp_stitch_repl_spark.functions.rerank import mmr_rerank
+
+    q = _vecs_df(spark, [(99, [1.0, 0.0])]).select("embedding")
+    corpus = _vecs_df(
+        spark,
+        [(1, [0.5, 0.1]), (2, [0.0, 0.0]), (3, [0.2, 0.9])],  # 2 is zero-norm
+    )
+    out = mmr_rerank(corpus, q, k=8, pool=24).collect()
+    assert {r.vec_id for r in out} == {1, 3}  # zero vector never ranked
+    assert len(out) == 2  # pool exhausted before k
+
+
+def test_mmr_empty_corpus_returns_empty_with_schema(spark):
+    from bi_gcp_stitch_repl_spark.functions.rerank import mmr_rerank
+
+    q = _vecs_df(spark, [(99, [1.0, 0.0])]).select("embedding")
+    corpus = _vecs_df(spark, []).filter("vec_id is not null")
+    out = mmr_rerank(corpus, q, k=3, pool=8)
+    assert out.columns == ["rnk", "vec_id", "rel", "mmr"]
+    assert out.count() == 0
+
+
+def test_mmr_parameter_validation(spark):
+    from bi_gcp_stitch_repl_spark.functions.rerank import MAX_POOL, mmr_rerank
+
+    q = _vecs_df(spark, [(99, [1.0, 0.0])]).select("embedding")
+    corpus = _vecs_df(spark, [(1, [0.5, 0.1])])
+    with pytest.raises(ValueError, match="MAX_POOL"):
+        mmr_rerank(corpus, q, pool=MAX_POOL + 1)
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_rerank(corpus, q, k=0)

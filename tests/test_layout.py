@@ -108,9 +108,9 @@ def test_driver_window_covers_survey_gates():
         "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
         "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
         "f_string_clean_coerce", "x_dedup_exact",
-        # changed this round: scale-hint drop + NEW PSL query + web.py
-        # canaries
-        "x_domain_caps", "x_registrable_domain_psl",
+        # changed this round: scale-hint drop + NEW PSL query + NEW MMR
+        # rerank + web.py canaries
+        "x_domain_caps", "x_registrable_domain_psl", "x_mmr_rerank",
         "x_html_extract", "x_url_canonicalize",
         # the whole r03-fresh cohort (staleness bar r03 -> r04)
         "a1_a2_distinct_dedup", "a3_conditional_rollup",
@@ -123,13 +123,14 @@ def test_driver_window_covers_survey_gates():
         "q1_pricing_summary", "q3_top_revenue_orders",
         "q5_local_supplier_volume", "u2_vertical_concat",
         "x_dau_mau_stickiness", "x_span_dedup",
-        # oldest r04-fresh entries (spare slots; the remaining 11
-        # r04-fresh queries rotate in r9)
+        # oldest r04-fresh entries (spare slots; the remaining 12
+        # r04-fresh queries — incl. x_basket_pairs, displaced by the new
+        # x_mmr_rerank — rotate in r9)
         "q10_returned_items", "q12_linestatus_priority",
         "q13_order_distribution", "q18_large_orders", "q22_idle_customers",
         "q4_order_priority", "q6_forecast_revenue", "st_time_rollup",
         "w_frames_battery", "w_rolling_30d_revenue", "x_approx_quantiles",
-        "x_asof_nearest", "x_audio_roundtrip_features", "x_basket_pairs",
+        "x_asof_nearest", "x_audio_roundtrip_features",
     }
     assert len(required) == 50
     missing = required - set(first50)
