@@ -86,11 +86,6 @@ def mmr_rerank(
     argmax, so the output is deterministic. Returns fewer than k rows when
     the pool is smaller than k.
     """
-    if pool > MAX_POOL:
-        raise ValueError(f"pool={pool} exceeds MAX_POOL={MAX_POOL}")
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    spark = emb.sparkSession
     qcol = query.columns[0]
     q = query.select(
         F.expr(f"transform({qcol}, x -> cast(x as double))").alias("_qe")
@@ -107,10 +102,46 @@ def mmr_rerank(
         .withColumn("_rel", F.expr(f"{dot} / nullif({norm_v} * {norm_q}, 0.0d)"))
         .filter(F.col("_rel").isNotNull())
     )
+    # non-NULL rel already implies a nonzero vector norm — skip the
+    # defensive re-filter (it would re-run the norm fold corpus-wide)
+    return mmr_rerank_scored(
+        scored, k=k, pool=pool, lam=lam, mu=mu, filter_zero_norm=False
+    )
+
+
+def mmr_rerank_scored(
+    scored: DataFrame,
+    k: int = 8,
+    pool: int = 24,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    filter_zero_norm: bool = True,
+) -> DataFrame:
+    """MMR over a PRE-SCORED candidate frame ``(_id, _v, _rel)`` — the
+    hybrid-retrieval composition point: relevance can come from ANY
+    upstream ranker (fold cosine via :func:`mmr_rerank`, or an RRF-fused
+    hybrid score joined back onto the embedding vectors), while the
+    diversity term stays pairwise cosine over ``_v``. Zero-norm vectors
+    are excluded up front (``filter_zero_norm``): they cannot carry a
+    cosine diversity penalty, and letting one through would make every
+    later pick's max-sim NULL — callers whose scoring already proves the
+    norm nonzero (cosine relevance) pass False to skip the extra
+    corpus-wide norm fold.
+    """
+    if pool > MAX_POOL:
+        raise ValueError(f"pool={pool} exceeds MAX_POOL={MAX_POOL}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = scored.sparkSession
+    if filter_zero_norm:
+        norm_v = _NORM.format(a="_v")
+        scored = scored.filter(F.expr(f"nullif({norm_v}, 0.0d) is not null"))
     # TakeOrdered top-pool, then pin the pool so the pairwise-sim join and
     # the collect read ONE materialization, not two re-executions
     cand = (
-        scored.orderBy(F.col("_rel").desc(), "_id")
+        scored.select("_id", "_v", "_rel")
+        .filter(F.col("_rel").isNotNull())  # NULL can't rank, nor greedy
+        .orderBy(F.col("_rel").desc(), "_id")
         .limit(pool)
         .localCheckpoint(eager=True)
     )

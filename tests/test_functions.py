@@ -1043,3 +1043,30 @@ def test_mmr_parameter_validation(spark):
         mmr_rerank(corpus, q, pool=MAX_POOL + 1)
     with pytest.raises(ValueError, match="k must be"):
         mmr_rerank(corpus, q, k=0)
+
+
+def test_mmr_rerank_scored_composes_with_rrf(spark):
+    """Hybrid composition: RRF-fused relevance + cosine diversity. The
+    fused score ranks id 2 above id 3 (2 appears in both lists), but 2 is
+    an exact duplicate of pick 1, so MMR (lam=mu=0.5) promotes 3."""
+    from bi_gcp_stitch_repl_spark.functions.rerank import mmr_rerank_scored
+    from bi_gcp_stitch_repl_spark.functions.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, lex_rank long"
+    )
+    sem = spark.createDataFrame(
+        [(1, 1), (2, 2)], "doc_id long, sem_rank long"
+    )
+    fused = rrf_fuse({"lex": lex, "sem": sem}, id_col="doc_id")
+    emb = _vecs_df(
+        spark, [(1, [1.0, 1.0]), (2, [1.0, 1.0]), (3, [1.0, -1.0])]
+    ).withColumnRenamed("vec_id", "doc_id")
+    scored = fused.join(emb, "doc_id").select(
+        F.col("doc_id").alias("_id"),
+        F.col("embedding").alias("_v"),
+        F.col("rrf_score").alias("_rel"),
+    )
+    out = mmr_rerank_scored(scored, k=2, pool=8, lam=0.5, mu=0.5).collect()
+    picks = [r.vec_id for r in sorted(out, key=lambda r: r.rnk)]
+    assert picks == [1, 3]

@@ -90,9 +90,10 @@ def test_driver_window_covers_survey_gates():
     """The external correctness driver checks only the FIRST 50 registered
     queries; this pins the round-8 window (catalog._PRIORITY): §2 spine +
     LLM canary, this round's changed queries (x_domain_caps hint drop,
-    the NEW x_registrable_domain_psl) and functions/web.py canaries, the
-    ENTIRE r03-fresh cohort (lifting the staleness bar to >=r04), and 14
-    of the oldest r04-fresh entries. It additionally proves the
+    the NEW x_registrable_domain_psl and x_mmr_rerank) and
+    functions/web.py canaries, the ENTIRE r03-fresh cohort (lifting the
+    staleness bar to >=r04), and 13 of the oldest r04-fresh entries. It
+    additionally proves the
     coverage-closure invariant: the union of the r01-r07 driver windows
     and this window is the ENTIRE catalog."""
     import json
@@ -141,7 +142,7 @@ def test_driver_window_covers_survey_gates():
     # CORRECTNESS artifacts aren't present
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen = set(first50)
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -154,7 +155,7 @@ def test_driver_window_covers_survey_gates():
     # entry's freshest driver row predates r04 (tightened from r03 this
     # round: the whole 24-entry r03 cohort holds a slot above)
     freshest: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             with open(path) as f:
