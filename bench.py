@@ -100,6 +100,10 @@ HEADLINE = [
 #: importance weights, the composed curation pipeline) so the per-round
 #: driver record covers the 100 TB-relevant operators, not just the
 #: warehouse headline.
+#: Round 8 adds the MMR diversified rerank (tracks the bounded-pool
+#: retrieval tail: distributed scoring + driver-side greedy) and the
+#: fixed-point PageRank (tracks the aggregate-then-iterate graph shape:
+#: one fact-join aggregation + 4 checkpointed iteration rounds).
 EXTENDED = [
     "q21_waiting_suppliers",
     "x_sparse_cosine_pairs",
@@ -107,6 +111,8 @@ EXTENDED = [
     "x_semdedup",
     "x_dsir_weights",
     "x_curation_pipeline",
+    "x_mmr_rerank",
+    "x_pagerank_trade",
 ]
 
 

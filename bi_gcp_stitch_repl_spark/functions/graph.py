@@ -299,3 +299,117 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 4,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    frac_scale: int = 10**6,
+) -> DataFrame:
+    """Weighted PageRank in FIXED-POINT integer arithmetic: (node,
+    rank_fp) after ``n_iter`` power iterations, ranks carried as BIGINTs
+    scaled by ``scale``.
+
+    Why this exists next to :func:`pagerank`: the float version's
+    contribution sums are IEEE adds whose order depends on partitioning,
+    so it deliberately stays out of the hash-checked catalog. Here every
+    operation is integer multiply / floor-divide / sum — associative,
+    commutative, partition-order-independent — so two engines (or two
+    cluster layouts) produce IDENTICAL bits. The price is documented
+    truncation drift: each floor-divide sheds < 1 unit of mass, so total
+    mass decays by O(edges/frac_scale) per iteration instead of being
+    conserved exactly — irrelevant for ranking (all nodes shed
+    proportionally) and bounded by construction.
+
+    Update rule (everything integer; div = floor division):
+        frac(u,v)  = w(u,v) * frac_scale div W(u)          [per edge, once]
+        contrib(v) = Σ_u rank(u) * frac(u,v) div frac_scale
+        dmn        = (Σ_{dangling u} rank(u)) div n
+        rank'(v)   = base + damping_num*(contrib(v)+dmn) div damping_den
+        base       = scale*(damping_den-damping_num) div (damping_den*n)
+
+    Overflow headroom: rank ≤ scale (1e12) and frac ≤ frac_scale (1e6),
+    so the largest product is ≤ 1e18 < 2^63-1; callers raising ``scale``
+    must keep scale*frac_scale and damping_num*scale inside int64.
+
+    Scale shape: ``edges`` is usually an AGGREGATED graph (counts from a
+    fact-table join) — the expensive distributed work happens upstream,
+    once; the loop is n_iter joins + groupBy sums on the aggregate.
+    Loop-invariant frames (out-degree fractions, node set, dangling set)
+    localCheckpoint once OUTSIDE the loop so iterations never re-execute
+    the upstream join; per-iteration dangling mass stays in-plan as a
+    1-row broadcast (no driver round-trip).
+    """
+    if scale * frac_scale >= 2**63 or damping_num * scale >= 2**63:
+        raise ValueError("fixed-point scales overflow int64")
+    src, dst, w = edges.columns[:3]
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        F.col(w).cast("long").alias("w"),
+    )
+    node_df = (
+        nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = node_df.count()
+    if n == 0:
+        return node_df.select("node", F.lit(0).cast("long").alias("rank_fp"))
+    tot = e.groupBy("src").agg(F.sum("w").alias("w_out"))
+    frac = (
+        e.join(tot, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"CAST(w * {frac_scale} AS BIGINT) DIV w_out").alias("frac"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dangling = node_df.join(
+        frac.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+    base = (scale * (damping_den - damping_num)) // (damping_den * n)
+    rank = node_df.select(
+        "node", F.lit(scale // n).cast("long").alias("rank_fp")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            frac.join(rank.select(F.col("node").alias("src"), "rank_fp"), "src")
+            .select(
+                "dst",
+                F.expr(f"(rank_fp * frac) DIV {frac_scale}").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dmn = (
+            rank.join(dangling, "node", "left_semi")
+            .agg(
+                F.expr(
+                    f"CAST(coalesce(sum(rank_fp), 0) AS BIGINT) DIV {n}"
+                ).alias("dmn")
+            )
+        )
+        rank = (
+            node_df.join(
+                contrib.select(F.col("dst").alias("node"), "contrib"),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(dmn))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} AS BIGINT) + (({damping_num} *"
+                    f" (coalesce(contrib, CAST(0 AS BIGINT)) + dmn))"
+                    f" DIV {damping_den})"
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank

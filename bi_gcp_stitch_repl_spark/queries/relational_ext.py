@@ -674,3 +674,117 @@ def x_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log10(1.0 + 1.0 / F.col("digit")).alias("benford_freq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PageRank (deterministic iterative graph centrality)
+# ---------------------------------------------------------------------------
+
+PR_ITER = 4
+PR_SCALE = 10**12
+PR_FRAC = 10**6
+
+
+def _pagerank_oracle(n_iter: int) -> str:
+    """Unrolled fixed-point PageRank twin: the aggregated trade graph, the
+    per-source fractional out-weights, then ``n_iter`` chained
+    (contrib, dangling, rank) CTE triples — every one AS MATERIALIZED
+    (inlined chains re-evaluate the whole prefix per reference; see the
+    MMR oracle note). All arithmetic is BIGINT multiply / floor-divide /
+    sum, so the two engines agree bit-for-bit."""
+    head = f"""
+WITH edges AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+params AS MATERIALIZED (
+  SELECT COUNT(*) AS n,
+         {PR_SCALE} // COUNT(*) AS init_fp,
+         ({PR_SCALE} * 15) // (100 * COUNT(*)) AS base
+  FROM nodes
+),
+tot AS (SELECT src, SUM(w) AS W FROM edges GROUP BY src),
+frac AS MATERIALIZED (
+  SELECT e.src, e.dst, (e.w * {PR_FRAC}) // t.W AS frac
+  FROM edges e JOIN tot t USING (src)
+),
+dangling AS MATERIALIZED (
+  SELECT node FROM nodes WHERE node NOT IN (SELECT DISTINCT src FROM frac)
+),
+r0 AS MATERIALIZED (
+  SELECT node, p.init_fp AS rank_fp FROM nodes CROSS JOIN params p
+)"""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT f.dst AS node, SUM((r.rank_fp * f.frac) // {PR_FRAC}) AS contrib
+  FROM frac f JOIN r{i-1} r ON f.src = r.node GROUP BY 1
+),
+d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank_fp), 0) // (SELECT n FROM params) AS dmn
+  FROM r{i-1} r JOIN dangling g ON r.node = g.node
+),
+r{i} AS MATERIALIZED (
+  SELECT nd.node,
+         p.base + ((85 * (COALESCE(c.contrib, 0) + d.dmn)) // 100) AS rank_fp
+  FROM nodes nd
+  LEFT JOIN c{i} c ON nd.node = c.node
+  CROSS JOIN d{i} d CROSS JOIN params p
+)""")
+    tail = f"""
+SELECT n.n_name AS nation, CAST(r.rank_fp AS BIGINT) AS rank_fp
+FROM r{n_iter} r JOIN nation n ON r.node = n.n_nationkey
+"""
+    return head + "".join(steps) + tail
+
+
+@register("x_pagerank_trade", oracle=_pagerank_oracle(PR_ITER))
+def x_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank trade centrality over the nation trade-flow
+    graph (functions.graph.pagerank_fixedpoint): edges = supplier-nation
+    → customer-nation shipment counts from the full
+    lineitem⋈orders⋈customer⋈supplier derivation, 4 power iterations,
+    damping 0.85.
+
+    This is the catalog's iterative-graph slot: the float
+    :func:`~bi_gcp_stitch_repl_spark.functions.graph.pagerank` stays a
+    library function because IEEE contribution sums are partition-order-
+    dependent; the fixed-point variant carries ranks as scaled BIGINTs
+    (integer multiply / floor-divide / sum — order-independent), so the
+    hash gate pins it bit-for-bit against the oracle's unrolled
+    iteration chain.
+
+    Scale shape: the expensive distributed work is the ONE aggregation
+    of the fact join down to the ≤n_nations² edge list; loop-invariant
+    frames (fractions, node set, dangling set) checkpoint once outside
+    the loop, each iteration is a join + map-side-combinable sum on the
+    aggregate, and dangling mass stays in-plan as a 1-row broadcast. On
+    a corpus-scale graph (per-domain web links) the same function runs
+    with edges partitioned on src — nothing here is nation-specific."""
+    from ..functions.graph import pagerank_fixedpoint
+
+    li, orders, cust, supp, nat = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank_fixedpoint(
+        edges, nat.select("n_nationkey"), n_iter=PR_ITER,
+        scale=PR_SCALE, frac_scale=PR_FRAC,
+    )
+    return ranks.join(nat, ranks.node == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"), "rank_fp"
+    )

@@ -110,3 +110,76 @@ def test_pagerank_isolated_nodes_get_base_rank(spark):
     ranks = {r.node: r.rank for r in pagerank(e, n_iter=10, nodes=nodes).collect()}
     assert 99 in ranks and ranks[99] > 0
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+# --- pagerank_fixedpoint ------------------------------------------------------
+
+
+def test_pagerank_fixedpoint_uniform_on_cycle(spark):
+    """Directed cycle: perfect symmetry, every rank identical; total mass
+    within the documented truncation drift of the 1e12 scale."""
+    from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
+
+    n = 5
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n, 1) for i in range(n)], "src long, dst long, w long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    ranks = {r.node: r.rank_fp for r in pagerank_fixedpoint(e, nodes).collect()}
+    assert len(set(ranks.values())) == 1  # exact symmetry, exact arithmetic
+    total = sum(ranks.values())
+    assert 10**12 - total < 10**6  # floor-divide drift only
+
+
+def test_pagerank_fixedpoint_weighted_hub_and_python_reference(spark):
+    """Weighted edges: node 1 sends 3/4 of its mass to 2 and 1/4 to 3 —
+    compared against a plain-Python integer replica of the update rule
+    (same floor-divides, same order), which must match EXACTLY."""
+    from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
+
+    edges = [(1, 2, 3), (1, 3, 1), (2, 1, 1), (3, 1, 1)]
+    nodes = [1, 2, 3]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    nd = spark.createDataFrame([(i,) for i in nodes], "node long")
+    got = {
+        r.node: r.rank_fp
+        for r in pagerank_fixedpoint(e, nd, n_iter=4).collect()
+    }
+
+    S, FS, n = 10**12, 10**6, len(nodes)
+    W = {}
+    for s, _, w in edges:
+        W[s] = W.get(s, 0) + w
+    frac = {(s, d): (w * FS) // W[s] for s, d, w in edges}
+    rank = {v: S // n for v in nodes}
+    base = (S * 15) // (100 * n)
+    for _ in range(4):
+        contrib = {v: 0 for v in nodes}
+        for (s, d), f in frac.items():
+            contrib[d] += (rank[s] * f) // FS
+        dm = sum(rank[v] for v in nodes if v not in W) // n
+        rank = {v: base + ((85 * (contrib[v] + dm)) // 100) for v in nodes}
+    assert got == rank
+    assert got[2] > got[3]  # the heavier edge wins
+
+
+def test_pagerank_fixedpoint_dangling_and_validation(spark):
+    from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
+
+    e = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    nd = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    ranks = {r.node: r.rank_fp for r in pagerank_fixedpoint(e, nd).collect()}
+    # 2 receives 1's full mass plus the dangling share; 3 only the share
+    assert ranks[2] > ranks[1] > 0 and ranks[3] > 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overflow"):
+        pagerank_fixedpoint(e, nd, scale=10**15, frac_scale=10**6)
+
+
+def test_pagerank_fixedpoint_empty_graph(spark):
+    from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
+
+    e = spark.createDataFrame([], "src long, dst long, w long")
+    nd = spark.createDataFrame([], "node long")
+    assert pagerank_fixedpoint(e, nd).count() == 0
