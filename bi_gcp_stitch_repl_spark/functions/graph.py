@@ -309,10 +309,13 @@ def pagerank_fixedpoint(
     damping_den: int = 100,
     scale: int = 10**12,
     frac_scale: int = 10**6,
+    node_type: str = "long",
 ) -> DataFrame:
     """Weighted PageRank in FIXED-POINT integer arithmetic: (node,
     rank_fp) after ``n_iter`` power iterations, ranks carried as BIGINTs
-    scaled by ``scale``.
+    scaled by ``scale``. ``node_type`` is the key type both frames are
+    cast to — "long" for numeric ids, "string" for domain-keyed graphs
+    (jobs.pipelines.rank_domains).
 
     Why this exists next to :func:`pagerank`: the float version's
     contribution sums are IEEE adds whose order depends on partitioning,
@@ -348,12 +351,12 @@ def pagerank_fixedpoint(
         raise ValueError("fixed-point scales overflow int64")
     src, dst, w = edges.columns[:3]
     e = edges.select(
-        F.col(src).cast("long").alias("src"),
-        F.col(dst).cast("long").alias("dst"),
+        F.col(src).cast(node_type).alias("src"),
+        F.col(dst).cast(node_type).alias("dst"),
         F.col(w).cast("long").alias("w"),
     )
     node_df = (
-        nodes.select(F.col(nodes.columns[0]).cast("long").alias("node"))
+        nodes.select(F.col(nodes.columns[0]).cast(node_type).alias("node"))
         .distinct()
         .localCheckpoint(eager=True)
     )

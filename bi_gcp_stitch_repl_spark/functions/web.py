@@ -132,6 +132,21 @@ def html_escape_expr(col: str) -> str:
     )
 
 
+def extract_links_expr(html_col: str) -> str:
+    """SQL expression: ``array<string>`` of absolute http(s) hrefs in an
+    HTML column — the edge producer for the domain link graph
+    (jobs.pipelines.rank_domains). Double- or single-quoted attributes;
+    relative links are skipped on purpose (a same-site link confers no
+    cross-domain authority and the graph drops self-edges anyway).
+    Row-local regexp_extract_all — zero shuffle, scan speed."""
+    return (
+        f"concat(regexp_extract_all({html_col},"
+        " 'href=\"(https?://[^\"]+)\"', 1),"
+        f" regexp_extract_all({html_col},"
+        " \"href='(https?://[^']+)'\", 1))"
+    )
+
+
 #: tracking params dropped by canonicalization: the utm_* family + the
 #: bare click-ref params (the list every URL-normalizer ships; extend per
 #: deployment). (=|$): truncated/shared links carry these VALUELESS

@@ -1606,3 +1606,76 @@ def prepare_web_corpus(
         if domain_psl is not None:
             out = out.drop("_rdom")
     return out
+
+
+def rank_domains(
+    docs: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_iter: int = 4,
+    domain_psl: DataFrame | None = None,
+) -> DataFrame:
+    """Domain authority over the crawl's OWN link graph: ``(domain,
+    rank_fp)`` — the Common-Crawl-style seed-quality signal (host-graph
+    centrality) that web curation uses to weight or gate domains, built
+    from nothing but the pages already ingested.
+
+    Pipeline (each stage shrinks what the next touches):
+
+    1. edges: every page contributes (its registrable domain → the
+       registrable domain of each absolute href in its HTML)
+       (functions.web.extract_links_expr — row-local regexp, scan
+       speed); self-edges drop (a same-domain link confers no
+       authority); one groupBy collapses the page-level multigraph to
+       weighted domain edges — at crawl scale this is the big exchange,
+       and it is paid exactly once.
+    2. nodes: every domain seen on either side (so a page that is only
+       linked TO still gets ranked).
+    3. :func:`~bi_gcp_stitch_repl_spark.functions.graph
+       .pagerank_fixedpoint` with string keys — deterministic integer
+       arithmetic, so the same crawl produces the same ranks on any
+       cluster layout.
+
+    ``domain_psl``: optional PSL rules frame (the
+    ``prepare_web_corpus(domain_psl=...)`` seam) — multi-label suffixes
+    like ``co.uk`` then rank per-site instead of collapsing. Consumers
+    join the result back on the quota stage's domain column to drop or
+    downweight low-authority domains before training-data export.
+    """
+    from ..functions.web import (
+        extract_links_expr,
+        registrable_domain_expr,
+        registrable_domain_psl,
+    )
+
+    links = docs.select(
+        F.col(url_col).alias("_page_url"),
+        F.explode(F.expr(extract_links_expr(html_col))).alias("_href"),
+    )
+    if domain_psl is not None:
+        links = registrable_domain_psl(
+            links, "_page_url", domain_psl, out_col="_src"
+        )
+        links = registrable_domain_psl(links, "_href", domain_psl, out_col="_dst")
+    else:
+        links = links.select(
+            F.expr(registrable_domain_expr("_page_url")).alias("_src"),
+            F.expr(registrable_domain_expr("_href")).alias("_dst"),
+        )
+    edges = (
+        links.filter(
+            F.col("_src").isNotNull()
+            & F.col("_dst").isNotNull()
+            & (F.col("_src") != F.col("_dst"))
+        )
+        .groupBy(F.col("_src").alias("src"), F.col("_dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    )
+    from ..functions.graph import pagerank_fixedpoint
+
+    return pagerank_fixedpoint(
+        edges, nodes, n_iter=n_iter, node_type="string"
+    ).withColumnRenamed("node", "domain")

@@ -1596,3 +1596,56 @@ def test_prepare_web_corpus_domain_psl_groups_multilabel_suffixes(spark):
         spark, crawl, _bench(spark), domain_cap=2
     )
     assert {r.doc_id for r in out_h.collect()} == {1, 2}
+
+
+def test_rank_domains_authority_ordering(spark):
+    """Hub/authority link structure: three sites all link to hub.com,
+    hub.com links to one of them; hub.com must outrank everything, and
+    the hub-endorsed site must outrank its unendorsed peers. Single- and
+    double-quoted hrefs both count; relative and same-domain links are
+    ignored."""
+    pages = [
+        ("http://a.com/1", '<a href="http://hub.com/x">h</a>'
+                           '<a href="/same-site-relative">r</a>'),
+        ("http://b.com/1", "<a href='http://hub.com/y'>h</a>"),
+        ("http://c.com/1", '<a href="http://hub.com/z">h</a>'
+                           '<a href="http://c.com/self">self</a>'),
+        ("http://hub.com/1", '<a href="http://a.com/back">back</a>'),
+    ]
+    docs = spark.createDataFrame(pages, "url string, html string")
+    # the hub<->a 2-cycle oscillates (decay 0.85^2 per round); 20 rounds
+    # puts the residual well under the steady-state hub-a gap
+    ranks = {
+        r.domain: r.rank_fp
+        for r in pipelines.rank_domains(docs, n_iter=20).collect()
+    }
+    assert set(ranks) == {"a.com", "b.com", "c.com", "hub.com"}
+    assert ranks["hub.com"] > ranks["a.com"]      # 3 in-links beat 1
+    assert ranks["a.com"] > ranks["b.com"]        # hub endorsement counts
+    assert ranks["b.com"] == ranks["c.com"]       # symmetric peers tie exactly
+    # deterministic: a second run is bit-identical
+    again = {
+        r.domain: r.rank_fp
+        for r in pipelines.rank_domains(docs, n_iter=20).collect()
+    }
+    assert again == ranks
+
+
+def test_rank_domains_psl_keeps_multilabel_sites_apart(spark):
+    """With PSL rules, *.co.uk sites rank as separate nodes instead of
+    one collapsed co.uk blob."""
+    rules = spark.createDataFrame([("com",), ("co.uk",)], "rule string")
+    pages = [
+        ("http://one.co.uk/", '<a href="http://hub.com/x">h</a>'),
+        ("http://two.co.uk/", '<a href="http://hub.com/y">h</a>'),
+    ]
+    docs = spark.createDataFrame(pages, "url string, html string")
+    ranks = {
+        r.domain: r.rank_fp
+        for r in pipelines.rank_domains(docs, domain_psl=rules).collect()
+    }
+    assert set(ranks) == {"one.co.uk", "two.co.uk", "hub.com"}
+    heur = {
+        r.domain for r in pipelines.rank_domains(docs).collect()
+    }
+    assert heur == {"co.uk", "hub.com"}  # the distortion the PSL fixes
