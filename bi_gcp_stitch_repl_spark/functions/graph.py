@@ -350,11 +350,17 @@ def pagerank_fixedpoint(
     if scale * frac_scale >= 2**63 or damping_num * scale >= 2**63:
         raise ValueError("fixed-point scales overflow int64")
     src, dst, w = edges.columns[:3]
+    # canonicalize to ONE row per (src, dst): duplicate edge rows must
+    # pre-aggregate, because the out-weight FRACTION floor-divides per
+    # row — two rows w=1,w=2 truncate differently than one row w=3, and
+    # the result would then depend on the caller's representation (the
+    # exact class of nondeterminism this function exists to exclude;
+    # caught by the hypothesis property suite's self-loop example)
     e = edges.select(
         F.col(src).cast(node_type).alias("src"),
         F.col(dst).cast(node_type).alias("dst"),
         F.col(w).cast("long").alias("w"),
-    )
+    ).groupBy("src", "dst").agg(F.sum("w").alias("w"))
     node_df = (
         nodes.select(F.col(nodes.columns[0]).cast(node_type).alias("node"))
         .distinct()

@@ -519,3 +519,60 @@ def test_salted_topk_equals_bare_window(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+# --- pagerank_fixedpoint ≡ sequential integer reference ----------------------
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6), st.integers(1, 9)),
+    min_size=0,
+    max_size=18,
+)
+
+
+def _pr_reference(edges, nodes, n_iter, S=10**12, FS=10**6):
+    """Plain-Python replica of the fixed-point update rule (same floor
+    divides, same grouping) — the distributed version must match EXACTLY,
+    that being the entire point of integer arithmetic."""
+    # duplicate (src, dst) edges accumulate weight, mirroring the groupBy
+    W, w_pair = {}, {}
+    for s, d, w in edges:
+        W[s] = W.get(s, 0) + w
+        w_pair[(s, d)] = w_pair.get((s, d), 0) + w
+    frac = {(s, d): (w * FS) // W[s] for (s, d), w in w_pair.items()}
+    n = len(nodes)
+    if n == 0:
+        return {}
+    rank = {v: S // n for v in nodes}
+    base = (S * 15) // (100 * n)
+    for _ in range(n_iter):
+        contrib = {v: 0 for v in nodes}
+        for (s, d), f in frac.items():
+            contrib[d] += (rank[s] * f) // FS
+        dm = sum(rank[v] for v in nodes if v not in W) // n
+        rank = {v: base + ((85 * (contrib[v] + dm)) // 100) for v in nodes}
+    return rank
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_strategy, n_iter=st.integers(1, 4))
+def test_pagerank_fixedpoint_matches_integer_reference(spark, edges, n_iter):
+    from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
+
+    nodes = sorted({v for e in edges for v in e[:2]} | {0, 1})
+    # weights on duplicate (src, dst) pairs must pre-aggregate identically
+    e = spark.createDataFrame(
+        edges or [(0, 1, 1)], "src long, dst long, w long"
+    )
+    if not edges:
+        e = e.limit(0)
+    nd = spark.createDataFrame([(v,) for v in nodes], "node long")
+    got = {
+        r.node: r.rank_fp
+        for r in pagerank_fixedpoint(e, nd, n_iter=n_iter).collect()
+    }
+    assert got == _pr_reference(edges, nodes, n_iter)
