@@ -310,12 +310,24 @@ def pagerank_fixedpoint(
     scale: int = 10**12,
     frac_scale: int = 10**6,
     node_type: str = "long",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Weighted PageRank in FIXED-POINT integer arithmetic: (node,
     rank_fp) after ``n_iter`` power iterations, ranks carried as BIGINTs
     scaled by ``scale``. ``node_type`` is the key type both frames are
     cast to — "long" for numeric ids, "string" for domain-keyed graphs
     (jobs.pipelines.rank_domains).
+
+    **Adaptive physical strategy** (the :func:`connected_components`
+    discipline): the input is usually an already-AGGREGATED graph, and
+    when both the edge list and the node set fit ``driver_threshold``
+    rows the loop runs ON THE DRIVER over the collected aggregate — the
+    distributed loop's per-iteration checkpoints are pure scheduling
+    overhead on a 625-edge nation graph. Because every operation is
+    integer, the two paths are BIT-IDENTICAL (property-tested against
+    an independent sequential replica on random graphs), so the branch
+    is invisible to callers; above the threshold the checkpointed
+    join+sum rounds run unchanged.
 
     Why this exists next to :func:`pagerank`: the float version's
     contribution sums are IEEE adds whose order depends on partitioning,
@@ -369,6 +381,13 @@ def pagerank_fixedpoint(
     n = node_df.count()
     if n == 0:
         return node_df.select("node", F.lit(0).cast("long").alias("rank_fp"))
+    if n <= driver_threshold:
+        e = e.localCheckpoint(eager=True)
+        if e.count() <= driver_threshold:
+            return _pagerank_fp_driver(
+                e, node_df, n, n_iter, damping_num, damping_den, scale,
+                frac_scale,
+            )
     tot = e.groupBy("src").agg(F.sum("w").alias("w_out"))
     frac = (
         e.join(tot, "src")
@@ -422,3 +441,42 @@ def pagerank_fixedpoint(
             .localCheckpoint(eager=True)
         )
     return rank
+
+
+def _pagerank_fp_driver(
+    e: DataFrame,
+    node_df: DataFrame,
+    n: int,
+    n_iter: int,
+    damping_num: int,
+    damping_den: int,
+    scale: int,
+    frac_scale: int,
+) -> DataFrame:
+    """Driver fast path: the same update rule over the collected
+    aggregate (both frames proven ≤ driver_threshold by the caller).
+    Integer arithmetic makes this bit-identical to the distributed loop
+    — the property suite compares both against an independent replica."""
+    spark = e.sparkSession
+    edges = [(r.src, r.dst, r.w) for r in e.collect()]
+    nodes = [r.node for r in node_df.collect()]
+    w_out: dict = {}
+    for s, _, w in edges:
+        w_out[s] = w_out.get(s, 0) + w
+    frac = {(s, d): (w * frac_scale) // w_out[s] for s, d, w in edges}
+    dangling = [v for v in nodes if v not in w_out]
+    base = (scale * (damping_den - damping_num)) // (damping_den * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0 for v in nodes}
+        for (s, d), f in frac.items():
+            contrib[d] += (rank[s] * f) // frac_scale
+        dmn = sum(rank[v] for v in dangling) // n
+        rank = {
+            v: base + ((damping_num * (contrib[v] + dmn)) // damping_den)
+            for v in nodes
+        }
+    out_type = dict(node_df.dtypes)["node"]
+    return spark.createDataFrame(
+        [(v, rank[v]) for v in nodes], f"node {out_type}, rank_fp long"
+    )

@@ -571,8 +571,19 @@ def test_pagerank_fixedpoint_matches_integer_reference(spark, edges, n_iter):
     if not edges:
         e = e.limit(0)
     nd = spark.createDataFrame([(v,) for v in nodes], "node long")
-    got = {
+    expect = _pr_reference(edges, nodes, n_iter)
+    # default = the driver fast path at this size; driver_threshold=0
+    # forces the distributed checkpointed loop — BOTH must equal the
+    # independent replica exactly (the bit-identical-paths contract)
+    got_driver = {
         r.node: r.rank_fp
         for r in pagerank_fixedpoint(e, nd, n_iter=n_iter).collect()
     }
-    assert got == _pr_reference(edges, nodes, n_iter)
+    got_dist = {
+        r.node: r.rank_fp
+        for r in pagerank_fixedpoint(
+            e, nd, n_iter=n_iter, driver_threshold=0
+        ).collect()
+    }
+    assert got_driver == expect
+    assert got_dist == expect
