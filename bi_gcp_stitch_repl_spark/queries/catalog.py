@@ -244,11 +244,11 @@ _PRIORITY: list[str] = [
     "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
     "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
     "f_string_clean_coerce", "x_dedup_exact",
-    # changed this round (7): broadcast-hint drop, NEW PSL query, NEW MMR
+    # changed this round (8): broadcast-hint drop, NEW PSL query, NEW MMR
     # rerank, NEW fixed-point PageRank (+ functions/graph.py canary),
-    # functions/web.py canaries
+    # NEW hybrid+MMR composition, functions/web.py canaries
     "x_domain_caps", "x_registrable_domain_psl", "x_mmr_rerank",
-    "x_pagerank_trade", "x_dedup_clusters",
+    "x_pagerank_trade", "x_dedup_clusters", "x_hybrid_mmr",
     "x_html_extract", "x_url_canonicalize",
     # the whole r03-fresh cohort (24): staleness bar r03 -> r04
     "a1_a2_distinct_dedup", "a3_conditional_rollup",
@@ -261,10 +261,11 @@ _PRIORITY: list[str] = [
     "q1_pricing_summary", "q3_top_revenue_orders",
     "q5_local_supplier_volume", "u2_vertical_concat",
     "x_dau_mau_stickiness", "x_span_dedup",
-    # oldest r04-fresh entries (11 of 25; the rest — incl. x_basket_pairs,
-    # q10_returned_items, q12_linestatus_priority, displaced by the new
-    # x_mmr_rerank / x_pagerank_trade / graph canary — rotate in r9)
-    "q13_order_distribution", "q18_large_orders", "q22_idle_customers",
+    # oldest r04-fresh entries (10 of 25; the rest — incl. x_basket_pairs,
+    # q10_returned_items, q12_linestatus_priority, q13_order_distribution,
+    # displaced by this round's new queries and the graph canary —
+    # rotate in r9)
+    "q18_large_orders", "q22_idle_customers",
     "q4_order_priority", "q6_forecast_revenue", "st_time_rollup",
     "w_frames_battery", "w_rolling_30d_revenue", "x_approx_quantiles",
     "x_asof_nearest", "x_audio_roundtrip_features",

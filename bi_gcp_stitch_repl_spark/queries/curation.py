@@ -1761,3 +1761,139 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 x_dsir_weights.__doc__ = x_dsir_weights.__doc__.format(
     DSIR_BUCKETS=DSIR_BUCKETS
 )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with a diversified tail (round 8)
+# ---------------------------------------------------------------------------
+
+HYBRID_MMR_K = 5
+HYBRID_MMR_POOL = 40  # both depth-20 lists fully outer-joined: ≤ 40 rows
+
+
+def _hybrid_mmr_oracle() -> str:
+    """x_hybrid_search_rrf's fused CTE chain (same text, fused kept
+    MATERIALIZED and unlimited instead of top-10) + vector-backed
+    candidates + the shared MMR greedy tail (extensions._mmr_greedy_sql).
+    """
+    from .extensions import _MMR_COS_DUCK, _WS, _mmr_greedy_sql
+
+    sim = _MMR_COS_DUCK.format(a="a.v", b="b.v")
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '{_WS}+'),
+                            t -> t <> '')) AS term
+  FROM documents WHERE doc_id <> 0
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         {", ".join(f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS tf{i}" for i, t in enumerate(BM25_TERMS))}
+  FROM tok GROUP BY 1
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         {", ".join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(BM25_TERMS)))}
+  FROM stats
+),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM (SELECT doc_id,
+               {" + ".join(f"({_bm25_term_sql(i)})" for i in range(len(BM25_TERMS)))} AS bm25
+        FROM stats, corpus)
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+  FROM (
+    SELECT e.vec_id AS doc_id,
+           list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qe), x -> x[1]*x[2]))
+           / nullif(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x)))
+              * sqrt(list_sum(list_transform(q.qe, x -> x*x))), 0.0) AS cosine
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+  )
+),
+fused AS MATERIALIZED (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         {_RRF_TERM_DUCK.format(k=RRF_K, rank="l.lex_rank")}
+         + {_RRF_TERM_DUCK.format(k=RRF_K, rank="s.sem_rank")} AS rrf_score
+  FROM (SELECT * FROM lex WHERE lex_rank <= {HYBRID_DEPTH}) l
+  FULL OUTER JOIN (SELECT * FROM sem WHERE sem_rank <= {HYBRID_DEPTH}) s
+    ON l.doc_id = s.doc_id
+),
+cand AS MATERIALIZED (
+  SELECT f.doc_id AS vec_id, e.embedding::DOUBLE[] AS v, f.rrf_score AS rel
+  FROM fused f JOIN embeddings e ON f.doc_id = e.vec_id
+  WHERE sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x*x))) <> 0
+  ORDER BY rel DESC, vec_id LIMIT {HYBRID_MMR_POOL}
+),
+sim AS MATERIALIZED (
+  SELECT a.vec_id AS ai, b.vec_id AS bi, {sim} AS s
+  FROM cand a, cand b WHERE a.vec_id != b.vec_id
+)""" + _mmr_greedy_sql(HYBRID_MMR_K)
+
+
+@register("x_hybrid_mmr", oracle=_hybrid_mmr_oracle())
+def x_hybrid_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval stack hash-pinned end to end: BM25 lexical
+    top-20 ⊕ cosine semantic top-20 → reciprocal-rank fusion → MMR
+    diversified top-5 (relevance = the fused rrf_score, diversity =
+    pairwise cosine; functions.rerank.mmr_rerank_scored — the
+    composition seam built for exactly this). Candidate construction is
+    x_hybrid_search_rrf's (same bounded per-retriever top-k plans, same
+    fused doubles); candidates then inner-join their vectors (a doc
+    without an embedding cannot carry a diversity penalty and drops) and
+    zero-norm vectors are excluded (edge fixture's zero vector). The
+    oracle reuses the hybrid CTE chain verbatim plus the shared greedy
+    tail — every stage's floats already proven bit-portable by the two
+    parent queries."""
+    from ..functions.rerank import mmr_rerank_scored
+    from ..functions.similarity import rrf_fuse
+    from ..functions.text import bm25_scores
+    from .extensions import _DOT_SPARK, _NORM_SPARK
+
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    # fused construction = x_hybrid_search_rrf's (kept textually in sync;
+    # not extracted into a shared helper so that query's window hash
+    # stays untouched this round)
+    lex_top = (
+        bm25_scores(
+            docs.filter(F.col("doc_id") != 0), BM25_TERMS, k1=_BM25_K1, b=_BM25_B
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(HYBRID_DEPTH)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = _DOT_SPARK.format(a="embedding", b="qe")
+    norm_e = _NORM_SPARK.format(a="embedding")
+    norm_q = _NORM_SPARK.format(a="qe")
+    sem_top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine", F.expr(f"{dot} / nullif({norm_e} * {norm_q}, 0.0d)")
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(HYBRID_DEPTH)
+    )
+    sem = sem_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "vec_id"))
+        .alias("sem_rank"),
+    )
+    fused = rrf_fuse({"lex": lex, "sem": sem}, id_col="doc_id", k=RRF_K)
+    scored = fused.join(emb, fused.doc_id == emb.vec_id).select(
+        F.col("doc_id").alias("_id"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("_v"),
+        F.col("rrf_score").alias("_rel"),
+    )
+    return mmr_rerank_scored(
+        scored, k=HYBRID_MMR_K, pool=HYBRID_MMR_POOL
+    )

@@ -2390,8 +2390,7 @@ def _mmr_oracle(k: int, pool: int) -> str:
     binary64 literals."""
     rel = _MMR_COS_DUCK.format(a="e.embedding::DOUBLE[]", b="q.qe")
     sim = _MMR_COS_DUCK.format(a="a.v", b="b.v")
-    parts = [
-        f"""
+    head = f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
 scored AS (
   SELECT e.vec_id, e.embedding::DOUBLE[] AS v, {rel} AS rel
@@ -2402,7 +2401,18 @@ cand AS MATERIALIZED (SELECT vec_id, v, rel FROM scored WHERE rel IS NOT NULL
 sim AS MATERIALIZED (
   SELECT a.vec_id AS ai, b.vec_id AS bi, {sim} AS s
   FROM cand a, cand b WHERE a.vec_id != b.vec_id
-),
+)"""
+    return head + _mmr_greedy_sql(k)
+
+
+def _mmr_greedy_sql(k: int) -> str:
+    """The greedy-selection tail of an MMR oracle: k chained MATERIALIZED
+    argmax CTEs over preceding ``cand (vec_id, v, rel)`` / ``sim (ai, bi,
+    s)`` CTEs, ending in the UNION of picks. Shared by x_mmr_rerank
+    (cosine relevance) and x_hybrid_mmr (RRF-fused relevance) — the
+    relevance source is entirely the head's business."""
+    parts = [
+        """,
 p1 AS MATERIALIZED (SELECT 1 AS rnk, vec_id, rel,
               CAST(0.7 AS DOUBLE)*rel - CAST(0.3 AS DOUBLE)*CAST(0.0 AS DOUBLE) AS mmr
        FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
