@@ -470,7 +470,14 @@ def _pagerank_fp_driver(
     for _ in range(n_iter):
         contrib = {v: 0 for v in nodes}
         for (s, d), f in frac.items():
-            contrib[d] += (rank[s] * f) // frac_scale
+            # mirror the distributed joins EXACTLY: an edge whose src is
+            # not a ranked node contributes nothing (inner join of frac
+            # onto ranks), and mass sent to a dst outside the node set is
+            # dropped (node_df LEFT join contrib) — without these guards
+            # the driver path KeyErrors on subgraph rankings the
+            # distributed path handles
+            if s in rank and d in contrib:
+                contrib[d] += (rank[s] * f) // frac_scale
         dmn = sum(rank[v] for v in dangling) // n
         rank = {
             v: base + ((damping_num * (contrib[v] + dmn)) // damping_den)

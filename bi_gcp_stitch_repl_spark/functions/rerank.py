@@ -53,9 +53,11 @@ _NORM = (
     " cast(0.0 as double), (acc, v) -> acc + v))"
 )
 
-#: hard cap on the rerank pool: the driver-side greedy is O(k * pool²) on
-#: collected rows — fine at reranker pool sizes, wrong as a corpus scan.
-MAX_POOL = 4096
+#: hard cap on the rerank pool: the driver collects pool² pairwise sims
+#: and the greedy is O(k·pool²) Python work — 512 keeps that at ≤262k
+#: rows / a few MB (real rerankers use tens-to-hundreds); 4096 would
+#: have allowed a ~17M-row driver collect, an OOM masquerading as a cap.
+MAX_POOL = 512
 
 _SCHEMA = StructType(
     [

@@ -136,14 +136,17 @@ def extract_links_expr(html_col: str) -> str:
     """SQL expression: ``array<string>`` of absolute http(s) hrefs in an
     HTML column — the edge producer for the domain link graph
     (jobs.pipelines.rank_domains). Double- or single-quoted attributes;
-    relative links are skipped on purpose (a same-site link confers no
-    cross-domain authority and the graph drops self-edges anyway).
-    Row-local regexp_extract_all — zero shuffle, scan speed."""
+    case-insensitive ((?i): legacy uppercase '<A HREF=\"HTTP://...' is
+    common at crawl scale, and registrable_domain_expr already
+    lowercases the host for the same reason); relative links are skipped
+    on purpose (a same-site link confers no cross-domain authority and
+    the graph drops self-edges anyway). Row-local regexp_extract_all —
+    zero shuffle, scan speed."""
     return (
         f"concat(regexp_extract_all({html_col},"
-        " 'href=\"(https?://[^\"]+)\"', 1),"
+        " '(?i)href=\"(https?://[^\"]+)\"', 1),"
         f" regexp_extract_all({html_col},"
-        " \"href='(https?://[^']+)'\", 1))"
+        " \"(?i)href='(https?://[^']+)'\", 1))"
     )
 
 
@@ -297,6 +300,22 @@ def registrable_domain_psl(
             - F.when(exc, F.lit(1)).otherwise(F.lit(0))
         ).cast("int").alias("ps"),
         exc.alias("exc"),
+    )
+    # ONE row per key before the map build: map_from_entries ABORTS on a
+    # duplicate key under Spark's default mapKeyDedupPolicy=EXCEPTION, so
+    # a repeated line (hand-concatenated lists) or a plain rule shadowed
+    # by its exception ('www.ck' + '!www.ck' share the key) would kill
+    # the whole job mid-run. Priority on collision follows the PSL spec:
+    # the exception rule prevails (struct max orders exc first; same-exc
+    # duplicates carry identical ps by construction).
+    norm = (
+        norm.groupBy("key")
+        .agg(F.max(F.struct(F.col("exc"), F.col("ps"))).alias("_pri"))
+        .select(
+            "key",
+            F.col("_pri.ps").alias("ps"),
+            F.col("_pri.exc").alias("exc"),
+        )
     )
     psl_map = norm.agg(
         F.map_from_entries(

@@ -611,9 +611,28 @@ def entity_replication(
             ckf = None
             if set(ckeys) <= set(parent_map.values()):
                 rev = {c: r for r, c in parent_map.items()}
-                ckf = frame.select(
-                    *[F.col(rev[c]).alias(c) for c in ckeys]
-                )
+                # completeness scope must come from the PRE-explode rows
+                # when the MAIN rows were themselves exploded: `frame` is
+                # post-explode there, so a parent whose main array emptied
+                # has no frame rows and would silently vanish from the
+                # delete scope (the exact stale-child bug this key_frame
+                # exists to prevent). explode_parents carries the fetched
+                # parent set under the mapped names frame uses.
+                src = frame
+                if explode_parents is not None:
+                    if {rev[c] for c in ckeys} <= set(
+                        explode_parents.columns
+                    ):
+                        src = explode_parents
+                    else:
+                        # child key rooted in an element-level field of
+                        # the exploded main array: no per-parent
+                        # completeness contract is derivable
+                        src = None
+                if src is not None:
+                    ckf = src.select(
+                        *[F.col(rev[c]).alias(c) for c in ckeys]
+                    )
             ctbl.merge_upsert(items, keys=ckeys, key_frame=ckf)
 
     n = out.count()
@@ -1629,8 +1648,10 @@ def rank_domains(
        authority); one groupBy collapses the page-level multigraph to
        weighted domain edges — at crawl scale this is the big exchange,
        and it is paid exactly once.
-    2. nodes: every domain seen on either side (so a page that is only
-       linked TO still gets ranked).
+    2. nodes: every crawled page's own domain (linkless domains — common
+       at crawl scale, where most small sites have no absolute
+       cross-domain hrefs — get the base rank instead of silently
+       vanishing from the ranking) plus every domain linked TO.
     3. :func:`~bi_gcp_stitch_repl_spark.functions.graph
        .pagerank_fixedpoint` with string keys — deterministic integer
        arithmetic, so the same crawl produces the same ranks on any
@@ -1652,15 +1673,22 @@ def rank_domains(
         F.col(url_col).alias("_page_url"),
         F.explode(F.expr(extract_links_expr(html_col))).alias("_href"),
     )
+    pages = docs.select(F.col(url_col).alias("_page_url"))
     if domain_psl is not None:
         links = registrable_domain_psl(
             links, "_page_url", domain_psl, out_col="_src"
         )
         links = registrable_domain_psl(links, "_href", domain_psl, out_col="_dst")
+        pages = registrable_domain_psl(
+            pages, "_page_url", domain_psl, out_col="_pdom"
+        )
     else:
         links = links.select(
             F.expr(registrable_domain_expr("_page_url")).alias("_src"),
             F.expr(registrable_domain_expr("_href")).alias("_dst"),
+        )
+        pages = pages.select(
+            F.expr(registrable_domain_expr("_page_url")).alias("_pdom")
         )
     edges = (
         links.filter(
@@ -1671,8 +1699,10 @@ def rank_domains(
         .groupBy(F.col("_src").alias("src"), F.col("_dst").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    nodes = edges.select(F.col("src").alias("node")).unionByName(
-        edges.select(F.col("dst").alias("node"))
+    nodes = (
+        pages.filter(F.col("_pdom").isNotNull())
+        .select(F.col("_pdom").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
     )
     from ..functions.graph import pagerank_fixedpoint
 

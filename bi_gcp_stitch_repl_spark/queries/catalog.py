@@ -225,18 +225,20 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 #: tests/window_policy.py + test_layout.py — a changed query or library
 #: module without a window slot is a test FAILURE):
 #: 1. §2 spine + the LLM-core canary stay every round (8).
-#: 2. Changed this round (4): x_domain_caps (forced-broadcast hint
-#:    dropped — the r7 verdict's one scale-killer), x_registrable_domain_psl
-#:    (NEW: PSL-backed registrable domain — a new query's first round
-#:    must hold a slot), and functions/web.py's canaries
-#:    x_html_extract / x_url_canonicalize (_java_repl backslash-pair fix
-#:    + registrable_domain_psl added to the module).
+#: 2. Changed this round (8): x_domain_caps (forced-broadcast hint
+#:    dropped — the r7 verdict's one scale-killer), the four NEW queries
+#:    x_registrable_domain_psl / x_mmr_rerank / x_pagerank_trade /
+#:    x_hybrid_mmr (a new query's first round must hold a slot),
+#:    functions/graph.py's canary x_dedup_clusters (pagerank_fixedpoint
+#:    added), and functions/web.py's canaries x_html_extract /
+#:    x_url_canonicalize (_java_repl backslash-pair fix +
+#:    registrable_domain_psl + extract_links_expr added to the module).
 #: 3. The ENTIRE r03-fresh cohort (24): p6_date_boundary,
 #:    u2_vertical_concat, q1_pricing_summary and the rest — this lifts
 #:    the machine-checked staleness bar from >=r03 to >=r04
 #:    (test_layout.py), the r7 verdict's #2.
-#: 4. Remaining 14 slots: the OLDEST r04-fresh entries (alphabetical
-#:    order for determinism) to pre-empt the next bar lift; the 11
+#: 4. Remaining 10 slots: the OLDEST r04-fresh entries (alphabetical
+#:    order for determinism) to pre-empt the next bar lift; the 15
 #:    r04-fresh entries that didn't fit rotate in r9.
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [

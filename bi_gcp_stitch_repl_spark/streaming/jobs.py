@@ -522,6 +522,17 @@ def web_corpus_stream(
     is a txn no-op. The url index records the batch's full post-probe
     URL set (not the surviving docs'), so its content is independent of
     the cap decision and identical under any replay.
+
+    BEHAVIOR NOTE (r8, applies with or without ``domain_cap``): because
+    the index holds every URL ever PROBED, a URL whose first fetch was
+    dropped downstream (decontaminated, capped) is never re-ingested even
+    if a later crawl of it has changed content. That is the intended
+    "first crawl wins per canonical URL" semantic — the dedup decision is
+    about the URL, not the payload (the r7 survivors-only index silently
+    re-admitted changed re-crawls of dropped pages, making output depend
+    on crawl timing). Callers wanting content-level reconsideration
+    should dedup on a content key instead (``dedup_stream`` /
+    ``near_dedup_stream``).
     """
     from ..jobs.pipelines import prepare_web_corpus
     from ..sinks.versioned import VersionedTable
@@ -606,15 +617,23 @@ def web_corpus_stream(
                 F.col("rk") + F.coalesce(F.col("_prior"), F.lit(0))
                 <= F.lit(domain_cap)
             )
+            # cache the COMMON ancestor: increments (Aggregate∘Filter)
+            # and docs (Project) both derive from `kept` — persisting only
+            # the projected docs would leave the counts sink's plan
+            # outside the cache and re-run the whole parse/decontaminate
+            # pipeline once more per micro-batch
             increments = (
                 kept.filter(~F.col("_domain").startswith("_nodomain_"))
                 .groupBy(F.col("_domain").alias("domain"))
                 .agg(F.count("*").cast("long").alias("n"))
             )
             docs = kept.drop("_domain", "_prior", "rk")
+            cached = kept
+        else:
+            cached = docs
         # one computation feeds every sink; without the persist each
         # append re-parses the batch's HTML (the ingest-stream lesson)
-        docs.persist()
+        cached.persist()
         try:
             VersionedTable(spark, out_path).append_txn(
                 docs,
@@ -635,7 +654,7 @@ def web_corpus_stream(
                 batch_id=batch_id,
             )
         finally:
-            docs.unpersist()
+            cached.unpersist()
 
     return (
         crawl.writeStream.foreachBatch(clean_and_commit)

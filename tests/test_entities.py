@@ -640,3 +640,70 @@ def test_detail_fanout_fetches_each_key_exactly_once(spark, tmp_path):
     )
     calls = sorted(p.read_text() for p in calls_dir.iterdir())
     assert calls == [f"ct{i}" for i in range(4)]  # once each
+
+
+def test_explode_plus_child_purges_emptied_parent(spark, tmp_path):
+    """When the MAIN rows are themselves exploded array elements AND a
+    child sink exists, the child's completeness frame must come from the
+    PRE-explode fetched parents: a parent whose main array emptied has
+    zero post-explode frame rows, and deriving key_frame from the frame
+    would silently drop it from the delete scope — its stale child rows
+    would survive every merge (the same bug class the main/child sinks
+    fixed separately this round)."""
+
+    def parent(i, n_pay):
+        return {
+            "id": i,
+            "payments": [
+                {
+                    "pid": i * 10 + j,
+                    "lines": [
+                        {"lid": i * 100 + j * 10 + k, "amt": "1.0"}
+                        for k in range(2)
+                    ],
+                }
+                for j in range(n_pay)
+            ],
+        }
+
+    spec = dict(
+        source={
+            "protocol": "offset",
+            "url": "https://api.example.test/parents",
+            "limit": 500,
+            "schema": (
+                "id bigint, payments array<struct<pid:bigint,"
+                "lines:array<struct<lid:bigint,amt:string>>>>"
+            ),
+        },
+        explode={"array_col": "payments", "parent_map": {"id": "parent_id"}},
+        select=[{"name": "parent_id"}, {"name": "pid"}],
+        sink={"mode": "upsert", "keys": ["pid"]},
+        child={
+            "array_col": "lines",
+            "parent_map": {"parent_id": "parent_id"},
+            "select": [{"name": "parent_id"}, {"name": "lid"}],
+            "keys": ["parent_id"],
+        },
+        child_warehouse_path=str(tmp_path / "lines"),
+    )
+    pipelines.entity_replication(
+        spark,
+        offset_transport([parent(1, 1), parent(2, 1)]),
+        str(tmp_path / "main"),
+        clock=CLOCK,
+        **spec,
+    )
+    lines = pipelines.merge_table(spark, str(tmp_path / "lines")).read()
+    assert lines.filter("parent_id = 1").count() == 2
+    # parent 1's payments array empties upstream: its child rows must die
+    pipelines.entity_replication(
+        spark,
+        offset_transport([parent(1, 0), parent(2, 1)]),
+        str(tmp_path / "main"),
+        clock=CLOCK,
+        **spec,
+    )
+    lines2 = pipelines.merge_table(spark, str(tmp_path / "lines")).read()
+    assert lines2.filter("parent_id = 1").count() == 0
+    assert lines2.filter("parent_id = 2").count() == 2

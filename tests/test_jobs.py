@@ -1631,6 +1631,21 @@ def test_rank_domains_authority_ordering(spark):
     assert again == ranks
 
 
+def test_rank_domains_linkless_and_uppercase_pages(spark):
+    """A crawled page with no cross-domain hrefs still gets a (base)
+    rank — most small sites link relatively, and vanishing from the
+    ranking would gate them out of any authority-join downstream.
+    Uppercase attribute/scheme spellings count as links."""
+    pages = [
+        ("http://quiet.com/1", "<p>no links here</p>"),
+        ("http://loud.com/1", '<A HREF="HTTP://quiet.com/x">up</A>'),
+    ]
+    docs = spark.createDataFrame(pages, "url string, html string")
+    ranks = {r.domain: r.rank_fp for r in pipelines.rank_domains(docs).collect()}
+    assert set(ranks) == {"quiet.com", "loud.com"}
+    assert ranks["quiet.com"] > ranks["loud.com"]  # the uppercase link counted
+
+
 def test_rank_domains_psl_keeps_multilabel_sites_apart(spark):
     """With PSL rules, *.co.uk sites rank as separate nodes instead of
     one collapsed co.uk blob."""

@@ -89,13 +89,14 @@ def test_compact_zorder_roundtrip(spark, tmp_path):
 def test_driver_window_covers_survey_gates():
     """The external correctness driver checks only the FIRST 50 registered
     queries; this pins the round-8 window (catalog._PRIORITY): §2 spine +
-    LLM canary, this round's changed queries (x_domain_caps hint drop,
-    the NEW x_registrable_domain_psl and x_mmr_rerank) and
-    functions/web.py canaries, the ENTIRE r03-fresh cohort (lifting the
-    staleness bar to >=r04), and 13 of the oldest r04-fresh entries. It
-    additionally proves the
-    coverage-closure invariant: the union of the r01-r07 driver windows
-    and this window is the ENTIRE catalog."""
+    LLM canary, this round's changed queries (x_domain_caps hint drop;
+    the NEW x_registrable_domain_psl / x_mmr_rerank / x_pagerank_trade /
+    x_hybrid_mmr) plus the graph.py and web.py canaries, the ENTIRE
+    r03-fresh cohort (lifting the staleness bar to >=r04), and 10 of the
+    oldest r04-fresh entries (the other 15 rotate in r9). It
+    additionally proves the coverage-closure invariant: the union of the
+    prior rounds' driver windows and this window is the ENTIRE
+    catalog."""
     import json
     import os
 

@@ -545,10 +545,14 @@ def _pr_reference(edges, nodes, n_iter, S=10**12, FS=10**6):
         return {}
     rank = {v: S // n for v in nodes}
     base = (S * 15) // (100 * n)
+    node_set = set(nodes)
     for _ in range(n_iter):
         contrib = {v: 0 for v in nodes}
         for (s, d), f in frac.items():
-            contrib[d] += (rank[s] * f) // FS
+            # edges touching non-ranked endpoints: src outside the node
+            # set contributes nothing, mass to a dst outside is dropped
+            if s in node_set and d in node_set:
+                contrib[d] += (rank[s] * f) // FS
         dm = sum(rank[v] for v in nodes if v not in W) // n
         rank = {v: base + ((85 * (contrib[v] + dm)) // 100) for v in nodes}
     return rank
@@ -559,11 +563,22 @@ def _pr_reference(edges, nodes, n_iter, S=10**12, FS=10**6):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(edges=edge_strategy, n_iter=st.integers(1, 4))
-def test_pagerank_fixedpoint_matches_integer_reference(spark, edges, n_iter):
+@given(
+    edges=edge_strategy,
+    n_iter=st.integers(1, 4),
+    drop_node=st.integers(0, 6),
+)
+def test_pagerank_fixedpoint_matches_integer_reference(
+    spark, edges, n_iter, drop_node
+):
     from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
 
-    nodes = sorted({v for e in edges for v in e[:2]} | {0, 1})
+    # drop one endpoint from the node set sometimes: ranking a SUBGRAPH
+    # of a larger edge list must behave identically on both paths (edges
+    # from outside contribute nothing; mass to outside is dropped)
+    nodes = sorted(({v for e in edges for v in e[:2]} | {0, 1}) - {drop_node})
+    if not nodes:
+        nodes = [0]
     # weights on duplicate (src, dst) pairs must pre-aggregate identically
     e = spark.createDataFrame(
         edges or [(0, 1, 1)], "src long, dst long, w long"

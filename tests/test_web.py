@@ -276,6 +276,31 @@ def test_registrable_domain_psl_algorithm(spark):
         assert got[i] == want, (u, want, got[i])
 
 
+def test_registrable_domain_psl_duplicate_rules_survive(spark):
+    """map_from_entries aborts on duplicate keys under Spark's default
+    mapKeyDedupPolicy=EXCEPTION — a repeated rule line (hand-concatenated
+    lists) or a plain rule shadowed by its exception ('www.ck' and
+    '!www.ck' normalize to the same key) must dedup at map-build time
+    with the PSL priority (exception prevails), not kill the job."""
+    from bi_gcp_stitch_repl_spark.functions.web import registrable_domain_psl
+
+    rules = spark.createDataFrame(
+        [(r,) for r in ["com", "com", "ck", "*.ck", "www.ck", "!www.ck"]],
+        "rule string",
+    )
+    df = spark.createDataFrame(
+        [(1, "https://www.ck/b"), (2, "https://a.example.com/")],
+        "id long, url string",
+    )
+    got = {
+        r["id"]: r["domain"]
+        for r in registrable_domain_psl(df, "url", rules).collect()
+    }
+    # exception prevails over the colliding plain 'www.ck' rule: the
+    # public suffix is 'ck', so the registrable domain is www.ck itself
+    assert got == {1: "www.ck", 2: "example.com"}
+
+
 def test_ws_class_dialect_parity_on_vertical_tab(spark):
     """WS_CLASS exists because RE2's \\s lacks \\x0B while Java's has it:
     on a vertical-tab document the explicit class keeps both engines
