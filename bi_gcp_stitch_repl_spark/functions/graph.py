@@ -361,33 +361,61 @@ def pagerank_fixedpoint(
     """
     if scale * frac_scale >= 2**63 or damping_num * scale >= 2**63:
         raise ValueError("fixed-point scales overflow int64")
+    if len(edges.columns) < 3:
+        raise ValueError(
+            "edges needs (src, dst, weight) columns — for an unweighted"
+            " graph pass F.lit(1) as the weight"
+        )
     src, dst, w = edges.columns[:3]
     # canonicalize to ONE row per (src, dst): duplicate edge rows must
     # pre-aggregate, because the out-weight FRACTION floor-divides per
     # row — two rows w=1,w=2 truncate differently than one row w=3, and
     # the result would then depend on the caller's representation (the
     # exact class of nondeterminism this function exists to exclude;
-    # caught by the hypothesis property suite's self-loop example)
-    e = edges.select(
-        F.col(src).cast(node_type).alias("src"),
-        F.col(dst).cast(node_type).alias("dst"),
-        F.col(w).cast("long").alias("w"),
-    ).groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    # caught by the hypothesis property suite's self-loop example).
+    # NULL endpoints drop here (SQL joins and Python dict membership
+    # disagree about NULL, so letting one through would diverge the two
+    # physical paths); checkpoint UNCONDITIONALLY — the upstream
+    # derivation is the expensive part and frac references e twice.
+    e = (
+        edges.select(
+            F.col(src).cast(node_type).alias("src"),
+            F.col(dst).cast(node_type).alias("dst"),
+            F.col(w).cast("long").alias("w"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
     node_df = (
         nodes.select(F.col(nodes.columns[0]).cast(node_type).alias("node"))
+        .filter(F.col("node").isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
     )
     n = node_df.count()
     if n == 0:
         return node_df.select("node", F.lit(0).cast("long").alias("rank_fp"))
-    if n <= driver_threshold:
-        e = e.localCheckpoint(eager=True)
-        if e.count() <= driver_threshold:
-            return _pagerank_fp_driver(
-                e, node_df, n, n_iter, damping_num, damping_den, scale,
-                frac_scale,
+    wb = e.agg(F.min("w").alias("mn"), F.max("w").alias("mx")).first()
+    if wb.mn is not None:
+        if wb.mn <= 0:
+            # Python // floors while Spark DIV truncates toward zero, so
+            # negative weights would silently diverge the two physical
+            # paths; zero total out-weight divides by zero — both are
+            # contract violations, not data to paper over
+            raise ValueError(f"edge weights must be positive (min={wb.mn})")
+        if wb.mx * frac_scale >= 2**63:
+            # the distributed CAST(w * frac_scale) would ANSI-abort (or
+            # wrap) where the driver path's Python bignums succeed
+            raise ValueError(
+                f"max edge weight {wb.mx} * frac_scale overflows int64"
             )
+    if n <= driver_threshold and e.count() <= driver_threshold:
+        return _pagerank_fp_driver(
+            e, node_df, n, n_iter, damping_num, damping_den, scale,
+            frac_scale,
+        )
     tot = e.groupBy("src").agg(F.sum("w").alias("w_out"))
     frac = (
         e.join(tot, "src")

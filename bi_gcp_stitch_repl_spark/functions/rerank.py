@@ -92,6 +92,10 @@ def mmr_rerank(
     q = query.select(
         F.expr(f"transform({qcol}, x -> cast(x as double))").alias("_qe")
     )
+    if q.limit(2).count() != 1:
+        # a multi-row query frame would silently cross-join every corpus
+        # row N times and collapse duplicate ids downstream
+        raise ValueError("query must be exactly one row")
     dot = _DOT.format(a="_v", b="_qe")
     norm_v = _NORM.format(a="_v")
     norm_q = _NORM.format(a="_qe")
@@ -139,10 +143,20 @@ def mmr_rerank_scored(
         norm_v = _NORM.format(a="_v")
         scored = scored.filter(F.expr(f"nullif({norm_v}, 0.0d) is not null"))
     # TakeOrdered top-pool, then pin the pool so the pairwise-sim join and
-    # the collect read ONE materialization, not two re-executions
+    # the collect read ONE materialization, not two re-executions.
+    # Pool hygiene for dirty corpora: a NULL _id would crash the greedy's
+    # sorted() tie-break; a NaN _rel passes isNotNull, sorts ABOVE every
+    # real score descending, and wins every `score > best` argmax — both
+    # are row-local filters, not behavior the catalog twin can hit (its
+    # relevance is a finite-float fold, same contract as every cosine
+    # query in the catalog).
     cand = (
         scored.select("_id", "_v", "_rel")
-        .filter(F.col("_rel").isNotNull())  # NULL can't rank, nor greedy
+        .filter(
+            F.col("_id").isNotNull()
+            & F.col("_rel").isNotNull()
+            & ~F.isnan(F.col("_rel"))
+        )
         .orderBy(F.col("_rel").desc(), "_id")
         .limit(pool)
         .localCheckpoint(eager=True)
@@ -160,9 +174,22 @@ def mmr_rerank_scored(
         )
     )
     rel_rows = [(r._id, r._rel) for r in cand.select("_id", "_rel").collect()]
+    if len({i for i, _ in rel_rows}) != len(rel_rows):
+        # dict(rel_rows) below would silently keep one arbitrary rel per
+        # id and return fewer than k rows with wrong attribution
+        raise ValueError("duplicate _id in the rerank pool")
     sim_map: dict[tuple[int, int], float] = {
         (r._ai, r._bi): r._s for r in sims.collect()
     }
+    if any(s is None for s in sim_map.values()):
+        # a NULL pairwise cosine means mixed vector dimensions (zip_with
+        # pads with NULL) or an invalid vector slipped past the caller —
+        # max() over None would crash deep in the greedy; fail at the
+        # boundary with the actual cause named
+        raise ValueError(
+            "NULL pairwise similarity in the rerank pool — mixed vector"
+            " dimensions or invalid vectors"
+        )
     # greedy selection over collected SCALARS: every float that decides an
     # argmax was computed engine-side above; lam*rel - mu*maxsim is exact
     # binary64, bit-identical to the SQL twin's expression

@@ -183,3 +183,64 @@ def test_pagerank_fixedpoint_empty_graph(spark):
     e = spark.createDataFrame([], "src long, dst long, w long")
     nd = spark.createDataFrame([], "node long")
     assert pagerank_fixedpoint(e, nd).count() == 0
+
+
+def test_pagerank_fixedpoint_input_contract(spark):
+    """Positive-weight contract (floor-div vs DIV would diverge the two
+    physical paths on negatives; zero out-weight divides by zero), the
+    (src, dst, weight) arity error, and NULL-endpoint/NULL-node drops
+    behaving identically on both paths."""
+    import pytest as _pytest
+
+    from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
+
+    nd = spark.createDataFrame([(1,), (2,)], "node long")
+    bad = spark.createDataFrame([(1, 2, -1)], "src long, dst long, w long")
+    with _pytest.raises(ValueError, match="positive"):
+        pagerank_fixedpoint(bad, nd)
+    with _pytest.raises(ValueError, match="src, dst, weight"):
+        pagerank_fixedpoint(
+            spark.createDataFrame([(1, 2)], "src long, dst long"), nd
+        )
+    e = spark.createDataFrame(
+        [(1, 2, 1), (None, 2, 5), (1, None, 5)],
+        "src long, dst long, w long",
+    )
+    nd_null = spark.createDataFrame([(1,), (2,), (None,)], "node long")
+    for thr in (100_000, 0):  # driver path, then distributed path
+        got = {
+            r.node: r.rank_fp
+            for r in pagerank_fixedpoint(
+                e, nd_null, driver_threshold=thr
+            ).collect()
+        }
+        clean = {
+            r.node: r.rank_fp
+            for r in pagerank_fixedpoint(
+                spark.createDataFrame(
+                    [(1, 2, 1)], "src long, dst long, w long"
+                ),
+                spark.createDataFrame([(1,), (2,)], "node long"),
+                driver_threshold=thr,
+            ).collect()
+        }
+        assert got == clean  # NULL edges/nodes dropped, both paths agree
+
+
+def test_mmr_pool_hygiene_null_id_and_nan_rel(spark):
+    """Dirty-corpus pool hygiene: NULL ids and NaN relevance are filtered
+    before the driver greedy (NULL crashes sorted(); NaN sorts above
+    every real score and wins every argmax)."""
+    from bi_gcp_stitch_repl_spark.functions.rerank import mmr_rerank_scored
+
+    scored = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0.9),
+            (None, [1.0, 0.0], 0.95),
+            (3, [0.0, 1.0], float("nan")),
+            (4, [0.5, 0.5], 0.4),
+        ],
+        "_id long, _v array<double>, _rel double",
+    )
+    out = mmr_rerank_scored(scored, k=4, pool=8).collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rnk)] == [1, 4]
