@@ -349,7 +349,9 @@ def pagerank_fixedpoint(
 
     Overflow headroom: rank ≤ scale (1e12) and frac ≤ frac_scale (1e6),
     so the largest product is ≤ 1e18 < 2^63-1; callers raising ``scale``
-    must keep scale*frac_scale and damping_num*scale inside int64.
+    must keep scale*frac_scale and 2*damping_num*scale inside int64 —
+    the factor 2 because the damped term multiplies (contrib + dmn),
+    which reaches scale*(1 + 1/n) ≤ 2*scale at n=1, not scale alone.
 
     Scale shape: ``edges`` is usually an AGGREGATED graph (counts from a
     fact-table join) — the expensive distributed work happens upstream,
@@ -359,7 +361,12 @@ def pagerank_fixedpoint(
     the upstream join; per-iteration dangling mass stays in-plan as a
     1-row broadcast (no driver round-trip).
     """
-    if scale * frac_scale >= 2**63 or damping_num * scale >= 2**63:
+    # the damped product is damping_num*(contrib+dmn), and contrib+dmn can
+    # reach scale*(1+1/n) ≤ 2*scale — guard the actual worst case, not
+    # damping_num*scale (a custom scale near 1e17 would pass the looser
+    # guard yet wrap int64 in the distributed path while the driver
+    # path's Python bignums stayed exact, breaking bit-identity)
+    if scale * frac_scale >= 2**63 or 2 * damping_num * scale >= 2**63:
         raise ValueError("fixed-point scales overflow int64")
     if len(edges.columns) < 3:
         raise ValueError(

@@ -11,8 +11,9 @@ already selected. This is the standard last stage of a retrieval pipeline
 (functions.similarity: brute kNN, IVF, LSH buckets, hybrid RRF).
 
 Scale shape (the part that must survive 100 TB): relevance scoring and the
-top-``pool`` cut are DISTRIBUTED — one broadcast of the 1-row query vector,
-a JVM-side sequential-fold cosine per row, and a TakeOrdered (never a
+top-``pool`` cut are DISTRIBUTED — the 1-row query vector is collected once
+and embedded as a foldable literal (no per-call broadcast or guard job), a
+JVM-side sequential-fold cosine runs per row, and a TakeOrdered (never a
 global sort). Only then does the algorithm leave the cluster: the greedy
 selection is inherently sequential (pick i depends on picks 1..i-1), so it
 runs on the DRIVER over the collected pool — a documented BOUNDED collect
@@ -30,6 +31,8 @@ cross-engine contract needs the same binary64 LITERAL on both sides, and
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -89,13 +92,27 @@ def mmr_rerank(
     the pool is smaller than k.
     """
     qcol = query.columns[0]
-    q = query.select(
+    # ONE take(2) both validates arity AND yields the query vector —
+    # replacing the former dedicated limit(2).count() guard job + the
+    # crossJoin(broadcast(q)) with a foldable literal (the engine-side
+    # cast to double runs inside the take, so the collected values are
+    # the exact binary64 the old broadcast carried; F.lit round-trips
+    # binary64 exactly). One fewer Spark job per call AND one fewer
+    # broadcast site in the batch-rerank loop.
+    qrows = query.select(
         F.expr(f"transform({qcol}, x -> cast(x as double))").alias("_qe")
-    )
-    if q.limit(2).count() != 1:
+    ).take(2)
+    if len(qrows) != 1:
         # a multi-row query frame would silently cross-join every corpus
         # row N times and collapse duplicate ids downstream
         raise ValueError("query must be exactly one row")
+    qvec = qrows[0]._qe
+    if qvec is None or len(qvec) == 0:
+        # a NULL/empty query vector made every _rel NULL under the old
+        # crossJoin form (all rows filtered); keep that contract
+        qe = F.expr("cast(null as array<double>)")
+    else:
+        qe = F.array(*[F.lit(x).cast("double") for x in qvec])
     dot = _DOT.format(a="_v", b="_qe")
     norm_v = _NORM.format(a="_v")
     norm_q = _NORM.format(a="_qe")
@@ -104,7 +121,7 @@ def mmr_rerank(
             F.col(id_col).cast("long").alias("_id"),
             F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
         )
-        .crossJoin(F.broadcast(q))
+        .withColumn("_qe", qe)
         .withColumn("_rel", F.expr(f"{dot} / nullif({norm_v} * {norm_q}, 0.0d)"))
         .filter(F.col("_rel").isNotNull())
     )
@@ -181,14 +198,16 @@ def mmr_rerank_scored(
     sim_map: dict[tuple[int, int], float] = {
         (r._ai, r._bi): r._s for r in sims.collect()
     }
-    if any(s is None for s in sim_map.values()):
+    if any(s is None or math.isnan(s) for s in sim_map.values()):
         # a NULL pairwise cosine means mixed vector dimensions (zip_with
-        # pads with NULL) or an invalid vector slipped past the caller —
-        # max() over None would crash deep in the greedy; fail at the
-        # boundary with the actual cause named
+        # pads with NULL); a NaN one means a NaN vector element survived
+        # the zero-norm filter (nullif(NaN, 0.0) is non-null) — max()
+        # over None would crash deep in the greedy and max() over NaN is
+        # ORDER-DEPENDENT, silently diverging from the SQL twin; both
+        # fail at the boundary with the actual cause named
         raise ValueError(
-            "NULL pairwise similarity in the rerank pool — mixed vector"
-            " dimensions or invalid vectors"
+            "NULL/NaN pairwise similarity in the rerank pool — mixed"
+            " vector dimensions or invalid vectors"
         )
     # greedy selection over collected SCALARS: every float that decides an
     # argmax was computed engine-side above; lam*rel - mu*maxsim is exact

@@ -142,11 +142,16 @@ def extract_links_expr(html_col: str) -> str:
     on purpose (a same-site link confers no cross-domain authority and
     the graph drops self-edges anyway). Row-local regexp_extract_all —
     zero shuffle, scan speed."""
+    # the single-quote pattern is spelled as a SINGLE-quoted SQL literal
+    # with doubled-quote escapes ('' — the ANSI spelling both Spark and
+    # DuckDB accept under every parser config): a double-quoted string
+    # here would parse as an IDENTIFIER in sessions with
+    # spark.sql.ansi.doubleQuotedIdentifiers enabled
     return (
         f"concat(regexp_extract_all({html_col},"
         " '(?i)href=\"(https?://[^\"]+)\"', 1),"
         f" regexp_extract_all({html_col},"
-        " \"(?i)href='(https?://[^']+)'\", 1))"
+        " '(?i)href=''(https?://[^'']+)''', 1))"
     )
 
 

@@ -221,56 +221,52 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 #: Explicit catalog order. The external correctness driver checks the FIRST
-#: 50 registered queries only. Round-8 rotation (policy pinned by
+#: 50 registered queries only. Round-9 rotation (policy pinned by
 #: tests/window_policy.py + test_layout.py — a changed query or library
 #: module without a window slot is a test FAILURE):
 #: 1. §2 spine + the LLM-core canary stay every round (8).
-#: 2. Changed this round (8): x_domain_caps (forced-broadcast hint
-#:    dropped — the r7 verdict's one scale-killer), the four NEW queries
-#:    x_registrable_domain_psl / x_mmr_rerank / x_pagerank_trade /
-#:    x_hybrid_mmr (a new query's first round must hold a slot),
-#:    functions/graph.py's canary x_dedup_clusters (pagerank_fixedpoint
-#:    added), and functions/web.py's canaries x_html_extract /
-#:    x_url_canonicalize (_java_repl backslash-pair fix +
-#:    registrable_domain_psl + extract_links_expr added to the module).
-#: 3. The ENTIRE r03-fresh cohort (24): p6_date_boundary,
-#:    u2_vertical_concat, q1_pricing_summary and the rest — this lifts
-#:    the machine-checked staleness bar from >=r03 to >=r04
-#:    (test_layout.py), the r7 verdict's #2.
-#: 4. Remaining 10 slots: the OLDEST r04-fresh entries (alphabetical
-#:    order for determinism) to pre-empt the next bar lift; the 15
-#:    r04-fresh entries that didn't fit rotate in r9.
+#: 2. Changed this round (6): x_mmr_rerank (functions/rerank.py canary —
+#:    NaN-sim boundary guard + the guard-job drop), x_dedup_clusters
+#:    (functions/graph.py canary — 2× overflow-guard tighten),
+#:    x_html_extract / x_url_canonicalize (functions/web.py canaries —
+#:    extract_links_expr single-quoted-literal fix), x_hybrid_search_rrf
+#:    / x_hybrid_mmr (shared _hybrid_fused_candidates extraction — the
+#:    r8 verdict's dedup ask).
+#: 3. The ENTIRE r04-fresh cohort (15) AND the ENTIRE r05-fresh cohort
+#:    (17): this lifts the machine-checked staleness bar from >=r04
+#:    straight to >=r06 (test_layout.py) — the r8 verdict asked for
+#:    >=r05; taking both cohorts in one window overshoots it and leaves
+#:    r10 a 31-entry r06 cohort to rotate.
+#: 4. Remaining 4 slots: NEW queries land here on their first round
+#:    (x_rank_domains et al.); until each lands, the oldest r06-fresh
+#:    entries (alphabetical) keep the slot warm.
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
     # §2 spine (7) + LLM canary (1)
     "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
     "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
     "f_string_clean_coerce", "x_dedup_exact",
-    # changed this round (8): broadcast-hint drop, NEW PSL query, NEW MMR
-    # rerank, NEW fixed-point PageRank (+ functions/graph.py canary),
-    # NEW hybrid+MMR composition, functions/web.py canaries
-    "x_domain_caps", "x_registrable_domain_psl", "x_mmr_rerank",
-    "x_pagerank_trade", "x_dedup_clusters", "x_hybrid_mmr",
-    "x_html_extract", "x_url_canonicalize",
-    # the whole r03-fresh cohort (24): staleness bar r03 -> r04
-    "a1_a2_distinct_dedup", "a3_conditional_rollup",
-    "a4_a6_watermark_accounting", "a5_first_wins_merge",
-    "a7_rollup_hierarchy", "a8_percentiles", "a9_cube_status_priority",
-    "f_date_functions", "f_timestamp_json", "j2_dim_enrichment",
-    "j3_j4_k7_history_delta", "j5_semi_join", "k8_reverse_etl_batches",
-    "n_explode_with_parent", "o1_order_limit_offset",
-    "p1_p2_project_rename", "p3_p4_p5_predicates", "p6_date_boundary",
-    "q1_pricing_summary", "q3_top_revenue_orders",
-    "q5_local_supplier_volume", "u2_vertical_concat",
-    "x_dau_mau_stickiness", "x_span_dedup",
-    # oldest r04-fresh entries (10 of 25; the rest — incl. x_basket_pairs,
-    # q10_returned_items, q12_linestatus_priority, q13_order_distribution,
-    # displaced by this round's new queries and the graph canary —
-    # rotate in r9)
-    "q18_large_orders", "q22_idle_customers",
-    "q4_order_priority", "q6_forecast_revenue", "st_time_rollup",
-    "w_frames_battery", "w_rolling_30d_revenue", "x_approx_quantiles",
-    "x_asof_nearest", "x_audio_roundtrip_features",
+    # changed this round (6): see header
+    "x_mmr_rerank", "x_dedup_clusters", "x_html_extract",
+    "x_url_canonicalize", "x_hybrid_search_rrf", "x_hybrid_mmr",
+    # the whole r04-fresh cohort (15): staleness bar r04 -> ...
+    "q10_returned_items", "q12_linestatus_priority",
+    "q13_order_distribution", "x_basket_pairs", "x_benford_digits",
+    "x_frame_sample_plan", "x_grouping_sets", "x_inverted_index",
+    "x_jaccard_ngram_pairs", "x_kmeans_assign", "x_lang_id_ngram",
+    "x_length_histogram", "x_null_aware_anti", "x_stats_battery",
+    "x_zipf_fit",
+    # ... AND the whole r05-fresh cohort (17): bar lands at >=r06
+    "s9_sql_scan", "x_active_users", "x_approx_distinct", "x_asof_join",
+    "x_chunk_documents", "x_funnel", "x_image_roundtrip_meta",
+    "x_lsh_cosine_buckets", "x_mjpeg_avi_roundtrip", "x_pack_sequences",
+    "x_pii_redact", "x_range_join_density", "x_repetition_metrics",
+    "x_retention_cohorts", "x_source_overlap", "x_top_terms",
+    "x_video_frames_roundtrip",
+    # new-query slots (4): filled by this round's new queries as they
+    # land; r06-fresh placeholders meanwhile
+    "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
+    "n_flatten_serialize",
 ]
 
 

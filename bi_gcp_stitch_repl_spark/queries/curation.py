@@ -787,6 +787,55 @@ _RRF_TERM_DUCK = (
 )
 
 
+def _hybrid_fused_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared hybrid candidate construction (the r8 verdict's dedup ask):
+    BM25 lexical top-{{HYBRID_DEPTH}} ⊕ cosine semantic top-{{HYBRID_DEPTH}}
+    → RRF fusion, returning (doc_id, lex_rank, sem_rank, rrf_score). Both
+    x_hybrid_search_rrf (fused top-10) and x_hybrid_mmr (MMR tail over the
+    fused pool) consume THIS frame, so the two queries cannot drift — the
+    former textual twin-copy is gone. Scale notes live on the consumers."""
+    from ..functions.similarity import rrf_fuse
+    from ..functions.text import bm25_scores
+    from .extensions import _DOT_SPARK, _NORM_SPARK
+
+    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
+    lex_top = (
+        bm25_scores(
+            docs.filter(F.col("doc_id") != 0), BM25_TERMS, k1=_BM25_K1, b=_BM25_B
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(HYBRID_DEPTH)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = _DOT_SPARK.format(a="embedding", b="qe")
+    norm_e = _NORM_SPARK.format(a="embedding")
+    norm_q = _NORM_SPARK.format(a="qe")
+    sem_top = (
+        emb.filter(F.col("vec_id") != 0)
+        # nullif: a zero-norm vector scores NULL (sorts after every real
+        # score), never an ANSI divide-by-zero abort
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine", F.expr(f"{dot} / nullif({norm_e} * {norm_q}, 0.0d)")
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(HYBRID_DEPTH)
+    )
+    sem = sem_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "vec_id"))
+        .alias("sem_rank"),
+    )
+    return rrf_fuse({"lex": lex, "sem": sem}, id_col="doc_id", k=RRF_K)
+
+
 @register(
     "x_hybrid_search_rrf",
     oracle=f"""
@@ -855,46 +904,7 @@ def x_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ranks are ints with doc_id tiebreaks; 1/(k+rank) and
     the fixed-order two-term sum are exactly-rounded IEEE ops, so the
     fused scores hash-match DuckDB bit-for-bit."""
-    from ..functions.similarity import rrf_fuse
-    from ..functions.text import bm25_scores
-    from .extensions import _DOT_SPARK, _NORM_SPARK
-
-    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
-    lex_top = (
-        bm25_scores(
-            docs.filter(F.col("doc_id") != 0), BM25_TERMS, k1=_BM25_K1, b=_BM25_B
-        )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(HYBRID_DEPTH)
-    )
-    lex = lex_top.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
-        .alias("lex_rank"),
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    dot = _DOT_SPARK.format(a="embedding", b="qe")
-    norm_e = _NORM_SPARK.format(a="embedding")
-    norm_q = _NORM_SPARK.format(a="qe")
-    sem_top = (
-        emb.filter(F.col("vec_id") != 0)
-        # nullif: a zero-norm vector scores NULL (sorts after every real
-        # score), never an ANSI divide-by-zero abort
-        .crossJoin(F.broadcast(q))
-        .withColumn(
-            "cosine", F.expr(f"{dot} / nullif({norm_e} * {norm_q}, 0.0d)")
-        )
-        .orderBy(F.col("cosine").desc(), "vec_id")
-        .limit(HYBRID_DEPTH)
-    )
-    sem = sem_top.select(
-        F.col("vec_id").alias("doc_id"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("cosine"), "vec_id"))
-        .alias("sem_rank"),
-    )
-    fused = rrf_fuse({"lex": lex, "sem": sem}, id_col="doc_id", k=RRF_K)
+    fused = _hybrid_fused_candidates(spark, sf_dir)
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
 
 
@@ -1840,55 +1850,18 @@ def x_hybrid_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversified top-5 (relevance = the fused rrf_score, diversity =
     pairwise cosine; functions.rerank.mmr_rerank_scored — the
     composition seam built for exactly this). Candidate construction is
-    x_hybrid_search_rrf's (same bounded per-retriever top-k plans, same
-    fused doubles); candidates then inner-join their vectors (a doc
-    without an embedding cannot carry a diversity penalty and drops) and
-    zero-norm vectors are excluded (edge fixture's zero vector). The
-    oracle reuses the hybrid CTE chain verbatim plus the shared greedy
-    tail — every stage's floats already proven bit-portable by the two
-    parent queries."""
+    the SHARED _hybrid_fused_candidates helper — one construction site
+    for both hybrid queries (the r8 verdict's dedup ask; the former
+    textual twin-copy could drift silently). Candidates then inner-join
+    their vectors (a doc without an embedding cannot carry a diversity
+    penalty and drops) and zero-norm vectors are excluded (edge
+    fixture's zero vector). The oracle reuses the hybrid CTE chain
+    verbatim plus the shared greedy tail — every stage's floats already
+    proven bit-portable by the two parent queries."""
     from ..functions.rerank import mmr_rerank_scored
-    from ..functions.similarity import rrf_fuse
-    from ..functions.text import bm25_scores
-    from .extensions import _DOT_SPARK, _NORM_SPARK
 
-    docs, emb = tables(spark, sf_dir, "documents", "embeddings")
-    # fused construction = x_hybrid_search_rrf's (kept textually in sync;
-    # not extracted into a shared helper so that query's window hash
-    # stays untouched this round)
-    lex_top = (
-        bm25_scores(
-            docs.filter(F.col("doc_id") != 0), BM25_TERMS, k1=_BM25_K1, b=_BM25_B
-        )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(HYBRID_DEPTH)
-    )
-    lex = lex_top.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
-        .alias("lex_rank"),
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    dot = _DOT_SPARK.format(a="embedding", b="qe")
-    norm_e = _NORM_SPARK.format(a="embedding")
-    norm_q = _NORM_SPARK.format(a="qe")
-    sem_top = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .withColumn(
-            "cosine", F.expr(f"{dot} / nullif({norm_e} * {norm_q}, 0.0d)")
-        )
-        .orderBy(F.col("cosine").desc(), "vec_id")
-        .limit(HYBRID_DEPTH)
-    )
-    sem = sem_top.select(
-        F.col("vec_id").alias("doc_id"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("cosine"), "vec_id"))
-        .alias("sem_rank"),
-    )
-    fused = rrf_fuse({"lex": lex, "sem": sem}, id_col="doc_id", k=RRF_K)
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    fused = _hybrid_fused_candidates(spark, sf_dir)
     scored = fused.join(emb, fused.doc_id == emb.vec_id).select(
         F.col("doc_id").alias("_id"),
         F.expr("transform(embedding, x -> cast(x as double))").alias("_v"),

@@ -1043,6 +1043,51 @@ def test_mmr_parameter_validation(spark):
         mmr_rerank(corpus, q, pool=MAX_POOL + 1)
     with pytest.raises(ValueError, match="k must be"):
         mmr_rerank(corpus, q, k=0)
+    # multi-row query still raises — now via the single take(2) that also
+    # collects the vector (the former dedicated limit(2).count() guard
+    # job is gone)
+    q2 = _vecs_df(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])]).select("embedding")
+    with pytest.raises(ValueError, match="exactly one row"):
+        mmr_rerank(corpus, q2)
+
+
+def test_mmr_query_literal_matches_old_broadcast_scores(spark):
+    """The query vector is now embedded as a foldable literal instead of a
+    crossJoin(broadcast(q)); relevance must be the bit-identical fold
+    cosine (F.lit round-trips binary64 exactly)."""
+    from bi_gcp_stitch_repl_spark.functions.rerank import mmr_rerank
+
+    q = _vecs_df(spark, [(99, [0.1, 0.2, 0.7])]).select("embedding")
+    corpus = _vecs_df(
+        spark, [(1, [0.3, 0.1, 0.4]), (2, [0.9, 0.0, 0.1]), (3, [0.1, 0.2, 0.7])]
+    )
+    out = {r.vec_id: r.rel for r in mmr_rerank(corpus, q, k=3, pool=8).collect()}
+    import math as _m
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (_m.sqrt(sum(x * x for x in a)) * _m.sqrt(sum(x * x for x in b)))
+
+    assert out[3] == pytest.approx(1.0, abs=1e-12)
+    assert out[1] == pytest.approx(cos([0.3, 0.1, 0.4], [0.1, 0.2, 0.7]), abs=1e-12)
+
+
+def test_mmr_scored_nan_vector_rejected_at_boundary(spark):
+    """A NaN-element vector survives the zero-norm filter (nullif(NaN,0.0)
+    is non-null); with a finite pre-scored _rel its NaN pairwise sims
+    must fail LOUDLY (Python max() over NaN is order-dependent and would
+    silently diverge from the SQL twin)."""
+    from bi_gcp_stitch_repl_spark.functions.rerank import mmr_rerank_scored
+
+    scored = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0.9),
+            (2, [float("nan"), 1.0], 0.8),
+        ],
+        "_id long, _v array<double>, _rel double",
+    )
+    with pytest.raises(ValueError, match="NULL/NaN pairwise"):
+        mmr_rerank_scored(scored, k=2, pool=8).collect()
 
 
 def test_mmr_rerank_scored_composes_with_rrf(spark):

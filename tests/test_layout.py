@@ -88,14 +88,13 @@ def test_compact_zorder_roundtrip(spark, tmp_path):
 
 def test_driver_window_covers_survey_gates():
     """The external correctness driver checks only the FIRST 50 registered
-    queries; this pins the round-8 window (catalog._PRIORITY): §2 spine +
-    LLM canary, this round's changed queries (x_domain_caps hint drop;
-    the NEW x_registrable_domain_psl / x_mmr_rerank / x_pagerank_trade /
-    x_hybrid_mmr) plus the graph.py and web.py canaries, the ENTIRE
-    r03-fresh cohort (lifting the staleness bar to >=r04), and 10 of the
-    oldest r04-fresh entries (the other 15 rotate in r9). It
-    additionally proves the coverage-closure invariant: the union of the
-    prior rounds' driver windows and this window is the ENTIRE
+    queries; this pins the round-9 window (catalog._PRIORITY): §2 spine +
+    LLM canary, this round's changed queries (the rerank/graph/web ADVICE
+    fixes' canaries + both hybrid queries after the shared-candidate
+    extraction), the ENTIRE r04-fresh AND r05-fresh cohorts (lifting the
+    staleness bar from >=r04 straight to >=r06), and 4 new-query slots.
+    It additionally proves the coverage-closure invariant: the union of
+    the prior rounds' driver windows and this window is the ENTIRE
     catalog."""
     import json
     import os
@@ -110,32 +109,29 @@ def test_driver_window_covers_survey_gates():
         "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
         "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
         "f_string_clean_coerce", "x_dedup_exact",
-        # changed this round: scale-hint drop + NEW PSL query + NEW MMR
-        # rerank + NEW fixed-point PageRank (with the functions/graph.py
-        # canary) + NEW hybrid+MMR composition + web.py canaries
-        "x_domain_caps", "x_registrable_domain_psl", "x_mmr_rerank",
-        "x_pagerank_trade", "x_dedup_clusters", "x_hybrid_mmr",
-        "x_html_extract", "x_url_canonicalize",
-        # the whole r03-fresh cohort (staleness bar r03 -> r04)
-        "a1_a2_distinct_dedup", "a3_conditional_rollup",
-        "a4_a6_watermark_accounting", "a5_first_wins_merge",
-        "a7_rollup_hierarchy", "a8_percentiles", "a9_cube_status_priority",
-        "f_date_functions", "f_timestamp_json", "j2_dim_enrichment",
-        "j3_j4_k7_history_delta", "j5_semi_join", "k8_reverse_etl_batches",
-        "n_explode_with_parent", "o1_order_limit_offset",
-        "p1_p2_project_rename", "p3_p4_p5_predicates", "p6_date_boundary",
-        "q1_pricing_summary", "q3_top_revenue_orders",
-        "q5_local_supplier_volume", "u2_vertical_concat",
-        "x_dau_mau_stickiness", "x_span_dedup",
-        # oldest r04-fresh entries (spare slots; the remaining 15
-        # r04-fresh queries — incl. x_basket_pairs, q10_returned_items,
-        # q12_linestatus_priority and q13_order_distribution, displaced
-        # by this round's new queries and the graph canary — rotate
-        # in r9)
-        "q18_large_orders", "q22_idle_customers",
-        "q4_order_priority", "q6_forecast_revenue", "st_time_rollup",
-        "w_frames_battery", "w_rolling_30d_revenue", "x_approx_quantiles",
-        "x_asof_nearest", "x_audio_roundtrip_features",
+        # changed this round: rerank.py NaN-guard + guard-job drop,
+        # graph.py overflow-guard tighten, web.py quote fix, hybrid
+        # candidate-construction dedup (both consumers re-hash)
+        "x_mmr_rerank", "x_dedup_clusters", "x_html_extract",
+        "x_url_canonicalize", "x_hybrid_search_rrf", "x_hybrid_mmr",
+        # the whole r04-fresh cohort
+        "q10_returned_items", "q12_linestatus_priority",
+        "q13_order_distribution", "x_basket_pairs", "x_benford_digits",
+        "x_frame_sample_plan", "x_grouping_sets", "x_inverted_index",
+        "x_jaccard_ngram_pairs", "x_kmeans_assign", "x_lang_id_ngram",
+        "x_length_histogram", "x_null_aware_anti", "x_stats_battery",
+        "x_zipf_fit",
+        # the whole r05-fresh cohort (bar lands at >=r06)
+        "s9_sql_scan", "x_active_users", "x_approx_distinct", "x_asof_join",
+        "x_chunk_documents", "x_funnel", "x_image_roundtrip_meta",
+        "x_lsh_cosine_buckets", "x_mjpeg_avi_roundtrip", "x_pack_sequences",
+        "x_pii_redact", "x_range_join_density", "x_repetition_metrics",
+        "x_retention_cohorts", "x_source_overlap", "x_top_terms",
+        "x_video_frames_roundtrip",
+        # new-query slots (r06-fresh placeholders until each new query
+        # lands)
+        "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
+        "n_flatten_serialize",
     }
     assert len(required) == 50
     missing = required - set(first50)
@@ -146,8 +142,8 @@ def test_driver_window_covers_survey_gates():
     # CORRECTNESS artifacts aren't present
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen = set(first50)
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
-        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+        path = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(path):
             with open(path) as f:
                 seen |= set(json.load(f))
@@ -156,11 +152,12 @@ def test_driver_window_covers_survey_gates():
         assert not never, f"queries with no driver row in any round: {never}"
 
     # staleness closure: with this window counted as fresh, no catalog
-    # entry's freshest driver row predates r04 (tightened from r03 this
-    # round: the whole 24-entry r03 cohort holds a slot above)
+    # entry's freshest driver row predates r06 (tightened from r04 this
+    # round: BOTH the 15-entry r04 cohort and the 17-entry r05 cohort
+    # hold slots above)
     freshest: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
-        path = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+        path = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(path):
             with open(path) as f:
                 for name in json.load(f):
@@ -169,9 +166,9 @@ def test_driver_window_covers_survey_gates():
         stale = [
             n
             for n in catalog.queries()
-            if freshest.get(n, 0) < 4 and n not in set(first50)
+            if freshest.get(n, 0) < 6 and n not in set(first50)
         ]
-        assert not stale, f"pre-r04 rows left out of the window: {stale}"
+        assert not stale, f"pre-r06 rows left out of the window: {stale}"
 
 
 def test_spread_narrow_only_touches_narrow_scans(spark):

@@ -386,59 +386,130 @@ def test_embedding_pairs_spread_before_nested_loop(spark):
     assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan
 
 
-def test_no_forced_broadcast_on_scaled_sides_in_queries():
-    """Source-level gate (the r7 verdict's x_domain_caps lesson): a forced
-    ``F.broadcast`` hint BYPASSES Spark's size check, so a hint on a side
-    that scales with the data ABORTS at the 8 GB broadcast limit instead
-    of degrading — the class r6 purged from the TPC queries (f16766e) and
-    r8 purged from x_domain_caps. Every broadcast call site in queries/
-    must name a side that is fixed-size BY CONSTRUCTION (a 25-row nation /
-    5-row region dim, a 1-row aggregate, a k-capped top-k, a bounded probe
-    set). New sites fail here until reviewed into the allowlist with a
-    justification."""
+def test_no_forced_broadcast_on_scaled_sides_in_package():
+    """Source-level gate (the r7 verdict's x_domain_caps lesson, widened
+    package-wide per the r8 verdict): a forced ``F.broadcast`` hint
+    BYPASSES Spark's size check, so a hint on a side that scales with the
+    data ABORTS at the 8 GB broadcast limit instead of degrading — the
+    class r6 purged from the TPC queries (f16766e) and r8 purged from
+    x_domain_caps. Every broadcast call site in the WHOLE package must
+    name a side that is fixed-size BY CONSTRUCTION, with the reason
+    recorded here. New sites fail until reviewed into the allowlist."""
     import ast
     import os
 
-    import bi_gcp_stitch_repl_spark.queries as qpkg
+    import bi_gcp_stitch_repl_spark as pkg
 
-    # (file, broadcast-arg source) -> why the side is fixed-size
+    # (package-relative file, broadcast-arg source) -> why the side is
+    # fixed-size by construction
     allowed = {
-        # nation (25 rows) / region (5 rows) dimension tables
-        ("parity.py", "n"), ("parity.py", "r"),
-        ("parity.py", "asia_nations"),
-        ("parity.py", "asia_nations.select('n_nationkey')"),
-        ("deep_joins.py", "n"), ("deep_joins.py", "n1"),
-        ("deep_joins.py", "n2"),
-        ("deep_joins.py", "n2.filter(F.col('c_rk') == TARGET_REGION)"),
-        # 1-row (or n-partition-row) aggregates / thresholds
-        ("parity.py", "wm"), ("parity.py", "offsets"),
-        ("deep_joins.py", "threshold"), ("deep_joins.py", "n_orders"),
-        ("curation.py", "tot"), ("curation.py", "ratio"),
-        ("relational_ext.py", "tot"),
-        # fixed-size bench/eval/query sets and k-capped outputs
-        ("curation.py", "q"), ("curation.py", "sa"), ("curation.py", "sb"),
-        ("curation.py", "v"),
-        ("extensions.py", "q"), ("extensions.py", "probe"),
-        ("extensions.py", "na"), ("extensions.py", "cand_ids"),
-        ("extensions.py", "recall"), ("extensions.py", "top"),
+        # --- queries/: nation (25 rows) / region (5 rows) dims ---------
+        ("queries/parity.py", "n"): "25-row nation dim",
+        ("queries/parity.py", "r"): "5-row region dim",
+        ("queries/parity.py", "asia_nations"): "region-filtered nation dim",
+        ("queries/parity.py", "asia_nations.select('n_nationkey')"):
+            "region-filtered nation dim, 1 col",
+        ("queries/deep_joins.py", "n"): "25-row nation dim",
+        ("queries/deep_joins.py", "n1"): "25-row nation dim",
+        ("queries/deep_joins.py", "n2"): "25-row nation dim",
+        ("queries/deep_joins.py", "n2.filter(F.col('c_rk') == TARGET_REGION)"):
+            "region-filtered nation dim",
+        # --- queries/: 1-row (or n-partition-row) aggregates ----------
+        ("queries/parity.py", "wm"): "1-row MAX watermark",
+        ("queries/parity.py", "offsets"): "n-partition-row offset frame",
+        ("queries/deep_joins.py", "threshold"): "1-row AVG threshold",
+        ("queries/deep_joins.py", "n_orders"): "1-row COUNT",
+        ("queries/curation.py", "tot"): "1-row corpus total",
+        ("queries/curation.py", "ratio"): "bucket-count-row ratio frame",
+        ("queries/relational_ext.py", "tot"): "1-row total",
+        # --- queries/: fixed-size query/probe sets, k-capped outputs --
+        ("queries/curation.py", "q"): "1-row query vector",
+        ("queries/curation.py", "sa"): "source-count-row side",
+        ("queries/curation.py", "sb"): "source-count-row side",
+        ("queries/curation.py", "v"): "fixed vocab row set",
+        ("queries/extensions.py", "q"): "1-row query vector",
+        ("queries/extensions.py", "probe"): "fixed probe shingle set",
+        ("queries/extensions.py", "na"): "bounded candidate side",
+        ("queries/extensions.py", "cand_ids"): "IVF-pruned candidate ids",
+        ("queries/extensions.py", "recall"): "k-capped recall set",
+        ("queries/extensions.py", "top"): "k-capped top-term set",
+        # --- functions/ ------------------------------------------------
+        ("functions/web.py", "psl_map"): "1-row PSL rules map",
+        ("functions/rerank.py", "b"): "pool-capped (MAX_POOL=512) rerank pool",
+        ("functions/text.py", "vocab"): "bounded merge-vocab (vocab_size cap)",
+        ("functions/text.py", "corpus"): "1-row corpus stats (N, Σdl, df)",
+        ("functions/bloom.py",
+         "bloom_bit_set(bench, text_col=text_col, n=n, m=m, k=k)"):
+            "1-row packed bit-set (m bits, fixed filter size)",
+        ("functions/graph.py", "labels"):
+            "driver fast path only — label set under driver_threshold rows",
+        ("functions/graph.py", "dangling"): "1-row dangling-mass aggregate",
+        ("functions/graph.py", "dmn"): "1-row dangling-mass aggregate",
+        ("functions/curation.py", "offsets"): "per-(split,shard,pid) offsets",
+        ("functions/similarity.py", "centroids"):
+            "IVF centroid set (cells ≈ √N, small vectors — documented IVF shape)",
+        ("functions/similarity.py", "cents"):
+            "IVF centroid set (cells ≈ √N)",
+        # --- jobs/ -----------------------------------------------------
+        ("jobs/pipelines.py", "cents"): "IVF centroid set (cells ≈ √N)",
+        ("jobs/pipelines.py", "batch_first.select('h')"):
+            "micro-batch-bounded probe hashes (trigger sizes the batch)",
+        ("jobs/pipelines.py", "batch_first"): "micro-batch-bounded segments",
+        ("jobs/pipelines.py", "hits"):
+            "semi-join of index vs micro-batch probe — batch-bounded",
+        # --- ops/ ------------------------------------------------------
+        ("ops/scd.py", "late_keys"): "late-key subset of one batch",
+        # --- conditional sites: caller opts in via a flag, default off /
+        #     documented; the hint itself is behind an explicit parameter
+        ("ops/keys.py", "lookup"): "behind broadcast_existing= flag",
+        ("sinks/versioned.py", "delete_keys"): "behind broadcast_batch= flag",
+        ("sinks/versioned.py", "batch_keys"): "behind broadcast_batch= flag",
+        ("sinks/versioned.py", "rhs"): "behind broadcast_keys= flag",
+        ("sinks/merge.py", "delete_keys"): "behind broadcast_batch= flag",
+        ("sinks/merge.py", "rhs"): "behind broadcast_keys= flag",
+        # --- functions/curation.py conditional --------------------------
+        ("functions/curation.py", "bench_grams"):
+            "behind broadcast_bench= flag (bench set is eval-suite-sized)",
     }
-    qdir = os.path.dirname(qpkg.__file__)
+    pkg_dir = os.path.dirname(pkg.__file__)
     offenders = []
-    for fname in sorted(os.listdir(qdir)):
-        if not fname.endswith(".py"):
-            continue
-        tree = ast.parse(open(os.path.join(qdir, fname)).read())
-        for node in ast.walk(tree):
-            if (
-                isinstance(node, ast.Call)
-                and isinstance(node.func, ast.Attribute)
-                and node.func.attr == "broadcast"
-                and node.args
-            ):
-                arg = ast.unparse(node.args[0])
-                if (fname, arg) not in allowed:
-                    offenders.append((fname, node.lineno, arg))
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            full = os.path.join(root, fname)
+            rel = os.path.relpath(full, pkg_dir).replace(os.sep, "/")
+            tree = ast.parse(open(full).read())
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and node.args
+                ):
+                    arg = ast.unparse(node.args[0])
+                    if (rel, arg) not in allowed:
+                        offenders.append((rel, node.lineno, arg))
     assert not offenders, (
         "unreviewed F.broadcast hint(s) — a forced hint on a data-scaled "
         f"side aborts at the broadcast limit at 100 TB: {offenders}"
     )
+    # the allowlist must not rot: every entry still names a real site
+    live = set()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            full = os.path.join(root, fname)
+            rel = os.path.relpath(full, pkg_dir).replace(os.sep, "/")
+            tree = ast.parse(open(full).read())
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "broadcast"
+                    and node.args
+                ):
+                    live.add((rel, ast.unparse(node.args[0])))
+    dead = sorted(set(allowed) - live)
+    assert not dead, f"allowlist entries with no live call site: {dead}"

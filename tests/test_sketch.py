@@ -175,6 +175,12 @@ def test_pagerank_fixedpoint_dangling_and_validation(spark):
 
     with _pytest.raises(ValueError, match="overflow"):
         pagerank_fixedpoint(e, nd, scale=10**15, frac_scale=10**6)
+    # the damped product is damping_num*(contrib+dmn) ≤ 2*damping_num*scale:
+    # scale=1e17/frac_scale=10 passes the product guard (1e18 < 2^63) and
+    # would have passed the old damping_num*scale check (8.5e18 < 2^63),
+    # but 2*85*1e17 = 1.7e19 wraps int64 in the distributed path
+    with _pytest.raises(ValueError, match="overflow"):
+        pagerank_fixedpoint(e, nd, scale=10**17, frac_scale=10)
 
 
 def test_pagerank_fixedpoint_empty_graph(spark):

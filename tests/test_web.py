@@ -498,6 +498,35 @@ def test_registrable_domain_expr_semantics_and_dialect_parity(spark):
         assert d == s, (raw, d, s)
 
 
+def test_extract_links_parses_under_double_quoted_identifiers(spark):
+    """The single-quote href pattern is a SINGLE-quoted SQL literal with
+    doubled-quote escapes: a double-quoted spelling parses as an
+    IDENTIFIER (analysis error) in sessions with
+    spark.sql.ansi.doubleQuotedIdentifiers enabled."""
+    from bi_gcp_stitch_repl_spark.functions.web import extract_links_expr
+
+    df = spark.createDataFrame(
+        [
+            (
+                "<a href=\"https://a.com/x\">d</a> "
+                "<A HREF='HTTP://B.com/y'>s</A> <a href='/rel'>r</a>",
+            )
+        ],
+        "html string",
+    )
+    expected = ["https://a.com/x", "HTTP://B.com/y"]
+    assert df.select(
+        F.expr(extract_links_expr("html")).alias("l")
+    ).collect()[0]["l"] == expected
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    try:
+        assert df.select(
+            F.expr(extract_links_expr("html")).alias("l")
+        ).collect()[0]["l"] == expected
+    finally:
+        spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
+
+
 def test_domain_caps_binds_and_is_deterministic(spark):
     """salted_topk-backed per-domain quota on the driver fixture: the cap
     binds (no domain keeps more than DOMAIN_CAP), survivors are the LOWEST
