@@ -238,21 +238,33 @@ def registrable_domain_expr(url_col: str, dialect: str = "spark") -> str:
 
     Row-local string work (one regexp_extract + one split) — zero
     shuffle; the groupBy(domain) a consumer runs is the one exchange
-    domain-level policies fundamentally need."""
+    domain-level policies fundamentally need.
+
+    NULL/unparseable input → NULL in BOTH dialects (the nullif guard):
+    without it a NULL url fell through the CASE's ELSE branch where the
+    dialects' concat NULL-handling DIVERGES (Spark concat_ws skips NULL
+    args → ``''``; duck concat treats NULL as empty → ``'.'``) — a ghost
+    domain node either way (caught by x_rank_domains' NULL-row fixture),
+    and an unparseable url captured ``''``, a ghost quota group."""
     # [a-zA-Z] in BOTH dialects: the extract runs on the RAW url where the
     # scheme may be uppercase — a duck-side [a-z] silently captured ''
     host = f"lower(regexp_extract({url_col}, '^[a-zA-Z]+://([^/:?#]+)', 1))"
+    # nullif BEFORE the www-strip/split: NULL then propagates through
+    # every downstream string op identically in both dialects
+    host = f"nullif({host}, '')"
     host = _rr(host, r"^www\.", "", dialect)
     if dialect == "spark":
         parts = f"split({host}, '\\\\.')"
         return (
-            f"CASE WHEN size({parts}) <= 2 THEN {host}"
+            f"CASE WHEN {host} IS NULL THEN NULL"
+            f" WHEN size({parts}) <= 2 THEN {host}"
             f" ELSE concat_ws('.', element_at({parts}, -2),"
             f" element_at({parts}, -1)) END"
         )
     parts = f"string_split({host}, '.')"
     return (
-        f"CASE WHEN len({parts}) <= 2 THEN {host}"
+        f"CASE WHEN {host} IS NULL THEN NULL"
+        f" WHEN len({parts}) <= 2 THEN {host}"
         f" ELSE concat({parts}[-2], '.', {parts}[-1]) END"
     )
 

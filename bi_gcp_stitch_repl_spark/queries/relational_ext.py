@@ -685,13 +685,45 @@ PR_SCALE = 10**12
 PR_FRAC = 10**6
 
 
+def pagerank_iter_ctes(n_iter: int) -> str:
+    """The ``n_iter`` chained (contrib, dangling, rank) iteration-CTE
+    triples of the unrolled fixed-point PageRank twin — shared by every
+    PageRank-backed oracle (x_pagerank_trade's trade graph, queries/web's
+    x_rank_domains domain graph). Requires the caller's WITH chain to have
+    already defined ``frac`` (src, dst, frac), ``nodes`` (node),
+    ``dangling`` (node), ``params`` (n, base) and ``r0`` (node, rank_fp);
+    key type is free (BIGINT nation keys, VARCHAR domains). Every CTE is
+    AS MATERIALIZED (inlined chains re-evaluate the whole prefix per
+    reference; see the MMR oracle note). All arithmetic is BIGINT
+    multiply / floor-divide / sum, so the two engines agree
+    bit-for-bit."""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT f.dst AS node, SUM((r.rank_fp * f.frac) // {PR_FRAC}) AS contrib
+  FROM frac f JOIN r{i-1} r ON f.src = r.node GROUP BY 1
+),
+d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank_fp), 0) // (SELECT n FROM params) AS dmn
+  FROM r{i-1} r JOIN dangling g ON r.node = g.node
+),
+r{i} AS MATERIALIZED (
+  SELECT nd.node,
+         p.base + ((85 * (COALESCE(c.contrib, 0) + d.dmn)) // 100) AS rank_fp
+  FROM nodes nd
+  LEFT JOIN c{i} c ON nd.node = c.node
+  CROSS JOIN d{i} d CROSS JOIN params p
+)""")
+    return "".join(steps)
+
+
 def _pagerank_oracle(n_iter: int) -> str:
     """Unrolled fixed-point PageRank twin: the aggregated trade graph, the
-    per-source fractional out-weights, then ``n_iter`` chained
-    (contrib, dangling, rank) CTE triples — every one AS MATERIALIZED
-    (inlined chains re-evaluate the whole prefix per reference; see the
-    MMR oracle note). All arithmetic is BIGINT multiply / floor-divide /
-    sum, so the two engines agree bit-for-bit."""
+    per-source fractional out-weights, then the shared
+    :func:`pagerank_iter_ctes` chain (refactor verified byte-identical on
+    the evaluated oracle before x_rank_domains became the second
+    consumer)."""
     head = f"""
 WITH edges AS MATERIALIZED (
   SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
@@ -719,29 +751,11 @@ dangling AS MATERIALIZED (
 r0 AS MATERIALIZED (
   SELECT node, p.init_fp AS rank_fp FROM nodes CROSS JOIN params p
 )"""
-    steps = []
-    for i in range(1, n_iter + 1):
-        steps.append(f""",
-c{i} AS MATERIALIZED (
-  SELECT f.dst AS node, SUM((r.rank_fp * f.frac) // {PR_FRAC}) AS contrib
-  FROM frac f JOIN r{i-1} r ON f.src = r.node GROUP BY 1
-),
-d{i} AS MATERIALIZED (
-  SELECT COALESCE(SUM(r.rank_fp), 0) // (SELECT n FROM params) AS dmn
-  FROM r{i-1} r JOIN dangling g ON r.node = g.node
-),
-r{i} AS MATERIALIZED (
-  SELECT nd.node,
-         p.base + ((85 * (COALESCE(c.contrib, 0) + d.dmn)) // 100) AS rank_fp
-  FROM nodes nd
-  LEFT JOIN c{i} c ON nd.node = c.node
-  CROSS JOIN d{i} d CROSS JOIN params p
-)""")
     tail = f"""
 SELECT n.n_name AS nation, CAST(r.rank_fp AS BIGINT) AS rank_fp
 FROM r{n_iter} r JOIN nation n ON r.node = n.n_nationkey
 """
-    return head + "".join(steps) + tail
+    return head + pagerank_iter_ctes(n_iter) + tail
 
 
 @register("x_pagerank_trade", oracle=_pagerank_oracle(PR_ITER))

@@ -474,6 +474,12 @@ _DOMAIN_CASES = [
     ("https://localhost/x", "localhost"),  # single-label host
     ("https://deep.sub.tracker.example.org/a/b", "example.org"),
     ("ftp://www.files.example.net", "example.net"),  # non-http scheme
+    # NULL / unparseable → NULL in BOTH dialects (pre-r9 the ELSE-branch
+    # concat semantics diverged: spark '' vs duck '.'; x_rank_domains'
+    # NULL-row fixture found it as a ghost graph node)
+    (None, None),
+    ("not a url", None),
+    ("", None),
 ]
 
 
@@ -491,7 +497,7 @@ def test_registrable_domain_expr_semantics_and_dialect_parity(spark):
             .collect()[0][0]
         )
         assert s == want, (raw, s)
-        con.execute("CREATE OR REPLACE TABLE wt AS SELECT ? AS u", [raw])
+        con.execute("CREATE OR REPLACE TABLE wt AS SELECT CAST(? AS VARCHAR) AS u", [raw])
         d = con.sql(
             f"SELECT {registrable_domain_expr('u', 'duck')} FROM wt"
         ).fetchone()[0]
