@@ -215,3 +215,18 @@ def example_billwerk_transport() -> "HttpTransport":
             client_secret=os.environ["BILLWERK_CLIENT_SECRET"],
         )
     )
+
+
+def example_sheets_transport() -> "HttpTransport":
+    """Config-file transport factory for the sheet-import jobs (see
+    ``examples/cease_date_job.json``): a bearer-token Sheets values API
+    client with the token from the environment (the deployment's secret
+    manager exports it; the engine never fetches secrets itself —
+    SURVEY §2 S11 note)."""
+    import os
+
+    return HttpTransport(
+        extra_headers={
+            "Authorization": f"Bearer {os.environ['SHEETS_API_TOKEN']}"
+        }
+    )

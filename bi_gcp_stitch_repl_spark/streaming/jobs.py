@@ -18,6 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: web_corpus_stream domain-counts fold trigger: once the counts table's
+#: live file count (one increment file per batch + at most one folded
+#: file) reaches this, the history is rolled into one row per domain —
+#: the per-batch prior probe then reads O(domains) rows across a bounded
+#: file set no matter how old the stream is
+_COUNTS_FOLD_FILES = 16
+
 
 def events_stream(
     spark: SparkSession, path: str, schema=None
@@ -542,6 +549,32 @@ def web_corpus_stream(
     if domain_cap is not None and domain_counts_path is None:
         raise ValueError("domain_cap needs a domain_counts_path")
 
+    def fold_domain_counts(counts_tbl, batch_id: int) -> None:
+        """Bound the counts table (the r8 verdict's growth finding): the
+        increment history gains one small file per batch, and the prior
+        probe re-aggregates ALL of it — O(batches × domains) on a
+        long-running crawl. Once the live file count reaches the fold
+        threshold, replace the history with its one-row-per-domain sum in
+        a single overwrite commit, so every batch's prior read touches
+        O(domains) rows across ≤ threshold files forever. Exactly-once is
+        untouched: txn markers live in the LOG, which an overwrite
+        preserves (the fold only swaps data files), the fold is
+        content-neutral (same per-domain sums), and a replayed batch hits
+        the folded table with its append marker already present — the
+        soak test pins all three."""
+        if len(counts_tbl.files_at()) < _COUNTS_FOLD_FILES:
+            return
+        folded = (
+            counts_tbl.read()
+            .groupBy("domain")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .coalesce(1)
+        )
+        counts_tbl.overwrite(
+            folded,
+            txn=(f"web_corpus_stream:domains-fold:{out_path}", batch_id),
+        )
+
     def clean_and_commit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         url_index = VersionedTable(spark, url_index_path)
@@ -641,8 +674,11 @@ def web_corpus_stream(
                 batch_id=batch_id,
             )
             if increments is not None:
+                # coalesce(1): a batch's domain set is small post-aggregate,
+                # and one increment file per batch keeps the fold trigger
+                # (file count) an honest proxy for history length
                 counts_tbl.append_txn(
-                    increments,
+                    increments.coalesce(1),
                     app_id=f"web_corpus_stream:domains:{out_path}",
                     batch_id=batch_id,
                 )
@@ -655,6 +691,11 @@ def web_corpus_stream(
             )
         finally:
             cached.unpersist()
+        if increments is not None:
+            # AFTER the three ordered commits: a crash anywhere in the fold
+            # replays the batch as three txn no-ops and re-folds; a folded
+            # table re-enters below the threshold and early-outs
+            fold_domain_counts(counts_tbl, batch_id)
 
     return (
         crawl.writeStream.foreachBatch(clean_and_commit)

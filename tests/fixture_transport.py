@@ -55,3 +55,21 @@ def make_billwerk_customer_transport():
         return data[: params["take"]]
 
     return transport
+
+
+def make_cease_date_sheet_transport():
+    """Factory for the CLI $transport resolver: the billwerk cease-date
+    admin sheet (jobs/entities.py BILLWERK_CEASE_DATE) — a well-formed
+    date, an empty cell and a malformed cell, so the CLI smoke covers
+    the typed-parse NULL coercions end to end."""
+    values = [
+        ["No", "customer_id", "admin_cease_date", "Note", "extra_col"],
+        ["1", "cu1", "2026-03-31", "churn", "ignored"],
+        ["2", "cu2", "", "no date yet", "ignored"],
+        ["3", "cu3", "not-a-date", "typo'd cell", "ignored"],
+    ]
+
+    def transport(url, params):
+        return {"values": values}
+
+    return transport

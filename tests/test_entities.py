@@ -614,6 +614,38 @@ def test_cli_runs_entity_job_with_baked_params(spark, tmp_path):
     assert out.filter("id = 'c1'").first()["address"] == "Main 1"
 
 
+def test_cli_runs_billwerk_cease_date_sheet_job(spark, tmp_path):
+    """The cease-date sheet job driven through the spark-submit CLI path
+    (r8 verdict #8): __main__ resolves the sheets $transport, merges the
+    baked JobSpec.params (projection + typed yyyy-MM-dd parse), and the
+    truncate-refreshed table lands with the NULL coercions intact."""
+    import datetime
+    import json as _json
+
+    from bi_gcp_stitch_repl_spark.jobs.__main__ import main
+
+    cfg = tmp_path / "job.json"
+    cfg.write_text(
+        _json.dumps(
+            {
+                "transport": {
+                    "$transport": "tests.fixture_transport:"
+                    "make_cease_date_sheet_transport"
+                },
+                "warehouse_path": str(tmp_path / "cease"),
+                "spreadsheet_id": "sheet-1",
+            }
+        )
+    )
+    assert main(["billwerk_cease_date", "--config", str(cfg)]) == 0
+    out = pipelines.merge_table(spark, str(tmp_path / "cease")).read()
+    assert out.columns == ["No", "customer_id", "admin_cease_date", "Note"]
+    rows = {r["customer_id"]: r for r in out.collect()}
+    assert rows["cu1"]["admin_cease_date"] == datetime.date(2026, 3, 31)
+    assert rows["cu2"]["admin_cease_date"] is None
+    assert rows["cu3"]["admin_cease_date"] is None
+
+
 def test_detail_fanout_fetches_each_key_exactly_once(spark, tmp_path):
     """The fan-out is checkpointed before count/sink actions: without it,
     every downstream action re-runs the mapInPandas fetch and the API
