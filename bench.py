@@ -104,6 +104,11 @@ HEADLINE = [
 #: retrieval tail: distributed scoring + driver-side greedy) and the
 #: fixed-point PageRank (tracks the aggregate-then-iterate graph shape:
 #: one fact-join aggregation + 4 checkpointed iteration rounds).
+#: Round 9 adds the domain-graph rank (href extraction → PSL domains →
+#: weighted edges → string-keyed PageRank: the full crawl-authority
+#: composition) and the degree-oriented triangle count (the second
+#: aggregate-then-join graph shape, wedge joins on the checkpointed
+#: oriented edge frame).
 EXTENDED = [
     "q21_waiting_suppliers",
     "x_sparse_cosine_pairs",
@@ -113,6 +118,8 @@ EXTENDED = [
     "x_curation_pipeline",
     "x_mmr_rerank",
     "x_pagerank_trade",
+    "x_rank_domains",
+    "x_triangle_trade",
 ]
 
 

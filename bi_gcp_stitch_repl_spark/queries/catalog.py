@@ -263,12 +263,13 @@ _PRIORITY: list[str] = [
     "x_pii_redact", "x_range_join_density", "x_repetition_metrics",
     "x_retention_cohorts", "x_source_overlap", "x_top_terms",
     "x_video_frames_roundtrip",
-    # new-query slots (4): x_rank_domains (NEW this round — the r8
-    # verdict's #2), x_domain_caps (evaluated oracle re-hashed by the
-    # registrable_domain_expr NULL-guard fix); r06-fresh placeholders
-    # hold the rest until further new queries land
+    # new-query slots (4): x_rank_domains (the r8 verdict's #2),
+    # x_domain_caps (evaluated oracle re-hashed by the
+    # registrable_domain_expr NULL-guard fix), x_triangle_trade and
+    # x_pmi_collocations (NEW this round — a new query's first round
+    # must hold a slot)
     "x_rank_domains", "x_domain_caps",
-    "n_array_head_field", "n_flatten_serialize",
+    "x_triangle_trade", "x_pmi_collocations",
 ]
 
 

@@ -386,6 +386,131 @@ def x_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PMI collocation mining: document-level co-occurrence, df-pruned terms,
+#: minimum pair support, PMI carried as a 1e6-scaled integer RATIO
+#: (n_ab·N·SCALE // (n_a·n_b)) — ln is monotone, so ranking by the ratio
+#: IS ranking by PMI, and the integer form is bit-portable where a
+#: cross-engine ln could drift an ulp and flip a tie
+PMI_MIN_DF = 10
+PMI_MIN_COOC = 5
+PMI_SCALE = 10**6
+PMI_TOPK = 20
+
+
+@register(
+    "x_pmi_collocations",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  )
+),
+dfc AS (
+  SELECT term, COUNT(*) AS n_t FROM tok GROUP BY 1
+  HAVING COUNT(*) >= {PMI_MIN_DF}
+),
+t2 AS (SELECT tok.doc_id, tok.term, dfc.n_t FROM tok JOIN dfc USING (term)),
+co AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         a.n_t AS n_a, b.n_t AS n_b, COUNT(*) AS n_ab
+  FROM t2 a JOIN t2 b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= {PMI_MIN_COOC}
+),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term_a, term_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       (CAST(n_ab AS BIGINT) * n_docs * {PMI_SCALE})
+         // (CAST(n_a AS BIGINT) * n_b) AS pmi_fp
+FROM co, tot
+ORDER BY pmi_fp DESC, term_a, term_b LIMIT {PMI_TOPK}
+""",
+)
+def x_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PMI collocations — the corpus-analysis stage that surfaces
+    multiword expressions / template phrases before tokenizer training
+    (public recipe: Church & Hanks 1990 association ratios).
+    Document-level presence (DISTINCT terms per doc), df-pruned vocab,
+    minimum pair support, and PMI as the 1e6-scaled integer lift ratio
+    (see the constants note: monotone in true PMI, exactly reproducible
+    cross-engine where ln would be ulp-fragile).
+
+    Scale shape — IN-CELL pair generation, not a doc_id self-join (the
+    semdedup discipline): the df-pruned vocab collapses to ONE broadcast
+    array row; each doc row-locally intersects its sorted distinct terms
+    with it and expands ordered pairs via array slices — so the corpus
+    text is scanned TWICE total (df count + pair expansion), where the
+    naive self-join shape scans it 4-5× and shuffles the token frame
+    twice more (measured on the first cut's .explain). Pair space is
+    O(len²) in the KEPT terms only; the co-occurrence groupBy is the one
+    big exchange, map-side combinable; top-k is a TakeOrdered heap with
+    a (term_a, term_b) tiebreak. Bounds stated, not discovered: the
+    broadcast vocab row assumes a df-capped vocabulary (production PMI
+    caps to top-K terms anyway); n_ab·N·SCALE needs n_ab·N < 9.2e12 —
+    re-scale or DECIMAL past ~3M docs (ANSI mode aborts, never wraps)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    dfc = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+        .filter(F.col("n_t") >= PMI_MIN_DF)
+    )
+    # the df-pruned vocab collapses to ONE broadcast map row (term →
+    # df; the PSL-rules-map pattern) so the pair expansion can carry
+    # n_a/n_b at creation — NO dfc re-join downstream (the first cut's
+    # three dfc references each re-derived the token aggregation:
+    # Catalyst does not CTE-materialize, measured 5 scans)
+    freq = dfc.agg(
+        F.map_from_entries(F.collect_list(F.struct("term", "n_t"))).alias("_m")
+    )
+    kept = docs.crossJoin(F.broadcast(freq)).select(
+        F.expr(
+            "filter(sort_array(array_distinct(split(text, ' '))),"
+            " t -> try_element_at(_m, t) IS NOT NULL)"
+        ).alias("_ts"),
+        "_m",
+    )
+    # ordered pairs from the sorted array: (ts[i], ts[j]) for i < j —
+    # row-local, zero join; term_a < term_b by construction; df counts
+    # ride along from the map (try_element_at: plain [] is an ANSI error
+    # on a missing key, and the filter above guarantees presence anyway)
+    pairs = kept.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ts, (x, i) ->"
+                " transform(slice(_ts, i + 2, size(_ts)),"
+                " y -> struct(x AS term_a, y AS term_b,"
+                " try_element_at(_m, x) AS n_a,"
+                " try_element_at(_m, y) AS n_b))))"
+            )
+        ).alias("_p")
+    ).select("_p.term_a", "_p.term_b", "_p.n_a", "_p.n_b")
+    co = (
+        pairs.groupBy("term_a", "term_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_COOC)
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        co.crossJoin(F.broadcast(tot))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.expr(
+                f"(CAST(n_ab AS BIGINT) * n_docs * {PMI_SCALE})"
+                " DIV (CAST(n_a AS BIGINT) * n_b)"
+            ).alias("pmi_fp"),
+        )
+        .orderBy(F.desc("pmi_fp"), "term_a", "term_b")
+        .limit(PMI_TOPK)
+    )
+
+
 QUAL_MIN_WORDS = 20
 QUAL_MAX_WORDS = 500
 QUAL_TOP_WORD_MAX = 0.25

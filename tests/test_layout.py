@@ -128,10 +128,11 @@ def test_driver_window_covers_survey_gates():
         "x_pii_redact", "x_range_join_density", "x_repetition_metrics",
         "x_retention_cohorts", "x_source_overlap", "x_top_terms",
         "x_video_frames_roundtrip",
-        # new-query slots: x_rank_domains (new), x_domain_caps (oracle
-        # re-hashed by the regdom NULL-guard fix), r06-fresh placeholders
+        # new-query slots: x_rank_domains / x_triangle_trade /
+        # x_pmi_collocations (new), x_domain_caps (oracle re-hashed by
+        # the regdom NULL-guard fix)
         "x_rank_domains", "x_domain_caps",
-        "n_array_head_field", "n_flatten_serialize",
+        "x_triangle_trade", "x_pmi_collocations",
     }
     assert len(required) == 50
     missing = required - set(first50)

@@ -424,6 +424,8 @@ def test_no_forced_broadcast_on_scaled_sides_in_package():
         ("queries/relational_ext.py", "tot"): "1-row total",
         # --- queries/: fixed-size query/probe sets, k-capped outputs --
         ("queries/curation.py", "q"): "1-row query vector",
+        ("queries/curation.py", "freq"):
+            "1-row frequent-term array (df-capped vocab)",
         ("queries/curation.py", "sa"): "source-count-row side",
         ("queries/curation.py", "sb"): "source-count-row side",
         ("queries/curation.py", "v"): "fixed vocab row set",

@@ -183,6 +183,55 @@ def test_pagerank_fixedpoint_dangling_and_validation(spark):
         pagerank_fixedpoint(e, nd, scale=10**17, frac_scale=10)
 
 
+def test_triangle_counts_k4_and_star(spark):
+    """K4: 4 triangles, every node in exactly 3. A star plus one
+    cross-edge: exactly the one closed triangle, leaf d absent (no
+    zero-padding — the caller left-joins its node dimension)."""
+    from bi_gcp_stitch_repl_spark.functions.graph import triangle_counts
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "x long, y long",
+    )
+    out = {r.node: r.n_triangles for r in triangle_counts(k4).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2)], "x long, y long"
+    )
+    out = {r.node: r.n_triangles for r in triangle_counts(star).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_counts_ignores_direction_dups_selfloops_nulls(spark):
+    """The graph is treated simple + undirected: reversed duplicates,
+    multi-edges, self-loops and NULL endpoints must not inflate counts,
+    and a triangle-free path yields an empty frame."""
+    from bi_gcp_stitch_repl_spark.functions.graph import triangle_counts
+
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (2, 3), (1, 3), (2, 2), (None, 1), (3, None)],
+        "x long, y long",
+    )
+    out = {r.node: r.n_triangles for r in triangle_counts(messy).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "x long, y long")
+    assert triangle_counts(path).count() == 0
+
+
+def test_triangle_counts_string_keys(spark):
+    """Key type is free (domain graphs are string-keyed): same counts."""
+    from bi_gcp_stitch_repl_spark.functions.graph import triangle_counts
+
+    e = spark.createDataFrame(
+        [("a.com", "b.com"), ("b.com", "c.com"), ("a.com", "c.com"),
+         ("c.com", "d.com")],
+        "x string, y string",
+    )
+    out = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert out == {"a.com": 1, "b.com": 1, "c.com": 1}
+
+
 def test_pagerank_fixedpoint_empty_graph(spark):
     from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
 
