@@ -593,11 +593,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     bc = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tri = ab.join(bc, "b").join(ac, ["a", "c"], "left_semi").select("a", "b", "c")
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
-    )
+    # ONE read of the triangle frame: explode each triangle into its 3
+    # corners (a 3-way union of tri would re-run the wedge join three
+    # times — Catalyst does not CTE-materialize shared subtrees)
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )

@@ -914,7 +914,7 @@ _RRF_TERM_DUCK = (
 
 def _hybrid_fused_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared hybrid candidate construction (the r8 verdict's dedup ask):
-    BM25 lexical top-{{HYBRID_DEPTH}} ⊕ cosine semantic top-{{HYBRID_DEPTH}}
+    BM25 lexical top-HYBRID_DEPTH ⊕ cosine semantic top-HYBRID_DEPTH
     → RRF fusion, returning (doc_id, lex_rank, sem_rank, rrf_score). Both
     x_hybrid_search_rrf (fused top-10) and x_hybrid_mmr (MMR tail over the
     fused pool) consume THIS frame, so the two queries cannot drift — the

@@ -301,6 +301,7 @@ def test_no_unbounded_join_strategies_in_catalog(spark):
         "q22_idle_customers",    # 1-row avg-balance threshold crossJoin
         "x_basket_pairs",        # 1-row global order-count crossJoin
         "x_benford_digits",      # 1-row total-count crossJoin
+        "x_pmi_collocations",    # 1-row vocab-map + 1-row doc-total crossJoins
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
