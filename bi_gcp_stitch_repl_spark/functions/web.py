@@ -395,3 +395,122 @@ def registrable_domain_psl(
     return df.crossJoin(F.broadcast(psl_map)).withColumn(out_col, dom).drop(
         "_psl"
     )
+
+
+def parse_robots_rules(
+    robots,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+):
+    """``(host, disallow array<string>)`` — the ``User-agent: *`` Disallow
+    prefixes of each host's robots.txt, parsed with a zero-UDF sequential
+    fold (RFC 9309 grouping, simplified to the wildcard agent).
+
+    Grammar honored: consecutive ``User-agent:`` lines form one group
+    header (a group applies when ANY of them is ``*``); the group's
+    ``Disallow:`` lines follow until the next ``User-agent:`` line starts
+    a new group; ``#`` comments strip to end of line; directive names
+    are case-insensitive; an EMPTY Disallow value means "allow all" and
+    contributes no prefix. Honest scope: ``Allow:`` precedence and ``$``
+    / ``*`` pattern metacharacters are NOT implemented — prefixes match
+    literally (the Common-Crawl-polite subset); a deployment needing
+    full RFC 9309 longest-match Allow/Disallow injects its own parser at
+    this seam.
+
+    Scale shape: the fold is one row-local ``aggregate`` over the line
+    array — robots documents parse at scan speed; the output is one row
+    per host (duplicate host rows fold via flatten+distinct downstream
+    in :func:`apply_robots`). State is (in-UA-block, group-applies,
+    prefixes) — exactly the 3-field struct the fold carries.
+    """
+    from pyspark.sql import functions as F
+
+    fold = f"""
+aggregate(
+  split({txt_col}, '\\n'),
+  named_struct('ua', false, 'app', false,
+               'acc', cast(array() as array<string>)),
+  (s, raw) -> CASE
+    WHEN startswith(lower(trim(regexp_replace(raw, '#.*$', ''))),
+                    'user-agent:')
+    THEN named_struct(
+      'ua', true,
+      'app', CASE WHEN s.ua THEN s.app OR
+                   trim(substring(trim(regexp_replace(raw, '#.*$', '')), 12))
+                     = '*'
+              ELSE trim(substring(trim(regexp_replace(raw, '#.*$', '')), 12))
+                     = '*' END,
+      'acc', s.acc)
+    WHEN startswith(lower(trim(regexp_replace(raw, '#.*$', ''))), 'disallow:')
+    THEN named_struct(
+      'ua', false,
+      'app', s.app,
+      'acc', CASE WHEN s.app AND
+                   trim(substring(trim(regexp_replace(raw, '#.*$', '')), 10))
+                     <> ''
+              THEN array_append(s.acc,
+                   trim(substring(trim(regexp_replace(raw, '#.*$', '')), 10)))
+              ELSE s.acc END)
+    WHEN trim(regexp_replace(raw, '#.*$', '')) = '' THEN s
+    ELSE named_struct('ua', false, 'app', s.app, 'acc', s.acc)
+  END,
+  s -> s.acc
+)"""
+    return robots.select(
+        F.lower(F.trim(F.col(host_col))).alias("host"),
+        F.expr(fold).alias("disallow"),
+    )
+
+
+def apply_robots(
+    docs,
+    robots,
+    url_col: str = "url",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+):
+    """Drop rows whose URL path matches a ``User-agent: *`` Disallow
+    prefix of the url's host — the crawl-politeness gate every corpus
+    pipeline runs before spending parse/dedup work on a page it must not
+    keep. ``robots``: one row per host, ``(host, robots_txt)`` (repeated
+    host rows merge; their prefix lists concatenate).
+
+    Matching: host = lowercased URL authority minus port; path = the
+    first '/' onward ('' → '/', so a ``Disallow: /`` blocks the bare
+    root URL too); literal prefix match (parse_robots_rules' documented
+    subset). URLs with no parseable host are KEPT (same posture as the
+    quota stage's NULL-domain fallback — robots can only speak for a
+    host it names). Hosts with no robots row are kept (no rules = no
+    restriction).
+
+    Scale shape: ONE hash equi-join on the host key — the rules side is
+    one row per host with its prefix array (corpus-scaled like the
+    domain-counts table, so NO broadcast hint: AQE decides); the prefix
+    probe is a row-local ``exists`` fold over that row's array. Nothing
+    else shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    rules = (
+        parse_robots_rules(robots, host_col=host_col, txt_col=txt_col)
+        .groupBy("host")
+        .agg(F.flatten(F.collect_list("disallow")).alias("_dis"))
+    )
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), "^[a-zA-Z]+://([^/:?#]+)", 1)
+    )
+    joined = docs.withColumn("_rhost", F.nullif(host, F.lit(""))).join(
+        rules.withColumnRenamed("host", "_rhost"), "_rhost", "left"
+    )
+    path = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.col(url_col), "^[a-zA-Z]+://[^/]*(/.*)$", 1),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    blocked = F.exists(
+        F.coalesce(F.col("_dis"), F.expr("cast(array() as array<string>)")),
+        lambda p: path.startswith(p),
+    )
+    return joined.filter(~blocked).drop("_rhost", "_dis")

@@ -1506,6 +1506,7 @@ def prepare_web_corpus(
     bloom_k: int | None = None,
     domain_cap: int | None = None,
     domain_psl: DataFrame | None = None,
+    robots: DataFrame | None = None,
 ) -> DataFrame:
     """Web-crawl front end for ``prepare_training_data``: raw
     ``(id, url, html)`` pages → deduped, extracted, decontaminated
@@ -1517,6 +1518,15 @@ def prepare_web_corpus(
        price of one canonical-key exchange before its HTML is ever
        parsed. NULL urls are never collapsed together (a per-row
        fallback key keeps them all).
+    0. **robots.txt exclusion** (optional ``robots`` = per-host
+       ``(host, robots_txt)``; functions.web.apply_robots): the
+       politeness gate drops Disallow'd RAW urls first of all — one
+       host equi-join, before any other work. Order is load-bearing
+       against the dedup stage: robots matches the RAW path+query, and
+       two raw spellings of one canonical URL can differ in robots
+       outcome — dedup-first could keep-first the DISALLOWED spelling
+       and then lose the content entirely, where robots-first keeps the
+       allowed copy.
     2. **HTML→text extraction** (functions.web.html_text_expr) on the
        URL survivors only — row-local regexp chain, scan speed.
     3. **Two-tier decontamination**: the Bloom prefilter
@@ -1550,6 +1560,10 @@ def prepare_web_corpus(
 
     m = BLOOM_M if bloom_m is None else bloom_m
     k = BLOOM_K if bloom_k is None else bloom_k
+    if robots is not None:
+        from ..functions.web import apply_robots
+
+        crawl = apply_robots(crawl, robots, url_col=url_col)
     if "url_canonical" in crawl.columns:
         # caller already canonicalized (the streaming front computes it
         # for its url-index probe): reuse instead of running the regexp

@@ -495,6 +495,7 @@ def web_corpus_stream(
     domain_cap: int | None = None,
     domain_counts_path: str | None = None,
     domain_psl: DataFrame | None = None,
+    robots: DataFrame | None = None,
 ):
     """Streaming form of ``jobs.pipelines.prepare_web_corpus``: each
     micro-batch of raw ``(id, url, html)`` pages is URL-canonicalized,
@@ -506,6 +507,10 @@ def web_corpus_stream(
     Per micro-batch cost is O(batch) work plus one canonical-key
     equi-probe of the url index — the corpus is never re-parsed
     (near_dedup_stream's index-probe discipline, applied to URLs).
+
+    ``robots`` (optional per-host ``(host, robots_txt)`` frame) applies
+    the batch job's politeness gate inside prepare_web_corpus — see the
+    call-site note on how it composes with the url index.
 
     ``domain_cap`` (optional; requires ``domain_counts_path``) enforces
     the batch job's per-registrable-domain quota ACROSS micro-batches:
@@ -593,6 +598,10 @@ def web_corpus_stream(
         # keep url_canonical: prepare_web_corpus reuses it (no second
         # regexp pass), and the index append below reads it
         batch = batch.localCheckpoint(eager=True)
+        # robots rides through prepare_web_corpus (post-index-probe, so
+        # the url index still records every PROBED url — a robots-dropped
+        # page follows the documented first-crawl-wins posture exactly
+        # like a decontaminated or capped one)
         docs = prepare_web_corpus(
             spark,
             batch,
@@ -604,6 +613,7 @@ def web_corpus_stream(
             decon_ngram=decon_ngram,
             bloom_m=bloom_m,
             bloom_k=bloom_k,
+            robots=robots,
         )
         increments = None
         if domain_cap is not None:

@@ -533,6 +533,104 @@ def test_extract_links_parses_under_double_quoted_identifiers(spark):
         spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
 
 
+_ROBOTS_FIXTURE = """\
+# corpus crawler policy
+User-agent: googlebot
+Disallow: /only-google
+
+User-agent: SpecialBot
+USER-AGENT: *
+disallow: /private/   # grouped UA lines: * is in this group
+Disallow: /tmp
+Disallow:
+Sitemap: https://a.example/map.xml
+
+User-agent: otherbot
+Disallow: /not-for-us
+"""
+
+
+def test_parse_robots_rules_star_groups_only(spark):
+    """RFC 9309 grouping, wildcard-agent subset: grouped UA headers make
+    one group (any '*' applies), non-* groups are ignored, comments and
+    case fold away, empty Disallow contributes nothing."""
+    from bi_gcp_stitch_repl_spark.functions.web import parse_robots_rules
+
+    robots = spark.createDataFrame(
+        [("A.example", _ROBOTS_FIXTURE), ("b.example", "User-agent: *\n")],
+        "host string, robots_txt string",
+    )
+    out = {r.host: r.disallow for r in parse_robots_rules(robots).collect()}
+    assert out == {"a.example": ["/private/", "/tmp"], "b.example": []}
+
+
+def test_apply_robots_blocks_prefixes_keeps_unruled_hosts(spark):
+    """Literal prefix match on the raw path (+query); bare-root URLs
+    normalize to '/'; hosts without a robots row and unparseable URLs
+    are kept (robots can only speak for a host it names)."""
+    from bi_gcp_stitch_repl_spark.functions.web import apply_robots
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example", "User-agent: *\nDisallow: /private/\nDisallow: /tmp"),
+            ("root.example", "User-agent: *\nDisallow: /"),
+        ],
+        "host string, robots_txt string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.example/private/x.html"),  # blocked
+            (2, "https://a.example/tmp?x=1"),         # blocked (query rides the path)
+            (3, "https://a.example/tmpfoo"),          # blocked: literal prefix
+            (4, "https://a.example/public/x"),        # kept
+            (5, "HTTPS://A.EXAMPLE/private/y"),       # blocked: host case folds
+            (6, "https://root.example"),              # blocked: '' path -> '/'
+            (7, "https://other.example/private/z"),   # kept: no rules row
+            (8, None),                                # kept: no host
+            (9, "not a url"),                         # kept: no host
+        ],
+        "doc_id long, url string",
+    )
+    kept = {r.doc_id for r in apply_robots(docs, robots).collect()}
+    assert kept == {4, 7, 8, 9}
+
+
+def test_prepare_web_corpus_robots_runs_before_dedup(spark):
+    """Order is load-bearing: robots matches the RAW spelling, so with
+    two raw variants of ONE canonical URL — the first-by-id variant
+    disallowed, the other allowed — robots-first keeps the allowed
+    copy; dedup-first would keep-first the disallowed one and lose the
+    content entirely."""
+    from bi_gcp_stitch_repl_spark.jobs.pipelines import prepare_web_corpus
+
+    robots = spark.createDataFrame(
+        [("site.example", "User-agent: *\nDisallow: /a?utm_")],
+        "host string, robots_txt string",
+    )
+    bench = spark.createDataFrame(
+        [(900, "completely unrelated benchmark text")],
+        "doc_id long, text string",
+    )
+    crawl = spark.createDataFrame(
+        [
+            # same canonical (tracking param strips) — raw variant 1 is
+            # disallowed, variant 2 allowed; keep-first-by-id would pick 1
+            (1, "https://site.example/a?utm_source=x",
+             "<html><body><p>doc one words</p></body></html>"),
+            (2, "https://site.example/a",
+             "<html><body><p>doc one words</p></body></html>"),
+            (3, "https://site.example/b",
+             "<html><body><p>doc three words</p></body></html>"),
+        ],
+        "doc_id long, url string, html string",
+    )
+    out = {
+        r["doc_id"]
+        for r in prepare_web_corpus(spark, crawl, bench, robots=robots).collect()
+    }
+    assert out == {2, 3}
+
+
 def test_domain_caps_binds_and_is_deterministic(spark):
     """salted_topk-backed per-domain quota on the driver fixture: the cap
     binds (no domain keeps more than DOMAIN_CAP), survivors are the LOWEST
