@@ -1513,12 +1513,7 @@ def prepare_web_corpus(
     ``(id, url_canonical, text)`` documents. Order is the 100 TB cost
     model — each stage shrinks what the next one touches:
 
-    1. **URL canonicalization + keep-first dedup** (functions.web) runs
-       FIRST, on the url column alone: a re-crawl is dropped for the
-       price of one canonical-key exchange before its HTML is ever
-       parsed. NULL urls are never collapsed together (a per-row
-       fallback key keeps them all).
-    0. **robots.txt exclusion** (optional ``robots`` = per-host
+    1. **robots.txt exclusion** (optional ``robots`` = per-host
        ``(host, robots_txt)``; functions.web.apply_robots): the
        politeness gate drops Disallow'd RAW urls first of all — one
        host equi-join, before any other work. Order is load-bearing
@@ -1527,9 +1522,14 @@ def prepare_web_corpus(
        outcome — dedup-first could keep-first the DISALLOWED spelling
        and then lose the content entirely, where robots-first keeps the
        allowed copy.
-    2. **HTML→text extraction** (functions.web.html_text_expr) on the
+    2. **URL canonicalization + keep-first dedup** (functions.web), on
+       the url column alone: a re-crawl is dropped for the price of one
+       canonical-key exchange before its HTML is ever parsed. NULL urls
+       are never collapsed together (a per-row fallback key keeps them
+       all).
+    3. **HTML→text extraction** (functions.web.html_text_expr) on the
        URL survivors only — row-local regexp chain, scan speed.
-    3. **Two-tier decontamination**: the Bloom prefilter
+    4. **Two-tier decontamination**: the Bloom prefilter
        (functions.bloom, audit off — the production mode) flags
        CANDIDATE docs against the bench gram filter at broadcast-int
        cost over the whole corpus, then the exact gram semi-join
