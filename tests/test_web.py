@@ -653,3 +653,73 @@ def test_domain_caps_binds_and_is_deterministic(spark):
         assert kept_ids == sorted(
             i for i in range(500) if f"example{i % 3}.com" == dom
         )[: len(rows)]
+
+
+# --- robots fold property suite --------------------------------------------
+
+def _robots_reference(txt: str) -> list[str]:
+    """Independent Python reference of parse_robots_rules' documented
+    semantics (RFC 9309 wildcard-agent subset): grouped UA headers, any
+    '*' applies to the group, '#' comments, case-insensitive directives,
+    empty Disallow contributes nothing, blank lines inert, any other
+    non-blank line ends a UA header block."""
+    ua_block, applies, acc = False, False, []
+    for raw in txt.split("\n"):
+        line = raw.split("#", 1)[0].strip() if "#" in raw else raw.strip()
+        low = line.lower()
+        if low.startswith("user-agent:"):
+            agent = line[11:].strip()
+            applies = (applies or agent == "*") if ua_block else agent == "*"
+            ua_block = True
+        elif low.startswith("disallow:"):
+            ua_block = False
+            path = line[9:].strip()
+            if applies and path:
+                acc.append(path)
+        elif line == "":
+            pass
+        else:
+            ua_block = False
+    return acc
+
+
+_ROBOTS_LINES = st.lists(
+    st.one_of(
+        st.sampled_from(["*", "googlebot", "OtherBot"]).map(
+            lambda a: f"User-agent: {a}"
+        ),
+        st.sampled_from(["uSeR-AgEnT:*", "USER-AGENT:  * "]),
+        st.sampled_from(
+            ["/p", "/private/", "/a?q=", "/tmp", ""]
+        ).map(lambda p: f"Disallow: {p}"),
+        st.sampled_from(["DISALLOW:/x", "disallow:  /y  # trail"]),
+        st.just(""),
+        st.sampled_from(
+            ["# a comment", "Sitemap: https://x/map.xml",
+             "Allow: /ok", "Crawl-delay: 2", "garbage line"]
+        ),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=_ROBOTS_LINES)
+def test_robots_fold_matches_reference_property(spark, lines):
+    """The SQL sequential fold and the independent Python reference agree
+    on ARBITRARY interleavings of UA headers / rules / comments / blanks
+    / junk — the 3-field state machine is easy to get subtly wrong at
+    group boundaries, and this pins every transition."""
+    from bi_gcp_stitch_repl_spark.functions.web import parse_robots_rules
+
+    txt = "\n".join(lines)
+    robots = spark.createDataFrame(
+        [("h.example", txt)], "host string, robots_txt string"
+    )
+    got = parse_robots_rules(robots).collect()[0].disallow
+    assert got == _robots_reference(txt), txt
