@@ -458,39 +458,53 @@ def x_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_t") >= PMI_MIN_DF)
     )
     # the df-pruned vocab collapses to ONE broadcast map row (term →
-    # df; the PSL-rules-map pattern) so the pair expansion can carry
-    # n_a/n_b at creation — NO dfc re-join downstream (the first cut's
-    # three dfc references each re-derived the token aggregation:
-    # Catalyst does not CTE-materialize, measured 5 scans)
+    # df; the PSL-rules-map pattern) — NO dfc re-join against the
+    # corpus-sized side (the first cut's three dfc references each
+    # re-derived the token aggregation: Catalyst does not
+    # CTE-materialize, measured 5 scans)
     freq = dfc.agg(
         F.map_from_entries(F.collect_list(F.struct("term", "n_t"))).alias("_m")
     )
-    kept = docs.crossJoin(F.broadcast(freq)).select(
-        F.expr(
-            "filter(sort_array(array_distinct(split(text, ' '))),"
-            " t -> try_element_at(_m, t) IS NOT NULL)"
-        ).alias("_ts"),
-        "_m",
+    # spread_narrow: the sf fixture is ONE parquet file = one scan task,
+    # which would serialize the O(len²) pair expansion onto one core
+    kept = (
+        spread_narrow(docs.select("text"))
+        .crossJoin(F.broadcast(freq))
+        .select(
+            F.expr(
+                "filter(sort_array(array_distinct(split(text, ' '))),"
+                " t -> try_element_at(_m, t) IS NOT NULL)"
+            ).alias("_ts")
+        )
     )
     # ordered pairs from the sorted array: (ts[i], ts[j]) for i < j —
-    # row-local, zero join; term_a < term_b by construction; df counts
-    # ride along from the map (try_element_at: plain [] is an ANSI error
-    # on a missing key, and the filter above guarantees presence anyway)
+    # row-local, zero join; term_a < term_b by construction. The df
+    # counts attach AFTER the pair aggregate: a map probe is O(map) per
+    # call in codegen, and 2 probes × every expanded pair was measured
+    # 2.5× slower than probing the ≤vocab²-row aggregate
     pairs = kept.select(
         F.explode(
             F.expr(
                 "flatten(transform(_ts, (x, i) ->"
                 " transform(slice(_ts, i + 2, size(_ts)),"
-                " y -> struct(x AS term_a, y AS term_b,"
-                " try_element_at(_m, x) AS n_a,"
-                " try_element_at(_m, y) AS n_b))))"
+                " y -> struct(x AS term_a, y AS term_b))))"
             )
         ).alias("_p")
-    ).select("_p.term_a", "_p.term_b", "_p.n_a", "_p.n_b")
+    ).select("_p.term_a", "_p.term_b")
     co = (
-        pairs.groupBy("term_a", "term_b", "n_a", "n_b")
+        pairs.groupBy("term_a", "term_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= PMI_MIN_COOC)
+        .crossJoin(F.broadcast(freq))
+        .select(
+            "term_a",
+            "term_b",
+            # try_element_at: plain [] is an ANSI error on a missing key
+            # (both terms are in the map by construction of the filter)
+            F.expr("try_element_at(_m, term_a)").alias("n_a"),
+            F.expr("try_element_at(_m, term_b)").alias("n_b"),
+            "n_ab",
+        )
     )
     tot = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
