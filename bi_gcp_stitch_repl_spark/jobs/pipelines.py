@@ -1641,6 +1641,36 @@ def prepare_web_corpus(
     return out
 
 
+def domain_authority_refresh(
+    spark: SparkSession,
+    docs: DataFrame,
+    warehouse_path: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_iter: int = 4,
+    domain_psl: DataFrame | None = None,
+    table_factory=None,
+) -> int:
+    """Scheduled form of :func:`rank_domains`: recompute domain authority
+    over the crawl docs table and truncate-refresh the ``(domain,
+    rank_fp)`` warehouse table (K2 semantics — PageRank is a GLOBAL fixed
+    point, so a fresh full solve is the correct cadence job; an
+    "incremental" rank update would silently rank against a stale graph).
+    Returns the number of ranked domains. CLI-runnable via the manifest
+    (``docs`` arrives through the ``$parquet`` resolver like the other
+    batch-taking jobs)."""
+    ranks = rank_domains(
+        docs,
+        url_col=url_col,
+        html_col=html_col,
+        n_iter=n_iter,
+        domain_psl=domain_psl,
+    )
+    n = ranks.count()  # count BEFORE the swap invalidates lineage
+    merge_table(spark, warehouse_path, table_factory).overwrite(ranks)
+    return n
+
+
 def rank_domains(
     docs: DataFrame,
     url_col: str = "url",

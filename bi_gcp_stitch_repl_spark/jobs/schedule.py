@@ -105,6 +105,10 @@ JOB_MANIFEST: dict[str, JobSpec] = {
         "multimodal_corpus_ingest", "15 5 * * *",
         "Hash-dedup + real-codec metadata decode of the day's media batch",
     ),
+    "domain_authority": JobSpec(
+        "domain_authority_refresh", "30 5 * * *",
+        "Crawl link-graph PageRank -> (domain, rank_fp) truncate-refresh",
+    ),
 }
 
 # per-entity declarative configs (one JobSpec per reference DAG file)

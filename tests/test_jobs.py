@@ -992,6 +992,15 @@ def test_job_manifest_sweep_runs_every_entry(spark, tmp_path):
             **spec.params,
         ) == 1
 
+    def run_domain_authority_refresh():
+        docs = spark.createDataFrame(
+            [(1, "http://a.com/1", '<a href="http://hub.com/x">h</a>')],
+            "doc_id long, url string, html string",
+        )
+        assert pipelines.domain_authority_refresh(
+            spark, docs, str(tmp_path / "authority")
+        ) == 2  # a.com + hub.com
+
     runners = {
         name[len("run_"):]: fn
         for name, fn in locals().items()
@@ -1664,3 +1673,46 @@ def test_rank_domains_psl_keeps_multilabel_sites_apart(spark):
         r.domain for r in pipelines.rank_domains(docs).collect()
     }
     assert heur == {"co.uk", "hub.com"}  # the distortion the PSL fixes
+
+
+def test_cli_runs_domain_authority_job(spark, tmp_path):
+    """domain_authority through the spark-submit CLI path: the docs
+    table arrives via the $parquet resolver (the batch-taking-job
+    pattern), rank_domains solves the link graph, and the (domain,
+    rank_fp) table truncate-refreshes."""
+    import json as _json
+
+    from bi_gcp_stitch_repl_spark.jobs.__main__ import main
+
+    docs_p = str(tmp_path / "crawl_docs")
+    spark.createDataFrame(
+        [
+            (1, "http://a.com/1", '<a href="http://hub.com/x">h</a>'),
+            (2, "http://b.com/1", "<a href='http://hub.com/y'>h</a>"),
+        ],
+        "doc_id long, url string, html string",
+    ).write.parquet(docs_p)
+    cfg = tmp_path / "job.json"
+    cfg.write_text(
+        _json.dumps(
+            {
+                "docs": {"$parquet": docs_p},
+                "warehouse_path": str(tmp_path / "authority"),
+            }
+        )
+    )
+    assert main(["domain_authority", "--config", str(cfg)]) == 0
+    out = {
+        r.domain: r.rank_fp
+        for r in pipelines.merge_table(
+            spark, str(tmp_path / "authority")
+        ).read().collect()
+    }
+    assert set(out) == {"a.com", "b.com", "hub.com"}
+    assert out["hub.com"] > out["a.com"] == out["b.com"]
+    # truncate semantics: a re-run replaces, never appends
+    assert main(["domain_authority", "--config", str(cfg)]) == 0
+    assert (
+        pipelines.merge_table(spark, str(tmp_path / "authority")).read().count()
+        == 3
+    )

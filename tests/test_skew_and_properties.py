@@ -602,3 +602,52 @@ def test_pagerank_fixedpoint_matches_integer_reference(
     }
     assert got_driver == expect
     assert got_dist == expect
+
+
+# --- triangle_counts ≡ brute-force reference ---------------------------------
+
+
+def _tri_reference(edges):
+    """Brute-force per-node triangle counts over the simple undirected
+    graph (direction/dups/self-loops/None dropped) — itertools over every
+    node triple, no orientation cleverness to share a bug with."""
+    import itertools
+
+    und = {
+        (min(a, b), max(a, b))
+        for a, b in edges
+        if a is not None and b is not None and a != b
+    }
+    nodes = sorted({v for e in und for v in e})
+    counts: dict = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in und and (b, c) in und and (a, c) in und:
+            for v in (a, b, c):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_triangle_counts_matches_bruteforce_reference(spark, edges):
+    """Degree-oriented wedge counting ≡ the brute-force triple scan on
+    random multigraphs (dups, reversed edges, self-loops included by the
+    strategy) — the (degree, key) orientation logic is exactly the kind
+    of cleverness that deserves an independent witness."""
+    from bi_gcp_stitch_repl_spark.functions.graph import triangle_counts
+
+    e = spark.createDataFrame(edges or [(0, 0)], "x long, y long")
+    if not edges:
+        e = e.limit(0)
+    got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
+    assert got == _tri_reference(edges)
