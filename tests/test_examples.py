@@ -88,8 +88,14 @@ def test_web_pipeline_example_end_to_end(spark, tmp_path):
     finally:
         sys.path.pop(0)
     stats = web_pipeline.run(str(tmp_path))
-    assert stats["crawled_pages"] == 240
-    assert stats["after_web_front"] == 117  # 120 resources - 3 contaminated
+    assert stats["crawled_pages"] == 244  # incl. 4 robots-disallowed pages
+    # 120 resources - 3 contaminated; the 4 /private/ pages fell at the
+    # robots tier (without the gate they would make this 121)
+    assert stats["after_web_front"] == 117
+    # the crawl's own link graph: the hub domain every third page
+    # endorses out-ranks the four page-serving sites
+    assert stats["top_domain"] == "hub-site.com"
+    assert stats["n_domains"] == 5
     out = spark.read.parquet(str(tmp_path / "shards"))
     assert {r.split for r in out.select("split").distinct().collect()} == {
         "train",
