@@ -514,3 +514,65 @@ def apply_robots(
         lambda p: path.startswith(p),
     )
     return joined.filter(~blocked).drop("_rhost", "_dis")
+
+
+def robots_rules_duck_sql(
+    source: str = "robots",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> str:
+    """DuckDB twin of :func:`parse_robots_rules`: a self-contained
+    subquery producing ``(host, disallow)`` from ``source``. DuckDB 1.0's
+    ``list_reduce`` has no initial-value form (struct accumulators cannot
+    seed), so the sequential fold is replayed RELATIONALLY — legal
+    because blank lines are inert to the fold's state: with blanks
+    dropped, a UA line opens a group exactly when the previous kept line
+    was not a UA line (lag), group ids are a running boundary sum, a
+    group applies when any of its UA lines names ``*`` (bool_or), and the
+    prefixes are its non-empty Disallow paths in line order. Parity with
+    the Spark fold is pytest-pinned (fixture + generated interleavings);
+    the r10 catalog query composes this with the apply-side filter."""
+    line = "trim(regexp_replace(u.l, '#.*$', ''))"
+    return f"""(
+WITH _rl AS (
+  SELECT lower(trim({host_col})) AS host,
+         unnest(list_transform(string_split({txt_col}, chr(10)),
+                               (l, i) -> struct_pack(l := l, i := i))) AS u
+  FROM {source}
+),
+_rk AS (
+  SELECT host, u.i AS i,
+         CASE WHEN lower({line}) LIKE 'user-agent:%' THEN 'ua'
+              WHEN lower({line}) LIKE 'disallow:%' THEN 'dis'
+              WHEN {line} = '' THEN 'blank' ELSE 'other' END AS kind,
+         trim(substring({line}, 12)) AS agent,
+         trim(substring({line}, 10)) AS path
+  FROM _rl
+),
+_rm AS (
+  SELECT *,
+         CASE WHEN kind = 'ua' AND
+                   COALESCE(lag(kind) OVER (PARTITION BY host ORDER BY i),
+                            'x') <> 'ua'
+              THEN 1 ELSE 0 END AS boundary
+  FROM _rk WHERE kind <> 'blank'
+),
+_rg AS (
+  SELECT *, SUM(boundary) OVER (PARTITION BY host ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS gid
+  FROM _rm
+),
+_ra AS (
+  SELECT host, gid, bool_or(kind = 'ua' AND agent = '*') AS applies
+  FROM _rg GROUP BY 1, 2
+),
+_rp AS (
+  SELECT g.host, list(g.path ORDER BY g.i) AS disallow
+  FROM _rg g JOIN _ra a USING (host, gid)
+  WHERE g.kind = 'dis' AND a.applies AND g.path <> ''
+  GROUP BY g.host
+)
+SELECT r.host, COALESCE(p.disallow, []) AS disallow
+FROM (SELECT DISTINCT lower(trim({host_col})) AS host FROM {source}) r
+LEFT JOIN _rp p USING (host)
+)"""

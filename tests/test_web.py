@@ -723,3 +723,46 @@ def test_robots_fold_matches_reference_property(spark, lines):
     )
     got = parse_robots_rules(robots).collect()[0].disallow
     assert got == _robots_reference(txt), txt
+
+
+def test_robots_duck_twin_matches_spark_fold(spark):
+    """robots_rules_duck_sql ≡ parse_robots_rules on the fixture AND on
+    40 seeded pseudo-random directive interleavings — the cross-engine
+    parity the r10 oracled query will rest on (the duck side replays the
+    fold relationally: blanks inert → lag group boundaries → bool_or)."""
+    import random
+
+    from bi_gcp_stitch_repl_spark.functions.web import (
+        parse_robots_rules,
+        robots_rules_duck_sql,
+    )
+
+    rng = random.Random(90210)
+    vocab = [
+        "User-agent: *", "User-agent: googlebot", "uSeR-AgEnT:*",
+        "USER-AGENT:  * ", "Disallow: /p", "Disallow: /private/",
+        "Disallow: /a?q=", "DISALLOW:/x", "disallow:  /y  # trail",
+        "Disallow:", "", "# a comment", "Sitemap: https://x/map.xml",
+        "Allow: /ok", "garbage line",
+    ]
+    cases = [("fix.example", _ROBOTS_FIXTURE)] + [
+        (f"h{j}.example",
+         "\n".join(rng.choice(vocab) for _ in range(rng.randrange(0, 16))))
+        for j in range(40)
+    ]
+    sdf = spark.createDataFrame(cases, "host string, robots_txt string")
+    got_spark = {
+        r.host: r.disallow for r in parse_robots_rules(sdf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE robots (host VARCHAR, robots_txt VARCHAR)"
+    )
+    con.executemany("INSERT INTO robots VALUES (?, ?)", cases)
+    got_duck = {
+        h: list(d)
+        for h, d in con.sql(
+            f"SELECT host, disallow FROM {robots_rules_duck_sql()}"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
