@@ -600,3 +600,62 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame, coeff_scale: int = 10**6
+) -> DataFrame:
+    """Local clustering coefficients over the simple undirected graph:
+    ``(node, degree, n_triangles, coeff_fp)`` where ``coeff_fp`` is the
+    fixed-point ratio ``2·triangles·coeff_scale // (degree·(degree−1))``
+    — how close each node's neighborhood is to a clique, the per-node
+    companion of :func:`triangle_counts` (link-farm neighborhoods score
+    near ``coeff_scale``; organic hubs near 0). Degree-<2 nodes carry 0
+    (no possible wedge), and nodes appear iff they have at least one
+    edge (callers left-join their node dimension, the triangle_counts
+    contract).
+
+    Integer arithmetic end to end (the pagerank_fixedpoint discipline):
+    the ratio is a BIGINT floor-divide, so results are
+    partition-order-independent and a future catalog twin can hash-pin
+    them. Costs exactly triangle_counts + one degree aggregate reusing
+    the same simple-edge normalization; one extra join on the node key.
+    """
+    src, dst = edges.columns[:2]
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(und)
+    out = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )
+    return out.withColumn(
+        "coeff_fp",
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                f"(2 * n_triangles * CAST({coeff_scale} AS BIGINT))"
+                " DIV (degree * (degree - 1))"
+            ),
+        ).otherwise(F.lit(0)).cast("long"),
+    )

@@ -232,6 +232,36 @@ def test_triangle_counts_string_keys(spark):
     assert out == {"a.com": 1, "b.com": 1, "c.com": 1}
 
 
+def test_clustering_coefficients_known_graphs(spark):
+    """K4: every node coeff 1.0 (scale units). Triangle with a tail: the
+    tailed corner has deg 3 and 1 triangle → 2·1e6//6 = 333333; the tail
+    leaf deg 1 → 0; star center deg 3, no triangles → 0."""
+    from bi_gcp_stitch_repl_spark.functions.graph import (
+        clustering_coefficients,
+    )
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "x long, y long",
+    )
+    out = {r.node: r for r in clustering_coefficients(k4).collect()}
+    assert all(r.coeff_fp == 10**6 and r.degree == 3 for r in out.values())
+
+    tailed = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "x long, y long"
+    )
+    out = {r.node: r for r in clustering_coefficients(tailed).collect()}
+    assert (out[3].degree, out[3].n_triangles, out[3].coeff_fp) == (3, 1, 333333)
+    assert (out[1].coeff_fp, out[4].coeff_fp) == (10**6, 0)
+
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "x long, y long")
+    out = {r.node: r for r in clustering_coefficients(star).collect()}
+    assert out[0] == (0, 3, 0, 0) or (
+        out[0].degree == 3 and out[0].n_triangles == 0 and out[0].coeff_fp == 0
+    )
+    assert all(r.coeff_fp == 0 for r in out.values())
+
+
 def test_pagerank_fixedpoint_empty_graph(spark):
     from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
 
