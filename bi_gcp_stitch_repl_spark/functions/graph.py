@@ -659,3 +659,71 @@ def clustering_coefficients(
             ),
         ).otherwise(F.lit(0)).cast("long"),
     )
+
+
+def k_core(
+    edges: DataFrame, k: int, max_iter: int = 100
+) -> DataFrame:
+    """Nodes of the graph's k-core: ``(node, degree)`` after repeatedly
+    deleting every node of degree < ``k`` (degree recomputed each round)
+    — the density filter crawl curation uses to isolate tightly
+    interlinked clusters (a link farm survives high-k cores; organic
+    long-tail sites peel out immediately) and the standard preprocessing
+    cut before community detection. Returned degrees are WITHIN-core
+    degrees (≥ k by definition).
+
+    Semantics: simple undirected graph (direction / duplicate edges /
+    self-loops / NULL endpoints ignored, the triangle_counts contract);
+    k ≤ 1 returns every non-isolated node with its full degree (isolated
+    nodes never appear — callers left-join their node dimension).
+
+    Scale shape: each peel round is one map-side-combinable degree
+    aggregate + two semi-joins re-filtering the CHECKPOINTED edge set —
+    never a collect; rounds converge in at most the peel depth of the
+    graph (bounded by the degeneracy ordering length, typically a few
+    dozen on web graphs) and the fixpoint check rides the degree
+    aggregate already computed (no extra job). Deterministic: the
+    surviving set is unique (the k-core is closed under order of
+    deletions — a classic invariant — so no tie-breaking is even
+    needed). ``max_iter`` is a loud configuration backstop, not a
+    silent truncation: non-convergence raises.
+    """
+    src, dst = edges.columns[:2]
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            und.select(F.col("u").alias("node"))
+            .unionByName(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .localCheckpoint(eager=True)
+        )
+        survivors = deg.filter(F.col("degree") >= k)
+        if survivors.count() == deg.count():
+            return survivors.select("node", "degree")
+        und = (
+            und.join(
+                survivors.select(F.col("node").alias("u")), "u", "left_semi"
+            )
+            .join(
+                survivors.select(F.col("node").alias("v")), "v", "left_semi"
+            )
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k_core did not converge within max_iter={max_iter} peel rounds;"
+        " raise max_iter (rounds are bounded by the graph's peel depth)"
+    )

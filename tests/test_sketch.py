@@ -262,6 +262,36 @@ def test_clustering_coefficients_known_graphs(spark):
     assert all(r.coeff_fp == 0 for r in out.values())
 
 
+def test_k_core_known_graphs(spark):
+    """K4 with a pendant path: the 3-core is exactly the K4 (within-core
+    degrees 3); the 2-core of a triangle+tail is the triangle; a pure
+    path has NO 2-core — the peel cascades end-inward over multiple
+    rounds until nothing is left."""
+    from bi_gcp_stitch_repl_spark.functions.graph import k_core
+
+    k4_tail = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(3, 4), (4, 5)],
+        "x long, y long",
+    )
+    core3 = {r.node: r.degree for r in k_core(k4_tail, 3).collect()}
+    assert core3 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    tri_tail = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "x long, y long"
+    )
+    assert {r.node for r in k_core(tri_tail, 2).collect()} == {1, 2, 3}
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "x long, y long"
+    )
+    assert k_core(path, 2).count() == 0
+    # k=1: every non-isolated node with its full degree
+    assert {r.node: r.degree for r in k_core(path, 1).collect()} == {
+        1: 1, 2: 2, 3: 2, 4: 2, 5: 1,
+    }
+
+
 def test_pagerank_fixedpoint_empty_graph(spark):
     from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
 

@@ -651,3 +651,50 @@ def test_triangle_counts_matches_bruteforce_reference(spark, edges):
         e = e.limit(0)
     got = {r.node: r.n_triangles for r in triangle_counts(e).collect()}
     assert got == _tri_reference(edges)
+
+
+# --- k_core ≡ sequential peeling reference -----------------------------------
+
+
+def _kcore_reference(edges, k):
+    und = {
+        (min(a, b), max(a, b))
+        for a, b in edges
+        if a is not None and b is not None and a != b
+    }
+    while True:
+        deg: dict = {}
+        for u, v in und:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        und = {(u, v) for u, v in und if u not in drop and v not in drop}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0,
+        max_size=20,
+    ),
+    k=st.integers(1, 4),
+)
+def test_k_core_matches_peeling_reference(spark, edges, k):
+    """Distributed round-based peeling ≡ the sequential whole-set peel on
+    random multigraphs for every k — the k-core is order-of-deletion
+    invariant, so the two schedules must land on the identical set AND
+    identical within-core degrees."""
+    from bi_gcp_stitch_repl_spark.functions.graph import k_core
+
+    e = spark.createDataFrame(edges or [(0, 0)], "x long, y long")
+    if not edges:
+        e = e.limit(0)
+    got = {r.node: r.degree for r in k_core(e, k).collect()}
+    assert got == _kcore_reference(edges, k)
