@@ -620,6 +620,13 @@ def clustering_coefficients(
     partition-order-independent and a future catalog twin can hash-pin
     them. Costs exactly triangle_counts + one degree aggregate reusing
     the same simple-edge normalization; one extra join on the node key.
+
+    Overflow headroom (stated, not discovered): the intermediate
+    ``2·n_triangles·coeff_scale`` needs ``n_triangles < 2^62/coeff_scale``
+    (≈4.6e12 at the default 1e6) — reached only by a node of degree
+    ~3e6 sitting in a near-clique, at which point lower ``coeff_scale``
+    (the coefficient itself is always ≤ coeff_scale); ANSI mode aborts
+    rather than wraps.
     """
     src, dst = edges.columns[:2]
     und = (
