@@ -524,7 +524,55 @@ def _pagerank_fp_driver(
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def _simple_undirected(edges: DataFrame) -> DataFrame:
+    """Normalize an edge list to the simple undirected graph — endpoints
+    least/greatest-ordered into ``(u, v)``, self-loops / NULL endpoints /
+    duplicate edges dropped — and eagerly ``localCheckpoint`` the result.
+
+    Shared by :func:`triangle_counts`, :func:`clustering_coefficients`
+    and :func:`k_core` (the ``pre_normalized`` contract, the
+    ``_small_star(pre_oriented=)`` precedent): each consumer reads the
+    normalized frame several times, and without the pin every read would
+    re-run the caller's upstream derivation (typically a fact-table
+    aggregation — the expensive part). Composing operators pass the
+    SAME checkpointed frame through instead of paying a second
+    distinct + checkpoint of an identical edge set.
+    """
+    src, dst = edges.columns[:2]
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a superseded ``localCheckpoint``'s storage
+    blocks. A localCheckpoint() frame's plan is a ``LogicalRDD`` over the
+    persisted internal RDD; unpersisting that RDD frees its blocks
+    immediately instead of holding them until the context dies — on a
+    deep iterative loop (k_core peel rounds) the superseded rounds would
+    otherwise accumulate one retained RDD per round. JVM-internal
+    accessor via py4j, so strictly best-effort: any failure leaves the
+    blocks to normal GC (correctness never depends on the release —
+    callers only free frames no longer referenced by any live plan)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def triangle_counts(
+    edges: DataFrame, pre_normalized: bool = False
+) -> DataFrame:
     """Per-node triangle counts: ``(node, n_triangles)`` — how many
     3-cliques each node participates in. The standard cohesion /
     link-farm signal over a domain or interaction graph (a link farm is
@@ -554,25 +602,20 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     ties), so the orientation — and therefore every intermediate frame —
     is unique for a given input graph; counts are orientation-invariant
     anyway.
+
+    ``pre_normalized=True`` declares the input already IS a
+    :func:`_simple_undirected` frame (least/greatest ``(u, v)``, no
+    dups/self-loops/NULLs, checkpointed) and skips re-deriving it — the
+    :func:`clustering_coefficients` composition shares ONE normalization
+    pass + checkpoint instead of paying a redundant full distinct and a
+    second checkpointed copy of the same edge set (the
+    ``_small_star(pre_oriented=)`` precedent).
     """
-    src, dst = edges.columns[:2]
     # checkpoint the simple undirected edge set BEFORE it fans out: deg
     # reads it twice (the union) and the orientation join once more, and
     # without the pin all three reads would re-run the caller's upstream
     # derivation (typically a fact-table aggregation — the expensive part)
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(
-            F.col("u").isNotNull()
-            & F.col("v").isNotNull()
-            & (F.col("u") != F.col("v"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = edges if pre_normalized else _simple_undirected(edges)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -617,9 +660,11 @@ def clustering_coefficients(
 
     Integer arithmetic end to end (the pagerank_fixedpoint discipline):
     the ratio is a BIGINT floor-divide, so results are
-    partition-order-independent and a future catalog twin can hash-pin
-    them. Costs exactly triangle_counts + one degree aggregate reusing
-    the same simple-edge normalization; one extra join on the node key.
+    partition-order-independent and the catalog twin (x_clustering_trade)
+    hash-pins them. Costs exactly triangle_counts + one degree aggregate
+    reusing the SAME :func:`_simple_undirected` frame (ONE normalization
+    pass + checkpoint, passed via ``pre_normalized=True``); one extra
+    join on the node key.
 
     Overflow headroom (stated, not discovered): the intermediate
     ``2·n_triangles·coeff_scale`` needs ``n_triangles < 2^62/coeff_scale``
@@ -628,27 +673,14 @@ def clustering_coefficients(
     (the coefficient itself is always ≤ coeff_scale); ANSI mode aborts
     rather than wraps.
     """
-    src, dst = edges.columns[:2]
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(
-            F.col("u").isNotNull()
-            & F.col("v").isNotNull()
-            & (F.col("u") != F.col("v"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _simple_undirected(edges)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    tri = triangle_counts(und)
+    tri = triangle_counts(und, pre_normalized=True)
     out = deg.join(tri, "node", "left").select(
         "node",
         "degree",
@@ -688,27 +720,19 @@ def k_core(
     aggregate + two semi-joins re-filtering the CHECKPOINTED edge set —
     never a collect; rounds converge in at most the peel depth of the
     graph (bounded by the degeneracy ordering length, typically a few
-    dozen on web graphs) and the fixpoint check rides the degree
-    aggregate already computed (no extra job). Deterministic: the
-    surviving set is unique (the k-core is closed under order of
-    deletions — a classic invariant — so no tie-breaking is even
-    needed). ``max_iter`` is a loud configuration backstop, not a
-    silent truncation: non-convergence raises.
+    dozen on web graphs) and the fixpoint check is ONE aggregate job over
+    the checkpointed degree frame (``count`` + ``count_if(degree >= k)``
+    in the same pass — two separate ``count()`` actions would double the
+    per-round job-scheduling latency on deep peels). Superseded rounds'
+    checkpoints are released as soon as the next round materializes
+    (:func:`_free_local_checkpoint`), so retained storage is O(1) rounds,
+    not O(peel depth). Deterministic: the surviving set is unique (the
+    k-core is closed under order of deletions — a classic invariant — so
+    no tie-breaking is even needed). ``max_iter`` is a loud configuration
+    backstop, not a silent truncation: non-convergence raises.
     """
-    src, dst = edges.columns[:2]
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(
-            F.col("u").isNotNull()
-            & F.col("v").isNotNull()
-            & (F.col("u") != F.col("v"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    und = _simple_undirected(edges)
+    prev_und = prev_deg = None
     for _ in range(max_iter):
         deg = (
             und.select(F.col("u").alias("node"))
@@ -717,10 +741,22 @@ def k_core(
             .agg(F.count(F.lit(1)).cast("long").alias("degree"))
             .localCheckpoint(eager=True)
         )
+        # the previous round's degree frame is superseded the moment this
+        # one materializes (nothing references it: survivors/und of the
+        # NEW round read only the new deg and the current und)
+        if prev_deg is not None:
+            _free_local_checkpoint(prev_deg)
+        prev_deg = deg
         survivors = deg.filter(F.col("degree") >= k)
-        if survivors.count() == deg.count():
+        n_all, n_surv = deg.agg(
+            F.count(F.lit(1)), F.count_if(F.col("degree") >= k)
+        ).first()
+        if n_surv == n_all:
+            # the returned frame reads THIS round's deg checkpoint — it
+            # (and the final und, by paranoia of callers re-deriving)
+            # stays persisted; only superseded rounds were released
             return survivors.select("node", "degree")
-        und = (
+        new_und = (
             und.join(
                 survivors.select(F.col("node").alias("u")), "u", "left_semi"
             )
@@ -730,6 +766,15 @@ def k_core(
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+        # likewise: the shrunken edge set is materialized, its parent
+        # round's edges are dead — EXCEPT the caller's input frame when
+        # pre-normalized elsewhere; we only ever free frames this loop
+        # itself checkpointed (prev_und starts None: round 1's input und
+        # may be shared via _simple_undirected's contract)
+        if prev_und is not None:
+            _free_local_checkpoint(prev_und)
+        prev_und = new_und
+        und = new_und
     raise RuntimeError(
         f"k_core did not converge within max_iter={max_iter} peel rounds;"
         " raise max_iter (rounds are bounded by the graph's peel depth)"

@@ -292,6 +292,64 @@ def test_k_core_known_graphs(spark):
     }
 
 
+def test_clustering_coefficients_single_normalization(spark):
+    """r9 verdict #1 / ADVICE: the triangle/coefficient composition must
+    pay ONE simple-undirected normalization + checkpoint, not two copies
+    of the same edge set. Probe = persistent-RDD delta: exactly 2 new
+    checkpointed frames (the shared ``und`` + the oriented frame) — the
+    pre-fix shape checkpointed 3."""
+    from bi_gcp_stitch_repl_spark.functions.graph import (
+        clustering_coefficients,
+    )
+
+    sc = spark.sparkContext
+    k4_tail = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 4)],
+        "x long, y long",
+    )
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    out = clustering_coefficients(k4_tail)
+    rows = {r.node: r.coeff_fp for r in out.collect()}
+    assert rows[0] == 10**6 and rows[4] == 0  # semantics unchanged
+    assert sc._jsc.sc().getPersistentRDDs().size() - before == 2
+
+
+def test_k_core_one_fixpoint_action_and_bounded_checkpoints(spark):
+    """r9 verdict #2 / ADVICE: (a) the per-round fixpoint check is ONE
+    aggregate job (count + count_if in the same pass), pinned by the
+    exact job count — with AQE off the peel costs 3 jobs/round (deg
+    checkpoint, fixpoint agg, shrunken-edge checkpoint; none on the last
+    round) + the init checkpoint + the collect: ``3·rounds + 1``; the
+    old two-count shape cost 4/round. (b) superseded rounds' checkpoints
+    are released: retained persistent RDDs stay O(1) — 3 frames (init
+    edges, final deg, final edge set) — regardless of peel depth."""
+    from bi_gcp_stitch_repl_spark.functions.graph import k_core
+
+    sc = spark.sparkContext
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for n_nodes, rounds in ((5, 3), (9, 5)):
+            # a k=2 peel of an n-node path strips both ends each round:
+            # path5 converges in 3 rounds, path9 in 5
+            path = spark.createDataFrame(
+                [(i, i + 1) for i in range(1, n_nodes)], "x long, y long"
+            )
+            group = f"kcore_probe_{n_nodes}"
+            before = sc._jsc.sc().getPersistentRDDs().size()
+            sc.setJobGroup(group, "k_core fixpoint probe")
+            try:
+                assert k_core(path, 2).collect() == []
+            finally:
+                sc.setJobGroup(None, None)
+            jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+            assert jobs == 3 * rounds + 1, (n_nodes, jobs)
+            retained = sc._jsc.sc().getPersistentRDDs().size() - before
+            assert retained <= 3, (n_nodes, retained)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def test_pagerank_fixedpoint_empty_graph(spark):
     from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
 
