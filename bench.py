@@ -76,7 +76,14 @@ def stage_tables(spark, src_dir: str) -> tuple[str, float]:
 
 #: The shuffle/join/agg-heavy queries that dominate a 100 TB deployment,
 #: plus the LLM-pipeline extensions — the workload worth measuring.
-HEADLINE = [
+#: Round 10 promotes x_rank_domains (href extraction → PSL domains →
+#: weighted edge aggregation → string-keyed fixed-point PageRank) from
+#: EXTENDED into the headline per the r9 verdict: the graph seam is core
+#: engine surface and must gate the headline regression signal. "value"
+#: therefore covers 14 queries from r10 on; "value_r02_comparable" keeps
+#: the original 13-query subtotal so the r02-series comparison stays
+#: apples-to-apples (the EXTENDED precedent, applied in reverse).
+HEADLINE_R02 = [
     "flagship_union_history",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
@@ -91,6 +98,7 @@ HEADLINE = [
     "x_knn_cosine_topk",
     "x_text_stats",
 ]
+HEADLINE = HEADLINE_R02 + ["x_rank_domains"]
 
 #: Round-3+ additions, reported separately ("extended"/"value_extended") so
 #: "value" stays the same 13-query total every prior round recorded —
@@ -109,6 +117,9 @@ HEADLINE = [
 #: composition) and the degree-oriented triangle count (the second
 #: aggregate-then-join graph shape, wedge joins on the checkpointed
 #: oriented edge frame).
+#: Round 10 promotes x_rank_domains to HEADLINE (r9 verdict #6) and adds
+#: x_clustering_trade (the shared-normalization triangle+coefficient
+#: composition — tracks the one-checkpoint contract under load).
 EXTENDED = [
     "q21_waiting_suppliers",
     "x_sparse_cosine_pairs",
@@ -118,8 +129,8 @@ EXTENDED = [
     "x_curation_pipeline",
     "x_mmr_rerank",
     "x_pagerank_trade",
-    "x_rank_domains",
     "x_triangle_trade",
+    "x_clustering_trade",
 ]
 
 
@@ -208,12 +219,23 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
     failed = [n for n, v in {**timings, **extended}.items() if v is None]
     legacy_total = round(sum(v for v in timings.values() if v is not None), 3)
+    r02_total = round(
+        sum(
+            v
+            for n, v in timings.items()
+            if n in HEADLINE_R02 and v is not None
+        ),
+        3,
+    )
     out = {
         "metric": "headline_total_sec",
         "value": legacy_total,
         "unit": "sec",
         "queries": timings,
         "extended": extended,
+        # the original 13-query subtotal: the ONLY number comparable to the
+        # r02-r09 "value" series (r10 widened HEADLINE by x_rank_domains)
+        "value_r02_comparable": r02_total,
         "value_extended": round(
             legacy_total + sum(v for v in extended.values() if v is not None), 3
         ),

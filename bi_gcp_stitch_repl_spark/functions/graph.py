@@ -524,6 +524,190 @@ def _pagerank_fp_driver(
     )
 
 
+def hits_fixedpoint(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 4,
+    scale: int = 10**6,
+    node_type: str = "long",
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg) in FIXED-POINT integer
+    arithmetic: ``(node, hub_fp, auth_fp)`` after ``n_iter`` mutual-
+    reinforcement rounds over the DIRECTED weighted graph — the
+    complement of PageRank on a crawl graph (a hub is a page whose
+    out-links point at good authorities: link directories, indexes; an
+    authority is a page good hubs point at — PageRank conflates the two
+    roles into one score).
+
+    Update rule (everything integer; div = floor division; edges outside
+    the node universe drop, exactly like :func:`pagerank_fixedpoint`):
+        auth_raw(v) = Σ_{(u,v)} hub(u)  * w(u,v)
+        auth(v)     = auth_raw(v) * scale div Σ_x auth_raw(x)
+        hub_raw(u)  = Σ_{(u,v)} auth(v) * w(u,v)
+        hub(u)      = hub_raw(u)  * scale div Σ_x hub_raw(x)
+        hub0        = scale div n
+    Normalization is **L1** (sum), not the textbook L2: power iteration
+    converges to the same principal direction under ANY positive
+    rescaling, and an integer floor-divide by the SUM is bit-portable
+    across engines where a sqrt is not (the DETERMINISM.md rule-5
+    discipline — remove the transcendental, don't pin it). An all-zero
+    side (no in-universe edges) normalizes to all-zero instead of
+    dividing by zero.
+
+    Overflow headroom (guarded loudly, not discovered): every score is
+    ≤ ``scale`` after L1 normalization and the per-edge products sum
+    over a score mass of ≤ scale, so the largest intermediates are
+    ``scale² · max_edge_weight`` (the normalize multiply) and
+    ``scale · total_edge_weight`` (the normalization sum) — both checked
+    against int64 up front; heavier graphs lower ``scale`` or
+    pre-normalize weights.
+
+    **Adaptive physical strategy** (the pagerank_fixedpoint discipline):
+    below ``driver_threshold`` the loop runs on the collected aggregate
+    with Python integers — BIT-IDENTICAL to the distributed loop
+    (property-tested against an independent sequential replica); above
+    it, per-round hash joins + map-side-combinable sums on the
+    checkpointed in-universe edge frame, normalization totals staying
+    in-plan as 1-row broadcasts (no driver round-trip per round).
+    """
+    if len(edges.columns) < 3:
+        raise ValueError(
+            "edges needs (src, dst, weight) columns — for an unweighted"
+            " graph pass F.lit(1) as the weight"
+        )
+    src, dst, w = edges.columns[:3]
+    # one row per (src, dst) and NULL endpoints dropped up front — same
+    # canonicalization (and same reasons) as pagerank_fixedpoint
+    e = (
+        edges.select(
+            F.col(src).cast(node_type).alias("src"),
+            F.col(dst).cast(node_type).alias("dst"),
+            F.col(w).cast("long").alias("w"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    node_df = (
+        nodes.select(F.col(nodes.columns[0]).cast(node_type).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = node_df.count()
+    if n == 0:
+        return node_df.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_fp"),
+            F.lit(0).cast("long").alias("auth_fp"),
+        )
+    if scale // n == 0:
+        # hub0 = scale div n would start the iteration at exactly zero
+        # everywhere and every round would stay zero — a silent all-zero
+        # answer is a configuration error, not a result
+        raise ValueError(f"scale={scale} must be >= node count {n}")
+    wb = e.agg(
+        F.min("w").alias("mn"), F.max("w").alias("mx"), F.sum("w").alias("tw")
+    ).first()
+    if wb.mn is not None:
+        if wb.mn <= 0:
+            raise ValueError(f"edge weights must be positive (min={wb.mn})")
+        if scale * scale * wb.mx >= 2**63 or scale * wb.tw >= 2**63:
+            raise ValueError(
+                "fixed-point scale overflows int64 for these edge weights:"
+                f" need scale^2*max_w ({scale}^2*{wb.mx}) and scale*total_w"
+                f" ({scale}*{wb.tw}) below 2^63 — lower scale or"
+                " pre-normalize weights"
+            )
+    if n <= driver_threshold and e.count() <= driver_threshold:
+        return _hits_fp_driver(e, node_df, n, n_iter, scale)
+    # restrict to in-universe edges ONCE (pagerank folds this into its
+    # per-round joins; HITS reads the edge frame 2x per round, so paying
+    # the two semi-joins once outside the loop is strictly cheaper)
+    eu = (
+        e.join(node_df.select(F.col("node").alias("src")), "src", "left_semi")
+        .join(node_df.select(F.col("node").alias("dst")), "dst", "left_semi")
+        .select("src", "dst", "w")
+        .localCheckpoint(eager=True)
+    )
+    norm = (
+        f"CAST(coalesce((raw * {scale}) DIV nullif(t, CAST(0 AS BIGINT)),"
+        " CAST(0 AS BIGINT)) AS BIGINT)"
+    )
+    hub = node_df.select(
+        "node", F.lit(scale // n).cast("long").alias("hub_fp")
+    )
+    auth = None
+    for _ in range(n_iter):
+        araw = (
+            eu.join(hub.select(F.col("node").alias("src"), "hub_fp"), "src")
+            .select("dst", F.expr("hub_fp * w").alias("x"))
+            .groupBy("dst")
+            .agg(F.sum("x").alias("raw"))
+        )
+        at = araw.agg(F.coalesce(F.sum("raw"), F.lit(0)).alias("t"))
+        auth = (
+            node_df.join(
+                araw.select(F.col("dst").alias("node"), "raw"), "node", "left"
+            )
+            .crossJoin(F.broadcast(at))
+            .select("node", F.expr(norm).alias("auth_fp"))
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            eu.join(auth.select(F.col("node").alias("dst"), "auth_fp"), "dst")
+            .select("src", F.expr("auth_fp * w").alias("x"))
+            .groupBy("src")
+            .agg(F.sum("x").alias("raw"))
+        )
+        ht = hraw.agg(F.coalesce(F.sum("raw"), F.lit(0)).alias("t"))
+        hub = (
+            node_df.join(
+                hraw.select(F.col("src").alias("node"), "raw"), "node", "left"
+            )
+            .crossJoin(F.broadcast(ht))
+            .select("node", F.expr(norm).alias("hub_fp"))
+            .localCheckpoint(eager=True)
+        )
+    return hub.join(auth, "node").select("node", "hub_fp", "auth_fp")
+
+
+def _hits_fp_driver(
+    e: DataFrame, node_df: DataFrame, n: int, n_iter: int, scale: int
+) -> DataFrame:
+    """Driver fast path: the same update rule over the collected
+    aggregate — bit-identical to the distributed loop (all integer; the
+    property suite compares both against an independent replica)."""
+    spark = e.sparkSession
+    nodes = [r.node for r in node_df.collect()]
+    ns = set(nodes)
+    eu = [
+        (r.src, r.dst, r.w)
+        for r in e.collect()
+        if r.src in ns and r.dst in ns
+    ]
+    hub = {v: scale // n for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(n_iter):
+        araw = {v: 0 for v in nodes}
+        for s, d, w in eu:
+            araw[d] += hub[s] * w
+        t = sum(araw.values())
+        auth = {v: (araw[v] * scale) // t if t else 0 for v in nodes}
+        hraw = {v: 0 for v in nodes}
+        for s, d, w in eu:
+            hraw[s] += auth[d] * w
+        t = sum(hraw.values())
+        hub = {v: (hraw[v] * scale) // t if t else 0 for v in nodes}
+    out_type = dict(node_df.dtypes)["node"]
+    return spark.createDataFrame(
+        [(v, hub[v], auth[v]) for v in nodes],
+        f"node {out_type}, hub_fp long, auth_fp long",
+    )
+
+
 def _simple_undirected(edges: DataFrame) -> DataFrame:
     """Normalize an edge list to the simple undirected graph — endpoints
     least/greatest-ordered into ``(u, v)``, self-loops / NULL endpoints /
@@ -697,6 +881,81 @@ def clustering_coefficients(
                 " DIV (degree * (degree - 1))"
             ),
         ).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def bfs_hops(
+    edges: DataFrame, sources: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Multi-source unweighted BFS hop counts over the simple undirected
+    graph: ``(node, hops)`` = each reachable node's minimum hop distance
+    from ANY source node — the reachability/distance primitive behind
+    crawl-frontier expansion ("how many link hops from the seed list"),
+    seed-set influence radii, and filtering a corpus graph to a
+    neighborhood of trusted nodes. Unreachable nodes are absent (callers
+    left-join their node dimension); source nodes return hops 0 even
+    when isolated (a seed is at distance 0 from itself by definition).
+
+    Semantics: simple undirected graph (direction / duplicate edges /
+    self-loops / NULL endpoints ignored — the :func:`_simple_undirected`
+    contract); deterministic by construction (a node's hop count is its
+    FIRST discovery round — min over arrival orders, no tie to break).
+
+    Scale shape: frontier BFS, not full relaxation — round ``i`` joins
+    the (shrinking) frontier against the checkpointed symmetric edge
+    list and anti-joins the known set, so each round's cost tracks the
+    frontier's edge boundary, not the whole graph; rounds are bounded by
+    the graph's eccentricity from the seed set (single-digit on web
+    graphs — the small-world property); the convergence probe is ONE
+    cheap ``isEmpty`` on the already-checkpointed new-nodes frame, and
+    superseded rounds' checkpoints are released as they die
+    (:func:`_free_local_checkpoint`, the k_core storage contract).
+    ``max_iter`` is a loud backstop: non-convergence raises.
+    """
+    und = _simple_undirected(edges)
+    sym = (
+        und.unionByName(
+            und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    # the one-directional frame is fully consumed by sym's materialization
+    _free_local_checkpoint(und)
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for i in range(1, max_iter + 1):
+        new = (
+            sym.join(
+                frontier.select(F.col("node").alias("u")), "u", "left_semi"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(i).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            return dist
+        old_dist, old_frontier = dist, frontier
+        dist = old_dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+        # the superseded distance set and the PREVIOUS frontier are dead
+        # the moment the new union materializes (this round's discovery
+        # already consumed them); round 1's frontier IS the seed dist, so
+        # guard against the double free
+        _free_local_checkpoint(old_dist)
+        if old_frontier is not old_dist:
+            _free_local_checkpoint(old_frontier)
+    raise RuntimeError(
+        f"bfs_hops did not converge within max_iter={max_iter} rounds;"
+        " raise max_iter (rounds are bounded by the seed set's graph"
+        " eccentricity)"
     )
 
 

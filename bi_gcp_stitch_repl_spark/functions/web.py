@@ -411,47 +411,51 @@ def parse_robots_rules(
     ``Disallow:`` lines follow until the next ``User-agent:`` line starts
     a new group; ``#`` comments strip to end of line; directive names
     are case-insensitive; an EMPTY Disallow value means "allow all" and
-    contributes no prefix. Honest scope: ``Allow:`` precedence and ``$``
-    / ``*`` pattern metacharacters are NOT implemented — prefixes match
-    literally (the Common-Crawl-polite subset); a deployment needing
-    full RFC 9309 longest-match Allow/Disallow injects its own parser at
-    this seam.
+    contributes no prefix. Line endings are LF, CRLF **or** bare CR —
+    RFC 9309 §2.2 allows all three, and real hosts commonly serve CRLF:
+    splitting on ``\\n`` alone would leave every agent parsed as ``*\\r``
+    (never equal to ``*``) and silently ingest disallowed pages (the r9
+    ADVICE finding — both dialects agreed, so only a CRLF fixture can
+    catch it). Token padding is space OR tab (RFC whitespace), trimmed
+    with an explicit ``BOTH ' \\t'`` set. Honest scope: ``Allow:``
+    precedence and ``$`` / ``*`` pattern metacharacters are NOT
+    implemented — prefixes match literally (the Common-Crawl-polite
+    subset); a deployment needing full RFC 9309 longest-match
+    Allow/Disallow injects its own parser at this seam.
 
     Scale shape: the fold is one row-local ``aggregate`` over the line
     array — robots documents parse at scan speed; the output is one row
     per host (duplicate host rows fold via flatten+distinct downstream
     in :func:`apply_robots`). State is (in-UA-block, group-applies,
-    prefixes) — exactly the 3-field struct the fold carries.
+    prefixes) — exactly the 3-field struct the fold carries; lines are
+    comment-stripped and whitespace-trimmed ONCE by a transform() before
+    the fold instead of re-deriving the clean line per branch.
     """
     from pyspark.sql import functions as F
 
+    ws = "BOTH ' \\t' FROM"
     fold = f"""
 aggregate(
-  split({txt_col}, '\\n'),
+  transform(split({txt_col}, '\\r\\n|\\r|\\n'),
+            l -> trim({ws} regexp_replace(l, '#.*$', ''))),
   named_struct('ua', false, 'app', false,
                'acc', cast(array() as array<string>)),
-  (s, raw) -> CASE
-    WHEN startswith(lower(trim(regexp_replace(raw, '#.*$', ''))),
-                    'user-agent:')
+  (s, line) -> CASE
+    WHEN startswith(lower(line), 'user-agent:')
     THEN named_struct(
       'ua', true,
       'app', CASE WHEN s.ua THEN s.app OR
-                   trim(substring(trim(regexp_replace(raw, '#.*$', '')), 12))
-                     = '*'
-              ELSE trim(substring(trim(regexp_replace(raw, '#.*$', '')), 12))
-                     = '*' END,
+                   trim({ws} substring(line, 12)) = '*'
+              ELSE trim({ws} substring(line, 12)) = '*' END,
       'acc', s.acc)
-    WHEN startswith(lower(trim(regexp_replace(raw, '#.*$', ''))), 'disallow:')
+    WHEN startswith(lower(line), 'disallow:')
     THEN named_struct(
       'ua', false,
       'app', s.app,
-      'acc', CASE WHEN s.app AND
-                   trim(substring(trim(regexp_replace(raw, '#.*$', '')), 10))
-                     <> ''
-              THEN array_append(s.acc,
-                   trim(substring(trim(regexp_replace(raw, '#.*$', '')), 10)))
+      'acc', CASE WHEN s.app AND trim({ws} substring(line, 10)) <> ''
+              THEN array_append(s.acc, trim({ws} substring(line, 10)))
               ELSE s.acc END)
-    WHEN trim(regexp_replace(raw, '#.*$', '')) = '' THEN s
+    WHEN line = '' THEN s
     ELSE named_struct('ua', false, 'app', s.app, 'acc', s.acc)
   END,
   s -> s.acc
@@ -529,15 +533,25 @@ def robots_rules_duck_sql(
     dropped, a UA line opens a group exactly when the previous kept line
     was not a UA line (lag), group ids are a running boundary sum, a
     group applies when any of its UA lines names ``*`` (bool_or), and the
-    prefixes are its non-empty Disallow paths in line order. Parity with
-    the Spark fold is pytest-pinned (fixture + generated interleavings);
-    the r10 catalog query composes this with the apply-side filter."""
-    line = "trim(regexp_replace(u.l, '#.*$', ''))"
+    prefixes are its non-empty Disallow paths in line order. Line endings
+    normalize CRLF / bare CR to LF before the split and token trims use
+    the space+tab set — the Spark fold's RFC 9309 whitespace rules (the
+    r9 ADVICE CRLF finding, fixed in BOTH dialects in the same commit so
+    the cross-engine gate stays honest). Parity with the Spark fold is
+    pytest-pinned (fixture + generated interleavings incl. CRLF/CR/tab);
+    the x_robots_exclusion catalog query composes this with the
+    apply-side filter."""
+    ws = "' ' || chr(9)"
+    line = f"trim(regexp_replace(u.l, '#.*$', ''), {ws})"
     return f"""(
 WITH _rl AS (
   SELECT lower(trim({host_col})) AS host,
-         unnest(list_transform(string_split({txt_col}, chr(10)),
-                               (l, i) -> struct_pack(l := l, i := i))) AS u
+         unnest(list_transform(
+           string_split(replace(replace({txt_col}, chr(13) || chr(10),
+                                        chr(10)),
+                                chr(13), chr(10)),
+                        chr(10)),
+           (l, i) -> struct_pack(l := l, i := i))) AS u
   FROM {source}
 ),
 _rk AS (
@@ -545,8 +559,8 @@ _rk AS (
          CASE WHEN lower({line}) LIKE 'user-agent:%' THEN 'ua'
               WHEN lower({line}) LIKE 'disallow:%' THEN 'dis'
               WHEN {line} = '' THEN 'blank' ELSE 'other' END AS kind,
-         trim(substring({line}, 12)) AS agent,
-         trim(substring({line}, 10)) AS path
+         trim(substring({line}, 12), {ws}) AS agent,
+         trim(substring({line}, 10), {ws}) AS path
   FROM _rl
 ),
 _rm AS (

@@ -221,55 +221,53 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 #: Explicit catalog order. The external correctness driver checks the FIRST
-#: 50 registered queries only. Round-9 rotation (policy pinned by
+#: 50 registered queries only. Round-10 rotation (policy pinned by
 #: tests/window_policy.py + test_layout.py — a changed query or library
 #: module without a window slot is a test FAILURE):
 #: 1. §2 spine + the LLM-core canary stay every round (8).
-#: 2. Changed this round (6): x_mmr_rerank (functions/rerank.py canary —
-#:    NaN-sim boundary guard + the guard-job drop), x_dedup_clusters
-#:    (functions/graph.py canary — 2× overflow-guard tighten),
-#:    x_html_extract / x_url_canonicalize (functions/web.py canaries —
-#:    extract_links_expr single-quoted-literal fix), x_hybrid_search_rrf
-#:    / x_hybrid_mmr (shared _hybrid_fused_candidates extraction — the
-#:    r8 verdict's dedup ask).
-#: 3. The ENTIRE r04-fresh cohort (15) AND the ENTIRE r05-fresh cohort
-#:    (17): this lifts the machine-checked staleness bar from >=r04
-#:    straight to >=r06 (test_layout.py) — the r8 verdict asked for
-#:    >=r05; taking both cohorts in one window overshoots it and leaves
-#:    r10 a 31-entry r06 cohort to rotate.
-#: 4. Remaining 4 slots: NEW queries land here on their first round
-#:    (x_rank_domains et al.); until each lands, the oldest r06-fresh
-#:    entries (alphabetical) keep the slot warm.
+#: 2. Changed-library canaries (3): x_html_extract / x_url_canonicalize
+#:    (functions/web.py — the robots CRLF/CR/tab fix, both dialects),
+#:    x_dedup_clusters (functions/graph.py — shared _simple_undirected
+#:    normalization + single-action k_core fixpoint).
+#: 3. The ENTIRE r06-fresh cohort (31): with it rotated, every catalog
+#:    entry's freshest driver row is >=r07 — the machine-checked bar
+#:    rises r06 -> r07 (test_layout.py), completing the two-round plan
+#:    the r9 window header recorded.
+#: 4. New queries, first round must hold a slot (6): x_robots_exclusion
+#:    (the r9 verdict's #2 — robots fold finally oracled, over a CRLF
+#:    fixture), x_kcore_trade / x_clustering_trade (verdict #3 — the r9
+#:    library graph operators' catalog twins), x_domain_caps_psl
+#:    (verdict #7 — the PSL+quota production composition), x_hits_trade
+#:    (fixed-point L1-normalized hubs/authorities — the directional
+#:    complement of PageRank) and x_bfs_trade (multi-source frontier
+#:    BFS hop counts vs an unrolled-relaxation oracle).
+#: 5. Remaining 2 slots: the oldest r07-fresh entries (alphabetical)
+#:    start the next cohort's rotation early.
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
     # §2 spine (7) + LLM canary (1)
     "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
     "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
     "f_string_clean_coerce", "x_dedup_exact",
-    # changed this round (6): see header
-    "x_mmr_rerank", "x_dedup_clusters", "x_html_extract",
-    "x_url_canonicalize", "x_hybrid_search_rrf", "x_hybrid_mmr",
-    # the whole r04-fresh cohort (15): staleness bar r04 -> ...
-    "q10_returned_items", "q12_linestatus_priority",
-    "q13_order_distribution", "x_basket_pairs", "x_benford_digits",
-    "x_frame_sample_plan", "x_grouping_sets", "x_inverted_index",
-    "x_jaccard_ngram_pairs", "x_kmeans_assign", "x_lang_id_ngram",
-    "x_length_histogram", "x_null_aware_anti", "x_stats_battery",
-    "x_zipf_fit",
-    # ... AND the whole r05-fresh cohort (17): bar lands at >=r06
-    "s9_sql_scan", "x_active_users", "x_approx_distinct", "x_asof_join",
-    "x_chunk_documents", "x_funnel", "x_image_roundtrip_meta",
-    "x_lsh_cosine_buckets", "x_mjpeg_avi_roundtrip", "x_pack_sequences",
-    "x_pii_redact", "x_range_join_density", "x_repetition_metrics",
-    "x_retention_cohorts", "x_source_overlap", "x_top_terms",
-    "x_video_frames_roundtrip",
-    # new-query slots (4): x_rank_domains (the r8 verdict's #2),
-    # x_domain_caps (evaluated oracle re-hashed by the
-    # registrable_domain_expr NULL-guard fix), x_triangle_trade and
-    # x_pmi_collocations (NEW this round — a new query's first round
-    # must hold a slot)
-    "x_rank_domains", "x_domain_caps",
-    "x_triangle_trade", "x_pmi_collocations",
+    # changed-library canaries (3): see header
+    "x_html_extract", "x_url_canonicalize", "x_dedup_clusters",
+    # the whole r06-fresh cohort (31): bar lands at >=r07
+    "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
+    "n_flatten_serialize", "q11_revenue_concentration", "q14_promo_share",
+    "q15_top_supplier", "q16_supplier_variety",
+    "q17_small_quantity_revenue", "q19_disjunctive_predicates",
+    "q20_dominant_suppliers", "q21_waiting_suppliers",
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "st_session_windows", "st_tumbling_window",
+    "w_latest_per_key", "w_ntile_quartiles", "w_running_total",
+    "x_dq_report", "x_embedding_norms", "x_linear_attribution",
+    "x_pivot_status_by_year", "x_scd2_intervals", "x_session_gaps",
+    "x_set_ops", "x_text_stats", "x_token_count", "x_unpivot_status",
+    # new-query slots (6): see header
+    "x_robots_exclusion", "x_kcore_trade", "x_clustering_trade",
+    "x_domain_caps_psl", "x_hits_trade", "x_bfs_trade",
+    # oldest r07-fresh entries (2): next cohort's rotation starts early
+    "w_topk_per_group", "x_bigram_stats",
 ]
 
 

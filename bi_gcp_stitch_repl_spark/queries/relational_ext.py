@@ -885,3 +885,428 @@ def x_triangle_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_triangles"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared trade-graph derivation for the round-10 graph queries (the r9
+# queries x_pagerank_trade / x_triangle_trade keep their inline spellings:
+# rewriting them would burn driver-window slots on a pure refactor)
+# ---------------------------------------------------------------------------
+
+
+def _trade_edge_frame(spark: SparkSession, sf_dir: str):
+    """``(edges(src, dst, w), nation)``: supplier nation → customer nation
+    shipment counts from the full lineitem⋈orders⋈customer⋈supplier
+    derivation — the ONE corpus exchange every trade-graph query pays."""
+    li, orders, cust, supp, nat = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return edges, nat
+
+
+def _sparsify_mean_relative(edges: DataFrame) -> DataFrame:
+    """Keep edges whose weight is ≥ NUM/DEN × the mean edge weight, as the
+    BIGINT cross-multiplication ``w·n_edges·DEN >= total_w·NUM`` (no
+    division, no floats — bit-portable); the scale-invariant sparsifier
+    the k-core/BFS fixtures need (a fixed cutoff saturates: the sf0.01
+    trade graph is complete even at w ≥ 20). The totals side is ONE row."""
+    tot = edges.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
+    return (
+        edges.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("w") * F.col("ne") * F.lit(KCORE_THR_DEN)
+            >= F.col("tw") * F.lit(KCORE_THR_NUM)
+        )
+        .select("src", "dst")
+    )
+
+
+#: the sparsified undirected edge CTEs shared by the k-core and BFS oracles
+#: (evaluated text identical in both — one spelling, two consumers)
+_SPARSE_TRADE_CTES_HEAD = """
+WITH e AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+m AS MATERIALIZED (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM e),
+u0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e, m
+  WHERE src <> dst AND w * m.ne * {den} >= m.tw * {num}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (fixed-point, L1-normalized)
+# ---------------------------------------------------------------------------
+
+HITS_ITER = 4
+HITS_SCALE = 10**6
+
+
+def hits_iter_ctes(n_iter: int, scale: int) -> str:
+    """The ``n_iter`` chained (auth-raw, auth-total, auth, hub-raw,
+    hub-total, hub) CTE sextets of the unrolled fixed-point HITS twin —
+    the pagerank_iter_ctes discipline applied to the two-score mutual
+    recursion. Requires the caller's WITH chain to define ``eu``
+    (src, dst, w — in-universe edges), ``nodes`` (node) and ``h0``
+    (node, hub_fp). L1 normalization is an integer floor-divide by the
+    round's raw sum (NULLIF-guarded: an all-zero side normalizes to
+    zero); every CTE is AS MATERIALIZED."""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(h.hub_fp * e.w) AS raw
+  FROM eu e JOIN h{i-1} h ON e.src = h.node GROUP BY 1
+),
+at{i} AS MATERIALIZED (SELECT COALESCE(SUM(raw), 0) AS t FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT nd.node,
+         COALESCE((r.raw * {scale}) // NULLIF(t.t, 0), 0) AS auth_fp
+  FROM nodes nd LEFT JOIN ar{i} r ON nd.node = r.node CROSS JOIN at{i} t
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(a.auth_fp * e.w) AS raw
+  FROM eu e JOIN a{i} a ON e.dst = a.node GROUP BY 1
+),
+ht{i} AS MATERIALIZED (SELECT COALESCE(SUM(raw), 0) AS t FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT nd.node,
+         COALESCE((r.raw * {scale}) // NULLIF(t.t, 0), 0) AS hub_fp
+  FROM nodes nd LEFT JOIN hr{i} r ON nd.node = r.node CROSS JOIN ht{i} t
+)""")
+    return "".join(steps)
+
+
+def _hits_oracle(n_iter: int, scale: int) -> str:
+    head = f"""
+WITH edges AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+eu AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w FROM edges e
+  JOIN nodes n1 ON e.src = n1.node
+  JOIN nodes n2 ON e.dst = n2.node
+),
+params AS MATERIALIZED (
+  SELECT COUNT(*) AS n, {scale} // COUNT(*) AS init_fp FROM nodes
+),
+h0 AS MATERIALIZED (
+  SELECT node, p.init_fp AS hub_fp FROM nodes CROSS JOIN params p
+)"""
+    tail = f"""
+SELECT n.n_name AS nation,
+       CAST(h.hub_fp AS BIGINT) AS hub_fp,
+       CAST(a.auth_fp AS BIGINT) AS auth_fp
+FROM h{n_iter} h
+JOIN a{n_iter} a USING (node)
+JOIN nation n ON h.node = n.n_nationkey
+"""
+    return head + hits_iter_ctes(n_iter, scale) + tail
+
+
+@register("x_hits_trade", oracle=_hits_oracle(HITS_ITER, HITS_SCALE))
+def x_hits_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the DIRECTED weighted trade graph
+    (functions.graph.hits_fixedpoint): supplier nation → customer nation
+    shipment counts, 4 mutual-reinforcement rounds, scores as
+    L1-normalized 1e6-scaled BIGINTs. The directional complement of
+    x_pagerank_trade: hub_fp ranks exporter roles (out-links at strong
+    importers), auth_fp ranks importer roles — on a crawl graph, link
+    directories vs linked-to content, the two roles PageRank conflates.
+
+    Integer multiply / floor-divide / sum end to end (L1 normalization,
+    NOT the textbook L2 — power iteration is invariant to positive
+    rescaling and an integer sum-divide is bit-portable where sqrt is
+    not), so the hash gate pins both scores against the oracle's
+    unrolled 6-CTE-per-round chain.
+
+    Scale shape: the ONE corpus exchange is the fact-join aggregation to
+    the ≤n² edge list (shared derivation with the other graph queries);
+    loop-invariant frames (in-universe edges, node set) checkpoint once;
+    each round is two hash joins + two map-side-combinable sums on the
+    aggregate with the normalization totals as 1-row in-plan broadcasts;
+    driver fast path below 100k edges, property-pinned bit-identical to
+    the distributed loop."""
+    from ..functions.graph import hits_fixedpoint
+
+    edges, nat = _trade_edge_frame(spark, sf_dir)
+    scores = hits_fixedpoint(
+        edges, nat.select("n_nationkey"), n_iter=HITS_ITER, scale=HITS_SCALE
+    )
+    return scores.join(nat, scores.node == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"), "hub_fp", "auth_fp"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition + clustering coefficients (catalog twins of the
+# round-9 library operators — r9 verdict #3)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 4
+KCORE_ROUNDS = 8  # unrolled oracle peel rounds; measured depth <= 3 at
+#                   sf0.001/0.01/0.1 and extra rounds are no-ops at the
+#                   fixpoint, so 8 is loud headroom, not tuning
+#: relative edge filter: keep trade edges whose weight is >= 1.2x the MEAN
+#: edge weight, written as the cross-multiplication
+#: ``w * n_edges * DEN >= total_w * NUM`` — pure BIGINT products, no
+#: division, so both engines agree bit-for-bit. A FIXED weight threshold
+#: stops sparsifying as data grows (at sf0.01 the nation trade graph is
+#: already complete even at w >= 20 — measured); the mean-relative form
+#: keeps the same graph SHAPE at every scale, which is what makes the
+#: unrolled-round oracle safe across SFs.
+KCORE_THR_NUM, KCORE_THR_DEN = 12, 10
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peel twin of functions.graph.k_core on the mean-relative
+    sparsified trade graph: round ``i`` refilters the edge set by round
+    ``i-1``'s degrees and recomputes degrees — exactly the distributed
+    loop's (degree agg + two semi-joins), replayed as ``rounds`` chained
+    CTE pairs (the pagerank_iter_ctes discipline). ``rounds`` exceeds the
+    measured peel depth; past the fixpoint each extra round is an exact
+    no-op, so the final round's survivors ARE the k-core."""
+    head = _SPARSE_TRADE_CTES_HEAD.format(
+        num=KCORE_THR_NUM, den=KCORE_THR_DEN
+    ) + """,
+d0 AS MATERIALIZED (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT u AS node FROM u0 UNION ALL SELECT v AS node FROM u0
+  ) GROUP BY 1
+)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+u{i} AS MATERIALIZED (
+  SELECT x.u, x.v FROM u{i-1} x
+  JOIN d{i-1} du ON x.u = du.node AND du.degree >= {k}
+  JOIN d{i-1} dv ON x.v = dv.node AND dv.degree >= {k}
+),
+d{i} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT u AS node FROM u{i} UNION ALL SELECT v AS node FROM u{i}
+  ) GROUP BY 1
+)""")
+    tail = f"""
+SELECT n.n_name AS nation, CAST(d.degree AS BIGINT) AS degree
+FROM d{rounds} d JOIN nation n ON d.node = n.n_nationkey
+WHERE d.degree >= {k}
+"""
+    return head + "".join(steps) + tail
+
+
+@register("x_kcore_trade", oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS))
+def x_kcore_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the sparsified trade graph (functions.graph.k_core): keep
+    only trade edges at least 1.2× the mean pair weight (the BIGINT
+    cross-multiplied filter above — scale-invariant where a fixed cutoff
+    saturates), then peel nodes of within-core degree < KCORE_K until the
+    fixpoint — the density cut that isolates the tightly-interlinked
+    trading bloc (on a web-domain graph: the link-farm survivor set).
+    Members return with their WITHIN-core degrees; peeled nations are
+    absent (the k_core contract — this query's k and threshold are sized
+    so the core is non-empty AND the peel actually removes nodes at
+    sf0.001/0.01/0.1, measured).
+
+    Scale shape: the fact-join aggregation to the ≤n² edge list is the
+    one corpus exchange (same derivation as x_pagerank_trade); the mean
+    filter is a 1-row broadcast crossJoin; each peel round is a
+    map-side-combinable degree agg + two semi-joins on the CHECKPOINTED
+    edge set with ONE fixpoint-agg action, superseded round checkpoints
+    released (the r10 k_core contract, job/storage-probed in
+    tests/test_sketch.py)."""
+    from ..functions.graph import k_core
+
+    edges, nat = _trade_edge_frame(spark, sf_dir)
+    core = k_core(_sparsify_mean_relative(edges), KCORE_K)
+    return core.join(nat, core.node == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
+@register(
+    "x_clustering_trade",
+    oracle="""
+WITH e AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM e WHERE src <> dst
+),
+deg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+  ) GROUP BY 1
+),
+o AS MATERIALIZED (
+  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
+              THEN und.u ELSE und.v END AS src,
+         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND und.u < und.v)
+              THEN und.v ELSE und.u END AS dst
+  FROM und JOIN deg du ON und.u = du.node JOIN deg dv ON und.v = dv.node
+),
+tri AS MATERIALIZED (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM o ab
+  JOIN o bc ON ab.dst = bc.src
+  WHERE EXISTS (SELECT 1 FROM o ac WHERE ac.src = ab.src AND ac.dst = bc.dst)
+),
+cnt AS (
+  SELECT node, COUNT(*) AS n FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  ) GROUP BY 1
+)
+SELECT n.n_name AS nation,
+       CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.d >= 2
+                 THEN (2 * COALESCE(cnt.n, 0) * 1000000)
+                      // (deg.d * (deg.d - 1))
+                 ELSE 0 END AS BIGINT) AS coeff_fp
+FROM nation n
+LEFT JOIN deg ON n.n_nationkey = deg.node
+LEFT JOIN cnt ON n.n_nationkey = cnt.node
+""",
+)
+def x_clustering_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients of the trade graph
+    (functions.graph.clustering_coefficients): per-nation degree,
+    triangle count and the fixed-point ratio
+    ``2·triangles·1e6 // (degree·(degree−1))`` — triangle density
+    normalized by possible wedges, the per-node companion of
+    x_triangle_trade (a near-1e6 coefficient marks a clique-like bloc; a
+    high-degree, low-coefficient node is an organic hub). Integer
+    arithmetic end to end, so the hash gate pins every bit; nations with
+    no qualifying edge keep explicit 0 rows (dimension LEFT join).
+
+    Scale shape: exactly x_triangle_trade + one degree aggregate — the
+    composition shares ONE simple-undirected normalization + checkpoint
+    (triangle_counts(pre_normalized=True), the r10 fix; persistent-RDD-
+    probed in tests/test_sketch.py), the degree-oriented wedge joins run
+    on the checkpointed aggregate, and the coefficient is one row-local
+    BIGINT expression over the (node, degree, triangles) join."""
+    from ..functions.graph import clustering_coefficients
+
+    edges, nat = _trade_edge_frame(spark, sf_dir)
+    cc = clustering_coefficients(edges)
+    return nat.join(cc, nat.n_nationkey == cc.node, "left").select(
+        F.col("n_name").alias("nation"),
+        F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+        F.coalesce(F.col("coeff_fp"), F.lit(0)).cast("long").alias("coeff_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop counts
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 6  # unrolled oracle relaxation rounds; measured max hops = 2
+#                 from the ASIA seed set at sf0.001/0.01/0.1 — relaxation is
+#                 idempotent at the fixpoint, so 6 is loud headroom
+BFS_SEED_REGION = "ASIA"
+
+
+def _bfs_oracle(rounds: int) -> str:
+    """Unrolled full-relaxation twin of functions.graph.bfs_hops on the
+    mean-relative sparsified trade graph: round ``i`` takes the min of
+    round ``i-1``'s distances and every neighbor's distance + 1 — a
+    different SHAPE from the Spark side's frontier BFS (which only ever
+    touches newly discovered nodes), converging to the identical (node,
+    min-hops) set once ``rounds`` ≥ the seed set's eccentricity. The two
+    engines verifying each other through different formulations is the
+    point (the x_registrable_domain_psl precedent)."""
+    head = _SPARSE_TRADE_CTES_HEAD.format(
+        num=KCORE_THR_NUM, den=KCORE_THR_DEN
+    ) + f""",
+sym AS MATERIALIZED (
+  SELECT u, v FROM u0 UNION ALL SELECT v AS u, u AS v FROM u0
+),
+d0 AS MATERIALIZED (
+  SELECT n.n_nationkey AS node, CAST(0 AS BIGINT) AS h
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{BFS_SEED_REGION}'
+)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, MIN(h) AS h FROM (
+    SELECT node, h FROM d{i-1}
+    UNION ALL
+    SELECT s.v AS node, d.h + 1 AS h FROM sym s JOIN d{i-1} d ON s.u = d.node
+  ) GROUP BY 1
+)"""
+        )
+    tail = f"""
+SELECT n.n_name AS nation, CAST(d.h AS BIGINT) AS hops
+FROM d{rounds} d JOIN nation n ON d.node = n.n_nationkey
+"""
+    return head + "".join(steps) + tail
+
+
+@register("x_bfs_trade", oracle=_bfs_oracle(BFS_ROUNDS))
+def x_bfs_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop counts (functions.graph.bfs_hops) from the
+    ASIA nations over the mean-relative sparsified trade graph: each
+    nation's minimum heavy-trade hop distance from any seed — the
+    reachability/distance primitive (crawl-frontier expansion depth,
+    seed-set influence radius, trusted-neighborhood filtering). Nations
+    unreachable through above-mean trade links are absent; seeds carry
+    an explicit 0. Integer hop counts, so the hash gate pins the result;
+    the oracle replays the frontier BFS as unrolled full-relaxation
+    rounds — a deliberately different formulation converging to the
+    same fixpoint (rounds ≥ measured eccentricity, extra rounds exact
+    no-ops).
+
+    Scale shape: the fact-join aggregation + 1-row mean filter are
+    shared with x_kcore_trade; each BFS round joins only the FRONTIER
+    against the checkpointed symmetric edge list (cost tracks the
+    frontier boundary, not the graph), convergence is one isEmpty probe
+    per round on an already-materialized frame, and superseded round
+    checkpoints are released (the k_core storage contract)."""
+    from ..functions.graph import bfs_hops
+
+    edges, nat = _trade_edge_frame(spark, sf_dir)
+    region = tables(spark, sf_dir, "region")[0]
+    seeds = (
+        nat.join(region, nat.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == BFS_SEED_REGION)
+        .select("n_nationkey")
+    )
+    hops = bfs_hops(_sparsify_mean_relative(edges), seeds)
+    return hops.join(nat, hops.node == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"), F.col("hops").cast("long").alias("hops")
+    )

@@ -407,9 +407,13 @@ def x_rank_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_domains(pages, n_iter=PR_ITER)
 
 
-@register(
-    "x_registrable_domain_psl",
-    oracle=f"""
+#: the full PSL-resolution CTE chain (rules → norm → raw → host labels →
+#: suffix candidates → exception/longest aggregation → per-doc suffix
+#: length), shared verbatim by x_registrable_domain_psl and
+#: x_domain_caps_psl (evaluated SQL of the first verified byte-identical
+#: across the extraction — the pagerank_iter_ctes / _hybrid_fused
+#: discipline: one chain, two consumers, no textual-sync debt)
+_PSL_RESOLUTION_CTES = f"""
 WITH rules(rule) AS (VALUES {_PSL_RULES_VALUES}),
 norm AS (
   SELECT lower(CASE WHEN rule LIKE '!%' THEN substr(rule, 2) ELSE rule END)
@@ -450,7 +454,12 @@ res AS (
   SELECT l.doc_id, l.url_raw, l.h, l.n, l.ls,
          COALESCE(m.exc_ps, m.best, 1) AS ps
   FROM lab l LEFT JOIN m USING (doc_id)
-)
+)"""
+
+
+@register(
+    "x_registrable_domain_psl",
+    oracle=_PSL_RESOLUTION_CTES + """
 SELECT doc_id, url_raw,
        CASE WHEN h IS NOT NULL AND h <> '' AND n > ps
             THEN array_to_string(ls[n - ps : n], '.') END AS domain
@@ -479,3 +488,173 @@ def x_registrable_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.select("doc_id", F.expr(_PSL_URL_BUILD).alias("url_raw"))
     rules = spark.createDataFrame([(r,) for r in _PSL_RULES], "rule string")
     return registrable_domain_psl(raw, "url_raw", rules, out_col="domain")
+
+
+#: quota for the PSL-backed caps composition: the PSL fixture spreads 500
+#: docs over 7 registrable domains (~71 each), so 60 BINDS on every domain
+#: at the driver's sf0.01 — a cap nothing hits would test nothing
+PSL_DOMAIN_CAP = 60
+
+
+@register(
+    "x_domain_caps_psl",
+    oracle=_PSL_RESOLUTION_CTES + f""",
+dres AS (
+  SELECT doc_id,
+         CASE WHEN h IS NOT NULL AND h <> '' AND n > ps
+              THEN array_to_string(ls[n - ps : n], '.') END AS domain
+  FROM res
+),
+d AS (SELECT doc_id, domain FROM dres WHERE domain IS NOT NULL),
+r AS (
+  SELECT doc_id, domain,
+         CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id)
+              AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY domain) AS BIGINT) AS n_domain
+  FROM d
+)
+SELECT doc_id, domain, rk, n_domain FROM r WHERE rk <= {PSL_DOMAIN_CAP}
+""",
+)
+def x_domain_caps_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION domain-quota path end to end (r9 verdict #7):
+    x_domain_caps pins the quota machinery over the two-label heuristic;
+    THIS composes the full pipeline — PSL registrable-domain resolution
+    (functions.web.registrable_domain_psl, exception/wildcard/longest-
+    match rules) feeding the exact salted two-level top-k — so the pair
+    actually deployed against a crawl (`prepare_web_corpus(domain_psl=,
+    quota=)`) is hash-pinned as ONE composition, not just as pieces.
+    Docs with no resolvable domain (NULL URL rows) are excluded from the
+    quota — robots/quota stages can only speak for a domain they can
+    name; the NULL-row passthrough posture is pinned by the pipeline
+    tests.
+
+    Scale shape: PSL resolution is one broadcast rules-map row + a ≤5-
+    probe row-local array fold (zero shuffles); the quota is
+    ops.skew.salted_topk (local top-k per 64-way salt lane, final window
+    over ≤ 64·cap survivors — a bare per-domain window funnels each
+    crawl domain's full row set into one task); the domain totals groupBy
+    is map-side-combinable and AQE picks the join strategy (no forced
+    broadcast: domains are a corpus-scaled key space)."""
+    from ..functions.web import registrable_domain_psl
+    from ..ops.skew import salted_topk
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.expr(_PSL_URL_BUILD).alias("url_raw"))
+    rules = spark.createDataFrame([(r,) for r in _PSL_RULES], "rule string")
+    dom = (
+        registrable_domain_psl(raw, "url_raw", rules, out_col="domain")
+        .filter(F.col("domain").isNotNull())
+        .select("doc_id", "domain")
+    )
+    totals = dom.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_domain")
+    )
+    kept = salted_topk(
+        dom,
+        partition_by=["domain"],
+        order_by=[F.col("doc_id")],
+        k=PSL_DOMAIN_CAP,
+        salt_on="doc_id",
+    )
+    return kept.join(totals, "domain").select(
+        "doc_id", "domain", F.col("rk").cast("long").alias("rk"), "n_domain"
+    )
+
+
+# --- robots-exclusion fixture (x_robots_exclusion) --------------------------
+#: one robots.txt per site, spanning the parser's grammar corners — and
+#: site0 serves CRLF line endings + a tab-padded Disallow (the r9 ADVICE
+#: class: both dialects previously agreed on the WRONG answer for CRLF, so
+#: only a driver row over a CRLF fixture keeps that regression caught
+#: cross-engine); site1 = grouped agents (googlebot + *) with an empty
+#: Disallow and a comment; site2 = a non-* group only (its rules must NOT
+#: apply); site3 = Disallow: / (blocks even the bare root); site4 serves
+#: NO robots row at all (kept — no rules is no restriction).
+_ROBOTS_SITES: list[tuple[str, str]] = [
+    ("site0.example",
+     "User-agent: *\r\nDisallow: /p/0\r\nDisallow:\t/t0\r\n"),
+    ("site1.example",
+     "# policy\nUser-agent: googlebot\nUser-agent: *\n"
+     "Disallow: /p/1\nDisallow:\nDisallow: /q/\n"),
+    ("site2.example", "User-agent: googlebot\nDisallow: /p/2\n"),
+    ("site3.example", "User-agent: *\nDisallow: /\n"),
+]
+
+#: page URLs over the 5-site space: doc_id%5 picks the site (site4 has no
+#: robots row), doc_id%7=0 is a bare-root URL (path '' must normalize to
+#: '/'), doc_id%11=0 is an UPPERCASE spelling (host must case-fold before
+#: the rules join), doc_id%29=0 is a NULL fetch-failed row (kept — robots
+#: can only speak for a host it names).
+_ROBOTS_PATH_BUILD = (
+    "CASE WHEN doc_id % 7 = 0 THEN ''"
+    " ELSE concat('/p/', cast(doc_id % 3 as string),"
+    "             '/x', cast(doc_id as string)) END"
+)
+_ROBOTS_URL_BUILD = (
+    "CASE WHEN doc_id % 29 = 0 THEN NULL"
+    " WHEN doc_id % 11 = 0 THEN"
+    f" concat('HTTPS://SITE', cast(doc_id % 5 as string), '.EXAMPLE',"
+    f"        {_ROBOTS_PATH_BUILD})"
+    f" ELSE concat('https://site', cast(doc_id % 5 as string), '.example',"
+    f"      {_ROBOTS_PATH_BUILD}) END"
+)
+
+
+def _robots_exclusion_oracle() -> str:
+    """Twin of functions.web.apply_robots over the fixture: the shared
+    relational rules parse (robots_rules_duck_sql — CRLF/CR normalized,
+    space+tab trims), then the same host extraction / path
+    normalization / prefix-exists probe, keeping rows that match no
+    applicable Disallow prefix."""
+    from ..functions.web import robots_rules_duck_sql
+
+    values = ", ".join(
+        "('{}', '{}')".format(h, t.replace("'", "''"))
+        for h, t in _ROBOTS_SITES
+    )
+    return f"""
+WITH robots(host, robots_txt) AS (VALUES {values}),
+rules AS (SELECT host, disallow FROM {robots_rules_duck_sql("robots")} rr),
+pages AS (SELECT doc_id, {_ROBOTS_URL_BUILD} AS url FROM documents),
+probe AS (
+  SELECT doc_id, url,
+         NULLIF(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)),
+                '') AS h,
+         COALESCE(NULLIF(regexp_extract(url,
+                                        '^[a-zA-Z]+://[^/]*(/.*)$', 1),
+                         ''), '/') AS path
+  FROM pages
+)
+SELECT p.doc_id, p.url
+FROM probe p LEFT JOIN rules ru ON p.h = ru.host
+WHERE NOT COALESCE(
+  len(list_filter(ru.disallow, x -> starts_with(p.path, x))) > 0, FALSE)
+"""
+
+
+@register("x_robots_exclusion", oracle=_robots_exclusion_oracle())
+def x_robots_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt exclusion as an oracled catalog row (r9 verdict #2 —
+    the last round-9 pipeline stage that was pytest-only):
+    functions.web.parse_robots_rules (zero-UDF sequential fold, RFC 9309
+    wildcard-agent subset, CRLF/CR/tab handling) + apply_robots (ONE host
+    equi-join, row-local exists() prefix probe) over a fixture whose
+    sites exercise grouped agents, non-applicable groups, empty
+    Disallow, full-site Disallow, bare-root path normalization, host
+    case-folding, rule-less hosts, NULL URLs — and one site served with
+    CRLF line endings, the r9 ADVICE regression, now pinned cross-engine
+    every round it holds a window slot.
+
+    Scale shape: parsing is a row-local fold over the robots table (one
+    row per host — corpus-scaled, so NO broadcast hint: AQE decides the
+    rules join); the probe is a row-local array exists() — the host
+    equi-join is the only exchange the gate adds to a crawl."""
+    from ..functions.web import apply_robots
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.expr(_ROBOTS_URL_BUILD).alias("url"))
+    robots = spark.createDataFrame(
+        _ROBOTS_SITES, "host string, robots_txt string"
+    )
+    return apply_robots(pages, robots)

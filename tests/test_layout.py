@@ -88,11 +88,12 @@ def test_compact_zorder_roundtrip(spark, tmp_path):
 
 def test_driver_window_covers_survey_gates():
     """The external correctness driver checks only the FIRST 50 registered
-    queries; this pins the round-9 window (catalog._PRIORITY): §2 spine +
-    LLM canary, this round's changed queries (the rerank/graph/web ADVICE
-    fixes' canaries + both hybrid queries after the shared-candidate
-    extraction), the ENTIRE r04-fresh AND r05-fresh cohorts (lifting the
-    staleness bar from >=r04 straight to >=r06), and 4 new-query slots.
+    queries; this pins the round-10 window (catalog._PRIORITY): §2 spine +
+    LLM canary, the changed-library canaries (web.py robots CRLF fix,
+    graph.py shared-normalization/k_core fixes), the ENTIRE r06-fresh
+    cohort (staleness bar r06 -> r07), the 4 new queries
+    (x_robots_exclusion, x_kcore_trade, x_clustering_trade,
+    x_domain_caps_psl), and 4 early-rotation slots from the r07 cohort.
     It additionally proves the coverage-closure invariant: the union of
     the prior rounds' driver windows and this window is the ENTIRE
     catalog."""
@@ -109,30 +110,28 @@ def test_driver_window_covers_survey_gates():
         "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
         "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
         "f_string_clean_coerce", "x_dedup_exact",
-        # changed this round: rerank.py NaN-guard + guard-job drop,
-        # graph.py overflow-guard tighten, web.py quote fix, hybrid
-        # candidate-construction dedup (both consumers re-hash)
-        "x_mmr_rerank", "x_dedup_clusters", "x_html_extract",
-        "x_url_canonicalize", "x_hybrid_search_rrf", "x_hybrid_mmr",
-        # the whole r04-fresh cohort
-        "q10_returned_items", "q12_linestatus_priority",
-        "q13_order_distribution", "x_basket_pairs", "x_benford_digits",
-        "x_frame_sample_plan", "x_grouping_sets", "x_inverted_index",
-        "x_jaccard_ngram_pairs", "x_kmeans_assign", "x_lang_id_ngram",
-        "x_length_histogram", "x_null_aware_anti", "x_stats_battery",
-        "x_zipf_fit",
-        # the whole r05-fresh cohort (bar lands at >=r06)
-        "s9_sql_scan", "x_active_users", "x_approx_distinct", "x_asof_join",
-        "x_chunk_documents", "x_funnel", "x_image_roundtrip_meta",
-        "x_lsh_cosine_buckets", "x_mjpeg_avi_roundtrip", "x_pack_sequences",
-        "x_pii_redact", "x_range_join_density", "x_repetition_metrics",
-        "x_retention_cohorts", "x_source_overlap", "x_top_terms",
-        "x_video_frames_roundtrip",
-        # new-query slots: x_rank_domains / x_triangle_trade /
-        # x_pmi_collocations (new), x_domain_caps (oracle re-hashed by
-        # the regdom NULL-guard fix)
-        "x_rank_domains", "x_domain_caps",
-        "x_triangle_trade", "x_pmi_collocations",
+        # changed-library canaries: web.py (robots CRLF/CR/tab fix in
+        # both dialects), graph.py (shared _simple_undirected +
+        # single-action k_core fixpoint)
+        "x_html_extract", "x_url_canonicalize", "x_dedup_clusters",
+        # the whole r06-fresh cohort (bar lands at >=r07)
+        "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
+        "n_flatten_serialize", "q11_revenue_concentration",
+        "q14_promo_share", "q15_top_supplier", "q16_supplier_variety",
+        "q17_small_quantity_revenue", "q19_disjunctive_predicates",
+        "q20_dominant_suppliers", "q21_waiting_suppliers",
+        "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "st_session_windows", "st_tumbling_window",
+        "w_latest_per_key", "w_ntile_quartiles", "w_running_total",
+        "x_dq_report", "x_embedding_norms", "x_linear_attribution",
+        "x_pivot_status_by_year", "x_scd2_intervals", "x_session_gaps",
+        "x_set_ops", "x_text_stats", "x_token_count", "x_unpivot_status",
+        # new-query slots: the r9 verdict's #2 / #3 / #7 + the round's
+        # two new graph operators (HITS, multi-source BFS)
+        "x_robots_exclusion", "x_kcore_trade", "x_clustering_trade",
+        "x_domain_caps_psl", "x_hits_trade", "x_bfs_trade",
+        # oldest r07-fresh entries: next cohort's rotation starts early
+        "w_topk_per_group", "x_bigram_stats",
     }
     assert len(required) == 50
     missing = required - set(first50)
@@ -143,7 +142,7 @@ def test_driver_window_covers_survey_gates():
     # CORRECTNESS artifacts aren't present
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     seen = set(first50)
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+    for r in range(1, 21):
         path = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -153,11 +152,10 @@ def test_driver_window_covers_survey_gates():
         assert not never, f"queries with no driver row in any round: {never}"
 
     # staleness closure: with this window counted as fresh, no catalog
-    # entry's freshest driver row predates r06 (tightened from r04 this
-    # round: BOTH the 15-entry r04 cohort and the 17-entry r05 cohort
-    # hold slots above)
+    # entry's freshest driver row predates r07 (tightened from r06 this
+    # round: the whole 31-entry r06 cohort holds slots above)
     freshest: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+    for r in range(1, 21):
         path = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -167,9 +165,9 @@ def test_driver_window_covers_survey_gates():
         stale = [
             n
             for n in catalog.queries()
-            if freshest.get(n, 0) < 6 and n not in set(first50)
+            if freshest.get(n, 0) < 7 and n not in set(first50)
         ]
-        assert not stale, f"pre-r06 rows left out of the window: {stale}"
+        assert not stale, f"pre-r07 rows left out of the window: {stale}"
 
 
 def test_spread_narrow_only_touches_narrow_scans(spark):

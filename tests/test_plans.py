@@ -298,6 +298,7 @@ def test_no_unbounded_join_strategies_in_catalog(spark):
         "x_dsir_weights",        # 1-row token-totals crossJoin
         "x_kmeans_assign",       # broadcast k-row centroid table
         "x_registrable_domain_psl",  # 1-row broadcast PSL-rules map crossJoin
+        "x_domain_caps_psl",     # same 1-row PSL-rules map crossJoin
         "q22_idle_customers",    # 1-row avg-balance threshold crossJoin
         "x_basket_pairs",        # 1-row global order-count crossJoin
         "x_benford_digits",      # 1-row total-count crossJoin
@@ -448,6 +449,8 @@ def test_no_forced_broadcast_on_scaled_sides_in_package():
             "driver fast path only — label set under driver_threshold rows",
         ("functions/graph.py", "dangling"): "1-row dangling-mass aggregate",
         ("functions/graph.py", "dmn"): "1-row dangling-mass aggregate",
+        ("functions/graph.py", "at"): "1-row HITS L1-normalization total",
+        ("functions/graph.py", "ht"): "1-row HITS L1-normalization total",
         ("functions/curation.py", "offsets"): "per-(split,shard,pid) offsets",
         ("functions/similarity.py", "centroids"):
             "IVF centroid set (cells ≈ √N, small vectors — documented IVF shape)",

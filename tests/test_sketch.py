@@ -292,6 +292,76 @@ def test_k_core_known_graphs(spark):
     }
 
 
+def test_bfs_hops_known_graphs(spark):
+    """Path graph from one end: hops = position. Multi-source: min over
+    seeds. Isolated seed keeps its 0 row; a disconnected component is
+    absent; direction/dups/self-loops/NULL endpoints are ignored (the
+    simple-undirected contract)."""
+    from bi_gcp_stitch_repl_spark.functions.graph import bfs_hops
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "x long, y long"
+    )
+    one = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.hops for r in bfs_hops(path, one).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    both_ends = spark.createDataFrame([(1,), (5,)], "node long")
+    out = {r.node: r.hops for r in bfs_hops(path, both_ends).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+    messy = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (2, 2), (None, 3), (3, None), (8, 9)],
+        "x long, y long",
+    )
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    out = {r.node: r.hops for r in bfs_hops(messy, seeds).collect()}
+    # 99 is an isolated seed (hops 0); the 8-9 component is unreachable
+    assert out == {1: 0, 2: 1, 3: 2, 99: 0}
+
+    # empty seed set -> empty result, converges immediately
+    none = spark.createDataFrame([], "node long")
+    assert bfs_hops(path, none).count() == 0
+
+
+def test_hits_fixedpoint_known_graph_and_guards(spark):
+    """Bipartite toy: hub side (1, 2) never receives authority, authority
+    side (10, 11) never earns hub score; node 2 out-weighs node 1 (extra
+    weight to 11) so hub(2) > hub(1); the stray 10→99 edge makes 10 the
+    only mixed-role node. Guards: zero/negative weights raise, scale
+    below the node count raises (an all-zero start would silently yield
+    an all-zero answer), scale² · max-weight overflow raises."""
+    import pytest as _pytest
+
+    from bi_gcp_stitch_repl_spark.functions.graph import hits_fixedpoint
+
+    e = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 1), (2, 10, 1), (2, 11, 2), (10, 99, 1)],
+        "src long, dst long, w long",
+    )
+    nd = spark.createDataFrame([(v,) for v in (1, 2, 10, 11, 99)], "node long")
+    out = {r.node: (r.hub_fp, r.auth_fp) for r in hits_fixedpoint(e, nd).collect()}
+    assert out[2][0] > out[1][0] > 0
+    assert out[11][1] > out[10][1] > 0
+    assert out[1][1] == out[2][1] == 0  # pure hubs
+    assert out[11][0] == 0              # pure authority
+    assert out[99][0] == 0 and out[99][1] > 0  # sink of the stray edge
+    # L1 normalization: each side sums to ~scale (floor-divide sheds <1/node)
+    assert sum(h for h, _ in out.values()) <= 10**6
+    assert sum(a for _, a in out.values()) <= 10**6
+
+    bad_w = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
+    with _pytest.raises(ValueError, match="positive"):
+        hits_fixedpoint(bad_w, nd)
+    with _pytest.raises(ValueError, match="scale"):
+        hits_fixedpoint(e, nd, scale=3)  # < node count
+    huge = spark.createDataFrame(
+        [(1, 2, 10**7)], "src long, dst long, w long"
+    )
+    with _pytest.raises(ValueError, match="overflow"):
+        hits_fixedpoint(huge, nd, scale=10**6)  # 1e12 * 1e7 wraps int64
+
+
 def test_clustering_coefficients_single_normalization(spark):
     """r9 verdict #1 / ADVICE: the triangle/coefficient composition must
     pay ONE simple-undirected normalization + checkpoint, not two copies

@@ -604,6 +604,126 @@ def test_pagerank_fixedpoint_matches_integer_reference(
     assert got_dist == expect
 
 
+# --- hits_fixedpoint ≡ sequential integer reference ---------------------------
+
+def _hits_reference(edges, nodes, n_iter, S=10**6):
+    """Plain-Python replica of the fixed-point HITS update rule (same
+    floor divides, same L1 normalization, same in-universe edge drop) —
+    both physical paths must match it EXACTLY."""
+    w_pair = {}
+    for s, d, w in edges:
+        w_pair[(s, d)] = w_pair.get((s, d), 0) + w
+    ns = set(nodes)
+    eu = [(s, d, w) for (s, d), w in w_pair.items() if s in ns and d in ns]
+    n = len(nodes)
+    if n == 0:
+        return {}
+    hub = {v: S // n for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(n_iter):
+        araw = {v: 0 for v in nodes}
+        for s, d, w in eu:
+            araw[d] += hub[s] * w
+        t = sum(araw.values())
+        auth = {v: (araw[v] * S) // t if t else 0 for v in nodes}
+        hraw = {v: 0 for v in nodes}
+        for s, d, w in eu:
+            hraw[s] += auth[d] * w
+        t = sum(hraw.values())
+        hub = {v: (hraw[v] * S) // t if t else 0 for v in nodes}
+    return {v: (hub[v], auth[v]) for v in nodes}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=edge_strategy,
+    n_iter=st.integers(1, 3),
+    drop_node=st.integers(0, 6),
+)
+def test_hits_fixedpoint_matches_integer_reference(
+    spark, edges, n_iter, drop_node
+):
+    """Driver fast path AND forced distributed loop both equal the
+    independent sequential replica bit-for-bit on random directed
+    weighted multigraphs — including subgraph rankings (a dropped node's
+    edges contribute nothing on any path) and duplicate (src, dst) rows
+    (must pre-aggregate identically)."""
+    from bi_gcp_stitch_repl_spark.functions.graph import hits_fixedpoint
+
+    nodes = sorted(({v for e in edges for v in e[:2]} | {0, 1}) - {drop_node})
+    if not nodes:
+        nodes = [0]
+    e = spark.createDataFrame(
+        edges or [(0, 1, 1)], "src long, dst long, w long"
+    )
+    if not edges:
+        e = e.limit(0)
+    nd = spark.createDataFrame([(v,) for v in nodes], "node long")
+    expect = _hits_reference(edges, nodes, n_iter)
+    got_driver = {
+        r.node: (r.hub_fp, r.auth_fp)
+        for r in hits_fixedpoint(e, nd, n_iter=n_iter).collect()
+    }
+    got_dist = {
+        r.node: (r.hub_fp, r.auth_fp)
+        for r in hits_fixedpoint(
+            e, nd, n_iter=n_iter, driver_threshold=0
+        ).collect()
+    }
+    assert got_driver == expect
+    assert got_dist == expect
+
+
+# --- bfs_hops ≡ sequential BFS reference --------------------------------------
+
+def _bfs_reference(edges, seeds):
+    """Textbook queue BFS over the simple undirected graph."""
+    from collections import deque
+
+    adj: dict = {}
+    for s, d, _ in edges:
+        if s is None or d is None or s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    dist = {v: 0 for v in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_strategy, seed_a=st.integers(0, 6), seed_b=st.integers(0, 6))
+def test_bfs_hops_matches_queue_reference(spark, edges, seed_a, seed_b):
+    """Frontier BFS ≡ the textbook queue BFS on random multigraphs with
+    1-2 seeds — first-discovery-round distances are unique, so the two
+    must agree exactly (and the frontier loop must terminate on its
+    own, never via max_iter)."""
+    from bi_gcp_stitch_repl_spark.functions.graph import bfs_hops
+
+    seeds = sorted({seed_a, seed_b})
+    e = spark.createDataFrame(edges or [(0, 1, 1)], "src long, dst long, w long")
+    if not edges:
+        e = e.limit(0)
+    sd = spark.createDataFrame([(v,) for v in seeds], "node long")
+    expect = _bfs_reference(edges, seeds)
+    got = {r.node: r.hops for r in bfs_hops(e, sd).collect()}
+    assert got == expect
+
+
 # --- triangle_counts ≡ brute-force reference ---------------------------------
 
 

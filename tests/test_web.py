@@ -662,18 +662,23 @@ def _robots_reference(txt: str) -> list[str]:
     semantics (RFC 9309 wildcard-agent subset): grouped UA headers, any
     '*' applies to the group, '#' comments, case-insensitive directives,
     empty Disallow contributes nothing, blank lines inert, any other
-    non-blank line ends a UA header block."""
+    non-blank line ends a UA header block. Line endings are LF, CRLF or
+    bare CR (RFC 9309 §2.2); token padding trims the space+tab set —
+    NOT bare str.strip(), whose wider whitespace set silently masked the
+    CRLF divergence this suite now exists to catch (r9 ADVICE)."""
+    import re
+
     ua_block, applies, acc = False, False, []
-    for raw in txt.split("\n"):
-        line = raw.split("#", 1)[0].strip() if "#" in raw else raw.strip()
+    for raw in re.split(r"\r\n|\r|\n", txt):
+        line = (raw.split("#", 1)[0] if "#" in raw else raw).strip(" \t")
         low = line.lower()
         if low.startswith("user-agent:"):
-            agent = line[11:].strip()
+            agent = line[11:].strip(" \t")
             applies = (applies or agent == "*") if ua_block else agent == "*"
             ua_block = True
         elif low.startswith("disallow:"):
             ua_block = False
-            path = line[9:].strip()
+            path = line[9:].strip(" \t")
             if applies and path:
                 acc.append(path)
         elif line == "":
@@ -683,24 +688,42 @@ def _robots_reference(txt: str) -> list[str]:
     return acc
 
 
-_ROBOTS_LINES = st.lists(
-    st.one_of(
-        st.sampled_from(["*", "googlebot", "OtherBot"]).map(
-            lambda a: f"User-agent: {a}"
-        ),
-        st.sampled_from(["uSeR-AgEnT:*", "USER-AGENT:  * "]),
-        st.sampled_from(
-            ["/p", "/private/", "/a?q=", "/tmp", ""]
-        ).map(lambda p: f"Disallow: {p}"),
-        st.sampled_from(["DISALLOW:/x", "disallow:  /y  # trail"]),
-        st.just(""),
-        st.sampled_from(
-            ["# a comment", "Sitemap: https://x/map.xml",
-             "Allow: /ok", "Crawl-delay: 2", "garbage line"]
-        ),
+_ROBOTS_LINE = st.one_of(
+    st.sampled_from(["*", "googlebot", "OtherBot"]).map(
+        lambda a: f"User-agent: {a}"
+    ),
+    st.sampled_from(["uSeR-AgEnT:*", "USER-AGENT:  * ", "User-agent:\t*"]),
+    st.sampled_from(
+        ["/p", "/private/", "/a?q=", "/tmp", ""]
+    ).map(lambda p: f"Disallow: {p}"),
+    st.sampled_from(
+        ["DISALLOW:/x", "disallow:  /y  # trail", "Disallow:\t/tabbed"]
+    ),
+    st.just(""),
+    st.sampled_from(
+        ["# a comment", "Sitemap: https://x/map.xml",
+         "Allow: /ok", "Crawl-delay: 2", "garbage line"]
+    ),
+)
+
+#: full documents, not just LF-joined lines: every line carries generated
+#: lead/tail padding from the RFC whitespace set (space/tab) and its OWN
+#: terminator (LF, CRLF, bare CR — all legal per RFC 9309 §2.2). The r9
+#: ADVICE finding: the old LF-only, unpadded generator could never emit
+#: the CRLF/tab inputs where the fold and the reference used to disagree.
+_ROBOTS_TXT = st.lists(
+    st.tuples(
+        _ROBOTS_LINE,
+        st.sampled_from(["", " ", "\t", " \t"]),
+        st.sampled_from(["", " ", "\t"]),
+        st.sampled_from(["\n", "\r\n", "\r"]),
     ),
     min_size=0,
     max_size=20,
+).map(
+    lambda items: "".join(
+        pad + line + tail + term for line, pad, tail, term in items
+    )
 )
 
 
@@ -709,15 +732,15 @@ _ROBOTS_LINES = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(lines=_ROBOTS_LINES)
-def test_robots_fold_matches_reference_property(spark, lines):
+@given(txt=_ROBOTS_TXT)
+def test_robots_fold_matches_reference_property(spark, txt):
     """The SQL sequential fold and the independent Python reference agree
     on ARBITRARY interleavings of UA headers / rules / comments / blanks
-    / junk — the 3-field state machine is easy to get subtly wrong at
+    / junk — under every legal terminator (LF/CRLF/CR) and space/tab
+    padding — the 3-field state machine is easy to get subtly wrong at
     group boundaries, and this pins every transition."""
     from bi_gcp_stitch_repl_spark.functions.web import parse_robots_rules
 
-    txt = "\n".join(lines)
     robots = spark.createDataFrame(
         [("h.example", txt)], "host string, robots_txt string"
     )
@@ -725,11 +748,48 @@ def test_robots_fold_matches_reference_property(spark, lines):
     assert got == _robots_reference(txt), txt
 
 
+def test_parse_robots_rules_crlf_and_cr_line_endings(spark):
+    """The r9 ADVICE medium finding as a regression fixture: a CRLF-served
+    robots.txt (very common in the wild; RFC 9309 §2.2 allows CRLF and
+    bare CR) must parse identically to its LF spelling — the old bare-\\n
+    split left every agent as '*\\r' and yielded ZERO applicable rules,
+    silently ingesting disallowed pages. Tab-padded tokens ride along
+    (RFC whitespace is space OR tab)."""
+    from bi_gcp_stitch_repl_spark.functions.web import (
+        apply_robots,
+        parse_robots_rules,
+    )
+
+    lf = "User-agent: *\nDisallow: /private/\nDisallow:\t/tabbed\n"
+    robots = spark.createDataFrame(
+        [
+            ("crlf.example", lf.replace("\n", "\r\n")),
+            ("cr.example", lf.replace("\n", "\r")),
+            ("lf.example", lf),
+        ],
+        "host string, robots_txt string",
+    )
+    out = {r.host: r.disallow for r in parse_robots_rules(robots).collect()}
+    assert out == {
+        "crlf.example": ["/private/", "/tabbed"],
+        "cr.example": ["/private/", "/tabbed"],
+        "lf.example": ["/private/", "/tabbed"],
+    }
+    # and the gate actually BLOCKS under the CRLF spelling end to end
+    docs = spark.createDataFrame(
+        [(1, "https://crlf.example/private/x"), (2, "https://crlf.example/ok")],
+        "doc_id long, url string",
+    )
+    assert {r.doc_id for r in apply_robots(docs, robots).collect()} == {2}
+
+
 def test_robots_duck_twin_matches_spark_fold(spark):
-    """robots_rules_duck_sql ≡ parse_robots_rules on the fixture AND on
-    40 seeded pseudo-random directive interleavings — the cross-engine
-    parity the r10 oracled query will rest on (the duck side replays the
-    fold relationally: blanks inert → lag group boundaries → bool_or)."""
+    """robots_rules_duck_sql ≡ parse_robots_rules on the fixture (in all
+    three line-ending spellings) AND on 40 seeded pseudo-random directive
+    interleavings with mixed LF/CRLF/CR terminators and tab padding — the
+    cross-engine parity the x_robots_exclusion oracle rests on (the duck
+    side replays the fold relationally: blanks inert → lag group
+    boundaries → bool_or)."""
     import random
 
     from bi_gcp_stitch_repl_spark.functions.web import (
@@ -740,14 +800,21 @@ def test_robots_duck_twin_matches_spark_fold(spark):
     rng = random.Random(90210)
     vocab = [
         "User-agent: *", "User-agent: googlebot", "uSeR-AgEnT:*",
-        "USER-AGENT:  * ", "Disallow: /p", "Disallow: /private/",
-        "Disallow: /a?q=", "DISALLOW:/x", "disallow:  /y  # trail",
-        "Disallow:", "", "# a comment", "Sitemap: https://x/map.xml",
+        "USER-AGENT:  * ", "User-agent:\t*", "Disallow: /p",
+        "Disallow: /private/", "Disallow: /a?q=", "DISALLOW:/x",
+        "disallow:  /y  # trail", "\tDisallow:\t/tabbed ", "Disallow:",
+        "", "# a comment", "Sitemap: https://x/map.xml",
         "Allow: /ok", "garbage line",
     ]
-    cases = [("fix.example", _ROBOTS_FIXTURE)] + [
+    terms = ["\n", "\r\n", "\r"]
+    cases = [
+        ("fix.example", _ROBOTS_FIXTURE),
+        ("fixcrlf.example", _ROBOTS_FIXTURE.replace("\n", "\r\n")),
+        ("fixcr.example", _ROBOTS_FIXTURE.replace("\n", "\r")),
+    ] + [
         (f"h{j}.example",
-         "\n".join(rng.choice(vocab) for _ in range(rng.randrange(0, 16))))
+         "".join(rng.choice(vocab) + rng.choice(terms)
+                 for _ in range(rng.randrange(0, 16))))
         for j in range(40)
     ]
     sdf = spark.createDataFrame(cases, "host string, robots_txt string")

@@ -41,13 +41,15 @@ LIB_CANARIES: dict[str, list[str]] = {
     ],
     "bi_gcp_stitch_repl_spark/functions/bloom.py": ["x_bloom_decontaminate"],
     "bi_gcp_stitch_repl_spark/functions/web.py": [
-        "x_html_extract", "x_url_canonicalize",
+        "x_html_extract", "x_url_canonicalize", "x_robots_exclusion",
     ],
     "bi_gcp_stitch_repl_spark/functions/dedup.py": ["x_dedup_exact"],
     "bi_gcp_stitch_repl_spark/functions/text.py": ["x_token_count"],
     "bi_gcp_stitch_repl_spark/functions/similarity.py": ["x_ivf_topk"],
     "bi_gcp_stitch_repl_spark/functions/rerank.py": ["x_mmr_rerank"],
-    "bi_gcp_stitch_repl_spark/functions/graph.py": ["x_dedup_clusters"],
+    "bi_gcp_stitch_repl_spark/functions/graph.py": [
+        "x_dedup_clusters", "x_clustering_trade",
+    ],
     "bi_gcp_stitch_repl_spark/functions/codecs.py": [
         "x_image_roundtrip_meta", "x_video_frames_roundtrip",
     ],
