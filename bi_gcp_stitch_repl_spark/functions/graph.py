@@ -959,6 +959,103 @@ def bfs_hops(
     )
 
 
+def sssp_weighted(
+    edges: DataFrame, sources: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Multi-source single-source-shortest-path over the DIRECTED
+    integer-weighted graph: ``(node, dist)`` = each reachable node's
+    minimum total edge cost from ANY source — the weighted complement of
+    :func:`bfs_hops` (hop counts answer "how far"; this answers "how
+    cheap": strongest-corridor proximity on a trade/link graph, crawl
+    distance under per-link quality costs). Unreachable nodes are
+    absent; sources carry an explicit 0. Direction is honored as given
+    (callers symmetrize for undirected semantics); duplicate (src, dst)
+    rows keep their MINIMUM cost (the only aggregation consistent with
+    shortest-path semantics); self-loops and NULL endpoints drop (a
+    positive-cost self-loop can never lie on a shortest path); weights
+    must be POSITIVE integers (zero/negative raise — Bellman-Ford-with-
+    frontier termination and the min-plus fixpoint both depend on it).
+
+    Deterministic: min-plus over BIGINTs — no ties to break (equal-cost
+    paths agree on the cost), partition-order-independent, hash-gate
+    safe.
+
+    Scale shape: delta-less frontier Bellman-Ford — each round relaxes
+    only edges OUT OF nodes whose distance improved last round (one hash
+    join + map-side-combinable min against the checkpointed edge list,
+    one anti-join-flavored improvement filter), so round cost tracks the
+    improving wavefront, not the graph; rounds are bounded by the
+    longest shortest-path EDGE COUNT (small-world graphs: single
+    digits); convergence is one ``isEmpty`` probe on the already-
+    checkpointed improvement frame; superseded checkpoints are released
+    (:func:`_free_local_checkpoint`). ``max_iter`` is the loud backstop.
+    """
+    if len(edges.columns) < 3:
+        raise ValueError(
+            "edges needs (src, dst, weight) columns — for unit costs pass"
+            " F.lit(1) as the weight"
+        )
+    src, dst, w = edges.columns[:3]
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(w).cast("long").alias("w"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    wb = e.agg(F.min("w").alias("mn")).first()
+    if wb.mn is not None and wb.mn <= 0:
+        raise ValueError(f"edge weights must be positive (min={wb.mn})")
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            e.join(
+                frontier.select(F.col("node").alias("src"), "dist"), "src"
+            )
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("d") < F.col("dist")))
+            .select("node", F.col("d").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            return dist
+        old_dist, old_frontier = dist, frontier
+        dist = (
+            old_dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+        _free_local_checkpoint(old_dist)
+        if old_frontier is not old_dist:
+            _free_local_checkpoint(old_frontier)
+    raise RuntimeError(
+        f"sssp_weighted did not converge within max_iter={max_iter} rounds;"
+        " raise max_iter (rounds are bounded by the longest shortest-path"
+        " edge count)"
+    )
+
+
 def k_core(
     edges: DataFrame, k: int, max_iter: int = 100
 ) -> DataFrame:

@@ -1277,6 +1277,107 @@ FROM d{rounds} d JOIN nation n ON d.node = n.n_nationkey
     return head + "".join(steps) + tail
 
 
+SSSP_ROUNDS = 8  # unrolled oracle relaxation rounds; measured fixpoint
+#                  depth <= 3 from the ASIA seed set at sf0.001/0.01/0.1
+SSSP_COST_SCALE = 10**4
+#: per-edge cost = mean edge weight over this edge's weight, 1e4-scaled
+#: BIGINT: (tot_w * SCALE) // (n_edges * w) — heavy trade corridors are
+#: CHEAP, so min-cost paths are strongest-corridor routes; pure integer
+#: multiply/floor-divide, no floats, identical in both engines
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """Unrolled min-plus relaxation twin of functions.graph.sssp_weighted
+    on the inverse-mean-relative-cost trade graph: round ``i`` takes the
+    min of round ``i-1``'s distances and every in-edge's source distance
+    + cost — full relaxation where the Spark side runs frontier
+    Bellman-Ford, the two shapes converging to the identical fixpoint
+    once ``rounds`` ≥ the longest shortest-path edge count (the
+    x_bfs_trade discipline, weighted)."""
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+m AS MATERIALIZED (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM e),
+ec AS MATERIALIZED (
+  SELECT src, dst, (m.tw * {SSSP_COST_SCALE}) // (m.ne * e.w) AS cost
+  FROM e, m WHERE src <> dst
+),
+d0 AS MATERIALIZED (
+  SELECT n.n_nationkey AS node, CAST(0 AS BIGINT) AS dist
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{BFS_SEED_REGION}'
+)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i-1}
+    UNION ALL
+    SELECT c.dst AS node, d.dist + c.cost AS dist
+    FROM ec c JOIN d{i-1} d ON c.src = d.node
+  ) GROUP BY 1
+)"""
+        )
+    tail = f"""
+SELECT n.n_name AS nation, CAST(d.dist AS BIGINT) AS dist
+FROM d{rounds} d JOIN nation n ON d.node = n.n_nationkey
+"""
+    return head + "".join(steps) + tail
+
+
+@register("x_sssp_trade", oracle=_sssp_oracle(SSSP_ROUNDS))
+def x_sssp_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distances (functions.graph.sssp_weighted)
+    from the ASIA nations over the DIRECTED trade graph with
+    inverse-mean-relative costs — heavy corridors are cheap, so ``dist``
+    ranks every nation by its strongest multi-hop export route from the
+    seed set (hop counts answer reachability — x_bfs_trade; this answers
+    cost: two strong corridors can beat one weak direct edge, and the
+    fixture's cost spread makes such routes real). Integer min-plus end
+    to end, hash-gate pinned; the oracle replays the frontier
+    Bellman-Ford as unrolled full-relaxation rounds (≥ measured
+    fixpoint depth, extra rounds exact no-ops).
+
+    Scale shape: the fact-join aggregation is the one corpus exchange
+    (shared derivation); the cost expression is a 1-row broadcast
+    cross-multiply; each relaxation round joins only the IMPROVING
+    wavefront against the checkpointed edge list with a map-side
+    combinable min, convergence is one isEmpty probe, superseded
+    checkpoints released (the bfs_hops storage contract)."""
+    from ..functions.graph import sssp_weighted
+
+    edges, nat = _trade_edge_frame(spark, sf_dir)
+    tot = edges.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
+    ec = (
+        edges.crossJoin(F.broadcast(tot))
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                f"CAST(tw * {SSSP_COST_SCALE} AS BIGINT) DIV (ne * w)"
+            ).alias("cost"),
+        )
+    )
+    region = tables(spark, sf_dir, "region")[0]
+    seeds = (
+        nat.join(region, nat.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == BFS_SEED_REGION)
+        .select("n_nationkey")
+    )
+    d = sssp_weighted(ec, seeds)
+    return d.join(nat, d.node == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"), F.col("dist").cast("long").alias("dist")
+    )
+
+
 @register("x_bfs_trade", oracle=_bfs_oracle(BFS_ROUNDS))
 def x_bfs_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop counts (functions.graph.bfs_hops) from the

@@ -127,11 +127,12 @@ def test_driver_window_covers_survey_gates():
         "x_pivot_status_by_year", "x_scd2_intervals", "x_session_gaps",
         "x_set_ops", "x_text_stats", "x_token_count", "x_unpivot_status",
         # new-query slots: the r9 verdict's #2 / #3 / #7 + the round's
-        # two new graph operators (HITS, multi-source BFS)
+        # three new graph operators (HITS, multi-source BFS, weighted
+        # SSSP)
         "x_robots_exclusion", "x_kcore_trade", "x_clustering_trade",
-        "x_domain_caps_psl", "x_hits_trade", "x_bfs_trade",
-        # oldest r07-fresh entries: next cohort's rotation starts early
-        "w_topk_per_group", "x_bigram_stats",
+        "x_domain_caps_psl", "x_hits_trade", "x_bfs_trade", "x_sssp_trade",
+        # oldest r07-fresh entry: next cohort's rotation starts early
+        "w_topk_per_group",
     }
     assert len(required) == 50
     missing = required - set(first50)

@@ -324,6 +324,33 @@ def test_bfs_hops_known_graphs(spark):
     assert bfs_hops(path, none).count() == 0
 
 
+def test_sssp_weighted_known_graphs_and_guards(spark):
+    """Two-hop route beats the weak direct edge (1→2→3 costs 2 vs the
+    direct 10); direction is honored (no distance flows dst→src);
+    duplicate (src, dst) rows keep the MIN cost; zero/negative weights
+    raise; unreachable nodes absent, seeds explicit 0."""
+    import pytest as _pytest
+
+    from bi_gcp_stitch_repl_spark.functions.graph import sssp_weighted
+
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (1, 3, 10), (4, 1, 1), (1, 2, 7)],
+        "src long, dst long, w long",
+    )
+    one = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.dist for r in sssp_weighted(e, one).collect()}
+    # 4 unreachable (edge points 4->1, never 1->4); dup (1,2) keeps w=1
+    assert out == {1: 0, 2: 1, 3: 2}
+
+    multi = spark.createDataFrame([(1,), (3,)], "node long")
+    out = {r.node: r.dist for r in sssp_weighted(e, multi).collect()}
+    assert out == {1: 0, 2: 1, 3: 0}
+
+    bad = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
+    with _pytest.raises(ValueError, match="positive"):
+        sssp_weighted(bad, one)
+
+
 def test_hits_fixedpoint_known_graph_and_guards(spark):
     """Bipartite toy: hub side (1, 2) never receives authority, authority
     side (10, 11) never earns hub score; node 2 out-weighs node 1 (extra

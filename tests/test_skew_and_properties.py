@@ -724,6 +724,55 @@ def test_bfs_hops_matches_queue_reference(spark, edges, seed_a, seed_b):
     assert got == expect
 
 
+# --- sssp_weighted ≡ Dijkstra reference ---------------------------------------
+
+def _dijkstra_reference(edges, seeds):
+    """Textbook heap Dijkstra over the directed min-cost multigraph."""
+    import heapq
+
+    adj: dict = {}
+    for s, d, w in edges:
+        if s is None or d is None or s == d:
+            continue
+        cur = adj.setdefault(s, {})
+        cur[d] = min(cur.get(d, w), w)
+    dist = {v: 0 for v in seeds}
+    heap = [(0, v) for v in seeds]
+    heapq.heapify(heap)
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist.get(u, du):
+            continue
+        for v, w in adj.get(u, {}).items():
+            nd = du + w
+            if nd < dist.get(v, nd + 1):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_strategy, seed_a=st.integers(0, 6), seed_b=st.integers(0, 6))
+def test_sssp_weighted_matches_dijkstra_reference(spark, edges, seed_a, seed_b):
+    """Frontier Bellman-Ford ≡ textbook Dijkstra on random directed
+    weighted multigraphs with 1-2 seeds — shortest-path costs are unique
+    values, so exact equality (and self-termination, never max_iter)."""
+    from bi_gcp_stitch_repl_spark.functions.graph import sssp_weighted
+
+    seeds = sorted({seed_a, seed_b})
+    e = spark.createDataFrame(edges or [(0, 1, 1)], "src long, dst long, w long")
+    if not edges:
+        e = e.limit(0)
+    sd = spark.createDataFrame([(v,) for v in seeds], "node long")
+    expect = _dijkstra_reference(edges, seeds)
+    got = {r.node: r.dist for r in sssp_weighted(e, sd).collect()}
+    assert got == expect
+
+
 # --- triangle_counts ≡ brute-force reference ---------------------------------
 
 
