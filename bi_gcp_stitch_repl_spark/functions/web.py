@@ -346,19 +346,42 @@ def registrable_domain_psl(
     # (the list's own test vector !www.ck, and the registered www.com).
     # Consumers feeding canonical URLs already lost a leading www — that
     # is the canonicalizer's (separate) dedup decision.
+    #
+    # host and labels are MATERIALIZED as columns of prior projections,
+    # not captured inline (the x_html_extract discipline, and doubly
+    # load-bearing here): the probe fold below is a higher-order function
+    # — evaluated INTERPRETED, outside codegen — and an inline host
+    # expression captured by its lambda re-runs regexp_extract + split
+    # per probe per row (~12× per row; materializing once measured
+    # 2.3 s → 1.5 s on the bare 5k-doc resolution and 3.2 → 2.8 s on the
+    # caps composition). CollapseProject keeps the split because
+    # non-cheap multiply-referenced aliases are not re-inlined.
     host = F.lower(
         F.regexp_extract(F.col(url_col), "^[a-zA-Z]+://([^/:?#]+)", 1)
     )
-    labels = F.split(host, "\\.")
+    staged = (
+        df.crossJoin(F.broadcast(psl_map))
+        .withColumn("_h", host)
+        .withColumn("_ls", F.split(F.col("_h"), "\\."))
+    )
+    hostc = F.col("_h")
+    labels = F.col("_ls")
     n = F.size(labels)
     # NULL-host guard BEFORE sequence(): least() skips NULLs, so a NULL n
     # would otherwise fold 5 probe rounds over a NULL label array
-    safe_n = F.when(host.isNotNull() & (host != ""), n).otherwise(F.lit(1))
+    safe_n = F.when(hostc.isNotNull() & (hostc != ""), n).otherwise(F.lit(1))
     mp = F.col("_psl")
 
     def suffix(k):
         return F.concat_ws(".", F.slice(labels, -k, k))
 
+    # the probe FOLD stays a higher-order aggregate() on purpose: an
+    # unrolled coalesce/greatest spelling was A/B-measured SLOWER
+    # (4.1-4.8 s vs 3.3-3.8 s on the sf0.1 caps composition) — greatest()
+    # evaluates all 10 probes with no short-circuit while the fold stops
+    # at min(n, 5) rounds and carries two ints of state; the win that
+    # mattered was materializing host/labels above, not escaping the
+    # interpreted lambda.
     def merge(acc, k):
         e = F.try_element_at(mp, suffix(k))
         w = F.try_element_at(mp, F.concat(F.lit("*."), suffix(k)))
@@ -389,12 +412,10 @@ def registrable_domain_psl(
     )
     ps = F.coalesce(acc["exc_ps"], F.nullif(acc["best"], F.lit(0)), F.lit(1))
     dom = F.when(
-        host.isNotNull() & (host != "") & (safe_n > ps),
+        hostc.isNotNull() & (hostc != "") & (safe_n > ps),
         F.concat_ws(".", F.slice(labels, -(ps + F.lit(1)), ps + F.lit(1))),
     )
-    return df.crossJoin(F.broadcast(psl_map)).withColumn(out_col, dom).drop(
-        "_psl"
-    )
+    return staged.withColumn(out_col, dom).drop("_psl", "_h", "_ls")
 
 
 def parse_robots_rules(
