@@ -311,12 +311,30 @@ def pagerank_fixedpoint(
     frac_scale: int = 10**6,
     node_type: str = "long",
     driver_threshold: int = 100_000,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank in FIXED-POINT integer arithmetic: (node,
     rank_fp) after ``n_iter`` power iterations, ranks carried as BIGINTs
     scaled by ``scale``. ``node_type`` is the key type both frames are
     cast to — "long" for numeric ids, "string" for domain-keyed graphs
     (jobs.pipelines.rank_domains).
+
+    ``teleport`` (optional): a one-column DataFrame of SEED nodes turns
+    this into **personalized PageRank** — the random surfer restarts
+    (and dangling mass teleports) uniformly over the seed set instead of
+    all nodes: ``base_v = scale·(den−num) div (den·|S|)`` for seeds,
+    0 elsewhere, and the per-iteration dangling redistribution likewise
+    lands on seeds only. Ranks then measure proximity-weighted authority
+    FROM the seed set — crawl seed expansion ("which domains does my
+    trusted list flow to"), related-entity scoring, topic-conditioned
+    authority. Seeds outside ``nodes`` are ignored (the subgraph
+    contract); an empty intersection raises (an all-zero restart vector
+    has no fixed point). ``teleport=None`` keeps the classic uniform
+    restart — that code path is untouched byte-for-byte. Initial ranks
+    stay uniform ``scale div n`` in BOTH modes (documented choice: the
+    fixed-``n_iter`` result is a deterministic function of the init, and
+    a uniform start measures seed influence after exactly ``n_iter``
+    propagation steps).
 
     **Adaptive physical strategy** (the :func:`connected_components`
     discipline): the input is usually an already-AGGREGATED graph, and
@@ -418,10 +436,33 @@ def pagerank_fixedpoint(
             raise ValueError(
                 f"max edge weight {wb.mx} * frac_scale overflows int64"
             )
+    seeds_df = None
+    m = n
+    if teleport is not None:
+        seeds_df = (
+            teleport.select(
+                F.col(teleport.columns[0]).cast(node_type).alias("node")
+            )
+            .filter(F.col("node").isNotNull())
+            .distinct()
+            .join(node_df, "node", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        m = seeds_df.count()
+        if m == 0:
+            raise ValueError(
+                "teleport set is empty or disjoint from nodes — an"
+                " all-zero restart vector has no fixed point"
+            )
     if n <= driver_threshold and e.count() <= driver_threshold:
         return _pagerank_fp_driver(
             e, node_df, n, n_iter, damping_num, damping_den, scale,
             frac_scale,
+            seeds=(
+                {r.node for r in seeds_df.collect()}
+                if seeds_df is not None
+                else None
+            ),
         )
     tot = e.groupBy("src").agg(F.sum("w").alias("w_out"))
     frac = (
@@ -436,7 +477,31 @@ def pagerank_fixedpoint(
     dangling = node_df.join(
         frac.select(F.col("src").alias("node")), "node", "left_anti"
     ).localCheckpoint(eager=True)
-    base = (scale * (damping_den - damping_num)) // (damping_den * n)
+    if seeds_df is None:
+        nodef = node_df
+        base = (scale * (damping_den - damping_num)) // (damping_den * n)
+        rank_expr = (
+            f"CAST({base} AS BIGINT) + (({damping_num} *"
+            f" (coalesce(contrib, CAST(0 AS BIGINT)) + dmn))"
+            f" DIV {damping_den})"
+        )
+    else:
+        # seed flag materialized ONCE onto the node frame — the loop's
+        # per-iteration rank projection branches on it (restart mass and
+        # dangling redistribution land on seeds only)
+        nodef = node_df.join(
+            seeds_df.select("node", F.lit(True).alias("_seed")),
+            "node",
+            "left",
+        ).localCheckpoint(eager=True)
+        base_s = (scale * (damping_den - damping_num)) // (damping_den * m)
+        rank_expr = (
+            f"CASE WHEN _seed THEN CAST({base_s} AS BIGINT) +"
+            f" (({damping_num} * (coalesce(contrib, CAST(0 AS BIGINT))"
+            f" + dmn)) DIV {damping_den})"
+            f" ELSE ({damping_num} * coalesce(contrib, CAST(0 AS BIGINT)))"
+            f" DIV {damping_den} END"
+        )
     rank = node_df.select(
         "node", F.lit(scale // n).cast("long").alias("rank_fp")
     )
@@ -454,12 +519,12 @@ def pagerank_fixedpoint(
             rank.join(dangling, "node", "left_semi")
             .agg(
                 F.expr(
-                    f"CAST(coalesce(sum(rank_fp), 0) AS BIGINT) DIV {n}"
+                    f"CAST(coalesce(sum(rank_fp), 0) AS BIGINT) DIV {m}"
                 ).alias("dmn")
             )
         )
         rank = (
-            node_df.join(
+            nodef.join(
                 contrib.select(F.col("dst").alias("node"), "contrib"),
                 "node",
                 "left",
@@ -467,11 +532,7 @@ def pagerank_fixedpoint(
             .crossJoin(F.broadcast(dmn))
             .select(
                 "node",
-                F.expr(
-                    f"CAST({base} AS BIGINT) + (({damping_num} *"
-                    f" (coalesce(contrib, CAST(0 AS BIGINT)) + dmn))"
-                    f" DIV {damping_den})"
-                ).alias("rank_fp"),
+                F.expr(rank_expr).alias("rank_fp"),
             )
             .localCheckpoint(eager=True)
         )
@@ -487,11 +548,14 @@ def _pagerank_fp_driver(
     damping_den: int,
     scale: int,
     frac_scale: int,
+    seeds: set | None = None,
 ) -> DataFrame:
     """Driver fast path: the same update rule over the collected
     aggregate (both frames proven ≤ driver_threshold by the caller).
     Integer arithmetic makes this bit-identical to the distributed loop
-    — the property suite compares both against an independent replica."""
+    — the property suite compares both against an independent replica.
+    ``seeds`` (already intersected with the node set) switches to the
+    personalized restart: base and dangling mass land on seeds only."""
     spark = e.sparkSession
     edges = [(r.src, r.dst, r.w) for r in e.collect()]
     nodes = [r.node for r in node_df.collect()]
@@ -513,11 +577,27 @@ def _pagerank_fp_driver(
             # distributed path handles
             if s in rank and d in contrib:
                 contrib[d] += (rank[s] * f) // frac_scale
-        dmn = sum(rank[v] for v in dangling) // n
-        rank = {
-            v: base + ((damping_num * (contrib[v] + dmn)) // damping_den)
-            for v in nodes
-        }
+        if seeds is None:
+            dmn = sum(rank[v] for v in dangling) // n
+            rank = {
+                v: base + ((damping_num * (contrib[v] + dmn)) // damping_den)
+                for v in nodes
+            }
+        else:
+            m = len(seeds)
+            base_s = (
+                scale * (damping_den - damping_num)
+            ) // (damping_den * m)
+            dmn = sum(rank[v] for v in dangling) // m
+            rank = {
+                v: (
+                    base_s
+                    + ((damping_num * (contrib[v] + dmn)) // damping_den)
+                    if v in seeds
+                    else (damping_num * contrib[v]) // damping_den
+                )
+                for v in nodes
+            }
     out_type = dict(node_df.dtypes)["node"]
     return spark.createDataFrame(
         [(v, rank[v]) for v in nodes], f"node {out_type}, rank_fp long"

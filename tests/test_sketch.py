@@ -292,6 +292,40 @@ def test_k_core_known_graphs(spark):
     }
 
 
+def test_personalized_pagerank_seed_semantics(spark):
+    """teleport=seeds: the seed's rank rises vs the uniform restart (it
+    receives ALL restart mass), non-seeds keep only flow-through rank,
+    both physical paths agree bit-for-bit, and an out-of-node-set
+    teleport frame raises instead of silently zeroing the restart."""
+    import pytest as _pytest
+
+    from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
+
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (3, 1, 1), (3, 4, 1), (4, 4, 1)],
+        "src long, dst long, w long",
+    )
+    nd = spark.createDataFrame([(v,) for v in (1, 2, 3, 4)], "node long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    uni = {r.node: r.rank_fp for r in pagerank_fixedpoint(e, nd).collect()}
+    drv = {
+        r.node: r.rank_fp
+        for r in pagerank_fixedpoint(e, nd, teleport=seeds).collect()
+    }
+    dist = {
+        r.node: r.rank_fp
+        for r in pagerank_fixedpoint(
+            e, nd, teleport=seeds, driver_threshold=0
+        ).collect()
+    }
+    assert drv == dist
+    assert drv[1] > uni[1]  # seed absorbs all restart mass
+    assert drv[4] < uni[4]  # the self-loop sink no longer gets restarts
+    disjoint = spark.createDataFrame([(99,)], "node long")
+    with _pytest.raises(ValueError, match="teleport"):
+        pagerank_fixedpoint(e, nd, teleport=disjoint)
+
+
 def test_bfs_hops_known_graphs(spark):
     """Path graph from one end: hops = position. Multi-source: min over
     seeds. Isolated seed keeps its 0 row; a disconnected component is

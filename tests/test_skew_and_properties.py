@@ -530,10 +530,12 @@ edge_strategy = st.lists(
 )
 
 
-def _pr_reference(edges, nodes, n_iter, S=10**12, FS=10**6):
+def _pr_reference(edges, nodes, n_iter, S=10**12, FS=10**6, seeds=None):
     """Plain-Python replica of the fixed-point update rule (same floor
     divides, same grouping) — the distributed version must match EXACTLY,
-    that being the entire point of integer arithmetic."""
+    that being the entire point of integer arithmetic. ``seeds`` (already
+    a subset of nodes) switches to the personalized restart: base and
+    dangling mass land on seeds only."""
     # duplicate (src, dst) edges accumulate weight, mirroring the groupBy
     W, w_pair = {}, {}
     for s, d, w in edges:
@@ -544,8 +546,9 @@ def _pr_reference(edges, nodes, n_iter, S=10**12, FS=10**6):
     if n == 0:
         return {}
     rank = {v: S // n for v in nodes}
-    base = (S * 15) // (100 * n)
     node_set = set(nodes)
+    m = n if seeds is None else len(seeds)
+    base = (S * 15) // (100 * m)
     for _ in range(n_iter):
         contrib = {v: 0 for v in nodes}
         for (s, d), f in frac.items():
@@ -553,8 +556,18 @@ def _pr_reference(edges, nodes, n_iter, S=10**12, FS=10**6):
             # set contributes nothing, mass to a dst outside is dropped
             if s in node_set and d in node_set:
                 contrib[d] += (rank[s] * f) // FS
-        dm = sum(rank[v] for v in nodes if v not in W) // n
-        rank = {v: base + ((85 * (contrib[v] + dm)) // 100) for v in nodes}
+        dm = sum(rank[v] for v in nodes if v not in W) // m
+        if seeds is None:
+            rank = {v: base + ((85 * (contrib[v] + dm)) // 100) for v in nodes}
+        else:
+            rank = {
+                v: (
+                    base + ((85 * (contrib[v] + dm)) // 100)
+                    if v in seeds
+                    else (85 * contrib[v]) // 100
+                )
+                for v in nodes
+            }
     return rank
 
 
@@ -598,6 +611,52 @@ def test_pagerank_fixedpoint_matches_integer_reference(
         r.node: r.rank_fp
         for r in pagerank_fixedpoint(
             e, nd, n_iter=n_iter, driver_threshold=0
+        ).collect()
+    }
+    assert got_driver == expect
+    assert got_dist == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=edge_strategy,
+    n_iter=st.integers(1, 3),
+    seed_a=st.integers(0, 6),
+    seed_b=st.integers(0, 6),
+)
+def test_personalized_pagerank_matches_integer_reference(
+    spark, edges, n_iter, seed_a, seed_b
+):
+    """pagerank_fixedpoint(teleport=seeds): driver fast path AND forced
+    distributed loop both equal the seeded replica bit-for-bit — restart
+    mass and dangling redistribution land on the seed set only, and
+    out-of-node-set seed entries are ignored (the subgraph contract)."""
+    from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
+
+    nodes = sorted({v for e in edges for v in e[:2]} | {0, 1})
+    seeds = sorted({seed_a, seed_b} & set(nodes)) or [nodes[0]]
+    e = spark.createDataFrame(
+        edges or [(0, 1, 1)], "src long, dst long, w long"
+    )
+    if not edges:
+        e = e.limit(0)
+    nd = spark.createDataFrame([(v,) for v in nodes], "node long")
+    # 99 is never a node: the teleport frame's out-of-universe entries
+    # must be dropped by the intersection, not counted in |S|
+    tp = spark.createDataFrame([(v,) for v in seeds] + [(99,)], "node long")
+    expect = _pr_reference(edges, nodes, n_iter, seeds=set(seeds))
+    got_driver = {
+        r.node: r.rank_fp
+        for r in pagerank_fixedpoint(e, nd, n_iter=n_iter, teleport=tp).collect()
+    }
+    got_dist = {
+        r.node: r.rank_fp
+        for r in pagerank_fixedpoint(
+            e, nd, n_iter=n_iter, teleport=tp, driver_threshold=0
         ).collect()
     }
     assert got_driver == expect
