@@ -233,17 +233,20 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 #:    entry's freshest driver row is >=r07 — the machine-checked bar
 #:    rises r06 -> r07 (test_layout.py), completing the two-round plan
 #:    the r9 window header recorded.
-#: 4. New queries, first round must hold a slot (7): x_robots_exclusion
+#: 4. New queries, first round must hold a slot (8): x_robots_exclusion
 #:    (the r9 verdict's #2 — robots fold finally oracled, over a CRLF
 #:    fixture), x_kcore_trade / x_clustering_trade (verdict #3 — the r9
 #:    library graph operators' catalog twins), x_domain_caps_psl
 #:    (verdict #7 — the PSL+quota production composition), x_hits_trade
 #:    (fixed-point L1-normalized hubs/authorities — the directional
 #:    complement of PageRank), x_bfs_trade (multi-source frontier BFS
-#:    hop counts vs an unrolled-relaxation oracle) and x_sssp_trade
-#:    (weighted min-plus distances vs the same discipline).
-#: 5. Remaining slot: the oldest r07-fresh entry — and the r9 verdict's
-#:    raw-time watch item — re-pins with a fresh driver row.
+#:    hop counts vs an unrolled-relaxation oracle), x_sssp_trade
+#:    (weighted min-plus distances vs the same discipline) and
+#:    x_ppr_trade (personalized PageRank — seed-teleport restart vs the
+#:    seeded ppr_iter_ctes chain). The early-rotation spare went to
+#:    x_ppr_trade: w_topk_per_group's freshest driver row (r07) already
+#:    meets the raised bar, and its raw-time watch signal comes from
+#:    BENCH (it is a HEADLINE query), not the correctness window.
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
     # §2 spine (7) + LLM canary (1)
@@ -264,11 +267,10 @@ _PRIORITY: list[str] = [
     "x_dq_report", "x_embedding_norms", "x_linear_attribution",
     "x_pivot_status_by_year", "x_scd2_intervals", "x_session_gaps",
     "x_set_ops", "x_text_stats", "x_token_count", "x_unpivot_status",
-    # new-query slots (7): see header
+    # new-query slots (8): see header
     "x_robots_exclusion", "x_kcore_trade", "x_clustering_trade",
     "x_domain_caps_psl", "x_hits_trade", "x_bfs_trade", "x_sssp_trade",
-    # oldest r07-fresh entry (1): next cohort's rotation starts early
-    "w_topk_per_group",
+    "x_ppr_trade",
 ]
 
 

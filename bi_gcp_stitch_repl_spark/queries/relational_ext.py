@@ -804,6 +804,122 @@ def x_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPR_SEED_REGION = "ASIA"
+
+
+def ppr_iter_ctes(n_iter: int) -> str:
+    """Seeded variant of :func:`pagerank_iter_ctes` for personalized
+    PageRank oracles: identical contribution CTEs, but the dangling mass
+    divides by |seeds| and the (base + damped-dangling) restart terms
+    apply ONLY to seed rows (the teleport contract of
+    ``pagerank_fixedpoint(teleport=...)``). Requires the caller's WITH
+    chain to define ``frac``, ``nodes``, ``dangling``, ``seeds`` (node)
+    and ``sparams`` (m, base) in addition to ``r0``. The shared uniform
+    chain is untouched — its two existing consumers keep their evaluated
+    oracles byte-identical."""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT f.dst AS node, SUM((r.rank_fp * f.frac) // {PR_FRAC}) AS contrib
+  FROM frac f JOIN r{i-1} r ON f.src = r.node GROUP BY 1
+),
+d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank_fp), 0) // (SELECT m FROM sparams) AS dmn
+  FROM r{i-1} r JOIN dangling g ON r.node = g.node
+),
+r{i} AS MATERIALIZED (
+  SELECT nd.node,
+         CASE WHEN s.node IS NOT NULL
+              THEN p.base + ((85 * (COALESCE(c.contrib, 0) + d.dmn)) // 100)
+              ELSE (85 * COALESCE(c.contrib, 0)) // 100 END AS rank_fp
+  FROM nodes nd
+  LEFT JOIN seeds s ON nd.node = s.node
+  LEFT JOIN c{i} c ON nd.node = c.node
+  CROSS JOIN d{i} d CROSS JOIN sparams p
+)""")
+    return "".join(steps)
+
+
+def _ppr_oracle(n_iter: int) -> str:
+    head = f"""
+WITH edges AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+seeds AS MATERIALIZED (
+  SELECT n.n_nationkey AS node
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{PPR_SEED_REGION}'
+),
+params AS MATERIALIZED (
+  SELECT COUNT(*) AS n, {PR_SCALE} // COUNT(*) AS init_fp FROM nodes
+),
+sparams AS MATERIALIZED (
+  SELECT COUNT(*) AS m,
+         ({PR_SCALE} * 15) // (100 * COUNT(*)) AS base
+  FROM seeds
+),
+tot AS (SELECT src, SUM(w) AS W FROM edges GROUP BY src),
+frac AS MATERIALIZED (
+  SELECT e.src, e.dst, (e.w * {PR_FRAC}) // t.W AS frac
+  FROM edges e JOIN tot t USING (src)
+),
+dangling AS MATERIALIZED (
+  SELECT node FROM nodes WHERE node NOT IN (SELECT DISTINCT src FROM frac)
+),
+r0 AS MATERIALIZED (
+  SELECT node, p.init_fp AS rank_fp FROM nodes CROSS JOIN params p
+)"""
+    tail = f"""
+SELECT n.n_name AS nation, CAST(r.rank_fp AS BIGINT) AS rank_fp
+FROM r{n_iter} r JOIN nation n ON r.node = n.n_nationkey
+"""
+    return head + ppr_iter_ctes(n_iter) + tail
+
+
+@register("x_ppr_trade", oracle=_ppr_oracle(PR_ITER))
+def x_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the ASIA seed set over the weighted
+    trade graph (functions.graph.pagerank_fixedpoint(teleport=seeds)):
+    restart mass and dangling redistribution land on the seeds only, so
+    rank_fp measures proximity-weighted influence FROM the seed set —
+    the crawl-seed-expansion / topic-conditioned-authority primitive
+    (x_pagerank_trade answers "who matters globally"; this answers "who
+    matters to MY trusted list"). Same integer fixed-point discipline:
+    every operation is BIGINT multiply / floor-divide / sum, so the hash
+    gate pins both physical paths against the seeded unrolled iteration
+    chain (ppr_iter_ctes — the uniform pagerank_iter_ctes stays
+    untouched, its two consumers byte-identical).
+
+    Scale shape: identical to x_pagerank_trade — the fact-join
+    aggregation is the one corpus exchange, the loop runs on the
+    aggregate (driver fast path here, property-pinned bit-identical to
+    the distributed loop), plus ONE extra semi-join to intersect the
+    seed set with the node universe."""
+    from ..functions.graph import pagerank_fixedpoint
+
+    edges, nat = _trade_edge_frame(spark, sf_dir)
+    region = tables(spark, sf_dir, "region")[0]
+    seeds = (
+        nat.join(region, nat.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == PPR_SEED_REGION)
+        .select("n_nationkey")
+    )
+    ranks = pagerank_fixedpoint(
+        edges, nat.select("n_nationkey"), n_iter=PR_ITER,
+        scale=PR_SCALE, frac_scale=PR_FRAC, teleport=seeds,
+    )
+    return ranks.join(nat, ranks.node == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"), "rank_fp"
+    )
+
+
 @register(
     "x_triangle_trade",
     oracle="""

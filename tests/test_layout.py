@@ -127,12 +127,13 @@ def test_driver_window_covers_survey_gates():
         "x_pivot_status_by_year", "x_scd2_intervals", "x_session_gaps",
         "x_set_ops", "x_text_stats", "x_token_count", "x_unpivot_status",
         # new-query slots: the r9 verdict's #2 / #3 / #7 + the round's
-        # three new graph operators (HITS, multi-source BFS, weighted
-        # SSSP)
+        # four new graph operators (HITS, multi-source BFS, weighted
+        # SSSP, personalized PageRank); w_topk_per_group released its
+        # spare slot — its freshest row (r07) meets the bar and its
+        # watch signal is BENCH's (HEADLINE member), not this window's
         "x_robots_exclusion", "x_kcore_trade", "x_clustering_trade",
         "x_domain_caps_psl", "x_hits_trade", "x_bfs_trade", "x_sssp_trade",
-        # oldest r07-fresh entry: next cohort's rotation starts early
-        "w_topk_per_group",
+        "x_ppr_trade",
     }
     assert len(required) == 50
     missing = required - set(first50)
