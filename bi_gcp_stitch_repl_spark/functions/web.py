@@ -423,44 +423,61 @@ def parse_robots_rules(
     host_col: str = "host",
     txt_col: str = "robots_txt",
 ):
-    """``(host, disallow array<string>)`` — the ``User-agent: *`` Disallow
-    prefixes of each host's robots.txt, parsed with a zero-UDF sequential
-    fold (RFC 9309 grouping, simplified to the wildcard agent).
+    """``(host, rules array<struct<path string, allow boolean>>)`` — the
+    ``User-agent: *`` Allow/Disallow rules of each host's robots.txt in
+    document order, parsed with a zero-UDF sequential fold (RFC 9309
+    grouping, simplified to the wildcard agent).
 
     Grammar honored: consecutive ``User-agent:`` lines form one group
     header (a group applies when ANY of them is ``*``); the group's
-    ``Disallow:`` lines follow until the next ``User-agent:`` line starts
-    a new group; ``#`` comments strip to end of line; directive names
-    are case-insensitive; an EMPTY Disallow value means "allow all" and
-    contributes no prefix. Line endings are LF, CRLF **or** bare CR —
-    RFC 9309 §2.2 allows all three, and real hosts commonly serve CRLF:
-    splitting on ``\\n`` alone would leave every agent parsed as ``*\\r``
-    (never equal to ``*``) and silently ingest disallowed pages (the r9
-    ADVICE finding — both dialects agreed, so only a CRLF fixture can
-    catch it). Token padding is space OR tab (RFC whitespace), trimmed
-    with an explicit ``BOTH ' \\t'`` set. Honest scope: ``Allow:``
-    precedence and ``$`` / ``*`` pattern metacharacters are NOT
-    implemented — prefixes match literally (the Common-Crawl-polite
-    subset); a deployment needing full RFC 9309 longest-match
-    Allow/Disallow injects its own parser at this seam.
+    ``Allow:`` / ``Disallow:`` lines follow until the next
+    ``User-agent:`` line starts a new group; ``#`` comments strip to end
+    of line; directive names are case-insensitive; an EMPTY rule value
+    contributes no rule (RFC 9309 §2.2.2: an empty pattern is ignored —
+    the classic ``Disallow:`` "allow all" spelling). Line endings are
+    LF, CRLF **or** bare CR — RFC 9309 §2.2 allows all three, and real
+    hosts commonly serve CRLF: splitting on ``\\n`` alone would leave
+    every agent parsed as ``*\\r`` (never equal to ``*``) and silently
+    ingest disallowed pages (the r9 ADVICE finding — both dialects
+    agreed, so only a CRLF fixture can catch it). Token padding is space
+    OR tab (RFC whitespace), trimmed with an explicit ``BOTH ' \\t'``
+    set. Rule VALUES are kept verbatim (incl. ``*`` / ``$``
+    metacharacters) — matching precedence lives in
+    :func:`robots_verdict_expr` / :func:`apply_robots`, so the parse
+    stays a pure grammar pass.
 
     Scale shape: the fold is one row-local ``aggregate`` over the line
     array — robots documents parse at scan speed; the output is one row
-    per host (duplicate host rows fold via flatten+distinct downstream
-    in :func:`apply_robots`). State is (in-UA-block, group-applies,
-    prefixes) — exactly the 3-field struct the fold carries; lines are
+    per host (duplicate host rows fold via flatten+collect downstream in
+    :func:`apply_robots`). State is (in-UA-block, group-applies, rules)
+    — exactly the 3-field struct the fold carries; lines are
     comment-stripped and whitespace-trimmed ONCE by a transform() before
     the fold instead of re-deriving the clean line per branch.
     """
     from pyspark.sql import functions as F
 
     ws = "BOTH ' \\t' FROM"
+
+    def rule_branch(prefix_len: int, allow: str) -> str:
+        # prefix_len = len('disallow:')+1 or len('allow:')+1 — substring
+        # is 1-based, so the value starts one past the directive name
+        val = f"trim({ws} substring(line, {prefix_len}))"
+        return f"""named_struct(
+      'ua', false,
+      'app', s.app,
+      'acc', CASE WHEN s.app AND {val} <> ''
+              THEN array_append(s.acc,
+                                named_struct('path', {val},
+                                             'allow', {allow}))
+              ELSE s.acc END)"""
+
     fold = f"""
 aggregate(
   transform(split({txt_col}, '\\r\\n|\\r|\\n'),
             l -> trim({ws} regexp_replace(l, '#.*$', ''))),
   named_struct('ua', false, 'app', false,
-               'acc', cast(array() as array<string>)),
+               'acc', cast(array() as
+                           array<struct<path: string, allow: boolean>>)),
   (s, line) -> CASE
     WHEN startswith(lower(line), 'user-agent:')
     THEN named_struct(
@@ -470,12 +487,9 @@ aggregate(
               ELSE trim({ws} substring(line, 12)) = '*' END,
       'acc', s.acc)
     WHEN startswith(lower(line), 'disallow:')
-    THEN named_struct(
-      'ua', false,
-      'app', s.app,
-      'acc', CASE WHEN s.app AND trim({ws} substring(line, 10)) <> ''
-              THEN array_append(s.acc, trim({ws} substring(line, 10)))
-              ELSE s.acc END)
+    THEN {rule_branch(10, 'false')}
+    WHEN startswith(lower(line), 'allow:')
+    THEN {rule_branch(7, 'true')}
     WHEN line = '' THEN s
     ELSE named_struct('ua', false, 'app', s.app, 'acc', s.acc)
   END,
@@ -483,7 +497,78 @@ aggregate(
 )"""
     return robots.select(
         F.lower(F.trim(F.col(host_col))).alias("host"),
-        F.expr(fold).alias("disallow"),
+        F.expr(fold).alias("rules"),
+    )
+
+
+#: Java/RE2-compatible character class of regex metacharacters that must
+#: be escaped when a robots rule value is compiled to a regex. ``*`` IS
+#: in the set — it is escaped first and the two-char ``\*`` sequence is
+#: then rewritten to ``.*`` so only the robots wildcard survives as a
+#: metacharacter (a ``$`` anywhere but rule end is a literal octet).
+_ROBOTS_REGEX_SPECIALS = r"([\.\[\]\{\}\(\)\^\$\|\+\?\*\\])"
+
+
+def robots_match_expr(path, rule_path):
+    """Column: does URL ``path`` match robots rule value ``rule_path``
+    under RFC 9309 §2.2.3 special characters — ``*`` matches any
+    character sequence (including ``/``), a TRAILING ``$`` anchors the
+    match at end-of-path, and every other octet matches literally
+    (case-sensitively). Rules without metacharacters take the literal
+    ``startswith`` fast path — the regex compile is paid only on the
+    (rare in real corpora) wildcard rules; metacharacter rules compile
+    to an anchored regex with regex specials escaped so ``.``, ``(`` …
+    in rule values stay literal."""
+    from pyspark.sql import functions as F
+
+    anchored = rule_path.endswith("$")
+    body = F.when(
+        anchored, rule_path.substr(F.lit(1), F.length(rule_path) - 1)
+    ).otherwise(rule_path)
+    regex = F.concat(
+        F.lit("^"),
+        F.replace(
+            F.regexp_replace(body, _ROBOTS_REGEX_SPECIALS, r"\\$1"),
+            F.lit(r"\*"),
+            F.lit(".*"),
+        ),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    return F.when(
+        ~F.contains(rule_path, F.lit("*")) & ~anchored,
+        path.startswith(rule_path),
+    ).otherwise(F.rlike(path, regex))
+
+
+def robots_verdict_expr(path, rules):
+    """Column: is ``path`` BLOCKED by ``rules`` (the
+    :func:`parse_robots_rules` array) under RFC 9309 §2.2.2 precedence —
+    the matching rule with the MOST octets wins; an Allow/Disallow tie
+    at the same length resolves to Allow; no matching rule means
+    allowed. "Octets" is spelled ``length()`` (characters) in BOTH
+    engine dialects, so parity holds for non-ASCII rule values too.
+
+    One row-local ``aggregate`` over the rules array carrying a
+    2-field (best-length, best-is-allow) struct — the probe stays
+    scan-speed; no sort, no explode."""
+    from pyspark.sql import functions as F
+
+    init = F.struct(
+        F.lit(-1).alias("len"), F.lit(True).alias("allow")
+    )
+
+    def merge(acc, r):
+        plen = F.length(r["path"])
+        better = (plen > acc["len"]) | (
+            (plen == acc["len"]) & r["allow"] & ~acc["allow"]
+        )
+        return F.when(
+            robots_match_expr(path, r["path"]) & better,
+            F.struct(plen.alias("len"), r["allow"].alias("allow")),
+        ).otherwise(acc)
+
+    return F.aggregate(
+        rules, init, merge, lambda acc: (acc["len"] >= 0) & ~acc["allow"]
     )
 
 
@@ -494,32 +579,36 @@ def apply_robots(
     host_col: str = "host",
     txt_col: str = "robots_txt",
 ):
-    """Drop rows whose URL path matches a ``User-agent: *`` Disallow
-    prefix of the url's host — the crawl-politeness gate every corpus
-    pipeline runs before spending parse/dedup work on a page it must not
-    keep. ``robots``: one row per host, ``(host, robots_txt)`` (repeated
-    host rows merge; their prefix lists concatenate).
+    """Drop rows whose URL is DISALLOWED by the ``User-agent: *`` group
+    of the url's host's robots.txt — the crawl-politeness gate every
+    corpus pipeline runs before spending parse/dedup work on a page it
+    must not keep. ``robots``: one row per host, ``(host, robots_txt)``
+    (repeated host rows merge; their rule lists concatenate in
+    first-seen-row order — precedence is length-based, so concatenation
+    order never changes the verdict).
 
     Matching: host = lowercased URL authority minus port; path = the
     first '/' onward ('' → '/', so a ``Disallow: /`` blocks the bare
-    root URL too); literal prefix match (parse_robots_rules' documented
-    subset). URLs with no parseable host are KEPT (same posture as the
-    quota stage's NULL-domain fallback — robots can only speak for a
-    host it names). Hosts with no robots row are kept (no rules = no
-    restriction).
+    root URL too); RFC 9309 longest-match precedence over Allow AND
+    Disallow with ``*`` / trailing-``$`` metacharacters
+    (:func:`robots_verdict_expr`). URLs with no parseable host are KEPT
+    (same posture as the quota stage's NULL-domain fallback — robots can
+    only speak for a host it names). Hosts with no robots row are kept
+    (no rules = no restriction).
 
     Scale shape: ONE hash equi-join on the host key — the rules side is
-    one row per host with its prefix array (corpus-scaled like the
-    domain-counts table, so NO broadcast hint: AQE decides); the prefix
-    probe is a row-local ``exists`` fold over that row's array. Nothing
-    else shuffles.
+    one row per host with its rule array (corpus-scaled like the
+    domain-counts table, so NO broadcast hint: AQE decides); the
+    precedence probe is a row-local ``aggregate`` fold over that row's
+    array with literal rules on a startswith fast path. Nothing else
+    shuffles.
     """
     from pyspark.sql import functions as F
 
     rules = (
         parse_robots_rules(robots, host_col=host_col, txt_col=txt_col)
         .groupBy("host")
-        .agg(F.flatten(F.collect_list("disallow")).alias("_dis"))
+        .agg(F.flatten(F.collect_list("rules")).alias("_rules"))
     )
     host = F.lower(
         F.regexp_extract(F.col(url_col), "^[a-zA-Z]+://([^/:?#]+)", 1)
@@ -534,11 +623,11 @@ def apply_robots(
         ),
         F.lit("/"),
     )
-    blocked = F.exists(
-        F.coalesce(F.col("_dis"), F.expr("cast(array() as array<string>)")),
-        lambda p: path.startswith(p),
+    empty = F.expr(
+        "cast(array() as array<struct<path: string, allow: boolean>>)"
     )
-    return joined.filter(~blocked).drop("_rhost", "_dis")
+    blocked = robots_verdict_expr(path, F.coalesce(F.col("_rules"), empty))
+    return joined.filter(~blocked).drop("_rhost", "_rules")
 
 
 def robots_rules_duck_sql(
@@ -547,21 +636,21 @@ def robots_rules_duck_sql(
     txt_col: str = "robots_txt",
 ) -> str:
     """DuckDB twin of :func:`parse_robots_rules`: a self-contained
-    subquery producing ``(host, disallow)`` from ``source``. DuckDB 1.0's
-    ``list_reduce`` has no initial-value form (struct accumulators cannot
-    seed), so the sequential fold is replayed RELATIONALLY — legal
-    because blank lines are inert to the fold's state: with blanks
-    dropped, a UA line opens a group exactly when the previous kept line
-    was not a UA line (lag), group ids are a running boundary sum, a
-    group applies when any of its UA lines names ``*`` (bool_or), and the
-    prefixes are its non-empty Disallow paths in line order. Line endings
-    normalize CRLF / bare CR to LF before the split and token trims use
-    the space+tab set — the Spark fold's RFC 9309 whitespace rules (the
-    r9 ADVICE CRLF finding, fixed in BOTH dialects in the same commit so
-    the cross-engine gate stays honest). Parity with the Spark fold is
-    pytest-pinned (fixture + generated interleavings incl. CRLF/CR/tab);
-    the x_robots_exclusion catalog query composes this with the
-    apply-side filter."""
+    subquery producing ``(host, rules list<struct(path, allow)>)`` from
+    ``source``. DuckDB 1.0's ``list_reduce`` has no initial-value form
+    (struct accumulators cannot seed), so the sequential fold is replayed
+    RELATIONALLY — legal because blank lines are inert to the fold's
+    state: with blanks dropped, a UA line opens a group exactly when the
+    previous kept line was not a UA line (lag), group ids are a running
+    boundary sum, a group applies when any of its UA lines names ``*``
+    (bool_or), and the rules are its non-empty Allow/Disallow values in
+    line order. Line endings normalize CRLF / bare CR to LF before the
+    split and token trims use the space+tab set — the Spark fold's RFC
+    9309 whitespace rules (the r9 ADVICE CRLF finding, fixed in BOTH
+    dialects in the same commit so the cross-engine gate stays honest).
+    Parity with the Spark fold is pytest-pinned (fixture + generated
+    interleavings incl. CRLF/CR/tab/Allow); the x_robots_exclusion
+    catalog query composes this with :func:`robots_blocked_duck_sql`."""
     ws = "' ' || chr(9)"
     line = f"trim(regexp_replace(u.l, '#.*$', ''), {ws})"
     return f"""(
@@ -579,9 +668,12 @@ _rk AS (
   SELECT host, u.i AS i,
          CASE WHEN lower({line}) LIKE 'user-agent:%' THEN 'ua'
               WHEN lower({line}) LIKE 'disallow:%' THEN 'dis'
+              WHEN lower({line}) LIKE 'allow:%' THEN 'alw'
               WHEN {line} = '' THEN 'blank' ELSE 'other' END AS kind,
          trim(substring({line}, 12), {ws}) AS agent,
-         trim(substring({line}, 10), {ws}) AS path
+         CASE WHEN lower({line}) LIKE 'disallow:%'
+              THEN trim(substring({line}, 10), {ws})
+              ELSE trim(substring({line}, 7), {ws}) END AS path
   FROM _rl
 ),
 _rm AS (
@@ -602,12 +694,44 @@ _ra AS (
   FROM _rg GROUP BY 1, 2
 ),
 _rp AS (
-  SELECT g.host, list(g.path ORDER BY g.i) AS disallow
+  SELECT g.host,
+         list(struct_pack(path := g.path, allow := g.kind = 'alw')
+              ORDER BY g.i) AS rules
   FROM _rg g JOIN _ra a USING (host, gid)
-  WHERE g.kind = 'dis' AND a.applies AND g.path <> ''
+  WHERE g.kind IN ('dis', 'alw') AND a.applies AND g.path <> ''
   GROUP BY g.host
 )
-SELECT r.host, COALESCE(p.disallow, []) AS disallow
+SELECT r.host,
+       COALESCE(p.rules,
+                CAST([] AS STRUCT(path VARCHAR, allow BOOLEAN)[])) AS rules
 FROM (SELECT DISTINCT lower(trim({host_col})) AS host FROM {source}) r
 LEFT JOIN _rp p USING (host)
 )"""
+
+
+def robots_match_duck_sql(path_sql: str, rule_sql: str) -> str:
+    """DuckDB twin of :func:`robots_match_expr`: a boolean SQL expression
+    — does ``path_sql`` match robots rule value ``rule_sql`` under RFC
+    9309 ``*`` / trailing-``$`` semantics. Same shape as the Spark
+    expression: literal rules take the ``starts_with`` fast path,
+    metacharacter rules compile to an anchored RE2 regex with specials
+    escaped (``\\0`` = whole-match backreference in DuckDB's RE2
+    replacement dialect, vs Java's ``$1`` on the Spark side)."""
+    body = (
+        f"CASE WHEN ends_with({rule_sql}, '$')"
+        f" THEN left({rule_sql}, length({rule_sql}) - 1)"
+        f" ELSE {rule_sql} END"
+    )
+    regex = (
+        "'^' || replace(regexp_replace("
+        + body
+        + r", '([\.\[\]\{\}\(\)\^\$\|\+\?\*\\])', '\\\0', 'g'), "
+        + r"'\*', '.*') || "
+        + f"CASE WHEN ends_with({rule_sql}, '$') THEN '$' ELSE '' END"
+    )
+    return (
+        f"(CASE WHEN strpos({rule_sql}, '*') = 0"
+        f" AND NOT ends_with({rule_sql}, '$')"
+        f" THEN starts_with({path_sql}, {rule_sql})"
+        f" ELSE regexp_matches({path_sql}, {regex}) END)"
+    )

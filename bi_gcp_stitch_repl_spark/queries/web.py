@@ -563,14 +563,21 @@ def x_domain_caps_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- robots-exclusion fixture (x_robots_exclusion) --------------------------
-#: one robots.txt per site, spanning the parser's grammar corners — and
-#: site0 serves CRLF line endings + a tab-padded Disallow (the r9 ADVICE
-#: class: both dialects previously agreed on the WRONG answer for CRLF, so
-#: only a driver row over a CRLF fixture keeps that regression caught
+#: one robots.txt per site, spanning the parser's grammar corners AND the
+#: RFC 9309 §2.2.2/§2.2.3 precedence rules (r10 verdict #2) — site0
+#: serves CRLF line endings + a tab-padded Disallow (the r9 ADVICE class:
+#: both dialects previously agreed on the WRONG answer for CRLF, so only
+#: a driver row over a CRLF fixture keeps that regression caught
 #: cross-engine); site1 = grouped agents (googlebot + *) with an empty
 #: Disallow and a comment; site2 = a non-* group only (its rules must NOT
-#: apply); site3 = Disallow: / (blocks even the bare root); site4 serves
-#: NO robots row at all (kept — no rules is no restriction).
+#: apply); site3 = Disallow: / (blocks even the bare root); site4 =
+#: longest-match Allow override (/p/1 allowed inside disallowed /p/) plus
+#: an equal-length Allow/Disallow tie on /p/0 that MUST resolve to Allow;
+#: site5 = ``*`` + trailing-``$`` metacharacters (paths ending in 4
+#: blocked; ``/$`` blocks ONLY the bare root); site6 = a trailing-``$``
+#: rule that matches NO real path (/p/1$ — paths continue past /p/1) and
+#: a wildcard Disallow subtree pierced by a longer wildcard Allow; site7
+#: serves NO robots row at all (kept — no rules is no restriction).
 _ROBOTS_SITES: list[tuple[str, str]] = [
     ("site0.example",
      "User-agent: *\r\nDisallow: /p/0\r\nDisallow:\t/t0\r\n"),
@@ -579,9 +586,16 @@ _ROBOTS_SITES: list[tuple[str, str]] = [
      "Disallow: /p/1\nDisallow:\nDisallow: /q/\n"),
     ("site2.example", "User-agent: googlebot\nDisallow: /p/2\n"),
     ("site3.example", "User-agent: *\nDisallow: /\n"),
+    ("site4.example",
+     "User-agent: *\nDisallow: /p/\nAllow: /p/1\n"
+     "Disallow: /p/0\nAllow: /p/0\n"),
+    ("site5.example",
+     "User-agent: *\nDisallow: /*/x*4$\nDisallow: /$\n"),
+    ("site6.example",
+     "User-agent: *\nDisallow: /p/1$\nDisallow: /p/2*\nAllow: /p/2/x1*\n"),
 ]
 
-#: page URLs over the 5-site space: doc_id%5 picks the site (site4 has no
+#: page URLs over the 8-site space: doc_id%8 picks the site (site7 has no
 #: robots row), doc_id%7=0 is a bare-root URL (path '' must normalize to
 #: '/'), doc_id%11=0 is an UPPERCASE spelling (host must case-fold before
 #: the rules join), doc_id%29=0 is a NULL fetch-failed row (kept — robots
@@ -594,9 +608,9 @@ _ROBOTS_PATH_BUILD = (
 _ROBOTS_URL_BUILD = (
     "CASE WHEN doc_id % 29 = 0 THEN NULL"
     " WHEN doc_id % 11 = 0 THEN"
-    f" concat('HTTPS://SITE', cast(doc_id % 5 as string), '.EXAMPLE',"
+    f" concat('HTTPS://SITE', cast(doc_id % 8 as string), '.EXAMPLE',"
     f"        {_ROBOTS_PATH_BUILD})"
-    f" ELSE concat('https://site', cast(doc_id % 5 as string), '.example',"
+    f" ELSE concat('https://site', cast(doc_id % 8 as string), '.example',"
     f"      {_ROBOTS_PATH_BUILD}) END"
 )
 
@@ -604,18 +618,24 @@ _ROBOTS_URL_BUILD = (
 def _robots_exclusion_oracle() -> str:
     """Twin of functions.web.apply_robots over the fixture: the shared
     relational rules parse (robots_rules_duck_sql — CRLF/CR normalized,
-    space+tab trims), then the same host extraction / path
-    normalization / prefix-exists probe, keeping rows that match no
-    applicable Disallow prefix."""
-    from ..functions.web import robots_rules_duck_sql
+    space+tab trims, Allow AND Disallow), then the same host extraction /
+    path normalization, and RFC 9309 longest-match precedence replayed in
+    a DIFFERENT formulation than the Spark side: Spark folds a
+    (best-len, best-allow) accumulator over the rule array; the oracle
+    unnests the matching rules relationally and picks the winner with
+    ``row_number() ORDER BY length DESC, allow DESC`` (ties beyond
+    allow/disallow carry the same verdict, so the pick is deterministic).
+    Two shapes, one precedence — the x_registrable_domain_psl pattern."""
+    from ..functions.web import robots_match_duck_sql, robots_rules_duck_sql
 
     values = ", ".join(
         "('{}', '{}')".format(h, t.replace("'", "''"))
         for h, t in _ROBOTS_SITES
     )
+    match = robots_match_duck_sql("p.path", "u.path")
     return f"""
 WITH robots(host, robots_txt) AS (VALUES {values}),
-rules AS (SELECT host, disallow FROM {robots_rules_duck_sql("robots")} rr),
+rules AS (SELECT host, rules FROM {robots_rules_duck_sql("robots")} rr),
 pages AS (SELECT doc_id, {_ROBOTS_URL_BUILD} AS url FROM documents),
 probe AS (
   SELECT doc_id, url,
@@ -625,31 +645,44 @@ probe AS (
                                         '^[a-zA-Z]+://[^/]*(/.*)$', 1),
                          ''), '/') AS path
   FROM pages
-)
+),
+cand AS (
+  SELECT p.doc_id, u.allow,
+         row_number() OVER (PARTITION BY p.doc_id
+                            ORDER BY length(u.path) DESC, u.allow DESC)
+           AS rn
+  FROM probe p
+  JOIN (SELECT host, unnest(rules) AS u FROM rules) r ON p.h = r.host
+  WHERE {match}
+),
+blocked AS (SELECT doc_id FROM cand WHERE rn = 1 AND NOT allow)
 SELECT p.doc_id, p.url
-FROM probe p LEFT JOIN rules ru ON p.h = ru.host
-WHERE NOT COALESCE(
-  len(list_filter(ru.disallow, x -> starts_with(p.path, x))) > 0, FALSE)
+FROM probe p LEFT JOIN blocked b ON p.doc_id = b.doc_id
+WHERE b.doc_id IS NULL
 """
 
 
 @register("x_robots_exclusion", oracle=_robots_exclusion_oracle())
 def x_robots_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.txt exclusion as an oracled catalog row (r9 verdict #2 —
-    the last round-9 pipeline stage that was pytest-only):
+    """robots.txt exclusion as an oracled catalog row (r9 verdict #2;
+    RFC 9309 precedence completed per r10 verdict #2):
     functions.web.parse_robots_rules (zero-UDF sequential fold, RFC 9309
-    wildcard-agent subset, CRLF/CR/tab handling) + apply_robots (ONE host
-    equi-join, row-local exists() prefix probe) over a fixture whose
+    wildcard-agent subset, CRLF/CR/tab handling, Allow AND Disallow) +
+    apply_robots (ONE host equi-join, row-local longest-match precedence
+    fold with ``*``/trailing-``$`` metacharacters) over a fixture whose
     sites exercise grouped agents, non-applicable groups, empty
-    Disallow, full-site Disallow, bare-root path normalization, host
-    case-folding, rule-less hosts, NULL URLs — and one site served with
-    CRLF line endings, the r9 ADVICE regression, now pinned cross-engine
-    every round it holds a window slot.
+    Disallow, full-site Disallow, Allow-overrides-Disallow longest
+    match, equal-length tie→Allow, wildcard and end-anchor rules,
+    bare-root path normalization, host case-folding, rule-less hosts,
+    NULL URLs — and one site served with CRLF line endings, the r9
+    ADVICE regression, pinned cross-engine every round it holds a
+    window slot.
 
     Scale shape: parsing is a row-local fold over the robots table (one
     row per host — corpus-scaled, so NO broadcast hint: AQE decides the
-    rules join); the probe is a row-local array exists() — the host
-    equi-join is the only exchange the gate adds to a crawl."""
+    rules join); the precedence probe is a row-local array aggregate
+    with literal rules on a startswith fast path — the host equi-join
+    is the only exchange the gate adds to a crawl."""
     from ..functions.web import apply_robots
 
     (docs,) = tables(spark, sf_dir, "documents")

@@ -553,15 +553,28 @@ Disallow: /not-for-us
 def test_parse_robots_rules_star_groups_only(spark):
     """RFC 9309 grouping, wildcard-agent subset: grouped UA headers make
     one group (any '*' applies), non-* groups are ignored, comments and
-    case fold away, empty Disallow contributes nothing."""
+    case fold away, empty rule values contribute nothing, and Allow
+    lines are captured in document order with allow=true."""
     from bi_gcp_stitch_repl_spark.functions.web import parse_robots_rules
 
     robots = spark.createDataFrame(
-        [("A.example", _ROBOTS_FIXTURE), ("b.example", "User-agent: *\n")],
+        [
+            ("A.example", _ROBOTS_FIXTURE),
+            ("b.example", "User-agent: *\n"),
+            ("c.example",
+             "User-agent: *\nDisallow: /p/\nAllow: /p/ok\nallow:\n"),
+        ],
         "host string, robots_txt string",
     )
-    out = {r.host: r.disallow for r in parse_robots_rules(robots).collect()}
-    assert out == {"a.example": ["/private/", "/tmp"], "b.example": []}
+    out = {
+        r.host: [(x.path, x.allow) for x in r.rules]
+        for r in parse_robots_rules(robots).collect()
+    }
+    assert out == {
+        "a.example": [("/private/", False), ("/tmp", False)],
+        "b.example": [],
+        "c.example": [("/p/", False), ("/p/ok", True)],
+    }
 
 
 def test_apply_robots_blocks_prefixes_keeps_unruled_hosts(spark):
@@ -657,15 +670,16 @@ def test_domain_caps_binds_and_is_deterministic(spark):
 
 # --- robots fold property suite --------------------------------------------
 
-def _robots_reference(txt: str) -> list[str]:
+def _robots_reference(txt: str) -> list[tuple[str, bool]]:
     """Independent Python reference of parse_robots_rules' documented
     semantics (RFC 9309 wildcard-agent subset): grouped UA headers, any
     '*' applies to the group, '#' comments, case-insensitive directives,
-    empty Disallow contributes nothing, blank lines inert, any other
-    non-blank line ends a UA header block. Line endings are LF, CRLF or
-    bare CR (RFC 9309 §2.2); token padding trims the space+tab set —
-    NOT bare str.strip(), whose wider whitespace set silently masked the
-    CRLF divergence this suite now exists to catch (r9 ADVICE)."""
+    empty rule values contribute nothing, Allow and Disallow both
+    captured in document order, blank lines inert, any other non-blank
+    line ends a UA header block. Line endings are LF, CRLF or bare CR
+    (RFC 9309 §2.2); token padding trims the space+tab set — NOT bare
+    str.strip(), whose wider whitespace set silently masked the CRLF
+    divergence this suite now exists to catch (r9 ADVICE)."""
     import re
 
     ua_block, applies, acc = False, False, []
@@ -676,16 +690,61 @@ def _robots_reference(txt: str) -> list[str]:
             agent = line[11:].strip(" \t")
             applies = (applies or agent == "*") if ua_block else agent == "*"
             ua_block = True
-        elif low.startswith("disallow:"):
+        elif low.startswith("disallow:") or low.startswith("allow:"):
             ua_block = False
-            path = line[9:].strip(" \t")
+            allow = low.startswith("allow:")
+            path = line[(6 if allow else 9):].strip(" \t")
             if applies and path:
-                acc.append(path)
+                acc.append((path, allow))
         elif line == "":
             pass
         else:
             ua_block = False
     return acc
+
+
+def _robots_match_reference(path: str, pattern: str) -> bool:
+    """Independent Python reference of robots_match_expr (RFC 9309
+    §2.2.3): '*' matches any character run, a TRAILING '$' anchors at
+    end-of-path, everything else is a literal octet — implemented as a
+    character-walk with greedy-backtracking wildcard (NO regex, so it
+    cannot share a bug class with the regex-compiling engine sides)."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = pattern.split("*")
+    pos = 0
+    # first part must match at the start
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    for part in parts[1:-1] if len(parts) > 1 else []:
+        i = path.find(part, pos)
+        if i < 0:
+            return False
+        pos = i + len(part)
+    if len(parts) > 1:
+        last = parts[-1]
+        if anchored:
+            return len(path) >= pos + len(last) and path.endswith(last)
+        return path.find(last, pos) >= 0
+    return path == pattern if anchored else True
+
+
+def _robots_blocked_reference(
+    path: str, rules: list[tuple[str, bool]]
+) -> bool:
+    """Independent precedence reference: longest matching rule wins,
+    equal-length tie resolves to Allow, no match means allowed."""
+    best: tuple[int, bool] | None = None
+    for pat, allow in rules:
+        if _robots_match_reference(path, pat):
+            cand = (len(pat), allow)
+            if best is None or cand[0] > best[0] or (
+                cand[0] == best[0] and allow and not best[1]
+            ):
+                best = cand
+    return best is not None and not best[1]
 
 
 _ROBOTS_LINE = st.one_of(
@@ -694,15 +753,19 @@ _ROBOTS_LINE = st.one_of(
     ),
     st.sampled_from(["uSeR-AgEnT:*", "USER-AGENT:  * ", "User-agent:\t*"]),
     st.sampled_from(
-        ["/p", "/private/", "/a?q=", "/tmp", ""]
+        ["/p", "/private/", "/a?q=", "/tmp", "", "/*.php$", "/a*b", "/$"]
     ).map(lambda p: f"Disallow: {p}"),
     st.sampled_from(
         ["DISALLOW:/x", "disallow:  /y  # trail", "Disallow:\t/tabbed"]
     ),
+    st.sampled_from(
+        ["/ok", "/p/sub", "", "/*.html$", "/a*"]
+    ).map(lambda p: f"Allow: {p}"),
+    st.sampled_from(["ALLOW:/up", "allow:  /low  # trail", "Allow:\t/tab"]),
     st.just(""),
     st.sampled_from(
         ["# a comment", "Sitemap: https://x/map.xml",
-         "Allow: /ok", "Crawl-delay: 2", "garbage line"]
+         "Crawl-delay: 2", "garbage line"]
     ),
 )
 
@@ -744,7 +807,10 @@ def test_robots_fold_matches_reference_property(spark, txt):
     robots = spark.createDataFrame(
         [("h.example", txt)], "host string, robots_txt string"
     )
-    got = parse_robots_rules(robots).collect()[0].disallow
+    got = [
+        (x.path, x.allow)
+        for x in parse_robots_rules(robots).collect()[0].rules
+    ]
     assert got == _robots_reference(txt), txt
 
 
@@ -769,11 +835,15 @@ def test_parse_robots_rules_crlf_and_cr_line_endings(spark):
         ],
         "host string, robots_txt string",
     )
-    out = {r.host: r.disallow for r in parse_robots_rules(robots).collect()}
+    out = {
+        r.host: [(x.path, x.allow) for x in r.rules]
+        for r in parse_robots_rules(robots).collect()
+    }
+    expect = [("/private/", False), ("/tabbed", False)]
     assert out == {
-        "crlf.example": ["/private/", "/tabbed"],
-        "cr.example": ["/private/", "/tabbed"],
-        "lf.example": ["/private/", "/tabbed"],
+        "crlf.example": expect,
+        "cr.example": expect,
+        "lf.example": expect,
     }
     # and the gate actually BLOCKS under the CRLF spelling end to end
     docs = spark.createDataFrame(
@@ -803,8 +873,11 @@ def test_robots_duck_twin_matches_spark_fold(spark):
         "USER-AGENT:  * ", "User-agent:\t*", "Disallow: /p",
         "Disallow: /private/", "Disallow: /a?q=", "DISALLOW:/x",
         "disallow:  /y  # trail", "\tDisallow:\t/tabbed ", "Disallow:",
+        "Disallow: /*.php$", "Disallow: /$", "Allow: /ok",
+        "ALLOW:/up", "allow:  /low  # trail", "Allow:\t/tab", "Allow:",
+        "Allow: /p/*.html$",
         "", "# a comment", "Sitemap: https://x/map.xml",
-        "Allow: /ok", "garbage line",
+        "garbage line",
     ]
     terms = ["\n", "\r\n", "\r"]
     cases = [
@@ -819,7 +892,8 @@ def test_robots_duck_twin_matches_spark_fold(spark):
     ]
     sdf = spark.createDataFrame(cases, "host string, robots_txt string")
     got_spark = {
-        r.host: r.disallow for r in parse_robots_rules(sdf).collect()
+        r.host: [(x.path, x.allow) for x in r.rules]
+        for r in parse_robots_rules(sdf).collect()
     }
     con = duckdb.connect()
     con.execute(
@@ -827,9 +901,159 @@ def test_robots_duck_twin_matches_spark_fold(spark):
     )
     con.executemany("INSERT INTO robots VALUES (?, ?)", cases)
     got_duck = {
-        h: list(d)
-        for h, d in con.sql(
-            f"SELECT host, disallow FROM {robots_rules_duck_sql()}"
+        h: [(d["path"], d["allow"]) for d in rules]
+        for h, rules in con.sql(
+            f"SELECT host, rules FROM {robots_rules_duck_sql()}"
         ).fetchall()
     }
     assert got_spark == got_duck
+
+
+# --- RFC 9309 precedence + metacharacter matching ---------------------------
+
+#: rule-value vocabulary spanning every matcher corner: literal prefixes,
+#: mid/trailing '*', trailing '$' (and '$' as a LITERAL mid-pattern
+#: octet), regex specials that must stay literal, bare '*', bare '$',
+#: multi-wildcard patterns.
+_ROBOTS_PATTERNS = [
+    "/p", "/p/", "/p/1", "/private/", "/", "/$", "*", "/*", "/*/x",
+    "/*.php$", "/p/*4$", "/a*b", "/a*b$", "/*a*b*", "/a.b", "/a(1)",
+    "/a+b?", "/lit$mid", "/end$", "/p/*/deep", "x", "/[x]",
+]
+_ROBOTS_PATHS = [
+    "/", "/p", "/p/", "/p/1", "/p/1/x", "/p/2/x14", "/private/z",
+    "/a.b", "/aXb", "/a(1)z", "/a+b?q", "/ab", "/axyb", "/axybz",
+    "/lit$mid/y", "/end", "/endx", "/x.php", "/x.phpz", "/p/9/deep",
+    "/p/9/deeper", "/[x]y", "xyz",
+]
+
+
+def test_robots_match_three_way_parity(spark):
+    """robots_match_expr (Spark, regex-compiled) ≡ robots_match_duck_sql
+    (DuckDB RE2) ≡ the backtracking character-walk reference (NO regex)
+    on the full pattern×path grid — three independent formulations of
+    RFC 9309 §2.2.3, so a regex-translation bug in either engine dialect
+    cannot hide behind its twin (the CRLF lesson: two dialects agreeing
+    is not enough when they share a formulation)."""
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.functions.web import (
+        robots_match_duck_sql,
+        robots_match_expr,
+    )
+
+    rows = [(p, q) for p in _ROBOTS_PATHS for q in _ROBOTS_PATTERNS]
+    ref = {(p, q): _robots_match_reference(p, q) for p, q in rows}
+    mdf = spark.createDataFrame(rows, "path string, rule string")
+    got_spark = {
+        (r.path, r.rule): r.m
+        for r in mdf.select(
+            "path", "rule",
+            robots_match_expr(F.col("path"), F.col("rule")).alias("m"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE grid (path VARCHAR, rule VARCHAR)")
+    con.executemany("INSERT INTO grid VALUES (?, ?)", rows)
+    got_duck = {
+        (p, q): m
+        for p, q, m in con.sql(
+            "SELECT path, rule, "
+            f"{robots_match_duck_sql('path', 'rule')} FROM grid"
+        ).fetchall()
+    }
+    assert got_spark == ref, {
+        k: (got_spark[k], ref[k]) for k in ref if got_spark[k] != ref[k]
+    }
+    assert got_duck == ref, {
+        k: (got_duck[k], ref[k]) for k in ref if got_duck[k] != ref[k]
+    }
+    # the grid genuinely exercises both verdicts
+    assert any(ref.values()) and not all(ref.values())
+
+
+def test_apply_robots_rfc9309_precedence(spark):
+    """Longest-match precedence end to end (RFC 9309 §2.2.2): a longer
+    Allow pierces a shorter Disallow subtree, an equal-length
+    Allow/Disallow tie resolves to Allow, '$' anchors (so /p/1$ blocks
+    /p/1 but NOT /p/1/x), wildcards count their RAW pattern length, and
+    regex specials in rule values stay literal."""
+    from bi_gcp_stitch_repl_spark.functions.web import apply_robots
+
+    robots = spark.createDataFrame(
+        [
+            ("a.example",
+             "User-agent: *\nDisallow: /p/\nAllow: /p/1\n"
+             "Disallow: /t\nAllow: /t\n"),
+            ("b.example",
+             "User-agent: *\nDisallow: /p/1$\nDisallow: /*4$\n"),
+            ("c.example", "User-agent: *\nDisallow: /a.b\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.example/p/0/x"),   # blocked: /p/ only
+            (2, "https://a.example/p/1/x"),   # kept: Allow /p/1 longer
+            (3, "https://a.example/t/z"),     # kept: tie -> Allow
+            (4, "https://b.example/p/1"),     # blocked: /p/1$ anchors
+            (5, "https://b.example/p/1/x"),   # kept: $ stops the match
+            (6, "https://b.example/p/2/x14"), # blocked: /*4$ wildcard
+            (7, "https://b.example/p/2/x15"), # kept
+            (8, "https://c.example/a.b/z"),   # blocked: literal dot
+            (9, "https://c.example/aXb/z"),   # kept: '.' is NOT regex
+        ],
+        "doc_id long, url string",
+    )
+    kept = {r.doc_id for r in apply_robots(docs, robots).collect()}
+    assert kept == {2, 3, 5, 7, 9}
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rules=st.lists(
+        st.tuples(
+            st.sampled_from(_ROBOTS_PATTERNS), st.booleans()
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    paths=st.lists(
+        st.sampled_from(_ROBOTS_PATHS), min_size=1, max_size=6, unique=True
+    ),
+)
+def test_robots_verdict_matches_reference_property(spark, rules, paths):
+    """apply_robots' verdict ≡ the independent Python precedence
+    reference on arbitrary rule lists (random allow flags over the
+    metacharacter pattern vocabulary) × path sets — pins the
+    (best-length, tie→allow) accumulator fold against a formulation
+    that never builds a regex or an accumulator."""
+    from bi_gcp_stitch_repl_spark.functions.web import apply_robots
+
+    # a non-/ vocabulary path would change the URL's HOST, not its path —
+    # only slash paths round-trip through the URL spelling
+    paths = [p for p in paths if p.startswith("/")]
+    if not paths:
+        return
+    txt = "User-agent: *\n" + "".join(
+        f"{'Allow' if allow else 'Disallow'}: {pat}\n"
+        for pat, allow in rules
+    )
+    robots = spark.createDataFrame(
+        [("h.example", txt)], "host string, robots_txt string"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"https://h.example{p}") for i, p in enumerate(paths)],
+        "doc_id long, url string",
+    )
+    expected = {
+        i
+        for i, p in enumerate(paths)
+        if not _robots_blocked_reference(p, rules)
+    }
+    kept = {r.doc_id for r in apply_robots(docs, robots).collect()}
+    assert kept == expected, (rules, paths)
