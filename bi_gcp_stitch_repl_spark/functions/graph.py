@@ -1215,3 +1215,165 @@ def k_core(
         f"k_core did not converge within max_iter={max_iter} peel rounds;"
         " raise max_iter (rounds are bounded by the graph's peel depth)"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 4,
+    node_type: str = "long",
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    (Raghavan et al. 2007, determinized): ``(node, community)`` after
+    EXACTLY ``n_iter`` rounds over the UNDIRECTED weighted graph — the
+    classic "who trades/links inside a bloc" clustering that k-core
+    (density cut) and connected components (reachability) don't answer.
+
+    Update rule (everything integer):
+        label0(v)   = v                      (node ids must be integral)
+        score(v, l) = Σ_{u ∈ N(v), label(u)=l} w(v, u)
+        label(v)    = argmax_l score(v, l), ties to the SMALLEST label;
+                      a node with no in-universe neighbors keeps its label
+    Edges canonicalize to the simple undirected weighted graph first:
+    (least, greatest) endpoint ordering with BOTH directions' (and
+    duplicates') weights SUMMED, self-loops / NULL endpoints dropped,
+    out-of-universe endpoints dropped (the pagerank_fixedpoint subgraph
+    contract).
+
+    Deterministic BY CONSTRUCTION, not by convergence: synchronous
+    updates + the smallest-label tie-break make every round a pure
+    function of the previous labeling, and the loop runs EXACTLY
+    ``n_iter`` rounds with NO early exit — synchronous LPA can 2-cycle
+    on bipartite-ish structure (the textbook oscillation), so a
+    stability early-exit would make the answer depend on which side of
+    the cycle a round lands on and break parity with the unrolled-CTE
+    oracle twin. Fixed rounds are bit-portable regardless of
+    convergence; callers wanting a fixpoint raise ``n_iter`` and accept
+    the oscillation caveat (DETERMINISM.md rule 5: remove the
+    instability, don't pin it).
+
+    **Adaptive physical strategy** (the pagerank_fixedpoint discipline):
+    below ``driver_threshold`` the loop runs on the collected aggregate
+    with Python integers — BIT-IDENTICAL to the distributed loop
+    (property-pinned); above it, each round is ONE hash join of the
+    symmetric edge list against the previous labeling + a map-side-
+    combinable (node, label) weight sum + a deterministic struct-max
+    argmax — two exchanges per round on the label-mass aggregate, the
+    checkpointed edge list never reshuffles; superseded label
+    checkpoints are released (:func:`_free_local_checkpoint`).
+    """
+    if len(edges.columns) < 3:
+        raise ValueError(
+            "edges needs (src, dst, weight) columns — for an unweighted"
+            " graph pass F.lit(1) as the weight"
+        )
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0 (got {n_iter})")
+    src, dst, w = edges.columns[:3]
+    node_df = (
+        nodes.select(F.col(nodes.columns[0]).cast(node_type).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = (
+        edges.select(
+            F.least(
+                F.col(src).cast(node_type), F.col(dst).cast(node_type)
+            ).alias("u"),
+            F.greatest(
+                F.col(src).cast(node_type), F.col(dst).cast(node_type)
+            ).alias("v"),
+            F.col(w).cast("long").alias("w"),
+        )
+        .filter(
+            F.col("u").isNotNull()
+            & F.col("v").isNotNull()
+            & (F.col("u") != F.col("v"))
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .join(node_df.select(F.col("node").alias("u")), "u", "left_semi")
+        .join(node_df.select(F.col("node").alias("v")), "v", "left_semi")
+    )
+    wb = und.agg(F.min("w").alias("mn")).first()
+    if wb.mn is not None and wb.mn <= 0:
+        raise ValueError(f"edge weights must be positive (min={wb.mn})")
+    n = node_df.count()
+    if n == 0:
+        return node_df.select(
+            "node", F.col("node").cast("long").alias("community")
+        )
+    if n <= driver_threshold and und.count() <= driver_threshold:
+        return _lpa_driver(und, node_df, n_iter)
+    # both orientations of the canonical undirected edge — each round
+    # reads it once, so checkpoint the symmetric spelling, not und
+    es = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"), "w")
+        .unionByName(
+            und.select(F.col("v").alias("node"), F.col("u").alias("nbr"), "w")
+        )
+        .localCheckpoint(eager=True)
+    )
+    lab = node_df.select(
+        "node", F.col("node").cast("long").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        # argmax by (weight mass, then SMALLEST label) as ONE struct-max:
+        # max(struct(s, -l)) picks max s then max(-l) = min l — integer,
+        # partition-order-independent, hash-gate safe
+        best = (
+            es.join(
+                lab.select(F.col("node").alias("nbr"),
+                           F.col("label").alias("l")),
+                "nbr",
+            )
+            .groupBy("node", "l")
+            .agg(F.sum("w").alias("s"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("s"), (-F.col("l")).alias("negl"))
+                ).alias("b")
+            )
+            .select("node", (-F.col("b.negl")).alias("nl"))
+        )
+        old = lab
+        lab = (
+            old.join(best, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("nl"), F.col("label")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        _free_local_checkpoint(old)
+    return lab.select("node", F.col("label").alias("community"))
+
+
+def _lpa_driver(und: DataFrame, node_df: DataFrame, n_iter: int) -> DataFrame:
+    """Driver fast path: the same update rule over the collected
+    aggregate — bit-identical to the distributed loop (all integer; the
+    property suite compares both against an independent replica)."""
+    spark = und.sparkSession
+    nodes = [r.node for r in node_df.collect()]
+    eu = [(r.u, r.v, r.w) for r in und.collect()]
+    lab = {v: int(v) for v in nodes}
+    for _ in range(n_iter):
+        scores: dict = {v: {} for v in nodes}
+        for u, v, w in eu:
+            scores[u][lab[v]] = scores[u].get(lab[v], 0) + w
+            scores[v][lab[u]] = scores[v].get(lab[u], 0) + w
+        lab = {
+            v: (
+                max(sc.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+                if sc
+                else lab[v]
+            )
+            for v, sc in scores.items()
+        }
+    out_type = dict(node_df.dtypes)["node"]
+    return spark.createDataFrame(
+        [(v, lab[v]) for v in nodes],
+        f"node {out_type}, community long",
+    )

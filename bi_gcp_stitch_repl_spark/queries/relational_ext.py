@@ -1029,20 +1029,25 @@ def _trade_edge_frame(spark: SparkSession, sf_dir: str):
     return edges, nat
 
 
-def _sparsify_mean_relative(edges: DataFrame) -> DataFrame:
+def _sparsify_mean_relative(
+    edges: DataFrame, keep_weight: bool = False
+) -> DataFrame:
     """Keep edges whose weight is ≥ NUM/DEN × the mean edge weight, as the
     BIGINT cross-multiplication ``w·n_edges·DEN >= total_w·NUM`` (no
     division, no floats — bit-portable); the scale-invariant sparsifier
     the k-core/BFS fixtures need (a fixed cutoff saturates: the sf0.01
-    trade graph is complete even at w ≥ 20). The totals side is ONE row."""
+    trade graph is complete even at w ≥ 20). The totals side is ONE row.
+    ``keep_weight`` retains the surviving edges' weights (the weighted
+    consumers: label propagation)."""
     tot = edges.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
+    cols = ["src", "dst", "w"] if keep_weight else ["src", "dst"]
     return (
         edges.crossJoin(F.broadcast(tot))
         .filter(
             F.col("w") * F.col("ne") * F.lit(KCORE_THR_DEN)
             >= F.col("tw") * F.lit(KCORE_THR_NUM)
         )
-        .select("src", "dst")
+        .select(*cols)
     )
 
 
@@ -1526,4 +1531,117 @@ def x_bfs_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     hops = bfs_hops(_sparsify_mean_relative(edges), seeds)
     return hops.join(nat, hops.node == nat.n_nationkey).select(
         F.col("n_name").alias("nation"), F.col("hops").cast("long").alias("hops")
+    )
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities (catalog twin of the round-11 library
+# operator — r10 verdict #5: the one classic missing from the
+# pagerank/HITS/CC/k-core/BFS/SSSP family)
+# ---------------------------------------------------------------------------
+
+LPA_ITER = 4
+
+
+def lpa_iter_ctes(n_iter: int) -> str:
+    """The ``n_iter`` chained (label-mass, argmax, relabel) CTE triples of
+    the unrolled synchronous label-propagation twin — the
+    pagerank_iter_ctes discipline. Requires the caller's WITH chain to
+    define ``es`` (node, nbr, w — BOTH orientations of the undirected
+    weighted edges), ``nodes`` (node) and ``l0`` (node, label). The
+    argmax is a DIFFERENT formulation than the Spark side's struct-max
+    (row_number ORDER BY mass DESC, label ASC) — two shapes, one
+    tie-break; every CTE is AS MATERIALIZED."""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT e.node, l.label, SUM(e.w) AS s
+  FROM es e JOIN l{i-1} l ON e.nbr = l.node GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY s DESC, label ASC) AS rn
+    FROM s{i}
+  ) WHERE rn = 1
+),
+l{i} AS MATERIALIZED (
+  SELECT p.node, COALESCE(b.label, p.label) AS label
+  FROM l{i-1} p LEFT JOIN b{i} b ON p.node = b.node
+)""")
+    return "".join(steps)
+
+
+def _communities_oracle(n_iter: int) -> str:
+    """Unrolled twin of functions.graph.label_propagation over the
+    mean-relative sparsified WEIGHTED trade graph: directed edges filter
+    against the mean (the x_kcore_trade sparsifier, weights kept), both
+    directions' weights SUM into the canonical undirected edge, labels
+    start as node ids, and each round reassigns every node the
+    weight-mass argmax of its neighbors' labels (ties to the smallest
+    label, no-neighbor nodes keep theirs). EXACTLY ``n_iter`` rounds in
+    both dialects — parity is by construction, not by convergence
+    (synchronous LPA may oscillate; neither side early-exits)."""
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+m AS MATERIALIZED (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM e),
+uw AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, SUM(w) AS w
+  FROM e, m
+  WHERE src <> dst AND w * m.ne * {KCORE_THR_DEN} >= m.tw * {KCORE_THR_NUM}
+  GROUP BY 1, 2
+),
+es AS MATERIALIZED (
+  SELECT u AS node, v AS nbr, w FROM uw
+  UNION ALL
+  SELECT v AS node, u AS nbr, w FROM uw
+),
+nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+l0 AS MATERIALIZED (SELECT node, CAST(node AS BIGINT) AS label FROM nodes)"""
+    tail = f"""
+SELECT n.n_name AS nation, CAST(l.label AS BIGINT) AS community
+FROM l{n_iter} l JOIN nation n ON l.node = n.n_nationkey
+"""
+    return head + lpa_iter_ctes(n_iter) + tail
+
+
+@register("x_communities_trade", oracle=_communities_oracle(LPA_ITER))
+def x_communities_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trading-bloc communities by synchronous weighted label propagation
+    (functions.graph.label_propagation) over the mean-relative sparsified
+    trade graph — the clustering complement of the seam's reachability
+    (components/BFS), density (k-core) and centrality (PageRank/HITS)
+    operators: ``community`` is the label each nation's heavy-trade
+    neighborhood converged on after exactly LPA_ITER weighted-majority
+    rounds (ties to the smallest label — fully deterministic, so the
+    hash gate pins every assignment, not just the partition).
+
+    Scale shape: the fact-join aggregation to the ≤n² edge list is the
+    one corpus exchange (shared derivation with every trade-graph
+    query); the mean filter is a 1-row broadcast crossJoin; each LPA
+    round is ONE hash join of the checkpointed symmetric edge list
+    against the previous labeling + a map-side-combinable label-mass sum
+    + a struct-max argmax (two exchanges on the label-mass aggregate —
+    the edge list never reshuffles); superseded label checkpoints are
+    released; driver fast path below 100k edges, property-pinned
+    bit-identical to the distributed loop."""
+    from ..functions.graph import label_propagation
+
+    edges, nat = _trade_edge_frame(spark, sf_dir)
+    comm = label_propagation(
+        _sparsify_mean_relative(edges, keep_weight=True),
+        nat.select("n_nationkey"),
+        n_iter=LPA_ITER,
+    )
+    return comm.join(nat, comm.node == nat.n_nationkey).select(
+        F.col("n_name").alias("nation"), "community"
     )

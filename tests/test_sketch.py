@@ -548,3 +548,44 @@ def test_mmr_pool_hygiene_null_id_and_nan_rel(spark):
     )
     out = mmr_rerank_scored(scored, k=4, pool=8).collect()
     assert [r.vec_id for r in sorted(out, key=lambda r: r.rnk)] == [1, 4]
+
+
+def test_label_propagation_known_graphs_and_guards(spark):
+    """Two triangles + a bridge resolve to two communities; an isolated
+    node keeps its own label; non-positive weights, negative n_iter and
+    a missing weight column raise; the empty universe returns empty."""
+    from bi_gcp_stitch_repl_spark.functions.graph import label_propagation
+
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 1),
+         (3, 4, 1), (4, 5, 1), (3, 5, 1), (2, 3, 1)],
+        "src long, dst long, w long",
+    )
+    nd = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    out = {
+        r.node: r.community for r in label_propagation(e, nd).collect()
+    }
+    assert len(out) == 7 and out[6] == 6  # isolated keeps own label
+    left = {out[0], out[1], out[2]}
+    right = {out[3], out[4], out[5]}
+    assert len(left) == 1 and len(right) == 1 and left != right
+    # weighted majority overrides unweighted degree: node 9's single
+    # heavy edge to 0 beats its two unit edges into the {7, 8} pair
+    ew = spark.createDataFrame(
+        [(0, 9, 10), (7, 9, 1), (8, 9, 1), (7, 8, 5)],
+        "src long, dst long, w long",
+    )
+    ndw = spark.createDataFrame([(v,) for v in (0, 7, 8, 9)], "node long")
+    outw = {
+        r.node: r.community
+        for r in label_propagation(ew, ndw, n_iter=1).collect()
+    }
+    assert outw[9] == 0 and outw[7] == 8 and outw[8] == 7
+    bad = spark.createDataFrame([(0, 1, 0)], "src long, dst long, w long")
+    with pytest.raises(ValueError, match="positive"):
+        label_propagation(bad, nd)
+    with pytest.raises(ValueError, match="n_iter"):
+        label_propagation(e, nd, n_iter=-1)
+    with pytest.raises(ValueError, match="weight"):
+        label_propagation(e.select("src", "dst"), nd)
+    assert label_propagation(e, nd.limit(0)).count() == 0

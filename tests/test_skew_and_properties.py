@@ -926,3 +926,78 @@ def test_k_core_matches_peeling_reference(spark, edges, k):
         e = e.limit(0)
     got = {r.node: r.degree for r in k_core(e, k).collect()}
     assert got == _kcore_reference(edges, k)
+
+
+# --- label_propagation ≡ sequential replica -----------------------------------
+
+def _lpa_reference(edges, nodes, n_iter):
+    """Independent replica of synchronous weighted label propagation:
+    canonical undirected weight map (both directions + duplicates sum),
+    per-round label-mass tables, argmax by (mass DESC, label ASC) via a
+    SORT (the library sides use max()-with-key / struct-max /
+    row_number — four spellings, one tie-break)."""
+    ns = set(nodes)
+    und: dict = {}
+    for s, d, w in edges:
+        if s is None or d is None or s == d or s not in ns or d not in ns:
+            continue
+        k = (min(s, d), max(s, d))
+        und[k] = und.get(k, 0) + w
+    lab = {v: v for v in nodes}
+    for _ in range(n_iter):
+        mass: dict = {v: {} for v in nodes}
+        for (u, v), w in und.items():
+            mass[u][lab[v]] = mass[u].get(lab[v], 0) + w
+            mass[v][lab[u]] = mass[v].get(lab[u], 0) + w
+        lab = {
+            v: (
+                sorted(mass[v].items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                if mass[v]
+                else lab[v]
+            )
+            for v in nodes
+        }
+    return lab
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=edge_strategy,
+    n_iter=st.integers(0, 4),
+    drop_node=st.integers(0, 6),
+)
+def test_label_propagation_matches_reference(spark, edges, n_iter, drop_node):
+    """Driver fast path AND forced distributed loop both equal the
+    independent sequential replica bit-for-bit on random weighted
+    multigraphs — including subgraph labelings (a dropped node's edges
+    contribute nothing), duplicate / reverse-duplicate edges (weights
+    must SUM into one undirected edge), n_iter=0 (identity labeling),
+    and isolated nodes (keep their own label)."""
+    from bi_gcp_stitch_repl_spark.functions.graph import label_propagation
+
+    nodes = sorted(({v for e in edges for v in e[:2]} | {0, 1}) - {drop_node})
+    if not nodes:
+        nodes = [0]
+    e = spark.createDataFrame(
+        edges or [(0, 1, 1)], "src long, dst long, w long"
+    )
+    if not edges:
+        e = e.limit(0)
+    nd = spark.createDataFrame([(v,) for v in nodes], "node long")
+    expect = _lpa_reference(edges, nodes, n_iter)
+    got_driver = {
+        r.node: r.community
+        for r in label_propagation(e, nd, n_iter=n_iter).collect()
+    }
+    got_dist = {
+        r.node: r.community
+        for r in label_propagation(
+            e, nd, n_iter=n_iter, driver_threshold=0
+        ).collect()
+    }
+    assert got_driver == expect
+    assert got_dist == expect
