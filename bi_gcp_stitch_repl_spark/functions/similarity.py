@@ -284,6 +284,46 @@ def kmeans_ivf_index(
     return assigned
 
 
+#: mechanical bound on the exact decontamination kernel's bench side —
+#: ~2^18 rows of a 1-4 KB embedding row is the edge of what a forced
+#: broadcast (and the |bench|-per-corpus-row probe cost) tolerates; a
+#: genuinely fixed eval set sits orders of magnitude below it
+BENCH_BROADCAST_ROW_LIMIT = 262_144
+
+
+def guard_bench_broadcast(
+    bench: DataFrame, limit_rows: int | None = None
+) -> int:
+    """Mechanize the exact semantic-decontamination kernel's broadcast
+    contract (r10 verdict #3): the kernel is ``corpus × |bench|`` dot
+    products against a bench side that production holds FIXED-SIZE and
+    broadcast — a corpus-scaled bench silently turns the pass quadratic.
+    This counts the bench side and RAISES past ``limit_rows`` (default
+    :data:`BENCH_BROADCAST_ROW_LIMIT`, read at call time so tests can
+    lower it), naming the documented escalation:
+    :func:`semantic_contamination_ivf` prunes candidates to IVF-probed
+    cells first (precision 1.0, recall rises with n_probe) and the exact
+    kernel then runs only on the pruned pairs. Raising (not silently
+    routing) is deliberate — the IVF path's recall < 1.0 would change an
+    oracled answer under a size threshold, and a result that quietly
+    degrades at scale is worse than a loud contract. Returns the count
+    so callers pay the ONE tiny aggregate job only once."""
+    if limit_rows is None:
+        limit_rows = BENCH_BROADCAST_ROW_LIMIT
+    n = bench.count()
+    if n > limit_rows:
+        raise ValueError(
+            f"bench side has {n} rows — above the exact kernel's broadcast"
+            f" contract ({limit_rows}): this pass costs corpus x |bench|"
+            " dot products against a broadcast bench (a fixed-size eval"
+            " set in production). For a corpus-scaled bench, prune first"
+            " with functions.similarity.semantic_contamination_ivf"
+            " (IVF-probed cells, precision 1.0) and run the exact kernel"
+            " on the pruned pairs only."
+        )
+    return n
+
+
 def semantic_contamination_ivf(
     corpus: DataFrame,
     bench: DataFrame,

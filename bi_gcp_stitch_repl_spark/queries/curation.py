@@ -148,9 +148,15 @@ def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus × |bench| dot products, linear in corpus, zero shuffle of
     the embedding column beyond the final per-id max. At 100 TB, prune
     candidates with the IVF index first (``functions.similarity``) and
-    run this exact kernel only on probed cells. MAX over IEEE doubles
+    run this exact kernel only on probed cells — and that contract is
+    MECHANICAL, not prose: ``guard_bench_broadcast`` counts the bench
+    side (one tiny aggregate job) and raises loudly past the broadcast
+    limit, naming ``semantic_contamination_ivf`` as the escalation (this
+    catalog spelling's mod-slice bench GROWS with the corpus, which is
+    exactly the misuse the guard exists to catch). MAX over IEEE doubles
     is order-insensitive and every cosine is the deterministic
     sequential fold, so the result hash-matches DuckDB bit-for-bit."""
+    from ..functions.similarity import guard_bench_broadcast
     from .extensions import _DOT_SPARK, _NORM_SPARK
 
     (emb,) = tables(spark, sf_dir, "embeddings")
@@ -163,6 +169,7 @@ def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = n.filter(F.col("vec_id") % BENCH_MOD == 0).select(
         F.col("v").alias("bv"), F.col("nrm").alias("bn")
     )
+    guard_bench_broadcast(bench)
     # spread the train side: the per-row probe work (|bench| dot
     # products) otherwise runs on a single-file scan's one task
     train = spread_narrow(n.filter(F.col("vec_id") % BENCH_MOD != 0), "vec_id")

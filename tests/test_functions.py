@@ -304,6 +304,42 @@ def test_semantic_contamination_ivf_vs_exact(spark):
     assert {r["vec_id"]: r["max_bench_cosine"] for r in frozen.collect()} == exact_d
 
 
+def test_guard_bench_broadcast_contract(spark, monkeypatch):
+    """The exact decontamination kernel's broadcast contract is
+    mechanical (r10 verdict #3): under the limit the guard returns the
+    bench count; an oversized bench raises naming the IVF escalation;
+    and the CATALOG spelling x_semantic_decontaminate actually calls it
+    — lowering the module limit below the fixture's mod-slice bench
+    makes the catalog query itself refuse (the mod-slice grows with the
+    corpus, which is exactly the misuse the guard exists to catch)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 23 == 0)
+    n_bench = bench.count()
+    assert similarity.guard_bench_broadcast(bench) == n_bench
+    assert (
+        similarity.guard_bench_broadcast(bench, limit_rows=n_bench)
+        == n_bench
+    )
+    with _pytest.raises(ValueError, match="semantic_contamination_ivf"):
+        similarity.guard_bench_broadcast(bench, limit_rows=n_bench - 1)
+
+    from bi_gcp_stitch_repl_spark.queries.curation import (
+        x_semantic_decontaminate,
+    )
+
+    monkeypatch.setattr(
+        similarity, "BENCH_BROADCAST_ROW_LIMIT", n_bench - 1
+    )
+    with _pytest.raises(ValueError, match="semantic_contamination_ivf"):
+        x_semantic_decontaminate(spark, SF_SMOKE).collect()
+    monkeypatch.undo()
+    # at the real limit the catalog query is untouched (hash-neutral)
+    assert x_semantic_decontaminate(spark, SF_SMOKE).count() > 0
+
+
 def test_ivf_topk_full_probe_equals_bruteforce(spark):
     """n_probe = all cells ⇒ IVF degenerates to the exact scan — results
     must equal brute force. (With these random embeddings the coarse cells
