@@ -221,56 +221,54 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 #: Explicit catalog order. The external correctness driver checks the FIRST
-#: 50 registered queries only. Round-10 rotation (policy pinned by
+#: 50 registered queries only. Round-11 rotation (policy pinned by
 #: tests/window_policy.py + test_layout.py — a changed query or library
 #: module without a window slot is a test FAILURE):
-#: 1. §2 spine + the LLM-core canary stay every round (8).
-#: 2. Changed-library canaries (3): x_html_extract / x_url_canonicalize
-#:    (functions/web.py — the robots CRLF/CR/tab fix, both dialects),
-#:    x_dedup_clusters (functions/graph.py — shared _simple_undirected
-#:    normalization + single-action k_core fixpoint).
-#: 3. The ENTIRE r06-fresh cohort (31): with it rotated, every catalog
-#:    entry's freshest driver row is >=r07 — the machine-checked bar
-#:    rises r06 -> r07 (test_layout.py), completing the two-round plan
-#:    the r9 window header recorded.
-#: 4. New queries, first round must hold a slot (8): x_robots_exclusion
-#:    (the r9 verdict's #2 — robots fold finally oracled, over a CRLF
-#:    fixture), x_kcore_trade / x_clustering_trade (verdict #3 — the r9
-#:    library graph operators' catalog twins), x_domain_caps_psl
-#:    (verdict #7 — the PSL+quota production composition), x_hits_trade
-#:    (fixed-point L1-normalized hubs/authorities — the directional
-#:    complement of PageRank), x_bfs_trade (multi-source frontier BFS
-#:    hop counts vs an unrolled-relaxation oracle), x_sssp_trade
-#:    (weighted min-plus distances vs the same discipline) and
-#:    x_ppr_trade (personalized PageRank — seed-teleport restart vs the
-#:    seeded ppr_iter_ctes chain). The early-rotation spare went to
-#:    x_ppr_trade: w_topk_per_group's freshest driver row (r07) already
-#:    meets the raised bar, and its raw-time watch signal comes from
-#:    BENCH (it is a HEADLINE query), not the correctness window.
+#: 1. §2 spine stays every round (7). The LLM-core canary x_dedup_exact
+#:    released its slot this round (the r10 w_topk_per_group precedent):
+#:    its freshest driver row (r10) clears the raised bar by two rounds,
+#:    functions/dedup.py is untouched, and the dedup family already
+#:    holds five rotating-cohort slots below — the released slot funds
+#:    the round's new query without touching the rotation.
+#: 2. Changed-library canaries (5): x_html_extract / x_url_canonicalize
+#:    / x_robots_exclusion (functions/web.py — RFC 9309 Allow
+#:    precedence, longest-match, * / $ metacharacters in BOTH dialects;
+#:    x_robots_exclusion's own fixture+oracle also changed, so it is
+#:    doubly required), x_dedup_clusters / x_clustering_trade
+#:    (functions/graph.py — label_propagation added).
+#: 3. The ENTIRE r07-fresh cohort (37): with it rotated, every catalog
+#:    entry's freshest driver row is >=r08 — the machine-checked bar
+#:    rises r07 -> r08 (test_layout.py), the r10 verdict's #1. The
+#:    cohort includes this round's other changed query
+#:    (x_semantic_decontaminate — broadcast-contract guard) and the
+#:    similarity.py canary (x_ivf_topk).
+#: 4. New queries, first round must hold a slot (1):
+#:    x_communities_trade (label-propagation communities — r10 verdict
+#:    #5, the one classic missing from the graph family).
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
-    # §2 spine (7) + LLM canary (1)
+    # §2 spine (7)
     "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
     "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
-    "f_string_clean_coerce", "x_dedup_exact",
-    # changed-library canaries (3): see header
-    "x_html_extract", "x_url_canonicalize", "x_dedup_clusters",
-    # the whole r06-fresh cohort (31): bar lands at >=r07
-    "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
-    "n_flatten_serialize", "q11_revenue_concentration", "q14_promo_share",
-    "q15_top_supplier", "q16_supplier_variety",
-    "q17_small_quantity_revenue", "q19_disjunctive_predicates",
-    "q20_dominant_suppliers", "q21_waiting_suppliers",
-    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "st_session_windows", "st_tumbling_window",
-    "w_latest_per_key", "w_ntile_quartiles", "w_running_total",
-    "x_dq_report", "x_embedding_norms", "x_linear_attribution",
-    "x_pivot_status_by_year", "x_scd2_intervals", "x_session_gaps",
-    "x_set_ops", "x_text_stats", "x_token_count", "x_unpivot_status",
-    # new-query slots (8): see header
-    "x_robots_exclusion", "x_kcore_trade", "x_clustering_trade",
-    "x_domain_caps_psl", "x_hits_trade", "x_bfs_trade", "x_sssp_trade",
-    "x_ppr_trade",
+    "f_string_clean_coerce",
+    # changed-library canaries (5): see header
+    "x_html_extract", "x_url_canonicalize", "x_robots_exclusion",
+    "x_dedup_clusters", "x_clustering_trade",
+    # the whole r07-fresh cohort (37): bar lands at >=r08
+    "w_topk_per_group", "x_bigram_stats", "x_bloom_decontaminate",
+    "x_bm25_topk", "x_ccnet_buckets", "x_curation_pipeline",
+    "x_decontaminate", "x_dedup_embedding_pairs", "x_dedup_near_survivors",
+    "x_dedup_normalized", "x_dsir_weights", "x_embedding_quantize",
+    "x_feature_hash_embed", "x_fingerprint", "x_gopher_rules",
+    "x_ivf_topk", "x_jl_project", "x_knn_cosine_topk", "x_lang_id",
+    "x_lm_likelihood", "x_minhash_lsh_candidates", "x_mixture_sample",
+    "x_multimodal_meta", "x_quality_score", "x_semantic_decontaminate",
+    "x_semdedup", "x_simhash", "x_simhash_pairs", "x_sparse_cosine_pairs",
+    "x_split_shard", "x_stratified_sample", "x_string_agg",
+    "x_token_budget_plan", "x_vocab_encode", "x_weighted_sample",
+    "x_winnowing_fingerprints", "x_winnowing_pairs",
+    # new-query slots (1): see header
+    "x_communities_trade",
 ]
 
 

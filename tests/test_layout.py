@@ -88,15 +88,17 @@ def test_compact_zorder_roundtrip(spark, tmp_path):
 
 def test_driver_window_covers_survey_gates():
     """The external correctness driver checks only the FIRST 50 registered
-    queries; this pins the round-10 window (catalog._PRIORITY): §2 spine +
-    LLM canary, the changed-library canaries (web.py robots CRLF fix,
-    graph.py shared-normalization/k_core fixes), the ENTIRE r06-fresh
-    cohort (staleness bar r06 -> r07), the 4 new queries
-    (x_robots_exclusion, x_kcore_trade, x_clustering_trade,
-    x_domain_caps_psl), and 4 early-rotation slots from the r07 cohort.
-    It additionally proves the coverage-closure invariant: the union of
-    the prior rounds' driver windows and this window is the ENTIRE
-    catalog."""
+    queries; this pins the round-11 window (catalog._PRIORITY): §2 spine
+    (x_dedup_exact released its slot — r10-fresh, dedup.py untouched,
+    five dedup-family cohort slots below; the r10 w_topk_per_group
+    precedent), the changed-library canaries (web.py RFC 9309
+    Allow/wildcard precedence, graph.py label_propagation), the ENTIRE
+    r07-fresh cohort (staleness bar r07 -> r08 — the r10 verdict's #1;
+    the cohort carries the round's other changed query
+    x_semantic_decontaminate and the similarity.py canary x_ivf_topk),
+    and the 1 new query (x_communities_trade). It additionally proves
+    the coverage-closure invariant: the union of the prior rounds'
+    driver windows and this window is the ENTIRE catalog."""
     import json
     import os
 
@@ -106,34 +108,32 @@ def test_driver_window_covers_survey_gates():
     assert len(catalog._PRIORITY) == 50
     assert first50 == catalog._PRIORITY
     required = {
-        # §2 spine + LLM canary
+        # §2 spine (7)
         "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
         "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
-        "f_string_clean_coerce", "x_dedup_exact",
-        # changed-library canaries: web.py (robots CRLF/CR/tab fix in
-        # both dialects), graph.py (shared _simple_undirected +
-        # single-action k_core fixpoint)
-        "x_html_extract", "x_url_canonicalize", "x_dedup_clusters",
-        # the whole r06-fresh cohort (bar lands at >=r07)
-        "a4_max_watermark", "a6_count_accounting", "n_array_head_field",
-        "n_flatten_serialize", "q11_revenue_concentration",
-        "q14_promo_share", "q15_top_supplier", "q16_supplier_variety",
-        "q17_small_quantity_revenue", "q19_disjunctive_predicates",
-        "q20_dominant_suppliers", "q21_waiting_suppliers",
-        "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-        "q9_product_profit", "st_session_windows", "st_tumbling_window",
-        "w_latest_per_key", "w_ntile_quartiles", "w_running_total",
-        "x_dq_report", "x_embedding_norms", "x_linear_attribution",
-        "x_pivot_status_by_year", "x_scd2_intervals", "x_session_gaps",
-        "x_set_ops", "x_text_stats", "x_token_count", "x_unpivot_status",
-        # new-query slots: the r9 verdict's #2 / #3 / #7 + the round's
-        # four new graph operators (HITS, multi-source BFS, weighted
-        # SSSP, personalized PageRank); w_topk_per_group released its
-        # spare slot — its freshest row (r07) meets the bar and its
-        # watch signal is BENCH's (HEADLINE member), not this window's
-        "x_robots_exclusion", "x_kcore_trade", "x_clustering_trade",
-        "x_domain_caps_psl", "x_hits_trade", "x_bfs_trade", "x_sssp_trade",
-        "x_ppr_trade",
+        "f_string_clean_coerce",
+        # changed-library canaries: web.py (RFC 9309 Allow precedence +
+        # metacharacters in both dialects; x_robots_exclusion's own
+        # fixture/oracle changed too), graph.py (label_propagation)
+        "x_html_extract", "x_url_canonicalize", "x_robots_exclusion",
+        "x_dedup_clusters", "x_clustering_trade",
+        # the whole r07-fresh cohort (bar lands at >=r08)
+        "w_topk_per_group", "x_bigram_stats", "x_bloom_decontaminate",
+        "x_bm25_topk", "x_ccnet_buckets", "x_curation_pipeline",
+        "x_decontaminate", "x_dedup_embedding_pairs",
+        "x_dedup_near_survivors", "x_dedup_normalized", "x_dsir_weights",
+        "x_embedding_quantize", "x_feature_hash_embed", "x_fingerprint",
+        "x_gopher_rules", "x_ivf_topk", "x_jl_project",
+        "x_knn_cosine_topk", "x_lang_id", "x_lm_likelihood",
+        "x_minhash_lsh_candidates", "x_mixture_sample",
+        "x_multimodal_meta", "x_quality_score", "x_semantic_decontaminate",
+        "x_semdedup", "x_simhash", "x_simhash_pairs",
+        "x_sparse_cosine_pairs", "x_split_shard", "x_stratified_sample",
+        "x_string_agg", "x_token_budget_plan", "x_vocab_encode",
+        "x_weighted_sample", "x_winnowing_fingerprints",
+        "x_winnowing_pairs",
+        # new-query slots: label-propagation communities (r10 verdict #5)
+        "x_communities_trade",
     }
     assert len(required) == 50
     missing = required - set(first50)
@@ -154,8 +154,8 @@ def test_driver_window_covers_survey_gates():
         assert not never, f"queries with no driver row in any round: {never}"
 
     # staleness closure: with this window counted as fresh, no catalog
-    # entry's freshest driver row predates r07 (tightened from r06 this
-    # round: the whole 31-entry r06 cohort holds slots above)
+    # entry's freshest driver row predates r08 (tightened from r07 this
+    # round: the whole 37-entry r07 cohort holds slots above)
     freshest: dict[str, int] = {}
     for r in range(1, 21):
         path = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
@@ -167,9 +167,9 @@ def test_driver_window_covers_survey_gates():
         stale = [
             n
             for n in catalog.queries()
-            if freshest.get(n, 0) < 7 and n not in set(first50)
+            if freshest.get(n, 0) < 8 and n not in set(first50)
         ]
-        assert not stale, f"pre-r07 rows left out of the window: {stale}"
+        assert not stale, f"pre-r08 rows left out of the window: {stale}"
 
 
 def test_spread_narrow_only_touches_narrow_scans(spark):
