@@ -2452,3 +2452,120 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         emb.filter(F.col("vec_id") != 0), q, k=MMR_K, pool=MMR_POOL
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (functions/bpe.py) — the tokenizer-TRAINING step:
+# x_vocab_encode encodes against a given vocabulary; this LEARNS the
+# merges (Sennrich et al. 2016), which is the part of an LLM pipeline's
+# tokenizer stage the reference (and plain SQL) cannot express.
+# ---------------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 8
+
+
+def _bpe_round_ctes(i: int) -> str:
+    """One unrolled BPE merge round (the pagerank_iter_ctes discipline,
+    7 CTEs): pair counts weighted by word freq → 1-row total-order
+    argmax (cnt DESC, a ASC, b ASC) → position explode → candidate
+    merge starts → LEFT-TO-RIGHT non-overlap via run parity (consecutive
+    candidates share a symbol; within each maximal run the 1st, 3rd, …
+    merge — the run groups by ``j - row_number()``) → rebuild arrays
+    (merged position takes a||b, its successor drops)."""
+    return f""",
+p{i} AS MATERIALIZED (
+  SELECT u.pr[1] AS a, u.pr[2] AS b, SUM(freq) AS cnt
+  FROM w{i - 1}, unnest(list_zip(syms[1:len(syms)-1], syms[2:])) AS u(pr)
+  GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+x{i} AS MATERIALIZED (
+  SELECT w.word, w.freq, u.e.s AS sym, u.e.j AS j
+  FROM w{i - 1} w,
+       unnest(list_transform(w.syms,
+              (s, j) -> struct_pack(s := s, j := j))) AS u(e)
+),
+c{i} AS MATERIALIZED (
+  SELECT x.word AS word, x.j AS j,
+         x.j - row_number() OVER (PARTITION BY x.word ORDER BY x.j) AS run
+  FROM x{i} x JOIN x{i} y ON x.word = y.word AND y.j = x.j + 1
+  CROSS JOIN m{i} m
+  WHERE x.sym = m.a AND y.sym = m.b
+),
+g{i} AS MATERIALIZED (
+  SELECT word, j FROM (
+    SELECT word, j,
+           row_number() OVER (PARTITION BY word, run ORDER BY j) AS rn
+    FROM c{i}) WHERE rn % 2 = 1
+),
+w{i} AS MATERIALIZED (
+  SELECT k.word, any_value(k.freq) AS freq, list(k.sym ORDER BY k.j) AS syms
+  FROM (
+    SELECT x.word, x.freq, x.j,
+           CASE WHEN mg.j IS NOT NULL
+                THEN x.sym || (SELECT b FROM m{i}) ELSE x.sym END AS sym
+    FROM x{i} x
+    LEFT JOIN g{i} mg ON x.word = mg.word AND x.j = mg.j
+    LEFT JOIN g{i} sk ON x.word = sk.word AND x.j = sk.j + 1
+    WHERE sk.j IS NULL
+  ) k GROUP BY k.word
+)"""
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled twin of functions.bpe.bpe_train over the corpus
+    word-frequency table: the Spark side folds each word's rebuild
+    row-locally with a (rebuilt, skip) accumulator; the oracle replays
+    the same merge RELATIONALLY (position explode + run parity + two
+    anti/equi joins) — two formulations of left-to-right non-overlap,
+    one answer. A round past pair exhaustion has an empty m{{i}} and
+    contributes no output row, matching the library's early stop."""
+    head = f"""
+WITH wf AS MATERIALIZED (
+  SELECT u.t AS word, COUNT(*) AS freq
+  FROM documents d,
+       unnest(list_filter(string_split_regex(trim(d.text), '{_WS}+'),
+                          t -> t <> '')) AS u(t)
+  GROUP BY 1
+),
+w0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_transform(range(1, length(word) + 1),
+                        i -> substring(word, i, 1)) AS syms
+  FROM wf
+)"""
+    tail = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, a, b, a || b AS merged,"
+        f" CAST(cnt AS BIGINT) AS cnt FROM m{i}"
+        for i in range(1, rounds + 1)
+    )
+    return (
+        head
+        + "".join(_bpe_round_ctes(i) for i in range(1, rounds + 1))
+        + "\nSELECT * FROM (" + tail + ") ORDER BY merge_rank"
+    )
+
+
+@register("x_bpe_merges", oracle=_bpe_oracle(BPE_MERGE_ROUNDS))
+def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (functions.bpe.bpe_train) over the corpus
+    word-frequency table: the first BPE_MERGE_ROUNDS learned merge rules
+    ``(merge_rank, a, b, merged, cnt)`` — most-frequent adjacent symbol
+    pair per round (word-frequency weighted, ties to the smallest (a, b)
+    — a total order, so the whole learned SEQUENCE is hash-pinned),
+    merged left-to-right non-overlapping within every vocabulary word.
+
+    Scale shape: the ONE corpus exchange is the word-frequency
+    aggregation (map-side combinable; output Heaps-law vocabulary-sized
+    — BPE training never touches the corpus again, which is why real
+    tokenizer trainers run on word counts). Each merge round is one
+    zip-explode + combinable sum on the checkpointed vocabulary, a 1-row
+    ordered argmax (the emitted rule itself — a result fetch, not a data
+    materialization), and a row-local (rebuilt, skip) fold; superseded
+    round checkpoints are released. Driver fast path at or below 100k
+    vocabulary rows, property-pinned bit-identical to the distributed
+    loop."""
+    from ..functions.bpe import bpe_train, word_frequencies
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return bpe_train(word_frequencies(docs), BPE_MERGE_ROUNDS)

@@ -1151,3 +1151,57 @@ def test_mmr_rerank_scored_composes_with_rrf(spark):
     out = mmr_rerank_scored(scored, k=2, pool=8, lam=0.5, mu=0.5).collect()
     picks = [r.vec_id for r in sorted(out, key=lambda r: r.rnk)]
     assert picks == [1, 3]
+
+
+def test_bpe_train_known_vocab_and_guards(spark):
+    """The Sennrich textbook example shape: merges follow corpus pair
+    mass with the (cnt DESC, a ASC, b ASC) tie-break; a run of identical
+    symbols merges LEFT-TO-RIGHT non-overlapping ('aaaaa' contributes
+    pairs (aa,aa,a) after rank-1, never the middle pair); early stop
+    when no pair remains; guards on negative n_merges and non-positive
+    frequencies; n_merges=0 is empty."""
+    from bi_gcp_stitch_repl_spark.functions.bpe import bpe_train
+
+    wf = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("aaaaa", 3), ("newer", 6), ("x", 4)],
+        "word string, freq long",
+    )
+    got = [tuple(r) for r in bpe_train(wf, 4).collect()]
+    # pair mass: (a,a) 4*3=12; then (e,r)=8 TIES (w,e)=8 and the lex
+    # tie-break picks ('e','r'); then (w,er)=8; then (l,o)=7
+    assert got == [
+        (1, "a", "a", "aa", 12),
+        (2, "e", "r", "er", 8),
+        (3, "w", "er", "wer", 8),
+        (4, "l", "o", "lo", 7),
+    ]
+    # distributed loop bit-identical
+    got_dist = [
+        tuple(r) for r in bpe_train(wf, 4, driver_threshold=0).collect()
+    ]
+    assert got_dist == got
+    # early stop: single-char words exhaust instantly
+    tiny = spark.createDataFrame([("ab", 1)], "word string, freq long")
+    assert bpe_train(tiny, 5).count() == 1  # one merge then no pairs
+    assert bpe_train(wf, 0).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_train(wf, -1)
+    bad = spark.createDataFrame([("ab", 0)], "word string, freq long")
+    with _pytest.raises(ValueError, match="positive"):
+        bpe_train(bad, 1)
+
+
+def test_word_frequencies_tokenizer_contract(spark):
+    """word_frequencies shares tokens_expr (whitespace split, empties
+    dropped, NO case folding — cross-engine lower() is locale-sensitive
+    outside ASCII) and sums duplicate words across documents."""
+    from bi_gcp_stitch_repl_spark.functions.bpe import word_frequencies
+
+    docs = spark.createDataFrame(
+        [(1, "  the\tQuick  the\n"), (2, "Quick the")],
+        "doc_id long, text string",
+    )
+    out = {r.word: r.freq for r in word_frequencies(docs).collect()}
+    assert out == {"the": 3, "Quick": 2}

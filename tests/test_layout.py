@@ -89,14 +89,15 @@ def test_compact_zorder_roundtrip(spark, tmp_path):
 def test_driver_window_covers_survey_gates():
     """The external correctness driver checks only the FIRST 50 registered
     queries; this pins the round-11 window (catalog._PRIORITY): §2 spine
-    (x_dedup_exact released its slot — r10-fresh, dedup.py untouched,
-    five dedup-family cohort slots below; the r10 w_topk_per_group
+    (x_dedup_exact and n_nested_battery released their slots — each
+    r10-fresh with its library untouched; the r10 w_topk_per_group
     precedent), the changed-library canaries (web.py RFC 9309
     Allow/wildcard precedence, graph.py label_propagation), the ENTIRE
     r07-fresh cohort (staleness bar r07 -> r08 — the r10 verdict's #1;
     the cohort carries the round's other changed query
     x_semantic_decontaminate and the similarity.py canary x_ivf_topk),
-    and the 1 new query (x_communities_trade). It additionally proves
+    and the 2 new queries (x_communities_trade, x_bpe_merges). It
+    additionally proves
     the coverage-closure invariant: the union of the prior rounds'
     driver windows and this window is the ENTIRE catalog."""
     import json
@@ -108,10 +109,9 @@ def test_driver_window_covers_survey_gates():
     assert len(catalog._PRIORITY) == 50
     assert first50 == catalog._PRIORITY
     required = {
-        # §2 spine (7)
+        # §2 spine (6)
         "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
-        "s4_keyset_increment", "s7_detail_fanout", "n_nested_battery",
-        "f_string_clean_coerce",
+        "s4_keyset_increment", "s7_detail_fanout", "f_string_clean_coerce",
         # changed-library canaries: web.py (RFC 9309 Allow precedence +
         # metacharacters in both dialects; x_robots_exclusion's own
         # fixture/oracle changed too), graph.py (label_propagation)
@@ -132,8 +132,9 @@ def test_driver_window_covers_survey_gates():
         "x_string_agg", "x_token_budget_plan", "x_vocab_encode",
         "x_weighted_sample", "x_winnowing_fingerprints",
         "x_winnowing_pairs",
-        # new-query slots: label-propagation communities (r10 verdict #5)
-        "x_communities_trade",
+        # new-query slots: label-propagation communities (r10 verdict
+        # #5) and BPE merge training (tokenizer learning)
+        "x_communities_trade", "x_bpe_merges",
     }
     assert len(required) == 50
     missing = required - set(first50)

@@ -1001,3 +1001,76 @@ def test_label_propagation_matches_reference(spark, edges, n_iter, drop_node):
     }
     assert got_driver == expect
     assert got_dist == expect
+
+
+# --- bpe_train ≡ sequential replica --------------------------------------------
+
+def _bpe_reference(vocab, n_merges):
+    """Independent replica: Counter-over-zip pair counts and a RECURSIVE
+    left-to-right merge — a different spelling than both the library's
+    while-loop driver path and the oracle's relational run-parity."""
+    from collections import Counter
+    import sys
+
+    sys.setrecursionlimit(10000)
+
+    def merge_word(syms, a, b, m):
+        if len(syms) < 2:
+            return list(syms)
+        if syms[0] == a and syms[1] == b:
+            return [m] + merge_word(syms[2:], a, b, m)
+        return [syms[0]] + merge_word(syms[1:], a, b, m)
+
+    vocab = [(list(w), f) for w, f in vocab]
+    rules = []
+    for r in range(1, n_merges + 1):
+        counts = Counter()
+        for syms, f in vocab:
+            for pair in zip(syms, syms[1:]):
+                counts[pair] += f
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rules.append((r, a, b, a + b, cnt))
+        vocab = [(merge_word(s, a, b, a + b), f) for s, f in vocab]
+    return rules
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abcx", min_size=1, max_size=8),
+            st.integers(1, 9),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(0, 5),
+)
+def test_bpe_train_matches_reference(spark, words, n_merges):
+    """Driver fast path AND forced distributed loop both equal the
+    independent recursive replica on random small-alphabet vocabularies
+    (duplicate words must SUM their frequencies first — the library
+    normalizes; the replica gets the pre-summed table) — including
+    identical-symbol runs, the tie-break order, and early exhaustion."""
+    from bi_gcp_stitch_repl_spark.functions.bpe import bpe_train
+
+    summed: dict = {}
+    for w, f in words:
+        summed[w] = summed.get(w, 0) + f
+    expect = _bpe_reference(sorted(summed.items()), n_merges)
+    wf = spark.createDataFrame(words, "word string, freq long")
+    got_driver = [tuple(r) for r in bpe_train(wf, n_merges).collect()]
+    got_dist = [
+        tuple(r)
+        for r in bpe_train(wf, n_merges, driver_threshold=0).collect()
+    ]
+    assert got_driver == expect
+    assert got_dist == expect
