@@ -221,3 +221,67 @@ def _bpe_driver(wf: DataFrame, n_merges: int) -> list[tuple]:
             nxt.append((tuple(out), f))
         vocab = nxt
     return rules
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id_col, n_tokens, tokens array<string>)`` — every document's
+    whitespace words encoded by the learned merge list: each word starts
+    as characters and the merges apply IN RANK ORDER (the standard BPE
+    encode — training order is priority order), each as the same
+    left-to-right non-overlapping fold training used, so
+    ``encode(train_corpus)`` reproduces training's final symbol state.
+    ``concat(tokens of a word) == word`` always (BPE is a segmentation,
+    never a rewrite) — pinned by tests.
+
+    Scale shape: the merge list is a MODEL ARTIFACT (n_merges rows —
+    driver-side by nature, like a broadcast vocab), and encoding runs on
+    the DISTINCT-WORD table, not the corpus: each unique word is encoded
+    ONCE (the vocabulary is Heaps-bounded) and the token arrays join
+    back to the corpus' exploded word positions — exactly how production
+    tokenizers amortize (word-level caching), and it sidesteps the
+    composed-fold hazard: each fold references its input array ~3×, so
+    nesting n_merges folds in ONE expression builds a 3^n tree that
+    blows the analyzer's iteration budget (measured at n=6). Instead
+    each fold lands as a NAMED COLUMN of its own projection — attribute
+    references don't duplicate, and CollapseProject keeps non-cheap
+    multiply-referenced aliases split (the registrable_domain_psl
+    materialization discipline). Corpus cost: one explode, one
+    word-key join (vocabulary side is corpus-vocabulary-scaled, so no
+    broadcast hint — AQE decides), one per-document ordered regroup."""
+    from .text import tokens_expr
+
+    rules = [
+        (r.a, r.b, r.merged)
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(tokens_expr(text_col))).alias("_pos", "word"),
+    )
+    enc = pos.select("word").distinct().select(
+        "word",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("_s"),
+    )
+    for a, b, m in rules:
+        enc = enc.select(
+            "word", _merge_fold(F.col("_s"), a, b, m).alias("_s")
+        )
+    joined = pos.join(enc, "word")
+    regrouped = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_s")))
+            )["_s"]
+        ).alias("tokens")
+    )
+    return regrouped.select(
+        F.col(id_col), F.size("tokens").alias("n_tokens"), "tokens"
+    )

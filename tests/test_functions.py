@@ -1205,3 +1205,43 @@ def test_word_frequencies_tokenizer_contract(spark):
     )
     out = {r.word: r.freq for r in word_frequencies(docs).collect()}
     assert out == {"the": 3, "Quick": 2}
+
+
+def test_bpe_encode_segmentation_contract(spark):
+    """Encoding applies merges in RANK order with the training fold, so
+    (a) concat(tokens of a word) == word for every word (BPE segments,
+    never rewrites), (b) a word the training corpus fully merged comes
+    back as ONE token, (c) an unseen word degrades gracefully to
+    partially-merged symbols, and (d) zero merges = character split."""
+    from bi_gcp_stitch_repl_spark.functions.bpe import bpe_encode, bpe_train
+
+    wf = spark.createDataFrame(
+        [("low", 50), ("lower", 20), ("newest", 10), ("widest", 8)],
+        "word string, freq long",
+    )
+    merges = bpe_train(wf, 6)
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "unrelated")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    toks1 = out[1].tokens
+    # segmentation invariant: rejoining reproduces the exact words
+    rejoined, cur = [], ""
+    words = "low lower lowest".split()
+    wi = 0
+    for t in toks1:
+        cur += t
+        if cur == words[wi]:
+            rejoined.append(cur)
+            cur, wi = "", wi + 1
+    assert rejoined == words and cur == ""
+    assert "low" in toks1  # the heaviest word fully merged
+    assert out[1].n_tokens == len(toks1)
+    assert "".join(out[2].tokens) == "unrelated"
+    empty = bpe_train(wf, 0)
+    chars = {
+        r.doc_id: r.tokens
+        for r in bpe_encode(docs, empty).collect()
+    }
+    assert chars[2] == list("unrelated")

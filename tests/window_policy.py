@@ -45,6 +45,7 @@ LIB_CANARIES: dict[str, list[str]] = {
     ],
     "bi_gcp_stitch_repl_spark/functions/dedup.py": ["x_dedup_exact"],
     "bi_gcp_stitch_repl_spark/functions/text.py": ["x_token_count"],
+    "bi_gcp_stitch_repl_spark/functions/bpe.py": ["x_bpe_merges"],
     "bi_gcp_stitch_repl_spark/functions/similarity.py": ["x_ivf_topk"],
     "bi_gcp_stitch_repl_spark/functions/rerank.py": ["x_mmr_rerank"],
     "bi_gcp_stitch_repl_spark/functions/graph.py": [
