@@ -131,6 +131,10 @@ EXTENDED = [
     "x_pagerank_trade",
     "x_triangle_trade",
     "x_clustering_trade",
+    # round 11: the new seams under load (label-propagation communities,
+    # BPE merge training) — extended only, headline stays r10's set
+    "x_communities_trade",
+    "x_bpe_merges",
 ]
 
 
