@@ -589,3 +589,55 @@ def test_label_propagation_known_graphs_and_guards(spark):
     with pytest.raises(ValueError, match="weight"):
         label_propagation(e.select("src", "dst"), nd)
     assert label_propagation(e, nd.limit(0)).count() == 0
+
+
+def test_modularity_known_graphs_and_guards(spark):
+    """Two triangles + a bridge under the 2-community partition score
+    the textbook Q = 2*(3/7 - (7/14)^2) = 0.357...; the all-in-one
+    partition scores exactly 0 (the definition's calibration point);
+    negative contributions (a community SPARSER than random) come out
+    of the truncating integer divide identically in both engines;
+    duplicate node labels, non-positive weights raise; the empty graph
+    returns zero rows-with-zeros."""
+    from bi_gcp_stitch_repl_spark.functions.graph import modularity
+
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 1),
+         (3, 4, 1), (4, 5, 1), (3, 5, 1), (2, 3, 1)],
+        "src long, dst long, w long",
+    )
+    lab2 = spark.createDataFrame(
+        [(i, 0 if i < 3 else 3) for i in range(6)],
+        "node long, community long",
+    )
+    out = {r.community: r for r in modularity(e, lab2).collect()}
+    assert out[0].w_in == 3 and out[0].d_tot == 7
+    assert out[3].w_in == 3 and out[3].d_tot == 7
+    # (2*3*14 - 49) * 1e6 div 196 = 178571 each
+    assert out[0].contrib_fp == 178571 and out[3].contrib_fp == 178571
+    lab1 = spark.createDataFrame(
+        [(i, 0) for i in range(6)], "node long, community long"
+    )
+    (row,) = modularity(e, lab1).collect()
+    assert row.contrib_fp == 0 and row.w_in == 7 and row.d_tot == 14
+    # singleton partition: every contrib is NEGATIVE (no intra edges)
+    labn = spark.createDataFrame(
+        [(i, i) for i in range(6)], "node long, community long"
+    )
+    rows = modularity(e, labn).collect()
+    assert all(r.contrib_fp < 0 for r in rows) and sum(
+        r.w_in for r in rows
+    ) == 0
+    import pytest as _pytest
+
+    dup = spark.createDataFrame(
+        [(0, 0), (0, 1)], "node long, community long"
+    )
+    with _pytest.raises(ValueError, match="exactly one community"):
+        modularity(e, dup)
+    bad = spark.createDataFrame([(0, 1, 0)], "src long, dst long, w long")
+    with _pytest.raises(ValueError, match="positive"):
+        modularity(bad, lab2)
+    empty = modularity(e.limit(0), lab2).collect()
+    assert {r.community for r in empty} == {0, 3}
+    assert all(r.contrib_fp == 0 and r.w_in == 0 for r in empty)

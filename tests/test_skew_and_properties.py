@@ -1074,3 +1074,67 @@ def test_bpe_train_matches_reference(spark, words, n_merges):
     ]
     assert got_driver == expect
     assert got_dist == expect
+
+
+# --- modularity ≡ float reference ----------------------------------------------
+
+def _modularity_reference(edges, labels):
+    """Float Newman modularity per community — the fixed-point output
+    must land within 1/scale of it per community."""
+    und: dict = {}
+    ns = set(labels)
+    for s, d, w in edges:
+        if s is None or d is None or s == d or s not in ns or d not in ns:
+            continue
+        k = (min(s, d), max(s, d))
+        und[k] = und.get(k, 0) + w
+    m = sum(und.values())
+    if m == 0:
+        return {c: 0.0 for c in set(labels.values())}
+    w_in: dict = {}
+    d_tot: dict = {}
+    for (u, v), w in und.items():
+        if labels[u] == labels[v]:
+            w_in[labels[u]] = w_in.get(labels[u], 0) + w
+        d_tot[labels[u]] = d_tot.get(labels[u], 0) + w
+        d_tot[labels[v]] = d_tot.get(labels[v], 0) + w
+    return {
+        c: w_in.get(c, 0) / m - (d_tot.get(c, 0) / (2 * m)) ** 2
+        for c in set(labels.values())
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=edge_strategy,
+    n_comm=st.integers(1, 4),
+)
+def test_modularity_matches_float_reference(spark, edges, n_comm):
+    """Fixed-point per-community contributions land within 1 ulp-of-
+    scale of the float definition on random weighted multigraphs under
+    arbitrary partitions (node % n_comm), including negative
+    contributions and empty communities."""
+    from bi_gcp_stitch_repl_spark.functions.graph import modularity
+
+    nodes = sorted({v for e in edges for v in e[:2]} | {0, 1})
+    labels = {v: v % n_comm for v in nodes}
+    e = spark.createDataFrame(
+        edges or [(0, 1, 1)], "src long, dst long, w long"
+    )
+    if not edges:
+        e = e.limit(0)
+    lab = spark.createDataFrame(
+        list(labels.items()), "node long, community long"
+    )
+    expect = _modularity_reference(edges, labels)
+    got = {
+        r.community: r.contrib_fp
+        for r in modularity(e, lab, scale=10**6).collect()
+    }
+    assert set(got) == set(expect)
+    for c, q in expect.items():
+        assert abs(got[c] / 10**6 - q) <= 2e-6, (c, got[c], q)
