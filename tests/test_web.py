@@ -1057,3 +1057,66 @@ def test_robots_verdict_matches_reference_property(spark, rules, paths):
     }
     kept = {r.doc_id for r in apply_robots(docs, robots).collect()}
     assert kept == expected, (rules, paths)
+
+
+def test_robots_match_composed_pattern_grid(spark):
+    """Three-way matcher parity on 300 SEEDED COMPOSED patterns × 24
+    paths (one Spark job, one DuckDB query, one reference loop — not
+    per-example sessions): patterns are random concatenations of path
+    segments, regex-special literals, '*' runs and optional trailing
+    '$', so the grid reaches combinations the fixed vocabulary cannot
+    (adjacent wildcards, '*$', '$' mid-pattern, empty-segment
+    wildcards at both ends)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.functions.web import (
+        robots_match_duck_sql,
+        robots_match_expr,
+    )
+
+    rng = random.Random(1138)
+    segs = ["/p", "/p/1", "a", ".", "(", ")", "x1", "+", "$", "\\", "[x]"]
+    pats = []
+    for _ in range(300):
+        n = rng.randrange(1, 5)
+        p = "".join(
+            "*" * rng.randrange(0, 3) + rng.choice(segs) for _ in range(n)
+        )
+        p += "*" * rng.randrange(0, 2) + ("$" if rng.random() < 0.3 else "")
+        if p:
+            pats.append(p)
+    pats = sorted(set(pats))
+    paths = [
+        "/", "/p", "/p/1", "/p/1/x1", "/a.b", "/aXb", "/(x)", "/a+b",
+        "/lit$mid", "/p/1$", "a", "ax1", "/p/1/x1.a", "/[x]", "x1x1",
+        "/p/1a(x1)", "/\\y", "/p/*", "/p/1x1$", "/ax1(", "/p/1/x1+",
+        "/..", "/p/1.", "/p/1/x1$z",
+    ]
+    rows = [(p, q) for p in paths for q in pats]
+    ref = {(p, q): _robots_match_reference(p, q) for p, q in rows}
+    mdf = spark.createDataFrame(rows, "path string, rule string")
+    got_spark = {
+        (r.path, r.rule): r.m
+        for r in mdf.select(
+            "path", "rule",
+            robots_match_expr(F.col("path"), F.col("rule")).alias("m"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE grid (path VARCHAR, rule VARCHAR)")
+    con.executemany("INSERT INTO grid VALUES (?, ?)", rows)
+    got_duck = {
+        (p, q): m
+        for p, q, m in con.sql(
+            "SELECT path, rule, "
+            f"{robots_match_duck_sql('path', 'rule')} FROM grid"
+        ).fetchall()
+    }
+    spark_diff = {k for k in ref if got_spark[k] != ref[k]}
+    duck_diff = {k for k in ref if got_duck[k] != ref[k]}
+    assert not spark_diff, sorted(spark_diff)[:5]
+    assert not duck_diff, sorted(duck_diff)[:5]
+    hits = sum(ref.values())
+    assert 0 < hits < len(ref)  # the grid exercises both verdicts
