@@ -457,3 +457,174 @@ def pyav_frame_decoder(payload: bytes, every_n: int = 1) -> Iterator:
                 yield None
             else:
                 yield frame.to_ndarray(format="rgb24")
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit difference hash (dHash) of an image payload — the standard
+    perceptual fingerprint for IMAGE near-dup dedup (a re-encoded,
+    resized or uniformly brightness-shifted copy keeps its hash; a
+    different image lands ~32 bits away): decode (PNG/netpbm/JPEG via
+    the pure-python codecs), integer luma, integer BOX-AVERAGE downscale
+    to a 9×8 grid, then bit (r, c) = 1 iff grid[r][c] < grid[r][c+1].
+
+    Deterministic end to end — every stage is integer arithmetic
+    ((77R + 150G + 29B) >> 8 luma; box sums floor-divided by their pixel
+    counts with integer box boundaries r·H div 8), so the hash is
+    bit-portable across hosts and engines (no float resize, no library
+    interpolation kernels). Brightness-shift invariance is STRUCTURAL:
+    a uniform +k shifts every grid cell equally and the hash compares
+    ADJACENT cells only. Returned as a SIGNED int64 (two's complement
+    wrap, the x_simhash storage convention) so it lands in a BIGINT
+    column.
+    """
+    import numpy as np
+
+    from .codecs import sniff_decode_image
+
+    arr, _mode = sniff_decode_image(payload)
+    a = arr.astype(np.int64)
+    if a.ndim == 3:
+        if a.shape[2] >= 3:
+            luma = (77 * a[:, :, 0] + 150 * a[:, :, 1] + 29 * a[:, :, 2]) >> 8
+        else:
+            luma = a[:, :, 0]
+    else:
+        luma = a
+    h, w = luma.shape
+    if h < 1 or w < 2:
+        raise ValueError(f"image too small for dhash ({h}x{w})")
+    # integer box-average to 8 rows x 9 cols (then 8 adjacent-col diffs)
+    rows, cols = 8, 9
+    ys = [(r * h) // rows for r in range(rows)] + [h]
+    xs = [(c * w) // cols for c in range(cols)] + [w]
+    bits = 0
+    grid = [[0] * cols for _ in range(rows)]
+    for r in range(rows):
+        y0, y1 = ys[r], max(ys[r + 1], ys[r] + 1)
+        for c in range(cols):
+            x0, x1 = xs[c], max(xs[c + 1], xs[c] + 1)
+            box = luma[y0:y1, x0:x1]
+            grid[r][c] = int(box.sum()) // box.size
+    for r in range(rows):
+        for c in range(cols - 1):
+            bits = (bits << 1) | (1 if grid[r][c] < grid[r][c + 1] else 0)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    hasher: Callable[[bytes], int] | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Perceptual fingerprints for image near-dup dedup:
+    ``(id, dhash, _decode_ok)`` via Arrow-batched ``mapInPandas`` over
+    binary payloads — the IMAGE complement of the text pipeline's
+    simhash stage (re-encoded / resized / brightness-shifted copies keep
+    their 64-bit dHash; unrelated images land ~32 bits apart). Failed
+    decodes yield _decode_ok=false with a NULL hash instead of failing
+    the job (the decode_image_meta error-isolation contract).
+
+    Scale shape: embarrassingly parallel row-local decode+hash; the
+    downstream pairing (:func:`dhash_near_dup_pairs`) shuffles ONLY the
+    8-byte fingerprints, never pixels."""
+    import pandas as pd
+
+    hasher = hasher or dhash64
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("dhash", T.LongType()),
+            T.StructField("_decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, hs, oks = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(mid)
+                try:
+                    hs.append(
+                        hasher(bytes(payload) if payload is not None else b"")
+                    )
+                    oks.append(True)
+                except Exception:
+                    hs.append(None)
+                    oks.append(False)
+            # the hash column is built as NULLABLE Int64 UP FRONT: a
+            # dict-of-rows pd.DataFrame with a None coerces the column
+            # to float64 AT CONSTRUCTION, silently rounding a full-range
+            # 64-bit hash in its low ~11 bits (measured: ...192524 came
+            # back ...192448) — and a later astype("Int64") re-wraps the
+            # already-rounded floats. The metadata seams never hit this
+            # because width/height are float64-exact; ANY full-width
+            # integer output column must be pd.array(dtype="Int64") from
+            # the start.
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "dhash": pd.array(hs, dtype="Int64"),
+                    "_decode_ok": oks,
+                }
+            )
+
+    src = df.select(id_col, payload_col)
+    if partitions:
+        src = src.repartition(partitions)
+    return src.mapInPandas(run, schema=schema)
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """``(id_a, id_b, hamming)`` — image pairs within ``max_hamming``
+    bits, by the banded-bucket design the text side's x_simhash_pairs
+    pins: the 64-bit hash splits into 8 byte-bands; by pigeonhole any
+    pair within distance 7 collides in at least one band, and wider
+    radii (8-15) are still found when the flips cluster — for a HARD
+    recall guarantee at max_hamming ≥ 8 widen the bands instead of
+    scanning all pairs. Candidates come from band-value equi-joins
+    (never an all-pairs pass, cost ∝ Σ|bucket|²) and the popcount(xor)
+    verify runs once per deduped collision; only 8-byte keys shuffle.
+    NULL hashes (failed decodes) drop."""
+    from pyspark.sql import functions as F
+
+    src = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).cast("long").alias("_h")
+    ).filter(F.col("_h").isNotNull())
+    band_arr = ", ".join(
+        f"named_struct('b', {b}, 'v', shiftright(_h, {8 * b}) & 255)"
+        for b in range(8)
+    )
+    bands = src.select(
+        "_id", "_h", F.expr(f"explode(array({band_arr}))").alias("bv")
+    ).select(
+        "_id", "_h", F.col("bv.b").alias("b"), F.col("bv.v").alias("v")
+    )
+    bands = bands.repartition("b", "v")
+    left = bands.select(
+        F.col("_id").alias("id_a"), F.col("_h").alias("ha"), "b", "v"
+    )
+    right = bands.select(
+        F.col("_id").alias("id_b"), F.col("_h").alias("hb"), "b", "v"
+    )
+    cand = (
+        left.join(right, on=["b", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

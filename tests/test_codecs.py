@@ -353,3 +353,99 @@ def test_netpbm_padded_conforming_raster_starting_with_hash():
     pgm2 = b"P5\n4 2\n255\n" + arr2.tobytes() + b"\n"
     back2, _ = codecs.decode_netpbm(pgm2)
     assert np.array_equal(back2, arr2)
+
+
+def test_dhash64_perceptual_invariances():
+    """dHash structure: a uniform brightness shift is hamming-0
+    (adjacent-cell comparisons are shift-invariant BY CONSTRUCTION for
+    clip-free pixels); a nearest-neighbor 2x downscale keeps the hash
+    close (same box structure); a localized bright patch flips only a
+    few bits; an unrelated image lands near 32; JPEG re-encode of the
+    same pixels stays near; tiny/empty payloads raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from bi_gcp_stitch_repl_spark.functions.codecs import (
+        encode_png,
+        resize_nearest,
+    )
+    from bi_gcp_stitch_repl_spark.functions.jpeg import encode_jpeg
+    from bi_gcp_stitch_repl_spark.functions.multimodal import dhash64
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rng = np.random.RandomState(1234)
+
+    def blocky(seed):
+        # low-frequency content: an 8x8 random grid upsampled 8x —
+        # dHash's invariances (downscale, lossy re-encode) are claims
+        # about STRUCTURE, not noise; a pure-noise image resampled 2x
+        # samples different pixels and legitimately moves ~half its
+        # bits (measured 29 — the first spelling of this test got that
+        # wrong, not the hash)
+        r = np.random.RandomState(seed)
+        g = r.randint(40, 200, size=(8, 8, 3)).astype(np.uint8)
+        return np.repeat(np.repeat(g, 8, axis=0), 8, axis=1)
+
+    base = blocky(1)
+    other = blocky(2)
+
+    h_base = dhash64(encode_png(base, "RGB"))
+    assert dhash64(encode_png(base, "RGB")) == h_base  # deterministic
+    bright = (base.astype(np.int32) + 10).clip(0, 255).astype(np.uint8)
+    assert ham(h_base, dhash64(encode_png(bright, "RGB"))) == 0
+    small = resize_nearest(base, 32, 32)
+    assert ham(h_base, dhash64(encode_png(small, "RGB"))) <= 8
+    patched = base.copy()
+    patched[16:32, 16:32, :] = 255
+    d_patch = ham(h_base, dhash64(encode_png(patched, "RGB")))
+    assert 0 < d_patch <= 14
+    d_other = ham(h_base, dhash64(encode_png(other, "RGB")))
+    assert d_other >= 18
+    d_jpeg = ham(h_base, dhash64(encode_jpeg(base)))
+    assert d_jpeg <= 10
+    with _pytest.raises(ValueError):
+        dhash64(b"")
+    with _pytest.raises(ValueError):
+        dhash64(b"\x89nonsense")
+
+
+def test_image_dhash_and_near_dup_pairs(spark):
+    """The distributed seam end to end: image_dhash fingerprints binary
+    payloads with error isolation (junk payload -> _decode_ok=false,
+    NULL hash); dhash_near_dup_pairs finds the planted near-dup pair by
+    banded buckets and excludes the unrelated image; the verify column
+    carries the true hamming distance."""
+    import numpy as np
+
+    from bi_gcp_stitch_repl_spark.functions.codecs import encode_png
+    from bi_gcp_stitch_repl_spark.functions.multimodal import (
+        dhash64,
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(77)
+    base = rng.randint(40, 200, size=(48, 48, 3)).astype(np.uint8)
+    bright = (base.astype(np.int32) + 12).clip(0, 255).astype(np.uint8)
+    other = rng.randint(40, 200, size=(48, 48, 3)).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png(base, "RGB"))),
+        (2, bytearray(encode_png(bright, "RGB"))),
+        (3, bytearray(encode_png(other, "RGB"))),
+        (4, bytearray(b"not an image")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = image_dhash(df, partitions=2)
+    got = {r.media_id: r for r in hashes.collect()}
+    assert got[1]._decode_ok and got[2]._decode_ok and got[3]._decode_ok
+    assert not got[4]._decode_ok and got[4].dhash is None
+    assert not got[5]._decode_ok
+    assert got[1].dhash == dhash64(bytes(rows[0][1]))  # seam ≡ kernel
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_near_dup_pairs(hashes, max_hamming=8).collect()
+    }
+    assert pairs == {(1, 2): 0}
