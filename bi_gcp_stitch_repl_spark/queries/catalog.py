@@ -224,15 +224,19 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 #: 50 registered queries only. Round-11 rotation (policy pinned by
 #: tests/window_policy.py + test_layout.py — a changed query or library
 #: module without a window slot is a test FAILURE):
-#: 1. §2 spine stays every round (6). Two slots released this round
-#:    (the r10 w_topk_per_group precedent — each member's freshest
-#:    driver row is r10, two rounds above the raised bar, and its
-#:    library is untouched): x_dedup_exact (functions/dedup.py
-#:    unchanged; the dedup family holds five rotating-cohort slots
-#:    below) and n_nested_battery (ops/normalize.py unchanged;
-#:    n_flatten_serialize/n_explode_with_parent keep r10/r08 rows).
-#:    The released slots fund the round's two new queries without
-#:    touching the rotation.
+#: 1. §2 spine stays every round (2 core rows this round). Slots
+#:    released this round (the r10 w_topk_per_group precedent — each
+#:    member's freshest driver row is r10, two rounds above the raised
+#:    bar, and its library is untouched): x_dedup_exact
+#:    (functions/dedup.py unchanged; the dedup family holds five
+#:    rotating-cohort slots below), n_nested_battery (ops/normalize.py
+#:    unchanged; n_flatten_serialize/n_explode_with_parent keep
+#:    r10/r08 rows), and — funding the round's second wave of new
+#:    queries — j1_carry_forward_keys (ops/keys.py unchanged),
+#:    f_string_clean_coerce (ops/clean.py unchanged),
+#:    s4_keyset_increment + s7_detail_fanout (sources/rest.py
+#:    unchanged). flagship_union_history and k1_merge_upsert stay
+#:    every round (the driver's smoke query and the merge-sink canary).
 #: 2. Changed-library canaries (5): x_html_extract / x_url_canonicalize
 #:    / x_robots_exclusion (functions/web.py — RFC 9309 Allow
 #:    precedence, longest-match, * / $ metacharacters in BOTH dialects;
@@ -245,15 +249,17 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 #:    cohort includes this round's other changed query
 #:    (x_semantic_decontaminate — broadcast-contract guard) and the
 #:    similarity.py canary (x_ivf_topk).
-#: 4. New queries, first round must hold a slot (2):
+#: 4. New queries, first round must hold a slot (3):
 #:    x_communities_trade (label-propagation communities — r10 verdict
-#:    #5, the one classic missing from the graph family) and
+#:    #5, the one classic missing from the graph family),
 #:    x_bpe_merges (BPE merge training — the tokenizer-LEARNING step;
-#:    x_vocab_encode only encodes against a given vocabulary).
+#:    x_vocab_encode only encodes against a given vocabulary), and
+#:    x_modularity_trade (partition quality of the LPA communities —
+#:    the NOTES_r11 backlog item, seated in j1's released slot).
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
-    # §2 spine (6)
-    "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
+    # §2 spine (6 minus released; see header)
+    "flagship_union_history", "k1_merge_upsert",
     "s4_keyset_increment", "s7_detail_fanout", "f_string_clean_coerce",
     # changed-library canaries (5): see header
     "x_html_extract", "x_url_canonicalize", "x_robots_exclusion",
@@ -271,8 +277,8 @@ _PRIORITY: list[str] = [
     "x_split_shard", "x_stratified_sample", "x_string_agg",
     "x_token_budget_plan", "x_vocab_encode", "x_weighted_sample",
     "x_winnowing_fingerprints", "x_winnowing_pairs",
-    # new-query slots (2): see header
-    "x_communities_trade", "x_bpe_merges",
+    # new-query slots (3): see header
+    "x_communities_trade", "x_bpe_merges", "x_modularity_trade",
 ]
 
 

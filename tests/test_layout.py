@@ -109,8 +109,8 @@ def test_driver_window_covers_survey_gates():
     assert len(catalog._PRIORITY) == 50
     assert first50 == catalog._PRIORITY
     required = {
-        # §2 spine (6)
-        "flagship_union_history", "k1_merge_upsert", "j1_carry_forward_keys",
+        # §2 spine (6 minus released slots; see catalog._PRIORITY header)
+        "flagship_union_history", "k1_merge_upsert",
         "s4_keyset_increment", "s7_detail_fanout", "f_string_clean_coerce",
         # changed-library canaries: web.py (RFC 9309 Allow precedence +
         # metacharacters in both dialects; x_robots_exclusion's own
@@ -133,8 +133,9 @@ def test_driver_window_covers_survey_gates():
         "x_weighted_sample", "x_winnowing_fingerprints",
         "x_winnowing_pairs",
         # new-query slots: label-propagation communities (r10 verdict
-        # #5) and BPE merge training (tokenizer learning)
-        "x_communities_trade", "x_bpe_merges",
+        # #5), BPE merge training (tokenizer learning), and the LPA
+        # partition's modularity score (NOTES_r11 backlog)
+        "x_communities_trade", "x_bpe_merges", "x_modularity_trade",
     }
     assert len(required) == 50
     missing = required - set(first50)
