@@ -2569,3 +2569,63 @@ def x_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = tables(spark, sf_dir, "documents")
     return bpe_train(word_frequencies(docs), BPE_MERGE_ROUNDS)
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Unrolled twin of functions.bpe.bpe_encode with merges LEARNED from
+    the same corpus: training's relational replay already carries the
+    encoded vocabulary — ``w{rounds}``'s symbol arrays ARE each distinct
+    word after every learned merge (the bpe_encode docstring contract:
+    encode(train_corpus) reproduces training's final symbol state) — so
+    the encode oracle joins the word-position explode back to ``w{rounds}``
+    and regroups per document in position order. Tokens serialize as a
+    space-joined string (whitespace tokenization means no token can
+    contain a space, so the join is injective; the oracle contract has
+    no array type mapping — the x_vocab_encode precedent)."""
+    pos = f""",
+pos AS MATERIALIZED (
+  SELECT d.doc_id, u.e.t AS word, u.e.j AS j
+  FROM documents d,
+       unnest(list_transform(
+         list_filter(string_split_regex(trim(d.text), '{_WS}+'),
+                     t -> t <> ''),
+         (t, j) -> struct_pack(t := t, j := j))) AS u(e)
+)
+SELECT p.doc_id,
+       CAST(SUM(len(w.syms)) AS BIGINT) AS n_tokens,
+       array_to_string(flatten(list(w.syms ORDER BY p.j)), ' ') AS tokens
+FROM pos p JOIN w{rounds} w ON p.word = w.word
+GROUP BY p.doc_id
+"""
+    head = _bpe_oracle(rounds)
+    chain = head[: head.index("\nSELECT * FROM (")]
+    return chain + pos
+
+
+@register("x_bpe_encode", oracle=_bpe_encode_oracle(BPE_MERGE_ROUNDS))
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with merges learned from the corpus itself
+    (functions.bpe.bpe_encode ∘ bpe_train): every document re-emitted as
+    its BPE token sequence after BPE_MERGE_ROUNDS learned merges —
+    train-then-apply as ONE oracled composition, the full tokenizer
+    stage of an LLM pipeline (x_vocab_encode covers token-ID lookup
+    against a given vocabulary; x_bpe_merges covers merge learning; this
+    covers the segmentation the learned merges induce on the corpus).
+
+    Scale shape: the merge list is a model artifact (n_merges rows);
+    encoding runs on the DISTINCT-WORD table — each unique word encoded
+    once (Heaps-bounded), one staged projection per merge (the
+    composed-fold analyzer hazard documented in bpe_encode), token
+    arrays joining back to the corpus' exploded word positions. Corpus
+    cost: the training word count, one explode, one word-key join, one
+    per-document ordered regroup."""
+    from ..functions.bpe import bpe_encode, bpe_train, word_frequencies
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    merges = bpe_train(word_frequencies(docs), BPE_MERGE_ROUNDS)
+    enc = bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.array_join("tokens", " ").alias("tokens"),
+    )

@@ -96,8 +96,9 @@ def test_driver_window_covers_survey_gates():
     r07-fresh cohort (staleness bar r07 -> r08 — the r10 verdict's #1;
     the cohort carries the round's other changed query
     x_semantic_decontaminate and the similarity.py canary x_ivf_topk),
-    and the 2 new queries (x_communities_trade, x_bpe_merges). It
-    additionally proves
+    and the round's new queries (x_communities_trade, x_bpe_merges,
+    then x_modularity_trade / x_bpe_encode seated in released spine
+    slots). It additionally proves
     the coverage-closure invariant: the union of the prior rounds'
     driver windows and this window is the ENTIRE catalog."""
     import json
@@ -111,7 +112,7 @@ def test_driver_window_covers_survey_gates():
     required = {
         # §2 spine (6 minus released slots; see catalog._PRIORITY header)
         "flagship_union_history", "k1_merge_upsert",
-        "s4_keyset_increment", "s7_detail_fanout", "f_string_clean_coerce",
+        "s4_keyset_increment", "s7_detail_fanout",
         # changed-library canaries: web.py (RFC 9309 Allow precedence +
         # metacharacters in both dialects; x_robots_exclusion's own
         # fixture/oracle changed too), graph.py (label_propagation)
@@ -136,6 +137,7 @@ def test_driver_window_covers_survey_gates():
         # #5), BPE merge training (tokenizer learning), and the LPA
         # partition's modularity score (NOTES_r11 backlog)
         "x_communities_trade", "x_bpe_merges", "x_modularity_trade",
+        "x_bpe_encode",
     }
     assert len(required) == 50
     missing = required - set(first50)
