@@ -1971,6 +1971,95 @@ def x_mjpeg_avi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_image_dhash_near_dups",
+    oracle="""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+FROM documents a
+JOIN documents b
+  ON (a.doc_id // 30) = (b.doc_id // 30) AND a.doc_id < b.doc_id
+WHERE a.doc_id % 10 = 2 AND b.doc_id % 10 = 2
+""",
+)
+def x_image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual IMAGE near-dup dedup end-to-end
+    (functions.multimodal.image_dhash → dhash_near_dup_pairs): a 1-in-10
+    document slice synthesizes real PNGs in structural groups of ≤3
+    (group = doc_id//30; every member shares the group's pixel pattern
+    but carries its OWN uniform brightness shift (doc_id·13)%97), and
+    the pipeline must recover exactly the within-group pairs at hamming
+    0 — dHash's brightness invariance is structural (adjacent-cell
+    comparisons), so a hash that reacted to the shift, a broken PNG
+    encode/decode, a luma/box-average bug, or a banding join that
+    misses buckets all hash-mismatch against the oracle's pure doc_id
+    arithmetic.
+
+    Pattern safety: each group's 8×9 grid cells are splitmix64-mixed
+    values in [0,128) keyed on (gid, row, col) — a LINEAR mix (e.g.
+    one multiplicative congruential pass) is NOT enough: adjacent-cell
+    comparisons of a linear-in-(g,r,c) function are nearly constant in
+    g and collapsed every group to the same dHash (measured, min
+    hamming 0); the avalanche finalizer puts distinct groups ~32 bits
+    apart — verified ≥16 bits minimum across ALL group pairs at
+    sf0.001/0.01/0.1 (the pattern space is doc_id-deterministic, so
+    the margin is fixed, not sampled). Max pixel 127+96 < 256: no wrap
+    to break the shift invariance.
+
+    Scale shape: synthesis/decode/hash are Arrow-batched row-local
+    stages (pixels never shuffle); pairing shuffles only 8-byte
+    fingerprints through the byte-band LSH buckets (candidates ∝
+    Σ|bucket|², never all-pairs) — the x_simhash_pairs design carried
+    to the image modality."""
+    from ..functions.multimodal import dhash_near_dup_pairs, image_dhash
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    src = docs.filter(F.col("doc_id") % 10 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.expr("doc_id DIV 30").alias("gid"),
+        ((F.col("doc_id") * 13) % 97).cast("int").alias("shift"),
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from bi_gcp_stitch_repl_spark.functions.codecs import encode_png
+
+        for pdf in batches:
+            out = []
+            M = (1 << 64) - 1
+
+            def mix(x):
+                # splitmix64 finalizer: avalanche, NOT linear (see
+                # docstring — a linear mix collapses every group's hash)
+                x = (x + 0x9E3779B97F4A7C15) & M
+                x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M
+                x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M
+                return (x ^ (x >> 31)) & M
+
+            for mid, gid, b in zip(pdf["media_id"], pdf["gid"], pdf["shift"]):
+                g, b = int(gid), int(b)
+                # 8x9 dhash-grid-aligned cells (2px each -> 16x18 image),
+                # cell value = splitmix64(gid, r, c) low 7 bits, [0,128)
+                grid = np.array(
+                    [
+                        [mix(g * 72 + r * 9 + c) & 127 for c in range(9)]
+                        for r in range(8)
+                    ],
+                    dtype=np.int64,
+                )
+                px = np.kron(grid, np.ones((2, 2), dtype=np.int64)) + b
+                img = np.repeat(
+                    px[:, :, None], 3, axis=2
+                ).astype(np.uint8)
+                out.append({"media_id": mid, "payload": encode_png(img)})
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    payloads = src.mapInPandas(synth, schema="media_id long, payload binary")
+    hashes = image_dhash(payloads)
+    return dhash_near_dup_pairs(hashes, max_hamming=8)
+
+
 _SQDIST_DUCK = (
     "list_sum(list_transform(list_zip({a}, {b}),"
     " p -> (p[1] - p[2]) * (p[1] - p[2])))"

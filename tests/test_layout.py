@@ -111,8 +111,7 @@ def test_driver_window_covers_survey_gates():
     assert first50 == catalog._PRIORITY
     required = {
         # §2 spine (6 minus released slots; see catalog._PRIORITY header)
-        "flagship_union_history", "k1_merge_upsert",
-        "s4_keyset_increment", "s7_detail_fanout",
+        "flagship_union_history", "k1_merge_upsert", "s7_detail_fanout",
         # changed-library canaries: web.py (RFC 9309 Allow precedence +
         # metacharacters in both dialects; x_robots_exclusion's own
         # fixture/oracle changed too), graph.py (label_propagation)
@@ -137,7 +136,7 @@ def test_driver_window_covers_survey_gates():
         # #5), BPE merge training (tokenizer learning), and the LPA
         # partition's modularity score (NOTES_r11 backlog)
         "x_communities_trade", "x_bpe_merges", "x_modularity_trade",
-        "x_bpe_encode",
+        "x_bpe_encode", "x_image_dhash_near_dups",
     }
     assert len(required) == 50
     missing = required - set(first50)
