@@ -1514,3 +1514,171 @@ def modularity(
         )
         .select("community", "w_in", "d_tot", contrib.alias("contrib_fp"))
     )
+
+
+# -- deterministic random walks (DeepWalk-style corpus generation) ----------
+
+#: walk-step hash constants: idx = ((h1(cur, step, wid))² + E) mod P mod deg
+#: with h1 = ((cur mod P)·A + step·B + wid·C + D) mod P. Everything stays
+#: below 2^63 ((P−1)·A ≈ 1.1e18; h1² < 1e18), the quadratic pass breaks the
+#: linearity that would correlate step choice with the sorted neighbor rank
+#: (a purely linear-mod-P hash walks "monotone" paths on contiguous id
+#: ranges), and the arithmetic is plain BIGINT ·/+/% — expressible
+#: identically in Spark SQL and DuckDB, which is what makes the walks
+#: oracle-checkable cross-engine.
+WALK_P = 1_000_000_007
+WALK_A = 1_103_515_245
+WALK_B = 12_345
+WALK_C = 789_221
+WALK_D = 41
+WALK_E = 2_531_011
+
+
+def _walk_h1_sql(cur: str, step: int, wid: str) -> str:
+    """The linear pass of the walk-step hash, as SQL text shared verbatim
+    by the Spark loop and the DuckDB oracle twin (one spelling, two
+    engines — the catalog's cross-dialect discipline)."""
+    return (
+        f"((({cur}) % {WALK_P}) * {WALK_A} + {step} * {WALK_B}"
+        f" + ({wid}) * {WALK_C} + {WALK_D}) % {WALK_P}"
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    num_walks: int = 2,
+    node_type: str = "long",
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """Deterministic hash-seeded random walks over the simple undirected
+    graph — the DeepWalk/node2vec corpus-generation primitive (Perozzi et
+    al. 2014, public), determinized so a hash gate can pin every step:
+    ``(start, wid, step, node)`` for ``num_walks`` walks per node and
+    steps 0..walk_len, where step t moves from ``cur`` to its
+    ``idx``-th smallest neighbor with
+        idx = ((h1² + E) mod P) mod deg(cur),
+        h1  = ((cur mod P)·A + t·B + wid·C + D) mod P
+    — a pure function of (cur, t, wid), so walks are reproducible across
+    engines, partitionings and retries (no RNG state; the "randomness"
+    is the quadratic-mixed hash, the same determinization the catalog's
+    sampling operators use). Every node of the graph starts
+    ``num_walks`` walks; isolated nodes (degree 0 after simplification)
+    have no adjacency row and start none.
+
+    **Adaptive physical strategy** (the pagerank_fixedpoint discipline):
+    at or below ``driver_threshold`` undirected edges the walk runs on
+    the collected adjacency with Python ints — bit-identical to the
+    distributed loop (property-pinned). Above it, the sorted-neighbor
+    rank table ``(node, nbr, rank)`` and the degree table are built ONCE
+    (one shuffle each on node) and eagerly checkpointed; each step is
+    then TWO fixed-width hash joins (cur→deg for the index, (cur,
+    idx)→rank for the move) — no adjacency arrays ever shuffle, so a
+    skewed hub costs its bucket size, not a replicated array. Walk
+    frames are walker-count-sized (nodes × num_walks), constant across
+    steps; every step frame is part of the result, so all walk_len+1
+    step checkpoints are retained until the caller is done with the
+    output (bounded: (walk_len+1) × walkers rows of 3 fixed-width cols).
+    """
+    if walk_len < 0:
+        raise ValueError(f"walk_len must be >= 0 (got {walk_len})")
+    if num_walks < 1:
+        raise ValueError(f"num_walks must be >= 1 (got {num_walks})")
+    src, dst = edges.columns[:2]
+    und = _simple_undirected(
+        edges.select(
+            F.col(src).cast(node_type).alias("src"),
+            F.col(dst).cast(node_type).alias("dst"),
+        )
+    )
+    spark = edges.sparkSession
+    out_schema = f"start {node_type}, wid int, step int, node {node_type}"
+    n_edges = und.count()
+    if n_edges <= driver_threshold:
+        return spark.createDataFrame(
+            _walks_driver(und.collect(), walk_len, num_walks), out_schema
+        )
+    adj = und.selectExpr("u AS node", "v AS nbr").unionByName(
+        und.selectExpr("v AS node", "u AS nbr")
+    )
+    from pyspark.sql import Window
+
+    rk = adj.withColumn(
+        "rank", F.row_number().over(Window.partitionBy("node").orderBy("nbr"))
+    ).localCheckpoint(eager=True)
+    dg = rk.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
+    wid_arr = F.array([F.lit(i).cast("int") for i in range(num_walks)])
+    w = dg.select(
+        F.col("node").alias("start"),
+        F.explode(wid_arr).alias("wid"),
+        F.col("node").alias("cur"),
+    ).localCheckpoint(eager=True)
+    outs = [
+        w.select(
+            "start", "wid", F.lit(0).cast("int").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+    # rename the join sides once: w/dg/rk all descend from adj, and a
+    # straight three-way self-join leaves `node` ambiguous to the analyzer
+    degj = dg.selectExpr("node AS _dnode", "deg")
+    rkj = rk.selectExpr("node AS _rnode", "nbr AS _rnbr", "rank AS _rrank")
+    for t in range(1, walk_len + 1):
+        h1 = _walk_h1_sql("cur", t, "wid")
+        stepped = (
+            w.join(degj, F.col("cur") == F.col("_dnode"))
+            .withColumn("_h1", F.expr(h1))
+            .withColumn(
+                "_rank",
+                F.expr(f"1 + ((_h1 * _h1 + {WALK_E}) % {WALK_P}) % deg"),
+            )
+            .join(
+                rkj,
+                (F.col("cur") == F.col("_rnode"))
+                & (F.col("_rank") == F.col("_rrank")),
+            )
+            .select("start", "wid", F.col("_rnbr").alias("cur"))
+        )
+        # Every step frame IS part of the output (outs[t] projects it at
+        # the final union), so — unlike the pagerank/LPA loops where only
+        # the latest state survives — superseded checkpoints must NOT be
+        # freed here. Retention is bounded: walk_len+1 frames of exactly
+        # nodes×num_walks rows × 3 fixed-width columns each.
+        w = stepped.localCheckpoint(eager=True)
+        outs.append(
+            w.select(
+                "start", "wid", F.lit(t).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _walks_driver(und_rows, walk_len: int, num_walks: int):
+    """Driver fast path: the same walk with Python ints over the collected
+    simple undirected edge list — bit-identical to the distributed loop
+    (property-pinned against it and an independent replica)."""
+    adj: dict = {}
+    for r in und_rows:
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+    nbrs = {n: sorted(s) for n, s in adj.items()}
+    rows = []
+    for start in sorted(nbrs):
+        for wid in range(num_walks):
+            cur = start
+            rows.append((start, wid, 0, cur))
+            for t in range(1, walk_len + 1):
+                h1 = (
+                    (cur % WALK_P) * WALK_A + t * WALK_B
+                    + wid * WALK_C + WALK_D
+                ) % WALK_P
+                idx = ((h1 * h1 + WALK_E) % WALK_P) % len(nbrs[cur])
+                cur = nbrs[cur][idx]
+                rows.append((start, wid, t, cur))
+    return rows

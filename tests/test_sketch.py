@@ -641,3 +641,55 @@ def test_modularity_known_graphs_and_guards(spark):
     empty = modularity(e.limit(0), lab2).collect()
     assert {r.community for r in empty} == {0, 3}
     assert all(r.contrib_fp == 0 and r.w_in == 0 for r in empty)
+
+
+def test_random_walks_replica_and_distributed_pin(spark):
+    """Deterministic hash-seeded walks on a known graph match an
+    INDEPENDENT Python replica (recomputing each step's hash choice from
+    the edge list — a different formulation than the library's driver
+    loop); the forced-distributed loop is bit-identical to the driver
+    fast path; every step lands on a neighbor of the previous node;
+    duplicate/reverse input edges collapse; guards raise."""
+    from bi_gcp_stitch_repl_spark.functions.graph import (
+        WALK_A, WALK_B, WALK_C, WALK_D, WALK_E, WALK_P, random_walks,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 5), (1, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = random_walks(e, walk_len=3, num_walks=2).collect()
+
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    nbr: dict = {}
+    for u, v in und:
+        nbr.setdefault(u, []).append(v)
+        nbr.setdefault(v, []).append(u)
+    nbr = {k: sorted(vs) for k, vs in nbr.items()}
+    expect = set()
+    for start in nbr:
+        for wid in range(2):
+            cur = start
+            expect.add((start, wid, 0, cur))
+            for t in (1, 2, 3):
+                h1 = (
+                    (cur % WALK_P) * WALK_A + t * WALK_B
+                    + wid * WALK_C + WALK_D
+                ) % WALK_P
+                cur = nbr[cur][((h1 * h1 + WALK_E) % WALK_P) % len(nbr[cur])]
+                expect.add((start, wid, t, cur))
+    got = {(r.start, r.wid, r.step, r.node) for r in out}
+    assert got == expect and len(out) == len(expect) == 6 * 2 * 4
+
+    dist = random_walks(e, walk_len=3, num_walks=2, driver_threshold=0)
+    drows = dist.collect()
+    assert {(r.start, r.wid, r.step, r.node) for r in drows} == expect
+    byw: dict = {}
+    for r in drows:
+        byw.setdefault((r.start, r.wid), {})[r.step] = r.node
+    for steps in byw.values():
+        for t in (1, 2, 3):
+            assert steps[t] in nbr[steps[t - 1]]
+
+    with pytest.raises(ValueError, match="walk_len"):
+        random_walks(e, walk_len=-1)
+    with pytest.raises(ValueError, match="num_walks"):
+        random_walks(e, num_walks=0)
