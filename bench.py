@@ -135,6 +135,9 @@ EXTENDED = [
     # BPE merge training) — extended only, headline stays r10's set
     "x_communities_trade",
     "x_bpe_merges",
+    # the deterministic-walk corpus generator (tracks the per-step
+    # two-join walker shape with retained step checkpoints)
+    "x_random_walks_trade",
 ]
 
 

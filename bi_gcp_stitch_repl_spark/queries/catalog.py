@@ -249,7 +249,7 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 #:    cohort includes this round's other changed query
 #:    (x_semantic_decontaminate — broadcast-contract guard) and the
 #:    similarity.py canary (x_ivf_topk).
-#: 4. New queries, first round must hold a slot (5):
+#: 4. New queries, first round must hold a slot (6):
 #:    x_communities_trade (label-propagation communities — r10 verdict
 #:    #5, the one classic missing from the graph family),
 #:    x_bpe_merges (BPE merge training — the tokenizer-LEARNING step;
@@ -260,12 +260,14 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 #:    train-then-apply as one oracled composition, seated in
 #:    f_string_clean_coerce's released slot), and
 #:    x_image_dhash_near_dups (perceptual image dedup end-to-end —
-#:    the r11 dhash library work registered, seated in s4's slot).
+#:    the r11 dhash library work registered, seated in s4's slot), and
+#:    x_random_walks_trade (deterministic hash-seeded DeepWalk-style
+#:    walks — the graph seam's corpus-generation primitive, seated in
+#:    s7's released slot).
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
     # §2 spine (6 minus released; see header)
     "flagship_union_history", "k1_merge_upsert",
-    "s7_detail_fanout",
     # changed-library canaries (5): see header
     "x_html_extract", "x_url_canonicalize", "x_robots_exclusion",
     "x_dedup_clusters", "x_clustering_trade",
@@ -284,7 +286,7 @@ _PRIORITY: list[str] = [
     "x_winnowing_fingerprints", "x_winnowing_pairs",
     # new-query slots (5): see header
     "x_communities_trade", "x_bpe_merges", "x_modularity_trade",
-    "x_bpe_encode", "x_image_dhash_near_dups",
+    "x_bpe_encode", "x_image_dhash_near_dups", "x_random_walks_trade",
 ]
 
 

@@ -1737,3 +1737,124 @@ def x_modularity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         sp, nat.select("n_nationkey"), n_iter=LPA_ITER
     )
     return modularity(sp, labels, scale=MODULARITY_SCALE)
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks (catalog twin of functions.graph.random_walks —
+# the DeepWalk/node2vec corpus-generation primitive, determinized so the
+# hash gate pins every step)
+# ---------------------------------------------------------------------------
+
+WALKS_LEN = 4
+WALKS_NUM = 2
+
+
+def _random_walks_oracle(walk_len: int, num_walks: int) -> str:
+    """Unrolled twin of functions.graph.random_walks on the mean-relative
+    sparsified trade graph: the sorted-neighbor rank table and degree
+    table replay the library's adjacency relationally, then each step is
+    one chained CTE joining the previous walker frame to its hash-chosen
+    neighbor. The step hash's LINEAR pass is the graph module's
+    ``_walk_h1_sql`` — ONE spelling, two engines (the catalog's
+    cross-dialect discipline); the quadratic mix and modulo-degree
+    indexing are spelled inline per step. Walkers only ever exist for
+    nodes with degree >= 1, identically in both dialects."""
+    from ..functions.graph import WALK_E, WALK_P, _walk_h1_sql
+
+    head = _SPARSE_TRADE_CTES_HEAD.format(
+        num=KCORE_THR_NUM, den=KCORE_THR_DEN
+    ) + f""",
+sym AS MATERIALIZED (
+  SELECT u, v FROM u0 UNION ALL SELECT v AS u, u AS v FROM u0
+),
+rk AS MATERIALIZED (
+  SELECT u AS node, v AS nbr,
+         row_number() OVER (PARTITION BY u ORDER BY v) AS rnk
+  FROM sym
+),
+dg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg FROM rk GROUP BY 1
+),
+w0 AS MATERIALIZED (
+  SELECT d.node AS start, CAST(ws.wid AS INTEGER) AS wid, d.node AS cur
+  FROM dg d CROSS JOIN (SELECT UNNEST(range({num_walks})) AS wid) ws
+)"""
+    steps = []
+    for t in range(1, walk_len + 1):
+        h1 = _walk_h1_sql(
+            "CAST(w.cur AS BIGINT)", t, "CAST(w.wid AS BIGINT)"
+        )
+        steps.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT q.start, q.wid, r.nbr AS cur
+  FROM (
+    SELECT h.start, h.wid, h.cur,
+           1 + ((h.h1 * h.h1 + {WALK_E}) % {WALK_P}) % h.deg AS rnk
+    FROM (
+      SELECT w.start, w.wid, w.cur, d.deg, ({h1}) AS h1
+      FROM w{t-1} w JOIN dg d ON w.cur = d.node
+    ) h
+  ) q
+  JOIN rk r ON r.node = q.cur AND r.rnk = q.rnk
+)""")
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT start, wid, CAST({t} AS INTEGER) AS step, cur AS node"
+        f" FROM w{t}"
+        for t in range(walk_len + 1)
+    )
+    tail = f""",
+allw AS MATERIALIZED (
+{unions}
+)
+SELECT sn.n_name AS start_nation, w.wid, w.step, an.n_name AS at_nation
+FROM allw w
+JOIN nation sn ON w.start = sn.n_nationkey
+JOIN nation an ON w.node = an.n_nationkey
+"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "x_random_walks_trade",
+    oracle=_random_walks_oracle(WALKS_LEN, WALKS_NUM),
+)
+def x_random_walks_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-seeded random walks
+    (functions.graph.random_walks) over the mean-relative sparsified
+    trade graph: ``WALKS_NUM`` walks of ``WALKS_LEN`` steps from every
+    non-isolated nation, each step moving to the quadratic-hash-chosen
+    sorted neighbor — the DeepWalk/node2vec corpus-generation primitive
+    (the trajectories ARE the skip-gram training corpus), determinized
+    so walks are reproducible across engines, partitionings and retries
+    and the hash gate pins every (start, wid, step, node) row, not just
+    aggregate statistics.
+
+    Scale shape: the fact-join aggregation to the ≤n² edge list is the
+    one corpus exchange (shared derivation with every trade-graph
+    query); the sorted-neighbor rank table and degree table are built
+    once (one shuffle each) and checkpointed; each step is two
+    fixed-width hash joins of the walker frame — adjacency arrays never
+    shuffle, so a skewed hub costs its bucket size, not a replicated
+    array; walker frames are constant-size across steps and every step
+    checkpoint is part of the output (retained, bounded at
+    (walk_len+1)·walkers rows). Driver fast path below 100k edges,
+    property-pinned bit-identical to the distributed loop."""
+    from ..functions.graph import random_walks
+
+    edges, nat = _trade_edge_frame(spark, sf_dir)
+    w = random_walks(
+        _sparsify_mean_relative(edges),
+        walk_len=WALKS_LEN,
+        num_walks=WALKS_NUM,
+    )
+    ns = nat.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("start_nation")
+    )
+    na = nat.select(
+        F.col("n_nationkey").alias("_ak"), F.col("n_name").alias("at_nation")
+    )
+    return (
+        w.join(F.broadcast(ns), w.start == F.col("_sk"))
+        .join(F.broadcast(na), w.node == F.col("_ak"))
+        .select("start_nation", "wid", "step", "at_nation")
+    )

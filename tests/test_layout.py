@@ -110,8 +110,10 @@ def test_driver_window_covers_survey_gates():
     assert len(catalog._PRIORITY) == 50
     assert first50 == catalog._PRIORITY
     required = {
-        # §2 spine (6 minus released slots; see catalog._PRIORITY header)
-        "flagship_union_history", "k1_merge_upsert", "s7_detail_fanout",
+        # §2 spine (6 minus released slots; see catalog._PRIORITY header:
+        # s7_detail_fanout released — r10-fresh, sources/rest.py
+        # untouched, its primary gate is the live-HTTP pytest suite)
+        "flagship_union_history", "k1_merge_upsert",
         # changed-library canaries: web.py (RFC 9309 Allow precedence +
         # metacharacters in both dialects; x_robots_exclusion's own
         # fixture/oracle changed too), graph.py (label_propagation)
@@ -133,10 +135,12 @@ def test_driver_window_covers_survey_gates():
         "x_weighted_sample", "x_winnowing_fingerprints",
         "x_winnowing_pairs",
         # new-query slots: label-propagation communities (r10 verdict
-        # #5), BPE merge training (tokenizer learning), and the LPA
-        # partition's modularity score (NOTES_r11 backlog)
+        # #5), BPE merge training (tokenizer learning), the LPA
+        # partition's modularity score (NOTES_r11 backlog), BPE encode,
+        # perceptual image dedup, and deterministic random walks (the
+        # DeepWalk corpus primitive, seated in s7's released slot)
         "x_communities_trade", "x_bpe_merges", "x_modularity_trade",
-        "x_bpe_encode", "x_image_dhash_near_dups",
+        "x_bpe_encode", "x_image_dhash_near_dups", "x_random_walks_trade",
     }
     assert len(required) == 50
     missing = required - set(first50)
