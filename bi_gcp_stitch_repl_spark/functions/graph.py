@@ -1626,7 +1626,9 @@ def random_walks(
     degj = dg.selectExpr("node AS _dnode", "deg")
     rkj = rk.selectExpr("node AS _rnode", "nbr AS _rnbr", "rank AS _rrank")
     for t in range(1, walk_len + 1):
-        h1 = _walk_h1_sql("cur", t, "wid")
+        # wid is INT; promote before the * WALK_C multiply so a large
+        # num_walks can't int32-overflow (ANSI mode would throw, not wrap)
+        h1 = _walk_h1_sql("cur", t, "CAST(wid AS BIGINT)")
         stepped = (
             w.join(degj, F.col("cur") == F.col("_dnode"))
             .withColumn("_h1", F.expr(h1))
@@ -1680,5 +1682,257 @@ def _walks_driver(und_rows, walk_len: int, num_walks: int):
                 ) % WALK_P
                 idx = ((h1 * h1 + WALK_E) % WALK_P) % len(nbrs[cur])
                 cur = nbrs[cur][idx]
+                rows.append((start, wid, t, cur))
+    return rows
+
+
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) pair counts from walk trajectories —
+    the word2vec corpus step after DeepWalk's walk generation (Mikolov et
+    al. 2013, public): for every walk and every ordered position pair
+    within ``window`` steps, emit (center node, context node), then count
+    — ``(center, context, cnt)`` is exactly the co-occurrence table a
+    downstream embedding trainer consumes. Symmetric by construction
+    (i→j and j→i both emit), diagonal excluded.
+
+    ``walks`` must carry (start, wid, step, node) — the random_walks
+    contract; (start, wid) identifies a trajectory and step orders it.
+
+    Scale shape: ONE exchange groups each trajectory's steps into a
+    sorted array (trajectories are walk_len+1 rows — tiny, bounded, no
+    skew possible: every key has identical cardinality by construction),
+    the pair fan-out is a ROW-LOCAL nested array transform (≤ 2·window
+    pairs per position, all inside whole-stage codegen — no self-join,
+    so the walk table is shuffled once, not twice, and the join-side
+    duplication of a step-range self-join never materializes), and the
+    count is a map-side-combinable aggregation on the pair keys. Output
+    is ≤ nodes² rows but typically ≪ (the co-occurrence support)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1 (got {window})")
+    for c in ("start", "wid", "step", "node"):
+        if c not in walks.columns:
+            raise ValueError(f"walks is missing column '{c}'")
+    seq = walks.groupBy("start", "wid").agg(
+        F.array_sort(F.collect_list(F.struct("step", "node"))).alias("seq")
+    )
+    pairs = seq.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(seq, c ->"
+                " transform("
+                f"  filter(seq, x -> x.step <> c.step"
+                f"             AND abs(x.step - c.step) <= {int(window)}),"
+                "  x -> struct(c.node AS center, x.node AS context))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.center").alias("center"), F.col("p.context").alias("context")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+#: second-order walk hash: adds the PREVIOUS node to the linear pass so
+#: the step choice is a pure function of the full walker state
+#: (prev, cur, t, wid). (P-1)·(A+F) ≈ 2.3e18 would overflow past 2^63 if
+#: both products peaked together, so the prev term is reduced mod P
+#: BEFORE adding: each product < 1.2e18, the sum < 2.4e18 — still over?
+#: No: ((cur%P)*A) % P and ((prev%P)*F) % P are each < P ≈ 1e9 after the
+#: inner mod, so the combined linear form stays far below 2^63.
+WALK_F = 69_069
+
+
+def _walk_h2_sql(prev: str, cur: str, step: int, wid: str) -> str:
+    """Linear pass of the SECOND-ORDER walk-step hash — one spelling for
+    the Spark loop and the DuckDB oracle twin. Inner mods keep every
+    intermediate below 2^63 (see WALK_F note)."""
+    return (
+        f"(((({cur}) % {WALK_P}) * {WALK_A}) % {WALK_P}"
+        f" + ((({prev}) % {WALK_P}) * {WALK_F}) % {WALK_P}"
+        f" + {step} * {WALK_B} + ({wid}) * {WALK_C} + {WALK_D}) % {WALK_P}"
+    )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    num_walks: int = 2,
+    w_return: int = 1,
+    w_common: int = 4,
+    w_out: int = 2,
+    node_type: str = "long",
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """Deterministic second-order (node2vec-style) biased walks over the
+    simple undirected graph — Grover & Leskovec 2016's p/q bias,
+    re-expressed with INTEGER class weights so the walk stays
+    hash-gate-exact: from ``cur`` with previous node ``prev``, each
+    sorted neighbor ``x`` weighs
+        w_return  if x == prev            (backtrack;   ≈ 1/p)
+        w_common  if x adjacent to prev   (triangle/BFS-ish; ≈ 1)
+        w_out     otherwise               (exploration; ≈ 1/q)
+    and the step picks the first sorted neighbor whose cumulative weight
+    exceeds ``((h2² + E) mod P) mod T`` (T = total weight), with ``h2``
+    linear in (prev, cur, t, wid) — a pure function of the walker state,
+    reproducible across engines, partitionings and retries. ``prev``
+    initializes to the start node itself, which makes step 1 uniform
+    over the weighted classes naturally: every neighbor of the start is
+    trivially adjacent to prev == start, so all candidates weigh
+    ``w_common`` (no special case in either dialect).
+
+    All three weights must be >= 1: a zero class could strand a walker
+    on a total weight of 0 (degree-1 node whose only neighbor is prev,
+    w_return = 0) — approximate "never backtrack" with a LARGE
+    w_common/w_out instead (the integer-ratio spelling of small 1/p).
+
+    **Scale shape** (the honest second-order cost): unlike first-order
+    ``random_walks`` (two fixed-width joins, no fan-out), each step
+    joins every walker to ALL of cur's neighbors (Σ deg(cur) rows),
+    classifies them with one LEFT join against the canonical undirected
+    edge set on (prev, x), and resolves the pick with ONE window
+    cumulative sum per walker — two exchanges per step on the fan-out
+    frame. That is still linear in touched adjacency, where the
+    reference node2vec's alias tables cost O(Σ deg²) PREPROCESSED
+    memory per node pair; at 100 TB the per-step fan-out join is the
+    strategy that survives. Driver fast path below ``driver_threshold``
+    edges, property-pinned bit-identical to the distributed loop."""
+    if walk_len < 0:
+        raise ValueError(f"walk_len must be >= 0 (got {walk_len})")
+    if num_walks < 1:
+        raise ValueError(f"num_walks must be >= 1 (got {num_walks})")
+    if min(w_return, w_common, w_out) < 1:
+        raise ValueError(
+            "all class weights must be >= 1 (a zero class can strand a"
+            f" walker): got w_return={w_return} w_common={w_common}"
+            f" w_out={w_out}"
+        )
+    src, dst = edges.columns[:2]
+    und = _simple_undirected(
+        edges.select(
+            F.col(src).cast(node_type).alias("src"),
+            F.col(dst).cast(node_type).alias("dst"),
+        )
+    )
+    spark = edges.sparkSession
+    out_schema = f"start {node_type}, wid int, step int, node {node_type}"
+    n_edges = und.count()
+    if n_edges <= driver_threshold:
+        return spark.createDataFrame(
+            _node2vec_driver(
+                und.collect(), walk_len, num_walks, w_return, w_common, w_out
+            ),
+            out_schema,
+        )
+    from pyspark.sql import Window
+
+    und = und.localCheckpoint(eager=True)
+    adj = und.selectExpr("u AS node", "v AS nbr").unionByName(
+        und.selectExpr("v AS node", "u AS nbr")
+    ).localCheckpoint(eager=True)
+    dg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    w = dg.select(
+        F.col("node").alias("start"),
+        F.explode(
+            F.array([F.lit(i).cast("int") for i in range(num_walks)])
+        ).alias("wid"),
+        F.col("node").alias("prev"),
+        F.col("node").alias("cur"),
+    ).localCheckpoint(eager=True)
+    outs = [
+        w.select(
+            "start", "wid", F.lit(0).cast("int").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+    adjj = adj.selectExpr("node AS _anode", "nbr AS _anbr")
+    # canonical edge probe for the "x adjacent to prev" class
+    undj = und.selectExpr("u AS _eu", "v AS _ev", "1 AS _hit")
+    wcls = (
+        F.when(F.col("_anbr") == F.col("prev"), F.lit(w_return))
+        .when(F.col("_hit").isNotNull(), F.lit(w_common))
+        .otherwise(F.lit(w_out))
+    )
+    win = Window.partitionBy("start", "wid").orderBy("_anbr")
+    for t in range(1, walk_len + 1):
+        h2 = _walk_h2_sql(
+            "prev", "cur", t, "CAST(wid AS BIGINT)"
+        )
+        cand = (
+            w.join(adjj, F.col("cur") == F.col("_anode"))
+            .join(
+                undj,
+                (F.least("prev", "_anbr") == F.col("_eu"))
+                & (F.greatest("prev", "_anbr") == F.col("_ev")),
+                "left",
+            )
+            .withColumn("_w", wcls)
+            .withColumn("_cum", F.sum("_w").over(win))
+            .withColumn(
+                "_tot", F.sum("_w").over(Window.partitionBy("start", "wid"))
+            )
+            .withColumn("_h2", F.expr(h2))
+            .withColumn(
+                "_r",
+                F.expr(f"((_h2 * _h2 + {WALK_E}) % {WALK_P}) % _tot"),
+            )
+        )
+        stepped = cand.filter(
+            (F.col("_cum") - F.col("_w") <= F.col("_r"))
+            & (F.col("_r") < F.col("_cum"))
+        ).select(
+            "start", "wid", F.col("cur").alias("prev"),
+            F.col("_anbr").alias("cur"),
+        )
+        w = stepped.localCheckpoint(eager=True)
+        outs.append(
+            w.select(
+                "start", "wid", F.lit(t).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _node2vec_driver(
+    und_rows, walk_len, num_walks, w_return, w_common, w_out
+):
+    """Driver fast path: the same second-order walk with Python ints —
+    bit-identical to the distributed loop (property-pinned)."""
+    adj: dict = {}
+    eset = set()
+    for r in und_rows:
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+        eset.add((min(r.u, r.v), max(r.u, r.v)))
+    nbrs = {n: sorted(s) for n, s in adj.items()}
+    rows = []
+    for start in sorted(nbrs):
+        for wid in range(num_walks):
+            prev, cur = start, start
+            rows.append((start, wid, 0, cur))
+            for t in range(1, walk_len + 1):
+                ws = []
+                for x in nbrs[cur]:
+                    if x == prev:
+                        ws.append(w_return)
+                    elif (min(prev, x), max(prev, x)) in eset:
+                        ws.append(w_common)
+                    else:
+                        ws.append(w_out)
+                tot = sum(ws)
+                h2 = (
+                    ((cur % WALK_P) * WALK_A) % WALK_P
+                    + ((prev % WALK_P) * WALK_F) % WALK_P
+                    + t * WALK_B + wid * WALK_C + WALK_D
+                ) % WALK_P
+                r_ = ((h2 * h2 + WALK_E) % WALK_P) % tot
+                cum = 0
+                for x, wx in zip(nbrs[cur], ws):
+                    cum += wx
+                    if r_ < cum:
+                        prev, cur = cur, x
+                        break
                 rows.append((start, wid, t, cur))
     return rows

@@ -693,3 +693,142 @@ def test_random_walks_replica_and_distributed_pin(spark):
         random_walks(e, walk_len=-1)
     with pytest.raises(ValueError, match="num_walks"):
         random_walks(e, num_walks=0)
+
+
+def test_walk_skipgrams_known_and_selfjoin_pin(spark):
+    """Skip-gram pair counts from walk trajectories: known-answer on a
+    hand-checked two-walk set, pinned against an INDEPENDENT self-join
+    formulation (step-range join on the trajectory key — a different
+    shape than the library's row-local array fan-out), symmetric by
+    construction, windows clamp at trajectory edges, guards raise."""
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.functions.graph import walk_skipgrams
+
+    rows = [
+        # walk (0, 0): 10 -> 11 -> 12 -> 10
+        (0, 0, 0, 10), (0, 0, 1, 11), (0, 0, 2, 12), (0, 0, 3, 10),
+        # walk (5, 1): 20 -> 21
+        (5, 1, 0, 20), (5, 1, 1, 21),
+    ]
+    w = spark.createDataFrame(rows, "start long, wid int, step int, node long")
+
+    got = {
+        (r.center, r.context): r.cnt
+        for r in walk_skipgrams(w, window=1).collect()
+    }
+    expect = {
+        (10, 11): 1, (11, 10): 1, (11, 12): 1, (12, 11): 1,
+        (12, 10): 1, (10, 12): 1,
+        (20, 21): 1, (21, 20): 1,
+    }
+    assert got == expect
+
+    # window=2 via the independent self-join replica
+    for win in (2, 3):
+        lib = {
+            (r.center, r.context): r.cnt
+            for r in walk_skipgrams(w, window=win).collect()
+        }
+        a = w.selectExpr("start", "wid", "step AS si", "node AS center")
+        b = w.selectExpr("start AS s2", "wid AS w2", "step AS sj",
+                         "node AS context")
+        rep_rows = (
+            a.join(
+                b,
+                (a.start == b.s2) & (a.wid == b.w2)
+                & (F.col("si") != F.col("sj"))
+                & (F.abs(F.col("si") - F.col("sj")) <= win),
+            )
+            .groupBy("center", "context")
+            .count()
+            .collect()
+        )
+        rep = {(r.center, r.context): r["count"] for r in rep_rows}
+        assert lib == rep
+        # symmetry: every (a,b) has the mirror (b,a) with equal count
+        assert all(lib[(b_, a_)] == c for (a_, b_), c in lib.items())
+
+    with pytest.raises(ValueError, match="window"):
+        walk_skipgrams(w, window=0)
+    with pytest.raises(ValueError, match="missing column"):
+        walk_skipgrams(w.drop("wid"))
+
+
+def test_node2vec_walks_replica_distributed_pin_and_bias(spark):
+    """Second-order biased walks: known graph matches an INDEPENDENT
+    Python replica (recomputing class weights and the cumulative pick
+    from the edge list); forced-distributed loop bit-identical to the
+    driver fast path; step-1 uniformity (prev == start makes every
+    candidate the w_common class, so changing w_return/w_out does not
+    move step 1); every step lands on a neighbor; guards raise."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from bi_gcp_stitch_repl_spark.functions.graph import (
+        WALK_A, WALK_B, WALK_C, WALK_D, WALK_E, WALK_F, WALK_P,
+        node2vec_walks,
+    )
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 5), (2, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    params = dict(walk_len=3, num_walks=2, w_return=1, w_common=4, w_out=2)
+    out = node2vec_walks(e, **params).collect()
+
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    nbr: dict = {}
+    for u, v in und:
+        nbr.setdefault(u, []).append(v)
+        nbr.setdefault(v, []).append(u)
+    nbr = {k: sorted(vs) for k, vs in nbr.items()}
+
+    def replica(w_return, w_common, w_out, walk_len=3, num_walks=2):
+        got = set()
+        for start in nbr:
+            for wid in range(num_walks):
+                prev, cur = start, start
+                got.add((start, wid, 0, cur))
+                for t in range(1, walk_len + 1):
+                    ws = [
+                        w_return if x == prev
+                        else w_common if (min(prev, x), max(prev, x)) in und
+                        else w_out
+                        for x in nbr[cur]
+                    ]
+                    h2 = (
+                        ((cur % WALK_P) * WALK_A) % WALK_P
+                        + ((prev % WALK_P) * WALK_F) % WALK_P
+                        + t * WALK_B + wid * WALK_C + WALK_D
+                    ) % WALK_P
+                    r = ((h2 * h2 + WALK_E) % WALK_P) % sum(ws)
+                    cum = 0
+                    for x, wx in zip(nbr[cur], ws):
+                        cum += wx
+                        if r < cum:
+                            prev, cur = cur, x
+                            break
+                    got.add((start, wid, t, cur))
+        return got
+
+    got = {(r.start, r.wid, r.step, r.node) for r in out}
+    assert got == replica(1, 4, 2)
+    assert len(out) == 6 * 2 * 4
+
+    dist = node2vec_walks(e, driver_threshold=0, **params).collect()
+    assert {(r.start, r.wid, r.step, r.node) for r in dist} == got
+    byw: dict = {}
+    for r in dist:
+        byw.setdefault((r.start, r.wid), {})[r.step] = r.node
+    for key, steps in byw.items():
+        assert steps[0] == key[0]
+        for t in (1, 2, 3):
+            assert steps[t] in nbr[steps[t - 1]]
+
+    # step 1 is class-uniform: w_return/w_out cannot move it (prev==start
+    # makes every candidate w_common); later steps CAN move
+    alt = replica(7, 4, 9)
+    assert {x for x in got if x[2] <= 1} == {x for x in alt if x[2] <= 1}
+
+    with pytest.raises(ValueError, match="class weights"):
+        node2vec_walks(e, w_return=0)
+    with pytest.raises(ValueError, match="walk_len"):
+        node2vec_walks(e, walk_len=-1)
