@@ -832,3 +832,51 @@ def test_node2vec_walks_replica_distributed_pin_and_bias(spark):
         node2vec_walks(e, w_return=0)
     with pytest.raises(ValueError, match="walk_len"):
         node2vec_walks(e, walk_len=-1)
+
+
+def test_walk_skipgrams_duckdb_oracle_parity(spark):
+    """Cross-engine pin ahead of the r12 catalog registration: the
+    skip-gram aggregation over REAL library-generated walks must match a
+    DuckDB relational twin (step-range self-join + count over the same
+    walk rows — the formulation the x_walk_skipgrams oracle will use).
+    Walks come from random_walks on a seeded 60-edge graph, so the
+    trajectories exercised are the production operator's own output."""
+    import duckdb
+
+    from bi_gcp_stitch_repl_spark.functions.graph import (
+        random_walks,
+        walk_skipgrams,
+    )
+
+    import random as _random
+
+    rng = _random.Random(411)
+    edges = {(rng.randrange(20), rng.randrange(20)) for _ in range(60)}
+    e = spark.createDataFrame(
+        sorted(edges), "src long, dst long"
+    )
+    walks = random_walks(e, walk_len=5, num_walks=3)
+    got = {
+        (r.center, r.context): r.cnt
+        for r in walk_skipgrams(walks, window=2).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE walks(start BIGINT, wid INT, step INT, node BIGINT)")
+    con.executemany(
+        "INSERT INTO walks VALUES (?, ?, ?, ?)",
+        [(r.start, r.wid, r.step, r.node) for r in walks.collect()],
+    )
+    oracle = {
+        (c, x): n
+        for c, x, n in con.execute(
+            """
+            SELECT a.node AS center, b.node AS context, COUNT(*) AS cnt
+            FROM walks a JOIN walks b
+              ON a.start = b.start AND a.wid = b.wid
+             AND a.step <> b.step AND abs(a.step - b.step) <= 2
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert got == oracle and len(got) > 10
