@@ -880,3 +880,86 @@ def test_walk_skipgrams_duckdb_oracle_parity(spark):
         ).fetchall()
     }
     assert got == oracle and len(got) > 10
+
+
+def test_node2vec_walks_duckdb_oracle_parity(spark):
+    """Cross-engine pin ahead of the r12 catalog registration: the full
+    second-order walk replayed RELATIONALLY in DuckDB (per step: fan-out
+    join to cur's neighbors, classification LEFT JOIN against canonical
+    edges, window cumulative-sum pick) must reproduce node2vec_walks
+    step for step on a seeded graph. The step hash's linear pass comes
+    from graph.py's _walk_h2_sql — one spelling, two engines."""
+    import random as _random
+
+    import duckdb
+
+    from bi_gcp_stitch_repl_spark.functions.graph import (
+        WALK_E, WALK_P, _walk_h2_sql, node2vec_walks,
+    )
+
+    rng = _random.Random(1107)
+    edges = sorted({(rng.randrange(16), rng.randrange(16)) for _ in range(48)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    WL, NW, WR, WC, WO = 3, 2, 1, 4, 2
+    got = {
+        (r.start, r.wid, r.step, r.node)
+        for r in node2vec_walks(
+            e, walk_len=WL, num_walks=NW,
+            w_return=WR, w_common=WC, w_out=WO,
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?, ?)", edges)
+    head = f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM edges WHERE src <> dst
+),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM und
+  UNION ALL SELECT v AS node, u AS nbr FROM und
+),
+w0 AS MATERIALIZED (
+  SELECT n.node AS start, CAST(ws.wid AS INTEGER) AS wid,
+         n.node AS prev, n.node AS cur
+  FROM (SELECT DISTINCT node FROM adj) n
+  CROSS JOIN (SELECT UNNEST(range({NW})) AS wid) ws
+)"""
+    steps = []
+    for t in range(1, WL + 1):
+        h2 = _walk_h2_sql(
+            "CAST(s.prev AS BIGINT)", "CAST(s.cur AS BIGINT)", t,
+            "CAST(s.wid AS BIGINT)",
+        )
+        steps.append(f""",
+c{t} AS MATERIALIZED (
+  SELECT w.start, w.wid, w.prev, w.cur, a.nbr,
+         CASE WHEN a.nbr = w.prev THEN {WR}
+              WHEN e.u IS NOT NULL THEN {WC}
+              ELSE {WO} END AS wgt
+  FROM w{t-1} w
+  JOIN adj a ON w.cur = a.node
+  LEFT JOIN und e ON LEAST(w.prev, a.nbr) = e.u
+                 AND GREATEST(w.prev, a.nbr) = e.v
+),
+s{t} AS MATERIALIZED (
+  SELECT *,
+         SUM(wgt) OVER (PARTITION BY start, wid ORDER BY nbr) AS cum,
+         SUM(wgt) OVER (PARTITION BY start, wid) AS tot
+  FROM c{t}
+),
+w{t} AS MATERIALIZED (
+  SELECT start, wid, cur AS prev, nbr AS cur FROM (
+    SELECT s.*, ((({h2}) * ({h2}) + {WALK_E}) % {WALK_P}) % s.tot AS r
+    FROM s{t} s
+  ) WHERE cum - wgt <= r AND r < cum
+)""")
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT start, wid, CAST({t} AS INTEGER) AS step, cur AS node"
+        f" FROM w{t}"
+        for t in range(WL + 1)
+    )
+    rows = con.execute(head + "".join(steps) + f"\n{unions}").fetchall()
+    assert {tuple(r) for r in rows} == got and len(got) > 50
