@@ -1,0 +1,228 @@
+"""Product quantization for embedding columns (Jégou, Douze, Schmid 2011
+— "Product Quantization for Nearest Neighbor Search", public): split each
+d-dim vector into ``m`` subvectors, vector-quantize each subspace against
+its own ``k``-centroid codebook, and score queries with an asymmetric
+distance computation (ADC) lookup table. PQ is what turns a 100 TB float
+embedding store into an in-memory-scannable code store (d×4 bytes →
+m×1 byte at k ≤ 256) and, composed with the IVF family in
+``functions/similarity.py``, is the standard billion-scale ANN layout
+(IVF-PQ).
+
+Spark-first shapes, in the catalog's determinism discipline:
+
+* **train** — ``m`` independent deterministic Lloyd's runs
+  (``similarity.kmeans_lloyd``: broadcast centroids, sequential-fold
+  distances, value-sorted update sums — the oracled x_kmeans_assign
+  trajectory) over the SLICED corpus, final codebook = value-sorted-fold
+  mean of each final cluster. Every coordinate is bit-reproducible
+  cross-engine.
+* **encode** — the codebook is a bounded model object (m·k rows); it is
+  collected once, guarded, and inlined as LITERAL nested arrays so
+  encoding is a row-local whole-stage-codegen expression: zero shuffle,
+  zero Python, scan speed. (The explode+join spelling would pay two
+  corpus-sized exchanges for the same answer.)
+* **ADC top-k** — the m×k distance table is computed driver-side from
+  the query (tiny, sequential sums — bit-identical to an engine fold),
+  inlined as a literal, and each code row scores with ONE bounded fold;
+  the only non-map work is the top-k reduce (TakeOrdered).
+
+Reference parity note: the reference repo (shore-gmbh/bi-gcp-stitch-repl)
+has no vector search at all; this module extends the engine's §7.6 ANN
+family (SURVEY.md §2.13) the same way ivf_topk/semdedup do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import SQDIST, kmeans_lloyd
+
+#: collect guard for the codebook model object: m·k centroid rows. 1<<16
+#: is far above any sane PQ configuration (m ≤ 64, k ≤ 256 → 16384) and
+#: far below driver-memory hazard.
+PQ_MODEL_ROW_LIMIT = 1 << 16
+
+
+def _check_split(dim: int, m: int) -> int:
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"m must divide the vector dimension evenly (dim={dim}, m={m})"
+        )
+    return dim // m
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train the ``m`` per-subspace codebooks: ``(sub, cid, cv)`` with
+    ``cv`` the ds-dim centroid (ds = dim/m). Subspace ``s`` runs the
+    deterministic ``kmeans_lloyd`` trajectory on ``slice(vec, s·ds+1,
+    ds)`` (seeded by the k smallest ids, ``n_iter`` rounds), then the
+    codebook entry is the value-sorted-fold mean of each FINAL cluster —
+    one more deterministic update step past the last assignment, so the
+    codebook is a pure function of the corpus in both engines.
+
+    Cost: m independent small Lloyd's loops (each the x_kmeans_assign
+    shape); the corpus is scanned per subspace per round. At 100 TB,
+    train on a SAMPLE (PQ codebooks need ~100k vectors, not the corpus
+    — Jégou §V) and pass the result to pq_encode over the full store."""
+    ds = _check_split(dim, m)
+    out = None
+    for s in range(m):
+        sliced = corpus.select(
+            F.col(id_col),
+            F.expr(
+                f"transform(slice({vec_col}, {s * ds + 1}, {ds}),"
+                " x -> cast(x as double))"
+            ).alias("embedding"),
+        )
+        asg = kmeans_lloyd(
+            sliced, k=k, n_iter=n_iter, vec_col="embedding", id_col=id_col
+        )
+        cb = (
+            sliced.join(asg, id_col)
+            .select("cluster", F.posexplode("embedding").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(
+                (
+                    F.expr(
+                        "aggregate(array_sort(collect_list(x)),"
+                        " cast(0.0 as double), (acc, v) -> acc + v)"
+                    )
+                    / F.count("*").cast("double")
+                ).alias("mval")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, mval))),"
+                    " p -> p.mval)"
+                ).alias("cv")
+            )
+            .select(F.col("cluster"), "cv")
+        )
+        # dense re-rank: kmeans_lloyd's cluster ids are the seed row ids
+        # (and clusters can die), but ADC's lookup table needs codes
+        # 0..k'-1 — rank by cluster id, deterministically
+        from pyspark.sql import Window
+
+        cb = cb.select(
+            F.lit(s).cast("int").alias("sub"),
+            (
+                F.row_number().over(Window.orderBy("cluster")) - 1
+            ).cast("bigint").alias("cid"),
+            "cv",
+        )
+        out = cb if out is None else out.unionByName(cb)
+    return out
+
+
+def _collect_codebooks(codebooks: DataFrame) -> list[list[tuple[int, list]]]:
+    """(sub → sorted [(cid, cv), ...]) from the codebook frame, guarded."""
+    rows = codebooks.limit(PQ_MODEL_ROW_LIMIT + 1).collect()
+    if len(rows) > PQ_MODEL_ROW_LIMIT:
+        raise ValueError(
+            f"codebook exceeds PQ_MODEL_ROW_LIMIT={PQ_MODEL_ROW_LIMIT} rows"
+            " — not a bounded model object; reduce m·k"
+        )
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(r.sub, []).append((r.cid, list(r.cv)))
+    subs = sorted(by_sub)
+    if subs != list(range(len(subs))):
+        raise ValueError(f"codebook subs must be 0..m-1, got {subs}")
+    return [sorted(by_sub[s]) for s in subs]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as ``(id_col, codes array<bigint>)`` —
+    ``codes[s]`` is the cid of subspace s's nearest centroid (sequential
+    squared-L2 fold; ties to the smallest cid via lexicographic
+    struct-min, deterministic cross-engine).
+
+    The codebook inlines as literal nested arrays, so the whole encode
+    is ONE row-local projection: zero shuffle, zero Python, pushdown and
+    column pruning untouched. m·k·ds literals is bounded by the model
+    guard (≤ PQ_MODEL_ROW_LIMIT centroids)."""
+    cbs = _collect_codebooks(codebooks)
+    m = len(cbs)
+    ds = _check_split(dim, m)
+    code_exprs = []
+    for s, entries in enumerate(cbs):
+        cand = ", ".join(
+            f"struct({SQDIST.format(a=f'slice(_v, {s * ds + 1}, {ds})', b=_lit_arr(cv))}"
+            f" AS d, CAST({cid} AS BIGINT) AS cid)"
+            for cid, cv in entries
+        )
+        code_exprs.append(f"array_min(array({cand})).cid")
+    return corpus.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> cast(x as double))"
+        ).alias("_v"),
+    ).select(
+        id_col,
+        F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes"),
+    )
+
+
+def _lit_arr(vals: list) -> str:
+    return "array(" + ", ".join(f"cast({float(v)!r} as double)" for v in vals) + ")"
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    query: list,
+    k_top: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: ``(id_col, adc_dist)`` for the ``k_top``
+    codes nearest the (un-quantized) query. The m×k lookup table
+    ``dt[s][cid] = ||query_s - centroid||²`` is computed driver-side with
+    the same sequential sum order as the engine folds (bit-identical),
+    inlined as a literal, and each row scores with one bounded fold over
+    its codes — scan-speed map work plus a single TakeOrdered reduce.
+    Ties break on the id for a deterministic result set."""
+    cbs = _collect_codebooks(codebooks)
+    m = len(cbs)
+    ds = _check_split(len(query), m)
+    dt = []
+    for s, entries in enumerate(cbs):
+        qs = [float(x) for x in query[s * ds : (s + 1) * ds]]
+        row = {}
+        for cid, cv in entries:
+            acc = 0.0
+            for x, y in zip(qs, cv):
+                acc += (x - y) * (x - y)
+            row[cid] = acc
+        if sorted(row) != list(range(len(row))):
+            raise ValueError(
+                f"subspace {s} cids must be dense 0..k-1 for table lookup"
+                f" (got {sorted(row)})"
+            )
+        dt.append([row[c] for c in sorted(row)])
+    dt_lit = "array(" + ", ".join(_lit_arr(r) for r in dt) + ")"
+    scored = encoded.select(
+        id_col,
+        F.expr(
+            f"aggregate(zip_with(codes, sequence(0, {m - 1}),"
+            f" (c, s) -> element_at(element_at({dt_lit}, s + 1),"
+            " cast(c + 1 as int))),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        ).alias("adc_dist"),
+    )
+    return scored.orderBy("adc_dist", id_col).limit(k_top)

@@ -1245,3 +1245,191 @@ def test_bpe_encode_segmentation_contract(spark):
         for r in bpe_encode(docs, empty).collect()
     }
     assert chars[2] == list("unrelated")
+
+
+# --- product quantization ---------------------------------------------------
+
+
+def _pq_fixed_codebooks(spark):
+    """m=2 subspaces over 4-dim vectors, k=2 dense-cid centroids each,
+    integer-valued (dyadic floats: every distance is exact)."""
+    rows = [
+        (0, 0, [0.0, 0.0]), (0, 1, [10.0, 10.0]),
+        (1, 0, [0.0, 0.0]), (1, 1, [-8.0, -8.0]),
+    ]
+    return spark.createDataFrame(rows, "sub int, cid bigint, cv array<double>")
+
+
+def test_pq_encode_known_codes_and_ties(spark):
+    """Hand-checkable encodes against fixed codebooks; a tie picks the
+    smallest cid (lexicographic struct-min, deterministic); guards."""
+    import pytest as _pytest
+
+    from bi_gcp_stitch_repl_spark.functions import pq
+
+    cbs = _pq_fixed_codebooks(spark)
+    vecs = [
+        (1, [0.0, 1.0, -7.0, -9.0]),   # sub0 -> 0, sub1 -> 1
+        (2, [9.0, 11.0, 1.0, 1.0]),    # sub0 -> 1, sub1 -> 0
+        (3, [5.0, 5.0, -4.0, -4.0]),   # both EXACT ties -> smallest cid 0
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.codes for r in pq.pq_encode(emb, cbs, dim=4).collect()}
+    assert got == {1: [0, 1], 2: [1, 0], 3: [0, 0]}
+
+    with _pytest.raises(ValueError, match="divide"):
+        pq.pq_encode(emb, cbs, dim=5)
+    bad = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0]), (2, 0, [1.0, 1.0])],
+        "sub int, cid bigint, cv array<double>",
+    )
+    with _pytest.raises(ValueError, match="subs must be 0..m-1"):
+        pq.pq_encode(emb, bad, dim=4)
+
+
+def test_pq_adc_equals_reconstruction_distance(spark):
+    """The defining ADC identity: adc_dist(query, codes) equals the exact
+    squared-L2 distance between the query and the RECONSTRUCTED vector
+    (concatenated chosen centroids) — exact on integer-valued inputs."""
+    from bi_gcp_stitch_repl_spark.functions import pq
+
+    cbs = _pq_fixed_codebooks(spark)
+    vecs = [
+        (1, [0.0, 1.0, -7.0, -9.0]),
+        (2, [9.0, 11.0, 1.0, 1.0]),
+        (3, [5.0, 5.0, -4.0, -4.0]),
+        (4, [10.0, 10.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    enc = pq.pq_encode(emb, cbs, dim=4)
+    query = [1.0, 2.0, -1.0, -2.0]
+    got = {
+        r.vec_id: r.adc_dist
+        for r in pq.pq_adc_topk(enc, cbs, query, k_top=4).collect()
+    }
+    cb = {(r.sub, r.cid): list(r.cv) for r in cbs.collect()}
+    codes = {r.vec_id: r.codes for r in enc.collect()}
+    for vid, cds in codes.items():
+        recon = cb[(0, cds[0])] + cb[(1, cds[1])]
+        exact = sum((x - y) ** 2 for x, y in zip(query, recon))
+        assert got[vid] == exact
+
+
+def test_pq_train_encode_separates_blobs_and_python_replica(spark):
+    """End-to-end: train on two planted 4-dim blobs (m=2, k=2), encode —
+    blob members share codes and differ from the other blob; the trained
+    codebook matches an independent pure-Python replica of the
+    deterministic trajectory (seeded by k smallest ids, sequential-fold
+    distances, value-sorted update means)."""
+    from bi_gcp_stitch_repl_spark.functions import pq
+
+    blob_a = [(i, [0.0 + i % 3, 1.0, 50.0, 51.0 + i % 2]) for i in range(6)]
+    blob_b = [(i, [40.0 + i % 3, 41.0, -20.0, -21.0]) for i in range(6, 12)]
+    emb = spark.createDataFrame(
+        blob_a + blob_b, "vec_id long, embedding array<double>"
+    )
+    cbs = pq.pq_train(emb, dim=4, m=2, k=2, n_iter=2)
+    enc = {r.vec_id: tuple(r.codes) for r in pq.pq_encode(emb, cbs, dim=4).collect()}
+    a_codes = {enc[i] for i in range(6)}
+    b_codes = {enc[i] for i in range(6, 12)}
+    assert len(a_codes) == 1 and len(b_codes) == 1 and a_codes != b_codes
+
+    # pure-Python replica of the per-subspace trajectory
+    def replica(sub):
+        ds = 2
+        data = {vid: v[sub * ds:(sub + 1) * ds] for vid, v in blob_a + blob_b}
+        cents = {vid: list(data[vid]) for vid in sorted(data)[:2]}
+        for it in range(2):
+            assign = {}
+            for vid in data:
+                best = min(
+                    (sum((x - y) ** 2 for x, y in zip(data[vid], cv)), cid)
+                    for cid, cv in cents.items()
+                )
+                assign[vid] = best[1]
+            members: dict = {}
+            for vid, c in assign.items():
+                members.setdefault(c, []).append(vid)
+            cents = {
+                c: [
+                    sum(sorted(data[v][i] for v in vs)) / len(vs)
+                    for i in range(ds)
+                ]
+                for c, vs in members.items()
+            }
+        return [cents[c] for c in sorted(cents)]
+
+    got_cb = {}
+    for r in cbs.collect():
+        got_cb.setdefault(r.sub, {})[r.cid] = list(r.cv)
+    for sub in (0, 1):
+        want = replica(sub)
+        assert [got_cb[sub][c] for c in sorted(got_cb[sub])] == want
+
+
+def test_pq_encode_adc_duckdb_parity(spark):
+    """Cross-engine pin (pre-registration discipline): encode codes and
+    ADC distances replayed in DuckDB from the same fixed codebooks must
+    match bit-for-bit (sequential folds, integer-valued fixtures)."""
+    import duckdb
+
+    from bi_gcp_stitch_repl_spark.functions import pq
+
+    cbs = _pq_fixed_codebooks(spark)
+    vecs = [
+        (1, [0.0, 1.0, -7.0, -9.0]),
+        (2, [9.0, 11.0, 1.0, 1.0]),
+        (3, [5.0, 5.0, -4.0, -4.0]),
+        (4, [10.0, 10.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    enc = pq.pq_encode(emb, cbs, dim=4)
+    query = [1.0, 2.0, -1.0, -2.0]
+    spark_rows = {
+        (r.vec_id, tuple(c for c in r2.codes), r.adc_dist)
+        for r, r2 in zip(
+            pq.pq_adc_topk(enc, cbs, query, k_top=4).orderBy("vec_id").collect(),
+            enc.orderBy("vec_id").collect(),
+        )
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE emb(vec_id BIGINT, v DOUBLE[])")
+    con.executemany("INSERT INTO emb VALUES (?, ?)", vecs)
+    con.execute("CREATE TABLE cb(sub INT, cid BIGINT, cv DOUBLE[])")
+    con.executemany(
+        "INSERT INTO cb VALUES (?, ?, ?)",
+        [(r.sub, r.cid, list(r.cv)) for r in cbs.collect()],
+    )
+    duck = con.execute(
+        """
+WITH dists AS (
+  SELECT e.vec_id, c.sub, c.cid,
+         (e.v[CAST(c.sub * 2 + 1 AS INT)] - c.cv[1])
+       * (e.v[CAST(c.sub * 2 + 1 AS INT)] - c.cv[1])
+       + (e.v[CAST(c.sub * 2 + 2 AS INT)] - c.cv[2])
+       * (e.v[CAST(c.sub * 2 + 2 AS INT)] - c.cv[2]) AS d
+  FROM emb e CROSS JOIN cb c
+), pick AS (
+  SELECT vec_id, sub, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+  FROM dists
+), codes AS (
+  SELECT vec_id, list(cid ORDER BY sub) AS codes
+  FROM pick WHERE rn = 1 GROUP BY 1
+), qd AS (
+  SELECT sub, cid,
+         (CASE WHEN sub = 0 THEN 1.0 ELSE -1.0 END - cv[1])
+       * (CASE WHEN sub = 0 THEN 1.0 ELSE -1.0 END - cv[1])
+       + (CASE WHEN sub = 0 THEN 2.0 ELSE -2.0 END - cv[2])
+       * (CASE WHEN sub = 0 THEN 2.0 ELSE -2.0 END - cv[2]) AS d
+  FROM cb
+), adc AS (
+  SELECT p.vec_id, SUM(q.d) AS adc
+  FROM pick p JOIN qd q ON p.sub = q.sub AND p.cid = q.cid
+  WHERE p.rn = 1 GROUP BY 1
+)
+SELECT c.vec_id, c.codes, a.adc FROM codes c JOIN adc a USING (vec_id)
+"""
+    ).fetchall()
+    duck_rows = {(vid, tuple(cds), adc) for vid, cds, adc in duck}
+    assert duck_rows == spark_rows
