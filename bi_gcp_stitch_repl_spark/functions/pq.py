@@ -226,3 +226,174 @@ def pq_adc_topk(
         ).alias("adc_dist"),
     )
     return scored.orderBy("adc_dist", id_col).limit(k_top)
+
+
+#: bounded-query guard for ADC table construction: per (query, probed
+#: cell) the driver computes an m×k table; 4096 queries × 32 probes of a
+#: 16×256 table is ~0.5 GB of literals — far above any sane interactive
+#: batch, far below driver hazard. Batch-score bigger query sets in
+#: chunks upstream.
+IVFPQ_QUERY_LIMIT = 4096
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int | None = 16,
+    m: int = 4,
+    k_codes: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centers: DataFrame | None = None,
+):
+    """Build the classic IVF-PQ layout (Jégou et al. §IV — the
+    billion-scale standard): coarse cells from ``kmeans_ivf_index``
+    (pyspark.ml Lloyd's; or a FROZEN ``centers`` frame ``(cell, cvec)``
+    for deterministic replay), then ONE shared PQ codebook trained on
+    the cell RESIDUALS ``v − center(cell)`` (residuals concentrate near
+    0, so the same codebook budget quantizes far tighter than raw
+    vectors), then every vector stored as ``(id, cell, codes)`` —
+    m bytes of payload per row at k ≤ 256 where the raw vector cost
+    d×4; the index table is the ONLY corpus-sized artifact.
+
+    Returns ``(index_df, centers_df, codebooks_df)``. The residual
+    subtraction is a broadcast hash join on ``cell`` + one row-local
+    ``zip_with`` (centers are n_cells×dim — a bounded model frame that
+    broadcasts; inlining literals would not survive sqrt(N) cells at
+    100 TB). Train on a SAMPLE upstream when the corpus is large (PQ
+    needs ~100k residuals, not the store)."""
+    if centers is None:
+        from .similarity import kmeans_ivf_index
+
+        assigned, ctrs = kmeans_ivf_index(
+            corpus, n_cells=n_cells, vec_col=vec_col, cell_col="_cell",
+            return_centers=True,
+        )
+        spark = corpus.sparkSession
+        centers = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(ctrs)],
+            "cell int, cvec array<double>",
+        )
+        assigned = assigned.withColumnRenamed("_cell", "cell")
+    else:
+        cand = corpus.crossJoin(
+            F.broadcast(centers.select("cell", "cvec"))
+        ).withColumn(
+            "_d", F.expr(SQDIST.format(a=vec_col, b="cvec"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy("_d", "cell")
+        assigned = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_d", "_rn", "cvec")
+        )
+    resid = assigned.join(
+        F.broadcast(centers), "cell"
+    ).select(
+        id_col,
+        "cell",
+        F.expr(
+            f"zip_with({vec_col}, cvec,"
+            " (x, y) -> cast(x as double) - y)"
+        ).alias("_resid"),
+    )
+    codebooks = pq_train(
+        resid, dim=dim, m=m, k=k_codes, n_iter=n_iter,
+        vec_col="_resid", id_col=id_col,
+    )
+    index = resid.join(
+        pq_encode(resid, codebooks, dim=dim, vec_col="_resid", id_col=id_col),
+        id_col,
+    ).select(id_col, "cell", "codes")
+    return index, centers, codebooks
+
+
+def ivf_pq_topk(
+    index: DataFrame,
+    centers: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k_top: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ search: each query probes its ``n_probe`` nearest cells
+    (squared-L2 to the coarse centers) and ranks ONLY those cells' codes
+    by asymmetric distance against a per-(query, cell) m×k lookup table
+    built from the query's cell RESIDUAL — cost per query is
+    corpus/n_cells × n_probe fold lookups, never a full scan, and the
+    scored payload is m small ints per row, not d floats.
+
+    The query set and the tables are driver-built (guarded at
+    ``IVFPQ_QUERY_LIMIT`` — queries × n_probe × m × k entries), shipped
+    as ONE broadcast frame joined on ``cell``; scoring is a row-local
+    bounded fold; the final exact top-k is the salted two-level window
+    (``ops.skew.salted_topk``), so a hot cell cannot serialize one task.
+    Ties break on the vector id; output ``(query_id, vec_id, adc_dist,
+    rk)``."""
+    cbs = _collect_codebooks(codebooks)
+    m = len(cbs)
+    ctrs = {r.cell: list(r.cv if hasattr(r, "cv") else r.cvec)
+            for r in centers.collect()}
+    qrows = queries.limit(IVFPQ_QUERY_LIMIT + 1).collect()
+    if len(qrows) > IVFPQ_QUERY_LIMIT:
+        raise ValueError(
+            f"query batch exceeds IVFPQ_QUERY_LIMIT={IVFPQ_QUERY_LIMIT}"
+            " — chunk the query set upstream"
+        )
+    dim = None
+    probe_rows = []
+    for qr in qrows:
+        qid = qr[query_id_col]
+        qv = [float(x) for x in qr[vec_col]]
+        dim = len(qv)
+        ds = _check_split(dim, m)
+        # n_probe nearest cells by L2, ties to the smaller cell id
+        ranked = sorted(
+            (
+                (sum((x - y) * (x - y) for x, y in zip(qv, cv)), cell)
+                for cell, cv in ctrs.items()
+            )
+        )[:n_probe]
+        for _, cell in ranked:
+            qres = [x - y for x, y in zip(qv, ctrs[cell])]
+            dt = []
+            for s, entries in enumerate(cbs):
+                qs = qres[s * ds:(s + 1) * ds]
+                row = []
+                for _cid, cv in entries:
+                    acc = 0.0
+                    for x, y in zip(qs, cv):
+                        acc += (x - y) * (x - y)
+                    row.append(acc)
+                dt.append(row)
+            probe_rows.append((qid, cell, dt))
+    spark = index.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows,
+        f"{query_id_col} long, cell int, dt array<array<double>>",
+    )
+    scored = index.join(F.broadcast(probes), "cell").select(
+        query_id_col,
+        id_col,
+        F.expr(
+            f"aggregate(zip_with(codes, sequence(0, {m - 1}),"
+            " (c, s) -> element_at(element_at(dt, s + 1),"
+            " cast(c + 1 as int))),"
+            " cast(0.0 as double), (acc, v) -> acc + v)"
+        ).alias("adc_dist"),
+    )
+    from ..ops.skew import salted_topk
+
+    return salted_topk(
+        scored,
+        partition_by=[query_id_col],
+        order_by=[F.col("adc_dist").asc(), F.col(id_col)],
+        k=k_top,
+        salt_on=id_col,
+    ).select(query_id_col, id_col, "adc_dist", "rk")

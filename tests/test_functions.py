@@ -1433,3 +1433,114 @@ SELECT c.vec_id, c.codes, a.adc FROM codes c JOIN adc a USING (vec_id)
     ).fetchall()
     duck_rows = {(vid, tuple(cds), adc) for vid, cds, adc in duck}
     assert duck_rows == spark_rows
+
+
+def test_ivf_pq_fixed_centers_replica_and_probe_pruning(spark):
+    """IVF-PQ with FROZEN centers (deterministic replay path): assignment
+    picks the nearest center, codes come from residual-trained
+    codebooks, and the full-probe ADC ranking matches an independent
+    pure-Python replica (same collected codebooks, same fold order)
+    EXACTLY; n_probe=1 returns only the probed cell's members; the
+    query-batch guard raises."""
+    import pytest as _pytest
+
+    from bi_gcp_stitch_repl_spark.functions import pq
+
+    vecs = [
+        (0, [0.0, 1.0, 0.0, 0.0]), (1, [2.0, 0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 2.0, 1.0]), (3, [1.0, 1.0, 0.0, 2.0]),
+        (4, [100.0, 99.0, 101.0, 100.0]), (5, [98.0, 100.0, 100.0, 99.0]),
+        (6, [101.0, 101.0, 99.0, 100.0]), (7, [100.0, 100.0, 102.0, 98.0]),
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    centers = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [100.0, 100.0, 100.0, 100.0])],
+        "cell int, cvec array<double>",
+    )
+    index, centers_out, cbs = pq.ivf_pq_index(
+        corpus, dim=4, m=2, k_codes=2, centers=centers
+    )
+    idx = {r.vec_id: (r.cell, list(r.codes)) for r in index.collect()}
+    assert all(idx[i][0] == 0 for i in range(4))
+    assert all(idx[i][0] == 1 for i in range(4, 8))
+    assert all(len(c) == 2 for _, c in idx.values())
+
+    queries = spark.createDataFrame(
+        [(11, [1.0, 0.0, 0.0, 1.0]), (12, [99.0, 101.0, 100.0, 100.0])],
+        "query_id long, embedding array<double>",
+    )
+    got = [
+        (r.query_id, r.vec_id, r.adc_dist, r.rk)
+        for r in pq.ivf_pq_topk(
+            index, centers, cbs, queries, k_top=8, n_probe=2
+        ).orderBy("query_id", "rk").collect()
+    ]
+
+    # independent replica from the collected codebooks
+    cb = {}
+    for r in cbs.collect():
+        cb.setdefault(r.sub, {})[r.cid] = list(r.cv)
+    ctr = {0: [0.0] * 4, 1: [100.0] * 4}
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    expect = []
+    for qid, qv in [(11, [1.0, 0.0, 0.0, 1.0]), (12, [99.0, 101.0, 100.0, 100.0])]:
+        rows = []
+        for vid, v in vecs:
+            cell, codes = idx[vid]
+            qres = [x - y for x, y in zip(qv, ctr[cell])]
+            d = 0.0
+            for s in (0, 1):
+                d += sq(qres[s * 2:(s + 1) * 2], cb[s][codes[s]])
+            rows.append((d, vid))
+        rows.sort()
+        expect += [(qid, vid, d, rk + 1) for rk, (d, vid) in enumerate(rows)]
+    assert got == expect
+
+    pruned = pq.ivf_pq_topk(
+        index, centers, cbs, queries, k_top=8, n_probe=1
+    ).collect()
+    for r in pruned:
+        want_cell = 0 if r.query_id == 11 else 1
+        assert idx[r.vec_id][0] == want_cell
+    assert {r.query_id for r in pruned} == {11, 12}
+
+    old = pq.IVFPQ_QUERY_LIMIT
+    pq.IVFPQ_QUERY_LIMIT = 1
+    try:
+        with _pytest.raises(ValueError, match="IVFPQ_QUERY_LIMIT"):
+            pq.ivf_pq_topk(index, centers, cbs, queries, k_top=2)
+    finally:
+        pq.IVFPQ_QUERY_LIMIT = old
+
+
+def test_ivf_pq_ml_path_blob_recall(spark):
+    """The pyspark.ml coarse-quantizer path end-to-end: two planted blobs,
+    index with fitted cells, query near each blob — every top-3 neighbor
+    comes from the query's own blob (residual PQ cannot confuse blobs
+    separated by ~100 when within-blob spread is ~2)."""
+    import random as _random
+
+    from bi_gcp_stitch_repl_spark.functions import pq
+
+    rng = _random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) + (0.0 if i < 10 else 100.0) for _ in range(4)])
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    index, centers, cbs = pq.ivf_pq_index(
+        corpus, dim=4, n_cells=2, m=2, k_codes=4
+    )
+    queries = spark.createDataFrame(
+        [(1, [0.5, -0.5, 0.0, 0.5]), (2, [100.5, 99.5, 100.0, 100.5])],
+        "query_id long, embedding array<double>",
+    )
+    out = pq.ivf_pq_topk(index, centers, cbs, queries, k_top=3, n_probe=1)
+    for r in out.collect():
+        assert (r.vec_id < 10) == (r.query_id == 1), r
