@@ -147,6 +147,7 @@ def pq_encode(
     dim: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Encode every vector as ``(id_col, codes array<bigint>)`` —
     ``codes[s]`` is the cid of subspace s's nearest centroid (sequential
@@ -160,22 +161,98 @@ def pq_encode(
     cbs = _collect_codebooks(codebooks)
     m = len(cbs)
     ds = _check_split(dim, m)
+    # materialize each subspace slice ONCE as its own column (the PSL
+    # materialization discipline): the k candidate folds below are
+    # interpreted higher-order functions, and re-slicing _v inside every
+    # candidate multiplies the allocation k-fold
+    sliced = corpus.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+    ).select(
+        id_col,
+        *[F.col(c) for c in keep_cols],
+        *[
+            F.expr(f"slice(_v, {s * ds + 1}, {ds})").alias(f"_s{s}")
+            for s in range(m)
+        ],
+    )
     code_exprs = []
     for s, entries in enumerate(cbs):
         cand = ", ".join(
-            f"struct({SQDIST.format(a=f'slice(_v, {s * ds + 1}, {ds})', b=_lit_arr(cv))}"
+            f"struct({SQDIST.format(a=f'_s{s}', b=_lit_arr(cv))}"
             f" AS d, CAST({cid} AS BIGINT) AS cid)"
             for cid, cv in entries
         )
         code_exprs.append(f"array_min(array({cand})).cid")
-    return corpus.select(
-        F.col(id_col),
-        F.expr(
-            f"transform({vec_col}, x -> cast(x as double))"
-        ).alias("_v"),
-    ).select(
+    return sliced.select(
         id_col,
+        *[F.col(c) for c in keep_cols],
         F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes"),
+    )
+
+
+def pq_encode_fast(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Arrow-batched NumPy encode — the PRODUCTION kernel for the same
+    ``(id_col, codes)`` contract as :func:`pq_encode`. Each batch is one
+    ``(rows × ds) @ (ds × k)`` matrix product per subspace with the
+    expanded-L2 argmin (‖x−c‖² ranks as ‖c‖²−2⟨x,c⟩ per row) — measured
+    ~40× the interpreted-fold expression path at 200k×64 (PERF.md).
+
+    Caveat, per the kmeans_lloyd / kmeans_ivf_index twin discipline:
+    BLAS accumulation order differs from the sequential fold, so a
+    distance tie decided inside float ulp noise can pick a different
+    (still nearest-within-ulp) centroid than the exact twin. Codes are
+    argmin-by-(distance, cid) with NumPy's stable first-min semantics —
+    deterministic for a fixed batch, and property-pinned equal to
+    pq_encode away from ulp ties. Use pq_encode where an oracle replays
+    the choice; use this to encode the store."""
+    import numpy as np
+    import pandas as pd
+
+    cbs = _collect_codebooks(codebooks)
+    m = len(cbs)
+    ds = _check_split(dim, m)
+    mats = []
+    for entries in cbs:
+        mats.append(np.array([cv for _cid, cv in entries], dtype=np.float64))
+    cids = [np.array([c for c, _ in entries]) for entries in cbs]
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # vstack over the Arrow batch: one block allocation, no
+            # per-row Python conversion loop (the loop spelling measured
+            # SLOWER than the interpreted SQL twin — PERF.md)
+            vs = np.vstack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for s in range(m):
+                xs = vs[:, s * ds:(s + 1) * ds]
+                cb = mats[s]
+                # ||x - c||^2 ranks as ||c||^2 - 2<x, c> per row
+                scores = (cb * cb).sum(axis=1)[None, :] - 2.0 * (xs @ cb.T)
+                codes[:, s] = cids[s][np.argmin(scores, axis=1)]
+            out = {id_col: pdf[id_col]}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
+
+    dtypes = dict(corpus.dtypes)
+    keep_schema = "".join(f", {c} {dtypes[c]}" for c in keep_cols)
+    return corpus.select(id_col, *keep_cols, vec_col).mapInPandas(
+        encode,
+        schema=f"{id_col} {dtypes[id_col]}{keep_schema}, codes array<bigint>",
     )
 
 
@@ -246,6 +323,8 @@ def ivf_pq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centers: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    fast_encode: bool = False,
 ):
     """Build the classic IVF-PQ layout (Jégou et al. §IV — the
     billion-scale standard): coarse cells from ``kmeans_ivf_index``
@@ -262,7 +341,23 @@ def ivf_pq_index(
     ``zip_with`` (centers are n_cells×dim — a bounded model frame that
     broadcasts; inlining literals would not survive sqrt(N) cells at
     100 TB). Train on a SAMPLE upstream when the corpus is large (PQ
-    needs ~100k residuals, not the store)."""
+    needs ~100k residuals, not the store).
+
+    ``fast_encode=True`` with BOTH models frozen (``centers`` +
+    ``codebooks``) takes the one-pass Arrow kernel: assignment +
+    residual + codes in a single ``mapInPandas`` over the raw vectors —
+    the production encode. The expression path's frozen-centers
+    assignment is a corpus × n_cells crossJoin of interpreted folds
+    (measured DOMINANT over the encode itself at 200k × 447 cells:
+    PERF.md); it stays as the oracle-parity twin."""
+    if fast_encode and centers is not None and codebooks is not None:
+        return (
+            _ivf_pq_encode_onepass(
+                corpus, centers, codebooks, dim, vec_col, id_col
+            ),
+            centers,
+            codebooks,
+        )
     if centers is None:
         from .similarity import kmeans_ivf_index
 
@@ -300,15 +395,87 @@ def ivf_pq_index(
             " (x, y) -> cast(x as double) - y)"
         ).alias("_resid"),
     )
-    codebooks = pq_train(
-        resid, dim=dim, m=m, k=k_codes, n_iter=n_iter,
-        vec_col="_resid", id_col=id_col,
-    )
-    index = resid.join(
-        pq_encode(resid, codebooks, dim=dim, vec_col="_resid", id_col=id_col),
-        id_col,
+    if codebooks is None:
+        # fit here; pass a FROZEN ``codebooks`` frame to encode a large
+        # corpus against sample-trained codebooks (the kmeans_ivf_index
+        # frozen-quantizer discipline: stored codes must be argmin
+        # against the SAME codebook the searcher's ADC tables use)
+        codebooks = pq_train(
+            resid, dim=dim, m=m, k=k_codes, n_iter=n_iter,
+            vec_col="_resid", id_col=id_col,
+        )
+    enc = pq_encode_fast if fast_encode else pq_encode
+    # cell rides THROUGH the encoder (keep_cols) — the join-back
+    # spelling recomputed the residual frame twice and paid a
+    # corpus-sized shuffle for a column the encoder already held
+    # (measured: the join dominated encode wall time; PERF.md)
+    index = enc(
+        resid, codebooks, dim=dim, vec_col="_resid", id_col=id_col,
+        keep_cols=("cell",),
     ).select(id_col, "cell", "codes")
     return index, centers, codebooks
+
+
+def _ivf_pq_encode_onepass(
+    corpus: DataFrame,
+    centers: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One Arrow pass over raw vectors: cell assignment (expanded-L2
+    argmin against the bounded centers matrix, ties to the smallest
+    cell id via NumPy first-min over the cell-sorted matrix), residual
+    subtraction, and per-subspace code argmin — the vectors transit the
+    Arrow boundary ONCE and nothing corpus-sized joins or shuffles.
+    Same ulp-tie caveat as pq_encode_fast (DETERMINISM.md)."""
+    import numpy as np
+    import pandas as pd
+
+    cbs = _collect_codebooks(codebooks)
+    m = len(cbs)
+    ds = _check_split(dim, m)
+    crows = sorted(
+        (r.cell, list(r.cv if hasattr(r, "cv") else r.cvec))
+        for r in centers.collect()
+    )
+    cmat = np.array([cv for _c, cv in crows], dtype=np.float64)
+    cells_arr = np.array([c for c, _ in crows], dtype=np.int32)
+    mats = [
+        np.array([cv for _cid, cv in entries], dtype=np.float64)
+        for entries in cbs
+    ]
+    cids = [np.array([c for c, _ in entries]) for entries in cbs]
+
+    def kernel(batches):
+        cnorm = (cmat * cmat).sum(axis=1)[None, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vs = np.vstack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            pick = np.argmin(cnorm - 2.0 * (vs @ cmat.T), axis=1)
+            resid = vs - cmat[pick]
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for s in range(m):
+                xs = resid[:, s * ds:(s + 1) * ds]
+                cb = mats[s]
+                scores = (cb * cb).sum(axis=1)[None, :] - 2.0 * (xs @ cb.T)
+                codes[:, s] = cids[s][np.argmin(scores, axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cells_arr[pick],
+                    "codes": list(codes),
+                }
+            )
+
+    id_type = dict(corpus.dtypes)[id_col]
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, cell int, codes array<bigint>"
+    )
 
 
 def ivf_pq_topk(
@@ -321,6 +488,8 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 5,
 ) -> DataFrame:
     """IVF-PQ search: each query probes its ``n_probe`` nearest cells
     (squared-L2 to the coarse centers) and ranks ONLY those cells' codes
@@ -335,7 +504,16 @@ def ivf_pq_topk(
     bounded fold; the final exact top-k is the salted two-level window
     (``ops.skew.salted_topk``), so a hot cell cannot serialize one task.
     Ties break on the vector id; output ``(query_id, vec_id, adc_dist,
-    rk)``."""
+    rk)``.
+
+    ``refine_with`` enables the standard refine stage (Jégou §VII /
+    "IVFPQR"): the ADC pass keeps ``k_top × refine_factor`` candidates,
+    joins them back to the TRUE vectors in ``refine_with`` (an
+    ``(id_col, vec_col)`` frame — typically the corpus), and re-ranks
+    by exact squared-L2 — the lossy-quantization recall repair whose
+    extra cost is one equi-join on k·factor·|queries| rows, corpus-size
+    independent. Output then carries ``exact_dist`` instead of
+    ``adc_dist``; measured recall@10 uplift in PERF.md."""
     cbs = _collect_codebooks(codebooks)
     m = len(cbs)
     ctrs = {r.cell: list(r.cv if hasattr(r, "cv") else r.cvec)
@@ -390,10 +568,65 @@ def ivf_pq_topk(
     )
     from ..ops.skew import salted_topk
 
+    if refine_with is None:
+        return salted_topk(
+            scored,
+            partition_by=[query_id_col],
+            order_by=[F.col("adc_dist").asc(), F.col(id_col)],
+            k=k_top,
+            salt_on=id_col,
+        ).select(query_id_col, id_col, "adc_dist", "rk")
+    if refine_factor < 1:
+        raise ValueError(f"refine_factor must be >= 1 (got {refine_factor})")
+    cand_rows = (
+        salted_topk(
+            scored,
+            partition_by=[query_id_col],
+            order_by=[F.col("adc_dist").asc(), F.col(id_col)],
+            k=k_top * refine_factor,
+            salt_on=id_col,
+        )
+        .select(query_id_col, id_col)
+        # materialize the BOUNDED candidate list (≤ |queries| × k_top ×
+        # refine_factor rows, |queries| already guarded) and rebuild it
+        # as a fresh frame: the lazy spelling joins refine_with (often
+        # the same lineage the index was encoded from) against a plan
+        # whose checkpointed LogicalRDD REUSES the corpus's exprIds —
+        # two distinct LogicalRDDs sharing vec_id#N trips Spark's
+        # relation dedup into INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at
+        # execution (reproduced on 4.1.2; tools/pq_scale_trend.py was
+        # the trigger). A literal rebuild shares no exprIds with
+        # anything and broadcasts anyway.
+        .collect()
+    )
+    cand = spark.createDataFrame(
+        [(r[query_id_col], r[id_col]) for r in cand_rows],
+        f"{query_id_col} long, {id_col} long",
+    )
+    qf = spark.createDataFrame(
+        [(r[query_id_col], [float(x) for x in r[vec_col]]) for r in qrows],
+        f"{query_id_col} long, _qv array<double>",
+    )
+    exact = (
+        F.broadcast(cand).join(
+            refine_with.select(id_col, F.col(vec_col).alias("_tv")), id_col
+        )
+        .join(F.broadcast(qf), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.expr(
+                "aggregate(zip_with(_tv, _qv,"
+                " (x, y) -> (cast(x as double) - y)"
+                " * (cast(x as double) - y)),"
+                " cast(0.0 as double), (acc, v) -> acc + v)"
+            ).alias("exact_dist"),
+        )
+    )
     return salted_topk(
-        scored,
+        exact,
         partition_by=[query_id_col],
-        order_by=[F.col("adc_dist").asc(), F.col(id_col)],
+        order_by=[F.col("exact_dist").asc(), F.col(id_col)],
         k=k_top,
         salt_on=id_col,
-    ).select(query_id_col, id_col, "adc_dist", "rk")
+    ).select(query_id_col, id_col, "exact_dist", "rk")

@@ -1544,3 +1544,141 @@ def test_ivf_pq_ml_path_blob_recall(spark):
     out = pq.ivf_pq_topk(index, centers, cbs, queries, k_top=3, n_probe=1)
     for r in out.collect():
         assert (r.vec_id < 10) == (r.query_id == 1), r
+
+
+def test_pq_encode_fast_matches_exact_twin(spark):
+    """The Arrow/NumPy production kernel must emit the SAME codes as the
+    interpreted exact twin away from ulp ties — pinned on the fixed
+    codebooks (clear margins) and on a 60-vector hash-synthetic corpus
+    with pq_train'd codebooks."""
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.functions import pq
+
+    cbs = _pq_fixed_codebooks(spark)
+    vecs = [
+        (1, [0.0, 1.0, -7.0, -9.0]), (2, [9.0, 11.0, 1.0, 1.0]),
+        (4, [10.0, 10.0, 0.0, 0.0]), (5, [-1.0, 2.0, -6.0, -6.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    exact = {r.vec_id: list(r.codes) for r in pq.pq_encode(emb, cbs, dim=4).collect()}
+    fast = {r.vec_id: list(r.codes)
+            for r in pq.pq_encode_fast(emb, cbs, dim=4).collect()}
+    assert exact == fast
+
+    corpus = (
+        spark.range(60)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 7),"
+                " j -> sin(cast(id * 7919 + j * 104729 as double)))"
+            ).alias("embedding"),
+        )
+    )
+    trained = pq.pq_train(corpus, dim=8, m=2, k=4)
+    exact = {r.vec_id: list(r.codes)
+             for r in pq.pq_encode(corpus, trained, dim=8).collect()}
+    fast = {r.vec_id: list(r.codes)
+            for r in pq.pq_encode_fast(corpus, trained, dim=8).collect()}
+    assert exact == fast and len(exact) == 60
+
+
+def test_ivf_pq_refine_repairs_adc_ranking(spark):
+    """The refine stage re-ranks ADC candidates by EXACT distance: with
+    refine_factor covering the cell, the refined top-k equals the exact
+    brute-force top-k within probed cells — even where the plain ADC
+    ordering disagrees with exact (quantization loss). Also pins the
+    exact_dist column values and the guard."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.functions import pq
+
+    corpus = (
+        spark.range(80)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 7),"
+                " j -> sin(cast(id * 6271 + j * 31337 as double)))"
+            ).alias("embedding"),
+        )
+    )
+    centers = spark.createDataFrame(
+        [(0, [0.0] * 8)], "cell int, cvec array<double>"
+    )
+    index, _, cbs = pq.ivf_pq_index(
+        corpus, dim=8, m=2, k_codes=2, centers=centers
+    )
+    queries = spark.createDataFrame(
+        [(1, [0.3, -0.2, 0.9, 0.1, -0.5, 0.4, 0.0, 0.7])],
+        "query_id long, embedding array<double>",
+    )
+    refined = pq.ivf_pq_topk(
+        index, centers, cbs, queries, k_top=5, n_probe=1,
+        refine_with=corpus, refine_factor=16,  # 80 candidates = the cell
+    ).orderBy("rk").collect()
+
+    qv = [0.3, -0.2, 0.9, 0.1, -0.5, 0.4, 0.0, 0.7]
+    exact = []
+    for r in corpus.collect():
+        d = 0.0
+        for x, y in zip(r.embedding, qv):
+            d += (x - y) * (x - y)
+        exact.append((d, r.vec_id))
+    exact.sort()
+    assert [(r.vec_id) for r in refined] == [v for _, v in exact[:5]]
+    assert all(abs(r.exact_dist - exact[i][0]) < 1e-12
+               for i, r in enumerate(refined))
+    assert [r.rk for r in refined] == [1, 2, 3, 4, 5]
+
+    with _pytest.raises(ValueError, match="refine_factor"):
+        pq.ivf_pq_topk(
+            index, centers, cbs, queries, refine_with=corpus, refine_factor=0
+        )
+
+
+def test_ivf_pq_onepass_kernel_matches_expression_twin(spark):
+    """fast_encode with BOTH models frozen takes the one-Arrow-pass
+    kernel (assignment + residual + codes, vectors cross the boundary
+    once); its (cell, codes) must equal the exact expression twin's on
+    a well-separated corpus — and the downstream search result is
+    byte-identical."""
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.functions import pq
+
+    corpus = (
+        spark.range(120)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 7), j ->"
+                " sin(cast(id * 104729 + j * 7919 as double))"
+                " + CASE WHEN id % 2 = 0 THEN 50.0 ELSE -50.0 END)"
+            ).alias("embedding"),
+        )
+    )
+    centers = spark.createDataFrame(
+        [(0, [-50.0] * 8), (1, [50.0] * 8)], "cell int, cvec array<double>"
+    )
+    _, _, cbs = pq.ivf_pq_index(corpus, dim=8, m=2, k_codes=4, centers=centers)
+    exact_ix, _, _ = pq.ivf_pq_index(
+        corpus, dim=8, m=2, k_codes=4, centers=centers, codebooks=cbs
+    )
+    fast_ix, _, _ = pq.ivf_pq_index(
+        corpus, dim=8, m=2, k_codes=4, centers=centers, codebooks=cbs,
+        fast_encode=True,
+    )
+    a = {(r.vec_id, r.cell, tuple(r.codes)) for r in exact_ix.collect()}
+    b = {(r.vec_id, r.cell, tuple(r.codes)) for r in fast_ix.collect()}
+    assert a == b and len(a) == 120
+
+    queries = spark.createDataFrame(
+        [(1, [49.0, 51.0, 50.0, 50.0, 49.5, 50.5, 50.0, 50.0])],
+        "query_id long, embedding array<double>",
+    )
+    ra = pq.ivf_pq_topk(exact_ix, centers, cbs, queries, k_top=5, n_probe=1).collect()
+    rb = pq.ivf_pq_topk(fast_ix, centers, cbs, queries, k_top=5, n_probe=1).collect()
+    assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
