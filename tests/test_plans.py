@@ -261,6 +261,11 @@ def test_no_python_eval_anywhere_in_catalog(spark):
         "x_audio_roundtrip_features",
         "x_video_frames_roundtrip",
         "x_mjpeg_avi_roundtrip",
+        # r11: perceptual image dedup — image_dhash IS the multimodal
+        # decode seam (Arrow-batched PNG decode + integer dHash; pixel
+        # bytes touch Python exactly once, the pair join downstream is
+        # pure byte-band SQL)
+        "x_image_dhash_near_dups",
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
@@ -463,6 +468,22 @@ def test_no_forced_broadcast_on_scaled_sides_in_package():
         ("jobs/pipelines.py", "batch_first"): "micro-batch-bounded segments",
         ("jobs/pipelines.py", "hits"):
             "semi-join of index vs micro-batch probe — batch-bounded",
+        # --- functions/pq.py: bounded ANN model objects ----------------
+        ("functions/pq.py", "centers"):
+            "coarse-center model frame (n_cells ≈ √N rows)",
+        ("functions/pq.py", "centers.select('cell', 'cvec')"):
+            "coarse-center model frame (n_cells ≈ √N rows)",
+        ("functions/pq.py", "probes"):
+            "per-(query, cell) ADC tables — |queries|·n_probe rows,"
+            " IVFPQ_QUERY_LIMIT-guarded",
+        ("functions/pq.py", "qf"):
+            "query-vector frame — |queries| rows, IVFPQ_QUERY_LIMIT-guarded",
+        ("functions/pq.py", "cand"):
+            "refine candidate list — ≤ |queries|·k_top·refine_factor rows,"
+            " rebuilt literal (see dedup-bug note in function body)",
+        # --- x_random_walks_trade name joins ---------------------------
+        ("queries/relational_ext.py", "ns"): "25-row nation dim",
+        ("queries/relational_ext.py", "na"): "25-row nation dim",
         # --- ops/ ------------------------------------------------------
         ("ops/scd.py", "late_keys"): "late-key subset of one batch",
         # --- conditional sites: caller opts in via a flag, default off /
