@@ -438,11 +438,22 @@ def test_clustering_coefficients_single_normalization(spark):
         [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 4)],
         "x long, y long",
     )
-    before = sc._jsc.sc().getPersistentRDDs().size()
+    def persistent_ids():
+        ids = set()
+        it = sc._jsc.sc().getPersistentRDDs().keysIterator()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    # probe on ADDED ids, not a size delta: the async ContextCleaner can
+    # unpersist OTHER tests' stale checkpoints mid-probe (full-suite run
+    # measured the set shrinking by 8 during this test), but it can only
+    # REMOVE entries — additions during the call are ours alone
+    before = persistent_ids()
     out = clustering_coefficients(k4_tail)
     rows = {r.node: r.coeff_fp for r in out.collect()}
     assert rows[0] == 10**6 and rows[4] == 0  # semantics unchanged
-    assert sc._jsc.sc().getPersistentRDDs().size() - before == 2
+    assert len(persistent_ids() - before) == 2
 
 
 def test_k_core_one_fixpoint_action_and_bounded_checkpoints(spark):
