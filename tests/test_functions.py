@@ -1682,3 +1682,111 @@ def test_ivf_pq_onepass_kernel_matches_expression_twin(spark):
     ra = pq.ivf_pq_topk(exact_ix, centers, cbs, queries, k_top=5, n_probe=1).collect()
     rb = pq.ivf_pq_topk(fast_ix, centers, cbs, queries, k_top=5, n_probe=1).collect()
     assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
+
+
+def test_pq_on_embeddings_fixture_duckdb_pin(spark):
+    """The r12 x_pq_topk registration shape, pre-validated on the REAL
+    embeddings fixture: pq_train(m=4, k=4) on the sf0.001 table, encode
+    with the exact twin, and replay the encode relationally in DuckDB
+    from the SAME collected codebooks (cross-join distances +
+    row_number argmin — the oracle formulation). Codes must match
+    bit-for-bit; the ADC top-10 for a fixture query must match a
+    Python replay."""
+    import duckdb
+
+    from bi_gcp_stitch_repl_spark.functions import pq
+    from bi_gcp_stitch_repl_spark.queries.catalog import tables
+
+    from .conftest import SF_SMOKE
+
+    (emb,) = tables(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cbs = pq.pq_train(emb, dim=dim, m=4, k=4)
+    enc = pq.pq_encode(emb, cbs, dim=dim)
+    got = {r.vec_id: tuple(r.codes) for r in enc.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW emb AS SELECT vec_id, embedding::DOUBLE[] AS v"
+        f" FROM read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    )
+    con.execute("CREATE TABLE cb(sub INT, cid BIGINT, cv DOUBLE[])")
+    con.executemany(
+        "INSERT INTO cb VALUES (?, ?, ?)",
+        [(r.sub, r.cid, list(r.cv)) for r in cbs.collect()],
+    )
+    ds = dim // 4
+    duck = con.execute(f"""
+WITH dists AS (
+  SELECT e.vec_id, c.sub, c.cid,
+         list_sum(list_transform(range(1, {ds + 1}),
+           i -> (e.v[CAST(c.sub * {ds} + i AS INT)] - c.cv[CAST(i AS INT)])
+              * (e.v[CAST(c.sub * {ds} + i AS INT)] - c.cv[CAST(i AS INT)])))
+           AS d
+  FROM emb e CROSS JOIN cb c
+), pick AS (
+  SELECT vec_id, sub, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+  FROM dists
+)
+SELECT vec_id, list(cid ORDER BY sub) AS codes FROM pick WHERE rn = 1 GROUP BY 1
+""").fetchall()
+    assert {vid: tuple(c) for vid, c in duck} == got and len(got) >= 50
+
+    # ADC top-10 vs a Python replay over the same codes/codebooks
+    query = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    top = pq.pq_adc_topk(enc, cbs, query, k_top=10).collect()
+    cb = {}
+    for r in cbs.collect():
+        cb.setdefault(r.sub, {})[r.cid] = list(r.cv)
+    scores = []
+    for vid, codes in got.items():
+        d = 0.0
+        for s in range(4):
+            qs = query[s * ds:(s + 1) * ds]
+            cv = cb[s][codes[s]]
+            acc = 0.0
+            for x, y in zip(qs, cv):
+                acc += (x - y) * (x - y)
+            d += acc
+        scores.append((d, vid))
+    scores.sort()
+    assert [(r.adc_dist, r.vec_id) for r in top] == scores[:10]
+
+
+def test_pq_encode_fast_works_under_structured_streaming(tmp_path, spark):
+    """The production encode is stream-compatible plumbing: pq_encode_fast
+    (mapInPandas) over a readStream source encodes a micro-batch
+    exactly as the batch path does — the multimodal-seam discipline
+    (prove the streaming wiring even where the kernel is batch-tested)."""
+    from bi_gcp_stitch_repl_spark.functions import pq
+
+    vecs = [
+        (1, [0.0, 1.0, -7.0, -9.0]), (2, [9.0, 11.0, 1.0, 1.0]),
+        (3, [5.0, 5.0, -4.0, -4.0]), (4, [10.0, 10.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "src")
+    emb.write.parquet(src)
+    cbs = _pq_fixed_codebooks(spark)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(src)
+    enc = pq.pq_encode_fast(stream, cbs, dim=4)
+    out = str(tmp_path / "out")
+    q = (
+        enc.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.vec_id: list(r.codes) for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r.vec_id: list(r.codes)
+        for r in pq.pq_encode_fast(emb, cbs, dim=4).collect()
+    }
+    assert got == batch and len(got) == 4
