@@ -449,3 +449,55 @@ def test_image_dhash_and_near_dup_pairs(spark):
         for r in dhash_near_dup_pairs(hashes, max_hamming=8).collect()
     }
     assert pairs == {(1, 2): 0}
+
+
+def test_image_dup_clusters_composition(spark):
+    """The cross-seam composition the text side ships as x_dedup_clusters,
+    on images: dHash near-dup PAIRS alone under-merge (A~B, B~C must
+    collapse), so the pairs feed connected_components and every planted
+    brightness-shift GROUP lands in one cluster keyed by its min id —
+    with the nodes= dimension, clean singletons come back as their own
+    component and failed decodes stay out entirely."""
+    import numpy as np
+
+    from bi_gcp_stitch_repl_spark.functions.codecs import encode_png
+    from bi_gcp_stitch_repl_spark.functions.graph import connected_components
+    from bi_gcp_stitch_repl_spark.functions.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(411)
+    base_a = rng.randint(40, 200, size=(32, 32, 3)).astype(np.uint8)
+    base_b = rng.randint(40, 200, size=(32, 32, 3)).astype(np.uint8)
+    lone = rng.randint(40, 200, size=(32, 32, 3)).astype(np.uint8)
+
+    def shift(img, d):
+        return (img.astype(np.int32) + d).clip(0, 255).astype(np.uint8)
+
+    rows = [
+        (1, bytearray(encode_png(base_a, "RGB"))),
+        (2, bytearray(encode_png(shift(base_a, 10), "RGB"))),
+        (3, bytearray(encode_png(shift(base_a, 20), "RGB"))),
+        (10, bytearray(encode_png(base_b, "RGB"))),
+        (11, bytearray(encode_png(shift(base_b, 15), "RGB"))),
+        (20, bytearray(encode_png(lone, "RGB"))),
+        (30, bytearray(b"junk, not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = image_dhash(df, partitions=2)
+    pairs = dhash_near_dup_pairs(hashes, max_hamming=8)
+    ok_ids = hashes.filter("_decode_ok").select(
+        hashes.media_id.alias("node")
+    )
+    comp = {
+        r.node: r.component
+        for r in connected_components(
+            pairs.select("id_a", "id_b"), nodes=ok_ids
+        ).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == 20
+    assert 30 not in comp  # failed decode never enters the graph
+    assert set(comp) == {1, 2, 3, 10, 11, 20}
