@@ -1713,39 +1713,47 @@ def rank_domains(
         registrable_domain_psl,
     )
 
+    # ONE scan carries both the edge multigraph and the node universe:
+    # explode_outer keeps a (page, NULL-href) row for linkless / NULL-html
+    # pages, so the page-domain node set falls out of the SAME exploded
+    # frame the edges aggregate from. The previous spelling derived
+    # `pages` and `edges` as separate lineages and handed both to
+    # pagerank_fixedpoint, whose eager edge/node checkpoints then re-ran
+    # the full href-extraction scan three times (edges; nodes' page arm;
+    # nodes' union arm re-deriving edges.dst). Collapsing to one
+    # checkpointed domain-pair aggregate makes every downstream consumer
+    # read the tiny aggregate instead.
     links = docs.select(
         F.col(url_col).alias("_page_url"),
-        F.explode(F.expr(extract_links_expr(html_col))).alias("_href"),
+        F.explode_outer(F.expr(extract_links_expr(html_col))).alias("_href"),
     )
-    pages = docs.select(F.col(url_col).alias("_page_url"))
     if domain_psl is not None:
         links = registrable_domain_psl(
             links, "_page_url", domain_psl, out_col="_src"
         )
         links = registrable_domain_psl(links, "_href", domain_psl, out_col="_dst")
-        pages = registrable_domain_psl(
-            pages, "_page_url", domain_psl, out_col="_pdom"
-        )
     else:
         links = links.select(
             F.expr(registrable_domain_expr("_page_url")).alias("_src"),
             F.expr(registrable_domain_expr("_href")).alias("_dst"),
         )
-        pages = pages.select(
-            F.expr(registrable_domain_expr("_page_url")).alias("_pdom")
-        )
-    edges = (
-        links.filter(
-            F.col("_src").isNotNull()
-            & F.col("_dst").isNotNull()
-            & (F.col("_src") != F.col("_dst"))
-        )
-        .groupBy(F.col("_src").alias("src"), F.col("_dst").alias("dst"))
+    # the page-level multigraph collapses to weighted domain pairs before
+    # anything else consumes it; NULL/self-edge groups survive into the
+    # aggregate (few at domain granularity) and filter AFTER it, so the
+    # one checkpoint serves both the edge list and the node set
+    pairs = (
+        links.groupBy(F.col("_src").alias("src"), F.col("_dst").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.filter(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
     )
     nodes = (
-        pages.filter(F.col("_pdom").isNotNull())
-        .select(F.col("_pdom").alias("node"))
+        pairs.filter(F.col("src").isNotNull())
+        .select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
     )
     from ..functions.graph import pagerank_fixedpoint
