@@ -128,8 +128,12 @@ def connected_components(
             e.select(F.col("dst").alias("node"))
         ).distinct()
     e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
-    if e.count() <= driver_threshold:
-        return _cc_driver(e, nodes)
+    # one-job dispatch probe: when the edge list fits, the probe rows ARE
+    # the union-find input (the old count()-then-collect() pair was two
+    # driver round-trips over the same checkpointed frame)
+    erows = _probe_rows(e, driver_threshold)
+    if erows is not None:
+        return _cc_driver(erows, e, nodes)
     changed = False
     for _ in range(max_iter):
         after = _small_star(_large_star(e), pre_oriented=True).localCheckpoint(
@@ -172,7 +176,9 @@ def connected_components(
     return labels
 
 
-def _cc_driver(e: DataFrame, nodes: DataFrame | None) -> DataFrame:
+def _cc_driver(
+    erows: list, e: DataFrame, nodes: DataFrame | None
+) -> DataFrame:
     """Small-graph path: union-find over the collected edge list, labels
     re-emitted as a DataFrame. Deterministic min-label components —
     identical output to the distributed star algorithm."""
@@ -187,7 +193,7 @@ def _cc_driver(e: DataFrame, nodes: DataFrame | None) -> DataFrame:
         return r
 
     touched = set()
-    for row in e.collect():
+    for row in erows:
         a, b = row["src"], row["dst"]
         touched.add(a)
         touched.add(b)
@@ -419,6 +425,41 @@ def pagerank_fixedpoint(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # driver/distributed dispatch via the one-job limit probe: when both
+    # frames fit, the probe rows ARE the collected inputs — the old
+    # count() + guard-agg + count() + collect() + collect() sequence
+    # spent five driver round-trips where two suffice (the weight guard
+    # then runs in Python over rows already in hand, same checks, same
+    # messages)
+    nrows = _probe_rows(node_df, driver_threshold)
+    if nrows is not None and len(nrows) == 0:
+        return node_df.select("node", F.lit(0).cast("long").alias("rank_fp"))
+    erows = _probe_rows(e, driver_threshold) if nrows is not None else None
+    if erows is not None:
+        _check_weights_rows(
+            (r.w for r in erows), frac_scale=frac_scale
+        )
+        seeds = None
+        if teleport is not None:
+            seeds = {
+                r.node
+                for r in teleport.select(
+                    F.col(teleport.columns[0]).cast(node_type).alias("node")
+                )
+                .filter(F.col("node").isNotNull())
+                .distinct()
+                .join(node_df, "node", "left_semi")
+                .collect()
+            }
+            if not seeds:
+                raise ValueError(
+                    "teleport set is empty or disjoint from nodes — an"
+                    " all-zero restart vector has no fixed point"
+                )
+        return _pagerank_fp_driver(
+            erows, nrows, node_df, len(nrows), n_iter, damping_num,
+            damping_den, scale, frac_scale, seeds=seeds,
+        )
     n = node_df.count()
     if n == 0:
         return node_df.select("node", F.lit(0).cast("long").alias("rank_fp"))
@@ -454,16 +495,6 @@ def pagerank_fixedpoint(
                 "teleport set is empty or disjoint from nodes — an"
                 " all-zero restart vector has no fixed point"
             )
-    if n <= driver_threshold and e.count() <= driver_threshold:
-        return _pagerank_fp_driver(
-            e, node_df, n, n_iter, damping_num, damping_den, scale,
-            frac_scale,
-            seeds=(
-                {r.node for r in seeds_df.collect()}
-                if seeds_df is not None
-                else None
-            ),
-        )
     tot = e.groupBy("src").agg(F.sum("w").alias("w_out"))
     frac = (
         e.join(tot, "src")
@@ -540,7 +571,8 @@ def pagerank_fixedpoint(
 
 
 def _pagerank_fp_driver(
-    e: DataFrame,
+    erows: list,
+    nrows: list,
     node_df: DataFrame,
     n: int,
     n_iter: int,
@@ -556,9 +588,9 @@ def _pagerank_fp_driver(
     — the property suite compares both against an independent replica.
     ``seeds`` (already intersected with the node set) switches to the
     personalized restart: base and dangling mass land on seeds only."""
-    spark = e.sparkSession
-    edges = [(r.src, r.dst, r.w) for r in e.collect()]
-    nodes = [r.node for r in node_df.collect()]
+    spark = node_df.sparkSession
+    edges = [(r.src, r.dst, r.w) for r in erows]
+    nodes = [r.node for r in nrows]
     w_out: dict = {}
     for s, _, w in edges:
         w_out[s] = w_out.get(s, 0) + w
@@ -676,6 +708,24 @@ def hits_fixedpoint(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # one-job dispatch probe (the pagerank_fixedpoint discipline): when
+    # both frames fit the driver threshold, the probe rows ARE the
+    # collected inputs and the guards run in Python over them — same
+    # checks, same messages, three fewer driver round-trips
+    nrows = _probe_rows(node_df, driver_threshold)
+    if nrows is not None and len(nrows) == 0:
+        return node_df.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_fp"),
+            F.lit(0).cast("long").alias("auth_fp"),
+        )
+    erows = _probe_rows(e, driver_threshold) if nrows is not None else None
+    if erows is not None:
+        n = len(nrows)
+        if scale // n == 0:
+            raise ValueError(f"scale={scale} must be >= node count {n}")
+        _check_weights_rows((r.w for r in erows), hits_scale=scale)
+        return _hits_fp_driver(erows, nrows, node_df, n, n_iter, scale)
     n = node_df.count()
     if n == 0:
         return node_df.select(
@@ -701,8 +751,6 @@ def hits_fixedpoint(
                 f" ({scale}*{wb.tw}) below 2^63 — lower scale or"
                 " pre-normalize weights"
             )
-    if n <= driver_threshold and e.count() <= driver_threshold:
-        return _hits_fp_driver(e, node_df, n, n_iter, scale)
     # restrict to in-universe edges ONCE (pagerank folds this into its
     # per-round joins; HITS reads the edge frame 2x per round, so paying
     # the two semi-joins once outside the loop is strictly cheaper)
@@ -755,17 +803,18 @@ def hits_fixedpoint(
 
 
 def _hits_fp_driver(
-    e: DataFrame, node_df: DataFrame, n: int, n_iter: int, scale: int
+    erows: list, nrows: list, node_df: DataFrame, n: int, n_iter: int,
+    scale: int,
 ) -> DataFrame:
     """Driver fast path: the same update rule over the collected
     aggregate — bit-identical to the distributed loop (all integer; the
     property suite compares both against an independent replica)."""
-    spark = e.sparkSession
-    nodes = [r.node for r in node_df.collect()]
+    spark = node_df.sparkSession
+    nodes = [r.node for r in nrows]
     ns = set(nodes)
     eu = [
         (r.src, r.dst, r.w)
-        for r in e.collect()
+        for r in erows
         if r.src in ns and r.dst in ns
     ]
     hub = {v: scale // n for v in nodes}
@@ -786,6 +835,56 @@ def _hits_fp_driver(
         [(v, hub[v], auth[v]) for v in nodes],
         f"node {out_type}, hub_fp long, auth_fp long",
     )
+
+
+def _check_weights_rows(
+    weights,
+    frac_scale: int | None = None,
+    hits_scale: int | None = None,
+) -> None:
+    """The driver-path spelling of the distributed weight guards: same
+    checks, same messages, over rows already collected by the dispatch
+    probe (no extra aggregate job). ``frac_scale`` enables the
+    pagerank-family overflow check, ``hits_scale`` the HITS one."""
+    mn = mx = tw = None
+    for w in weights:
+        if mn is None:
+            mn = mx = w
+            tw = 0
+        mn = w if w < mn else mn
+        mx = w if w > mx else mx
+        tw += w
+    if mn is None:
+        return
+    if mn <= 0:
+        raise ValueError(f"edge weights must be positive (min={mn})")
+    if frac_scale is not None and mx * frac_scale >= 2**63:
+        raise ValueError(
+            f"max edge weight {mx} * frac_scale overflows int64"
+        )
+    if hits_scale is not None and (
+        hits_scale * hits_scale * mx >= 2**63 or hits_scale * tw >= 2**63
+    ):
+        raise ValueError(
+            "fixed-point scale overflows int64 for these edge weights:"
+            f" need scale^2*max_w ({hits_scale}^2*{mx}) and scale*total_w"
+            f" ({hits_scale}*{tw}) below 2^63 — lower scale or"
+            " pre-normalize weights"
+        )
+
+
+def _probe_rows(df: DataFrame, threshold: int) -> list | None:
+    """ONE-job smallness probe: collect up to ``threshold + 1`` rows of a
+    (checkpointed) frame; return the row list when the frame fits — the
+    caller then holds EVERY row and needs no further action on the frame
+    — else None. Replaces the ``count()``-then-``collect()`` pair the
+    adaptive driver/distributed dispatch used to pay: each action is a
+    full driver round-trip (a scheduled job), and on the driver path the
+    count told us nothing the collect would not. The distributed branch
+    still takes its exact counts as before — this probe only spends one
+    job deciding, and its partial result is discarded there."""
+    rows = df.limit(threshold + 1).collect()
+    return rows if len(rows) <= threshold else None
 
 
 def _simple_undirected(edges: DataFrame) -> DataFrame:
@@ -1304,6 +1403,18 @@ def label_propagation(
         .join(node_df.select(F.col("node").alias("v")), "v", "left_semi")
         .localCheckpoint(eager=True)
     )
+    # one-job dispatch probe (the pagerank_fixedpoint discipline): the
+    # probe rows ARE the collected inputs on the driver path; the weight
+    # guard runs in Python over them — same check, same message
+    nrows = _probe_rows(node_df, driver_threshold)
+    if nrows is not None and len(nrows) == 0:
+        return node_df.select(
+            "node", F.col("node").cast("long").alias("community")
+        )
+    urows = _probe_rows(und, driver_threshold) if nrows is not None else None
+    if urows is not None:
+        _check_weights_rows(r.w for r in urows)
+        return _lpa_driver(urows, nrows, node_df, n_iter)
     wb = und.agg(F.min("w").alias("mn")).first()
     if wb.mn is not None and wb.mn <= 0:
         raise ValueError(f"edge weights must be positive (min={wb.mn})")
@@ -1312,8 +1423,6 @@ def label_propagation(
         return node_df.select(
             "node", F.col("node").cast("long").alias("community")
         )
-    if n <= driver_threshold and und.count() <= driver_threshold:
-        return _lpa_driver(und, node_df, n_iter)
     # both orientations of the canonical undirected edge — each round
     # reads it once, so checkpoint the symmetric spelling, not und
     es = (
@@ -1358,13 +1467,15 @@ def label_propagation(
     return lab.select("node", F.col("label").alias("community"))
 
 
-def _lpa_driver(und: DataFrame, node_df: DataFrame, n_iter: int) -> DataFrame:
+def _lpa_driver(
+    urows: list, nrows: list, node_df: DataFrame, n_iter: int
+) -> DataFrame:
     """Driver fast path: the same update rule over the collected
     aggregate — bit-identical to the distributed loop (all integer; the
     property suite compares both against an independent replica)."""
-    spark = und.sparkSession
-    nodes = [r.node for r in node_df.collect()]
-    eu = [(r.u, r.v, r.w) for r in und.collect()]
+    spark = node_df.sparkSession
+    nodes = [r.node for r in nrows]
+    eu = [(r.u, r.v, r.w) for r in urows]
     lab = {v: int(v) for v in nodes}
     for _ in range(n_iter):
         scores: dict = {v: {} for v in nodes}
@@ -1593,10 +1704,12 @@ def random_walks(
     )
     spark = edges.sparkSession
     out_schema = f"start {node_type}, wid int, step int, node {node_type}"
-    n_edges = und.count()
-    if n_edges <= driver_threshold:
+    # one-job dispatch probe: the probe rows ARE the collected adjacency
+    # on the driver path (old shape: count() then collect(), two jobs)
+    urows = _probe_rows(und, driver_threshold)
+    if urows is not None:
         return spark.createDataFrame(
-            _walks_driver(und.collect(), walk_len, num_walks), out_schema
+            _walks_driver(urows, walk_len, num_walks), out_schema
         )
     adj = und.selectExpr("u AS node", "v AS nbr").unionByName(
         und.selectExpr("v AS node", "u AS nbr")
@@ -1814,11 +1927,12 @@ def node2vec_walks(
     )
     spark = edges.sparkSession
     out_schema = f"start {node_type}, wid int, step int, node {node_type}"
-    n_edges = und.count()
-    if n_edges <= driver_threshold:
+    # one-job dispatch probe (the random_walks discipline)
+    urows = _probe_rows(und, driver_threshold)
+    if urows is not None:
         return spark.createDataFrame(
             _node2vec_driver(
-                und.collect(), walk_len, num_walks, w_return, w_common, w_out
+                urows, walk_len, num_walks, w_return, w_common, w_out
             ),
             out_schema,
         )

@@ -372,18 +372,29 @@ def ivf_pq_index(
         )
         assigned = assigned.withColumnRenamed("_cell", "cell")
     else:
-        cand = corpus.crossJoin(
-            F.broadcast(centers.select("cell", "cvec"))
-        ).withColumn(
-            "_d", F.expr(SQDIST.format(a=vec_col, b="cvec"))
-        )
-        from pyspark.sql import Window
+        # frozen-centers coarse assignment as a row-local argmin fold over
+        # the 1-row centroid array: array_min over struct(_d, cell) is
+        # bit-identical to the old row_number() OVER (PARTITION BY id
+        # ORDER BY _d, cell) pick, without the corpus × n_cells
+        # exchange+sort the window paid (guide §2.4 — at corpus scale
+        # that shuffle dwarfed the encode itself)
+        from .similarity import _centroid_array
 
-        w = Window.partitionBy(id_col).orderBy("_d", "cell")
         assigned = (
-            cand.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_d", "_rn", "cvec")
+            corpus.crossJoin(
+                F.broadcast(
+                    _centroid_array(centers.select("cell", "cvec"), "cell", "cvec")
+                )
+            )
+            .withColumn(
+                "cell",
+                F.expr(
+                    "array_min(transform(_cs, c -> struct("
+                    + SQDIST.format(a=vec_col, b="c.cvec")
+                    + " AS d, c.cell AS cell))).cell"
+                ),
+            )
+            .drop("_cs")
         )
     resid = assigned.join(
         F.broadcast(centers), "cell"

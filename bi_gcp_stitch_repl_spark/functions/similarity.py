@@ -31,6 +31,15 @@ NORM = (
 )
 
 
+def cosine_sql(a: str, b: str) -> str:
+    """:func:`cosine` as a SQL fragment — for use inside higher-order
+    functions (``transform`` lambdas), where a Column cannot reach."""
+    return (
+        f"{DOT.format(a=a, b=b)}"
+        f" / nullif(({NORM.format(a=a)} * {NORM.format(a=b)}), 0.0d)"
+    )
+
+
 def cosine(a: str, b: str) -> Column:
     """Cosine similarity as the deterministic sequential fold. The norm
     product goes through nullif: a zero-norm vector (padding/dead row —
@@ -38,10 +47,7 @@ def cosine(a: str, b: str) -> Column:
     instead of a DIVIDE_BY_ZERO job abort under ANSI (the Spark 4
     default); NULLs rank last under the descending top-k orderings every
     caller uses, which is exactly where a zero vector belongs."""
-    return F.expr(
-        f"{DOT.format(a=a, b=b)}"
-        f" / nullif(({NORM.format(a=a)} * {NORM.format(a=b)}), 0.0d)"
-    )
+    return F.expr(cosine_sql(a, b))
 
 
 def brute_force_topk(
@@ -102,6 +108,45 @@ def bucket_expr(vec_col: str, n_planes: int = 8) -> Column:
         ).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket
+
+
+def _centroid_array(centroids: DataFrame, cell: str, cvec: str) -> DataFrame:
+    """Collapse a ``(cell, centroid-vector)`` table to ONE row holding the
+    cell-sorted struct array — the broadcastable form the fold-based
+    assignments read. A bounded model table (n_cells × dim) as a 1-row
+    array turns nearest-centroid selection into a row-local array fold,
+    replacing the crossJoin + per-row window argmin whose row_number
+    exchange shuffled and sorted corpus × n_cells rows (optimization
+    guide §2.4: remove shuffles outright). The sort is for plan
+    determinism only — min/top-n over the array are order-independent."""
+    return centroids.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(cell), F.col(cvec)))
+        ).alias("_cs")
+    )
+
+
+def _desc_sim_cmp(sim: str = "s", tie: str = "c") -> str:
+    """``array_sort`` comparator ordering by (``sim`` DESC, ``tie`` ASC)
+    with exact window-ordering parity: NULL sim sorts last (SQL DESC is
+    NULLS LAST) and NaN sorts first (Spark orders NaN above every other
+    double, and its ``>``/``<`` operators agree — verified), so a fold
+    over this ordering is bit-identical to ``row_number() OVER (ORDER BY
+    sim DESC, tie)``. The default struct ordering over a negated sim
+    would diverge on exactly those two classes (-NaN is NaN → last, and
+    NULL would flip to first)."""
+    return (
+        f"(l, r) -> CASE"
+        f" WHEN l.{sim} IS NULL AND r.{sim} IS NULL THEN CASE"
+        f"  WHEN l.{tie} < r.{tie} THEN -1"
+        f"  WHEN l.{tie} > r.{tie} THEN 1 ELSE 0 END"
+        f" WHEN l.{sim} IS NULL THEN 1"
+        f" WHEN r.{sim} IS NULL THEN -1"
+        f" WHEN l.{sim} > r.{sim} THEN -1"
+        f" WHEN l.{sim} < r.{sim} THEN 1"
+        f" WHEN l.{tie} < r.{tie} THEN -1"
+        f" WHEN l.{tie} > r.{tie} THEN 1 ELSE 0 END"
+    )
 
 
 def _cell_centroids(
@@ -168,22 +213,29 @@ def ivf_topk(
     """
     cell = centroid_col or "label"
     centroids = _cell_centroids(corpus, cell, vec_col, centroids)
-    # assign each query to its n_probe best cells by cosine to centroid
+    # assign each query to its n_probe best cells by cosine to centroid:
+    # a row-local sort+slice over the 1-row centroid array — no
+    # per-query row_number exchange (the old window shuffled and sorted
+    # queries × n_cells rows). Cell tiebreak: equal centroid similarity
+    # (symmetric data, duplicate centroids) must not make the probed
+    # cell SET run-dependent — _desc_sim_cmp pins (csim DESC, cell ASC)
+    # with exact window parity on NULL/NaN.
     q = queries.select(query_id_col, F.col(vec_col).alias("qv"))
-    qc = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("csim", cosine("qv", "cvec"))
-    )
-    # cell tiebreak: equal centroid similarity (symmetric data, duplicate
-    # centroids) must not make the probed cell SET run-dependent — same
-    # rule semantic_contamination_ivf's probe window already applies
-    w_cells = Window.partitionBy(query_id_col).orderBy(
-        F.col("csim").desc(), F.col(cell)
-    )
     probes = (
-        qc.withColumn("cr", F.row_number().over(w_cells))
-        .filter(F.col("cr") <= n_probe)
-        .select(query_id_col, "qv", cell)
+        q.crossJoin(F.broadcast(_centroid_array(centroids, cell, "cvec")))
+        .select(
+            query_id_col,
+            "qv",
+            F.explode(
+                F.expr(
+                    "slice(array_sort(transform(_cs, c -> struct("
+                    + cosine_sql("qv", "c.cvec")
+                    + f" AS s, c.{cell} AS c)), {_desc_sim_cmp()}),"
+                    f" 1, {int(n_probe)})"
+                )
+            ).alias("_p"),
+        )
+        .select(query_id_col, "qv", F.col("_p.c").alias(cell))
     )
     scored = corpus.join(probes, cell).withColumn("cosine", cosine(vec_col, "qv"))
     # SALTED two-level per-query top-k: a bare window over query_id makes
@@ -358,16 +410,24 @@ def semantic_contamination_ivf(
     b = bench.select(
         F.col(bench_id_col).alias("_bid"), F.col(vec_col).alias("bv")
     )
-    bc = b.crossJoin(F.broadcast(centroids)).withColumn(
-        "csim", cosine("bv", "cvec")
-    )
-    w_cells = Window.partitionBy("_bid").orderBy(
-        F.col("csim").desc(), F.col(cell_col)
-    )
+    # per-bench-vector probe cells via the row-local sort+slice fold over
+    # the 1-row centroid array (no per-query row_number exchange); the
+    # (csim DESC, cell ASC) tiebreak keeps the probed cell SET
+    # run-independent — _desc_sim_cmp pins window-ordering parity
     probes = (
-        bc.withColumn("cr", F.row_number().over(w_cells))
-        .filter(F.col("cr") <= n_probe)
-        .select("bv", cell_col)
+        b.crossJoin(F.broadcast(_centroid_array(centroids, cell_col, "cvec")))
+        .select(
+            "bv",
+            F.explode(
+                F.expr(
+                    "slice(array_sort(transform(_cs, c -> struct("
+                    + cosine_sql("bv", "c.cvec")
+                    + f" AS s, c.{cell_col} AS c)), {_desc_sim_cmp()}),"
+                    f" 1, {int(n_probe)})"
+                )
+            ).alias("_p"),
+        )
+        .select("bv", F.col("_p.c").alias(cell_col))
     )
     scored = corpus.join(probes, cell_col).withColumn(
         "cosine", cosine(vec_col, "bv")
@@ -558,20 +618,35 @@ def kmeans_lloyd(
         id_col,
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
     )
-    w_seed = Window.orderBy(id_col)
+    # seed = the k smallest-id vectors: TakeOrdered (orderBy + limit), not
+    # a row_number over a global ORDER BY window — that window funnels the
+    # WHOLE corpus through one partition's sort; TakeOrdered keeps a
+    # per-partition top-k and merges k·n_partitions rows on the driver
     cents = (
-        emb.withColumn("_r", F.row_number().over(w_seed))
-        .filter(F.col("_r") <= k)
+        emb.orderBy(id_col)
+        .limit(k)
         .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
     )
-    w_min = Window.partitionBy(id_col).orderBy("dist", "cid")
     for it in range(n_iter):
+        # per-vector argmin as a row-local fold over the 1-row centroid
+        # array: array_min over struct(dist, cid) is bit-identical to the
+        # old row_number() OVER (PARTITION BY id ORDER BY dist, cid)
+        # argmin (NULL dist first, NaN last, cid tiebreak — verified),
+        # without the corpus × k exchange+sort the window paid each
+        # iteration (guide §2.4). Distances are the same SQDIST
+        # sequential fold per (vector, centroid) pair, so every double
+        # is unchanged.
         assigned = (
-            emb.crossJoin(F.broadcast(cents))
-            .withColumn("dist", F.expr(SQDIST.format(a="v", b="cv")))
-            .withColumn("_rn", F.row_number().over(w_min))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "v", F.col("cid").alias("cluster"))
+            emb.crossJoin(F.broadcast(_centroid_array(cents, "cid", "cv")))
+            .withColumn(
+                "_best",
+                F.expr(
+                    "array_min(transform(_cs, c -> struct("
+                    + SQDIST.format(a="v", b="c.cv")
+                    + " AS dist, c.cid AS cid)))"
+                ),
+            )
+            .select(id_col, "v", F.col("_best.cid").alias("cluster"))
         )
         if it == n_iter - 1:
             return assigned.select(

@@ -457,10 +457,13 @@ def test_no_forced_broadcast_on_scaled_sides_in_package():
         ("functions/graph.py", "at"): "1-row HITS L1-normalization total",
         ("functions/graph.py", "ht"): "1-row HITS L1-normalization total",
         ("functions/curation.py", "offsets"): "per-(split,shard,pid) offsets",
-        ("functions/similarity.py", "centroids"):
-            "IVF centroid set (cells ≈ √N, small vectors — documented IVF shape)",
-        ("functions/similarity.py", "cents"):
-            "IVF centroid set (cells ≈ √N)",
+        ("functions/similarity.py", "_centroid_array(centroids, cell, 'cvec')"):
+            "1-row array of the IVF centroid set (cells ≈ √N)",
+        ("functions/similarity.py",
+         "_centroid_array(centroids, cell_col, 'cvec')"):
+            "1-row array of the IVF centroid set (cells ≈ √N)",
+        ("functions/similarity.py", "_centroid_array(cents, 'cid', 'cv')"):
+            "1-row array of the k KMeans centroids (k bounded)",
         # --- jobs/ -----------------------------------------------------
         ("jobs/pipelines.py", "cents"): "IVF centroid set (cells ≈ √N)",
         ("jobs/pipelines.py", "batch_first.select('h')"):
@@ -471,8 +474,9 @@ def test_no_forced_broadcast_on_scaled_sides_in_package():
         # --- functions/pq.py: bounded ANN model objects ----------------
         ("functions/pq.py", "centers"):
             "coarse-center model frame (n_cells ≈ √N rows)",
-        ("functions/pq.py", "centers.select('cell', 'cvec')"):
-            "coarse-center model frame (n_cells ≈ √N rows)",
+        ("functions/pq.py",
+         "_centroid_array(centers.select('cell', 'cvec'), 'cell', 'cvec')"):
+            "1-row array of the coarse-center model frame (n_cells ≈ √N)",
         ("functions/pq.py", "probes"):
             "per-(query, cell) ADC tables — |queries|·n_probe rows,"
             " IVFPQ_QUERY_LIMIT-guarded",
