@@ -133,7 +133,7 @@ def connected_components(
     # driver round-trips over the same checkpointed frame)
     erows = _probe_rows(e, driver_threshold)
     if erows is not None:
-        return _cc_driver(erows, e, nodes)
+        return _cc_driver(erows, e, nodes, driver_threshold)
     changed = False
     for _ in range(max_iter):
         after = _small_star(_large_star(e), pre_oriented=True).localCheckpoint(
@@ -177,11 +177,19 @@ def connected_components(
 
 
 def _cc_driver(
-    erows: list, e: DataFrame, nodes: DataFrame | None
+    erows: list, e: DataFrame, nodes: DataFrame | None,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Small-graph path: union-find over the collected edge list, labels
     re-emitted as a DataFrame. Deterministic min-label components —
-    identical output to the distributed star algorithm."""
+    identical output to the distributed star algorithm. The singleton
+    attach dispatches the same way the edge side did: when the node set
+    also fits ``driver_threshold`` (one probe job) the full label list —
+    including singletons — is built in Python and emitted as ONE local
+    relation, replacing the distributed anti-join + union the downstream
+    consumer would otherwise execute (and typically checkpoint) against
+    a broadcast of the edge labels; past the threshold the anti-join
+    runs unchanged."""
     parent: dict = {}
 
     def find(x):
@@ -210,15 +218,32 @@ def _cc_driver(
     schema = T.StructType(
         [T.StructField("node", id_type), T.StructField("component", id_type)]
     )
-    labels = spark.createDataFrame(label_rows, schema)
     if nodes is not None:
         node_col = nodes.columns[0]
         all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+        nrows = _probe_rows(all_nodes, driver_threshold)
+        if nrows is not None:
+            # full label list driver-side: same (node, component) set as
+            # labels ∪ (anti-join singletons), one local relation. A NULL
+            # node id rides along as a (NULL, NULL) singleton — exactly
+            # what the anti-join emits (NULL never equals a label key) —
+            # and sorts after every real id (row order is cosmetic).
+            label_rows = sorted(
+                label_rows
+                + [
+                    (r.node, r.node)
+                    for r in nrows
+                    if r.node not in touched
+                ],
+                key=lambda t: (t[0] is None, t[0]),
+            )
+            return spark.createDataFrame(label_rows, schema)
+        labels = spark.createDataFrame(label_rows, schema)
         singletons = all_nodes.join(
             F.broadcast(labels), "node", "left_anti"
         ).select("node", F.col("node").alias("component"))
-        labels = labels.unionByName(singletons)
-    return labels
+        return labels.unionByName(singletons)
+    return spark.createDataFrame(label_rows, schema)
 
 
 def pagerank(
@@ -1502,6 +1527,7 @@ def modularity(
     labels: DataFrame,
     scale: int = 10**6,
     node_type: str = "long",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Newman modularity of a community partition over the UNDIRECTED
     weighted graph, in FIXED-POINT integers: one row per community
@@ -1541,12 +1567,28 @@ def modularity(
         F.col(labels.columns[0]).cast(node_type).alias("node"),
         F.col(labels.columns[1]).cast("long").alias("community"),
     ).filter(F.col("node").isNotNull())
-    dup = lab.groupBy("node").count().filter(F.col("count") > 1)
-    if not dup.isEmpty():
-        raise ValueError(
-            "labels must map each node to exactly one community"
-            f" (duplicates: {[r.node for r in dup.limit(5).collect()]})"
-        )
+    # one-job dispatch probe (the pagerank_fixedpoint discipline): when
+    # the label table fits, the duplicate-node guard runs in Python over
+    # the probe rows (same check, same message) and — if the joined edge
+    # aggregate also fits — the whole Q decomposition does too
+    lrows = _probe_rows(lab, driver_threshold)
+    if lrows is not None:
+        seen: dict = {}
+        for r in lrows:
+            seen[r.node] = seen.get(r.node, 0) + 1
+        dups = [n for n in sorted(seen) if seen[n] > 1][:5]
+        if dups:
+            raise ValueError(
+                "labels must map each node to exactly one community"
+                f" (duplicates: {dups})"
+            )
+    else:
+        dup = lab.groupBy("node").count().filter(F.col("count") > 1)
+        if not dup.isEmpty():
+            raise ValueError(
+                "labels must map each node to exactly one community"
+                f" (duplicates: {[r.node for r in dup.limit(5).collect()]})"
+            )
     und = (
         edges.select(
             F.least(
@@ -1574,6 +1616,9 @@ def modularity(
         )
         .localCheckpoint(eager=True)
     )
+    urows = _probe_rows(und, driver_threshold) if lrows is not None else None
+    if urows is not None:
+        return _modularity_driver(urows, lrows, lab, scale)
     wb = und.agg(F.min("w").alias("mn"), F.sum("w").alias("m")).first()
     if wb.mn is not None and wb.mn <= 0:
         raise ValueError(f"edge weights must be positive (min={wb.mn})")
@@ -1625,6 +1670,63 @@ def modularity(
         )
         .select("community", "w_in", "d_tot", contrib.alias("contrib_fp"))
     )
+
+
+def _modularity_driver(
+    urows: list, lrows: list, lab: DataFrame, scale: int
+) -> DataFrame:
+    """Driver fast path: the same Q decomposition over the probed
+    (u, v, w, cu, cv) edge aggregate — pure integer arithmetic, same
+    guards, same messages, bit-identical to the distributed
+    aggregations (the test suite pins both against each other).
+    SQL-semantics notes carried over exactly: a NULL community label
+    never equi-joins, so its row reports (community, 0, 0, 0); the
+    fixed-point quotient truncates toward zero (Spark DIV / DuckDB //),
+    NOT Python's flooring ``//`` — spelled with the sign split below."""
+    spark = lab.sparkSession
+    mn = None
+    m = 0
+    for r in urows:
+        w = r.w
+        if mn is None or w < mn:
+            mn = w
+        m += w
+    if mn is not None and mn <= 0:
+        raise ValueError(f"edge weights must be positive (min={mn})")
+    comms = sorted(
+        {r.community for r in lrows}, key=lambda c: (c is None, c)
+    )
+    out_schema = "community long, w_in long, d_tot long, contrib_fp long"
+    if m == 0:
+        return spark.createDataFrame([(c, 0, 0, 0) for c in comms], out_schema)
+    if (2 * m) ** 2 * scale >= 2**63 or 2 * m * 2 * m * scale >= 2**63:
+        raise ValueError(
+            f"fixed-point scale overflows int64: need (2m)^2*scale"
+            f" ((2*{m})^2*{scale}) below 2^63 — lower scale or"
+            " pre-normalize weights"
+        )
+    w_in: dict = {}
+    d_tot: dict = {}
+    for r in urows:
+        # cu == cv under SQL semantics: NULL labels compare unknown —
+        # never intra; NULL groupBy keys aggregate but never re-join,
+        # so skipping them entirely reproduces the coalesce(_, 0) rows
+        if r.cu is not None:
+            if r.cu == r.cv:
+                w_in[r.cu] = w_in.get(r.cu, 0) + r.w
+            d_tot[r.cu] = d_tot.get(r.cu, 0) + r.w
+        if r.cv is not None:
+            d_tot[r.cv] = d_tot.get(r.cv, 0) + r.w
+    two_m = 2 * m
+    den = two_m * two_m
+    rows = []
+    for c in comms:
+        wi = w_in.get(c, 0) if c is not None else 0
+        dt = d_tot.get(c, 0) if c is not None else 0
+        num = (2 * wi * two_m - dt * dt) * scale
+        q = num // den if num >= 0 else -((-num) // den)
+        rows.append((c, wi, dt, q))
+    return spark.createDataFrame(rows, out_schema)
 
 
 # -- deterministic random walks (DeepWalk-style corpus generation) ----------

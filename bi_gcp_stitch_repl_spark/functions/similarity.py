@@ -31,23 +31,78 @@ NORM = (
 )
 
 
-def cosine_sql(a: str, b: str) -> str:
-    """:func:`cosine` as a SQL fragment — for use inside higher-order
-    functions (``transform`` lambdas), where a Column cannot reach."""
+def _unrolled_lfold(term: str, dim: int) -> str:
+    """Literal left-fold ``(((0.0d + t1) + t2) + ...)`` of ``term``
+    instantiated at i = 1..dim — the SAME accumulation order (and thus
+    bit-identical doubles) as ``aggregate(..., 0.0d, (acc, v) -> acc + v)``
+    over a dim-element array, but as a flat codegen-able expression tree
+    instead of an interpreted higher-order fold (the folds evaluate
+    outside whole-stage codegen with per-element lambda dispatch;
+    measured 2.5x slower on the semdedup pair stage at sf0.1)."""
+    s = "cast(0.0 as double)"
+    for i in range(1, dim + 1):
+        s = f"({s} + {term.format(i=i)})"
+    return s
+
+
+def dot_sql(a: str, b: str, dim: int | None = None) -> str:
+    """Sequential-fold dot product; with ``dim`` given, a guarded
+    unrolled spelling: rows whose arrays are exactly ``dim`` long take
+    the flat codegen expression, every other row (including NULL arrays)
+    falls back to the interpreted fold — so the value is bit-identical
+    to the fold for EVERY input (``try_element_at`` past the end yields
+    NULL exactly like ``zip_with``'s padding, but a longer-than-dim
+    array would sum only dim terms, hence the size guard)."""
+    fold = DOT.format(a=a, b=b)
+    if dim is None:
+        return fold
+    unr = _unrolled_lfold(
+        f"(cast(try_element_at({a}, {{i}}) as double)"
+        f" * cast(try_element_at({b}, {{i}}) as double))",
+        dim,
+    )
     return (
-        f"{DOT.format(a=a, b=b)}"
-        f" / nullif(({NORM.format(a=a)} * {NORM.format(a=b)}), 0.0d)"
+        f"(CASE WHEN size({a}) = {dim} AND size({b}) = {dim}"
+        f" THEN {unr} ELSE {fold} END)"
     )
 
 
-def cosine(a: str, b: str) -> Column:
+def norm_sql(a: str, dim: int | None = None) -> str:
+    """Sequential-fold L2 norm; ``dim`` enables the guarded unrolled
+    spelling (see :func:`dot_sql` — identical doubles, codegen-able)."""
+    fold = NORM.format(a=a)
+    if dim is None:
+        return fold
+    unr = _unrolled_lfold(
+        f"(cast(try_element_at({a}, {{i}}) as double)"
+        f" * cast(try_element_at({a}, {{i}}) as double))",
+        dim,
+    )
+    return f"(CASE WHEN size({a}) = {dim} THEN sqrt({unr}) ELSE {fold} END)"
+
+
+def cosine_sql(a: str, b: str, dim: int | None = None) -> str:
+    """:func:`cosine` as a SQL fragment — for use inside higher-order
+    functions (``transform`` lambdas), where a Column cannot reach.
+    ``dim`` switches dot/norms to the guarded unrolled spelling
+    (bit-identical; see :func:`dot_sql`)."""
+    return (
+        f"{dot_sql(a, b, dim)}"
+        f" / nullif(({norm_sql(a, dim)} * {norm_sql(b, dim)}), 0.0d)"
+    )
+
+
+def cosine(a: str, b: str, dim: int | None = None) -> Column:
     """Cosine similarity as the deterministic sequential fold. The norm
     product goes through nullif: a zero-norm vector (padding/dead row —
     plausible in any at-scale embedding table) yields NULL similarity
     instead of a DIVIDE_BY_ZERO job abort under ANSI (the Spark 4
     default); NULLs rank last under the descending top-k orderings every
-    caller uses, which is exactly where a zero vector belongs."""
-    return F.expr(cosine_sql(a, b))
+    caller uses, which is exactly where a zero vector belongs. ``dim``
+    (the table's declared vector dimension) switches to the guarded
+    unrolled spelling — same doubles, whole-stage codegen instead of
+    interpreted per-element lambdas."""
+    return F.expr(cosine_sql(a, b, dim))
 
 
 def brute_force_topk(
@@ -56,12 +111,13 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine against one query vector (as a literal array —
     broadcast by construction)."""
     qexpr = "array(" + ", ".join(f"cast({float(v)} as float)" for v in query_vec) + ")"
     scored = corpus.withColumn("q", F.expr(qexpr)).withColumn(
-        "cosine", cosine(vec_col, "q")
+        "cosine", cosine(vec_col, "q", dim)
     )
     return (
         scored.drop("q")
@@ -192,6 +248,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     centroid_col: str | None = None,
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: vectors are assigned to coarse cells;
     a query scores only its ``n_probe`` nearest cells.
@@ -228,6 +285,12 @@ def ivf_topk(
             "qv",
             F.explode(
                 F.expr(
+                    # fold spelling INSIDE the lambda on purpose: a
+                    # transform body evaluates interpreted either way,
+                    # and the unrolled tree measured 2x SLOWER there
+                    # (0.55 -> 1.2 s / 16k evals) while the fold loop
+                    # wins; dim-unrolling pays off only in codegen
+                    # contexts (the scored projection below)
                     "slice(array_sort(transform(_cs, c -> struct("
                     + cosine_sql("qv", "c.cvec")
                     + f" AS s, c.{cell} AS c)), {_desc_sim_cmp()}),"
@@ -237,7 +300,9 @@ def ivf_topk(
         )
         .select(query_id_col, "qv", F.col("_p.c").alias(cell))
     )
-    scored = corpus.join(probes, cell).withColumn("cosine", cosine(vec_col, "qv"))
+    scored = corpus.join(probes, cell).withColumn(
+        "cosine", cosine(vec_col, "qv", dim)
+    )
     # SALTED two-level per-query top-k: a bare window over query_id makes
     # ONE task sort each query's full probe set (n_probe/n_cells of the
     # corpus) — unsplittable by AQE. Local top-k per (query, 64-way salt
@@ -386,6 +451,7 @@ def semantic_contamination_ivf(
     bench_id_col: str = "vec_id",
     cell_col: str = "ivf_cell",
     centroids: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-pruned semantic contamination: corpus ids whose embedding
     reaches cosine ≥ ``threshold`` to ANY bench vector, scoring only the
@@ -420,6 +486,9 @@ def semantic_contamination_ivf(
             "bv",
             F.explode(
                 F.expr(
+                    # fold INSIDE the lambda on purpose (interpreted
+                    # either way; unrolled measured 2x slower there —
+                    # see ivf_topk's probe stage)
                     "slice(array_sort(transform(_cs, c -> struct("
                     + cosine_sql("bv", "c.cvec")
                     + f" AS s, c.{cell_col} AS c)), {_desc_sim_cmp()}),"
@@ -430,7 +499,7 @@ def semantic_contamination_ivf(
         .select("bv", F.col("_p.c").alias(cell_col))
     )
     scored = corpus.join(probes, cell_col).withColumn(
-        "cosine", cosine(vec_col, "bv")
+        "cosine", cosine(vec_col, "bv", dim)
     )
     return (
         scored.filter(F.col("cosine") >= threshold)
@@ -484,9 +553,11 @@ def embedding_near_dup(
         for j in range(band_bits):
             plane = planes[band * band_bits + j]
             arr = "array(" + ", ".join(f"cast({v} as double)" for v in plane) + ")"
-            bit = F.when(F.expr(DOT.format(a=vec_col, b=arr)) > 0, F.lit(1 << j)).otherwise(
-                F.lit(0)
-            )
+            # dim is validated against the corpus above, so the unrolled
+            # guarded dot (bit-identical; size(literal)=dim constant-folds)
+            bit = F.when(
+                F.expr(dot_sql(vec_col, arr, dim)) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
             bits = bit if bits is None else bits + bit
         band_structs.append(
             F.struct(F.lit(band).alias("band"), bits.alias("bits"))
@@ -516,7 +587,7 @@ def embedding_near_dup(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine("va", "vb"))
+        .withColumn("cosine", cosine("va", "vb", dim))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -531,6 +602,7 @@ def lsh_bucket_topk(
     query_id_col: str = "query_id",
     n_planes: int = 8,
     planes: list[list[float]] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k for a whole DataFrame of queries at once.
 
@@ -569,7 +641,9 @@ def lsh_bucket_topk(
         .select(query_id_col, "bucket", F.col(vec_col).alias("qv"))
         .alias("q")
     )
-    scored = c.join(q, "bucket").withColumn("cosine", cosine(vec_col, "qv"))
+    scored = c.join(q, "bucket").withColumn(
+        "cosine", cosine(vec_col, "qv", dim)
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
     )
@@ -587,6 +661,26 @@ SQDIST = (
     "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
     " cast(0.0 as double), (acc, v) -> acc + v)"
 )
+
+
+def sqdist_sql(a: str, b: str, dim: int | None = None) -> str:
+    """:data:`SQDIST` with an optional guarded unrolled spelling (the
+    :func:`dot_sql` discipline): bit-identical left-fold doubles, flat
+    codegen expression when both arrays are exactly ``dim`` long, fold
+    fallback otherwise. Inputs are double arrays (callers cast first),
+    matching SQDIST's cast-free lambda."""
+    fold = SQDIST.format(a=a, b=b)
+    if dim is None:
+        return fold
+    unr = _unrolled_lfold(
+        f"((try_element_at({a}, {{i}}) - try_element_at({b}, {{i}}))"
+        f" * (try_element_at({a}, {{i}}) - try_element_at({b}, {{i}})))",
+        dim,
+    )
+    return (
+        f"(CASE WHEN size({a}) = {dim} AND size({b}) = {dim}"
+        f" THEN {unr} ELSE {fold} END)"
+    )
 
 
 def kmeans_lloyd(
@@ -641,6 +735,9 @@ def kmeans_lloyd(
             .withColumn(
                 "_best",
                 F.expr(
+                    # fold INSIDE the lambda on purpose (interpreted
+                    # either way; the unrolled tree measured 2x slower
+                    # in lambda contexts — see ivf_topk's probe stage)
                     "array_min(transform(_cs, c -> struct("
                     + SQDIST.format(a="v", b="c.cv")
                     + " AS dist, c.cid AS cid)))"
@@ -682,6 +779,7 @@ def semdedup(
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
     salt: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup cluster-pruned semantic dedup (Abbas et al., 2023 —
     public): given vectors already labeled with a cluster id (from
@@ -707,7 +805,7 @@ def semdedup(
         id_col,
         cluster_col,
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
-        F.expr(NORM.format(a=vec_col)).alias("nrm"),
+        F.expr(norm_sql(vec_col, dim)).alias("nrm"),
     ).localCheckpoint(eager=False)
     a = n.select(
         F.col(id_col).alias("id_a"),
@@ -728,7 +826,7 @@ def semdedup(
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    dot = DOT.format(a="va", b="vb")
+    dot = dot_sql("va", "vb", dim)
     dup = (
         a.join(
             b,

@@ -157,10 +157,10 @@ def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is order-insensitive and every cosine is the deterministic
     sequential fold, so the result hash-matches DuckDB bit-for-bit."""
     from ..functions.similarity import guard_bench_broadcast
-    from .extensions import _DOT_SPARK, _NORM_SPARK
+    from .extensions import _dot64, _norm64
 
     (emb,) = tables(spark, sf_dir, "embeddings")
-    norm = F.expr(_NORM_SPARK.format(a="embedding"))
+    norm = F.expr(_norm64("embedding"))
     n = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
@@ -173,7 +173,7 @@ def x_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the train side: the per-row probe work (|bench| dot
     # products) otherwise runs on a single-file scan's one task
     train = spread_narrow(n.filter(F.col("vec_id") % BENCH_MOD != 0), "vec_id")
-    dot = _DOT_SPARK.format(a="v", b="bv")
+    dot = _dot64("v", "bv")
     # nullif: a zero-norm vector scores NULL against every bench vector
     # (max ignores NULLs), never an ANSI divide-by-zero abort
     scored = train.crossJoin(bench).select(
@@ -942,7 +942,7 @@ def _hybrid_fused_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     former textual twin-copy is gone. Scale notes live on the consumers."""
     from ..functions.similarity import rrf_fuse
     from ..functions.text import bm25_scores
-    from .extensions import _DOT_SPARK, _NORM_SPARK
+    from .extensions import _dot64, _norm64
 
     docs, emb = tables(spark, sf_dir, "documents", "embeddings")
     lex_top = (
@@ -959,9 +959,9 @@ def _hybrid_fused_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lex_rank"),
     )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    dot = _DOT_SPARK.format(a="embedding", b="qe")
-    norm_e = _NORM_SPARK.format(a="embedding")
-    norm_q = _NORM_SPARK.format(a="qe")
+    dot = _dot64("embedding", "qe")
+    norm_e = _norm64("embedding")
+    norm_q = _norm64("qe")
     sem_top = (
         emb.filter(F.col("vec_id") != 0)
         # nullif: a zero-norm vector scores NULL (sorts after every real
@@ -2013,6 +2013,8 @@ def x_hybrid_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> cast(x as double))").alias("_v"),
         F.col("rrf_score").alias("_rel"),
     )
+    from .extensions import EMB_DIM
+
     return mmr_rerank_scored(
-        scored, k=HYBRID_MMR_K, pool=HYBRID_MMR_POOL
+        scored, k=HYBRID_MMR_K, pool=HYBRID_MMR_POOL, dim=EMB_DIM
     )

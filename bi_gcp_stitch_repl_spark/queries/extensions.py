@@ -635,6 +635,30 @@ _NORM_SPARK = (
     " cast(0.0 as double), (acc, v) -> acc + v))"
 )
 
+#: The embeddings table's declared vector dimension — the catalog's table
+#: contract (every sf fixture generates 64-dim vectors; an ANN deployment
+#: declares its dim the same way). Passing it to the similarity kernels
+#: switches the interpreted aggregate/zip_with folds to a guarded
+#: UNROLLED spelling (functions.similarity.dot_sql): rows of exactly this
+#: length take a flat codegen expression with the identical left-fold
+#: accumulation order (bit-identical doubles — the DuckDB twins are
+#: untouched), any other row falls back to the fold, so a dim change can
+#: only cost speed, never correctness. Measured 2.5x on the semdedup
+#: pair stage at sf0.1.
+EMB_DIM = 64
+
+
+def _dot64(a: str, b: str) -> str:
+    from ..functions.similarity import dot_sql
+
+    return dot_sql(a, b, EMB_DIM)
+
+
+def _norm64(a: str) -> str:
+    from ..functions.similarity import norm_sql
+
+    return norm_sql(a, EMB_DIM)
+
 
 @register(
     "x_knn_cosine_topk",
@@ -660,9 +684,9 @@ def x_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x_lsh_cosine_buckets / functions.similarity at any scale."""
     (emb,) = tables(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    dot = _DOT_SPARK.format(a="embedding", b="qe")
-    norm_e = _NORM_SPARK.format(a="embedding")
-    norm_q = _NORM_SPARK.format(a="qe")
+    dot = _dot64("embedding", "qe")
+    norm_e = _norm64("embedding")
+    norm_q = _norm64("qe")
     return (
         emb.filter(F.col("vec_id") != 0)
         # nullif: a zero-norm vector must score NULL (excluded from the
@@ -737,7 +761,7 @@ def x_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH candidates + exact verify — linear in corpus + collisions),
     recall-tested against this baseline in pytest."""
     (emb,) = tables(spark, sf_dir, "embeddings")
-    norm = F.expr(_NORM_SPARK.format(a="embedding"))
+    norm = F.expr(_norm64("embedding"))
     n = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
@@ -752,7 +776,7 @@ def x_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = n.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    dot = _DOT_SPARK.format(a="va", b="vb")
+    dot = _dot64("va", "vb")
     # no broadcast HINT: b is the ENTIRE embeddings table (there is no
     # smaller side in an all-pairs baseline), and a forced hint would
     # hard-fail at the broadcast limit long before the O(n²) compute
@@ -895,7 +919,10 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8, "query_id")
     )
     k = 5
-    ivf = ivf_topk(indexed, queries, k=k, n_probe=n_probe, centroid_col="ivf_cell")
+    ivf = ivf_topk(
+        indexed, queries, k=k, n_probe=n_probe, centroid_col="ivf_cell",
+        dim=EMB_DIM,
+    )
     audit_q = queries.orderBy("query_id").limit(20)
     from ..ops.skew import salted_topk
 
@@ -905,7 +932,7 @@ def x_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single tasks
     exact = salted_topk(
         emb.crossJoin(F.broadcast(q)).withColumn(
-            "cosine", cosine("embedding", "qv")
+            "cosine", cosine("embedding", "qv", EMB_DIM)
         ),
         partition_by=["query_id"],
         order_by=[F.col("cosine").desc(), F.col("vec_id")],
@@ -979,7 +1006,7 @@ def x_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     or degenerate vectors). min/max (not sums) keep the doubles
     order-independent and oracle-exact."""
     (emb,) = tables(spark, sf_dir, "embeddings")
-    norm = F.expr(_NORM_SPARK.format(a="embedding"))
+    norm = F.expr(_norm64("embedding"))
     return emb.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
         F.min(norm).alias("min_norm"),
@@ -2208,7 +2235,7 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster equi-join runs on 4 tasks (measured 7.9 s vs 2.5 s salted
     # at sf0.1/local[32]) — see functions.similarity.semdedup
     return semdedup(
-        asg.join(emb, "vec_id"), threshold=COSINE_DUP_THRESHOLD
+        asg.join(emb, "vec_id"), threshold=COSINE_DUP_THRESHOLD, dim=EMB_DIM
     )
 
 
@@ -2539,7 +2566,8 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = emb.filter(F.col("vec_id") == 0).select("embedding")
     return mmr_rerank(
-        emb.filter(F.col("vec_id") != 0), q, k=MMR_K, pool=MMR_POOL
+        emb.filter(F.col("vec_id") != 0), q, k=MMR_K, pool=MMR_POOL,
+        dim=EMB_DIM,
     )
 
 

@@ -974,3 +974,64 @@ w{t} AS MATERIALIZED (
     )
     rows = con.execute(head + "".join(steps) + f"\n{unions}").fetchall()
     assert {tuple(r) for r in rows} == got and len(got) > 50
+
+
+def test_modularity_driver_matches_distributed(spark):
+    """The r11 driver fast path (probe-collected Q decomposition) must be
+    bit-identical to the distributed aggregations — including negative
+    contributions (truncate-toward-zero divide), a NULL community label
+    (never equi-joins → (c, 0, 0, 0) row), and communities with no
+    edges."""
+    from bi_gcp_stitch_repl_spark.functions.graph import modularity
+
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 1),
+         (3, 4, 1), (4, 5, 1), (3, 5, 1), (2, 3, 1), (5, 6, 2)],
+        "src long, dst long, w long",
+    )
+    lab = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5), (6, None), (7, 9)],
+        "node long, community long",
+    )
+    key = lambda t: (t[0] is None, t[0])  # noqa: E731 — NULL community row
+    drv = sorted(map(tuple, modularity(e, lab).collect()), key=key)
+    dist = sorted(
+        map(tuple, modularity(e, lab, driver_threshold=0).collect()), key=key
+    )
+    assert drv == dist
+    # singleton partition: every contrib negative, identical both paths
+    labn = spark.createDataFrame(
+        [(i, i) for i in range(7)], "node long, community long"
+    )
+    drv = sorted(map(tuple, modularity(e, labn).collect()))
+    dist = sorted(map(tuple, modularity(e, labn, driver_threshold=0).collect()))
+    assert drv == dist and all(r[3] < 0 for r in drv)
+
+
+def test_cc_driver_singleton_attach_matches_distributed(spark):
+    """The r11 driver-side singleton attach (full label list as one local
+    relation when the node set also fits the probe) must emit exactly the
+    labels ∪ anti-join-singletons set — including a NULL node id, which
+    the anti-join keeps as a (NULL, NULL) singleton."""
+    from bi_gcp_stitch_repl_spark.functions.graph import connected_components
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,), (42,), (99,), (None,)],
+        "node long",
+    )
+    drv = sorted(
+        map(tuple, connected_components(e, nodes=nodes).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    dist = sorted(
+        map(
+            tuple,
+            connected_components(e, nodes=nodes, driver_threshold=0).collect(),
+        ),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert drv == dist
+    assert (None, None) in drv and (42, 42) in drv
