@@ -942,7 +942,7 @@ def _hybrid_fused_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     former textual twin-copy is gone. Scale notes live on the consumers."""
     from ..functions.similarity import rrf_fuse
     from ..functions.text import bm25_scores
-    from .extensions import _dot64, _norm64
+    from .extensions import _DOT_SPARK, _NORM_SPARK
 
     docs, emb = tables(spark, sf_dir, "documents", "embeddings")
     lex_top = (
@@ -959,9 +959,10 @@ def _hybrid_fused_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lex_rank"),
     )
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    dot = _dot64("embedding", "qe")
-    norm_e = _norm64("embedding")
-    norm_q = _norm64("qe")
+    # fold on purpose: corpus x ONE query row (see x_knn_cosine_topk)
+    dot = _DOT_SPARK.format(a="embedding", b="qe")
+    norm_e = _NORM_SPARK.format(a="embedding")
+    norm_q = _NORM_SPARK.format(a="qe")
     sem_top = (
         emb.filter(F.col("vec_id") != 0)
         # nullif: a zero-norm vector scores NULL (sorts after every real
@@ -2013,8 +2014,6 @@ def x_hybrid_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("transform(embedding, x -> cast(x as double))").alias("_v"),
         F.col("rrf_score").alias("_rel"),
     )
-    from .extensions import EMB_DIM
-
     return mmr_rerank_scored(
-        scored, k=HYBRID_MMR_K, pool=HYBRID_MMR_POOL, dim=EMB_DIM
+        scored, k=HYBRID_MMR_K, pool=HYBRID_MMR_POOL
     )

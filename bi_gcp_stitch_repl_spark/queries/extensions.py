@@ -684,9 +684,13 @@ def x_knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x_lsh_cosine_buckets / functions.similarity at any scale."""
     (emb,) = tables(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    dot = _dot64("embedding", "qe")
-    norm_e = _norm64("embedding")
-    norm_q = _norm64("qe")
+    # fold spelling on purpose: corpus x ONE query row — the unrolled
+    # tree costs more in plan size than 2k rows of fold eval ever save
+    # (A/B: fold 0.10+0.14 s vs unrolled 0.15+0.19; the unroll pays only
+    # on >~1e5-pair stages, where the catalog passes EMB_DIM)
+    dot = _DOT_SPARK.format(a="embedding", b="qe")
+    norm_e = _NORM_SPARK.format(a="embedding")
+    norm_q = _NORM_SPARK.format(a="qe")
     return (
         emb.filter(F.col("vec_id") != 0)
         # nullif: a zero-norm vector must score NULL (excluded from the
@@ -1006,7 +1010,7 @@ def x_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     or degenerate vectors). min/max (not sums) keep the doubles
     order-independent and oracle-exact."""
     (emb,) = tables(spark, sf_dir, "embeddings")
-    norm = F.expr(_norm64("embedding"))
+    norm = F.expr(_NORM_SPARK.format(a="embedding"))
     return emb.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
         F.min(norm).alias("min_norm"),
@@ -2566,8 +2570,7 @@ def x_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = emb.filter(F.col("vec_id") == 0).select("embedding")
     return mmr_rerank(
-        emb.filter(F.col("vec_id") != 0), q, k=MMR_K, pool=MMR_POOL,
-        dim=EMB_DIM,
+        emb.filter(F.col("vec_id") != 0), q, k=MMR_K, pool=MMR_POOL
     )
 
 
