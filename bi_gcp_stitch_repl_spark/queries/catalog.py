@@ -149,6 +149,32 @@ def _events_ts_is_nanos(path: str) -> bool:
     return "nanosecond" in str(col.logical_type).lower()
 
 
+#: (absolute path, mtime_ns) → StructType. `spark.read.parquet` runs a
+#: 1-task schema-inference job per call; a session reads the same fixture
+#: tables dozens of times (the bench alone calls each query 3×), so every
+#: catalog query was paying ~5 footer jobs (~50 ms + scheduling gap each)
+#: before its first real stage. The cache is METADATA only — results are
+#: always computed from the parquet — and the mtime_ns key drops it the
+#: moment a path is rewritten. Schemas are engine-derived, so feeding one
+#: back via ``.schema(...)`` reproduces the inferred read exactly.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the (path, mtime) schema cache above.
+    Unreadable mtimes (exotic filesystems) just fall back to inference."""
+    try:
+        key = (os.path.abspath(path), os.stat(path).st_mtime_ns)
+    except OSError:
+        return spark.read.parquet(path)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Load the named testdata tables; ``events.ts`` is normalized to
     TIMESTAMP (LTZ) whichever parquet generation shipped (see module
@@ -169,11 +195,11 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     for name in names:
         if name == "events" and _events_ts_is_nanos(f"{sf_dir}/events.parquet"):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            df = _read_parquet(spark, f"{sf_dir}/events.parquet").withColumn(
                 "ts", F.expr("timestamp_micros(ts div 1000)")
             )
         else:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
             if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
                 # the NTZ→LTZ cast is value-preserving ONLY under UTC; pin
                 # it here because an external driver's session (not built
