@@ -131,7 +131,11 @@ def connected_components(
     # one-job dispatch probe: when the edge list fits, the probe rows ARE
     # the union-find input (the old count()-then-collect() pair was two
     # driver round-trips over the same checkpointed frame)
-    erows = _probe_rows(e, driver_threshold)
+    erows = (
+        _probe_rows(e, driver_threshold)
+        if driver_threshold > 0
+        else None
+    )
     if erows is not None:
         return _cc_driver(erows, e, nodes, driver_threshold)
     changed = False
@@ -221,7 +225,11 @@ def _cc_driver(
     if nodes is not None:
         node_col = nodes.columns[0]
         all_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
-        nrows = _probe_rows(all_nodes, driver_threshold)
+        nrows = (
+            _probe_rows(all_nodes, driver_threshold)
+            if driver_threshold > 0
+            else None
+        )
         if nrows is not None:
             # full label list driver-side: same (node, component) set as
             # labels ∪ (anti-join singletons), one local relation. A NULL
@@ -456,7 +464,11 @@ def pagerank_fixedpoint(
     # spent five driver round-trips where two suffice (the weight guard
     # then runs in Python over rows already in hand, same checks, same
     # messages)
-    nrows = _probe_rows(node_df, driver_threshold)
+    nrows = (
+        _probe_rows(node_df, driver_threshold)
+        if driver_threshold > 0
+        else None
+    )
     if nrows is not None and len(nrows) == 0:
         return node_df.select("node", F.lit(0).cast("long").alias("rank_fp"))
     erows = _probe_rows(e, driver_threshold) if nrows is not None else None
@@ -737,7 +749,11 @@ def hits_fixedpoint(
     # both frames fit the driver threshold, the probe rows ARE the
     # collected inputs and the guards run in Python over them — same
     # checks, same messages, three fewer driver round-trips
-    nrows = _probe_rows(node_df, driver_threshold)
+    nrows = (
+        _probe_rows(node_df, driver_threshold)
+        if driver_threshold > 0
+        else None
+    )
     if nrows is not None and len(nrows) == 0:
         return node_df.select(
             "node",
@@ -975,7 +991,9 @@ def _free_local_checkpoint(df: DataFrame) -> None:
 
 
 def triangle_counts(
-    edges: DataFrame, pre_normalized: bool = False
+    edges: DataFrame,
+    pre_normalized: bool = False,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Per-node triangle counts: ``(node, n_triangles)`` — how many
     3-cliques each node participates in. The standard cohesion /
@@ -1020,6 +1038,33 @@ def triangle_counts(
     # without the pin all three reads would re-run the caller's upstream
     # derivation (typically a fact-table aggregation — the expensive part)
     und = edges if pre_normalized else _simple_undirected(edges)
+    # one-job dispatch probe (the pagerank_fixedpoint discipline): the
+    # probe rows ARE the edge list on the driver path — the same
+    # degree-oriented wedge count runs in Python (bounded by the same
+    # Σ outdeg² ≤ O(m^1.5)) instead of three joins over a 25-node frame
+    urows = (
+        _probe_rows(und, driver_threshold)
+        if driver_threshold > 0
+        else None
+    )
+    if urows is not None:
+        tri = _tri_counts_py(urows)
+        utype = und.schema["u"].dataType
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("node", utype),
+                T.StructField("n_triangles", T.LongType()),
+            ]
+        )
+        if not pre_normalized:
+            # this call owns the normalization checkpoint and has fully
+            # consumed it; a shared pre-normalized frame stays persisted
+            _free_local_checkpoint(und)
+        return _local_df(
+            und.sparkSession, sorted(tri.items()), schema
+        )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
@@ -1049,8 +1094,40 @@ def triangle_counts(
     )
 
 
+def _tri_counts_py(urows: list) -> dict:
+    """Per-node triangle counts over probed simple-undirected edge rows —
+    the driver spelling of the degree-oriented wedge count: orient each
+    edge from its lower-(degree, key) endpoint, intersect out-adjacency
+    per oriented edge. Same Σ outdeg² wedge bound as the distributed
+    joins, counts identical (orientation-invariant integers)."""
+    deg: dict = {}
+    for r in urows:
+        deg[r.u] = deg.get(r.u, 0) + 1
+        deg[r.v] = deg.get(r.v, 0) + 1
+    out: dict = {}
+    for r in urows:
+        u, v = r.u, r.v
+        if (deg[u], u) < (deg[v], v):
+            out.setdefault(u, set()).add(v)
+        else:
+            out.setdefault(v, set()).add(u)
+    tri: dict = {}
+    for a, outa in out.items():
+        for b in outa:
+            outb = out.get(b)
+            if not outb:
+                continue
+            for c in outa & outb:
+                tri[a] = tri.get(a, 0) + 1
+                tri[b] = tri.get(b, 0) + 1
+                tri[c] = tri.get(c, 0) + 1
+    return tri
+
+
 def clustering_coefficients(
-    edges: DataFrame, coeff_scale: int = 10**6
+    edges: DataFrame,
+    coeff_scale: int = 10**6,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Local clustering coefficients over the simple undirected graph:
     ``(node, degree, n_triangles, coeff_fp)`` where ``coeff_fp`` is the
@@ -1078,13 +1155,53 @@ def clustering_coefficients(
     rather than wraps.
     """
     und = _simple_undirected(edges)
+    # one-job dispatch probe: degrees, triangles and the fixed-point
+    # ratio all run in Python over the probe rows (nonnegative ints, so
+    # Python // IS the BIGINT DIV here)
+    urows = (
+        _probe_rows(und, driver_threshold)
+        if driver_threshold > 0
+        else None
+    )
+    if urows is not None:
+        degm: dict = {}
+        for r in urows:
+            degm[r.u] = degm.get(r.u, 0) + 1
+            degm[r.v] = degm.get(r.v, 0) + 1
+        tri = _tri_counts_py(urows)
+        utype = und.schema["u"].dataType
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("node", utype),
+                T.StructField("degree", T.LongType()),
+                T.StructField("n_triangles", T.LongType()),
+                T.StructField("coeff_fp", T.LongType()),
+            ]
+        )
+        rows = [
+            (
+                n,
+                d,
+                tri.get(n, 0),
+                (2 * tri.get(n, 0) * coeff_scale) // (d * (d - 1))
+                if d >= 2
+                else 0,
+            )
+            for n, d in sorted(degm.items())
+        ]
+        _free_local_checkpoint(und)
+        return _local_df(und.sparkSession, rows, schema)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionByName(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
-    tri = triangle_counts(und, pre_normalized=True)
+    tri = triangle_counts(
+        und, pre_normalized=True, driver_threshold=driver_threshold
+    )
     out = deg.join(tri, "node", "left").select(
         "node",
         "degree",
@@ -1105,7 +1222,10 @@ def clustering_coefficients(
 
 
 def bfs_hops(
-    edges: DataFrame, sources: DataFrame, max_iter: int = 30
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 30,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Multi-source unweighted BFS hop counts over the simple undirected
     graph: ``(node, hops)`` = each reachable node's minimum hop distance
@@ -1133,6 +1253,25 @@ def bfs_hops(
     ``max_iter`` is a loud backstop: non-convergence raises.
     """
     und = _simple_undirected(edges)
+    dist0 = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("hops"))
+    )
+    # one-job dispatch probe (the pagerank_fixedpoint discipline): below
+    # threshold the whole frontier loop runs in Python over the probe
+    # rows — the symmetric checkpoint, per-round semi/anti-joins and
+    # isEmpty probes were ~10 scheduled jobs on a 25-node graph
+    urows = (
+        _probe_rows(und, driver_threshold)
+        if driver_threshold > 0
+        else None
+    )
+    srows = _probe_rows(dist0, driver_threshold) if urows is not None else None
+    if srows is not None:
+        _free_local_checkpoint(und)
+        return _bfs_driver(urows, srows, und, dist0, max_iter)
     sym = (
         und.unionByName(
             und.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1141,13 +1280,7 @@ def bfs_hops(
     )
     # the one-directional frame is fully consumed by sym's materialization
     _free_local_checkpoint(und)
-    dist = (
-        sources.select(F.col(sources.columns[0]).alias("node"))
-        .filter(F.col("node").isNotNull())
-        .distinct()
-        .select("node", F.lit(0).cast("long").alias("hops"))
-        .localCheckpoint(eager=True)
-    )
+    dist = dist0.localCheckpoint(eager=True)
     frontier = dist
     for i in range(1, max_iter + 1):
         new = (
@@ -1179,8 +1312,61 @@ def bfs_hops(
     )
 
 
+def _bfs_driver(
+    urows: list, srows: list, und: DataFrame, dist0: DataFrame,
+    max_iter: int,
+) -> DataFrame:
+    """Driver fast path: the same frontier expansion over the probed
+    edge/seed rows — hop counts are first-discovery rounds, identical to
+    the distributed loop (no ties to break). Raises the same
+    non-convergence error under the same condition (round ``max_iter``
+    still discovering). The result schema mirrors the distributed
+    union's type coercion: seed dtype alone when nothing was discovered,
+    the seed/edge common type otherwise."""
+    adj: dict = {}
+    for r in urows:
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+    hops = {r.node: 0 for r in srows}
+    frontier = set(hops)
+    discovered = converged = False
+    for i in range(1, max_iter + 1):
+        new = set()
+        for n in frontier:
+            for nb in adj.get(n, ()):
+                if nb not in hops:
+                    new.add(nb)
+        if not new:
+            converged = True
+            break
+        discovered = True
+        for n in new:
+            hops[n] = i
+        frontier = new
+    if not converged:
+        raise RuntimeError(
+            f"bfs_hops did not converge within max_iter={max_iter} rounds;"
+            " raise max_iter (rounds are bounded by the seed set's graph"
+            " eccentricity)"
+        )
+    schema = (
+        dist0.unionByName(
+            und.select(
+                F.col("u").alias("node"),
+                F.lit(0).cast("long").alias("hops"),
+            ).limit(0)
+        ).schema
+        if discovered
+        else dist0.schema
+    )
+    return _local_df(und.sparkSession, sorted(hops.items()), schema)
+
+
 def sssp_weighted(
-    edges: DataFrame, sources: DataFrame, max_iter: int = 50
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Multi-source single-source-shortest-path over the DIRECTED
     integer-weighted graph: ``(node, dist)`` = each reachable node's
@@ -1231,16 +1417,37 @@ def sssp_weighted(
         .agg(F.min("w").alias("w"))
         .localCheckpoint(eager=True)
     )
-    wb = e.agg(F.min("w").alias("mn")).first()
-    if wb.mn is not None and wb.mn <= 0:
-        raise ValueError(f"edge weights must be positive (min={wb.mn})")
-    dist = (
+    dist0 = (
         sources.select(F.col(sources.columns[0]).alias("node"))
         .filter(F.col("node").isNotNull())
         .distinct()
         .select("node", F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint(eager=True)
     )
+    # one-job dispatch probe: weight guard + frontier Bellman-Ford in
+    # Python over the probe rows (same checks, same messages, same
+    # round/raise structure)
+    erows = (
+        _probe_rows(e, driver_threshold)
+        if driver_threshold > 0
+        else None
+    )
+    if erows is not None:
+        mn = min((r.w for r in erows), default=None)
+        if mn is not None and mn <= 0:
+            raise ValueError(f"edge weights must be positive (min={mn})")
+        srows = (
+            _probe_rows(dist0, driver_threshold)
+            if driver_threshold > 0
+            else None
+        )
+        if srows is not None:
+            _free_local_checkpoint(e)
+            return _sssp_driver(erows, srows, e, dist0, max_iter)
+    else:
+        wb = e.agg(F.min("w").alias("mn")).first()
+        if wb.mn is not None and wb.mn <= 0:
+            raise ValueError(f"edge weights must be positive (min={wb.mn})")
+    dist = dist0.localCheckpoint(eager=True)
     frontier = dist
     for _ in range(max_iter):
         cand = (
@@ -1276,8 +1483,60 @@ def sssp_weighted(
     )
 
 
+def _sssp_driver(
+    erows: list, srows: list, e: DataFrame, dist0: DataFrame,
+    max_iter: int,
+) -> DataFrame:
+    """Driver fast path: the same frontier Bellman-Ford over the probed
+    (min-aggregated) edge rows — min-plus over Python ints, identical
+    distances (no ties exist), same round/raise structure as the
+    distributed loop. Result schema mirrors the distributed union's
+    coercion (see _bfs_driver)."""
+    adj: dict = {}
+    for r in erows:
+        adj.setdefault(r.src, []).append((r.dst, r.w))
+    dist = {r.node: 0 for r in srows}
+    frontier = set(dist)
+    discovered = converged = False
+    for _ in range(max_iter):
+        cand: dict = {}
+        for n in frontier:
+            dn = dist[n]
+            for m, w in adj.get(n, ()):
+                nd = dn + w
+                if m not in cand or nd < cand[m]:
+                    cand[m] = nd
+        improved = {
+            m: d for m, d in cand.items() if m not in dist or d < dist[m]
+        }
+        if not improved:
+            converged = True
+            break
+        discovered = True
+        dist.update(improved)
+        frontier = set(improved)
+    if not converged:
+        raise RuntimeError(
+            f"sssp_weighted did not converge within max_iter={max_iter}"
+            " rounds; raise max_iter (rounds are bounded by the longest"
+            " shortest-path edge count)"
+        )
+    schema = (
+        dist0.unionByName(
+            e.select(
+                F.col("dst").alias("node"),
+                F.lit(0).cast("long").alias("dist"),
+            ).limit(0)
+        ).schema
+        if discovered
+        else dist0.schema
+    )
+    return _local_df(e.sparkSession, sorted(dist.items()), schema)
+
+
 def k_core(
-    edges: DataFrame, k: int, max_iter: int = 100
+    edges: DataFrame, k: int, max_iter: int = 100,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Nodes of the graph's k-core: ``(node, degree)`` after repeatedly
     deleting every node of degree < ``k`` (degree recomputed each round)
@@ -1308,6 +1567,46 @@ def k_core(
     backstop, not a silent truncation: non-convergence raises.
     """
     und = _simple_undirected(edges)
+    # one-job dispatch probe: the peel loop runs in Python over the
+    # probe rows (the k-core is unique under any deletion order, and the
+    # round structure — including the max_iter raise — mirrors exactly)
+    urows = (
+        _probe_rows(und, driver_threshold)
+        if driver_threshold > 0
+        else None
+    )
+    if urows is not None:
+        edges_py = [(r.u, r.v) for r in urows]
+        utype = und.schema["u"].dataType
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("node", utype),
+                T.StructField("degree", T.LongType()),
+            ]
+        )
+        for _ in range(max_iter):
+            degm: dict = {}
+            for u, v in edges_py:
+                degm[u] = degm.get(u, 0) + 1
+                degm[v] = degm.get(v, 0) + 1
+            surv = {n for n, d in degm.items() if d >= k}
+            if len(surv) == len(degm):
+                _free_local_checkpoint(und)
+                return _local_df(
+                    und.sparkSession,
+                    sorted((n, degm[n]) for n in surv),
+                    schema,
+                )
+            edges_py = [
+                (u, v) for u, v in edges_py if u in surv and v in surv
+            ]
+        raise RuntimeError(
+            f"k_core did not converge within max_iter={max_iter} peel"
+            " rounds; raise max_iter (rounds are bounded by the graph's"
+            " peel depth)"
+        )
     prev_und = prev_deg = None
     for _ in range(max_iter):
         deg = (
@@ -1447,7 +1746,11 @@ def label_propagation(
     # one-job dispatch probe (the pagerank_fixedpoint discipline): the
     # probe rows ARE the collected inputs on the driver path; the weight
     # guard runs in Python over them — same check, same message
-    nrows = _probe_rows(node_df, driver_threshold)
+    nrows = (
+        _probe_rows(node_df, driver_threshold)
+        if driver_threshold > 0
+        else None
+    )
     if nrows is not None and len(nrows) == 0:
         return node_df.select(
             "node", F.col("node").cast("long").alias("community")
@@ -1588,7 +1891,11 @@ def modularity(
     # the label table fits, the duplicate-node guard runs in Python over
     # the probe rows (same check, same message) and — if the joined edge
     # aggregate also fits — the whole Q decomposition does too
-    lrows = _probe_rows(lab, driver_threshold)
+    lrows = (
+        _probe_rows(lab, driver_threshold)
+        if driver_threshold > 0
+        else None
+    )
     if lrows is not None:
         seen: dict = {}
         for r in lrows:
@@ -1825,7 +2132,11 @@ def random_walks(
     out_schema = f"start {node_type}, wid int, step int, node {node_type}"
     # one-job dispatch probe: the probe rows ARE the collected adjacency
     # on the driver path (old shape: count() then collect(), two jobs)
-    urows = _probe_rows(und, driver_threshold)
+    urows = (
+        _probe_rows(und, driver_threshold)
+        if driver_threshold > 0
+        else None
+    )
     if urows is not None:
         return _local_df(
             spark, _walks_driver(urows, walk_len, num_walks), out_schema
@@ -2047,7 +2358,11 @@ def node2vec_walks(
     spark = edges.sparkSession
     out_schema = f"start {node_type}, wid int, step int, node {node_type}"
     # one-job dispatch probe (the random_walks discipline)
-    urows = _probe_rows(und, driver_threshold)
+    urows = (
+        _probe_rows(und, driver_threshold)
+        if driver_threshold > 0
+        else None
+    )
     if urows is not None:
         return _local_df(
             spark,

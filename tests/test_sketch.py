@@ -450,10 +450,20 @@ def test_clustering_coefficients_single_normalization(spark):
     # measured the set shrinking by 8 during this test), but it can only
     # REMOVE entries — additions during the call are ours alone
     before = persistent_ids()
-    out = clustering_coefficients(k4_tail)
+    # force the distributed composition (r11 added a driver fast path;
+    # this probe pins the DISTRIBUTED single-normalization contract)
+    out = clustering_coefficients(k4_tail, driver_threshold=0)
     rows = {r.node: r.coeff_fp for r in out.collect()}
     assert rows[0] == 10**6 and rows[4] == 0  # semantics unchanged
     assert len(persistent_ids() - before) == 2
+    # driver path: the normalization checkpoint is released once the
+    # probe rows are in hand — nothing stays pinned
+    before = persistent_ids()
+    rows = {
+        r.node: r.coeff_fp for r in clustering_coefficients(k4_tail).collect()
+    }
+    assert rows[0] == 10**6 and rows[4] == 0
+    assert len(persistent_ids() - before) == 0
 
 
 def test_k_core_one_fixpoint_action_and_bounded_checkpoints(spark):
@@ -481,7 +491,10 @@ def test_k_core_one_fixpoint_action_and_bounded_checkpoints(spark):
             before = sc._jsc.sc().getPersistentRDDs().size()
             sc.setJobGroup(group, "k_core fixpoint probe")
             try:
-                assert k_core(path, 2).collect() == []
+                # driver_threshold=0 forces the distributed peel (r11
+                # added a driver fast path; <= 0 disables the dispatch
+                # probe outright, so the pinned job count is unchanged)
+                assert k_core(path, 2, driver_threshold=0).collect() == []
             finally:
                 sc.setJobGroup(None, None)
             jobs = len(sc.statusTracker().getJobIdsForGroup(group))
@@ -1035,3 +1048,60 @@ def test_cc_driver_singleton_attach_matches_distributed(spark):
     )
     assert drv == dist
     assert (None, None) in drv and (42, 42) in drv
+
+
+def test_graph_driver_paths_match_distributed_r11(spark):
+    """The r11 driver fast paths (triangle_counts, clustering_
+    coefficients, k_core, bfs_hops, sssp_weighted) must be row-identical
+    to their forced-distributed twins on graphs that exercise hubs,
+    tails, unreachable nodes, string keys and weighted corridors."""
+    from bi_gcp_stitch_repl_spark.functions.graph import (
+        bfs_hops,
+        clustering_coefficients,
+        k_core,
+        sssp_weighted,
+        triangle_counts,
+    )
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(3, 4), (4, 5), (5, 6), (6, 4), (7, 8)],
+        "x long, y long",
+    )
+    for fn, kw in (
+        (triangle_counts, {}),
+        (clustering_coefficients, {}),
+        (lambda d, **k: k_core(d, 2, **k), {}),
+    ):
+        drv = sorted(map(tuple, fn(e, **kw).collect()))
+        dist = sorted(map(tuple, fn(e, driver_threshold=0, **kw).collect()))
+        assert drv == dist and drv, fn
+    # string keys through the driver triangle path
+    es = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], "x string, y string"
+    )
+    drv = sorted(map(tuple, triangle_counts(es).collect()))
+    dist = sorted(map(tuple, triangle_counts(es, driver_threshold=0).collect()))
+    assert drv == dist == [("a", 1), ("b", 1), ("c", 1)]
+    # BFS: seeds incl. an isolated source (hops 0) and unreachable nodes
+    seeds = spark.createDataFrame([(0,), (42,)], "node long")
+    drv = sorted(map(tuple, bfs_hops(e, seeds).collect()))
+    dist = sorted(
+        map(tuple, bfs_hops(e, seeds, driver_threshold=0).collect())
+    )
+    assert drv == dist and (42, 0) in drv and (7, 1) not in dict(drv).items()
+    # SSSP over the directed weighted spelling
+    ew = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 1), (0, 2, 9), (2, 3, 1), (9, 9, 7), (4, 0, 2)],
+        "src long, dst long, w long",
+    )
+    drv = sorted(map(tuple, sssp_weighted(ew, seeds).collect()))
+    dist = sorted(
+        map(tuple, sssp_weighted(ew, seeds, driver_threshold=0).collect())
+    )
+    assert drv == dist and dict(drv)[2] == 6 and dict(drv)[3] == 7
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(0, 1, 0)], "src long, dst long, w long")
+    with _pytest.raises(ValueError, match="positive"):
+        sssp_weighted(bad, seeds)
