@@ -924,10 +924,19 @@ def _local_df(spark, rows, schema):
     0.7-1.4 s → 0.24-0.37 s for a 25-row noop write, 1.1-1.8 → 0.6-0.9 s
     at 100k rows. (NOT ``coalesce(1)``: a no-shuffle coalesce makes the
     single task evaluate all 32 parent Python slices SEQUENTIALLY —
-    measured 4.7 s for 25 rows.)"""
-    return spark.createDataFrame(
+    measured 4.7 s for 25 rows.)
+
+    The broadcast hint is gated on the ACTUAL row count in hand (not an
+    estimate): an RDD-backed frame has no stats, so the planner assumes
+    it is huge — a consumer joining a 25-row driver-path result to a
+    dimension table got a two-Exchange sort-merge join
+    (x_triangle_trade's measured plan). Results at or under the probe
+    bound are broadcastable by construction; larger ones (walk corpora
+    fan out beyond the edge bound) stay unhinted."""
+    df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema
     )
+    return F.broadcast(df) if len(rows) <= 100_000 else df
 
 
 def _probe_rows(df: DataFrame, threshold: int) -> list | None:
