@@ -81,7 +81,6 @@ def mmr_rerank(
     mu: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """(rnk, vec_id, rel, mmr): the k MMR-selected rows of ``emb``.
 
@@ -114,11 +113,9 @@ def mmr_rerank(
         qe = F.expr("cast(null as array<double>)")
     else:
         qe = F.array(*[F.lit(x).cast("double") for x in qvec])
-    from .similarity import dot_sql, norm_sql
-
-    dot = dot_sql("_v", "_qe", dim)
-    norm_v = norm_sql("_v", dim)
-    norm_q = norm_sql("_qe", dim)
+    dot = _DOT.format(a="_v", b="_qe")
+    norm_v = _NORM.format(a="_v")
+    norm_q = _NORM.format(a="_qe")
     scored = (
         emb.select(
             F.col(id_col).cast("long").alias("_id"),
@@ -131,8 +128,7 @@ def mmr_rerank(
     # non-NULL rel already implies a nonzero vector norm — skip the
     # defensive re-filter (it would re-run the norm fold corpus-wide)
     return mmr_rerank_scored(
-        scored, k=k, pool=pool, lam=lam, mu=mu, filter_zero_norm=False,
-        dim=dim,
+        scored, k=k, pool=pool, lam=lam, mu=mu, filter_zero_norm=False
     )
 
 
@@ -143,7 +139,6 @@ def mmr_rerank_scored(
     lam: float = 0.7,
     mu: float = 0.3,
     filter_zero_norm: bool = True,
-    dim: int | None = None,
 ) -> DataFrame:
     """MMR over a PRE-SCORED candidate frame ``(_id, _v, _rel)`` — the
     hybrid-retrieval composition point: relevance can come from ANY
@@ -162,9 +157,7 @@ def mmr_rerank_scored(
         raise ValueError(f"k must be >= 1, got {k}")
     spark = scored.sparkSession
     if filter_zero_norm:
-        from .similarity import norm_sql
-
-        norm_v = norm_sql("_v", dim)
+        norm_v = _NORM.format(a="_v")
         scored = scored.filter(F.expr(f"nullif({norm_v}, 0.0d) is not null"))
     # TakeOrdered top-pool, then pin the pool so the pairwise-sim join and
     # the collect read ONE materialization, not two re-executions.
@@ -185,11 +178,9 @@ def mmr_rerank_scored(
         .limit(pool)
         .localCheckpoint(eager=True)
     )
-    from .similarity import dot_sql, norm_sql
-
-    pdot = dot_sql("_va", "_vb", dim)
-    pna = norm_sql("_va", dim)
-    pnb = norm_sql("_vb", dim)
+    pdot = _DOT.format(a="_va", b="_vb")
+    pna = _NORM.format(a="_va")
+    pnb = _NORM.format(a="_vb")
     a = cand.select(F.col("_id").alias("_ai"), F.col("_v").alias("_va"))
     b = cand.select(F.col("_id").alias("_bi"), F.col("_v").alias("_vb"))
     sims = (
