@@ -44,6 +44,11 @@ STAGE_LAYOUT = {
     "orders": 8,
     "events": 4,
     "documents": 8,  # tiny but compute-heavy (MinHash shingling)
+    # tiny but compute-heavy (64-dim casts/norms/dots): the single-file
+    # fixture made every embedding scan a ONE-task stage (measured 0.18 s
+    # serial in the semdedup job dump) feeding the knn/ivf/semdedup/mmr
+    # kernels
+    "embeddings": 8,
 }
 ALL_TABLES = [
     "region", "nation", "customer", "supplier", "part",

@@ -19,8 +19,11 @@ rounds and dies on long chains.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -915,16 +918,62 @@ def _check_weights_rows(
         )
 
 
+#: VALUES-literal emission cutoff: the SQL parse cost crosses the
+#: 1-slice-RDD emission cost at ~4-5k rows (measured, local[32]: noop of
+#: a 2-col bigint frame — 0.105 vs 0.198 s at 1k rows, 0.202 vs 0.200 at
+#: 5k, 0.383 vs 0.235 at 20k)
+_VALUES_MAX_ROWS = 4096
+
+#: column types the VALUES literal renderer covers (simpleString -> SQL);
+#: anything else (arrays, structs, timestamps) takes the RDD path
+_VALUES_TYPES = {
+    "bigint": "BIGINT",
+    "int": "INT",
+    "string": "STRING",
+    "double": "DOUBLE",
+    "boolean": "BOOLEAN",
+}
+
+
+def _sql_literal(v, sql_type: str) -> str:
+    """Render one Python value as an exact Spark SQL literal. Strings
+    escape backslash and quote (the default parser processes backslash
+    escapes); doubles go through repr(), which round-trips binary64
+    exactly and is re-parsed by CAST with correct rounding — bit-exact
+    both ways."""
+    if v is None:
+        return "NULL"
+    if sql_type == "STRING":
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if sql_type == "DOUBLE":
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if sql_type == "BOOLEAN":
+        return "true" if v else "false"
+    return str(v)
+
+
 def _local_df(spark, rows, schema):
-    """Driver-path result emitter: ``createDataFrame`` on a plain list
-    parallelizes it into defaultParallelism slices — 32 near-empty tasks
-    for a 25-row result, each paying a Python-worker round-trip, and
-    every downstream operator schedules them all. A one-slice RDD keeps
-    the bounded (≤ driver_threshold) row list on ONE partition: measured
-    0.7-1.4 s → 0.24-0.37 s for a 25-row noop write, 1.1-1.8 → 0.6-0.9 s
-    at 100k rows. (NOT ``coalesce(1)``: a no-shuffle coalesce makes the
-    single task evaluate all 32 parent Python slices SEQUENTIALLY —
-    measured 4.7 s for 25 rows.)
+    """Driver-path result emitter. Small simple-typed results embed as a
+    ``VALUES`` literal — a pure-JVM ``LocalTableScan`` with ACCURATE
+    stats: no Python-worker round-trip at execution (measured 0.157 →
+    0.037 s for a 25-row noop; a downstream join picks the broadcast
+    side from real sizes), at the price of SQL-text parse time that
+    grows with the row count (crossover ~4-5k rows, see
+    ``_VALUES_MAX_ROWS``).
+
+    Larger or complex-typed results fall back to a ONE-slice RDD:
+    ``createDataFrame`` on a plain list parallelizes into
+    defaultParallelism slices — 32 near-empty tasks for a 25-row result,
+    each paying a Python-worker round-trip, and every downstream
+    operator schedules them all; the one-slice form measured 0.7-1.4 s →
+    0.24-0.37 s for a 25-row noop write, 1.1-1.8 → 0.6-0.9 s at 100k
+    rows. (NOT ``coalesce(1)``: a no-shuffle coalesce makes the single
+    task evaluate all 32 parent Python slices SEQUENTIALLY — measured
+    4.7 s for 25 rows.)
 
     The broadcast hint is gated on the ACTUAL row count in hand (not an
     estimate): an RDD-backed frame has no stats, so the planner assumes
@@ -932,10 +981,33 @@ def _local_df(spark, rows, schema):
     dimension table got a two-Exchange sort-merge join
     (x_triangle_trade's measured plan). Results at or under the probe
     bound are broadcastable by construction; larger ones (walk corpora
-    fan out beyond the edge bound) stay unhinted."""
-    df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema
+    fan out beyond the edge bound) stay unhinted. The hint stays on the
+    VALUES path too — same boundedness argument, zero-cost exchange."""
+    st = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
     )
+    sql_types = [
+        _VALUES_TYPES.get(f.dataType.simpleString()) for f in st.fields
+    ]
+    if 0 < len(rows) <= _VALUES_MAX_ROWS and all(sql_types):
+        cols = ", ".join(
+            f"CAST(c{i} AS {t}) AS `{f.name}`"
+            for i, (f, t) in enumerate(zip(st.fields, sql_types))
+        )
+        tuples = ", ".join(
+            "("
+            + ", ".join(
+                _sql_literal(row[i], t) for i, t in enumerate(sql_types)
+            )
+            + ")"
+            for row in rows
+        )
+        alias = ", ".join(f"c{i}" for i in range(len(st.fields)))
+        df = spark.sql(f"SELECT {cols} FROM VALUES {tuples} AS t({alias})")
+    else:
+        df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), st
+        )
     return F.broadcast(df) if len(rows) <= 100_000 else df
 
 

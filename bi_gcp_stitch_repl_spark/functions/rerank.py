@@ -17,13 +17,19 @@ JVM-side sequential-fold cosine runs per row, and a TakeOrdered (never a
 global sort). Only then does the algorithm leave the cluster: the greedy
 selection is inherently sequential (pick i depends on picks 1..i-1), so it
 runs on the DRIVER over the collected pool — a documented BOUNDED collect
-(``pool`` rows + ``pool²`` pairwise sims; pool is a constant ≤ a few
-hundred in any real reranker, enforced here), the same discipline as the
-capped BPE argmax in functions/text.py. All floating-point that decides an
-argmax is computed by the ENGINE's sequential folds (the proven
-dual-dialect cosine expressions); Python only combines collected scalars
-with ``lam*rel - mu*maxsim`` — exact IEEE-754 binary64 ops that DuckDB
-reproduces bit-for-bit, so the catalog twin hash-matches.
+(``pool`` rows; pool is a constant ≤ a few hundred in any real reranker,
+enforced here), the same discipline as the capped BPE argmax in
+functions/text.py. The ``pool²`` pairwise diversity cosines are computed on
+the driver too, as the EXACT Python replica of the engine's sequential
+fold: CPython floats are IEEE-754 binary64 and ``x * y`` / ``acc + v`` /
+``math.sqrt`` are the same single correctly-rounded operations the JVM
+executes, so the left fold produces bit-identical doubles (pinned by
+test_functions.py::test_mmr_python_fold_matches_engine_fold). That replaces
+what used to be a localCheckpoint + crossJoin + a pool²-row collect — ONE
+TakeOrdered job now moves ``pool`` vectors (≤ 512 · dim doubles) instead of
+pool² sim rows, strictly fewer driver bytes AND 5 fewer scheduled jobs per
+call. ``lam*rel - mu*maxsim`` stays exact binary64 that DuckDB reproduces
+bit-for-bit, so the catalog twin hash-matches.
 
 ``mu`` is an explicit parameter instead of the textbook ``1 - lam``: the
 cross-engine contract needs the same binary64 LITERAL on both sides, and
@@ -61,6 +67,36 @@ _NORM = (
 #: rows / a few MB (real rerankers use tens-to-hundreds); 4096 would
 #: have allowed a ~17M-row driver collect, an OOM masquerading as a cap.
 MAX_POOL = 512
+
+def _fold_dot_py(a, b):
+    """Driver replica of the engine dot fold (``_DOT``): ``aggregate(
+    zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)``. Same
+    left fold, same binary64 ops, bit-identical result. ``zip_with``
+    pads the shorter array with NULL and a NULL term poisons every later
+    ``acc + v``, so mixed dimensions / NULL elements yield NULL —
+    mirrored here as None."""
+    if a is None or b is None or len(a) != len(b):
+        return None
+    acc = 0.0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return None
+        acc = acc + x * y
+    return acc
+
+
+def _fold_norm_py(v):
+    """Driver replica of the engine norm fold (``_NORM``) — see
+    :func:`_fold_dot_py` for the bit-identity argument."""
+    if v is None:
+        return None
+    acc = 0.0
+    for x in v:
+        if x is None:
+            return None
+        acc = acc + x * x
+    return math.sqrt(acc)
+
 
 _SCHEMA = StructType(
     [
@@ -159,15 +195,16 @@ def mmr_rerank_scored(
     if filter_zero_norm:
         norm_v = _NORM.format(a="_v")
         scored = scored.filter(F.expr(f"nullif({norm_v}, 0.0d) is not null"))
-    # TakeOrdered top-pool, then pin the pool so the pairwise-sim join and
-    # the collect read ONE materialization, not two re-executions.
+    # ONE TakeOrdered job collects the BOUNDED pool — ids, vectors and
+    # relevance together (≤ MAX_POOL·dim doubles, strictly fewer driver
+    # bytes than the pool²-row sim collect this replaces).
     # Pool hygiene for dirty corpora: a NULL _id would crash the greedy's
     # sorted() tie-break; a NaN _rel passes isNotNull, sorts ABOVE every
     # real score descending, and wins every `score > best` argmax — both
     # are row-local filters, not behavior the catalog twin can hit (its
     # relevance is a finite-float fold, same contract as every cosine
     # query in the catalog).
-    cand = (
+    cand_rows = (
         scored.select("_id", "_v", "_rel")
         .filter(
             F.col("_id").isNotNull()
@@ -176,28 +213,38 @@ def mmr_rerank_scored(
         )
         .orderBy(F.col("_rel").desc(), "_id")
         .limit(pool)
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    pdot = _DOT.format(a="_va", b="_vb")
-    pna = _NORM.format(a="_va")
-    pnb = _NORM.format(a="_vb")
-    a = cand.select(F.col("_id").alias("_ai"), F.col("_v").alias("_va"))
-    b = cand.select(F.col("_id").alias("_bi"), F.col("_v").alias("_vb"))
-    sims = (
-        a.crossJoin(F.broadcast(b))  # bounded: pool² rows by construction
-        .filter(F.col("_ai") != F.col("_bi"))
-        .select(
-            "_ai", "_bi", F.expr(f"{pdot} / nullif({pna} * {pnb}, 0.0d)").alias("_s")
-        )
-    )
-    rel_rows = [(r._id, r._rel) for r in cand.select("_id", "_rel").collect()]
+    rel_rows = [(r._id, r._rel) for r in cand_rows]
     if len({i for i, _ in rel_rows}) != len(rel_rows):
         # dict(rel_rows) below would silently keep one arbitrary rel per
         # id and return fewer than k rows with wrong attribution
         raise ValueError("duplicate _id in the rerank pool")
-    sim_map: dict[tuple[int, int], float] = {
-        (r._ai, r._bi): r._s for r in sims.collect()
-    }
+    # pairwise diversity cosines on the driver — the bit-identical Python
+    # replica of the engine fold `_DOT / nullif(_NORM * _NORM, 0.0d)`
+    # (see module docstring; O(pool²·dim) bounded work, ≤ ~17M flops at
+    # the MAX_POOL cap, corpus-independent). IEEE multiplication commutes
+    # exactly, so sim(a, b) == sim(b, a) bit-for-bit and each unordered
+    # pair is computed once.
+    vecs = {r._id: r._v for r in cand_rows}
+    norms = {i: _fold_norm_py(v) for i, v in vecs.items()}
+    sim_map: dict[tuple[int, int], float] = {}
+    ids = [i for i, _ in rel_rows]
+    for ai_pos, ai in enumerate(ids):
+        na = norms[ai]
+        for bi in ids[ai_pos + 1 :]:
+            nb = norms[bi]
+            if na is None or nb is None:
+                s = None
+            else:
+                denom = na * nb
+                if denom == 0.0:  # nullif(denom, 0.0d)
+                    s = None
+                else:
+                    d = _fold_dot_py(vecs[ai], vecs[bi])
+                    s = None if d is None else d / denom
+            sim_map[(ai, bi)] = s
+            sim_map[(bi, ai)] = s
     if any(s is None or math.isnan(s) for s in sim_map.values()):
         # a NULL pairwise cosine means mixed vector dimensions (zip_with
         # pads with NULL); a NaN one means a NaN vector element survived
@@ -227,4 +274,9 @@ def mmr_rerank_scored(
                 best_id, best_mmr, best_rel = vid, score, rel
         selected.append((len(selected) + 1, best_id, best_rel, best_mmr))
         del remaining[best_id]
-    return spark.createDataFrame(selected, _SCHEMA)
+    # one-slice local relation: createDataFrame on a plain list would
+    # parallelize ≤ k rows into defaultParallelism near-empty tasks
+    # (same rationale as functions/graph._local_df)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(selected, 1), _SCHEMA
+    )

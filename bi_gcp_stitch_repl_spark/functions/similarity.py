@@ -826,6 +826,18 @@ def semdedup(
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
+    if salt > 1:
+        # the salt exists to spread the pair work when cells < cores, but
+        # AQE's byte-based coalescing merged the salted exchange back to a
+        # handful of partitions (the pair stage is COMPUTE-bound per row,
+        # invisible to a bytes advisory — measured 8 tasks / 0.74 s on
+        # local[32]). An EXPLICIT numPartitions repartition on the join
+        # keys is user-specified, so AQE keeps it; defaultParallelism is
+        # the cluster's core count, not a local constant. salt=1
+        # (production cell counts) leaves AQE sizing untouched.
+        par = labeled.sparkSession.sparkContext.defaultParallelism
+        a = a.repartition(par, "cl_a", "salt_a")
+        b = b.repartition(par, "cl_b", "salt_b")
     dot = dot_sql("va", "vb", dim)
     dup = (
         a.join(

@@ -1038,7 +1038,15 @@ def _sparsify_mean_relative(
     the k-core/BFS fixtures need (a fixed cutoff saturates: the sf0.01
     trade graph is complete even at w ≥ 20). The totals side is ONE row.
     ``keep_weight`` retains the surviving edges' weights (the weighted
-    consumers: label propagation)."""
+    consumers: label propagation).
+
+    The input aggregate is localCheckpoint()ed FIRST: the totals side
+    and the filter side both read it, and without the pin each executed
+    the whole upstream fact join — the job dump showed two concurrent
+    32-task corpus scans per call (x_communities_trade build). The
+    checkpointed frame is the POST-aggregation edge list (≤ |src|·|dst|
+    distinct pairs), bounded far below the fact table at any scale."""
+    edges = edges.localCheckpoint(eager=True)
     tot = edges.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
     cols = ["src", "dst", "w"] if keep_weight else ["src", "dst"]
     return (

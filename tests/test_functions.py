@@ -1126,6 +1126,74 @@ def test_mmr_scored_nan_vector_rejected_at_boundary(spark):
         mmr_rerank_scored(scored, k=2, pool=8).collect()
 
 
+def test_mmr_python_fold_matches_engine_fold(spark):
+    """The pairwise diversity cosines moved from an engine crossJoin to a
+    driver-side Python replica of the SAME left fold. CPython floats are
+    IEEE-754 binary64 and x*y / acc+v / sqrt are single correctly-rounded
+    ops on both sides, so every sim must be BIT-identical (==, not
+    approx) — including denormals, negative zeros, huge/tiny magnitude
+    mixes, NULL elements and mixed dimensions (both NULL engine-side)."""
+    import math as _m
+    import random
+    import struct
+
+    from bi_gcp_stitch_repl_spark.functions.rerank import (
+        _DOT,
+        _NORM,
+        _fold_dot_py,
+        _fold_norm_py,
+    )
+
+    rng = random.Random(20261)
+
+    def wild():
+        # bit-pattern-random finite doubles: exercises denormals, extreme
+        # exponents and -0.0, where reassociated/fma arithmetic would show
+        while True:
+            x = struct.unpack("<d", struct.pack("<Q", rng.getrandbits(64)))[0]
+            if _m.isfinite(x) and abs(x) < 1e150:  # keep products finite
+                return x
+
+    vecs = [[wild() for _ in range(17)] for _ in range(12)]
+    vecs.append([0.0] * 17)                      # zero norm -> NULL sim
+    vecs.append([-0.0] * 17)                     # nullif(-0.0, 0.0) IS NULL
+    vecs.append([wild() for _ in range(5)])      # mixed dim -> NULL sim
+    vecs.append([1.0, None] + [2.0] * 15)        # NULL element -> NULL sim
+    pairs = [
+        (i, j, va, vb)
+        for i, va in enumerate(vecs)
+        for j, vb in enumerate(vecs)
+        if i < j
+    ]
+    df = spark.createDataFrame(
+        pairs, "i long, j long, _va array<double>, _vb array<double>"
+    )
+    pdot = _DOT.format(a="_va", b="_vb")
+    pna = _NORM.format(a="_va")
+    pnb = _NORM.format(a="_vb")
+    engine = {
+        (r.i, r.j): r.s
+        for r in df.select(
+            "i", "j",
+            F.expr(f"{pdot} / nullif({pna} * {pnb}, 0.0d)").alias("s"),
+        ).collect()
+    }
+    for i, j, va, vb in pairs:
+        na, nb = _fold_norm_py(va), _fold_norm_py(vb)
+        if na is None or nb is None or na * nb == 0.0:
+            py = None
+        else:
+            d = _fold_dot_py(va, vb)
+            py = None if d is None else d / (na * nb)
+        e = engine[(i, j)]
+        if e is None or py is None:
+            assert e is None and py is None, (i, j, e, py)
+        elif _m.isnan(e) or _m.isnan(py):
+            assert _m.isnan(e) and _m.isnan(py), (i, j, e, py)
+        else:
+            assert struct.pack("<d", e) == struct.pack("<d", py), (i, j, e, py)
+
+
 def test_mmr_rerank_scored_composes_with_rrf(spark):
     """Hybrid composition: RRF-fused relevance + cosine diversity. The
     fused score ranks id 2 above id 3 (2 appears in both lists), but 2 is

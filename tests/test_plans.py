@@ -444,7 +444,6 @@ def test_no_forced_broadcast_on_scaled_sides_in_package():
         ("queries/extensions.py", "top"): "k-capped top-term set",
         # --- functions/ ------------------------------------------------
         ("functions/web.py", "psl_map"): "1-row PSL rules map",
-        ("functions/rerank.py", "b"): "pool-capped (MAX_POOL=512) rerank pool",
         ("functions/text.py", "vocab"): "bounded merge-vocab (vocab_size cap)",
         ("functions/text.py", "corpus"): "1-row corpus stats (N, Σdl, df)",
         ("functions/bloom.py",
