@@ -261,14 +261,19 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 #:    queries — j1_carry_forward_keys (ops/keys.py unchanged),
 #:    f_string_clean_coerce (ops/clean.py unchanged),
 #:    s4_keyset_increment + s7_detail_fanout (sources/rest.py
-#:    unchanged). flagship_union_history and k1_merge_upsert stay
-#:    every round (the driver's smoke query and the merge-sink canary).
-#: 2. Changed-library canaries (5): x_html_extract / x_url_canonicalize
+#:    unchanged). flagship_union_history stays every round (the
+#:    driver's smoke query). k1_merge_upsert released LATE in the round
+#:    (optimization phase) by the same precedent — r10-fresh driver row,
+#:    sinks/merge.py untouched — to seat x_mmr_rerank, whose library
+#:    (functions/rerank.py) changed in the one-collect MMR optimization
+#:    and whose canary slot the policy test therefore requires.
+#: 2. Changed-library canaries (6): x_html_extract / x_url_canonicalize
 #:    / x_robots_exclusion (functions/web.py — RFC 9309 Allow
 #:    precedence, longest-match, * / $ metacharacters in BOTH dialects;
 #:    x_robots_exclusion's own fixture+oracle also changed, so it is
 #:    doubly required), x_dedup_clusters / x_clustering_trade
-#:    (functions/graph.py — label_propagation added).
+#:    (functions/graph.py — label_propagation added), x_mmr_rerank
+#:    (functions/rerank.py — one-collect MMR, seated in k1's slot).
 #: 3. The ENTIRE r07-fresh cohort (37): with it rotated, every catalog
 #:    entry's freshest driver row is >=r08 — the machine-checked bar
 #:    rises r07 -> r08 (test_layout.py), the r10 verdict's #1. The
@@ -293,10 +298,10 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
     # §2 spine (6 minus released; see header)
-    "flagship_union_history", "k1_merge_upsert",
-    # changed-library canaries (5): see header
+    "flagship_union_history",
+    # changed-library canaries (6): see header
     "x_html_extract", "x_url_canonicalize", "x_robots_exclusion",
-    "x_dedup_clusters", "x_clustering_trade",
+    "x_dedup_clusters", "x_clustering_trade", "x_mmr_rerank",
     # the whole r07-fresh cohort (37): bar lands at >=r08
     "w_topk_per_group", "x_bigram_stats", "x_bloom_decontaminate",
     "x_bm25_topk", "x_ccnet_buckets", "x_curation_pipeline",

@@ -112,13 +112,16 @@ def test_driver_window_covers_survey_gates():
     required = {
         # §2 spine (6 minus released slots; see catalog._PRIORITY header:
         # s7_detail_fanout released — r10-fresh, sources/rest.py
-        # untouched, its primary gate is the live-HTTP pytest suite)
-        "flagship_union_history", "k1_merge_upsert",
+        # untouched, its primary gate is the live-HTTP pytest suite;
+        # k1_merge_upsert released late-round — r10-fresh, sinks/merge.py
+        # untouched — to seat the rerank.py canary below)
+        "flagship_union_history",
         # changed-library canaries: web.py (RFC 9309 Allow precedence +
         # metacharacters in both dialects; x_robots_exclusion's own
-        # fixture/oracle changed too), graph.py (label_propagation)
+        # fixture/oracle changed too), graph.py (label_propagation),
+        # rerank.py (one-collect MMR — the optimization-phase change)
         "x_html_extract", "x_url_canonicalize", "x_robots_exclusion",
-        "x_dedup_clusters", "x_clustering_trade",
+        "x_dedup_clusters", "x_clustering_trade", "x_mmr_rerank",
         # the whole r07-fresh cohort (bar lands at >=r08)
         "w_topk_per_group", "x_bigram_stats", "x_bloom_decontaminate",
         "x_bm25_topk", "x_ccnet_buckets", "x_curation_pipeline",
