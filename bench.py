@@ -43,7 +43,15 @@ STAGE_LAYOUT = {
     "lineitem": 32,
     "orders": 8,
     "events": 4,
-    "documents": 8,  # tiny but compute-heavy (MinHash shingling)
+    # tiny but compute-heavy (MinHash shingling, per-token fold hashing):
+    # at 8 files the x_dsir tokenize stage ran 8 tasks with 24 cores idle
+    # (job dump: 1.0 s of a 1.7 s build). INTERLEAVED same-session A/B
+    # (both stagings materialized, alternating, best-of-5): 16 files
+    # nets −0.55 s over 8 (dsir 1.46→1.07, minhash 0.96→0.76, bpe
+    # 0.58→0.45, text_stats −0.05) while 32 gives the tokenize win back
+    # on light scans (dedup_exact 0.24→0.50, curation +0.34): per-file
+    # overhead beats parallelism past ~16 files for a table this small.
+    "documents": 16,
     # tiny but compute-heavy (64-dim casts/norms/dots): the single-file
     # fixture made every embedding scan a ONE-task stage (measured 0.18 s
     # serial in the semdedup job dump) feeding the knn/ivf/semdedup/mmr

@@ -126,6 +126,8 @@ def bpe_train(
     released."""
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0 (got {n_merges})")
+    from .graph import _free_local_checkpoint, _local_df, _probe_rows
+
     wf = (
         words.select(
             F.col(word_col).cast("string").alias("word"),
@@ -134,21 +136,36 @@ def bpe_train(
         .filter(F.col("word").isNotNull() & (F.col("word") != ""))
         .groupBy("word")
         .agg(F.sum("freq").alias("freq"))
+        # ONE materialization of the vocabulary aggregate: the freq
+        # guard, the dispatch probe/driver collect AND the distributed
+        # chars-split checkpoint all read it — un-pinned, the guard
+        # first() and the driver collect each re-ran the corpus
+        # tokenize upstream (job dump: 0.43 s + 0.39 s, two full scans
+        # per x_bpe_merges build)
+        .localCheckpoint(eager=True)
     )
-    fb = wf.agg(F.min("freq").alias("mn"), F.count(F.lit(1)).alias("n")).first()
-    if fb.mn is not None and fb.mn <= 0:
-        raise ValueError(f"word frequencies must be positive (min={fb.mn})")
     spark = words.sparkSession
     out_schema = (
         "merge_rank int, a string, b string, merged string, cnt long"
     )
-    if fb.n <= driver_threshold:
-        return spark.createDataFrame(
-            _bpe_driver(wf, n_merges), out_schema
-        )
+    rows = _probe_rows(wf, driver_threshold) if driver_threshold > 0 else None
+    if rows is not None:
+        mn = min((r.freq for r in rows), default=None)
+        if mn is not None and mn <= 0:
+            raise ValueError(f"word frequencies must be positive (min={mn})")
+        rules = _bpe_driver_rows(rows, n_merges)
+        _free_local_checkpoint(wf)
+        # VALUES local relation (the graph-family _local_df discipline):
+        # a plain createDataFrame parallelizes ~8 rule rows into 32
+        # near-empty Python slices at every downstream execution
+        return _local_df(spark, rules, out_schema)
+    fb = wf.agg(F.min("freq").alias("mn")).first()
+    if fb.mn is not None and fb.mn <= 0:
+        raise ValueError(f"word frequencies must be positive (min={fb.mn})")
     w = wf.select(
         "freq", F.expr(_CHARS.format(w="word")).alias("syms")
     ).localCheckpoint(eager=True)
+    _free_local_checkpoint(wf)
     rules: list[tuple] = []
     for r in range(1, n_merges + 1):
         pc = (
@@ -184,15 +201,15 @@ def bpe_train(
     return spark.createDataFrame(rules, out_schema)
 
 
-def _bpe_driver(wf: DataFrame, n_merges: int) -> list[tuple]:
+def _bpe_driver_rows(wrows: list, n_merges: int) -> list[tuple]:
     """Driver fast path: the classic in-memory loop over the collected
     vocabulary (which is Heaps-bounded, NOT corpus-sized) — same count
     weighting, same (cnt DESC, a ASC, b ASC) tie-break, same
     left-to-right merge; bit-identical to the distributed loop (the
-    property suite compares both against an independent replica)."""
-    vocab = [
-        (tuple(r.word), r.freq) for r in wf.collect()
-    ]
+    property suite compares both against an independent replica).
+    ``wrows`` are the dispatch probe's rows — every (word, freq) row is
+    already in hand, no second collect."""
+    vocab = [(tuple(r.word), r.freq) for r in wrows]
     rules: list[tuple] = []
     for r in range(1, n_merges + 1):
         counts: dict = {}

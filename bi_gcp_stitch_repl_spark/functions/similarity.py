@@ -18,6 +18,8 @@ Two tiers:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -683,12 +685,87 @@ def sqdist_sql(a: str, b: str, dim: int | None = None) -> str:
     )
 
 
+def _kmeans_rows_ok(rows: list) -> bool:
+    """Driver-path gate: distinct non-NULL ids, non-NULL uniform-length
+    vectors, every element a finite float — the domain where the Python
+    kernel is provably bit-identical to the engine's sequential folds
+    (no NULL/NaN ordering branches). Anything else falls back to the
+    distributed plan, which is always correct."""
+    ids = set()
+    dim = None
+    for r in rows:
+        vid, v = r[0], r[1]
+        if vid is None or vid in ids or v is None:
+            return False
+        ids.add(vid)
+        if dim is None:
+            dim = len(v)
+        elif len(v) != dim:
+            return False
+        for x in v:
+            if x is None or not math.isfinite(x):
+                return False
+    return True
+
+
+def _kmeans_lloyd_driver(rows: list, k: int, n_iter: int) -> list:
+    """Driver fast path: the same deterministic Lloyd trajectory over the
+    collected (id, vector) rows — seed = k smallest ids, SEQUENTIAL-fold
+    squared-L2 distances (CPython floats are IEEE binary64: bit-identical
+    to the engine's left fold), argmin by (dist, cid), value-sorted
+    fold-sum centroid means divided once. Same shape as the pq replica
+    the test suite pins the distributed trajectory against."""
+    data = sorted(((r[0], list(r[1])) for r in rows), key=lambda t: t[0])
+    cents = [(vid, v) for vid, v in data[:k]]
+    dim = len(data[0][1]) if data else 0
+    assign: dict = {}
+    for it in range(n_iter):
+        assign = {}
+        for vid, v in data:
+            best = None
+            for cid, cv in cents:
+                acc = 0.0
+                for x, y in zip(v, cv):
+                    d = x - y
+                    acc = acc + d * d
+                t = (acc, cid)
+                if best is None or t < best:
+                    best = t
+            assign[vid] = best[1]
+        if it == n_iter - 1:
+            break
+        members: dict = {}
+        for vid, v in data:
+            members.setdefault(assign[vid], []).append(v)
+        cents = [
+            (
+                cid,
+                [
+                    _fold_sum(sorted(v[i] for v in vs)) / float(len(vs))
+                    for i in range(dim)
+                ],
+            )
+            for cid, vs in members.items()
+        ]
+    return [(vid, assign[vid]) for vid, _ in data]
+
+
+def _fold_sum(xs) -> float:
+    """Sequential left fold ``((0.0 + x1) + x2) ...`` — the engine's
+    ``aggregate(..., cast(0.0 as double), (acc, v) -> acc + v)``."""
+    acc = 0.0
+    for x in xs:
+        acc = acc + x
+    return acc
+
+
 def kmeans_lloyd(
     corpus: DataFrame,
     k: int = 4,
     n_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    driver_threshold: int = 4096,
 ) -> DataFrame:
     """Lloyd's KMeans as a pure, deterministic DataFrame plan: ``n_iter``
     assign/update rounds from a fixed seed (the ``k`` smallest-id vectors),
@@ -707,11 +784,43 @@ def kmeans_lloyd(
     ORACLE-parity formulation. At 100 TB fit with ``kmeans_ivf_index``
     (pyspark.ml Lloyd's, plain float means) and keep this as the
     correctness twin on samples.
+
+    **Driver fast path** (optimization round 1): at or below
+    ``driver_threshold`` rows with distinct integral ids and finite
+    uniform-length vectors, the whole trajectory runs in Python —
+    CPython floats ARE IEEE binary64, so the sequential folds, the
+    (dist, cid) argmin and the value-sorted means are bit-identical to
+    the engine's (the pq replica test pins exactly this equivalence) —
+    and the assignment embeds as a broadcastable VALUES relation,
+    removing the TakeOrdered seed job, the per-round update exchanges
+    and the per-run Catalyst re-analysis of the assignment plan. The
+    probe is one incremental ``limit().collect()`` over a row-local
+    projection (no aggregate upstream: it reads ~threshold rows, never
+    the corpus), so the distributed path pays one cheap scan extra and
+    keeps its exact lazy shape. ``driver_threshold <= 0`` disables the
+    dispatch.
     """
     emb = corpus.select(
         id_col,
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
     )
+    if (
+        driver_threshold > 0
+        and n_iter >= 1
+        and k >= 1
+        and emb.schema[id_col].dataType.simpleString()
+        in {"tinyint", "smallint", "int", "bigint"}
+    ):
+        rows = emb.limit(driver_threshold + 1).collect()
+        if len(rows) <= driver_threshold and _kmeans_rows_ok(rows):
+            from .graph import _local_df
+
+            out_type = emb.schema[id_col].dataType.simpleString()
+            return _local_df(
+                corpus.sparkSession,
+                _kmeans_lloyd_driver(rows, k, n_iter),
+                f"{id_col} {out_type}, cluster bigint",
+            )
     # seed = the k smallest-id vectors: TakeOrdered (orderBy + limit), not
     # a row_number over a global ORDER BY window — that window funnels the
     # WHOLE corpus through one partition's sort; TakeOrdered keeps a
@@ -806,7 +915,7 @@ def semdedup(
         cluster_col,
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
         F.expr(norm_sql(vec_col, dim)).alias("nrm"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     a = n.select(
         F.col(id_col).alias("id_a"),
         F.col(cluster_col).alias("cl_a"),

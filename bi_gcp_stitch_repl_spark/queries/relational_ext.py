@@ -1030,7 +1030,9 @@ def _trade_edge_frame(spark: SparkSession, sf_dir: str):
 
 
 def _sparsify_mean_relative(
-    edges: DataFrame, keep_weight: bool = False
+    edges: DataFrame,
+    keep_weight: bool = False,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Keep edges whose weight is ≥ NUM/DEN × the mean edge weight, as the
     BIGINT cross-multiplication ``w·n_edges·DEN >= total_w·NUM`` (no
@@ -1045,10 +1047,43 @@ def _sparsify_mean_relative(
     the whole upstream fact join — the job dump showed two concurrent
     32-task corpus scans per call (x_communities_trade build). The
     checkpointed frame is the POST-aggregation edge list (≤ |src|·|dst|
-    distinct pairs), bounded far below the fact table at any scale."""
+    distinct pairs), bounded far below the fact table at any scale.
+
+    **Driver fast path** (the graph family's ``_probe_rows`` dispatch,
+    optimization round 1): when the checkpointed aggregate fits
+    ``driver_threshold`` rows — the probe rows ARE the aggregate — the
+    totals and the filter run in exact Python integer arithmetic and the
+    result embeds as a VALUES local relation, replacing the totals
+    aggregate job + 1-row broadcast + filter planning with zero jobs
+    beyond the probe (every downstream graph dispatch then probes the
+    VALUES frame job-free). NULL weights drop on both paths (SQL: NULL
+    comparison is false; SUM skips NULLs). Anything within 2 bits of
+    int64 on either cross-multiplication falls back to the distributed
+    spelling so the engine's ANSI overflow behavior is preserved."""
+    from ..functions.graph import _free_local_checkpoint, _local_df, _probe_rows
+
     edges = edges.localCheckpoint(eager=True)
-    tot = edges.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
     cols = ["src", "dst", "w"] if keep_weight else ["src", "dst"]
+    rows = (
+        _probe_rows(edges, driver_threshold) if driver_threshold > 0 else None
+    )
+    if rows is not None:
+        ne = len(rows)
+        ws = [r["w"] for r in rows]
+        tw = sum(w for w in ws if w is not None)
+        mx = max((abs(w) for w in ws if w is not None), default=0)
+        if mx * ne * KCORE_THR_DEN < 2**63 and abs(tw) * KCORE_THR_NUM < 2**63:
+            schema = edges.select(*cols).schema
+            kept = [
+                tuple(r[c] for c in cols)
+                for r in rows
+                if r["w"] is not None
+                and r["w"] * ne * KCORE_THR_DEN >= tw * KCORE_THR_NUM
+            ]
+            spark = edges.sparkSession
+            _free_local_checkpoint(edges)
+            return _local_df(spark, kept, schema)
+    tot = edges.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
     return (
         edges.crossJoin(F.broadcast(tot))
         .filter(

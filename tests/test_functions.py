@@ -1858,3 +1858,43 @@ def test_pq_encode_fast_works_under_structured_streaming(tmp_path, spark):
         for r in pq.pq_encode_fast(emb, cbs, dim=4).collect()
     }
     assert got == batch and len(got) == 4
+
+
+def test_kmeans_lloyd_driver_path_matches_distributed(spark):
+    """r11-opt: the kmeans_lloyd driver fast path (Python trajectory +
+    VALUES assignment) must be bit-identical to the distributed plan —
+    awkward doubles (negative zero, subnormals, exact ties broken by
+    centroid id) included — and ineligible inputs (NULL/NaN elements,
+    duplicate ids) must fall back to the distributed path unchanged."""
+    from bi_gcp_stitch_repl_spark.functions.similarity import kmeans_lloyd
+
+    rows = [
+        (1, [0.0, 1.0]),
+        (2, [-0.0, 1.0 + 2**-40]),
+        (3, [40.0, 41.5]),
+        (4, [40.0 + 2**-30, 41.5]),
+        (5, [0.5, 21.25]),   # equidistant-ish; tie goes to smaller cid
+        (6, [5e-324, 1.0]),  # subnormal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    drv = sorted(map(tuple, kmeans_lloyd(emb, k=2, n_iter=3).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            kmeans_lloyd(emb, k=2, n_iter=3, driver_threshold=0).collect(),
+        )
+    )
+    assert drv == dist and len(drv) == 6
+    # ineligible: NaN element -> distributed fallback, same rows
+    bad = spark.createDataFrame(
+        rows + [(7, [float("nan"), 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    drv = sorted(map(tuple, kmeans_lloyd(bad, k=2, n_iter=2).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            kmeans_lloyd(bad, k=2, n_iter=2, driver_threshold=0).collect(),
+        )
+    )
+    assert drv == dist and len(drv) == 7

@@ -1105,3 +1105,121 @@ def test_graph_driver_paths_match_distributed_r11(spark):
     bad = spark.createDataFrame([(0, 1, 0)], "src long, dst long, w long")
     with _pytest.raises(ValueError, match="positive"):
         sssp_weighted(bad, seeds)
+
+
+def test_fused_und_probe_matches_simple_undirected(spark):
+    """r11-opt: _und_probe's driver-path Python normalization must emit
+    exactly the _simple_undirected row set (least/greatest, NULL/self-loop
+    drop, dedup) for every dispatch-eligible endpoint type — and the
+    VALUES-local input branch must probe without building a checkpoint."""
+    from bi_gcp_stitch_repl_spark.functions.graph import (
+        _simple_undirected,
+        _und_probe,
+    )
+
+    fixtures = [
+        (
+            [(1, 2), (2, 1), (3, 3), (None, 4), (5, None), (2, 7), (7, 2)],
+            "src long, dst long",
+        ),
+        (
+            [("b", "a"), ("a", "b"), ("z", "z"), ("m", "q")],
+            "src string, dst string",
+        ),
+    ]
+    for rows, ddl in fixtures:
+        df = spark.createDataFrame(rows, ddl)
+        und, urows, utype = _und_probe(df, 100_000)
+        assert und is None and urows is not None
+        got = sorted((r.u, r.v) for r in urows)
+        want = sorted(
+            map(tuple, _simple_undirected(df).collect())
+        )
+        assert got == want, (got, want)
+    # VALUES-local input: zero jobs scheduled by the probe
+    sc = spark.sparkContext
+    vals = spark.sql(
+        "SELECT * FROM VALUES (1, 2), (2, 1), (4, 4) AS t(src, dst)"
+    )
+    before = len(sc.statusTracker().getJobIdsForGroup() or [])
+    und, urows, _ = _und_probe(vals, 100_000)
+    after = len(sc.statusTracker().getJobIdsForGroup() or [])
+    assert und is None and sorted((r.u, r.v) for r in urows) == [(1, 2)]
+    assert after == before, "local-relation probe must schedule no job"
+
+
+def test_sparsify_driver_path_matches_distributed(spark):
+    """r11-opt: _sparsify_mean_relative's probe-based driver path must
+    emit exactly the distributed cross-multiplication filter's rows
+    (incl. NULL-weight drop), for both keep_weight spellings."""
+    from bi_gcp_stitch_repl_spark.queries.relational_ext import (
+        _sparsify_mean_relative,
+    )
+
+    rows = [
+        (1, 2, 10),
+        (2, 3, 1),
+        (3, 4, 7),
+        (4, 5, None),
+        (5, 5, 2),
+        (6, 7, 4),
+    ]
+    df = spark.createDataFrame(rows, "src int, dst int, w long")
+    for kw in (False, True):
+        drv = sorted(
+            map(tuple, _sparsify_mean_relative(df, keep_weight=kw).collect())
+        )
+        dist = sorted(
+            map(
+                tuple,
+                _sparsify_mean_relative(
+                    df, keep_weight=kw, driver_threshold=0
+                ).collect(),
+            )
+        )
+        assert drv == dist and drv, (kw, drv, dist)
+
+
+def test_lpa_modularity_local_input_fast_path(spark):
+    """r11-opt: the fully-local LPA/modularity fast path (VALUES edge
+    input + Python weighted aggregate) must be bit-identical to the
+    forced-distributed loops, and _wund_rows_py must refuse (None) any
+    pair sum outside int64 so the engine's ANSI overflow semantics are
+    preserved by the distributed fallback."""
+    from bi_gcp_stitch_repl_spark.functions.graph import (
+        _wund_rows_py,
+        label_propagation,
+        modularity,
+    )
+
+    e = spark.sql(
+        "SELECT * FROM VALUES"
+        " (1L, 2L, 5L), (2L, 1L, 3L), (2L, 3L, 1L), (3L, 4L, 9L),"
+        " (4L, 4L, 7L), (5L, 6L, 2L), (9L, 1L, 4L)"
+        " AS t(src, dst, w)"
+    )
+    nd = spark.createDataFrame([(v,) for v in range(1, 8)], "node long")
+    drv = sorted(map(tuple, label_propagation(e, nd).collect()))
+    dist = sorted(
+        map(tuple, label_propagation(e, nd, driver_threshold=0).collect())
+    )
+    assert drv == dist and drv
+    lab = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 11), (4, 11), (5, 12), (6, 12)],
+        "node long, community long",
+    )
+    drv = sorted(map(tuple, modularity(e, lab).collect()))
+    dist = sorted(map(tuple, modularity(e, lab, driver_threshold=0).collect()))
+    assert drv == dist and drv
+    # the in-universe restriction: node 9's edge must not contribute
+    assert all(r is not None for r in drv)
+    # overflow refusal (int64 boundary): Python would happily sum past
+    # 2^63 — the helper must return None instead
+    big = 2**62
+    rows = [(1, 2, big), (2, 1, big), (3, 4, 1)]
+    assert _wund_rows_py(rows, None) is None
+    assert _wund_rows_py([(1, 2, 5), (2, 1, None)], None) == [
+        __import__(
+            "bi_gcp_stitch_repl_spark.functions.graph", fromlist=["_WUndRow"]
+        )._WUndRow(1, 2, 5)
+    ]
