@@ -471,6 +471,11 @@ def pagerank_fixedpoint(
     # again, so its eager checkpoint was a pure extra job + planning gap
     # per query; the distributed branch checkpoints it below as before
     erows = _probe_rows(e, driver_threshold) if driver_threshold > 0 else None
+    if erows is not None and any(r.w is None for r in erows):
+        # SQL MIN/SUM skip NULL weights, so the distributed guard and
+        # loop have well-defined NULL semantics the Python replica does
+        # not reproduce — route NULL-weight inputs to the engine
+        erows = None
     nrows = _probe_rows(node_df, driver_threshold) if erows is not None else None
     if nrows is not None and len(nrows) == 0:
         return node_df.select("node", F.lit(0).cast("long").alias("rank_fp"))
@@ -482,22 +487,28 @@ def pagerank_fixedpoint(
         if teleport is not None:
             # Python set intersection IS the left-semi join here: the
             # node universe is fully in hand (nrows) and both sides are
-            # NULL-filtered hashable keys
-            tel = {
-                r.node
-                for r in teleport.select(
+            # NULL-filtered hashable keys. The teleport frame is PROBED,
+            # not blindly collected — a seed list larger than the
+            # dispatch bound falls back to the distributed semi-join
+            # instead of exhausting driver memory (r11 advice)
+            trows = _probe_rows(
+                teleport.select(
                     F.col(teleport.columns[0]).cast(node_type).alias("node")
                 )
                 .filter(F.col("node").isNotNull())
-                .distinct()
-                .collect()
-            }
-            seeds = tel & {r.node for r in nrows}
-            if not seeds:
-                raise ValueError(
-                    "teleport set is empty or disjoint from nodes — an"
-                    " all-zero restart vector has no fixed point"
-                )
+                .distinct(),
+                driver_threshold,
+            )
+            if trows is None:
+                nrows = None
+            else:
+                seeds = {r.node for r in trows} & {r.node for r in nrows}
+                if not seeds:
+                    raise ValueError(
+                        "teleport set is empty or disjoint from nodes — an"
+                        " all-zero restart vector has no fixed point"
+                    )
+    if nrows is not None:
         return _pagerank_fp_driver(
             erows, nrows, node_df, len(nrows), n_iter, damping_num,
             damping_den, scale, frac_scale, seeds=seeds,
@@ -758,6 +769,11 @@ def hits_fixedpoint(
     # UN-checkpointed — the driver path never touches it again, and the
     # distributed branch checkpoints it below as before
     erows = _probe_rows(e, driver_threshold) if driver_threshold > 0 else None
+    if erows is not None and any(r.w is None for r in erows):
+        # SQL MIN/MAX/SUM skip NULL weights — the engine defines the
+        # NULL-weight behavior, so route those inputs to it (the
+        # pagerank_fixedpoint fallback)
+        erows = None
     nrows = _probe_rows(node_df, driver_threshold) if erows is not None else None
     if nrows is not None and len(nrows) == 0:
         return node_df.select(
@@ -926,6 +942,14 @@ def _check_weights_rows(
 #: 5k, 0.383 vs 0.235 at 20k)
 _VALUES_MAX_ROWS = 4096
 
+#: broadcast-hint gate for driver-path results: ~100k short rows is a
+#: few MB framed — comfortably inside the executor build-side budget —
+#: and it equals the graph family's default dispatch bound, so every
+#: default-threshold driver-path result is hinted. Fixed on purpose:
+#: a caller-raised driver_threshold proves driver fit, not executor
+#: hash-relation fit (see _local_df's docstring).
+_BROADCAST_HINT_MAX_ROWS = 100_000
+
 #: column types the VALUES literal renderer covers (simpleString -> SQL);
 #: anything else (arrays, structs, timestamps) takes the RDD path
 _VALUES_TYPES = {
@@ -981,10 +1005,14 @@ def _local_df(spark, rows, schema):
     estimate): an RDD-backed frame has no stats, so the planner assumes
     it is huge — a consumer joining a 25-row driver-path result to a
     dimension table got a two-Exchange sort-merge join
-    (x_triangle_trade's measured plan). Results at or under the probe
-    bound are broadcastable by construction; larger ones (walk corpora
-    fan out beyond the edge bound) stay unhinted. The hint stays on the
-    VALUES path too — same boundedness argument, zero-cost exchange."""
+    (x_triangle_trade's measured plan). The gate is the fixed
+    :data:`_BROADCAST_HINT_MAX_ROWS` (the graph family's default probe
+    bound), NOT the caller's threshold: a caller that raised its
+    dispatch bound has proven its rows fit the DRIVER, which says
+    nothing about every executor also holding the built hash relation —
+    beyond the fixed bound results stay unhinted (walk corpora fan out
+    past it routinely). The hint stays on the VALUES path too — same
+    boundedness argument, zero-cost exchange."""
     st = (
         StructType.fromDDL(schema) if isinstance(schema, str) else schema
     )
@@ -1010,7 +1038,7 @@ def _local_df(spark, rows, schema):
         df = spark.createDataFrame(
             spark.sparkContext.parallelize(rows, 1), st
         )
-    return F.broadcast(df) if len(rows) <= 100_000 else df
+    return F.broadcast(df) if len(rows) <= _BROADCAST_HINT_MAX_ROWS else df
 
 
 def _probe_rows(df: DataFrame, threshold: int) -> list | None:
@@ -1066,6 +1094,30 @@ def _is_local_plan(df: DataFrame) -> bool:
         return False
 
 
+def _plan_output_aggregated(df: DataFrame) -> bool:
+    """True when the frame's optimized plan is an Aggregate (possibly
+    under Project/Filter nodes) — its output cardinality is the GROUP
+    count, which for the graph callers (nation-pair / domain-pair edge
+    aggregates) is bounded far below the upstream fact table, so an
+    eager checkpoint of it is storage-safe at any input scale. A
+    ``limit`` probe over an Aggregate must run the FULL aggregation
+    anyway (no pushdown through the blocking operator), which is exactly
+    why those inputs are checkpointed before probing. Best-effort (py4j
+    introspection): False on any doubt, which routes the caller to the
+    no-checkpoint probe — never a correctness decision."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for _ in range(8):
+            name = plan.getClass().getSimpleName()
+            if name in ("Project", "Filter"):
+                plan = plan.child()
+                continue
+            return name == "Aggregate"
+        return False
+    except Exception:  # noqa: BLE001 — conservative fallback
+        return False
+
+
 def _und_probe(
     edges: DataFrame, driver_threshold: int
 ) -> tuple[DataFrame | None, list | None, "object"]:
@@ -1111,18 +1163,35 @@ def _und_probe(
                 return None, _und_rows_py(rows), utype
             und = _simple_undirected(proj)
             return und, _probe_rows(und, driver_threshold), utype
-        # materialize the raw edge list ONCE (the upstream — typically a
-        # fact-table aggregation — must not run twice), probe it, and
-        # normalize in Python when it fits; the checkpoint is released
-        # either way (the driver path consumed it, the distributed path
-        # re-reads it exactly once into the normalized checkpoint)
-        ck = proj.localCheckpoint(eager=True)
-        rows = _probe_rows(ck, driver_threshold)
-        if rows is not None:
+        if _plan_output_aggregated(proj):
+            # aggregate upstream (the trade/domain edge frames): a limit
+            # probe would run the FULL aggregation, so materialize it
+            # ONCE (output bounded by the group count — storage-safe),
+            # probe the checkpoint, and normalize in Python when it
+            # fits; the checkpoint is released either way (the driver
+            # path consumed it, the distributed path re-reads it exactly
+            # once into the normalized checkpoint)
+            ck = proj.localCheckpoint(eager=True)
+            rows = _probe_rows(ck, driver_threshold)
+            if rows is not None:
+                _free_local_checkpoint(ck)
+                return None, _und_rows_py(rows), utype
+            und = _simple_undirected(ck)
             _free_local_checkpoint(ck)
+            return und, _probe_rows(und, driver_threshold), utype
+        # non-aggregate upstream (raw edge scans, persisted RDDs): the
+        # limit probe short-circuits — it reads ~threshold rows whatever
+        # the input size — so probe WITHOUT a checkpoint: a raw eager
+        # checkpoint here would materialize the full PRE-dedup edge list
+        # into executor storage at 100 TB scale just to decide a
+        # dispatch that will say "distributed" (r11 verdict #3). Below
+        # threshold the rows are in hand (upstream ran once); above it
+        # the probe cost is bounded and the normalization pass runs the
+        # upstream exactly once, as the legacy shape did.
+        rows = _probe_rows(proj, driver_threshold)
+        if rows is not None:
             return None, _und_rows_py(rows), utype
-        und = _simple_undirected(ck)
-        _free_local_checkpoint(ck)
+        und = _simple_undirected(proj)
         return und, _probe_rows(und, driver_threshold), utype
     und = _simple_undirected(edges)
     return und, _probe_rows(und, driver_threshold), utype
@@ -1815,6 +1884,11 @@ def k_core(
             edges_py = [
                 (u, v) for u, v in edges_py if u in surv and v in surv
             ]
+        if und is not None:
+            # the middle-case dispatch checkpoint (raw above threshold,
+            # deduped fits) is owned here — free it before raising so a
+            # non-convergence backstop doesn't leak its storage blocks
+            _free_local_checkpoint(und)
         raise RuntimeError(
             f"k_core did not converge within max_iter={max_iter} peel"
             " rounds; raise max_iter (rounds are bounded by the graph's"
@@ -1951,7 +2025,14 @@ def label_propagation(
             erows = ecast.limit(driver_threshold + 1).collect()
             if len(erows) <= driver_threshold:
                 urows = _wund_rows_py(erows, {r.node for r in nrows})
-                if urows is not None and len(urows) <= driver_threshold:
+                if (
+                    urows is not None
+                    and len(urows) <= driver_threshold
+                    # all-NULL-weight pairs sum to NULL; the engine's
+                    # NULL-skipping MIN/SUM define that behavior, so
+                    # those inputs take the distributed spelling
+                    and not any(r.w is None for r in urows)
+                ):
                     _check_weights_rows(r.w for r in urows)
                     return _lpa_driver(urows, nrows, nd_plan, n_iter)
     node_df = nd_plan.localCheckpoint(eager=True)
@@ -1995,6 +2076,8 @@ def label_propagation(
             "node", F.col("node").cast("long").alias("community")
         )
     urows = _probe_rows(und, driver_threshold) if nrows is not None else None
+    if urows is not None and any(r.w is None for r in urows):
+        urows = None  # NULL-weight pairs: engine semantics (see above)
     if urows is not None:
         _check_weights_rows(r.w for r in urows)
         return _lpa_driver(urows, nrows, node_df, n_iter)
@@ -2169,7 +2252,13 @@ def modularity(
             erows = ecast.limit(driver_threshold + 1).collect()
             if len(erows) <= driver_threshold:
                 pairs = _wund_rows_py(erows, None)
-                if pairs is not None and len(pairs) <= driver_threshold:
+                if (
+                    pairs is not None
+                    and len(pairs) <= driver_threshold
+                    # all-NULL-weight pairs: engine NULL-skipping
+                    # semantics — distributed spelling (the LPA rule)
+                    and not any(p.w is None for p in pairs)
+                ):
                     labm = {r.node: r.community for r in lrows}
                     urows = [
                         _MUndRow(p.u, p.v, p.w, labm[p.u], labm[p.v])
@@ -2205,6 +2294,8 @@ def modularity(
         .localCheckpoint(eager=True)
     )
     urows = _probe_rows(und, driver_threshold) if lrows is not None else None
+    if urows is not None and any(r.w is None for r in urows):
+        urows = None  # NULL-weight pairs: engine semantics (see above)
     if urows is not None:
         return _modularity_driver(urows, lrows, lab, scale)
     wb = und.agg(F.min("w").alias("mn"), F.sum("w").alias("m")).first()

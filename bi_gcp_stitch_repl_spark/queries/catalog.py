@@ -247,77 +247,59 @@ def spread_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 #: Explicit catalog order. The external correctness driver checks the FIRST
-#: 50 registered queries only. Round-11 rotation (policy pinned by
+#: 50 registered queries only. Round-12 rotation (policy pinned by
 #: tests/window_policy.py + test_layout.py — a changed query or library
 #: module without a window slot is a test FAILURE):
-#: 1. §2 spine stays every round (2 core rows this round). Slots
-#:    released this round (the r10 w_topk_per_group precedent — each
-#:    member's freshest driver row is r10, two rounds above the raised
-#:    bar, and its library is untouched): x_dedup_exact
-#:    (functions/dedup.py unchanged; the dedup family holds five
-#:    rotating-cohort slots below), n_nested_battery (ops/normalize.py
-#:    unchanged; n_flatten_serialize/n_explode_with_parent keep
-#:    r10/r08 rows), and — funding the round's second wave of new
-#:    queries — j1_carry_forward_keys (ops/keys.py unchanged),
-#:    f_string_clean_coerce (ops/clean.py unchanged),
-#:    s4_keyset_increment + s7_detail_fanout (sources/rest.py
-#:    unchanged). flagship_union_history stays every round (the
-#:    driver's smoke query). k1_merge_upsert released LATE in the round
-#:    (optimization phase) by the same precedent — r10-fresh driver row,
-#:    sinks/merge.py untouched — to seat x_mmr_rerank, whose library
-#:    (functions/rerank.py) changed in the one-collect MMR optimization
-#:    and whose canary slot the policy test therefore requires.
-#: 2. Changed-library canaries (6): x_html_extract / x_url_canonicalize
-#:    / x_robots_exclusion (functions/web.py — RFC 9309 Allow
-#:    precedence, longest-match, * / $ metacharacters in BOTH dialects;
-#:    x_robots_exclusion's own fixture+oracle also changed, so it is
-#:    doubly required), x_dedup_clusters / x_clustering_trade
-#:    (functions/graph.py — label_propagation added), x_mmr_rerank
-#:    (functions/rerank.py — one-collect MMR, seated in k1's slot).
-#: 3. The ENTIRE r07-fresh cohort (37): with it rotated, every catalog
-#:    entry's freshest driver row is >=r08 — the machine-checked bar
-#:    rises r07 -> r08 (test_layout.py), the r10 verdict's #1. The
-#:    cohort includes this round's other changed query
-#:    (x_semantic_decontaminate — broadcast-contract guard) and the
-#:    similarity.py canary (x_ivf_topk).
-#: 4. New queries, first round must hold a slot (6):
-#:    x_communities_trade (label-propagation communities — r10 verdict
-#:    #5, the one classic missing from the graph family),
-#:    x_bpe_merges (BPE merge training — the tokenizer-LEARNING step;
-#:    x_vocab_encode only encodes against a given vocabulary), and
-#:    x_modularity_trade (partition quality of the LPA communities —
-#:    the NOTES_r11 backlog item, seated in j1's released slot), and
-#:    x_bpe_encode (the learned merges applied back to the corpus —
-#:    train-then-apply as one oracled composition, seated in
-#:    f_string_clean_coerce's released slot), and
-#:    x_image_dhash_near_dups (perceptual image dedup end-to-end —
-#:    the r11 dhash library work registered, seated in s4's slot), and
-#:    x_random_walks_trade (deterministic hash-seeded DeepWalk-style
-#:    walks — the graph seam's corpus-generation primitive, seated in
-#:    s7's released slot).
+#: 1. §2 spine: flagship_union_history stays every round (the driver's
+#:    smoke query).
+#: 2. Re-oracled graph-family rewrites (7 — the r11 verdict's #3): the
+#:    round-11 optimization session gave bfs_hops / sssp_weighted /
+#:    k_core / pagerank_fixedpoint / hits_fixedpoint / personalized-
+#:    PageRank driver fast paths AFTER their catalog twins rotated out
+#:    of the r11 window, so their driver rows predate the rewrites.
+#:    Seated: x_bfs_trade, x_sssp_trade, x_kcore_trade,
+#:    x_pagerank_trade, x_hits_trade, x_ppr_trade, x_triangle_trade
+#:    (the wedge-join rewrite's twin; also this round's _und_probe
+#:    dispatch restructure runs under all seven). Slots funded by
+#:    releasing seven r11-fresh cohort members whose libraries are
+#:    untouched this round (the w_topk_per_group precedent):
+#:    x_bigram_stats, x_bm25_topk, x_ccnet_buckets, x_jl_project,
+#:    x_lang_id, x_lm_likelihood, x_quality_score.
+#: 3. Changed-library / changed-query canaries stay seated:
+#:    x_dedup_clusters + x_clustering_trade (functions/graph.py — the
+#:    r12 dispatch/NULL-weight fixes), x_ivf_topk (similarity.py),
+#:    x_mmr_rerank (rerank.py), x_bpe_merges (bpe.py), x_dsir_weights
+#:    (model-fit driver path — its own body changed this round),
+#:    x_curation_pipeline / x_decontaminate (curation.py), the web.py
+#:    trio. The rest of the r11 window keeps its slots — every member's
+#:    freshest driver row is r11, far above the machine-checked >=r08
+#:    staleness bar, and rotation churn is itself a correctness risk.
 #: Names absent from this list keep registration order after it.
 _PRIORITY: list[str] = [
-    # §2 spine (6 minus released; see header)
+    # §2 spine
     "flagship_union_history",
-    # changed-library canaries (6): see header
+    # library canaries (see header)
     "x_html_extract", "x_url_canonicalize", "x_robots_exclusion",
     "x_dedup_clusters", "x_clustering_trade", "x_mmr_rerank",
-    # the whole r07-fresh cohort (37): bar lands at >=r08
-    "w_topk_per_group", "x_bigram_stats", "x_bloom_decontaminate",
-    "x_bm25_topk", "x_ccnet_buckets", "x_curation_pipeline",
+    # r11 cohort minus the seven released members (see header)
+    "w_topk_per_group", "x_bloom_decontaminate",
+    "x_curation_pipeline",
     "x_decontaminate", "x_dedup_embedding_pairs", "x_dedup_near_survivors",
     "x_dedup_normalized", "x_dsir_weights", "x_embedding_quantize",
     "x_feature_hash_embed", "x_fingerprint", "x_gopher_rules",
-    "x_ivf_topk", "x_jl_project", "x_knn_cosine_topk", "x_lang_id",
-    "x_lm_likelihood", "x_minhash_lsh_candidates", "x_mixture_sample",
-    "x_multimodal_meta", "x_quality_score", "x_semantic_decontaminate",
+    "x_ivf_topk", "x_knn_cosine_topk",
+    "x_minhash_lsh_candidates", "x_mixture_sample",
+    "x_multimodal_meta", "x_semantic_decontaminate",
     "x_semdedup", "x_simhash", "x_simhash_pairs", "x_sparse_cosine_pairs",
     "x_split_shard", "x_stratified_sample", "x_string_agg",
     "x_token_budget_plan", "x_vocab_encode", "x_weighted_sample",
     "x_winnowing_fingerprints", "x_winnowing_pairs",
-    # new-query slots (5): see header
+    # r11 new-query cohort (keeps slots)
     "x_communities_trade", "x_bpe_merges", "x_modularity_trade",
     "x_bpe_encode", "x_image_dhash_near_dups", "x_random_walks_trade",
+    # re-oracled graph-family rewrites (7): see header
+    "x_bfs_trade", "x_sssp_trade", "x_kcore_trade", "x_pagerank_trade",
+    "x_hits_trade", "x_ppr_trade", "x_triangle_trade",
 ]
 
 

@@ -1887,22 +1887,64 @@ def x_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ct"),
     )
-    tot = bc.agg(F.sum("cr").alias("r_tot"), F.sum("ct").alias("t_tot"))
-    ratio = (
-        bc.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "q9",
-            F.expr(
-                f"cast((cast(ct + 1 as decimal(38,0))"
-                f" * (r_tot + {DSIR_BUCKETS}) * {DSIR_SCALE})"
-                f" div (cast(cr + 1 as decimal(38,0))"
-                f" * (t_tot + {DSIR_BUCKETS})) as bigint)"
+    # model-fit driver path (optimization round 2, r11 verdict #4): the
+    # bucket model is CORPUS-INDEPENDENT — exactly ≤ DSIR_BUCKETS rows by
+    # construction (bucket = hash % DSIR_BUCKETS), the watermark-scalar
+    # posture; collecting it is ONE bounded job that also materializes
+    # the dbc checkpoint. The totals and the q9 quotient then run in
+    # Python bignums — every operand is POSITIVE (counts + 1), so
+    # Python's flooring // IS the decimal(38,0) truncating div — and the
+    # ratio table embeds as a broadcastable VALUES local relation,
+    # replacing the tot aggregate job, its 1-row broadcast and the
+    # bc-recomputing ratio broadcast (the fit previously re-ran bc for
+    # BOTH). Any product at or past 10^38 falls back to the distributed
+    # spelling so the engine's decimal(38,0) overflow behavior rules.
+    from ..functions.graph import _local_df
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    brows = bc.collect()  # ≤ DSIR_BUCKETS rows by construction
+    r_tot = sum(r.cr for r in brows)
+    t_tot = sum(r.ct for r in brows)
+    lim = 10**38
+    qrows: list | None = []
+    for r in brows:
+        num = (r.ct + 1) * (r_tot + DSIR_BUCKETS) * DSIR_SCALE
+        den = (r.cr + 1) * (t_tot + DSIR_BUCKETS)
+        q = num // den
+        # num/den < 10^38 is the engine's decimal(38,0) envelope; the
+        # quotient itself must also fit the final BIGINT cast
+        if num >= lim or den >= lim or q >= 2**63:
+            qrows = None
+            break
+        qrows.append((r.bucket, q))
+    if qrows is not None:
+        ratio = _local_df(
+            spark,
+            qrows,
+            StructType(
+                [
+                    StructField("bucket", dbc.schema["bucket"].dataType),
+                    StructField("q9", LongType()),
+                ]
             ),
         )
-        .select("bucket", "q9")
-    )
+    else:
+        tot = bc.agg(F.sum("cr").alias("r_tot"), F.sum("ct").alias("t_tot"))
+        ratio = F.broadcast(
+            bc.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "q9",
+                F.expr(
+                    f"cast((cast(ct + 1 as decimal(38,0))"
+                    f" * (r_tot + {DSIR_BUCKETS}) * {DSIR_SCALE})"
+                    f" div (cast(cr + 1 as decimal(38,0))"
+                    f" * (t_tot + {DSIR_BUCKETS})) as bigint)"
+                ),
+            )
+            .select("bucket", "q9")
+        )
     return (
-        dbc.join(F.broadcast(ratio), "bucket")
+        dbc.join(ratio, "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),

@@ -1057,9 +1057,15 @@ def _sparsify_mean_relative(
     aggregate job + 1-row broadcast + filter planning with zero jobs
     beyond the probe (every downstream graph dispatch then probes the
     VALUES frame job-free). NULL weights drop on both paths (SQL: NULL
-    comparison is false; SUM skips NULLs). Anything within 2 bits of
-    int64 on either cross-multiplication falls back to the distributed
-    spelling so the engine's ANSI overflow behavior is preserved."""
+    comparison is false; SUM skips NULLs). The fast path is taken only
+    when ``max|w|·n_edges·DEN < 2^63`` and ``|Σw|·NUM < 2^63`` — the
+    EXACT int64 bounds on both cross-multiplications (the full-product
+    bound dominates every intermediate, so nothing tighter is needed) —
+    and only for all-nonnegative weights: with same-sign values every
+    partial SUM is ≤ the guarded total, so the engine's partial
+    aggregation provably cannot ANSI-abort where the Python total
+    succeeded; mixed signs (or any bound breach) fall back to the
+    distributed spelling so the engine's own overflow behavior rules."""
     from ..functions.graph import _free_local_checkpoint, _local_df, _probe_rows
 
     edges = edges.localCheckpoint(eager=True)
@@ -1072,7 +1078,11 @@ def _sparsify_mean_relative(
         ws = [r["w"] for r in rows]
         tw = sum(w for w in ws if w is not None)
         mx = max((abs(w) for w in ws if w is not None), default=0)
-        if mx * ne * KCORE_THR_DEN < 2**63 and abs(tw) * KCORE_THR_NUM < 2**63:
+        if (
+            mx * ne * KCORE_THR_DEN < 2**63
+            and abs(tw) * KCORE_THR_NUM < 2**63
+            and all(w is None or w >= 0 for w in ws)
+        ):
             schema = edges.select(*cols).schema
             kept = [
                 tuple(r[c] for c in cols)

@@ -88,19 +88,15 @@ def test_compact_zorder_roundtrip(spark, tmp_path):
 
 def test_driver_window_covers_survey_gates():
     """The external correctness driver checks only the FIRST 50 registered
-    queries; this pins the round-11 window (catalog._PRIORITY): §2 spine
-    (x_dedup_exact and n_nested_battery released their slots — each
-    r10-fresh with its library untouched; the r10 w_topk_per_group
-    precedent), the changed-library canaries (web.py RFC 9309
-    Allow/wildcard precedence, graph.py label_propagation), the ENTIRE
-    r07-fresh cohort (staleness bar r07 -> r08 — the r10 verdict's #1;
-    the cohort carries the round's other changed query
-    x_semantic_decontaminate and the similarity.py canary x_ivf_topk),
-    and the round's new queries (x_communities_trade, x_bpe_merges,
-    then x_modularity_trade / x_bpe_encode seated in released spine
-    slots). It additionally proves
-    the coverage-closure invariant: the union of the prior rounds'
-    driver windows and this window is the ENTIRE catalog."""
+    queries; this pins the round-12 window (catalog._PRIORITY): §2 spine
+    (flagship), the changed-library canaries, the r11 cohort minus seven
+    released r11-fresh members (libraries untouched this round — the
+    w_topk_per_group precedent), and the SEVEN re-oracled graph-family
+    twins (r11 verdict #3): their library operators gained driver fast
+    paths in the r11 optimization session AFTER the twins rotated out of
+    the window, so the driver must re-oracle them now. It additionally
+    proves the coverage-closure invariant: the union of the prior
+    rounds' driver windows and this window is the ENTIRE catalog."""
     import json
     import os
 
@@ -110,40 +106,37 @@ def test_driver_window_covers_survey_gates():
     assert len(catalog._PRIORITY) == 50
     assert first50 == catalog._PRIORITY
     required = {
-        # §2 spine (6 minus released slots; see catalog._PRIORITY header:
-        # s7_detail_fanout released — r10-fresh, sources/rest.py
-        # untouched, its primary gate is the live-HTTP pytest suite;
-        # k1_merge_upsert released late-round — r10-fresh, sinks/merge.py
-        # untouched — to seat the rerank.py canary below)
+        # §2 spine
         "flagship_union_history",
-        # changed-library canaries: web.py (RFC 9309 Allow precedence +
-        # metacharacters in both dialects; x_robots_exclusion's own
-        # fixture/oracle changed too), graph.py (label_propagation),
-        # rerank.py (one-collect MMR — the optimization-phase change)
+        # changed-library canaries: graph.py (r12 dispatch/NULL-weight
+        # fixes), rerank.py, web.py trio
         "x_html_extract", "x_url_canonicalize", "x_robots_exclusion",
         "x_dedup_clusters", "x_clustering_trade", "x_mmr_rerank",
-        # the whole r07-fresh cohort (bar lands at >=r08)
-        "w_topk_per_group", "x_bigram_stats", "x_bloom_decontaminate",
-        "x_bm25_topk", "x_ccnet_buckets", "x_curation_pipeline",
+        # r11 cohort minus the seven released members (x_bigram_stats,
+        # x_bm25_topk, x_ccnet_buckets, x_jl_project, x_lang_id,
+        # x_lm_likelihood, x_quality_score — each r11-fresh, library
+        # untouched this round)
+        "w_topk_per_group", "x_bloom_decontaminate",
+        "x_curation_pipeline",
         "x_decontaminate", "x_dedup_embedding_pairs",
         "x_dedup_near_survivors", "x_dedup_normalized", "x_dsir_weights",
         "x_embedding_quantize", "x_feature_hash_embed", "x_fingerprint",
-        "x_gopher_rules", "x_ivf_topk", "x_jl_project",
-        "x_knn_cosine_topk", "x_lang_id", "x_lm_likelihood",
+        "x_gopher_rules", "x_ivf_topk",
+        "x_knn_cosine_topk",
         "x_minhash_lsh_candidates", "x_mixture_sample",
-        "x_multimodal_meta", "x_quality_score", "x_semantic_decontaminate",
+        "x_multimodal_meta", "x_semantic_decontaminate",
         "x_semdedup", "x_simhash", "x_simhash_pairs",
         "x_sparse_cosine_pairs", "x_split_shard", "x_stratified_sample",
         "x_string_agg", "x_token_budget_plan", "x_vocab_encode",
         "x_weighted_sample", "x_winnowing_fingerprints",
         "x_winnowing_pairs",
-        # new-query slots: label-propagation communities (r10 verdict
-        # #5), BPE merge training (tokenizer learning), the LPA
-        # partition's modularity score (NOTES_r11 backlog), BPE encode,
-        # perceptual image dedup, and deterministic random walks (the
-        # DeepWalk corpus primitive, seated in s7's released slot)
+        # r11 new-query cohort (keeps slots)
         "x_communities_trade", "x_bpe_merges", "x_modularity_trade",
         "x_bpe_encode", "x_image_dhash_near_dups", "x_random_walks_trade",
+        # the seven re-oracled graph-family twins (r11 verdict #3)
+        "x_bfs_trade", "x_sssp_trade", "x_kcore_trade",
+        "x_pagerank_trade", "x_hits_trade", "x_ppr_trade",
+        "x_triangle_trade",
     }
     assert len(required) == 50
     missing = required - set(first50)

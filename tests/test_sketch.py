@@ -1223,3 +1223,130 @@ def test_lpa_modularity_local_input_fast_path(spark):
             "bi_gcp_stitch_repl_spark.functions.graph", fromlist=["_WUndRow"]
         )._WUndRow(1, 2, 5)
     ]
+
+
+def test_null_weight_fast_paths_match_distributed_r12(spark):
+    """r12-opt (r11 advice): all-NULL-weight pairs reach the weighted
+    operators as w=NULL rows. The driver fast paths must not crash on
+    them (Python None arithmetic) — they route to the distributed
+    spelling, whose SQL NULL-skipping MIN/SUM define the behavior — so
+    fast-path and forced-distributed results stay identical."""
+    from bi_gcp_stitch_repl_spark.functions.graph import (
+        hits_fixedpoint,
+        label_propagation,
+        modularity,
+        pagerank_fixedpoint,
+    )
+
+    # (5,6) carries only NULL weights -> the canonical aggregate emits
+    # w=NULL for that pair; every other weight is positive
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (5, 6, None), (6, 5, None), (3, 1, 2)],
+        "src long, dst long, w long",
+    )
+    nd = spark.createDataFrame([(v,) for v in range(1, 7)], "node long")
+    lab = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 11), (5, 12), (6, 12)],
+        "node long, community long",
+    )
+    for fast, slow in [
+        (
+            pagerank_fixedpoint(e, nd),
+            pagerank_fixedpoint(e, nd, driver_threshold=0),
+        ),
+        (
+            hits_fixedpoint(e, nd),
+            hits_fixedpoint(e, nd, driver_threshold=0),
+        ),
+        (
+            label_propagation(e, nd),
+            label_propagation(e, nd, driver_threshold=0),
+        ),
+        (modularity(e, lab), modularity(e, lab, driver_threshold=0)),
+    ]:
+        got = sorted(map(tuple, fast.collect()))
+        want = sorted(map(tuple, slow.collect()))
+        assert got == want and got, (got, want)
+    # the LPA fully-local (VALUES-input) fast path takes the same fallback
+    ev = spark.sql(
+        "SELECT * FROM VALUES (1L, 2L, 5L), (5L, 6L, CAST(NULL AS BIGINT))"
+        " AS t(src, dst, w)"
+    )
+    got = sorted(map(tuple, label_propagation(ev, nd).collect()))
+    want = sorted(
+        map(tuple, label_propagation(ev, nd, driver_threshold=0).collect())
+    )
+    assert got == want and got
+
+
+def test_pagerank_teleport_probe_bounded_r12(spark):
+    """r12-opt (r11 advice): the personalized-PageRank driver path must
+    PROBE the teleport set instead of collecting it unbounded — a seed
+    list above the dispatch bound falls back to the distributed
+    semi-join path with identical results."""
+    from bi_gcp_stitch_repl_spark.functions.graph import pagerank_fixedpoint
+
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (3, 1, 2)], "src long, dst long, w long"
+    )
+    nd = spark.createDataFrame([(v,) for v in range(1, 4)], "node long")
+    # teleport cardinality (20) exceeds driver_threshold (8) while the
+    # edge/node frames fit: the driver path must decline, and the
+    # distributed branch must produce the same ranks as threshold=0
+    tel = spark.range(1, 21).selectExpr("id AS node")
+    got = sorted(
+        map(
+            tuple,
+            pagerank_fixedpoint(e, nd, teleport=tel, driver_threshold=8)
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            pagerank_fixedpoint(e, nd, teleport=tel, driver_threshold=0)
+            .collect(),
+        )
+    )
+    assert got == want and got
+
+
+def test_und_probe_skips_raw_checkpoint_on_nonaggregate_r12(spark):
+    """r12-opt (r11 verdict #3): _und_probe must not eagerly checkpoint
+    a NON-aggregate upstream — above the dispatch bound that would
+    materialize the full pre-dedup edge list in executor storage just to
+    decide "distributed". Aggregate upstreams (bounded output) keep the
+    checkpoint; both dispatch outcomes stay correct."""
+    from pyspark.sql import functions as F
+
+    from bi_gcp_stitch_repl_spark.functions.graph import (
+        _plan_output_aggregated,
+        _simple_undirected,
+        _und_probe,
+    )
+
+    sc = spark.sparkContext
+    raw = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(200)], "src long, dst long"
+    )
+    assert not _plan_output_aggregated(raw)
+    agg = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")).select(
+        "src", "dst"
+    )
+    assert _plan_output_aggregated(agg)
+    # non-aggregate input ABOVE the bound: the probe must leave no new
+    # persisted RDD behind beyond the normalized checkpoint itself
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    und, urows, _ = _und_probe(raw, 5)
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert urows is None or len(urows) <= 5
+    assert after - before <= 1, "raw pre-dedup edge list was checkpointed"
+    got = sorted(map(tuple, und.collect()))
+    want = sorted(map(tuple, _simple_undirected(raw).collect()))
+    assert got == want
+    # below the bound: Python normalization, rows in hand, nothing kept
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    und2, urows2, _ = _und_probe(raw, 100_000)
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    assert und2 is None and sorted((r.u, r.v) for r in urows2) == want
+    assert after == before
