@@ -1648,6 +1648,9 @@ def _bfs_driver(
     return _local_df(dist0.sparkSession, sorted(hops.items()), schema)
 
 
+_SsspERow = namedtuple("_SsspERow", ["src", "dst", "w"])
+
+
 def sssp_weighted(
     edges: DataFrame,
     sources: DataFrame,
@@ -1688,13 +1691,52 @@ def sssp_weighted(
             " F.lit(1) as the weight"
         )
     src, dst, w = edges.columns[:3]
+    ecast = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(w).cast("long").alias("w"),
+    )
+    dist0 = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    # fully-local fast path (the label_propagation discipline): a
+    # driver-built local relation (e.g. x_sssp_trade's VALUES cost
+    # frame) collects job-free — the min-aggregation canonicalization,
+    # the weight guard and the frontier Bellman-Ford all run in Python,
+    # skipping the eager checkpoint + probe jobs entirely. NULL weights
+    # route to the engine (SQL MIN NULL-skipping semantics).
+    if driver_threshold > 0 and _is_local_plan(ecast):
+        raw = ecast.limit(driver_threshold + 1).collect()
+        if len(raw) <= driver_threshold:
+            agg: dict = {}
+            nullw = False
+            for r in raw:
+                if r.src is None or r.dst is None or r.src == r.dst:
+                    continue
+                if r.w is None:
+                    nullw = True
+                    break
+                key = (r.src, r.dst)
+                cur = agg.get(key)
+                if cur is None or r.w < cur:
+                    agg[key] = r.w
+            if not nullw:
+                mn = min(agg.values(), default=None)
+                if mn is not None and mn <= 0:
+                    raise ValueError(
+                        f"edge weights must be positive (min={mn})"
+                    )
+                srows = _probe_rows(dist0, driver_threshold)
+                if srows is not None:
+                    erows = [
+                        _SsspERow(s, d, wv) for (s, d), wv in agg.items()
+                    ]
+                    return _sssp_driver(erows, srows, ecast, dist0, max_iter)
     e = (
-        edges.select(
-            F.col(src).alias("src"),
-            F.col(dst).alias("dst"),
-            F.col(w).cast("long").alias("w"),
-        )
-        .filter(
+        ecast.filter(
             F.col("src").isNotNull()
             & F.col("dst").isNotNull()
             & (F.col("src") != F.col("dst"))
@@ -1702,12 +1744,6 @@ def sssp_weighted(
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))
         .localCheckpoint(eager=True)
-    )
-    dist0 = (
-        sources.select(F.col(sources.columns[0]).alias("node"))
-        .filter(F.col("node").isNotNull())
-        .distinct()
-        .select("node", F.lit(0).cast("long").alias("dist"))
     )
     # one-job dispatch probe: weight guard + frontier Bellman-Ford in
     # Python over the probe rows (same checks, same messages, same
@@ -1717,6 +1753,8 @@ def sssp_weighted(
         if driver_threshold > 0
         else None
     )
+    if erows is not None and any(r.w is None for r in erows):
+        erows = None  # all-NULL-weight pairs: engine MIN semantics
     if erows is not None:
         mn = min((r.w for r in erows), default=None)
         if mn is not None and mn <= 0:

@@ -1520,26 +1520,65 @@ def x_sssp_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint depth, extra rounds exact no-ops).
 
     Scale shape: the fact-join aggregation is the one corpus exchange
-    (shared derivation); the cost expression is a 1-row broadcast
-    cross-multiply; each relaxation round joins only the IMPROVING
-    wavefront against the checkpointed edge list with a map-side
-    combinable min, convergence is one isEmpty probe, superseded
-    checkpoints released (the bfs_hops storage contract)."""
-    from ..functions.graph import sssp_weighted
+    (shared derivation) and is localCheckpoint()ed ONCE — the totals
+    side, the cost filter and sssp's internal canonicalization all read
+    the pin; without it the totals aggregate and sssp's checkpoint each
+    re-ran the whole fact join (two corpus passes, r11 verdict #5). The
+    cost expression is a 1-row broadcast cross-multiply — or, below the
+    dispatch bound, exact Python integers emitted as a VALUES relation
+    (the _sparsify_mean_relative discipline: all operands positive, so
+    Python // IS the BIGINT DIV; any product near int64 falls back to
+    the distributed spelling so ANSI overflow behavior rules). Each
+    relaxation round joins only the IMPROVING wavefront against the
+    checkpointed edge list with a map-side combinable min, convergence
+    is one isEmpty probe, superseded checkpoints released (the bfs_hops
+    storage contract)."""
+    from ..functions.graph import (
+        _free_local_checkpoint,
+        _local_df,
+        _probe_rows,
+        sssp_weighted,
+    )
 
     edges, nat = _trade_edge_frame(spark, sf_dir)
-    tot = edges.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
-    ec = (
-        edges.crossJoin(F.broadcast(tot))
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.expr(
-                f"CAST(tw * {SSSP_COST_SCALE} AS BIGINT) DIV (ne * w)"
-            ).alias("cost"),
+    edges = edges.localCheckpoint(eager=True)
+    ec = None
+    rows = _probe_rows(edges, 100_000)
+    if rows is not None:
+        ws = [r["w"] for r in rows]
+        ne = len(rows)
+        tw = sum(w for w in ws if w is not None)
+        if (
+            all(w is not None and 0 < w and ne * w < 2**63 for w in ws)
+            and 0 <= tw * SSSP_COST_SCALE < 2**63
+        ):
+            schema = edges.limit(0).selectExpr(
+                "src", "dst", "CAST(1 AS BIGINT) AS cost"
+            ).schema
+            kept = [
+                (r["src"], r["dst"], (tw * SSSP_COST_SCALE) // (ne * r["w"]))
+                for r in rows
+                if r["src"] is not None
+                and r["dst"] is not None
+                and r["src"] != r["dst"]
+            ]
+            _free_local_checkpoint(edges)
+            ec = _local_df(spark, kept, schema)
+    if ec is None:
+        tot = edges.agg(
+            F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne")
         )
-    )
+        ec = (
+            edges.crossJoin(F.broadcast(tot))
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                F.expr(
+                    f"CAST(tw * {SSSP_COST_SCALE} AS BIGINT) DIV (ne * w)"
+                ).alias("cost"),
+            )
+        )
     region = tables(spark, sf_dir, "region")[0]
     seeds = (
         nat.join(region, nat.n_regionkey == region.r_regionkey)

@@ -1350,3 +1350,41 @@ def test_und_probe_skips_raw_checkpoint_on_nonaggregate_r12(spark):
     after = sc._jsc.sc().getPersistentRDDs().size()
     assert und2 is None and sorted((r.u, r.v) for r in urows2) == want
     assert after == before
+
+
+def test_sssp_local_input_fast_path_r12(spark):
+    """r12-opt: sssp_weighted's fully-local fast path (VALUES edge input
+    collected job-free, min-aggregation + Bellman-Ford in Python) must be
+    bit-identical to the forced-distributed loop, keep the positive-weight
+    guard, and route NULL weights to the engine."""
+    from bi_gcp_stitch_repl_spark.functions.graph import sssp_weighted
+
+    e = spark.sql(
+        "SELECT * FROM VALUES"
+        " (1L, 2L, 5L), (1L, 2L, 3L), (2L, 3L, 1L), (3L, 3L, 9L),"
+        " (CAST(NULL AS BIGINT), 4L, 2L), (4L, 5L, 7L)"
+        " AS t(src, dst, w)"
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    got = sorted(map(tuple, sssp_weighted(e, seeds).collect()))
+    want = sorted(
+        map(tuple, sssp_weighted(e, seeds, driver_threshold=0).collect())
+    )
+    assert got == want and got
+    # min-aggregated duplicate edge: (1,2) keeps cost 3
+    assert dict(got)[2] == 3
+    import pytest as _pytest
+
+    bad = spark.sql("SELECT * FROM VALUES (1L, 2L, 0L) AS t(src, dst, w)")
+    with _pytest.raises(ValueError, match="positive"):
+        sssp_weighted(bad, seeds)
+    # NULL weight: identical to the forced-distributed behavior
+    en = spark.sql(
+        "SELECT * FROM VALUES (1L, 2L, 4L),"
+        " (2L, 3L, CAST(NULL AS BIGINT)) AS t(src, dst, w)"
+    )
+    got = sorted(map(tuple, sssp_weighted(en, seeds).collect()))
+    want = sorted(
+        map(tuple, sssp_weighted(en, seeds, driver_threshold=0).collect())
+    )
+    assert got == want and got
