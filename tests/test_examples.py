@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 
 
@@ -77,6 +79,7 @@ def test_submit_job_script_forwards_to_cli():
     assert "bi_gcp_stitch_repl_spark.jobs" in out.stdout
 
 
+@pytest.mark.slow
 def test_web_pipeline_example_end_to_end(spark, tmp_path):
     """The web-crawl example must run its whole chain: 240 crawled pages
     (every resource fetched twice under different raw spellings) collapse

@@ -401,6 +401,7 @@ def test_kmeans_ivf_full_probe_equals_bruteforce(spark):
         assert hits and hits[0]["vec_id"] == qid  # self-hit at rank 1
 
 
+@pytest.mark.slow
 def test_embedding_near_dup_recall_and_precision(spark):
     """Banded-LSH near-dup pairs vs the exact all-pairs baseline: precision
     is 1.0 by construction (candidates are exact-verified); recall on the
@@ -1707,6 +1708,7 @@ def test_ivf_pq_refine_repairs_adc_ranking(spark):
         )
 
 
+@pytest.mark.slow
 def test_ivf_pq_onepass_kernel_matches_expression_twin(spark):
     """fast_encode with BOTH models frozen takes the one-Arrow-pass
     kernel (assignment + residual + codes, vectors cross the boundary

@@ -4,6 +4,8 @@ extract → normalize → merge → re-run idempotency."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 
 from bi_gcp_stitch_repl_spark.jobs import pipelines
@@ -370,6 +372,7 @@ def test_erase_requested_keys_across_tables(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_incremental_dedup_ingest_two_loads_match_full(spark, tmp_path):
     """Two sequential ingests through the versioned band index find, in
     union, every pair the one-shot full recompute finds; the committed
@@ -836,6 +839,7 @@ def test_prepare_training_data_semdedup_runs_among_survivors(spark, tmp_path):
     assert kept == {1, 2}  # doc 1 survives: its "keeper" (doc 0) was spam
 
 
+@pytest.mark.slow
 def test_job_manifest_sweep_runs_every_entry(spark, tmp_path):
     """The 'Airflow scheduling Spark jobs' north-star, proven per-MANIFEST:
     every JOB_MANIFEST entry executes end-to-end against hermetic fixtures

@@ -242,6 +242,7 @@ def test_jaccard_probe_audit_broadcasts_probe_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_no_python_eval_anywhere_in_catalog(spark):
     """Engine rule (SURVEY §2.11): the whole catalog ships without Python
     row evaluation — no BatchEvalPython / ArrowEvalPython / FlatMapsInPandas
@@ -278,6 +279,7 @@ def test_no_python_eval_anywhere_in_catalog(spark):
     assert not offenders, offenders
 
 
+@pytest.mark.slow
 def test_no_unbounded_join_strategies_in_catalog(spark):
     """Catalog-wide plan lint: no CartesianProduct and no
     BroadcastNestedLoopJoin anywhere EXCEPT the whitelisted
@@ -427,7 +429,16 @@ def test_no_forced_broadcast_on_scaled_sides_in_package():
         ("queries/deep_joins.py", "threshold"): "1-row AVG threshold",
         ("queries/deep_joins.py", "n_orders"): "1-row COUNT",
         ("queries/curation.py", "tot"): "1-row corpus total",
-        ("queries/curation.py", "ratio"): "bucket-count-row ratio frame",
+        # dsir's distributed-fallback ratio frame: ≤ DSIR_BUCKETS rows by
+        # construction (bucket = hash % DSIR_BUCKETS) — corpus-independent
+        (
+            "queries/curation.py",
+            "bc.crossJoin(F.broadcast(tot)).withColumn('q9', F.expr("
+            "f'cast((cast(ct + 1 as decimal(38,0)) * (r_tot + {DSIR_BUCKETS})"
+            " * {DSIR_SCALE}) div (cast(cr + 1 as decimal(38,0))"
+            " * (t_tot + {DSIR_BUCKETS})) as bigint)'))"
+            ".select('bucket', 'q9')",
+        ): "bucket-count-row ratio frame (distributed overflow fallback)",
         ("queries/relational_ext.py", "tot"): "1-row total",
         # --- queries/: fixed-size query/probe sets, k-capped outputs --
         ("queries/curation.py", "q"): "1-row query vector",

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -581,6 +583,9 @@ def _pr_reference(edges, nodes, n_iter, S=10**12, FS=10**6, seeds=None):
     n_iter=st.integers(1, 4),
     drop_node=st.integers(0, 6),
 )
+
+
+@pytest.mark.slow
 def test_pagerank_fixedpoint_matches_integer_reference(
     spark, edges, n_iter, drop_node
 ):
@@ -628,6 +633,9 @@ def test_pagerank_fixedpoint_matches_integer_reference(
     seed_a=st.integers(0, 6),
     seed_b=st.integers(0, 6),
 )
+
+
+@pytest.mark.slow
 def test_personalized_pagerank_matches_integer_reference(
     spark, edges, n_iter, seed_a, seed_b
 ):
@@ -703,6 +711,9 @@ def _hits_reference(edges, nodes, n_iter, S=10**6):
     n_iter=st.integers(1, 3),
     drop_node=st.integers(0, 6),
 )
+
+
+@pytest.mark.slow
 def test_hits_fixedpoint_matches_integer_reference(
     spark, edges, n_iter, drop_node
 ):
@@ -970,6 +981,9 @@ def _lpa_reference(edges, nodes, n_iter):
     n_iter=st.integers(0, 4),
     drop_node=st.integers(0, 6),
 )
+
+
+@pytest.mark.slow
 def test_label_propagation_matches_reference(spark, edges, n_iter, drop_node):
     """Driver fast path AND forced distributed loop both equal the
     independent sequential replica bit-for-bit on random weighted
@@ -1054,6 +1068,9 @@ def _bpe_reference(vocab, n_merges):
     ),
     n_merges=st.integers(0, 5),
 )
+
+
+@pytest.mark.slow
 def test_bpe_train_matches_reference(spark, words, n_merges):
     """Driver fast path AND forced distributed loop both equal the
     independent recursive replica on random small-alphabet vocabularies

@@ -566,6 +566,7 @@ def test_web_corpus_stream_domain_cap_across_batches_exactly_once(
     assert counts3 == counts2
 
 
+@pytest.mark.slow
 def test_web_corpus_stream_domain_counts_fold_bounds_history(
     spark, tmp_path, monkeypatch
 ):

@@ -596,6 +596,7 @@ def test_thousand_commit_log_plans_in_o_tail_time(spark, tmp_path):
     assert fresh.read().count() == (n_commits - first) + 1
 
 
+@pytest.mark.slow
 def test_contention_stress_eight_writers_twenty_commits(spark, tmp_path):
     """Contention stress (VERDICT r03 #8): 8 writers x 20 commits each
     hammering ONE table. The O_EXCL commit arbitration must yield a

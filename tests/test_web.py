@@ -1026,6 +1026,9 @@ def test_apply_robots_rfc9309_precedence(spark):
         st.sampled_from(_ROBOTS_PATHS), min_size=1, max_size=6, unique=True
     ),
 )
+
+
+@pytest.mark.slow
 def test_robots_verdict_matches_reference_property(spark, rules, paths):
     """apply_robots' verdict ≡ the independent Python precedence
     reference on arbitrary rule lists (random allow flags over the
