@@ -443,24 +443,38 @@ def pagerank_fixedpoint(
     # caught by the hypothesis property suite's self-loop example).
     # NULL endpoints drop here (SQL joins and Python dict membership
     # disagree about NULL, so letting one through would diverge the two
-    # physical paths); checkpoint UNCONDITIONALLY — the upstream
-    # derivation is the expensive part and frac references e twice.
-    e = (
-        edges.select(
-            F.col(src).cast(node_type).alias("src"),
-            F.col(dst).cast(node_type).alias("dst"),
-            F.col(w).cast("long").alias("w"),
+    # physical paths); checkpointed — the upstream derivation is the
+    # expensive part and frac references e twice.
+    ecast = edges.select(
+        F.col(src).cast(node_type).alias("src"),
+        F.col(dst).cast(node_type).alias("dst"),
+        F.col(w).cast("long").alias("w"),
+    )
+    e = None
+    erows = None
+    # fully-local fast path (the label_propagation discipline): a
+    # driver-built local relation (the trade wrappers' VALUES edge
+    # aggregate) collects job-free and the (src, dst) canonicalization
+    # runs in Python with SQL SUM semantics — skipping the aggregate
+    # exchange + eager checkpoint + probe jobs entirely; int64 sum
+    # overflow falls back to the engine's ANSI-abort spelling
+    if driver_threshold > 0 and _is_local_plan(ecast):
+        raw = ecast.limit(driver_threshold + 1).collect()
+        if len(raw) <= driver_threshold:
+            pairs = _dagg_rows_py(raw)
+            if pairs is not None and len(pairs) <= driver_threshold:
+                erows = pairs
+    if erows is None:
+        e = (
+            ecast.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    node_df = (
-        nodes.select(F.col(nodes.columns[0]).cast(node_type).alias("node"))
-        .filter(F.col("node").isNotNull())
-        .distinct()
-    )
+    nd_proj = nodes.select(
+        F.col(nodes.columns[0]).cast(node_type).alias("node")
+    ).filter(F.col("node").isNotNull())
+    node_df = nd_proj.distinct()
     # driver/distributed dispatch via the one-job limit probe: when both
     # frames fit, the probe rows ARE the collected inputs — the old
     # count() + guard-agg + count() + collect() + collect() sequence
@@ -470,13 +484,20 @@ def pagerank_fixedpoint(
     # frame is probed UN-checkpointed — the driver path never touches it
     # again, so its eager checkpoint was a pure extra job + planning gap
     # per query; the distributed branch checkpoints it below as before
-    erows = _probe_rows(e, driver_threshold) if driver_threshold > 0 else None
+    if erows is None:
+        erows = (
+            _probe_rows(e, driver_threshold) if driver_threshold > 0 else None
+        )
     if erows is not None and any(r.w is None for r in erows):
         # SQL MIN/SUM skip NULL weights, so the distributed guard and
         # loop have well-defined NULL semantics the Python replica does
         # not reproduce — route NULL-weight inputs to the engine
         erows = None
-    nrows = _probe_rows(node_df, driver_threshold) if erows is not None else None
+    nrows = (
+        _distinct_probe_rows(nd_proj, driver_threshold)
+        if erows is not None
+        else None
+    )
     if nrows is not None and len(nrows) == 0:
         return node_df.select("node", F.lit(0).cast("long").alias("rank_fp"))
     if nrows is not None:
@@ -491,12 +512,10 @@ def pagerank_fixedpoint(
             # not blindly collected — a seed list larger than the
             # dispatch bound falls back to the distributed semi-join
             # instead of exhausting driver memory (r11 advice)
-            trows = _probe_rows(
+            trows = _distinct_probe_rows(
                 teleport.select(
                     F.col(teleport.columns[0]).cast(node_type).alias("node")
-                )
-                .filter(F.col("node").isNotNull())
-                .distinct(),
+                ).filter(F.col("node").isNotNull()),
                 driver_threshold,
             )
             if trows is None:
@@ -512,6 +531,16 @@ def pagerank_fixedpoint(
         return _pagerank_fp_driver(
             erows, nrows, node_df, len(nrows), n_iter, damping_num,
             damping_den, scale, frac_scale, seeds=seeds,
+        )
+    if e is None:
+        # the local fast path collected the edges but the dispatch fell
+        # through (node frame or teleport above the bound): build the
+        # canonical checkpointed aggregate for the distributed loop
+        e = (
+            ecast.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
         )
     node_df = node_df.localCheckpoint(eager=True)
     n = node_df.count()
@@ -745,22 +774,33 @@ def hits_fixedpoint(
     src, dst, w = edges.columns[:3]
     # one row per (src, dst) and NULL endpoints dropped up front — same
     # canonicalization (and same reasons) as pagerank_fixedpoint
-    e = (
-        edges.select(
-            F.col(src).cast(node_type).alias("src"),
-            F.col(dst).cast(node_type).alias("dst"),
-            F.col(w).cast("long").alias("w"),
+    ecast = edges.select(
+        F.col(src).cast(node_type).alias("src"),
+        F.col(dst).cast(node_type).alias("dst"),
+        F.col(w).cast("long").alias("w"),
+    )
+    e = None
+    erows = None
+    # fully-local fast path (the pagerank_fixedpoint discipline): VALUES
+    # edge inputs collect job-free, canonicalize in Python with SQL SUM
+    # semantics — no aggregate exchange, checkpoint or probe job
+    if driver_threshold > 0 and _is_local_plan(ecast):
+        raw = ecast.limit(driver_threshold + 1).collect()
+        if len(raw) <= driver_threshold:
+            pairs = _dagg_rows_py(raw)
+            if pairs is not None and len(pairs) <= driver_threshold:
+                erows = pairs
+    if erows is None:
+        e = (
+            ecast.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    node_df = (
-        nodes.select(F.col(nodes.columns[0]).cast(node_type).alias("node"))
-        .filter(F.col("node").isNotNull())
-        .distinct()
-    )
+    nd_proj = nodes.select(
+        F.col(nodes.columns[0]).cast(node_type).alias("node")
+    ).filter(F.col("node").isNotNull())
+    node_df = nd_proj.distinct()
     # one-job dispatch probe (the pagerank_fixedpoint discipline): when
     # both frames fit the driver threshold, the probe rows ARE the
     # collected inputs and the guards run in Python over them — same
@@ -768,13 +808,20 @@ def hits_fixedpoint(
     # first (e is already checkpointed); the node frame probes
     # UN-checkpointed — the driver path never touches it again, and the
     # distributed branch checkpoints it below as before
-    erows = _probe_rows(e, driver_threshold) if driver_threshold > 0 else None
+    if erows is None:
+        erows = (
+            _probe_rows(e, driver_threshold) if driver_threshold > 0 else None
+        )
     if erows is not None and any(r.w is None for r in erows):
         # SQL MIN/MAX/SUM skip NULL weights — the engine defines the
         # NULL-weight behavior, so route those inputs to it (the
         # pagerank_fixedpoint fallback)
         erows = None
-    nrows = _probe_rows(node_df, driver_threshold) if erows is not None else None
+    nrows = (
+        _distinct_probe_rows(nd_proj, driver_threshold)
+        if erows is not None
+        else None
+    )
     if nrows is not None and len(nrows) == 0:
         return node_df.select(
             "node",
@@ -787,6 +834,16 @@ def hits_fixedpoint(
             raise ValueError(f"scale={scale} must be >= node count {n}")
         _check_weights_rows((r.w for r in erows), hits_scale=scale)
         return _hits_fp_driver(erows, nrows, node_df, n, n_iter, scale)
+    if e is None:
+        # local fast path collected the edges but the node frame is
+        # above the bound: build the checkpointed aggregate for the
+        # distributed loop
+        e = (
+            ecast.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
     node_df = node_df.localCheckpoint(eager=True)
     n = node_df.count()
     if n == 0:
@@ -1039,6 +1096,34 @@ def _local_df(spark, rows, schema):
             spark.sparkContext.parallelize(rows, 1), st
         )
     return F.broadcast(df) if len(rows) <= _BROADCAST_HINT_MAX_ROWS else df
+
+
+_NodeRow = namedtuple("_NodeRow", ["node"])
+
+
+def _distinct_probe_rows(proj: DataFrame, threshold: int) -> list | None:
+    """Smallness probe of ``proj.distinct()`` for a ONE-column frame of
+    a :data:`_PY_ORDERED_SIMPLE` type: probe the RAW projection (a
+    CollectLimit over the scan — limit short-circuits, no aggregate to
+    plan, job-free on driver-local relations) and dedup in Python, where
+    equality provably matches SQL distinct for these types (the engine
+    applied any cast while executing/folding the projection). Probing
+    ``distinct()`` itself was costing a 2-stage AQE plan + a ~0.2 s
+    driver planning gap per graph query on a 25-row dimension scan
+    (measured, x_pagerank_trade). A raw row count past the threshold —
+    the 100 TB node frame — falls back to the ordinary one-job probe of
+    the distinct frame, reading ~threshold rows either way; a DEDUPED
+    count past the threshold is proof the distinct cannot fit and
+    returns None directly."""
+    t = proj.schema[0].dataType.simpleString()
+    if t in _PY_ORDERED_SIMPLE:
+        raw = proj.limit(threshold + 1).collect()
+        if len(raw) <= threshold:
+            seen = dict.fromkeys(r[0] for r in raw)
+            if len(seen) <= threshold:
+                return [_NodeRow(v) for v in seen]
+            return None
+    return _probe_rows(proj.distinct(), threshold)
 
 
 def _probe_rows(df: DataFrame, threshold: int) -> list | None:
@@ -1537,11 +1622,11 @@ def bfs_hops(
     (:func:`_free_local_checkpoint`, the k_core storage contract).
     ``max_iter`` is a loud backstop: non-convergence raises.
     """
-    dist0 = (
-        sources.select(F.col(sources.columns[0]).alias("node"))
-        .filter(F.col("node").isNotNull())
-        .distinct()
-        .select("node", F.lit(0).cast("long").alias("hops"))
+    src_proj = sources.select(
+        F.col(sources.columns[0]).alias("node")
+    ).filter(F.col("node").isNotNull())
+    dist0 = src_proj.distinct().select(
+        "node", F.lit(0).cast("long").alias("hops")
     )
     # fused one-materialization dispatch (_und_probe): below threshold
     # the normalization AND the whole frontier loop run in Python over
@@ -1549,7 +1634,11 @@ def bfs_hops(
     # per-round semi/anti-joins and isEmpty probes were ~10 scheduled
     # jobs on a 25-node graph
     und, urows, utype = _und_probe(edges, driver_threshold)
-    srows = _probe_rows(dist0, driver_threshold) if urows is not None else None
+    srows = (
+        _distinct_probe_rows(src_proj, driver_threshold)
+        if urows is not None
+        else None
+    )
     if srows is not None:
         if und is not None:
             _free_local_checkpoint(und)
@@ -1651,6 +1740,30 @@ def _bfs_driver(
 _SsspERow = namedtuple("_SsspERow", ["src", "dst", "w"])
 
 
+def _dagg_rows_py(erows: list) -> list | None:
+    """Driver spelling of the DIRECTED canonical aggregate shared by
+    pagerank_fixedpoint / hits_fixedpoint: NULL endpoints dropped,
+    per-(src, dst) weights SUMMED with SQL semantics (NULLs skipped;
+    all-NULL pair → NULL, which the callers route to the engine).
+    Returns None when any partial sum leaves int64 — the engine's
+    BIGINT SUM would ANSI-abort there (the _wund_rows_py contract)."""
+    agg: dict = {}
+    for r in erows:
+        s, d, w = r[0], r[1], r[2]
+        if s is None or d is None:
+            continue
+        key = (s, d)
+        if w is not None:
+            cur = agg.get(key)
+            t = w if cur is None else cur + w
+            if not (-(2**63) <= t < 2**63):
+                return None
+            agg[key] = t
+        else:
+            agg.setdefault(key, None)
+    return [_SsspERow(s, d, w) for (s, d), w in agg.items()]
+
+
 def sssp_weighted(
     edges: DataFrame,
     sources: DataFrame,
@@ -1696,11 +1809,11 @@ def sssp_weighted(
         F.col(dst).alias("dst"),
         F.col(w).cast("long").alias("w"),
     )
-    dist0 = (
-        sources.select(F.col(sources.columns[0]).alias("node"))
-        .filter(F.col("node").isNotNull())
-        .distinct()
-        .select("node", F.lit(0).cast("long").alias("dist"))
+    src_proj = sources.select(
+        F.col(sources.columns[0]).alias("node")
+    ).filter(F.col("node").isNotNull())
+    dist0 = src_proj.distinct().select(
+        "node", F.lit(0).cast("long").alias("dist")
     )
     # fully-local fast path (the label_propagation discipline): a
     # driver-built local relation (e.g. x_sssp_trade's VALUES cost
@@ -1729,7 +1842,7 @@ def sssp_weighted(
                     raise ValueError(
                         f"edge weights must be positive (min={mn})"
                     )
-                srows = _probe_rows(dist0, driver_threshold)
+                srows = _distinct_probe_rows(src_proj, driver_threshold)
                 if srows is not None:
                     erows = [
                         _SsspERow(s, d, wv) for (s, d), wv in agg.items()
@@ -1760,7 +1873,7 @@ def sssp_weighted(
         if mn is not None and mn <= 0:
             raise ValueError(f"edge weights must be positive (min={mn})")
         srows = (
-            _probe_rows(dist0, driver_threshold)
+            _distinct_probe_rows(src_proj, driver_threshold)
             if driver_threshold > 0
             else None
         )
@@ -2035,11 +2148,10 @@ def label_propagation(
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0 (got {n_iter})")
     src, dst, w = edges.columns[:3]
-    nd_plan = (
-        nodes.select(F.col(nodes.columns[0]).cast(node_type).alias("node"))
-        .filter(F.col("node").isNotNull())
-        .distinct()
-    )
+    nd_proj = nodes.select(
+        F.col(nodes.columns[0]).cast(node_type).alias("node")
+    ).filter(F.col("node").isNotNull())
+    nd_plan = nd_proj.distinct()
     # fully-local fast path (optimization round 1): when the edge input
     # is a driver-built local relation (the sparsify fast path's VALUES
     # output), collecting it schedules NO job — the canonical weighted
@@ -2054,7 +2166,7 @@ def label_propagation(
         F.col(w).cast("long").alias("w"),
     )
     if driver_threshold > 0 and _is_local_plan(ecast):
-        nrows = _probe_rows(nd_plan, driver_threshold)
+        nrows = _distinct_probe_rows(nd_proj, driver_threshold)
         if nrows is not None:
             if len(nrows) == 0:
                 return nd_plan.select(

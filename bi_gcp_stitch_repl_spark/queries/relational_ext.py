@@ -783,18 +783,7 @@ def x_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     with edges partitioned on src — nothing here is nation-specific."""
     from ..functions.graph import pagerank_fixedpoint
 
-    li, orders, cust, supp, nat = tables(
-        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
-    )
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    edges, nat = _trade_edge_frame(spark, sf_dir)
     ranks = pagerank_fixedpoint(
         edges, nat.select("n_nationkey"), n_iter=PR_ITER,
         scale=PR_SCALE, frac_scale=PR_FRAC,
@@ -982,18 +971,7 @@ def x_triangle_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 row (LEFT join the dimension) rather than vanishing."""
     from ..functions.graph import triangle_counts
 
-    li, orders, cust, supp, nat = tables(
-        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
-    )
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .groupBy(
-            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    edges, nat = _trade_edge_frame(spark, sf_dir)
     tri = triangle_counts(edges)
     return nat.join(tri, nat.n_nationkey == tri.node, "left").select(
         F.col("n_name").alias("nation"),
@@ -1004,16 +982,46 @@ def x_triangle_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Shared trade-graph derivation for the round-10 graph queries (the r9
-# queries x_pagerank_trade / x_triangle_trade keep their inline spellings:
-# rewriting them would burn driver-window slots on a pure refactor)
+# Shared trade-graph derivation for every trade-graph query (r12: the r9
+# inline spellings in x_pagerank_trade / x_triangle_trade switched to the
+# helper while both hold window slots — the VALUES fast path below is the
+# round's shared-build optimization and must cover them too)
 # ---------------------------------------------------------------------------
 
 
-def _trade_edge_frame(spark: SparkSession, sf_dir: str):
+def _trade_edge_frame(
+    spark: SparkSession, sf_dir: str, driver_threshold: int = 100_000
+):
     """``(edges(src, dst, w), nation)``: supplier nation → customer nation
     shipment counts from the full lineitem⋈orders⋈customer⋈supplier
-    derivation — the ONE corpus exchange every trade-graph query pays."""
+    derivation — the ONE corpus exchange every trade-graph query pays.
+
+    The aggregate is materialized HERE (one eager checkpoint — its
+    output is bounded by |nations|² at any input scale) and, when it
+    fits the dispatch bound, re-emitted as a VALUES local relation
+    (optimization round 2): every downstream graph operator then probes
+    it JOB-FREE and takes its fully-local fast path (sparsify / LPA /
+    modularity / sssp / pagerank / hits / the _und_probe family),
+    instead of each consumer paying its own re-aggregation exchange +
+    checkpoint + probe jobs over a 625-row frame. Above the bound the
+    checkpointed distributed frame returns unchanged — consumers keep
+    their exact distributed shapes, now guaranteed to share the single
+    materialization.
+
+    Examined and REJECTED (r11 verdict #1, measured): pre-aggregating
+    the lineitem side below the orders join — interleaved best-of-5 at
+    sf0.1 measured 0.622 s (current) vs 0.761 s (pre-aggregated), every
+    pair worse, because (orderkey, supplier-nation) is nearly unique per
+    lineitem row on this data shape, so the extra exchange shrinks
+    nothing and costs a full shuffle; the same row-count argument holds
+    at 100 TB (suppkeys are ~unique within an order), where the added
+    exchange would carry the whole fact table once more."""
+    from ..functions.graph import (
+        _free_local_checkpoint,
+        _local_df,
+        _probe_rows,
+    )
+
     li, orders, cust, supp, nat = tables(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
     )
@@ -1025,7 +1033,14 @@ def _trade_edge_frame(spark: SparkSession, sf_dir: str):
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+    ).localCheckpoint(eager=True)
+    rows = (
+        _probe_rows(edges, driver_threshold) if driver_threshold > 0 else None
     )
+    if rows is not None:
+        out = _local_df(spark, [tuple(r) for r in rows], edges.schema)
+        _free_local_checkpoint(edges)
+        return out, nat
     return edges, nat
 
 
@@ -1066,9 +1081,19 @@ def _sparsify_mean_relative(
     aggregation provably cannot ANSI-abort where the Python total
     succeeded; mixed signs (or any bound breach) fall back to the
     distributed spelling so the engine's own overflow behavior rules."""
-    from ..functions.graph import _free_local_checkpoint, _local_df, _probe_rows
+    from ..functions.graph import (
+        _free_local_checkpoint,
+        _is_local_plan,
+        _local_df,
+        _probe_rows,
+    )
 
-    edges = edges.localCheckpoint(eager=True)
+    local_in = _is_local_plan(edges)
+    if not local_in:
+        # a driver-built VALUES input (the _trade_edge_frame fast path)
+        # probes job-free — its defensive checkpoint would be the only
+        # job this helper schedules
+        edges = edges.localCheckpoint(eager=True)
     cols = ["src", "dst", "w"] if keep_weight else ["src", "dst"]
     rows = (
         _probe_rows(edges, driver_threshold) if driver_threshold > 0 else None
@@ -1091,7 +1116,8 @@ def _sparsify_mean_relative(
                 and r["w"] * ne * KCORE_THR_DEN >= tw * KCORE_THR_NUM
             ]
             spark = edges.sparkSession
-            _free_local_checkpoint(edges)
+            if not local_in:
+                _free_local_checkpoint(edges)
             return _local_df(spark, kept, schema)
     tot = edges.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
     return (
@@ -1533,15 +1559,9 @@ def x_sssp_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed edge list with a map-side combinable min, convergence
     is one isEmpty probe, superseded checkpoints released (the bfs_hops
     storage contract)."""
-    from ..functions.graph import (
-        _free_local_checkpoint,
-        _local_df,
-        _probe_rows,
-        sssp_weighted,
-    )
+    from ..functions.graph import _local_df, _probe_rows, sssp_weighted
 
     edges, nat = _trade_edge_frame(spark, sf_dir)
-    edges = edges.localCheckpoint(eager=True)
     ec = None
     rows = _probe_rows(edges, 100_000)
     if rows is not None:
@@ -1562,7 +1582,6 @@ def x_sssp_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 and r["dst"] is not None
                 and r["src"] != r["dst"]
             ]
-            _free_local_checkpoint(edges)
             ec = _local_df(spark, kept, schema)
     if ec is None:
         tot = edges.agg(
