@@ -43,15 +43,18 @@ STAGE_LAYOUT = {
     "lineitem": 32,
     "orders": 8,
     "events": 4,
-    # tiny but compute-heavy (MinHash shingling, per-token fold hashing):
-    # at 8 files the x_dsir tokenize stage ran 8 tasks with 24 cores idle
-    # (job dump: 1.0 s of a 1.7 s build). INTERLEAVED same-session A/B
-    # (both stagings materialized, alternating, best-of-5): 16 files
-    # nets −0.55 s over 8 (dsir 1.46→1.07, minhash 0.96→0.76, bpe
-    # 0.58→0.45, text_stats −0.05) while 32 gives the tokenize win back
-    # on light scans (dedup_exact 0.24→0.50, curation +0.34): per-file
-    # overhead beats parallelism past ~16 files for a table this small.
-    "documents": 16,
+    # tiny but compute-heavy (MinHash shingling, per-token fold hashing).
+    # r11 measured 16 files better (-0.55 s interleaved); the r12
+    # re-pair (r11 verdict #8; two interleaved same-session rounds, both
+    # stagings pre-materialized, arms alternating, best-of-6 each)
+    # INVERTED that trade: the r12 dsir/bpe driver fast paths cut those
+    # queries' dependence on tokenize-scan parallelism, while the light
+    # scans reliably pay per-file overhead at 16 — dedup_exact d8 wins
+    # 12/12 pairs (0.27-0.30 vs 0.36-0.42, the driver's r11 regression
+    # reproduced), bpe_merges 11/12 (0.39 vs 0.50-0.63), curation 9/12
+    # (1.01 vs 1.29), dsir 8/12 (1.20 vs 1.46); only minhash mildly
+    # prefers 16 (~40 ms). Net best-of-arm sum: 8 files wins by ~0.6 s.
+    "documents": 8,
     # tiny but compute-heavy (64-dim casts/norms/dots): the single-file
     # fixture made every embedding scan a ONE-task stage (measured 0.18 s
     # serial in the semdedup job dump) feeding the knn/ivf/semdedup/mmr

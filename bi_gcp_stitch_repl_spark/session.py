@@ -35,6 +35,21 @@ _LOCAL_DEFAULTS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     # Broadcast joins for dimension tables (region/nation/customer-sized).
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # take()/limit-collect actions (the dispatch probes, guard takes)
+    # start by scanning ONE partition and re-schedule 4x more each round
+    # (scaleUpFactor) until satisfied; a selective guard like
+    # `filter(key = literal).take(2)` that matches one row therefore
+    # pays ceil(log4(parts)) scheduled jobs + planning gaps to prove no
+    # second row exists (measured: x_mmr_rerank's arity guard ran 3 jobs
+    # over an 8-file scan). Start at the session's core count instead —
+    # one job saturates the machine, and a probe that must scan
+    # everything anyway finishes in fewer round trips. Scale-dependent:
+    # a cluster deployment sets this to its executor-core total (or
+    # leaves 1 when takes are expected to satisfy from the first split);
+    # bounded either way by the limit row count, never a full-table read.
+    "spark.sql.limit.initialNumPartitions": os.environ.get(
+        "SPARK_GRAFT_CPUS", "4"
+    ),
     # Read-side split sizing; at 100 TB this keeps ~128MB tasks.
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Deterministic session timezone so timestamp rendering matches the
@@ -86,6 +101,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         "spark.sql.execution.arrow.pyspark.enabled",
         "spark.sql.session.timeZone",
         "spark.sql.parquet.outputTimestampType",
+        "spark.sql.limit.initialNumPartitions",
     ):
         try:
             spark.conf.set(k, _LOCAL_DEFAULTS[k])
